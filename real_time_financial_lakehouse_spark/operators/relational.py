@@ -1,0 +1,84 @@
+"""Batch relational core: projections, filters, casts, scalar expressions.
+
+Covers SURVEY section-2.2 (P1-P14): the reference's JSON parse + struct
+star-expansion (consumer_lake.py:44), casts (process_silver.py:47),
+conjunctive filters (train_model.py:30), null fill (process_silver.py:67),
+literals (process_silver.py:78), arithmetic / conditional / interval /
+epoch-millis expressions (dashboard.py:17-22,43,47,92; producer.py:20).
+
+Everything here is built-in ``pyspark.sql.functions`` column expressions --
+JVM-side, whole-stage-codegen'd, no Python boundary.  At 100 TB these are
+the cheapest operators in the engine *if* they stay next to the scan so
+Catalyst pushes comparisons into the parquet reader; each builder therefore
+takes and returns DataFrames without forcing any action.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import qround
+
+from ..schemas import PROPS_SCHEMA
+
+def parse_props(events: DataFrame) -> DataFrame:
+    """P1+P2: ``from_json`` against an explicit schema, then struct
+    star-expansion -- the reference's Kafka-value parse
+    (consumer_lake.py:44) applied to the ``events.props`` JSON column."""
+    return events.select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.from_json(F.col("props"), PROPS_SCHEMA).alias("data"),
+    ).select("event_id", "ts", "event_type", "value", "data.*")
+
+def bronze_normalize(events: DataFrame) -> DataFrame:
+    """P3/P4/P12/P14: the bronze normalization projection.  Mirrors the
+    producer/consumer reshape (producer.py:16-21, process_silver.py:47):
+    string casts, epoch-millis round trip, ISO formatting, rounding."""
+    return events.select(
+        F.col("event_id"),
+        F.col("event_type").alias("symbol"),
+        F.col("value").cast("double").alias("price"),
+        qround(F.col("value") * 2.5, 2).alias("notional"),
+        F.unix_millis(F.col("ts")).alias("epoch_ms"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("iso_ts"),
+        F.col("ts").cast("string").alias("ts_str"),
+    )
+
+def positive_filter(df: DataFrame, price_col: str = "average_price", vol_col: str = "volatility") -> DataFrame:
+    """P5: the training-data guard filter (train_model.py:30):
+    ``(average_price > 0) AND (volatility >= 0)``."""
+    return df.filter((F.col(price_col) > 0) & (F.col(vol_col) >= 0))
+
+def fill_and_flag(events: DataFrame) -> DataFrame:
+    """P7/P8/P10: null-fill (process_silver.py:67 ``na.fill``), literal
+    column (process_silver.py:78 ``lit(0.0)``), and conditional
+    gain/loss split (dashboard.py:19-20 ``where(delta > 0, 0)``)."""
+    return events.select(
+        "event_id",
+        "event_type",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value_filled"),
+        F.lit(0.0).alias("predicted_price"),
+        F.when(F.col("value") > 100.0, F.col("value")).otherwise(F.lit(0.0)).alias("gain"),
+        F.when(F.col("value") <= 100.0, -F.col("value")).otherwise(F.lit(0.0)).alias("loss"),
+    )
+
+def shift_timezone(events: DataFrame, hours: int = 3) -> DataFrame:
+    """P11: timestamp shift by a literal interval -- the dashboard's
+    UTC->TRT display shift (dashboard.py:43)."""
+    return events.select(
+        "event_id",
+        F.col("ts").alias("ts_utc"),
+        (F.col("ts") + F.expr(f"INTERVAL {hours} HOURS")).alias("ts_local"),
+        F.date_trunc("minute", F.col("ts") + F.expr(f"INTERVAL {hours} HOURS")).alias("minute_local"),
+    )
+
+def gain_loss_split(delta: Column) -> tuple[Column, Column]:
+    """The RSI gain/loss conditional (dashboard.py:19-20) as reusable
+    column expressions."""
+    gain = F.when(delta > 0, delta).otherwise(F.lit(0.0))
+    loss = F.when(delta < 0, -delta).otherwise(F.lit(0.0))
+    return gain, loss

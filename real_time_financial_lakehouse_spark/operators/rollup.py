@@ -1,0 +1,95 @@
+"""Gold-layer rollups: the reference's dbt/DuckDB batch model, Spark-first.
+
+Reference model (dbt_project/models/gold_market_summary.sql:3-16): scan the
+silver parquet, GROUP BY (symbol, date_trunc('minute', processed_time)),
+AVG/MAX/MIN/AVG/COUNT, ORDER BY minute DESC, materialized as a table
+(CTAS).  In Spark this whole dbt-on-DuckDB path collapses to one
+declarative plan: parquet scan -> partial (map-side) hash aggregate ->
+shuffle on the two group keys -> final aggregate -> sort.
+
+Scale notes (100 TB): the aggregate shuffles once on
+(symbol, minute) -- high combined cardinality, so skew is bounded; the
+map-side partial aggregation means shuffle volume is ~|groups| per task,
+not |rows|.  The global ORDER BY is a range-partitioned sort over the
+*aggregated* (small) output, not the raw scan.  With AQE on, the post-agg
+partition count coalesces to fit the actual group count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import qround
+
+def gold_market_summary(
+    silver: DataFrame,
+    symbol_col: str = "symbol",
+    time_col: str = "processed_time",
+    price_col: str = "average_price",
+    volatility_col: str = "volatility",
+) -> DataFrame:
+    """Per-minute OHLC-style rollup (gold_market_summary.sql:3-16).
+
+    Column names follow the reference's gold schema.  Double aggregates are
+    rounded to 6 decimals so results are bit-stable across engines
+    (summation order differs between Spark partial aggregation and any
+    single-node oracle; rounding removes the ulp noise).
+    """
+    return (
+        silver.groupBy(
+            F.col(symbol_col).alias("symbol"),
+            F.date_trunc("minute", F.col(time_col)).alias("minute_window"),
+        )
+        .agg(
+            qround(F.avg(price_col), 6).alias("avg_price"),
+            qround(F.max(price_col), 6).alias("max_price"),
+            qround(F.min(price_col), 6).alias("min_price"),
+            qround(F.avg(volatility_col), 6).alias("avg_volatility"),
+            F.count(F.lit(1)).alias("transaction_count"),
+        )
+        .orderBy(F.col("minute_window").desc(), F.col("symbol"))
+    )
+
+def events_market_summary(events: DataFrame) -> DataFrame:
+    """Flagship query: the gold rollup shape applied to the ``events``
+    fixture (event_type plays symbol, value plays price), with volatility
+    computed inline as stddev_pop(value) per group, matching the silver
+    layer's volatility definition (process_silver.py:54)."""
+    return (
+        events.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("minute", F.col("ts")).alias("minute_window"),
+        )
+        .agg(
+            qround(F.avg("value"), 6).alias("avg_price"),
+            qround(F.max("value"), 6).alias("max_price"),
+            qround(F.min("value"), 6).alias("min_price"),
+            qround(F.stddev_pop("value"), 6).alias("volatility"),
+            F.count(F.lit(1)).alias("transaction_count"),
+        )
+        .orderBy(F.col("minute_window").desc(), F.col("symbol"))
+    )
+
+def minute_ohlc(events: DataFrame) -> DataFrame:
+    """True OHLC bars per (event_type, minute): open/close need ordered
+    first/last semantics, expressed with min_by/max_by over a composite
+    (ts, event_id) tiebreak so results are deterministic even with
+    duplicate timestamps.  min_by/max_by stay inside whole-stage codegen --
+    no window shuffle, one aggregate pass."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("minute", F.col("ts")).alias("minute_window"),
+        )
+        .agg(
+            F.min_by(F.col("value"), key).alias("open_price"),
+            qround(F.max("value"), 6).alias("high_price"),
+            qround(F.min("value"), 6).alias("low_price"),
+            F.max_by(F.col("value"), key).alias("close_price"),
+            qround(F.sum("value"), 6).alias("total_value"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .orderBy(F.col("minute_window"), F.col("symbol"))
+    )

@@ -1,0 +1,125 @@
+"""Window/analytic layer: the dashboard's pandas indicators, Spark-first.
+
+The reference computes SMA(5), first-difference, and RSI(14) in pandas on
+the driver (dashboard.py:17-22,46-48) -- single-machine, whole-frame.  We
+re-express them as Spark Window expressions so they distribute: one shuffle
+partitioned by symbol, then every indicator is computed inside the same
+sorted frame with whole-stage codegen -- no Python boundary at all
+(SURVEY section 2.10: the engine core is UDF-free).
+
+pandas edge semantics are preserved exactly for oracle parity:
+
+* ``rolling(n).mean()`` emits NULL for the first n-1 rows (min_periods
+  defaults to the window size) -> we gate on ``row_number() >= n``.
+* ``Series.where(delta > 0, 0)`` maps NaN deltas (first row) to 0, because
+  ``NaN > 0`` is False -> Spark's ``when`` does the same with NULL.
+* RSI when avg-loss is 0: gain/0 -> inf -> RSI 100 in pandas; we make that
+  explicit with a CASE so no engine-specific division-by-zero semantics
+  leak in (Spark 4 runs ANSI mode by default).
+
+The reference's analytic layer has no partitionBy (single symbol); we add
+``partitionBy(symbol)`` everywhere so multi-symbol data is correct and the
+work distributes by symbol at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import qround
+
+from .relational import gain_loss_split
+
+def minute_series(events: DataFrame) -> DataFrame:
+    """Aggregate raw events into the per-(symbol, minute) price series the
+    indicator layer consumes -- the silver-table shape (average_price over
+    processed-minute) of process_silver.py:50-57, batch mode."""
+    return events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("minute", F.col("ts")).alias("minute"),
+    ).agg(qround(F.avg("value"), 6).alias("price"))
+
+def _ordered_window(symbol_col: str, time_col: str) -> Window:
+    return Window.partitionBy(symbol_col).orderBy(time_col)
+
+def with_sma(
+    series: DataFrame,
+    n: int = 5,
+    symbol_col: str = "symbol",
+    time_col: str = "minute",
+    price_col: str = "price",
+) -> DataFrame:
+    """W1: n-row simple moving average with pandas null-prefix semantics
+    (dashboard.py:46 ``rolling(window=5).mean()``)."""
+    w = _ordered_window(symbol_col, time_col)
+    frame = w.rowsBetween(-(n - 1), 0)
+    rn = F.row_number().over(w)
+    sma = F.when(rn >= n, qround(F.avg(price_col).over(frame), 6))
+    return series.withColumn("sma", sma)
+
+def with_diff(
+    series: DataFrame,
+    symbol_col: str = "symbol",
+    time_col: str = "minute",
+    price_col: str = "price",
+) -> DataFrame:
+    """W2: first difference (dashboard.py:18 ``data.diff()``)."""
+    w = _ordered_window(symbol_col, time_col)
+    return series.withColumn(
+        "price_diff", qround(F.col(price_col) - F.lag(price_col, 1).over(w), 6)
+    )
+
+def with_rsi(
+    series: DataFrame,
+    n: int = 14,
+    symbol_col: str = "symbol",
+    time_col: str = "minute",
+    price_col: str = "price",
+) -> DataFrame:
+    """W4: Wilder-style RSI(n) (dashboard.py:17-22): diff -> conditional
+    gain/loss -> two n-row rolling means -> 100 - 100/(1+rs)."""
+    w = _ordered_window(symbol_col, time_col)
+    frame = w.rowsBetween(-(n - 1), 0)
+    rn = F.row_number().over(w)
+    delta = F.col(price_col) - F.lag(price_col, 1).over(w)
+    gain, loss = gain_loss_split(delta)
+    avg_gain = F.avg(gain).over(frame)
+    avg_loss = F.avg(loss).over(frame)
+    rsi = (
+        F.when(rn < n, F.lit(None).cast("double"))
+        .when(avg_loss == 0, F.lit(100.0))
+        .otherwise(qround(F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + avg_gain / avg_loss), 6))
+    )
+    return series.withColumn("rsi", rsi)
+
+def indicator_frame(events: DataFrame) -> DataFrame:
+    """The dashboard's full derived frame (dashboard.py:42-48): ordered
+    series + SMA(5) + diff + RSI(14), one Window shuffle for everything."""
+    series = minute_series(events)
+    return with_rsi(with_diff(with_sma(series)))
+
+def last_prev_delta(
+    series: DataFrame,
+    symbol_col: str = "symbol",
+    time_col: str = "minute",
+    price_col: str = "price",
+) -> DataFrame:
+    """W5: last vs previous row per symbol (dashboard.py:89-92
+    ``iloc[-1]`` / ``iloc[-2]`` metric deltas).  A 1-row group yields NULL
+    prev/delta, mirroring the reference's guarded branch
+    (dashboard.py:91-94)."""
+    w = Window.partitionBy(symbol_col).orderBy(F.col(time_col).desc())
+    ranked = series.withColumn("rn", F.row_number().over(w))
+    last = ranked.filter(F.col("rn") == 1).select(
+        F.col(symbol_col).alias("symbol"), F.col(price_col).alias("last_price")
+    )
+    prev = ranked.filter(F.col("rn") == 2).select(
+        F.col(symbol_col).alias("symbol"), F.col(price_col).alias("prev_price")
+    )
+    return last.join(prev, "symbol", "left").select(
+        "symbol",
+        "last_price",
+        "prev_price",
+        qround(F.col("last_price") - F.col("prev_price"), 6).alias("price_delta"),
+    )

@@ -1,0 +1,329 @@
+"""Named query registry: the SURVEY section-2 operator inventory.
+
+Each entry pairs a Spark DataFrame builder (``QUERIES[name]``, signature
+``(spark, sf_dir) -> DataFrame``) with an equivalent ANSI-SQL oracle string
+(``ORACLE_SQL[name]``) that DuckDB runs on the same parquet fixtures.
+Column names and rounding are aligned on both sides so the driver's
+order-insensitive value hash matches (see oracle.py).
+
+Queries whose semantics are not SQL-expressible (streaming state, ML
+training) appear in QUERIES without an ORACLE_SQL twin -- the driver then
+records a weaker rows-only check, and pytest covers them directly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators import relational, rollup, setops, silver, windows
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+# Shared oracle CTE: per-(symbol, minute) price series (the silver-table
+# shape the indicator layer consumes).
+_SERIES_CTE = """
+series AS (
+    SELECT event_type AS symbol,
+           date_trunc('minute', ts) AS minute,
+           floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS price
+    FROM events
+    GROUP BY 1, 2
+)
+"""
+
+# Shared oracle CTE: Spark-compatible sliding windows (60s window, 30s
+# slide => every event belongs to exactly 2 windows whose starts are the
+# two slide-aligned points g with g <= ts < g + 60s).
+_SLIDING_CTE = """
+wins AS (
+    SELECT make_timestamp((epoch_us(e.ts) // 30000000 - o.off) * 30000000) AS window_start,
+           e.event_type AS symbol,
+           e.value
+    FROM events e
+    CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+)
+"""
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+# ---------------------------------------------------------------------------
+# Flagship + gold rollups (S4/S7, A3-A6, O1)
+# ---------------------------------------------------------------------------
+
+@register(
+    "gold_market_summary",
+    """
+    SELECT event_type AS symbol,
+           date_trunc('minute', ts) AS minute_window,
+           floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
+           floor((max(value)) * 1000000.0 + 0.5) / 1000000.0 AS max_price,
+           floor((min(value)) * 1000000.0 + 0.5) / 1000000.0 AS min_price,
+           floor((stddev_pop(value)) * 1000000.0 + 0.5) / 1000000.0 AS volatility,
+           count(*) AS transaction_count
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 2 DESC, 1
+    """,
+)
+def q_gold_market_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup.events_market_summary(_events(spark, sf_dir))
+
+@register(
+    "minute_ohlc",
+    """
+    WITH e AS (
+        SELECT event_type AS symbol,
+               date_trunc('minute', ts) AS minute_window,
+               value, ts, event_id,
+               row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT symbol, minute_window,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open_price,
+           floor((max(value)) * 1000000.0 + 0.5) / 1000000.0 AS high_price,
+           floor((min(value)) * 1000000.0 + 0.5) / 1000000.0 AS low_price,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close_price,
+           floor((sum(value)) * 1000000.0 + 0.5) / 1000000.0 AS total_value,
+           count(*) AS n_trades
+    FROM e
+    GROUP BY 1, 2
+    ORDER BY 2, 1
+    """,
+)
+def q_minute_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup.minute_ohlc(_events(spark, sf_dir))
+
+# ---------------------------------------------------------------------------
+# Relational core (P1-P14)
+# ---------------------------------------------------------------------------
+
+@register(
+    "parse_props_json",
+    """
+    SELECT event_id, ts, event_type, value,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def q_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.parse_props(_events(spark, sf_dir))
+
+@register(
+    "bronze_normalize",
+    """
+    SELECT event_id,
+           event_type AS symbol,
+           CAST(value AS DOUBLE) AS price,
+           floor((value * 2.5) * 100.0 + 0.5) / 100.0 AS notional,
+           epoch_us(ts) // 1000 AS epoch_ms,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso_ts
+    FROM events
+    """,
+)
+def q_bronze_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.bronze_normalize(_events(spark, sf_dir)).drop("ts_str")
+
+@register(
+    "fill_and_flag",
+    """
+    SELECT event_id, event_type,
+           coalesce(value, 0.0) AS value_filled,
+           CAST(0.0 AS DOUBLE) AS predicted_price,
+           CASE WHEN value > 100.0 THEN value ELSE 0.0 END AS gain,
+           CASE WHEN value <= 100.0 THEN -value ELSE 0.0 END AS loss
+    FROM events
+    """,
+)
+def q_fill_and_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.fill_and_flag(_events(spark, sf_dir))
+
+@register(
+    "interval_shift",
+    """
+    SELECT event_id,
+           ts AS ts_utc,
+           ts + INTERVAL 3 HOUR AS ts_local,
+           date_trunc('minute', ts + INTERVAL 3 HOUR) AS minute_local
+    FROM events
+    """,
+)
+def q_interval_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.shift_timezone(_events(spark, sf_dir))
+
+# ---------------------------------------------------------------------------
+# Silver sliding-window aggregation (A1/A2/T2) + training filter (P5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "silver_sliding_window",
+    f"""
+    WITH {_SLIDING_CTE}
+    SELECT window_start,
+           window_start + INTERVAL 1 MINUTE AS window_end,
+           symbol,
+           floor((stddev_pop(value)) * 1000000.0 + 0.5) / 1000000.0 AS volatility,
+           floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS average_price,
+           count(*) AS n_events
+    FROM wins
+    GROUP BY 1, 3
+    """,
+)
+def q_silver_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return silver.sliding_window_agg(_events(spark, sf_dir))
+
+@register(
+    "training_filter",
+    f"""
+    WITH {_SLIDING_CTE},
+    agg AS (
+        SELECT symbol,
+               floor((stddev_pop(value)) * 1000000.0 + 0.5) / 1000000.0 AS volatility,
+               floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS average_price
+        FROM wins
+        GROUP BY symbol, window_start
+    )
+    SELECT symbol, volatility, average_price
+    FROM agg
+    WHERE average_price > 0 AND volatility >= 0
+    """,
+)
+def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = silver.sliding_window_agg(_events(spark, sf_dir))
+    return relational.positive_filter(agg).select("symbol", "volatility", "average_price")
+
+# ---------------------------------------------------------------------------
+# Set ops / sorts / limits (U1, O1-O3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "union_all_buckets",
+    """
+    SELECT event_id, event_type, value, 'high' AS bucket FROM events WHERE value >= 100.0
+    UNION ALL
+    SELECT event_id, event_type, value, 'low' AS bucket FROM events WHERE value < 100.0
+    """,
+)
+def q_union_all_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    high = ev.filter(F.col("value") >= 100.0).select(
+        "event_id", "event_type", "value", F.lit("high").alias("bucket")
+    )
+    low = ev.filter(F.col("value") < 100.0).select(
+        "event_id", "event_type", "value", F.lit("low").alias("bucket")
+    )
+    return setops.union_all(high, low)
+
+@register(
+    "latest_20_events",
+    """
+    SELECT event_id, ts, event_type, value
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 20
+    """,
+)
+def q_latest_20_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    return setops.tail_n_by_time(ev, 20)
+
+# ---------------------------------------------------------------------------
+# Window / analytic layer (W1-W5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sma_5",
+    f"""
+    WITH {_SERIES_CTE}
+    SELECT symbol, minute, price,
+           CASE WHEN row_number() OVER w >= 5
+                THEN floor((avg(price) OVER (PARTITION BY symbol ORDER BY minute
+                                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) * 1000000.0 + 0.5) / 1000000.0
+           END AS sma
+    FROM series
+    WINDOW w AS (PARTITION BY symbol ORDER BY minute)
+    """,
+)
+def q_sma_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.with_sma(windows.minute_series(_events(spark, sf_dir)))
+
+@register(
+    "price_diff",
+    f"""
+    WITH {_SERIES_CTE}
+    SELECT symbol, minute, price,
+           floor((price - lag(price) OVER (PARTITION BY symbol ORDER BY minute)) * 1000000.0 + 0.5) / 1000000.0 AS price_diff
+    FROM series
+    """,
+)
+def q_price_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.with_diff(windows.minute_series(_events(spark, sf_dir)))
+
+@register(
+    "rsi_14",
+    f"""
+    WITH {_SERIES_CTE},
+    d AS (
+        SELECT symbol, minute, price,
+               price - lag(price) OVER (PARTITION BY symbol ORDER BY minute) AS delta,
+               row_number() OVER (PARTITION BY symbol ORDER BY minute) AS rn
+        FROM series
+    ),
+    g AS (
+        SELECT symbol, minute, price, rn,
+               avg(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+                   OVER (PARTITION BY symbol ORDER BY minute
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS avg_gain,
+               avg(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+                   OVER (PARTITION BY symbol ORDER BY minute
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS avg_loss
+        FROM d
+    )
+    SELECT symbol, minute, price,
+           CASE WHEN rn < 14 THEN NULL
+                WHEN avg_loss = 0 THEN 100.0
+                ELSE floor((100.0 - 100.0 / (1.0 + avg_gain / avg_loss)) * 1000000.0 + 0.5) / 1000000.0
+           END AS rsi
+    FROM g
+    """,
+)
+def q_rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.with_rsi(windows.minute_series(_events(spark, sf_dir)))
+
+@register(
+    "last_prev_delta",
+    f"""
+    WITH {_SERIES_CTE},
+    ranked AS (
+        SELECT symbol, minute, price,
+               row_number() OVER (PARTITION BY symbol ORDER BY minute DESC) AS rn
+        FROM series
+    )
+    SELECT l.symbol,
+           l.price AS last_price,
+           p.price AS prev_price,
+           floor((l.price - p.price) * 1000000.0 + 0.5) / 1000000.0 AS price_delta
+    FROM ranked l
+    LEFT JOIN ranked p ON l.symbol = p.symbol AND p.rn = 2
+    WHERE l.rn = 1
+    """,
+)
+def q_last_prev_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.last_prev_delta(windows.minute_series(_events(spark, sf_dir)))

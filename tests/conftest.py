@@ -1,0 +1,17 @@
+from __future__ import annotations
+
+import pytest
+
+from real_time_financial_lakehouse_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="rtfl-tests", shuffle_partitions=8)
+    yield spark
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_SMOKE
