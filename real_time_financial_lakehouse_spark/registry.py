@@ -327,3 +327,145 @@ def q_rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_last_prev_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.last_prev_delta(windows.minute_series(_events(spark, sf_dir)))
+
+# ---------------------------------------------------------------------------
+# Joins + TPC-H-style gold queries (section 2.7 engine extensions)
+# ---------------------------------------------------------------------------
+
+from .functions.numeric import qround_sql as _q  # noqa: E402
+from .operators import joins  # noqa: E402
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_q('sum(l_quantity)', 2)} AS sum_qty,
+           {_q('sum(l_extendedprice)', 2)} AS sum_base_price,
+           {_q('sum(l_extendedprice * (1.0 - l_discount))', 4)} AS sum_disc_price,
+           {_q('sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))', 6)} AS sum_charge,
+           {_q('avg(l_quantity)', 6)} AS avg_qty,
+           {_q('avg(l_extendedprice)', 6)} AS avg_price,
+           {_q('avg(l_discount)', 6)} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+@register(
+    "shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {_q('sum(l_extendedprice * (1.0 - l_discount))', 4)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1999-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.shipping_priority(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+@register(
+    "regional_revenue",
+    f"""
+    SELECT n_name,
+           {_q('sum(l_extendedprice * (1.0 - l_discount))', 4)} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.regional_revenue(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+@register(
+    "brand_margin",
+    f"""
+    SELECT p_brand,
+           {_q('sum(l_extendedprice - p_retailprice * l_quantity)', 2)} AS total_margin,
+           {_q('avg(l_quantity)', 6)} AS avg_qty,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_brand_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.brand_margin(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier")
+    )
+
+@register(
+    "customers_with_orders",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.customers_with_orders(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.customers_without_orders(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
+
+@register(
+    "latest_order_asof",
+    """
+    WITH j AS (
+        SELECT e.event_id, e.ts, e.user_id,
+               o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, ts, user_id, o_orderkey, o_orderdate, o_totalprice
+    FROM j
+    WHERE rn = 1
+    """,
+)
+def q_latest_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.latest_order_asof(_t(spark, sf_dir, "events"), _t(spark, sf_dir, "orders"))
