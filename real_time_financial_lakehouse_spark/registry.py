@@ -469,3 +469,61 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_latest_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.latest_order_asof(_t(spark, sf_dir, "events"), _t(spark, sf_dir, "orders"))
+
+# ---------------------------------------------------------------------------
+# Streaming (executed, availableNow) + ML (sections 2.8, 2.9)
+# ---------------------------------------------------------------------------
+
+from .ml import regression as ml_regression  # noqa: E402
+from .operators.relational import positive_filter  # noqa: E402
+from .streaming import silver as streaming_silver  # noqa: E402
+
+# Same oracle as the batch sliding window: the streaming pipeline
+# (watermark + update mode + foreachBatch append, availableNow trigger)
+# must produce byte-identical aggregates to the batch plan.
+@register("streaming_silver_roundtrip", ORACLE_SQL["silver_sliding_window"])
+def q_streaming_silver_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_silver.silver_roundtrip(spark, sf_dir)
+
+@register(
+    "ols_volatility_price",
+    f"""
+    WITH {_SLIDING_CTE},
+    agg AS (
+        SELECT symbol,
+               {_q('stddev_pop(value)', 6)} AS volatility,
+               {_q('avg(value)', 6)} AS average_price
+        FROM wins
+        GROUP BY symbol, window_start
+    ),
+    filtered AS (
+        SELECT * FROM agg WHERE average_price > 0 AND volatility >= 0
+    )
+    SELECT symbol,
+           CASE WHEN var_pop(volatility) != 0
+                THEN {_q('covar_pop(volatility, average_price) / var_pop(volatility)', 6)}
+           END AS slope,
+           CASE WHEN var_pop(volatility) != 0
+                THEN {_q('avg(average_price) - (covar_pop(volatility, average_price) / var_pop(volatility)) * avg(volatility)', 6)}
+           END AS intercept,
+           count(*) AS n_obs
+    FROM filtered
+    GROUP BY symbol
+    """,
+)
+def q_ols_volatility_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = silver.sliding_window_agg(_events(spark, sf_dir))
+    filtered = positive_filter(agg).select("symbol", "volatility", "average_price")
+    return ml_regression.ols_closed_form(filtered)
+
+# pyspark.ml train + inference: float-nondeterministic across solvers, so
+# no SQL oracle (driver records rows-only); exact parity of the closed
+# form is covered by ols_volatility_price, and pytest covers save/load
+# and the lit(0.0) fallback.
+@register("ml_price_prediction")
+def q_ml_price_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = silver.sliding_window_agg(_events(spark, sf_dir))
+    filtered = positive_filter(agg)
+    model = ml_regression.train(filtered)
+    scored = ml_regression.infer_with_fallback(model, filtered)
+    return scored.select("symbol", "window_start", "volatility", "average_price", "predicted_price")

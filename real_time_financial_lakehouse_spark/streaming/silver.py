@@ -1,0 +1,147 @@
+"""Silver stream: watermarked sliding-window aggregation + per-batch
+inference, the reference's core stateful query (process_silver.py:43-93).
+
+Plan shape (identical to the reference):
+    readStream(bronze) -> cast projection -> withWatermark(1 minute)
+    -> groupBy(window(ts, 1 min, 30 s), symbol)
+       .agg(stddev_pop -> volatility, avg -> average_price)
+    -> foreachBatch: na.fill(0, volatility) -> ML transform (or lit(0.0)
+       fallback) -> batch append to silver table
+    -> outputMode("update"), 10 s trigger, checkpointed
+
+The aggregation expression is the SAME builder the batch path uses
+(operators/silver.sliding_window_agg) -- one code path, two execution
+modes, so streaming results and batch backfills agree by construction.
+
+Update-mode semantics (SURVEY T3): every refinement of a window re-emits
+its row, and the foreachBatch APPEND means the silver table accumulates
+multiple rows per (window, symbol) -- a log of aggregate versions stamped
+with processed_time.  The reference's gold AVG-of-averages intentionally
+averages over those refinements; deterministic tests use
+trigger(availableNow) so each window refines exactly once.
+
+Scale notes: watermark bounds state (windows older than
+max(event_time) - 1 min are evicted); state store per (window, symbol)
+group; sliding windows multiply state by window/slide = 2.  For 100 TB/day
+streams, shuffle partitions should match executor cores and the state
+store should be RocksDB
+(spark.sql.streaming.stateStore.providerClass) -- config, not code.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.silver import sliding_window_agg
+
+def silver_query(
+    bronze: DataFrame,
+    watermark: str = "1 minute",
+    window: str = "1 minute",
+    slide: str = "30 seconds",
+    time_col: str = "ts",
+    symbol_col: str = "event_type",
+    price_col: str = "value",
+) -> DataFrame:
+    """Watermarked sliding-window aggregation (process_silver.py:50-57).
+    Adds ``processed_time`` (current_timestamp) the way the reference does;
+    deterministic tests drop it before comparing."""
+    agg = sliding_window_agg(
+        bronze.withWatermark(time_col, watermark),
+        window=window,
+        slide=slide,
+        time_col=time_col,
+        symbol_col=symbol_col,
+        price_col=price_col,
+    )
+    return agg.withColumn("processed_time", F.current_timestamp())
+
+def make_batch_processor(
+    out_dir: str,
+    infer: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch callback (process_silver.py:60-85): count guard,
+    na.fill on volatility, model inference with lit(0.0) fallback, batch
+    append to the silver table."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        filled = batch_df.na.fill(0.0, subset=["volatility"])
+        if infer is not None:
+            try:
+                scored = infer(filled)
+            except Exception:
+                scored = filled.withColumn("predicted_price", F.lit(0.0))
+        else:
+            scored = filled.withColumn("predicted_price", F.lit(0.0))
+        scored.write.mode("append").parquet(out_dir)
+
+    return process_batch
+
+def run_silver_stream(
+    bronze: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    infer: Callable[[DataFrame], DataFrame] | None = None,
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+):
+    """S6/T1-T5: update-mode foreachBatch stream over the silver query."""
+    query = silver_query(bronze)
+    writer = (
+        query.writeStream.foreachBatch(make_batch_processor(out_dir, infer))
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming view of the events fixture (the bronze stand-in): file
+    source over the parquet with the catalog's nanos handling."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) surfaces as long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # the streaming file source requires a directory; select the single
+    # fixture file with a glob filter
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+def silver_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the real streaming pipeline (availableNow) over the events
+    fixture and return the silver table it wrote -- a genuinely
+    stream-executed query whose result is batch-comparable against the
+    same SQL oracle as the batch sliding-window query."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="rtfl_silver_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="rtfl_silver_ckpt_")
+    q = run_silver_stream(
+        events_stream(spark, sf_dir), out_dir, ckpt_dir, available_now=True
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "window_start", "window_end", "symbol", "volatility", "average_price", "n_events"
+    )

@@ -1,0 +1,131 @@
+"""Streaming medallion tests: deterministic availableNow runs.
+
+Covers S1-S6/T1-T6 stand-ins: file-source bronze ingest with JSON parse,
+the watermarked sliding-window silver stream with foreachBatch, and
+batch/stream agreement (one aggregation builder, two execution modes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from real_time_financial_lakehouse_spark.operators.silver import sliding_window_agg
+from real_time_financial_lakehouse_spark.oracle import compare_frames
+from real_time_financial_lakehouse_spark.streaming import bronze, silver
+
+TRADES = [
+    {"symbol": "BTCUSDT", "price": 60000.0, "quantity": 0.5, "timestamp": "2024-01-01T00:00:05"},
+    {"symbol": "BTCUSDT", "price": 60100.0, "quantity": 0.2, "timestamp": "2024-01-01T00:00:35"},
+    {"symbol": "ETHUSDT", "price": 3000.0, "quantity": 1.0, "timestamp": "2024-01-01T00:01:10"},
+]
+
+def test_bronze_json_ingest(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "batch1.json", "w") as f:
+        for t in TRADES:
+            f.write(json.dumps(t) + "\n")
+    out = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    parsed = bronze.json_file_source(spark, str(src))
+    q = bronze.write_bronze(parsed, out, ckpt, available_now=True)
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert set(got.columns) == {"symbol", "price", "quantity", "timestamp"}
+    # timestamp stays string at bronze (the downstream cast is part of the
+    # silver surface, process_silver.py:47)
+    assert dict(got.dtypes)["timestamp"] == "string"
+    btc = got.filter(F.col("symbol") == "BTCUSDT")
+    assert btc.count() == 2
+    assert btc.agg(F.sum("price")).collect()[0][0] == 120100.0
+
+def test_stream_batch_agreement(spark):
+    """The streaming silver pipeline must agree with the batch plan that
+    shares its aggregation builder."""
+    stream_result = silver.silver_roundtrip(spark, SF_SMOKE).toPandas()
+    from real_time_financial_lakehouse_spark.catalog import load_table
+
+    batch_result = sliding_window_agg(load_table(spark, SF_SMOKE, "events")).toPandas()
+    assert not compare_frames(stream_result, batch_result)
+
+def test_silver_stream_has_processed_time_and_fill(spark, tmp_path):
+    """foreachBatch path: volatility null-fill applied, predicted_price
+    fallback present (process_silver.py:60-85 semantics)."""
+    out = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt2")
+    q = silver.run_silver_stream(
+        silver.events_stream(spark, SF_SMOKE), out, ckpt, available_now=True
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert "processed_time" in got.columns
+    assert got.filter(F.col("volatility").isNull()).count() == 0
+    assert got.filter(F.col("predicted_price") != 0.0).count() == 0
+
+def test_late_data_dropped_with_watermark(spark, tmp_path):
+    """T6: an event older than the watermark at its arrival batch is
+    dropped from the aggregation when it arrives in a later micro-batch."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+    rows1 = [
+        {"symbol": "X", "price": 10.0, "quantity": 1.0, "timestamp": "2024-01-01T10:00:00"},
+        {"symbol": "X", "price": 20.0, "quantity": 1.0, "timestamp": "2024-01-01T10:30:00"},
+    ]
+    with open(src / "b1.json", "w") as f:
+        for r in rows1:
+            f.write(json.dumps(r) + "\n")
+
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def run_once():
+        parsed = bronze.json_file_source(spark, str(src), max_files_per_trigger=1)
+        trades = parsed.select(
+            F.col("symbol").alias("event_type"),
+            F.col("price").alias("value"),
+            F.col("timestamp").cast("timestamp").alias("ts"),
+        )
+        q = silver.run_silver_stream(trades, out, ckpt, available_now=True)
+        q.awaitTermination()
+
+    run_once()
+    n_windows_first = spark.read.parquet(out).count()
+    assert n_windows_first > 0
+
+    # second run: one event 30 min older than the max seen event time --
+    # far beyond the 1-minute watermark, so its windows must NOT appear
+    with open(src / "b2.json", "w") as f:
+        f.write(
+            json.dumps(
+                {"symbol": "X", "price": 99.0, "quantity": 1.0, "timestamp": "2024-01-01T10:00:30"}
+            )
+            + "\n"
+        )
+    run_once()
+    got = spark.read.parquet(out)
+    # late event's windows start at 10:00:00 / 10:00:30; its value 99 must
+    # not be reflected in any window emitted by the second run
+    late_window_rows = got.filter(
+        (F.col("window_start") == "2024-01-01 10:00:30") & (F.col("average_price") == 99.0)
+    )
+    assert late_window_rows.count() == 0
+
+def test_kafka_source_builder_shape(spark):
+    """S1: builder constructs without a broker (plan-only check).  The
+    Kafka connector jar isn't bundled with plain pyspark; skip if the data
+    source can't resolve -- the builder's option surface is still the
+    reference's (consumer_lake.py:37-42)."""
+    import pytest
+
+    try:
+        df = bronze.kafka_source(spark, "localhost:9092", "market_data")
+    except Exception as exc:  # DATA_SOURCE_NOT_FOUND without the jar
+        pytest.skip(f"kafka connector unavailable: {type(exc).__name__}")
+    assert df.isStreaming
+    assert "value" in df.columns
