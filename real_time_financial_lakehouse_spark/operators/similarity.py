@@ -1,0 +1,101 @@
+"""Similarity search over embedding columns (engine extension).
+
+Brute-force cosine top-k as the exact baseline, plus a bucketed (IVF-style)
+variant as the scale path.  All vector math is built-in array expressions
+(``zip_with`` + ``aggregate``) -- JVM-side, no UDF, no Python boundary;
+elements are cast float->double before arithmetic so both engines compute
+the identical IEEE sequence (DuckDB's float ops would otherwise round at
+float32).
+
+Scale design:
+* brute force is O(Q x N): right for re-ranking and small query sets; the
+  candidate side streams, the query side broadcasts.
+* ``ivf_topk`` prunes candidates to the query's bucket -- here the fixture
+  ``label`` plays the coarse-quantizer cell id; in production the cell id
+  comes from a k-means codebook (computed once, broadcast).  The search
+  join becomes an equi-join on the cell, i.e. 1/C of the scan per query.
+* an LSH variant falls out of dedup.lsh_candidate_pairs applied to
+  sign-random-projection bits; omitted here because IVF + exact re-rank
+  is the better recall/cost point for dense embeddings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def _as_double(col: str) -> F.Column:
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(F.expr(f"aggregate(transform({a}, x -> x * x), 0D, (acc, v) -> acc + v)"))
+
+def cosine_topk(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    Join shape: tiny query side BROADCAST against the full candidate scan;
+    per-query ranking via a window on the quantized similarity with
+    neighbor-id tiebreak (deterministic across engines)."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    pairs = F.broadcast(queries).crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), "v"))
+    pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    denom = _norm("q") * _norm("v")
+    cos = F.when(denom != 0, _dot("q", "v") / denom).otherwise(F.lit(0.0))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+def ivf_topk(embeddings: DataFrame, k: int = 3) -> DataFrame:
+    """IVF-style bucketed ANN: candidates restricted to the query's coarse
+    cell (the fixture ``label``).  Same exact scoring inside the cell, so
+    results are deterministic; recall depends on the quantizer, cost drops
+    by the bucket fan-out."""
+    emb = embeddings.select("vec_id", "label", _as_double("embedding").alias("v"))
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"), F.col("v").alias("q")
+    )
+    cands = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("c_label"), "v")
+    pairs = queries.join(cands, (F.col("q_label") == F.col("c_label"))).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    denom = _norm("q") * _norm("v")
+    cos = F.when(denom != 0, _dot("q", "v") / denom).otherwise(F.lit(0.0))
+    scored = pairs.select(
+        "query_id",
+        F.col("q_label").alias("label"),
+        "neighbor_id",
+        (F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+def embedding_norms(embeddings: DataFrame) -> DataFrame:
+    """Per-vector L2 norm + dimension -- the cheap sanity projection every
+    embedding pipeline runs before indexing."""
+    emb = embeddings.select("vec_id", "label", _as_double("embedding").alias("v"))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("v").alias("dim"),
+        (F.floor(_norm("v") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("l2_norm"),
+    ).orderBy("vec_id")

@@ -527,3 +527,6 @@ def q_ml_price_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = ml_regression.train(filtered)
     scored = ml_regression.infer_with_fallback(model, filtered)
     return scored.select("symbol", "window_start", "volatility", "average_price", "predicted_price")
+
+# LLM-data-pipeline registrations (dedup / similarity / text / multimodal)
+from . import registry_llmdata  # noqa: E402,F401

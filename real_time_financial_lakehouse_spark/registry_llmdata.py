@@ -1,0 +1,329 @@
+"""LLM-data-pipeline query registrations: dedup, similarity, text analysis,
+multimodal.  Oracle SQL is generated from the same helpers as the Spark
+expressions (functions/hashing.py), so both sides hash the same bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import load_table
+from .functions.hashing import (
+    MINHASH_PRIME,
+    md5_long_sql,
+    minhash_sql,
+    perm_params,
+    shingles_sql,
+)
+from .operators import dedup, multimodal, similarity, text
+from .registry import register
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_SHINGLES = shingles_sql("text", 3)
+_K = 8
+_BANDS = 4
+_ROWS = _K // _BANDS
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT content_hash,
+           min(doc_id) AS representative_id,
+           count(*) AS n_copies
+    FROM (SELECT doc_id, {md5_long_sql(_NORM_SQL)} AS content_hash FROM documents)
+    GROUP BY 1
+    ORDER BY 2
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+_MH_COLS_SQL = ",\n           ".join(
+    f"{minhash_sql(_SHINGLES, i)} AS mh_{i}" for i in range(_K)
+)
+
+@register(
+    "minhash_signatures",
+    f"""
+    SELECT doc_id,
+           {_MH_COLS_SQL}
+    FROM documents
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_docs(spark, sf_dir), k=_K)
+
+_BAND_HASH_CASES = " ".join(
+    "WHEN {b} THEN md5(concat_ws(',', {parts}))".format(
+        b=b,
+        parts=", ".join(f"mh_{b * _ROWS + r}::VARCHAR" for r in range(_ROWS)),
+    )
+    for b in range(_BANDS)
+)
+
+@register(
+    "lsh_candidate_pairs",
+    f"""
+    WITH sigs AS (
+        SELECT doc_id,
+               {_MH_COLS_SQL}
+        FROM documents
+    ),
+    banded AS (
+        SELECT doc_id, o.band_id,
+               CASE o.band_id {_BAND_HASH_CASES} END AS band_hash
+        FROM sigs
+        CROSS JOIN (SELECT unnest([{", ".join(str(b) for b in range(_BANDS))}]) AS band_id) o
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ORDER BY 1, 2
+    """,
+)
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir), k=_K, bands=_BANDS)
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH ds AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM ds a
+        JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared,
+           floor((shared::DOUBLE / (sa.n + sb.n - shared)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE floor((shared::DOUBLE / (sa.n + sb.n - shared)) * 1000000.0 + 0.5) / 1000000.0 >= 0.2
+    ORDER BY 1, 2
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+_BITS = 16
+_H_SQL = "(('0x' || substr(md5(t), 1, 7))::BIGINT)"
+_BIT_SUMS_SQL = ",\n               ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}" for b in range(_BITS)
+)
+_FP_SQL = " + ".join(f"(CASE WHEN s_{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(_BITS))
+
+@register(
+    "simhash_fingerprints",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_H_SQL} AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+    ),
+    sums AS (
+        SELECT doc_id,
+               {_BIT_SUMS_SQL}
+        FROM toks
+        GROUP BY 1
+    )
+    SELECT doc_id, ({_FP_SQL})::BIGINT AS simhash
+    FROM sums
+    ORDER BY doc_id
+    """,
+)
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_fingerprints(_docs(spark, sf_dir), bits=_BITS)
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DOT = "list_sum(list_transform(generate_series(1, len(q.q)), i -> q.q[i] * e.v[i]))"
+_NORM_Q = "sqrt(list_sum(list_transform(q.q, x -> x * x)))"
+_NORM_V = "sqrt(list_sum(list_transform(e.v, x -> x * x)))"
+
+@register(
+    "cosine_topk",
+    f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS q FROM emb WHERE vec_id < 5),
+    pairs AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               CASE WHEN {_NORM_Q} * {_NORM_V} != 0
+                    THEN {_DOT} / ({_NORM_Q} * {_NORM_V})
+                    ELSE 0.0 END AS cos_raw
+        FROM q CROSS JOIN emb e
+        WHERE e.vec_id != q.query_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               floor(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(_emb(spark, sf_dir), n_queries=5, k=5)
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH emb AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS q_label, v AS q FROM emb),
+    pairs AS (
+        SELECT q.query_id, q.q_label AS label, e.vec_id AS neighbor_id,
+               CASE WHEN {_NORM_Q} * {_NORM_V} != 0
+                    THEN {_DOT} / ({_NORM_Q} * {_NORM_V})
+                    ELSE 0.0 END AS cos_raw
+        FROM q JOIN emb e ON q.q_label = e.label
+        WHERE e.vec_id != q.query_id
+    ),
+    scored AS (
+        SELECT query_id, label, neighbor_id,
+               floor(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        FROM pairs
+    )
+    SELECT query_id, label, neighbor_id, cosine, rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_emb(spark, sf_dir), k=3)
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id, label, len(embedding) AS dim,
+           floor(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS l2_norm
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_norms(_emb(spark, sf_dir))
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+@register(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           floor((list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE))) / len(toks))
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_docs(spark, sf_dir))
+
+_PUNCT = "length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))"
+_STOP_EN = "len(list_filter(toks, t -> t IN ('the', 'a', 'of')))"
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           floor(({_PUNCT}::DOUBLE / length(text)) * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+           floor(({_STOP_EN}::DOUBLE / len(toks)) * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+           (length(text) >= 50 AND len(toks) >= 10
+            AND ({_PUNCT}::DOUBLE / length(text)) < 0.3) AS quality_pass
+    FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_quality(_docs(spark, sf_dir))
+
+_S = {
+    lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in text.STOPWORDS[lang])})))"
+    for lang in text.STOPWORDS
+}
+
+@register(
+    "lang_id",
+    f"""
+    SELECT doc_id,
+           lang AS labeled_lang,
+           predicted_lang,
+           (predicted_lang = lang) AS agrees
+    FROM (
+        SELECT doc_id, lang,
+               CASE WHEN greatest({_S['de']}, {_S['en']}, {_S['fr']}) <= 0 THEN 'und'
+                    WHEN {_S['fr']} > greatest({_S['de']}, {_S['en']}) THEN 'fr'
+                    WHEN {_S['en']} > {_S['de']} THEN 'en'
+                    ELSE 'de' END AS predicted_lang
+        FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+    )
+    ORDER BY doc_id
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_docs(spark, sf_dir))
+
+@register(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id,
+           md5({_NORM_SQL}) AS digest,
+           {md5_long_sql(_NORM_SQL)} AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprints(_docs(spark, sf_dir))
+
+# ---------------------------------------------------------------------------
+# Multimodal (mapInPandas plumbing; deterministic but not SQL-expressible
+# -- the byte-level decode stub lives in Python.  Driver records rows-only;
+# exact values are asserted in pytest.)
+# ---------------------------------------------------------------------------
+
+@register("media_feature_summary")
+def q_media_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_feature_summary(_docs(spark, sf_dir))

@@ -1,0 +1,108 @@
+"""Semantic tests for the LLM-data operators: do they actually find what
+they claim to find (planted duplicates, near-duplicates, similarity
+structure) -- properties the oracle-parity test can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_financial_lakehouse_spark.operators import dedup, multimodal, similarity, text
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away into the woods "
+        "while the hunter waits patiently near the river bank watching every movement"
+    )
+    near = base.replace("patiently", "quietly")  # one token changed
+    rows = [
+        (0, base, "en", "s0", len(base)),
+        (1, base, "en", "s1", len(base)),  # exact duplicate of 0
+        (2, near, "en", "s2", len(near)),  # near duplicate of 0
+        (3, "completely different text about spark query engines and columnar storage formats for analytics workloads at scale", "en", "s3", 114),
+        (4, "short doc", "en", "s4", 9),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+def test_exact_dedup_collapses_planted_duplicate(docs):
+    out = dedup.exact_dedup(docs).collect()
+    by_rep = {r["representative_id"]: r["n_copies"] for r in out}
+    assert by_rep[0] == 2  # docs 0 and 1 collapse
+    assert len(out) == 4  # 5 docs -> 4 distinct contents
+
+def test_minhash_identical_docs_have_identical_signatures(docs):
+    sigs = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8)) for r in dedup.minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    # near-dup shares most hash mins; disjoint doc shares none
+    shared_near = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    shared_far = sum(a == b for a, b in zip(sigs[0], sigs[3]))
+    assert shared_near >= 4
+    assert shared_far == 0
+
+def test_lsh_finds_exact_and_near_duplicates(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup lands in a shared band
+    assert not any(3 in p or 4 in p for p in pairs)
+
+def test_ngram_jaccard_scores(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+def test_simhash_hamming_reflects_similarity(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert fp[0] == fp[1]
+    assert ham(fp[0], fp[2]) <= ham(fp[0], fp[3])
+
+def test_cosine_topk_self_structure(spark):
+    # construct vectors with known geometry: v1 ~ v0 (same direction),
+    # v2 orthogonal-ish
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [2.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.0, 3.0, 0.0, 0.0], 0),
+        (3, [1.0, 1.0, 0.0, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = similarity.cosine_topk(emb, n_queries=1, k=3).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 3, 2]
+    assert out[0]["cosine"] == 1.0
+    assert out[2]["cosine"] == 0.0
+
+def test_ivf_restricts_to_bucket(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.1], 0),
+        (2, [1.0, 0.0], 1),  # identical direction but other bucket
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = similarity.ivf_topk(emb, k=5).collect()
+    neighbors_of_0 = [r["neighbor_id"] for r in out if r["query_id"] == 0]
+    assert neighbors_of_0 == [1]  # vec 2 pruned by bucket despite cosine 1.0
+
+def test_text_quality_flags(docs):
+    rows = {r["doc_id"]: r for r in text.text_quality(docs).collect()}
+    assert rows[0]["quality_pass"] is True
+    assert rows[4]["quality_pass"] is False  # short doc fails gates
+    assert rows[0]["stopword_ratio"] > 0
+
+def test_media_features_exact_values(spark, docs):
+    feats = multimodal.extract_features(multimodal.attach_media(docs)).collect()
+    by_id = {r["asset_id"]: r for r in feats}
+    payload = docs.filter(F.col("doc_id") == 0).collect()[0]["text"].encode()
+    assert by_id[0]["n_bytes"] == len(payload)
+    assert by_id[0]["byte_sum"] == sum(payload)
+    assert by_id[0]["header_hex"] == payload[:4].hex()
+    assert by_id[0]["media_type"] == "image"
+
+def test_media_decode_stub_raises_for_real_decode():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_payload("image", b"abc", fake=False)
