@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _spread
+
 def _as_double(col: str) -> F.Column:
     return F.expr(f"transform({col}, x -> cast(x as double))")
 
@@ -39,15 +41,20 @@ def cosine_topk(
     """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
 
     Join shape: tiny query side BROADCAST against the full candidate scan;
+    per-vector L2 norms are precomputed BEFORE the join, so each of the
+    Q x N pairs does one array pass (the dot product) instead of three;
     per-query ranking via a window on the quantized similarity with
     neighbor-id tiebreak (deterministic across engines)."""
-    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    emb = _spread(embeddings).select("vec_id", _as_double("embedding").alias("v"))
+    emb = emb.withColumn("nv", _norm("v"))
     queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("nv").alias("nq")
     )
-    pairs = F.broadcast(queries).crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), "v"))
+    pairs = F.broadcast(queries).crossJoin(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "v", "nv")
+    )
     pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    denom = _norm("q") * _norm("v")
+    denom = F.col("nq") * F.col("nv")
     cos = F.when(denom != 0, _dot("q", "v") / denom).otherwise(F.lit(0.0))
     scored = pairs.select(
         "query_id",
@@ -65,16 +72,25 @@ def ivf_topk(embeddings: DataFrame, k: int = 3) -> DataFrame:
     """IVF-style bucketed ANN: candidates restricted to the query's coarse
     cell (the fixture ``label``).  Same exact scoring inside the cell, so
     results are deterministic; recall depends on the quantizer, cost drops
-    by the bucket fan-out."""
-    emb = embeddings.select("vec_id", "label", _as_double("embedding").alias("v"))
+    by the bucket fan-out.  Norms are precomputed per vector (one array
+    pass per pair, not three); the equi-join on the cell id is left to
+    Catalyst/AQE -- broadcast at fixture scale, shuffle hash join with
+    AQE skew-splitting when the index side is large."""
+    emb = _spread(embeddings).select("vec_id", "label", _as_double("embedding").alias("v"))
+    emb = emb.withColumn("nv", _norm("v"))
     queries = emb.select(
-        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"), F.col("v").alias("q")
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("q"),
+        F.col("nv").alias("nq"),
     )
-    cands = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("c_label"), "v")
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("c_label"), "v", "nv"
+    )
     pairs = queries.join(cands, (F.col("q_label") == F.col("c_label"))).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    denom = _norm("q") * _norm("v")
+    denom = F.col("nq") * F.col("nv")
     cos = F.when(denom != 0, _dot("q", "v") / denom).otherwise(F.lit(0.0))
     scored = pairs.select(
         "query_id",
