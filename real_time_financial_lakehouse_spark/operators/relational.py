@@ -76,6 +76,31 @@ def shift_timezone(events: DataFrame, hours: int = 3) -> DataFrame:
         F.date_trunc("minute", F.col("ts") + F.expr(f"INTERVAL {hours} HOURS")).alias("minute_local"),
     )
 
+def format_and_time(events: DataFrame) -> DataFrame:
+    """P12/P14 + strftime: epoch-millis round trip
+    (``timestamp_millis(unix_millis(ts))``, the producer.py:20 conversion
+    run both directions), wall-clock formatting (dashboard.py:109
+    ``'%H:%M:%S'``), and numeric display formatting (dashboard.py:96-102
+    ``:,.2f`` metric tiles) -- including thousands grouping on a bigint."""
+    return events.select(
+        "event_id",
+        F.timestamp_millis(F.unix_millis(F.col("ts"))).alias("ts_ms"),
+        F.date_format(F.col("ts"), "HH:mm:ss").alias("hms"),
+        F.format_number(F.col("value"), 2).alias("price_fmt"),
+        F.format_number((F.col("user_id") * F.lit(1_000_000)).cast("long"), 0).alias("big_fmt"),
+    )
+
+def json_roundtrip(events: DataFrame) -> DataFrame:
+    """``to_json`` (producer.py:11 serialization) composed with
+    ``get_json_object`` extraction, so the check is independent of either
+    engine's JSON whitespace/key-order conventions."""
+    j = F.to_json(F.struct(F.col("event_type").alias("symbol"), F.col("value").alias("price")))
+    return events.select(
+        "event_id",
+        F.get_json_object(j, "$.symbol").alias("symbol_rt"),
+        F.get_json_object(j, "$.price").cast("double").alias("price_rt"),
+    )
+
 def gain_loss_split(delta: Column) -> tuple[Column, Column]:
     """The RSI gain/loss conditional (dashboard.py:19-20) as reusable
     column expressions."""

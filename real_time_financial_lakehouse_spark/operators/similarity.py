@@ -105,6 +105,30 @@ def ivf_topk(embeddings: DataFrame, k: int = 3) -> DataFrame:
         .orderBy("query_id", "rank")
     )
 
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs -- the last tier of the dedup
+    ladder: semantic dupes that share no n-grams.  Candidate pairs are
+    restricted to the coarse cell (``label``), the IVF trick again: true
+    near-dups land in the same cell, and the pair space shrinks by the
+    cell fan-out.  Norms precomputed per vector; one dot product per pair."""
+    emb = _spread(embeddings).select("vec_id", "label", _as_double("embedding").alias("v"))
+    emb = emb.withColumn("nv", _norm("v"))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("v").alias("q"), F.col("nv").alias("nq"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label"), "v", "nv")
+    pairs = a.join(b, (F.col("la") == F.col("label")) & (F.col("vec_a") < F.col("vec_b")))
+    denom = F.col("nq") * F.col("nv")
+    cos = F.when(denom != 0, _dot("q", "v") / denom).otherwise(F.lit(0.0))
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            "label",
+            (F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
 def embedding_norms(embeddings: DataFrame) -> DataFrame:
     """Per-vector L2 norm + dimension -- the cheap sanity projection every
     embedding pipeline runs before indexing."""

@@ -1,0 +1,40 @@
+"""Batch sinks: CTAS table materialization and CSV export (SURVEY S7/S9).
+
+The reference materializes gold as a dbt ``materialized='table'`` CTAS
+(dbt_project/models/gold_market_summary.sql:1) and exports CSV from the
+dashboard (dashboard.py:86).  Spark-side: ``saveAsTable`` against the
+session catalog for CTAS, distributed ``df.write.csv`` (not a driver-side
+``toPandas().to_csv`` -- at 100 TB the export itself must be parallel).
+
+Both helpers round-trip so the sink is part of the checked dataflow: the
+query result is written, read back, and the read-back DataFrame returned
+-- the oracle then verifies values *through* the sink.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+def ctas(spark: SparkSession, df: DataFrame, table: str) -> DataFrame:
+    """CREATE-OR-REPLACE-TABLE-AS-SELECT into the session catalog, backed
+    by parquet at an explicit location (works on a plain in-memory catalog,
+    no Hive metastore needed).  Returns the re-read table."""
+    path = os.path.join(tempfile.mkdtemp(prefix="rtfl_ctas_"), table)
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+def csv_roundtrip(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Distributed CSV export + schema-preserving re-import.  Columns must
+    be CSV-stable types (string/numeric); callers format timestamps to
+    strings first -- same contract as any external CSV consumer."""
+    path = os.path.join(tempfile.mkdtemp(prefix="rtfl_csv_"), "out")
+    df.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(df.schema).option("header", True).csv(path)

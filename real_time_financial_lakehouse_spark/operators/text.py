@@ -16,7 +16,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_long, normalize_text
+from ..functions.hashing import MINHASH_PRIME, md5_long, normalize_text
+from .dedup import _spread
+
+# BPE-ish pre-tokenization: letter runs / digit runs / punctuation runs --
+# the GPT-2 pre-tokenizer shape minus lookaheads, restricted to the
+# Java-regex/RE2 intersection so Spark and DuckDB split identically.
+# Space (not \s) as the separator class: the corpus contains no tabs or
+# newlines, and a literal space dodges the engines' different backslash
+# escaping in SQL string literals.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+# Polynomial rolling-hash parameters (shared with the SQL twins): base fits
+# so that acc(<2^31) * base(<2^20) + tokhash(<2^28) stays well inside int64.
+ROLLING_BASE = 1_000_003
+ROLLING_MOD = MINHASH_PRIME
 
 # tiny in-vocabulary stopword sets: enough to exercise the heuristic; a
 # production build swaps in real per-language lists (the operator shape
@@ -87,6 +101,61 @@ def lang_id(documents: DataFrame) -> DataFrame:
         F.col("lang").alias("labeled_lang"),
         predicted.alias("predicted_lang"),
         (predicted == F.col("lang")).alias("agrees"),
+    ).orderBy("doc_id")
+
+def bpe_token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting under a BPE-ish pre-tokenizer (letter/digit/punct
+    runs) next to the whitespace count -- the per-doc token-budget numbers
+    a training pipeline bills by.  Pure regex + array expressions."""
+    toks = F.expr(f"regexp_extract_all(lower(text), '{BPE_PATTERN}', 0)")
+    ws = _tokens()
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+        F.size(ws).alias("n_ws_tokens"),
+        (
+            F.floor(F.size(toks).cast("double") / F.size(ws) * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("bpe_per_word"),
+    ).orderBy("doc_id")
+
+def _token_hashes_expr() -> str:
+    """Spark SQL: whitespace tokens -> 28-bit md5 ints (engine-stable)."""
+    return (
+        "transform(split(trim(text), '\\\\s+'), "
+        "t -> cast(conv(substring(md5(t),1,7),16,10) as bigint))"
+    )
+
+def winnow_fingerprints(documents: DataFrame, window: int = 4) -> DataFrame:
+    """Rolling-hash document fingerprinting: a polynomial rolling hash over
+    the whole token stream, plus a winnowing-style fingerprint -- the min
+    over all ``window``-token rolling hashes (Schleimer et al.'s winnowing,
+    reduced to one selected hash per doc).  Robust to doc-level reordering
+    boundaries where md5-of-all-text is not.  All array expressions; the
+    token stream is hashed once into an int array."""
+    hashed = _spread(documents).select(
+        "doc_id", F.expr(_token_hashes_expr()).alias("th")
+    )
+    # full-document rolling hash: fold acc -> (acc * B + h) mod M
+    rolling = F.expr(
+        f"aggregate(th, 0L, (acc, h) -> (acc * {ROLLING_BASE} + h) % {ROLLING_MOD})"
+    )
+    # hash of the window starting at 0-based i: Horner over th[i..i+w-1],
+    # reduced mod M at each step so intermediates stay in int64
+    inner = "0L"
+    for j in range(window):
+        inner = f"(({inner} * {ROLLING_BASE} + th[i + {j}]) % {ROLLING_MOD})"
+    win_hashes = (
+        f"CASE WHEN size(th) >= {window} "
+        f"THEN transform(sequence(0, size(th) - {window}), i -> {inner}) "
+        f"ELSE array() END"
+    )
+    return hashed.select(
+        "doc_id",
+        rolling.alias("rolling_hash"),
+        F.expr(f"array_min({win_hashes})").alias("winnow_min"),
+        F.expr(f"size({win_hashes})").alias("n_windows"),
     ).orderBy("doc_id")
 
 def doc_fingerprints(documents: DataFrame) -> DataFrame:

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load_table
-from .operators import relational, rollup, setops, silver, windows
+from .operators import relational, rollup, setops, silver, sinks, windows
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
@@ -111,6 +111,46 @@ def q_gold_market_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minute_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup.minute_ohlc(_events(spark, sf_dir))
 
+# S7: the dbt materialized='table' CTAS, as saveAsTable + re-read -- the
+# oracle checks values THROUGH the materialization.
+@register("gold_ctas", ORACLE_SQL["gold_market_summary"])
+def q_gold_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = rollup.events_market_summary(_events(spark, sf_dir))
+    return sinks.ctas(spark, gold, "gold_market_summary_ctas")
+
+# S9: the dashboard CSV export (dashboard.py:86), distributed write +
+# schema-preserving re-read; timestamps formatted to strings first.
+@register(
+    "gold_csv_roundtrip",
+    """
+    SELECT symbol,
+           strftime(minute_window, '%Y-%m-%d %H:%M:%S') AS minute_str,
+           avg_price, max_price, min_price, volatility, transaction_count
+    FROM (
+        SELECT event_type AS symbol,
+               date_trunc('minute', ts) AS minute_window,
+               floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
+               floor((max(value)) * 1000000.0 + 0.5) / 1000000.0 AS max_price,
+               floor((min(value)) * 1000000.0 + 0.5) / 1000000.0 AS min_price,
+               floor((stddev_pop(value)) * 1000000.0 + 0.5) / 1000000.0 AS volatility,
+               count(*) AS transaction_count
+        FROM events
+        GROUP BY 1, 2
+    )
+    """,
+)
+def q_gold_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = rollup.events_market_summary(_events(spark, sf_dir)).select(
+        "symbol",
+        F.date_format("minute_window", "yyyy-MM-dd HH:mm:ss").alias("minute_str"),
+        "avg_price",
+        "max_price",
+        "min_price",
+        "volatility",
+        "transaction_count",
+    )
+    return sinks.csv_roundtrip(spark, gold)
+
 # ---------------------------------------------------------------------------
 # Relational core (P1-P14)
 # ---------------------------------------------------------------------------
@@ -167,6 +207,36 @@ def q_fill_and_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_interval_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.shift_timezone(_events(spark, sf_dir))
+
+@register(
+    "format_and_time",
+    """
+    SELECT event_id,
+           make_timestamp((epoch_us(ts) // 1000) * 1000) AS ts_ms,
+           strftime(ts, '%H:%M:%S') AS hms,
+           printf('%.2f', value) AS price_fmt,
+           format('{:,}', (user_id * 1000000)::BIGINT) AS big_fmt
+    FROM events
+    """,
+)
+def q_format_and_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.format_and_time(_events(spark, sf_dir))
+
+@register(
+    "json_roundtrip",
+    """
+    SELECT event_id,
+           json_extract_string(j, '$.symbol') AS symbol_rt,
+           CAST(json_extract_string(j, '$.price') AS DOUBLE) AS price_rt
+    FROM (
+        SELECT event_id,
+               to_json(struct_pack(symbol := event_type, price := value)) AS j
+        FROM events
+    )
+    """,
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.json_roundtrip(_events(spark, sf_dir))
 
 # ---------------------------------------------------------------------------
 # Silver sliding-window aggregation (A1/A2/T2) + training filter (P5)

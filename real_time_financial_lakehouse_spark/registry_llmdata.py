@@ -225,6 +225,34 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_emb(spark, sf_dir), k=3)
 
+_COS_PAIR = (
+    "CASE WHEN a.nv * b.nv != 0 THEN "
+    "list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) / (a.nv * b.nv) "
+    "ELSE 0.0 END"
+)
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH emb AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM emb),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               floor(({_COS_PAIR}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, label, cosine
+    FROM pairs
+    WHERE cosine >= 0.4
+    ORDER BY 1, 2
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup(_emb(spark, sf_dir), threshold=0.4)
+
 @register(
     "embedding_norms",
     """
@@ -304,6 +332,55 @@ _S = {
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(_docs(spark, sf_dir))
+
+@register(
+    "bpe_token_stats",
+    f"""
+    SELECT doc_id,
+           len(toks) AS n_bpe_tokens,
+           len(list_distinct(toks)) AS n_distinct_bpe,
+           len(ws) AS n_ws_tokens,
+           floor((len(toks)::DOUBLE / len(ws)) * 1000000.0 + 0.5) / 1000000.0 AS bpe_per_word
+    FROM (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '{text.BPE_PATTERN}') AS toks,
+               {_TOKS} AS ws
+        FROM documents
+    )
+    ORDER BY doc_id
+    """,
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_token_stats(_docs(spark, sf_dir))
+
+_TH_SQL = (
+    "list_transform(string_split_regex(trim(text), '\\s+'), "
+    "t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)"
+)
+_B, _M = text.ROLLING_BASE, text.ROLLING_MOD
+_WINNOW_W = 4
+_HORNER = "0"
+for _j in range(_WINNOW_W):
+    _HORNER = f"(({_HORNER} * {_B} + th[i + {_j}]) % {_M})"
+_WIN_HASHES = (
+    f"CASE WHEN len(th) >= {_WINNOW_W} "
+    f"THEN list_transform(generate_series(1, len(th) - {_WINNOW_W - 1}), i -> {_HORNER}) "
+    f"ELSE [] END"
+)
+
+@register(
+    "winnow_fingerprints",
+    f"""
+    SELECT doc_id,
+           list_reduce(list_prepend(0, th), (acc, h) -> (acc * {_B} + h) % {_M}) AS rolling_hash,
+           list_min({_WIN_HASHES}) AS winnow_min,
+           len({_WIN_HASHES}) AS n_windows
+    FROM (SELECT doc_id, {_TH_SQL} AS th FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnow_fingerprints(_docs(spark, sf_dir), window=_WINNOW_W)
 
 @register(
     "doc_fingerprints",

@@ -94,6 +94,44 @@ def test_text_quality_flags(docs):
     assert rows[4]["quality_pass"] is False  # short doc fails gates
     assert rows[0]["stopword_ratio"] > 0
 
+def test_embedding_near_dup_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [2.0, 0.001], 0),  # same direction, same bucket -> near-dup
+        (2, [0.0, 1.0], 0),    # orthogonal -> not a dup
+        (3, [1.0, 0.0], 1),    # same direction, other bucket -> pruned
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    pairs = {(r["vec_a"], r["vec_b"]) for r in similarity.embedding_near_dup(emb, threshold=0.95).collect()}
+    assert pairs == {(0, 1)}
+
+def test_bpe_token_stats_splits_runs(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world42, don't stop!", "en", "s", 26)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    row = text.bpe_token_stats(df).collect()[0]
+    # hello | world | 42 | , | don | ' | t | stop | !
+    assert row["n_bpe_tokens"] == 9
+    assert row["n_ws_tokens"] == 4
+
+def test_winnow_fingerprints_shift_invariance(spark):
+    rows = [
+        (0, "a b c d e f", "en", "s", 11),
+        (1, "x a b c d e f", "en", "s", 13),  # same stream, one-token prefix
+        (2, "a b c", "en", "s", 5),           # shorter than the window
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r["doc_id"]: r for r in text.winnow_fingerprints(df, window=4).collect()}
+    # rolling hash differs (whole stream), but doc 1 contains every window
+    # of doc 0, so the winnow min can only go down or stay
+    assert out[0]["rolling_hash"] != out[1]["rolling_hash"]
+    assert out[1]["winnow_min"] <= out[0]["winnow_min"]
+    assert out[0]["n_windows"] == 3 and out[1]["n_windows"] == 4
+    assert out[2]["winnow_min"] is None and out[2]["n_windows"] == 0
+
 def test_media_features_exact_values(spark, docs):
     feats = multimodal.extract_features(multimodal.attach_media(docs)).collect()
     by_id = {r["asset_id"]: r for r in feats}
