@@ -123,3 +123,33 @@ def last_prev_delta(
         "prev_price",
         qround(F.col("last_price") - F.col("prev_price"), 6).alias("price_delta"),
     )
+
+def ema_per_symbol(events: DataFrame, alpha: str = "0.1") -> DataFrame:
+    """Batch twin of the stateful streaming EMA
+    (streaming/stateful.py): per-symbol recursive fold
+    ``EMA_t = alpha * x_t + (1-alpha) * EMA_{t-1}`` seeded with the first
+    value, rows ordered by (ts, event_id).
+
+    Expressed as collect_list -> array_sort -> aggregate fold, all
+    JVM-side.  Scale caveat, stated plainly: this materializes each
+    symbol's full series in one aggregation buffer, so it is the
+    oracle/backfill path for bounded per-key series; the streaming
+    operator with O(1) GroupState is the unbounded-scale path.  ``alpha``
+    is passed as a decimal string so Spark and the SQL twin parse the
+    identical double literal."""
+    beta = f"(1.0D - {alpha}D)"
+    seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    g = events.groupBy(F.col("event_type").alias("symbol")).agg(
+        seq.alias("seq"), F.count(F.lit(1)).alias("n_events")
+    )
+    vals = "transform(seq, s -> s.value)"
+    ema = (
+        f"aggregate(slice({vals}, 2, size({vals})), "
+        f"cast(element_at({vals}, 1) as double), "
+        f"(acc, x) -> {alpha}D * x + {beta} * acc)"
+    )
+    return g.select(
+        "symbol",
+        "n_events",
+        qround(F.expr(ema), 6).alias("ema"),
+    ).orderBy("symbol")

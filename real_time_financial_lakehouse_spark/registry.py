@@ -555,6 +555,34 @@ from .streaming import silver as streaming_silver  # noqa: E402
 def q_streaming_silver_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_silver.silver_roundtrip(spark, sf_dir)
 
+# Per-symbol recursive EMA: the one indicator no built-in aggregate
+# expresses.  Batch twin (collect -> sorted fold) carries the exact
+# DuckDB list_reduce oracle; the streaming applyInPandasWithState
+# operator is checked against the SAME oracle -- custom GroupState code
+# and declarative fold must agree bit-for-bit.
+_EMA_SQL = """
+    SELECT event_type AS symbol,
+           count(*) AS n_events,
+           floor(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> 0.1 * x + 0.9 * acc)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ema
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """
+
+@register("ema_per_symbol", _EMA_SQL)
+def q_ema_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import ema_per_symbol
+
+    return ema_per_symbol(_events(spark, sf_dir))
+
+@register("streaming_ema_stateful", _EMA_SQL)
+def q_streaming_ema_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import streaming_ema_roundtrip
+
+    return streaming_ema_roundtrip(spark, sf_dir)
+
 @register(
     "ols_volatility_price",
     f"""

@@ -1,0 +1,108 @@
+"""Custom stateful streaming operator: per-symbol exponential moving
+average (EMA) via ``applyInPandasWithState``.
+
+The reference's only streaming state is Spark's built-in windowed
+aggregation (process_silver.py:50-57).  A real indicator pipeline also
+needs *recursive* per-key state that no built-in aggregate expresses:
+``EMA_t = alpha * x_t + (1 - alpha) * EMA_{t-1}``.  This is the canonical
+applyInPandasWithState shape:
+
+* state per symbol = (ema, n) -- O(1), unbounded stream friendly (compare
+  the batch twin, which must materialize each symbol's full series);
+* each micro-batch's rows arrive as Arrow-backed pandas frames, get
+  sorted by event time, and fold into the carried state;
+* update-mode emission: one refreshed (symbol, n_events, ema) row per
+  batch.
+
+The fold is plain float64 arithmetic in every engine (CPython, JVM,
+DuckDB all fold the same IEEE doubles in the same order), so the
+streaming result, the batch twin (operators-level ``ema_per_symbol``),
+and the DuckDB ``list_reduce`` oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+EMA_ALPHA = 0.1
+
+OUTPUT_SCHEMA = "symbol string, n_events bigint, ema_raw double"
+STATE_SCHEMA = "ema double, n bigint"
+
+def _ema_update(
+    key: tuple[str],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: Any,
+    alpha: float = EMA_ALPHA,
+) -> Iterator[pd.DataFrame]:
+    """GroupState fold: carry (ema, n) across micro-batches."""
+    ema, n = state.get if state.exists else (None, 0)
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for x in pdf["value"]:
+            ema = float(x) if ema is None else alpha * float(x) + (1.0 - alpha) * ema
+            n += 1
+    state.update((ema, n))
+    yield pd.DataFrame([{"symbol": key[0], "n_events": n, "ema_raw": ema}])
+
+def ema_stream(events: DataFrame) -> DataFrame:
+    """The stateful streaming plan: groupBy(symbol) -> custom GroupState
+    fold.  Works on any streaming DataFrame with (ts, event_id,
+    event_type, value)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.groupBy(F.col("event_type"))
+        .applyInPandasWithState(
+            _ema_update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+def streaming_ema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful EMA over the events fixture as a genuine stream
+    (availableNow), append each batch's update rows to parquet, and return
+    the LATEST row per symbol (max n_events) -- comparable to the batch
+    twin / SQL oracle."""
+    import tempfile
+
+    from .silver import events_stream
+
+    out_dir = tempfile.mkdtemp(prefix="rtfl_ema_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="rtfl_ema_ckpt_")
+
+    # file sinks are append-only; update-mode emissions land via
+    # foreachBatch batch-append -- the reference's silver sink shape
+    # (process_silver.py:82-93)
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        ema_stream(events_stream(spark, sf_dir))
+        .writeStream.foreachBatch(_append)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    raw = spark.read.parquet(out_dir)
+    w = Window.partitionBy("symbol").orderBy(F.col("n_events").desc())
+    return (
+        raw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "symbol",
+            "n_events",
+            (F.floor(F.col("ema_raw") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("ema"),
+        )
+        .orderBy("symbol")
+    )
