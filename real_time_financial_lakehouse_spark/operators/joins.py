@@ -256,3 +256,57 @@ def latest_order_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
         right_tiebreak="o_orderkey",
     )
     return out.select("event_id", "ts", "user_id", "o_orderkey", "o_orderdate", "o_totalprice")
+
+def returned_item_report(
+    customer: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    topn: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer.
+
+    Scale: nation broadcasts; customer joins orders on custkey and the
+    orders-lineitem leg is the fact shuffle (sort-merge on orderkey, AQE
+    may flip to broadcast after the returnflag filter).  Top-N by
+    quantized revenue with custkey tiebreak = TakeOrderedAndProject --
+    k rows per task, no global sort."""
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+    rev = qround(F.sum(_revenue()), 4)
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(returned, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(topn)
+    )
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: percent of revenue from promotional parts.
+
+    Scale: part is dim-sized -> broadcast (zero shuffle of lineitem); the
+    aggregate is a single global row, so partial aggregation collapses
+    everything map-side and the exchange carries one row per task."""
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            qround(F.lit(100.0) * F.sum(promo) / F.sum(_revenue()), 6).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape (fixture variant): orders having at least one
+    returned lineitem, counted by priority.  The existence predicate is a
+    LEFT SEMI join -- the shuffle carries orderkeys only, no lineitem
+    payload columns ever materialize."""
+    flagged = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(flagged, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

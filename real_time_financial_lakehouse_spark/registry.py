@@ -302,6 +302,39 @@ def q_union_all_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setops.union_all(high, low)
 
 @register(
+    "distinct_user_event_pairs",
+    """
+    SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2
+    """,
+)
+def q_distinct_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.distinct_pairs(_events(spark, sf_dir))
+
+@register(
+    "users_intersect",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    ORDER BY 1
+    """,
+)
+def q_users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.users_intersect(_events(spark, sf_dir), "click", "purchase")
+
+@register(
+    "users_except",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    ORDER BY 1
+    """,
+)
+def q_users_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.users_except(_events(spark, sf_dir), "click", "purchase")
+
+@register(
     "latest_20_events",
     """
     SELECT event_id, ts, event_type, value
@@ -478,6 +511,55 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem"),
         _t(spark, sf_dir, "supplier"),
     )
+
+@register(
+    "returned_item_report",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           {_q('sum(l_extendedprice * (1.0 - l_discount))', 4)} AS revenue
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.returned_item_report(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+@register(
+    "promo_revenue_share",
+    f"""
+    SELECT {_q("100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) / sum(l_extendedprice * (1.0 - l_discount))", 6)} AS promo_share,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.promo_revenue_share(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+@register(
+    "order_priority_counts",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.order_priority_counts(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
 
 @register(
     "brand_margin",
