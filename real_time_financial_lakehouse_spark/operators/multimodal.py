@@ -98,6 +98,100 @@ def extract_features(media: DataFrame) -> DataFrame:
     pruned = media.select("asset_id", "media_type", "payload")
     return pruned.mapInPandas(process, schema=FEATURE_SCHEMA)
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+def resize_payload(payload: bytes, target_w: int, target_h: int, fake: bool = True) -> bytes:
+    """Stub resize: a real build decodes, resamples, re-encodes (PIL /
+    ffmpeg).  The deterministic fake right-sizes the byte budget to
+    target_w*target_h, truncating or tiling -- keeps output size coupled to
+    the requested dimensions so partition-size math stays realistic."""
+    if not fake:
+        raise NotImplementedError("real resize requires codec libraries not in this environment")
+    budget = max(1, target_w * target_h)
+    if not payload:
+        return b"\x00" * budget
+    reps = -(-budget // len(payload))
+    return (payload * reps)[:budget]
+
+def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """1-to-1 mapInPandas transform: re-encode every payload at target
+    dimensions.  Metadata columns update JVM-side; only the payload
+    crosses into Python, Arrow-batched."""
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": [
+                        resize_payload(bytes(p), target_w, target_h) for p in pdf["payload"]
+                    ],
+                }
+            )
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    return media.select("asset_id", "media_type", "payload").mapInPandas(
+        process, schema=RESIZED_SCHEMA
+    )
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("offset_ms", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """1-to-N frame sampling for video assets: each video row expands to
+    ``n_frames`` evenly-spaced pseudo-frames (mapInPandas emitting more
+    rows than it receives -- the flatMap shape).  The stub slices the
+    payload evenly; a real build seeks/decodes keyframes.  Non-video rows
+    are filtered JVM-side BEFORE the Python boundary so decode only
+    touches the rows it must."""
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, pl, dur in zip(pdf["asset_id"], pdf["payload"], pdf["duration_ms"]):
+                payload = bytes(pl)
+                step = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "frame_idx": i,
+                            "offset_ms": int(dur) * i // n_frames,
+                            "frame_bytes": payload[i * step : (i + 1) * step],
+                        }
+                    )
+            out = pd.DataFrame(rows, columns=["asset_id", "frame_idx", "offset_ms", "frame_bytes"])
+            out["frame_idx"] = out["frame_idx"].astype("int32")
+            yield out
+
+    videos = media.filter(F.col("media_type") == "video").select(
+        "asset_id", "payload", "duration_ms"
+    )
+    return videos.mapInPandas(process, schema=FRAME_SCHEMA)
+
 def media_feature_summary(documents: DataFrame) -> DataFrame:
     """End-to-end multimodal slice: build media table -> mapInPandas
     feature extraction -> per-type rollup.  Deterministic (byte features

@@ -93,3 +93,54 @@ def minute_ohlc(events: DataFrame) -> DataFrame:
         )
         .orderBy(F.col("minute_window"), F.col("symbol"))
     )
+
+def daily_rollup_totals(events: DataFrame) -> DataFrame:
+    """ROLLUP (symbol, day): detail rows + per-symbol subtotals + grand
+    total in one pass -- the OLAP cube slice a gold layer serves to BI.
+
+    Scale: Spark expands grouping sets before the exchange, so partial
+    aggregation still applies per set; one shuffle.  ``grouping_id``
+    disambiguates subtotal NULLs from data NULLs."""
+    day = F.date_trunc("day", F.col("ts"))
+    return (
+        events.rollup(F.col("event_type").alias("symbol"), day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            qround(F.sum("value"), 2).alias("total_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(F.col("gid"), F.col("symbol"), F.col("day"))
+    )
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact percentiles (p50/p90/p99) per symbol -- the latency/price
+    distribution summary.  ``percentile`` is exact (full sort per group);
+    the 100 TB path swaps in ``percentile_approx`` (KLL-sketch, mergeable,
+    one pass) when exactness is not contractual -- same query shape."""
+    pcts = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    return (
+        events.groupBy(F.col("event_type").alias("symbol"))
+        .agg(pcts.alias("p"))
+        .select(
+            "symbol",
+            qround(F.element_at("p", 1), 6).alias("p50"),
+            qround(F.element_at("p", 2), 6).alias("p90"),
+            qround(F.element_at("p", 3), 6).alias("p99"),
+        )
+        .orderBy("symbol")
+    )
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+def event_type_pivot(events: DataFrame) -> DataFrame:
+    """PIVOT: per-user event counts spread into one column per event type.
+    The value list is explicit, so Spark skips the extra distinct-values
+    job and the output schema is static -- required for a 100 TB input
+    (a dynamic pivot would scan once just to learn the columns)."""
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, subset=EVENT_TYPES)
+        .orderBy("user_id")
+    )

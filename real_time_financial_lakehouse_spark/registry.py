@@ -111,6 +111,54 @@ def q_gold_market_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minute_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup.minute_ohlc(_events(spark, sf_dir))
 
+@register(
+    "daily_rollup_totals",
+    """
+    SELECT event_type AS symbol,
+           date_trunc('day', ts) AS day,
+           count(*) AS n_events,
+           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value,
+           GROUPING(event_type, date_trunc('day', ts)) AS gid
+    FROM events
+    GROUP BY ROLLUP (1, 2)
+    ORDER BY 5, 1, 2
+    """,
+)
+def q_daily_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup.daily_rollup_totals(_events(spark, sf_dir))
+
+@register(
+    "value_percentiles",
+    """
+    SELECT event_type AS symbol,
+           floor(quantile_cont(value, 0.5)  * 1000000.0 + 0.5) / 1000000.0 AS p50,
+           floor(quantile_cont(value, 0.9)  * 1000000.0 + 0.5) / 1000000.0 AS p90,
+           floor(quantile_cont(value, 0.99) * 1000000.0 + 0.5) / 1000000.0 AS p99
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup.value_percentiles(_events(spark, sf_dir))
+
+@register(
+    "event_type_pivot",
+    """
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup.event_type_pivot(_events(spark, sf_dir))
+
 # S7: the dbt materialized='table' CTAS, as saveAsTable + re-read -- the
 # oracle checks values THROUGH the materialization.
 @register("gold_ctas", ORACLE_SQL["gold_market_summary"])
@@ -636,6 +684,17 @@ from .streaming import silver as streaming_silver  # noqa: E402
 @register("streaming_silver_roundtrip", ORACLE_SQL["silver_sliding_window"])
 def q_streaming_silver_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_silver.silver_roundtrip(spark, sf_dir)
+
+# Streaming dedup: the doubled stream must collapse back to the plain
+# events table (seen-key state across micro-batches).
+@register(
+    "streaming_dedup",
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_silver.streaming_dedup_roundtrip(spark, sf_dir)
 
 # Per-symbol recursive EMA: the one indicator no built-in aggregate
 # expresses.  Batch twin (collect -> sorted fold) carries the exact

@@ -145,3 +145,31 @@ def silver_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select(
         "window_start", "window_end", "symbol", "volatility", "average_price", "n_events"
     )
+
+def streaming_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication (T-extension): the events stream unioned
+    with itself (every row duplicated across two source relations) pushed
+    through ``dropDuplicates("event_id")`` -- Spark keeps seen-key state
+    and emits each key once, exactly-once across micro-batches.  At scale
+    the state is bounded with ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` (same plan, time-bounded state);
+    unbounded here because the fixture drain is finite (availableNow).
+    Result must equal the plain events table -- the SQL oracle."""
+    import tempfile
+
+    doubled = events_stream(spark, sf_dir).union(events_stream(spark, sf_dir))
+    deduped = doubled.dropDuplicates(["event_id"])
+    out_dir = tempfile.mkdtemp(prefix="rtfl_dedup_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="rtfl_dedup_ckpt_")
+    q = (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )

@@ -144,3 +144,25 @@ def test_media_features_exact_values(spark, docs):
 def test_media_decode_stub_raises_for_real_decode():
     with pytest.raises(NotImplementedError):
         multimodal.decode_payload("image", b"abc", fake=False)
+
+def test_resize_media_right_sizes_payloads(spark, docs):
+    media = multimodal.attach_media(docs)
+    out = multimodal.resize_media(media, target_w=8, target_h=4).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(r["payload"]) == 32
+
+def test_sample_frames_expands_videos_only(spark, docs):
+    media = multimodal.attach_media(docs)
+    n_videos = media.filter(F.col("media_type") == "video").count()
+    frames = multimodal.sample_frames(media, n_frames=3)
+    rows = frames.collect()
+    assert len(rows) == 3 * n_videos
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    for asset_rows in by_asset.values():
+        assert sorted(r["frame_idx"] for r in asset_rows) == [0, 1, 2]
+        offs = [r["offset_ms"] for r in sorted(asset_rows, key=lambda r: r["frame_idx"])]
+        assert offs == sorted(offs)
