@@ -144,3 +144,18 @@ def event_type_pivot(events: DataFrame) -> DataFrame:
         .na.fill(0, subset=EVENT_TYPES)
         .orderBy("user_id")
     )
+
+def distinct_user_counts(events: DataFrame) -> DataFrame:
+    """COUNT(DISTINCT) per group -- Spark plans this as a two-phase
+    expand/aggregate (partial distinct per partition, then merge), so the
+    shuffle carries distinct keys only.  The 100 TB path swaps in
+    ``approx_count_distinct`` (HyperLogLog++, mergeable sketch, one pass,
+    no expand) when +-2% error is acceptable -- same query shape."""
+    return (
+        events.groupBy(F.col("event_type").alias("symbol"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("symbol")
+    )

@@ -153,3 +153,55 @@ def ema_per_symbol(events: DataFrame, alpha: str = "0.1") -> DataFrame:
         "n_events",
         qround(F.expr(ema), 6).alias("ema"),
     ).orderBy("symbol")
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows: per-user event bursts separated by >= ``gap`` of
+    silence -- the sessionization every behavioral/training-data pipeline
+    needs and the one window type the reference never uses.
+
+    Uses Spark's native ``session_window`` (dynamic-length windows merged
+    at aggregation time; works identically in batch and streaming -- in
+    streaming the same expression runs with a watermark and state).  The
+    SQL twin is the classic gaps-and-islands formulation, which pins the
+    exact merge semantics: a new session starts when the gap is >= the
+    threshold (Spark merges only strictly-overlapping extents).
+
+    Scale: one shuffle on user_id; session merging is per-key and
+    streaming-compatible (state evicted by watermark)."""
+    sw = F.session_window(F.col("ts"), gap)
+    return (
+        events.groupBy(F.col("user_id"), sw)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            qround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+def trailing_range_avg(events: DataFrame, seconds: int = 300) -> DataFrame:
+    """RANGE-frame window (extension; the reference uses only row frames):
+    per-symbol trailing ``seconds`` average at every event -- the
+    irregular-time-series moving average row frames get wrong.  The frame
+    is anchored on epoch-microseconds so engines agree exactly on
+    boundaries and ties."""
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(us)
+        .rangeBetween(-seconds * 1_000_000, 0)
+    )
+    return events.select(
+        F.col("event_id"),
+        F.col("event_type").alias("symbol"),
+        F.col("ts"),
+        F.col("value"),
+        qround(F.avg("value").over(w), 6).alias("trailing_avg"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    ).orderBy("event_id")

@@ -685,6 +685,67 @@ from .streaming import silver as streaming_silver  # noqa: E402
 def q_streaming_silver_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_silver.silver_roundtrip(spark, sf_dir)
 
+@register(
+    "sessionize_users",
+    """
+    WITH s AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM g
+    GROUP BY user_id, sid
+    ORDER BY 1, 2
+    """,
+)
+def q_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.sessionize(_events(spark, sf_dir))
+
+@register(
+    "trailing_range_avg",
+    """
+    SELECT event_id,
+           event_type AS symbol,
+           ts,
+           value,
+           floor((avg(value) OVER w) * 1000000.0 + 0.5) / 1000000.0 AS trailing_avg,
+           count(*) OVER w AS n_in_window
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def q_trailing_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.trailing_range_avg(_events(spark, sf_dir))
+
+@register(
+    "distinct_user_counts",
+    """
+    SELECT event_type AS symbol,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup.distinct_user_counts(_events(spark, sf_dir))
+
 # Streaming dedup: the doubled stream must collapse back to the plain
 # events table (seen-key state across micro-batches).
 @register(
