@@ -31,6 +31,36 @@ def ctas(spark: SparkSession, df: DataFrame, table: str) -> DataFrame:
     )
     return spark.table(table)
 
+def partitioned_write(
+    df: DataFrame, partition_cols: list[str], path: str | None = None
+) -> str:
+    """Hive-style partitioned parquet write -- the physical layout that
+    makes time/partition pruning work at 100 TB: a filter on the partition
+    column prunes directories before any file is opened.  Returns the
+    written path."""
+    path = path or os.path.join(tempfile.mkdtemp(prefix="rtfl_part_"), "t")
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    return path
+
+def bucketed_table(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8
+) -> str:
+    """Bucketed saveAsTable: rows pre-shuffled into ``n_buckets`` files by
+    ``bucket_col``.  Two tables bucketed the same way join WITHOUT a
+    shuffle (SortMergeJoin over bucketed scans, no Exchange) -- the
+    standing-workload answer to the fact-to-fact shuffle called out in
+    SCALE.md.  Returns the table name."""
+    path = os.path.join(tempfile.mkdtemp(prefix="rtfl_bucket_"), table)
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
+    return table
+
 def csv_roundtrip(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Distributed CSV export + schema-preserving re-import.  Columns must
     be CSV-stable types (string/numeric); callers format timestamps to

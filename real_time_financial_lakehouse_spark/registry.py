@@ -166,6 +166,39 @@ def q_gold_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     gold = rollup.events_market_summary(_events(spark, sf_dir))
     return sinks.ctas(spark, gold, "gold_market_summary_ctas")
 
+# Partition-pruned scan through a date-partitioned write: the filter on
+# the partition column prunes directories before any file opens (the
+# 100 TB layout from SCALE.md, verified through the sink).
+@register(
+    "partitioned_day_rollup",
+    """
+    SELECT event_type AS symbol,
+           count(*) AS n_events,
+           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') IN ('2024-01-02', '2024-01-03')
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_partitioned_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format(F.col("ts"), "yyyy-MM-dd")
+    )
+    path = sinks.partitioned_write(ev, ["day"])
+    part = spark.read.parquet(path).filter(
+        F.col("day").cast("string").isin("2024-01-02", "2024-01-03")
+    )
+    return (
+        part.groupBy(F.col("event_type").alias("symbol"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.floor(F.sum("value") * F.lit(100.0) + F.lit(0.5)).cast("double").alias("_tv"),
+        )
+        .select("symbol", "n_events", (F.col("_tv") / F.lit(100.0)).alias("total_value"))
+        .orderBy("symbol")
+    )
+
 # S9: the dashboard CSV export (dashboard.py:86), distributed write +
 # schema-preserving re-read; timestamps formatted to strings first.
 @register(
