@@ -779,6 +779,44 @@ def q_trailing_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup.distinct_user_counts(_events(spark, sf_dir))
 
+# Streaming session windows, append mode: only sessions FINALIZED by the
+# watermark are emitted (end < max event time - watermark delay); the
+# oracle encodes exactly that subset of the gaps-and-islands sessions.
+@register(
+    "streaming_sessionize",
+    """
+    WITH s AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s
+    ),
+    sess AS (
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events,
+               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM g
+        GROUP BY user_id, sid
+    )
+    SELECT * FROM sess
+    WHERE session_end < (SELECT max(ts) - INTERVAL 1 MINUTE FROM events)
+    ORDER BY 1, 2
+    """,
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import streaming_sessionize_roundtrip
+
+    return streaming_sessionize_roundtrip(spark, sf_dir)
+
 # Streaming dedup: the doubled stream must collapse back to the plain
 # events table (seen-key state across micro-batches).
 @register(

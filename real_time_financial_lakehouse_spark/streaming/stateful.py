@@ -106,3 +106,45 @@ def streaming_ema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+def streaming_sessionize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows in STREAMING mode: the same ``session_window``
+    expression as the batch operator (operators/windows.sessionize), run
+    with a watermark over the events stream -- dynamic-gap session state
+    merged across micro-batches and closed by the watermark.  One
+    expression, two execution modes; both check against the same
+    gaps-and-islands SQL oracle."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import qround
+    from .silver import events_stream
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    sessions = (
+        ev.groupBy(F.col("user_id"), F.session_window(F.col("ts"), "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            qround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="rtfl_sess_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="rtfl_sess_ckpt_")
+    q = (
+        sessions.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("user_id", "session_start")
