@@ -310,3 +310,166 @@ def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+def top_orders_per_customer(orders: DataFrame, topn: int = 3) -> DataFrame:
+    """Ranking-window layer: top-N orders per customer with the full
+    ranking-function family (row_number / rank / dense_rank / ntile).
+
+    The reference's analytic layer has no ranking functions (SURVEY
+    section 2.4) -- this is the engine extension every lakehouse gold
+    layer needs for "latest/top-k per entity" questions.
+
+    Scale: ONE shuffle on o_custkey serves all four window functions --
+    both window specs share the partitioning, so Catalyst plans
+    Exchange -> Window -> Window with no second shuffle (verified in the
+    physical plan).  The rn <= N filter runs before the final
+    presentation sort, so only ~N x |customers| rows reach it.  (A
+    single rank-only window would additionally get WindowGroupLimit
+    per-group top-k pruning; the day_rank columns here are defined over
+    the FULL partition, so that rewrite would change semantics.)
+    row_number/ntile order by (totalprice DESC, orderkey) which is a
+    total order, so they are deterministic; rank/dense_rank order by the
+    coarser order-day so real ties exist and the two functions diverge
+    observably (rank gaps, dense_rank none).
+    """
+    w_full = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_day = Window.partitionBy("o_custkey").orderBy(F.date_trunc("day", F.col("o_orderdate")))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            qround(F.col("o_totalprice"), 2).alias("total_price"),
+            F.row_number().over(w_full).alias("rn"),
+            F.ntile(4).over(w_full).alias("quartile"),
+            F.rank().over(w_day).alias("day_rank"),
+            F.dense_rank().over(w_day).alias("day_dense_rank"),
+        )
+        .filter(F.col("rn") <= topn)
+        .orderBy("o_custkey", "rn")
+    )
+
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, ... orders.
+
+    Scale: orders is pre-aggregated to one row per custkey BEFORE the
+    join (map-side combine collapses the fact table), so the left join
+    against customer moves |customers| rows instead of |orders| rows; a
+    customer with no orders survives via the left join + coalesce(0).
+    The second aggregate is over the tiny per-customer counts."""
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c_count"))
+    counts = customer.join(
+        per_cust, customer["c_custkey"] == per_cust["o_custkey"], "left"
+    ).select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+def small_order_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#3", factor: float = 0.5
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small orders -- lineitems whose
+    quantity is below ``factor`` x the part's average quantity.  The
+    correlated scalar subquery (per-part average) is decorrelated into a
+    groupBy + re-join, which is exactly what Catalyst does to the SQL
+    form.
+
+    Scale: the brand filter makes part tiny -> broadcast into the
+    lineitem scan (no fact shuffle); the per-part average aggregates the
+    *filtered* lineitems only (1/|brands| of the table), and the re-join
+    keys on partkey, which the first join already co-located."""
+    parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.lit(factor) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.withColumnRenamed("l_partkey", "lp")
+        .join(thresholds, F.col("lp") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(qround(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+def large_volume_customers(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, threshold: float = 200.0
+) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders above a total-quantity
+    threshold -- the GROUP BY ... HAVING pattern.
+
+    Scale: the HAVING runs FIRST, on the lineitem-only aggregate (one
+    shuffle on orderkey, partial agg map-side), so only the few
+    qualifying orderkeys join back to orders; customer is dim-sized ->
+    broadcast.  Order of operations matters at 100 TB: filter-by-agg
+    before join, never join-then-filter."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > threshold)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate"),
+            qround(F.col("o_totalprice"), 2).alias("total_price"),
+            qround(F.col("sum_qty"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+def priority_line_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape: conditional CASE aggregation -- per line-status,
+    how many lineitems belong to high- vs low-priority orders.
+
+    Scale: one sort-merge join orders-lineitem on orderkey (both sides
+    pre-projected to 2 columns, so the shuffle is narrow), then the CASE
+    WHEN sums collapse map-side to |statuses| rows."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.select("l_orderkey", "l_linestatus")
+        .join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+def nation_activity(customer: DataFrame, supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """FULL OUTER join: per-nation customer presence vs supplier
+    presence.  A nation can have customers but no suppliers (or vice
+    versa) -- both sides must survive, which inner/left joins can't
+    express.
+
+    Scale: both inputs are pre-aggregated to one row per nationkey
+    before the full-outer join, so the join moves |nations| rows; the
+    nation name lookup is a broadcast."""
+    c = customer.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        qround(F.sum("c_acctbal"), 2).alias("customer_balance"),
+    )
+    s = supplier.groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_suppliers"))
+    joined = c.join(s, F.col("c_nationkey") == F.col("s_nationkey"), "full_outer").select(
+        F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("customer_balance"), F.lit(0.0)).alias("customer_balance"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+    )
+    return (
+        joined.join(F.broadcast(nation), F.col("nationkey") == F.col("n_nationkey"), "left")
+        .select("nationkey", "n_name", "n_customers", "customer_balance", "n_suppliers")
+        .orderBy("nationkey")
+    )

@@ -159,3 +159,43 @@ def distinct_user_counts(events: DataFrame) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+def cube_totals(events: DataFrame) -> DataFrame:
+    """CUBE (symbol, day): all four grouping sets -- detail, per-symbol,
+    per-day, grand total -- in one pass.  Complements ROLLUP
+    (daily_rollup_totals), which only produces the hierarchical prefix
+    sets; a BI layer slicing by either dimension independently needs the
+    full cube.
+
+    Scale: Spark expands each input row into the 4 grouping-set shapes
+    *before* the exchange, but partial aggregation still collapses them
+    map-side, so the shuffle carries |sets| x |distinct keys| rows, not
+    4 x |input|."""
+    day = F.date_trunc("day", F.col("ts"))
+    return (
+        events.cube(F.col("event_type").alias("symbol"), day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            qround(F.sum("value"), 2).alias("total_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(F.col("gid"), F.col("symbol"), F.col("day"))
+    )
+
+def grouping_sets_activity(events: DataFrame) -> DataFrame:
+    """GROUPING SETS ((symbol), (user_id)): per-type totals and per-user
+    totals in ONE scan + one shuffle, where naive code would union two
+    separate groupBy jobs (two scans of a 100 TB table)."""
+    # rename BEFORE grouping: groupingSets matches set members to grouping
+    # columns by expression, so an alias inside the call would register as
+    # a third, distinct grouping column.
+    ev = events.withColumnRenamed("event_type", "symbol")
+    return (
+        ev.groupingSets([[F.col("symbol")], [F.col("user_id")]], "symbol", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            qround(F.sum("value"), 2).alias("total_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "symbol", "user_id")
+    )

@@ -167,3 +167,24 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
         F.md5(norm).alias("digest"),
         md5_long(norm).alias("fingerprint"),
     ).orderBy("doc_id")
+
+def top_terms(documents: DataFrame, topn: int = 20) -> DataFrame:
+    """Corpus-level term frequencies via explode(split()): the
+    tokenize -> UNNEST -> count shape every text pipeline starts from.
+
+    Scale: explode multiplies rows ~|tokens/doc| x, so the projection
+    keeps ONLY the term column before exploding (no doc payload is
+    duplicated); partial aggregation collapses each task's term counts
+    before the shuffle, so the exchange carries |vocab| rows per task,
+    not |tokens|.  Top-N is TakeOrderedAndProject, never a global sort.
+    """
+    terms = (
+        documents.select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"))
+        .filter(F.length("term") >= 3)
+    )
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("term"))
+        .limit(topn)
+    )

@@ -899,5 +899,176 @@ def q_ml_price_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = ml_regression.infer_with_fallback(model, filtered)
     return scored.select("symbol", "window_start", "volatility", "average_price", "predicted_price")
 
+# ---------------------------------------------------------------------------
+# Ranking windows, subquery shapes, OLAP grouping sets, outer joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           floor(o_totalprice * 100.0 + 0.5) / 100.0 AS total_price,
+           rn, quartile, day_rank, day_dense_rank
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER wf AS rn,
+               ntile(4) OVER wf AS quartile,
+               rank() OVER wd AS day_rank,
+               dense_rank() OVER wd AS day_dense_rank
+        FROM orders
+        WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+               wd AS (PARTITION BY o_custkey ORDER BY date_trunc('day', o_orderdate))
+    )
+    WHERE rn <= 3
+    ORDER BY 1, 4
+    """,
+)
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.top_orders_per_customer(_t(spark, sf_dir, "orders"))
+
+@register(
+    "customer_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    )
+    GROUP BY 1
+    ORDER BY 2 DESC, 1 DESC
+    """,
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.customer_order_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+@register(
+    "small_order_revenue",
+    """
+    SELECT floor((sum(l.l_extendedprice) / 7.0) * 10000.0 + 0.5) / 10000.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < (
+          SELECT 0.5 * avg(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.small_order_revenue(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+@register(
+    "large_volume_customers",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           floor(o_totalprice * 100.0 + 0.5) / 100.0 AS total_price,
+           floor(big.qty * 100.0 + 0.5) / 100.0 AS sum_qty
+    FROM (
+        SELECT l_orderkey, sum(l_quantity) AS qty
+        FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200.0
+    ) big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.large_volume_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+@register(
+    "priority_line_counts",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.priority_line_counts(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+@register(
+    "nation_activity",
+    """
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+           n.n_name,
+           coalesce(c.n_customers, 0) AS n_customers,
+           coalesce(c.customer_balance, 0.0) AS customer_balance,
+           coalesce(s.n_suppliers, 0) AS n_suppliers
+    FROM (
+        SELECT c_nationkey, count(*) AS n_customers,
+               floor(sum(c_acctbal) * 100.0 + 0.5) / 100.0 AS customer_balance
+        FROM customer GROUP BY 1
+    ) c
+    FULL OUTER JOIN (
+        SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1
+    ) s ON c.c_nationkey = s.s_nationkey
+    LEFT JOIN nation n ON coalesce(c.c_nationkey, s.s_nationkey) = n.n_nationkey
+    ORDER BY 1
+    """,
+)
+def q_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.nation_activity(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
+    )
+
+@register(
+    "cube_totals",
+    """
+    SELECT event_type AS symbol,
+           date_trunc('day', ts) AS day,
+           count(*) AS n_events,
+           floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value,
+           CAST(GROUPING(event_type, date_trunc('day', ts)) AS BIGINT) AS gid
+    FROM events
+    GROUP BY CUBE (event_type, date_trunc('day', ts))
+    ORDER BY gid, symbol, day
+    """,
+)
+def q_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup.cube_totals(_events(spark, sf_dir))
+
+@register(
+    "grouping_sets_activity",
+    """
+    SELECT event_type AS symbol, user_id,
+           count(*) AS n_events,
+           floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value,
+           CAST(GROUPING(event_type, user_id) AS BIGINT) AS gid
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id))
+    ORDER BY gid, symbol, user_id
+    """,
+)
+def q_grouping_sets_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup.grouping_sets_activity(_events(spark, sf_dir))
+
+@register(
+    "streaming_enriched_segments",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import streaming_enrich_roundtrip
+
+    return streaming_enrich_roundtrip(spark, sf_dir)
+
 # LLM-data-pipeline registrations (dedup / similarity / text / multimodal)
 from . import registry_llmdata  # noqa: E402,F401

@@ -404,3 +404,24 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("media_feature_summary")
 def q_media_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_feature_summary(_docs(spark, sf_dir))
+
+# ---------------------------------------------------------------------------
+# Corpus term frequencies (explode / UNNEST)
+# ---------------------------------------------------------------------------
+
+@register(
+    "top_terms",
+    """
+    SELECT term, count(*) AS n_occurrences
+    FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        FROM documents
+    )
+    WHERE length(term) >= 3
+    GROUP BY 1
+    ORDER BY 2 DESC, 1
+    LIMIT 20
+    """,
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.top_terms(_docs(spark, sf_dir))

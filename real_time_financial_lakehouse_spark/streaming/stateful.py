@@ -148,3 +148,52 @@ def streaming_sessionize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).orderBy("user_id", "session_start")
+
+def streaming_enrich_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched row-by-row against
+    the static customer dimension, then rolled up per market segment.
+
+    This is the canonical lakehouse enrichment shape (a trade stream
+    joined to an instrument/customer dim).  The static side is read once
+    per micro-batch and BROADCAST into the stream -- a stateless join, so
+    no watermark or join-state store is needed (contrast stream-stream
+    joins, which buffer both sides).  At 100 TB/day of stream, the dim
+    broadcast is the only strategy that avoids shuffling the stream.
+
+    The join itself runs in streaming mode (append to parquet via
+    availableNow); the rollup runs in batch over the sink, keeping the
+    streamed output an auditable bronze-style log.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..functions.numeric import qround
+    from .silver import events_stream
+
+    ev = events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = ev.join(F.broadcast(customer), ev["user_id"] == customer["c_custkey"]).select(
+        "event_id", "user_id", "c_mktsegment", "value"
+    )
+    out_dir = tempfile.mkdtemp(prefix="rtfl_enrich_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="rtfl_enrich_ckpt_")
+    q = (
+        enriched.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            qround(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
