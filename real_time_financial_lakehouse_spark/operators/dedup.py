@@ -141,39 +141,52 @@ def ngram_jaccard_pairs(
     within each bucket, count shared, then ``|A∩B| / (|A|+|B|-|A∩B|)``.
     Pairs above threshold only.
 
-    Scale: the inverted index (groupBy shingle) is one shuffle and the
-    shingling runs once -- a shingle self-join would compute the explode
-    twice and shuffle both sides.  Worst-case still quadratic within a
-    hot shingle bucket; in a real corpus those stop-gram buckets get
-    df-capped before expansion -- same idea as skip-listing high-df terms
-    in search engines.  Per-doc set sizes come from a cheap projection
-    (``size(array_distinct(...))``), not a second aggregation, and
-    broadcast to the pair counts."""
+    Scale: the shingling (the expensive regex+transform projection) runs
+    ONCE; each doc's distinct-shingle count rides along as a struct field
+    through the inverted index and the pair expansion, so no sizes
+    side-table and no re-join -- the whole query is scan -> 2 shuffles
+    (bucket build, pair count).  A shingle self-join would compute the
+    explode twice and shuffle both sides.  Worst-case still quadratic
+    within a hot shingle bucket; in a real corpus those stop-gram buckets
+    get df-capped before expansion -- same idea as skip-listing high-df
+    terms in search engines."""
     sh = shingles_expr("text", shingle_n)
     docs = _spread(documents)
-    doc_shingles = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.expr(sh))).alias("shingle")
+    # Pack (doc_id, n_shingles) into ONE long: id in the high bits, count
+    # in the low 21 (a doc's distinct-shingle count is bounded by its char
+    # length, far below 2^21).  The whole inverted index + pair expansion
+    # then runs on primitive longs -- collect_set / sort_array / explode
+    # over structs fall off codegen's fast path and measured ~2x slower.
+    # sort_array on packed longs orders by doc_id (high bits), so the i<j
+    # expansion still yields doc_a < doc_b.
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # `size(arr) > 0 AND isnotnull(arr)` pre-filter and push it below the
+    # spreading repartition, which re-computes the whole shingling twice
+    # on the raw (unspread) input partitions -- measured 2x slower.  The
+    # outer variant infers nothing; empty docs surface one null-shingle
+    # row dropped by a cheap post-filter.
+    packed = (F.shiftleft(F.col("doc_id"), 21) + F.size("arr")).alias("packed")
+    exploded = (
+        docs.select("doc_id", F.array_distinct(F.expr(sh)).alias("arr"))
+        .select(packed, F.explode_outer("arr").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
-    sizes = docs.select(
-        "doc_id", F.size(F.array_distinct(F.expr(sh))).alias("n_shingles")
-    )
-    buckets = doc_shingles.groupBy("shingle").agg(
-        F.sort_array(F.collect_set("doc_id")).alias("ids")
+    buckets = exploded.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("packed")).alias("ids")
     )
     shared = (
         _pairs_within_bucket(buckets)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jacc = F.col("shared") / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("shared"))
+    mask = (1 << 21) - 1
+    n_a = F.col("doc_a").bitwiseAND(F.lit(mask))
+    n_b = F.col("doc_b").bitwiseAND(F.lit(mask))
+    jacc = F.col("shared") / (n_a + n_b - F.col("shared"))
     return (
-        shared.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
+        shared.select(
+            F.shiftright(F.col("doc_a"), 21).alias("doc_a"),
+            F.shiftright(F.col("doc_b"), 21).alias("doc_b"),
             "shared",
             (F.floor(jacc * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("jaccard"),
         )
