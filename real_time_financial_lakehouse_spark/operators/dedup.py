@@ -217,3 +217,61 @@ def simhash_fingerprints(documents: DataFrame, bits: int = 16) -> DataFrame:
         term = F.when(F.col(f"s_{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
     return summed.select("doc_id", fingerprint.cast("long").alias("simhash")).orderBy("doc_id")
+
+def dedup_clusters(documents: DataFrame, k: int = 8, bands: int = 4, max_iter: int = 20) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph: every doc
+    labeled with the smallest doc_id reachable through near-duplicate
+    edges -- the cluster table a dedup pipeline keeps one representative
+    per row of.
+
+    Iterative min-label propagation (driver-controlled loop, each
+    iteration one distributed join + aggregate): labels start as each
+    node's own id; every pass each node takes the min of its own label
+    and its neighbors' labels; stop when a pass changes nothing.
+    Convergence needs at most ``diameter`` passes -- near-dup clusters
+    are shallow (duplicates of a common source), so a handful.  This is
+    the simple-iteration form of the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce"); swap in
+    star-contraction if a corpus ever produces deep chain topologies.
+
+    Scale: per pass, one shuffle (groupBy doc on the edge list); edges
+    and labels stay partitioned by doc id, and persist() pins the
+    current labels so the lineage doesn't recompute the LSH index each
+    pass.  The loop's only driver-side data is the changed-row count.
+    """
+    edges = lsh_candidate_pairs(documents, k=k, bands=bands).select("doc_a", "doc_b")
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    sym = sym.persist()
+    pinned = documents.select("doc_id").withColumn("cluster_id", F.col("doc_id")).persist()
+    labels = pinned
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["doc_a"] == labels["doc_id"])
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("neighbor_label"))
+        )
+        # The changed flag is computed inline so convergence detection is
+        # a filter-count over the already-persisted frame, not a second
+        # join against the previous labels.
+        new_pinned = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("neighbor_label"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.col("neighbor_label") < F.col("cluster_id")).alias("changed"),
+            )
+            .persist()
+        )
+        changed = new_pinned.filter(F.col("changed")).count()
+        pinned.unpersist()
+        pinned = new_pinned  # keep the persisted handle; drop() below is a new DF
+        labels = new_pinned.drop("changed")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.orderBy("doc_id")

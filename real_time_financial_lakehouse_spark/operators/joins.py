@@ -473,3 +473,69 @@ def nation_activity(customer: DataFrame, supplier: DataFrame, nation: DataFrame)
         .select("nationkey", "n_name", "n_customers", "customer_balance", "n_suppliers")
         .orderBy("nationkey")
     )
+
+VALUE_BANDS = [
+    ("micro", 0.0, 10.0),
+    ("small", 10.0, 50.0),
+    ("medium", 50.0, 150.0),
+    ("large", 150.0, 300.0),
+    ("jumbo", 300.0, 1e9),
+]
+
+def value_band_summary(events: DataFrame) -> DataFrame:
+    """Non-equi (range) join: classify every event into a value band
+    defined by [lo, hi) intervals.  Spark plans an inequality-only join
+    as BroadcastNestedLoopJoin -- fine here because the band table is a
+    handful of rows broadcast everywhere, and each probe row scans 5
+    intervals.  (A MILLION-interval band table would need the bucketed
+    as-of pattern instead -- see asof_join_bucketed.)
+
+    Scale: the fact side never shuffles for the join itself; the single
+    groupBy(band) afterwards is the only exchange."""
+    spark = events.sparkSession
+    bands = spark.createDataFrame(VALUE_BANDS, "band string, lo double, hi double")
+    on = (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    return (
+        events.join(F.broadcast(bands), on, "inner")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            qround(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("band")
+    )
+
+def segment_activity_salted(events: DataFrame, customer: DataFrame, salts: int = 8) -> DataFrame:
+    """Skew-safe dimension join via salting: the events fixture's
+    user_id space is tiny relative to row count (hot keys by
+    construction), so a plain shuffle join would land each hot user on
+    ONE reducer.  Salting splits every fact key into ``salts`` synthetic
+    sub-keys (deterministic: event_id % salts -- no RNG, so plans replay
+    identically) and replicates each dim row ``salts`` times, restoring
+    join correctness while spreading each hot key over ``salts`` tasks.
+
+    The result is bit-identical to the unsalted join -- the oracle runs
+    the PLAIN SQL join, which is the point: salting is an execution
+    strategy, not a semantics change.  At 100 TB with AQE on,
+    ``spark.sql.adaptive.skewJoin`` does this splitting adaptively;
+    explicit salting is the belt-and-suspenders path for known-always-hot
+    keys (and the only option when the skewed side feeds a grouped agg
+    directly)."""
+    salted_events = events.withColumn("salt", (F.col("event_id") % salts).cast("int"))
+    salted_dim = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(salts - 1))).alias("salt"),
+    )
+    return (
+        salted_events.join(
+            salted_dim,
+            (F.col("user_id") == F.col("c_custkey")) & (salted_events["salt"] == salted_dim["salt"]),
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            qround(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )

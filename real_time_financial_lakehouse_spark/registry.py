@@ -1070,5 +1070,74 @@ def q_streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame
 
     return streaming_enrich_roundtrip(spark, sf_dir)
 
+@register(
+    "user_zscores",
+    """
+    SELECT event_id, user_id, value,
+           CASE WHEN stddev_pop(value) OVER w = 0 THEN NULL
+                ELSE floor((value - avg(value) OVER w) / (stddev_pop(value) OVER w)
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS z
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    ORDER BY event_id
+    """,
+)
+def q_user_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.grouped import user_zscores
+
+    return user_zscores(_events(spark, sf_dir))
+
+@register(
+    "value_band_summary",
+    """
+    WITH bands(band, lo, hi) AS (
+        VALUES ('micro', 0.0, 10.0), ('small', 10.0, 50.0), ('medium', 50.0, 150.0),
+               ('large', 150.0, 300.0), ('jumbo', 300.0, 1000000000.0)
+    )
+    SELECT band, count(*) AS n_events,
+           floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_value_band_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.value_band_summary(_events(spark, sf_dir))
+
+# Salting is an execution strategy, not a semantics change: the oracle is
+# the PLAIN join -- the salted plan must produce identical results.
+@register(
+    "segment_activity_salted",
+    """
+    SELECT c_mktsegment, event_type, count(*) AS n_events,
+           floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_segment_activity_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.segment_activity_salted(_t(spark, sf_dir, "events"), _t(spark, sf_dir, "customer"))
+
+@register(
+    "streaming_click_purchase",
+    """
+    SELECT c.user_id, count(*) AS n_attributed,
+           floor(sum(p.value) * 100.0 + 0.5) / 100.0 AS attributed_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_streaming_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import streaming_click_purchase_join
+
+    return streaming_click_purchase_join(spark, sf_dir)
+
 # LLM-data-pipeline registrations (dedup / similarity / text / multimodal)
 from . import registry_llmdata  # noqa: E402,F401

@@ -425,3 +425,44 @@ def q_media_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.top_terms(_docs(spark, sf_dir))
+
+# ---------------------------------------------------------------------------
+# Connected components over the LSH near-dup graph (iterative algorithm).
+# Oracle: DuckDB recursive CTE computing the transitive closure of the
+# same band-derived edge list, labeling each doc with min(reachable id).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE sigs AS (
+        SELECT doc_id,
+               {_MH_COLS_SQL}
+        FROM documents
+    ),
+    banded AS (
+        SELECT doc_id, o.band_id,
+               CASE o.band_id {_BAND_HASH_CASES} END AS band_hash
+        FROM sigs
+        CROSS JOIN (SELECT unnest([{", ".join(str(b) for b in range(_BANDS))}]) AS band_id) o
+    ),
+    edges AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM banded a
+        JOIN banded b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id
+    FROM reach
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_clusters(_docs(spark, sf_dir), k=_K, bands=_BANDS)

@@ -197,3 +197,86 @@ def streaming_enrich_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks joined to the same user's
+    purchases within the following 2 hours -- the attribution shape
+    (impression joined to conversion).
+
+    Both sides carry watermarks and the join condition bounds event time
+    from BOTH directions, so Spark can evict buffered rows once the
+    watermark passes ``click.ts + 2 h`` -- bounded state on unbounded
+    streams, the thing that separates a stream-stream join from a batch
+    self-join.  availableNow processes the whole fixture in one pass, so
+    the emitted matches equal the batch join exactly and the SQL oracle
+    can hash-match.
+
+    Scale: state is partitioned by user_id (the equi-key); per-key state
+    holds only a 2-hour sliver of each side.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import qround
+    from .silver import events_stream
+
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    )
+    out_dir = tempfile.mkdtemp(prefix="rtfl_ssj_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="rtfl_ssj_ckpt_")
+    # A stream-stream join materializes FOUR state stores per shuffle
+    # partition (left/right keyed + key-to-numValues); at local test scale
+    # 32 partitions means file-system churn dominates the batch, so pin
+    # the query's state partitioning low.  Fixed at stream start and
+    # carried in the checkpoint -- a real deployment sizes this to the
+    # cluster ONCE per checkpoint lifetime (state repartitioning needs an
+    # offline state rewrite).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            qround(F.sum("purchase_value"), 2).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
