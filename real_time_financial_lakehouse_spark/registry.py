@@ -1139,5 +1139,52 @@ def q_streaming_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return streaming_click_purchase_join(spark, sf_dir)
 
+@register(
+    "merge_upsert",
+    """
+    WITH snapshot AS (
+        SELECT event_id, user_id, event_type, value FROM events
+    ),
+    updates AS (
+        SELECT event_id, user_id, event_type, value * 2.0 AS value
+        FROM snapshot WHERE event_id % 10 = 0
+        UNION ALL
+        SELECT event_id + 10000000, user_id, 'backfill', value
+        FROM snapshot WHERE event_id % 97 = 0
+    )
+    SELECT coalesce(u.event_id, s.event_id) AS event_id,
+           coalesce(u.user_id, s.user_id) AS user_id,
+           coalesce(u.event_type, s.event_type) AS event_type,
+           coalesce(u.value, s.value) AS value,
+           CASE WHEN s.event_id IS NULL THEN 'inserted'
+                WHEN u.event_id IS NULL THEN 'kept'
+                ELSE 'updated' END AS action
+    FROM snapshot s
+    FULL OUTER JOIN updates u ON s.event_id = u.event_id
+    ORDER BY 1
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.merge_upsert(_events(spark, sf_dir))
+
+@register(
+    "streaming_tumbling_counts",
+    """
+    WITH agg AS (
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type AS symbol,
+               count(*) AS n_events,
+               floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT * FROM agg
+    WHERE window_start + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 MINUTE FROM events)
+    ORDER BY 1, 2
+    """,
+)
+def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_silver.streaming_tumbling_counts(spark, sf_dir)
+
 # LLM-data-pipeline registrations (dedup / similarity / text / multimodal)
 from . import registry_llmdata  # noqa: E402,F401

@@ -173,3 +173,44 @@ def streaming_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows in streaming mode (the reference uses
+    only sliding, process_silver.py:52; tumbling completes the
+    tumbling / sliding / session family).  Append mode + watermark:
+    only windows the final watermark has sealed (end <= max event time -
+    delay) are emitted, which is what makes the output deterministic and
+    oracle-checkable.
+
+    Scale: tumbling state is the cheapest of the three -- one window per
+    event, evicted the moment the watermark passes its end."""
+    import tempfile
+
+    from ..functions.numeric import qround
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            qround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("event_type").alias("symbol"),
+            "n_events",
+            "total_value",
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="rtfl_tumble_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="rtfl_tumble_ckpt_")
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("window_start", "symbol")

@@ -77,3 +77,41 @@ def test_filter_pushes_into_parquet_scan(spark):
     # column pruning: ReadSchema carries only what the query needs
     read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "l_extendedprice" not in read_schema
+
+def test_range_band_join_is_broadcast_nested_loop(spark):
+    from real_time_financial_lakehouse_spark.operators import joins
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    plan = _plan(joins.value_band_summary(ev))
+    # the inequality-only join must broadcast the tiny band table, never
+    # shuffle the fact side for the join itself
+    assert "BroadcastNestedLoopJoin" in plan
+
+def test_salted_join_spreads_hot_keys(spark):
+    from real_time_financial_lakehouse_spark.operators import joins
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    plan = _plan(joins.segment_activity_salted(ev, cust))
+    # the join key must include the salt, so each hot user_id spreads
+    # over `salts` shuffle partitions
+    assert "salt" in plan
+
+def test_single_exchange_serves_both_window_specs(spark):
+    from real_time_financial_lakehouse_spark.operators import joins
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    plan = _plan(joins.top_orders_per_customer(orders))
+    # both window frames partition by o_custkey: exactly ONE
+    # hashpartitioning exchange (the second Exchange is the final sort's
+    # rangepartitioning)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+def test_zscores_bucket_grouping_single_exchange(spark):
+    from real_time_financial_lakehouse_spark.operators.grouped import user_zscores
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    plan = _plan(user_zscores(ev))
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+    # one exchange for the bucket grouping (+ the final presentation sort)
+    assert plan.count("Exchange hashpartitioning") == 1
