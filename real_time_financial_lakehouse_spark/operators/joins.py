@@ -539,3 +539,77 @@ def segment_activity_salted(events: DataFrame, customer: DataFrame, salts: int =
         )
         .orderBy("c_mktsegment", "event_type")
     )
+
+def disjunctive_predicate_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of (type, size-range,
+    quantity-range) triples -- the complex-OR-predicate stress test.
+
+    Scale: Catalyst factors the common join key out of the OR and pushes
+    each conjunct's scan-eligible parts (p_size bounds, l_quantity
+    bounds) down as parquet min/max filters; the join itself stays a
+    single broadcast hash join with the residual OR evaluated post-join.
+    Writing this as three joins UNION ALL'd would scan lineitem three
+    times."""
+    cond = (
+        ((F.col("p_type") == "PROMO") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_type") == "ECONOMY") & F.col("p_size").between(11, 20)
+           & F.col("l_quantity").between(10, 40))
+        | ((F.col("p_type") == "LARGE") & F.col("p_size").between(21, 35)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            qround(F.sum(_revenue()), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+def supplier_part_counts(part: DataFrame, lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type), excluding a
+    complaint-list of suppliers (NOT IN -> left anti join).
+
+    Scale: the exclusion list is dim-sized -> broadcast anti join (keys
+    only, no payload); the distinct-count shuffles once on the grouping
+    key with partial distinct applied map-side."""
+    excluded = supplier.filter(F.col("s_name").like("%00000000%")).select("s_suppkey")
+    return (
+        lineitem.join(F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+    )
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, since: str = "2000-06-01"
+) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average account balance and
+    no RECENT orders (none since ``since``), bucketed by a name-derived
+    code -- scalar uncorrelated subquery + NOT EXISTS + string bucketing
+    in one query.
+
+    Scale: the global average is ONE row (computed first, broadcast into
+    the filter via a scalar-subquery join); the NOT EXISTS is a left anti
+    join on custkey; the final aggregate is over the tiny survivor set.
+    """
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit(since).cast("timestamp"))
+    return (
+        rich.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.expr("right(c_name, 2)").alias("code"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            qround(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .orderBy("code")
+    )

@@ -86,17 +86,33 @@ def text_quality(documents: DataFrame) -> DataFrame:
 def lang_id(documents: DataFrame) -> DataFrame:
     """Stopword-vote language ID with deterministic tiebreak (score desc,
     language code asc); 'und' when nothing matches.  The fixture carries a
-    ground-truth ``lang`` column, so the query also reports agreement."""
-    scores = {lang: _stopword_count(lang) for lang in STOPWORDS}
+    ground-truth ``lang`` column, so the query also reports agreement.
+
+    Staged projections, not one nested expression: tokenize ONCE, score
+    each language over the token column, then argmax over the score
+    columns.  Each stage's outputs are referenced multiple times
+    downstream, which keeps Catalyst's CollapseProject from re-inlining
+    (and thus re-computing) the tokenization per language and the scores
+    per comparison -- same trick as the MinHash hash-once signature
+    (measured 2x at sf0.1)."""
+    toks = documents.select(
+        "doc_id", "lang", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+
+    def score(lang: str) -> F.Column:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return F.expr(f"size(filter(toks, t -> t IN ({words})))")
+
+    scored = toks.select(
+        "doc_id", "lang", *[score(lang).alias(f"score_{lang}") for lang in sorted(STOPWORDS)]
+    )
     best = None
     for lang in sorted(STOPWORDS):  # asc code order = tiebreak
-        s = scores[lang]
-        if best is None:
-            best = F.struct(s.alias("score"), F.lit(lang).alias("code"))
-        else:
-            best = F.when(s > best["score"], F.struct(s.alias("score"), F.lit(lang).alias("code"))).otherwise(best)
+        s = F.col(f"score_{lang}")
+        cand = F.struct(s.alias("score"), F.lit(lang).alias("code"))
+        best = cand if best is None else F.when(s > best["score"], cand).otherwise(best)
     predicted = F.when(best["score"] > 0, best["code"]).otherwise(F.lit("und"))
-    return documents.select(
+    return scored.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         predicted.alias("predicted_lang"),

@@ -1186,5 +1186,58 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_silver.streaming_tumbling_counts(spark, sf_dir)
 
+@register(
+    "disjunctive_predicate_revenue",
+    """
+    SELECT floor(sum(l_extendedprice * (1.0 - l_discount)) * 10000.0 + 0.5) / 10000.0
+               AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_type = 'PROMO'   AND p_size BETWEEN 1  AND 10 AND l_quantity BETWEEN 1  AND 20)
+       OR (p_type = 'ECONOMY' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 10 AND 40)
+       OR (p_type = 'LARGE'   AND p_size BETWEEN 21 AND 35 AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.disjunctive_predicate_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+@register(
+    "supplier_part_counts",
+    """
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%00000000%'
+    )
+    GROUP BY 1, 2
+    ORDER BY 3 DESC, 1, 2
+    """,
+)
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.supplier_part_counts(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+@register(
+    "idle_rich_customers",
+    """
+    SELECT right(c_name, 2) AS code,
+           count(*) AS n_customers,
+           floor(sum(c_acctbal) * 100.0 + 0.5) / 100.0 AS total_balance
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.idle_rich_customers(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
+
 # LLM-data-pipeline registrations (dedup / similarity / text / multimodal)
 from . import registry_llmdata  # noqa: E402,F401
