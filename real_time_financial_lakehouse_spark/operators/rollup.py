@@ -199,3 +199,18 @@ def grouping_sets_activity(events: DataFrame) -> DataFrame:
         )
         .orderBy("gid", "symbol", "user_id")
     )
+
+def event_type_unpivot(events: DataFrame) -> DataFrame:
+    """UNPIVOT (melt): the pivoted per-user type counts turned back into
+    long form -- (user_id, event_type, n_events) including explicit
+    zeros.  Pivot and unpivot are each other's inverses up to those zero
+    rows, which is exactly what the oracle's dense user x type grid
+    checks.
+
+    Scale: unpivot is a per-row expand (no shuffle); the only exchange
+    belongs to the upstream pivot aggregate."""
+    wide = event_type_pivot(events)
+    return (
+        wide.unpivot("user_id", EVENT_TYPES, "event_type", "n_events")
+        .orderBy("user_id", "event_type")
+    )

@@ -205,3 +205,54 @@ def trailing_range_avg(events: DataFrame, seconds: int = 300) -> DataFrame:
         qround(F.avg("value").over(w), 6).alias("trailing_avg"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
     ).orderBy("event_id")
+
+def symbol_bounds(events: DataFrame) -> DataFrame:
+    """first_value / last_value / nth_value over an unbounded frame: the
+    per-symbol opening, closing, and third tick in one windowed pass --
+    the value-positional window family the SMA/RSI layer doesn't touch.
+
+    Scale: one shuffle on the partition key; the unbounded-following
+    frame forces full-partition buffering, which is why the result is
+    immediately collapsed to one row per symbol (rn = 1) rather than
+    carried per-event."""
+    w_full = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        events.select(
+            F.col("event_type").alias("symbol"),
+            F.row_number().over(w_rn).alias("rn"),
+            qround(F.first("value").over(w_full), 6).alias("open_value"),
+            qround(F.last("value").over(w_full), 6).alias("close_value"),
+            qround(F.nth_value("value", 3).over(w_full), 6).alias("third_value"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("symbol")
+    )
+
+def user_histories(events: DataFrame, first_n: int = 5) -> DataFrame:
+    """Per-user ordered event history as an array column: collect_list of
+    (ts, event_id) structs, array_sort (struct ordering = ts then id, so
+    the array is deterministic regardless of arrival order), project the
+    ids, keep the first N.
+
+    Scale: collect_list buffers each user's rows in the aggregation
+    state -- fine for per-entity histories (thousands of events), the
+    wrong tool for global keys; at 100 TB the first-N cut belongs BEFORE
+    the collect (window rank + filter) so state stays bounded, and that
+    variant is exactly `tail_n_by_time` inverted."""
+    sorted_ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id"))), lambda s: s["event_id"]
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.slice(sorted_ids, 1, first_n).alias("first_events"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

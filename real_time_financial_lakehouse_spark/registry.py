@@ -1239,5 +1239,55 @@ def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.idle_rich_customers(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
 
+@register(
+    "symbol_bounds",
+    """
+    SELECT symbol, open_value, close_value, third_value
+    FROM (
+        SELECT event_type AS symbol,
+               row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+               floor(first_value(value) OVER w * 1000000.0 + 0.5) / 1000000.0 AS open_value,
+               floor(last_value(value) OVER w * 1000000.0 + 0.5) / 1000000.0 AS close_value,
+               floor(nth_value(value, 3) OVER w * 1000000.0 + 0.5) / 1000000.0 AS third_value
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    WHERE rn = 1
+    ORDER BY 1
+    """,
+)
+def q_symbol_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.symbol_bounds(_events(spark, sf_dir))
+
+@register(
+    "user_histories",
+    """
+    SELECT user_id,
+           list_slice(list(event_id ORDER BY ts, event_id), 1, 5) AS first_events,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_user_histories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.user_histories(_events(spark, sf_dir))
+
+@register(
+    "event_type_unpivot",
+    """
+    SELECT u.user_id, t.event_type, coalesce(c.cnt, 0) AS n_events
+    FROM (SELECT DISTINCT user_id FROM events) u
+    CROSS JOIN (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type) t
+    LEFT JOIN (
+        SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+    ) c ON c.user_id = u.user_id AND c.event_type = t.event_type
+    ORDER BY 1, 2
+    """,
+)
+def q_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup.event_type_unpivot(_events(spark, sf_dir))
+
 # LLM-data-pipeline registrations (dedup / similarity / text / multimodal)
 from . import registry_llmdata  # noqa: E402,F401

@@ -138,10 +138,13 @@ def silver_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out_dir = tempfile.mkdtemp(prefix="rtfl_silver_out_")
     ckpt_dir = tempfile.mkdtemp(prefix="rtfl_silver_ckpt_")
-    q = run_silver_stream(
-        events_stream(spark, sf_dir), out_dir, ckpt_dir, available_now=True
-    )
-    q.awaitTermination()
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark):
+        q = run_silver_stream(
+            events_stream(spark, sf_dir), out_dir, ckpt_dir, available_now=True
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir).select(
         "window_start", "window_end", "symbol", "volatility", "average_price", "n_events"
     )
@@ -161,15 +164,18 @@ def streaming_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.dropDuplicates(["event_id"])
     out_dir = tempfile.mkdtemp(prefix="rtfl_dedup_out_")
     ckpt_dir = tempfile.mkdtemp(prefix="rtfl_dedup_ckpt_")
-    q = (
-        deduped.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark):
+        q = (
+            deduped.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
@@ -204,13 +210,16 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = tempfile.mkdtemp(prefix="rtfl_tumble_out_")
     ckpt_dir = tempfile.mkdtemp(prefix="rtfl_tumble_ckpt_")
-    q = (
-        agg.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark):
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir).orderBy("window_start", "symbol")

@@ -85,15 +85,18 @@ def streaming_ema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _append(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
 
-    q = (
-        ema_stream(events_stream(spark, sf_dir))
-        .writeStream.foreachBatch(_append)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark):
+        q = (
+            ema_stream(events_stream(spark, sf_dir))
+            .writeStream.foreachBatch(_append)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     raw = spark.read.parquet(out_dir)
     w = Window.partitionBy("symbol").orderBy(F.col("n_events").desc())
     return (
@@ -138,15 +141,18 @@ def streaming_sessionize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     )
     out_dir = tempfile.mkdtemp(prefix="rtfl_sess_out_")
     ckpt_dir = tempfile.mkdtemp(prefix="rtfl_sess_ckpt_")
-    q = (
-        sessions.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark):
+        q = (
+            sessions.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir).orderBy("user_id", "session_start")
 
 def streaming_enrich_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,15 +185,18 @@ def streaming_enrich_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = tempfile.mkdtemp(prefix="rtfl_enrich_out_")
     ckpt_dir = tempfile.mkdtemp(prefix="rtfl_enrich_ckpt_")
-    q = (
-        enriched.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark):
+        q = (
+            enriched.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(out_dir)
         .groupBy("c_mktsegment")
@@ -250,16 +259,9 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out_dir = tempfile.mkdtemp(prefix="rtfl_ssj_out_")
     ckpt_dir = tempfile.mkdtemp(prefix="rtfl_ssj_ckpt_")
-    # A stream-stream join materializes FOUR state stores per shuffle
-    # partition (left/right keyed + key-to-numValues); at local test scale
-    # 32 partitions means file-system churn dominates the batch, so pin
-    # the query's state partitioning low.  Fixed at stream start and
-    # carried in the checkpoint -- a real deployment sizes this to the
-    # cluster ONCE per checkpoint lifetime (state repartitioning needs an
-    # offline state rewrite).
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark):
         q = (
             joined.writeStream.format("parquet")
             .outputMode("append")
@@ -269,8 +271,6 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         spark.read.parquet(out_dir)
         .groupBy(F.col("c_user").alias("user_id"))
