@@ -214,3 +214,38 @@ def event_type_unpivot(events: DataFrame) -> DataFrame:
         wide.unpivot("user_id", EVENT_TYPES, "event_type", "n_events")
         .orderBy("user_id", "event_type")
     )
+
+def distinct_user_counts_approx(events: DataFrame) -> DataFrame:
+    """The 100 TB sketch path for ``distinct_user_counts``:
+    ``approx_count_distinct`` (HyperLogLog++, rsd 2%) -- a mergeable
+    sketch, one pass, no two-phase distinct expand.  Same query shape as
+    the exact twin; pytest asserts the estimate lands within tolerance
+    of the exact count (no SQL oracle -- sketch internals are
+    engine-specific by design)."""
+    return (
+        events.groupBy(F.col("event_type").alias("symbol"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("symbol")
+    )
+
+def value_percentiles_approx(events: DataFrame) -> DataFrame:
+    """The 100 TB sketch path for ``value_percentiles``:
+    ``percentile_approx`` (KLL-style mergeable quantile sketch,
+    accuracy 10000) -- one pass, no per-group full sort.  pytest asserts
+    each approximate quantile lands within the sketch's rank-error bound
+    of the exact value."""
+    pcts = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    return (
+        events.groupBy(F.col("event_type").alias("symbol"))
+        .agg(pcts.alias("p"))
+        .select(
+            "symbol",
+            F.element_at("p", 1).alias("p50_approx"),
+            F.element_at("p", 2).alias("p90_approx"),
+            F.element_at("p", 3).alias("p99_approx"),
+        )
+        .orderBy("symbol")
+    )

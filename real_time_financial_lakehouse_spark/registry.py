@@ -1289,5 +1289,17 @@ def q_user_histories(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup.event_type_unpivot(_events(spark, sf_dir))
 
+# Sketch-path twins of distinct_user_counts / value_percentiles: no SQL
+# oracle (sketch estimates are engine-specific by design); the driver
+# records rows-only, and tests/test_llmdata.py asserts each estimate lands
+# within the sketch's error bound of the exact result.
+@register("distinct_user_counts_approx")
+def q_distinct_user_counts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup.distinct_user_counts_approx(_events(spark, sf_dir))
+
+@register("value_percentiles_approx")
+def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup.value_percentiles_approx(_events(spark, sf_dir))
+
 # LLM-data-pipeline registrations (dedup / similarity / text / multimodal)
 from . import registry_llmdata  # noqa: E402,F401

@@ -166,3 +166,33 @@ def test_sample_frames_expands_videos_only(spark, docs):
         assert sorted(r["frame_idx"] for r in asset_rows) == [0, 1, 2]
         offs = [r["offset_ms"] for r in sorted(asset_rows, key=lambda r: r["frame_idx"])]
         assert offs == sorted(offs)
+
+def test_sketch_paths_within_error_bounds(spark):
+    """The approx twins must land within their sketches' error bounds of
+    the exact operators (HLL++ rsd=2%, percentile_approx acc=10000)."""
+    from real_time_financial_lakehouse_spark.operators import rollup as r
+
+    from conftest import SF_SMOKE
+    from real_time_financial_lakehouse_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {row["symbol"]: row for row in r.distinct_user_counts(ev).collect()}
+    for row in r.distinct_user_counts_approx(ev).collect():
+        e = exact[row["symbol"]]["n_users"]
+        assert abs(row["n_users_approx"] - e) <= max(2, 0.1 * e), row
+        assert row["n_events"] == exact[row["symbol"]]["n_events"]
+
+    # percentile_approx guarantees RANK error (<= n/accuracy), not value
+    # error -- in a sparse tail one rank step can be a large value jump,
+    # so assert on the rank of the returned (actual data point) value.
+    import bisect
+
+    values = {}
+    for row in ev.select("event_type", "value").collect():
+        values.setdefault(row["event_type"], []).append(row["value"])
+    for row in r.value_percentiles_approx(ev).collect():
+        vs = sorted(values[row["symbol"]])
+        n = len(vs)
+        for ap, q in [("p50_approx", 0.5), ("p90_approx", 0.9), ("p99_approx", 0.99)]:
+            rank = bisect.bisect_left(vs, row[ap])
+            assert abs(rank - q * n) <= max(2, 0.01 * n), (row["symbol"], ap, rank, q * n)
