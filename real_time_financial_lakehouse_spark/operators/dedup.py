@@ -239,6 +239,7 @@ def dedup_clusters(documents: DataFrame, k: int = 8, bands: int = 4, max_iter: i
     current labels so the lineage doesn't recompute the LSH index each
     pass.  The loop's only driver-side data is the changed-row count.
     """
+    spark = documents.sparkSession
     edges = lsh_candidate_pairs(documents, k=k, bands=bands).select("doc_a", "doc_b")
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -247,31 +248,41 @@ def dedup_clusters(documents: DataFrame, k: int = 8, bands: int = 4, max_iter: i
     pinned = documents.select("doc_id").withColumn("cluster_id", F.col("doc_id")).persist()
     labels = pinned
     labels.count()
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym["doc_a"] == labels["doc_id"])
-            .groupBy(F.col("doc_b").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("neighbor_label"))
-        )
-        # The changed flag is computed inline so convergence detection is
-        # a filter-count over the already-persisted frame, not a second
-        # join against the previous labels.
-        new_pinned = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("neighbor_label"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (F.col("neighbor_label") < F.col("cluster_id")).alias("changed"),
+    # The iterating frames (labels, edge list) are tiny relative to the
+    # corpus -- per-iteration shuffles at the session's fact-table
+    # partition count are pure task overhead.  Pin low for the loop; on a
+    # cluster size this to |edges| / target-partition-size instead.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym["doc_a"] == labels["doc_id"])
+                .groupBy(F.col("doc_b").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("neighbor_label"))
             )
-            .persist()
-        )
-        changed = new_pinned.filter(F.col("changed")).count()
-        pinned.unpersist()
-        pinned = new_pinned  # keep the persisted handle; drop() below is a new DF
-        labels = new_pinned.drop("changed")
-        if changed == 0:
-            break
+            # The changed flag is computed inline so convergence detection
+            # is a filter-count over the already-persisted frame, not a
+            # second join against the previous labels.
+            new_pinned = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("neighbor_label"), F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                    (F.col("neighbor_label") < F.col("cluster_id")).alias("changed"),
+                )
+                .persist()
+            )
+            changed = new_pinned.filter(F.col("changed")).count()
+            pinned.unpersist()
+            pinned = new_pinned  # keep the persisted handle; drop() is a new DF
+            labels = new_pinned.drop("changed")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     sym.unpersist()
     return labels.orderBy("doc_id")
