@@ -214,45 +214,134 @@ def asof_join_bucketed(
     which is aggregated (small) and broadcastable.  This keeps the shuffle
     proportional to rows, not to rows x matches.
 
-    Correctness fallback: rows with no match within the two buckets fall
-    back to the naive path only for the residue, which is typically a tiny
-    fraction of the input.  For the fixture scales the naive operator is
-    already exact; this builder exists to document and exercise the
-    at-scale plan shape.
+    The bucket term is a true EQUI-key: each left row is exploded into two
+    probe rows (its own bucket and the previous one) and the join condition
+    is ``(key, probe_bucket) == (key, right_bucket)`` -- so the shuffle
+    hash-partitions on (key, bucket), hot keys spread across buckets, and
+    the per-task candidate set is bounded by two buckets of one key, never
+    the key's full history.  ``tests/test_scale_plans.py`` asserts the
+    bucket columns appear in the join keys.
+
+    Rows whose prevailing right row is older than one bucket come back
+    NULL -- the documented approximation of the windowed form.  The exact
+    full-history operator is ``asof_join_sorted`` (union-sort, zero
+    fan-out); compose the two (sort within (key, bucket) + carry the last
+    row of each bucket forward) when a single key's history outgrows one
+    task's sort budget.
     """
     dur = F.expr(f"INTERVAL {bucket}")
     lb = F.date_trunc("hour", F.col(left_time))
     rb = F.date_trunc("hour", F.col(right_time))
-    lhs = left.withColumn("__lb", lb)
+    lhs = left.withColumn("__pb", F.explode(F.array(lb, lb - dur)))
     rhs = right.withColumn("__rb", rb)
     probe = lhs.join(
         rhs,
         (lhs[left_on] == rhs[right_on])
-        & (F.col("__rb").between(F.col("__lb") - dur, F.col("__lb")))
+        & (F.col("__pb") == F.col("__rb"))
         & (F.col(right_time) <= F.col(left_time)),
         "left",
     )
+    # one output row per left row: the latest match across both probe
+    # buckets wins; a fully-unmatched left row survives as its null row
     w = Window.partitionBy(left_id).orderBy(
         F.col(right_time).desc_nulls_last(), F.col(right_tiebreak).desc_nulls_last()
     )
     matched = (
         probe.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__lb", "__rb")
+        .drop("__rn", "__pb", "__rb")
     )
     return matched
 
+def asof_join_sorted(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    right_tiebreak: str,
+) -> DataFrame:
+    """Exact as-of join with ZERO join fan-out: the union-sort plan.
+
+    Tag right rows 0 and left rows 1, union them on (key, time), and take
+    ``last(right_payload, ignorenulls=true)`` over a per-key time-ordered
+    running window.  Each left row reads the prevailing right row directly
+    off the sorted timeline -- the plan Flink's temporal sort and kdb's
+    ``aj`` use, and what ``pandas.merge_asof`` does single-node.
+
+    Scale: ONE shuffle (hash on the key, both inputs concatenated), one
+    per-key sort (external, spills), and a linear running-window pass.
+    No (left x matching-right) intermediate ever materializes, so a key
+    holding a year of ticks costs O(n log n), not O(n^2) -- this replaces
+    the naive ``asof_join`` (kept as the differential cross-check) and the
+    two-bucket probe (kept for the case where the timeline must stay
+    partitioned by time as well as key).  A single pathologically hot key
+    still lands on one task; the mitigation is composing this with the
+    time-bucket split of ``asof_join_bucketed`` (sort within (key, bucket),
+    carry the last right row of each bucket forward), worth it only past
+    ~10^8 rows per key.
+
+    Semantics match ``asof_join(how="left")`` exactly: inclusive
+    ``right_time <= left_time`` (right rows sort before left rows at equal
+    timestamps), latest-then-max-tiebreak among equal right times, and
+    left rows with a NULL key or NULL time match nothing (right rows with
+    NULL key/time are dropped -- they can never match)."""
+    from pyspark.sql import types as T
+
+    l_cols, r_cols = left.columns, right.columns
+    r_struct_type = T.StructType(right.schema.fields)
+    rhs = right.filter(
+        F.col(right_on).isNotNull() & F.col(right_time).isNotNull()
+    ).select(
+        F.col(right_on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__src"),
+        F.col(right_tiebreak).alias("__tb"),
+        F.struct(*[F.col(c) for c in r_cols]).alias("__r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
+    )
+    lhs = left.select(
+        F.col(left_on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__src"),
+        F.lit(None).cast(right.schema[right_tiebreak].dataType).alias("__tb"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
+        *l_cols,
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(
+            F.col("__t").asc_nulls_first(),
+            F.col("__src").asc(),
+            F.col("__tb").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    timeline = rhs.unionByName(lhs).withColumn(
+        "__p", F.last("__r", ignorenulls=True).over(w)
+    )
+    return timeline.filter(F.col("__src") == 1).select(
+        *l_cols, *[F.col(f"__p.{c}").alias(c) for c in r_cols]
+    )
+
 def latest_order_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
     """As-of query: each event joined to the user's latest order at or
-    before the event time (trade-to-prevailing-state shape)."""
-    out = asof_join(
+    before the event time (trade-to-prevailing-state shape).
+
+    Runs the union-sort plan (``asof_join_sorted``): the naive ranged-join
+    form materializes every (event, earlier-order) match before pruning,
+    which is quadratic per hot customer; the sorted plan is one shuffle and
+    zero fan-out.  ``tests/test_scale_plans.py`` asserts the plan has no
+    join node at all, and the parity suite cross-checks it against the
+    naive operator and the SQL oracle."""
+    out = asof_join_sorted(
         events.select("event_id", "ts", "user_id"),
         orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
         left_on="user_id",
         right_on="o_custkey",
         left_time="ts",
         right_time="o_orderdate",
-        left_id="event_id",
         right_tiebreak="o_orderkey",
     )
     return out.select("event_id", "ts", "user_id", "o_orderkey", "o_orderdate", "o_totalprice")

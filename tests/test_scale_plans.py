@@ -107,6 +107,71 @@ def test_single_exchange_serves_both_window_specs(spark):
     # rangepartitioning)
     assert plan.count("Exchange hashpartitioning") == 1
 
+def test_asof_sorted_plan_has_no_join(spark):
+    """latest_order_asof must run the union-sort as-of: one shuffle, a
+    per-key sorted window pass, and NO join node -- the naive ranged join
+    materializes every (event, earlier-order) pair before pruning, which
+    is quadratic per hot customer."""
+    from real_time_financial_lakehouse_spark.operators import joins
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    plan = _plan(joins.latest_order_asof(ev, orders))
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "Union" in plan
+
+def test_asof_sorted_matches_naive(spark):
+    """Differential: the zero-fan-out sorted plan and the naive ranged
+    join + keep-latest must agree row-for-row (including events whose
+    user has no prior order -> null order columns)."""
+    from real_time_financial_lakehouse_spark.operators import joins
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    cols = ["event_id", "ts", "user_id", "o_orderkey", "o_orderdate", "o_totalprice"]
+    fast = joins.latest_order_asof(ev, orders)
+    naive = joins.asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        left_id="event_id",
+        right_tiebreak="o_orderkey",
+    ).select(*cols)
+    fast_rows = sorted(map(tuple, fast.collect()))
+    naive_rows = sorted(map(tuple, naive.collect()))
+    assert fast_rows == naive_rows
+
+def test_asof_bucketed_carries_bucket_equikey(spark):
+    """The bucketed as-of must hash-partition on (key, bucket): the probe
+    bucket columns appear as JOIN KEYS (not a post-join range filter), so
+    a hot key's history spreads across bucket partitions."""
+    from real_time_financial_lakehouse_spark.operators import joins
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    out = joins.asof_join_bucketed(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        left_id="event_id",
+        right_tiebreak="o_orderkey",
+    )
+    plan = _plan(out)
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines, plan
+    assert any("__pb" in ln and "__rb" in ln for ln in join_lines), join_lines
+
 def test_zscores_bucket_grouping_single_exchange(spark):
     from real_time_financial_lakehouse_spark.operators.grouped import user_zscores
 
