@@ -34,16 +34,30 @@ from ..functions.hashing import (
     shingles_expr,
 )
 
+# Hot-bucket cap: a (band-hash | shingle) bucket holding more ids than
+# this is dropped BEFORE pair expansion.  Pair blowup inside a bucket is
+# O(n^2) on a single task, so one degenerate bucket (boilerplate shingle,
+# mass-duplicated page -- guaranteed in a 100 TB crawl) would OOM one
+# executor; the cap bounds per-bucket work at cap^2.  Dropped buckets are
+# not lost signal: a bucket that big is either an exact-dup cluster
+# (caught by the exact tier's hash-groupBy, which has no quadratic step)
+# or a stop-gram shared by unrelated docs (pure noise for similarity) --
+# the same reason search engines skip-list high-df terms.  Mirrored in
+# the DuckDB oracle SQL so hash checks stay exact.  Fixture headroom:
+# measured max bucket size at sf0.1 is 9 (LSH) / 25 (shingle df).
+MAX_BUCKET = 64
+
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the session's default parallelism when the input
-    arrives in fewer partitions (e.g. one small parquet file).  A no-op on
-    real lake tables, which already have >= cores partitions -- this only
-    exists so per-row-expensive projections (shingling, hashing) are not
-    serialized onto a handful of tasks for small inputs."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    """Round-robin repartition to the session's default parallelism before
+    per-row-expensive projections (shingling, hashing), so a small input
+    (one parquet file -> one scan partition) still uses every core.  The
+    exchange is narrow (doc_id + text) and unconditional -- deciding from
+    ``df.rdd.getNumPartitions()`` would force a plan-to-RDD conversion on
+    the driver per call.  At lake scale the scan already has >= cores
+    partitions and AQE's coalescer re-merges any over-split output, so the
+    cost is one pass-through shuffle that the CPU-bound projection
+    amortizes."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 def _pairs_within_bucket(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
     """Expand a sorted doc-id array column into (doc_a < doc_b) pairs.
@@ -103,7 +117,11 @@ def minhash_signatures(documents: DataFrame, k: int = 8, shingle_n: int = 3) -> 
     return hashed.select(*cols)
 
 def lsh_candidate_pairs(
-    documents: DataFrame, k: int = 8, bands: int = 4, shingle_n: int = 3
+    documents: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """LSH banding over MinHash signatures: k/bands rows per band, band
     hash = md5 of the concatenated row values; docs sharing any band hash
@@ -113,7 +131,9 @@ def lsh_candidate_pairs(
     cardinality ~ n_docs * bands; pair blowup happens only inside a
     bucket, which is exactly the point of banding.  Buckets are
     materialized as sorted id arrays rather than self-joined, so the
-    signature computation runs once, not twice."""
+    signature computation runs once, not twice; buckets larger than
+    ``max_bucket`` are dropped before expansion (see MAX_BUCKET) so a
+    degenerate bucket can never O(n^2) a single task."""
     rows = k // bands
     sigs = minhash_signatures(documents, k=k, shingle_n=shingle_n)
     band_cols = []
@@ -130,11 +150,14 @@ def lsh_candidate_pairs(
     ).select("doc_id", "band.band_id", "band.band_hash")
     buckets = banded.groupBy("band_id", "band_hash").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ids")
-    )
+    ).filter(F.size("ids") <= max_bucket)
     return _pairs_within_bucket(buckets).distinct().orderBy("doc_a", "doc_b")
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, shingle_n: int = 3, threshold: float = 0.2
+    documents: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    max_df: int = MAX_BUCKET,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via a shingle inverted index:
     explode distinct shingles, bucket doc-ids per shingle, expand pairs
@@ -146,10 +169,13 @@ def ngram_jaccard_pairs(
     through the inverted index and the pair expansion, so no sizes
     side-table and no re-join -- the whole query is scan -> 2 shuffles
     (bucket build, pair count).  A shingle self-join would compute the
-    explode twice and shuffle both sides.  Worst-case still quadratic
-    within a hot shingle bucket; in a real corpus those stop-gram buckets
-    get df-capped before expansion -- same idea as skip-listing high-df
-    terms in search engines."""
+    explode twice and shuffle both sides.  Worst-case quadratic within a
+    hot shingle bucket, so shingles with document frequency above
+    ``max_df`` are dropped before expansion (see MAX_BUCKET) -- the
+    skip-list-high-df-terms move from search engines.  Jaccard DENOMINATORS
+    still count every distinct shingle (the per-doc size rides in the
+    packed id), so capping only removes stop-gram contributions to the
+    intersection; the DuckDB twin applies the identical cap."""
     sh = shingles_expr("text", shingle_n)
     docs = _spread(documents)
     # Pack (doc_id, n_shingles) into ONE long: id in the high bits, count
@@ -165,7 +191,21 @@ def ngram_jaccard_pairs(
     # on the raw (unspread) input partitions -- measured 2x slower.  The
     # outer variant infers nothing; empty docs surface one null-shingle
     # row dropped by a cheap post-filter.
-    packed = (F.shiftleft(F.col("doc_id"), 21) + F.size("arr")).alias("packed")
+    # Runtime guard on the packing bounds (they were previously only a
+    # comment): assert_true is NULL when the bound holds, raises on the
+    # first violating row; coalesce folds the NULL into the arithmetic so
+    # the check costs one comparison per row, no extra pass.
+    guard = F.assert_true(
+        (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < F.lit(1 << 42))
+        & (F.size("arr") < F.lit(1 << 21)),
+        F.lit("ngram pack overflow: need 0 <= doc_id < 2^42 and < 2^21 distinct shingles"),
+    )
+    packed = (
+        F.shiftleft(F.col("doc_id"), 21)
+        + F.size("arr")
+        + F.coalesce(guard.cast("long"), F.lit(0))
+    ).alias("packed")
     exploded = (
         docs.select("doc_id", F.array_distinct(F.expr(sh)).alias("arr"))
         .select(packed, F.explode_outer("arr").alias("shingle"))
@@ -173,7 +213,7 @@ def ngram_jaccard_pairs(
     )
     buckets = exploded.groupBy("shingle").agg(
         F.sort_array(F.collect_set("packed")).alias("ids")
-    )
+    ).filter(F.size("ids") <= max_df)
     shared = (
         _pairs_within_bucket(buckets)
         .groupBy("doc_a", "doc_b")
@@ -238,8 +278,17 @@ def dedup_clusters(documents: DataFrame, k: int = 8, bands: int = 4, max_iter: i
     and labels stay partitioned by doc id, and persist() pins the
     current labels so the lineage doesn't recompute the LSH index each
     pass.  The loop's only driver-side data is the changed-row count.
+    The iterating frames are tiny relative to the corpus -- AQE's
+    partition coalescer shrinks each pass's shuffles at runtime, so no
+    session conf is mutated (concurrency-safe: other queries on the same
+    session keep their own partitioning).  The returned frame is cut from
+    the iteration lineage with an eager localCheckpoint and every
+    intermediate cache is released before returning -- no cache leak; on
+    a multi-executor cluster prefer a reliable ``checkpoint()`` dir so
+    the labels survive executor loss.
     """
-    spark = documents.sparkSession
+    import warnings
+
     edges = lsh_candidate_pairs(documents, k=k, bands=bands).select("doc_a", "doc_b")
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -248,41 +297,43 @@ def dedup_clusters(documents: DataFrame, k: int = 8, bands: int = 4, max_iter: i
     pinned = documents.select("doc_id").withColumn("cluster_id", F.col("doc_id")).persist()
     labels = pinned
     labels.count()
-    # The iterating frames (labels, edge list) are tiny relative to the
-    # corpus -- per-iteration shuffles at the session's fact-table
-    # partition count are pure task overhead.  Pin low for the loop; on a
-    # cluster size this to |edges| / target-partition-size instead.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        for _ in range(max_iter):
-            neighbor_min = (
-                sym.join(labels, sym["doc_a"] == labels["doc_id"])
-                .groupBy(F.col("doc_b").alias("doc_id"))
-                .agg(F.min("cluster_id").alias("neighbor_label"))
+    changed = 0
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["doc_a"] == labels["doc_id"])
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("neighbor_label"))
+        )
+        # The changed flag is computed inline so convergence detection
+        # is a filter-count over the already-persisted frame, not a
+        # second join against the previous labels.
+        new_pinned = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("neighbor_label"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+                (F.col("neighbor_label") < F.col("cluster_id")).alias("changed"),
             )
-            # The changed flag is computed inline so convergence detection
-            # is a filter-count over the already-persisted frame, not a
-            # second join against the previous labels.
-            new_pinned = (
-                labels.join(neighbor_min, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.least(
-                        F.col("cluster_id"),
-                        F.coalesce(F.col("neighbor_label"), F.col("cluster_id")),
-                    ).alias("cluster_id"),
-                    (F.col("neighbor_label") < F.col("cluster_id")).alias("changed"),
-                )
-                .persist()
-            )
-            changed = new_pinned.filter(F.col("changed")).count()
-            pinned.unpersist()
-            pinned = new_pinned  # keep the persisted handle; drop() is a new DF
-            labels = new_pinned.drop("changed")
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            .persist()
+        )
+        changed = new_pinned.filter(F.col("changed")).count()
+        pinned.unpersist()
+        pinned = new_pinned  # keep the persisted handle; drop() is a new DF
+        labels = new_pinned.drop("changed")
+        if changed == 0:
+            break
+    if changed > 0:
+        warnings.warn(
+            f"dedup_clusters: not converged after {max_iter} passes "
+            f"({changed} labels still changing) -- a duplicate chain deeper "
+            f"than max_iter exists; returned labels are an upper bound. "
+            f"Raise max_iter or switch to star-contraction.",
+            stacklevel=2,
+        )
+    result = labels.orderBy("doc_id").localCheckpoint(eager=True)
+    pinned.unpersist()
     sym.unpersist()
-    return labels.orderBy("doc_id")
+    return result

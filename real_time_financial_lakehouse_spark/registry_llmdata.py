@@ -16,6 +16,7 @@ from .functions.hashing import (
     shingles_sql,
 )
 from .operators import dedup, multimodal, similarity, text
+from .operators.dedup import MAX_BUCKET
 from .registry import register
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,10 +85,16 @@ _BAND_HASH_CASES = " ".join(
                CASE o.band_id {_BAND_HASH_CASES} END AS band_hash
         FROM sigs
         CROSS JOIN (SELECT unnest([{", ".join(str(b) for b in range(_BANDS))}]) AS band_id) o
+    ),
+    capped AS (
+        -- hot-bucket cap, mirroring dedup.MAX_BUCKET on the Spark side
+        SELECT doc_id, band_id, band_hash
+        FROM (SELECT *, count(*) OVER (PARTITION BY band_id, band_hash) AS bsz FROM banded)
+        WHERE bsz <= {MAX_BUCKET}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a
-    JOIN banded b
+    FROM capped a
+    JOIN capped b
       ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
     ORDER BY 1, 2
     """,
@@ -102,11 +109,18 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle
         FROM documents
     ),
+    -- df-cap mirroring dedup.MAX_BUCKET: high-df shingles are excluded
+    -- from the INTERSECTION only; sizes (denominators) stay uncapped
+    capped AS (
+        SELECT doc_id, shingle
+        FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM ds)
+        WHERE df <= {MAX_BUCKET}
+    ),
     sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
     shared AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        FROM ds a
-        JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM capped a
+        JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, shared,
@@ -446,10 +460,15 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sigs
         CROSS JOIN (SELECT unnest([{", ".join(str(b) for b in range(_BANDS))}]) AS band_id) o
     ),
+    capped AS (
+        SELECT doc_id, band_id, band_hash
+        FROM (SELECT *, count(*) OVER (PARTITION BY band_id, band_hash) AS bsz FROM banded)
+        WHERE bsz <= {MAX_BUCKET}
+    ),
     edges AS (
         SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-        FROM banded a
-        JOIN banded b
+        FROM capped a
+        JOIN capped b
           ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
     ),
     sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),

@@ -52,6 +52,49 @@ def test_ngram_jaccard_scores(docs):
     assert 0.5 < pairs[(0, 2)] < 1.0
     assert (0, 3) not in pairs
 
+@pytest.fixture(scope="module")
+def degenerate_docs(spark):
+    """1,000 identical documents -- the mass-duplicated boilerplate page
+    every web crawl contains.  Uncapped, every band bucket and every
+    shingle bucket holds all 1,000 ids and the pair expansion is ~500k
+    pairs on ONE task."""
+    txt = (
+        "breaking news markets rally as investors cheer strong earnings "
+        "reports across the technology sector with volumes surging"
+    )
+    rows = [(i, txt, "en", f"s{i}", len(txt)) for i in range(1000)]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+def test_hot_bucket_cap_stops_lsh_blowup(degenerate_docs):
+    """The capped LSH ladder must complete without expanding the ~500k
+    in-bucket pairs: every bucket exceeds MAX_BUCKET, so the candidate set
+    is empty -- the exact tier (hash groupBy, no quadratic step) is the
+    one that collapses identical docs."""
+    pairs = dedup.lsh_candidate_pairs(degenerate_docs).collect()
+    assert pairs == []
+    exact = dedup.exact_dedup(degenerate_docs).collect()
+    assert len(exact) == 1 and exact[0]["n_copies"] == 1000
+
+def test_hot_bucket_cap_stops_ngram_blowup(degenerate_docs):
+    """Same corpus through the inverted index: every shingle's df is
+    1,000 > MAX_BUCKET, so the intersection is empty and no pair reaches
+    the Jaccard stage."""
+    assert dedup.ngram_jaccard_pairs(degenerate_docs).collect() == []
+
+def test_uncapped_buckets_still_pair_below_threshold(degenerate_docs):
+    """Sanity for the cap itself: raising the cap above the corpus size
+    restores the quadratic behavior (1000 choose 2 exact-dup pairs)."""
+    n = dedup.lsh_candidate_pairs(degenerate_docs.limit(60), max_bucket=100).count()
+    assert n == 60 * 59 // 2
+
+def test_ngram_pack_guard_raises_on_out_of_range_doc_id(spark):
+    big_id = spark.createDataFrame(
+        [(1 << 42, "some text with enough words to shingle properly here", "en", "s", 51)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with pytest.raises(Exception, match="ngram pack overflow"):
+        dedup.ngram_jaccard_pairs(big_id).collect()
+
 def test_simhash_hamming_reflects_similarity(docs):
     fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(docs).collect()}
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
