@@ -140,9 +140,9 @@ def silver_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_dir = tempfile.mkdtemp(prefix="rtfl_silver_ckpt_")
     from . import pinned_state_partitions
 
-    with pinned_state_partitions(spark):
+    with pinned_state_partitions(spark) as ss:
         q = run_silver_stream(
-            events_stream(spark, sf_dir), out_dir, ckpt_dir, available_now=True
+            events_stream(ss, sf_dir), out_dir, ckpt_dir, available_now=True
         )
         q.awaitTermination()
     return spark.read.parquet(out_dir).select(
@@ -160,13 +160,13 @@ def streaming_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Result must equal the plain events table -- the SQL oracle."""
     import tempfile
 
-    doubled = events_stream(spark, sf_dir).union(events_stream(spark, sf_dir))
-    deduped = doubled.dropDuplicates(["event_id"])
     out_dir = tempfile.mkdtemp(prefix="rtfl_dedup_out_")
     ckpt_dir = tempfile.mkdtemp(prefix="rtfl_dedup_ckpt_")
     from . import pinned_state_partitions
 
-    with pinned_state_partitions(spark):
+    with pinned_state_partitions(spark) as ss:
+        doubled = events_stream(ss, sf_dir).union(events_stream(ss, sf_dir))
+        deduped = doubled.dropDuplicates(["event_id"])
         q = (
             deduped.writeStream.format("parquet")
             .outputMode("append")
@@ -194,25 +194,25 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.numeric import qround
 
-    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
-    agg = (
-        ev.groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            qround(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(
-            F.col("window.start").alias("window_start"),
-            F.col("event_type").alias("symbol"),
-            "n_events",
-            "total_value",
-        )
-    )
     out_dir = tempfile.mkdtemp(prefix="rtfl_tumble_out_")
     ckpt_dir = tempfile.mkdtemp(prefix="rtfl_tumble_ckpt_")
     from . import pinned_state_partitions
 
-    with pinned_state_partitions(spark):
+    with pinned_state_partitions(spark) as ss:
+        ev = events_stream(ss, sf_dir).withWatermark("ts", "1 minute")
+        agg = (
+            ev.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                qround(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("event_type").alias("symbol"),
+                "n_events",
+                "total_value",
+            )
+        )
         q = (
             agg.writeStream.format("parquet")
             .outputMode("append")

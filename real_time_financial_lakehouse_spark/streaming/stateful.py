@@ -87,9 +87,9 @@ def streaming_ema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from . import pinned_state_partitions
 
-    with pinned_state_partitions(spark):
+    with pinned_state_partitions(spark) as ss:
         q = (
-            ema_stream(events_stream(spark, sf_dir))
+            ema_stream(events_stream(ss, sf_dir))
             .writeStream.foreachBatch(_append)
             .outputMode("update")
             .option("checkpointLocation", ckpt_dir)
@@ -124,26 +124,26 @@ def streaming_sessionize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     from ..functions.numeric import qround
     from .silver import events_stream
 
-    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
-    sessions = (
-        ev.groupBy(F.col("user_id"), F.session_window(F.col("ts"), "30 minutes"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            qround(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
-            "n_events",
-            "total_value",
-        )
-    )
     out_dir = tempfile.mkdtemp(prefix="rtfl_sess_out_")
     ckpt_dir = tempfile.mkdtemp(prefix="rtfl_sess_ckpt_")
     from . import pinned_state_partitions
 
-    with pinned_state_partitions(spark):
+    with pinned_state_partitions(spark) as ss:
+        ev = events_stream(ss, sf_dir).withWatermark("ts", "1 minute")
+        sessions = (
+            ev.groupBy(F.col("user_id"), F.session_window(F.col("ts"), "30 minutes"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                qround(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+                "total_value",
+            )
+        )
         q = (
             sessions.writeStream.format("parquet")
             .outputMode("append")
@@ -178,16 +178,16 @@ def streaming_enrich_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numeric import qround
     from .silver import events_stream
 
-    ev = events_stream(spark, sf_dir)
-    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    enriched = ev.join(F.broadcast(customer), ev["user_id"] == customer["c_custkey"]).select(
-        "event_id", "user_id", "c_mktsegment", "value"
-    )
     out_dir = tempfile.mkdtemp(prefix="rtfl_enrich_out_")
     ckpt_dir = tempfile.mkdtemp(prefix="rtfl_enrich_ckpt_")
     from . import pinned_state_partitions
 
-    with pinned_state_partitions(spark):
+    with pinned_state_partitions(spark) as ss:
+        ev = events_stream(ss, sf_dir)
+        customer = load_table(ss, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        enriched = ev.join(
+            F.broadcast(customer), ev["user_id"] == customer["c_custkey"]
+        ).select("event_id", "user_id", "c_mktsegment", "value")
         q = (
             enriched.writeStream.format("parquet")
             .outputMode("append")
@@ -230,38 +230,38 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..functions.numeric import qround
     from .silver import events_stream
 
-    ev = events_stream(spark, sf_dir)
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "1 minute")
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value").alias("purchase_value"),
-        )
-        .withWatermark("purchase_ts", "1 minute")
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("purchase_ts") > F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
-        "inner",
-    )
     out_dir = tempfile.mkdtemp(prefix="rtfl_ssj_out_")
     ckpt_dir = tempfile.mkdtemp(prefix="rtfl_ssj_ckpt_")
     from . import pinned_state_partitions
 
-    with pinned_state_partitions(spark):
+    with pinned_state_partitions(spark) as ss:
+        ev = events_stream(ss, sf_dir)
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "1 minute")
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"),
+            )
+            .withWatermark("purchase_ts", "1 minute")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+            "inner",
+        )
         q = (
             joined.writeStream.format("parquet")
             .outputMode("append")
