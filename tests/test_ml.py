@@ -69,3 +69,15 @@ def test_closed_form_constant_feature_yields_null(spark, silver_df):
     )
     out = R.ols_closed_form(const).collect()
     assert all(r["slope"] is None and r["intercept"] is None for r in out)
+
+def test_fit_once_caches_loaded_model(spark):
+    """fit_once trains + saves + loads exactly once per (session, sf_dir);
+    the second call returns the cached loaded model without refitting."""
+    rows = [(float(i % 17), 3.0 * (i % 17) + 7.0) for i in range(100)]
+    df = spark.createDataFrame(rows, ["volatility", "average_price"])
+    m1 = R.fit_once(spark, "test-fit-once-key", df)
+    m2 = R.fit_once(spark, "test-fit-once-key", df.limit(0))  # would fail to train
+    assert m1 is m2
+    from pyspark.ml.regression import LinearRegressionModel
+
+    assert isinstance(m1, LinearRegressionModel)  # the LOADED artifact, not the fit
