@@ -82,11 +82,21 @@ def format_and_time(events: DataFrame) -> DataFrame:
     run both directions), wall-clock formatting (dashboard.py:109
     ``'%H:%M:%S'``), and numeric display formatting (dashboard.py:96-102
     ``:,.2f`` metric tiles) -- including thousands grouping on a bigint."""
+    from ..functions.numeric import qround
+
+    # price_fmt is SEPARATOR-FREE ('%.2f' over a half-up-quantized value):
+    # Spark's format_number would insert thousands separators ('1,234.50')
+    # that DuckDB's printf lacks and DuckDB's fmt cannot produce for
+    # floats, so the two engines would disagree for any value >= 1000.
+    # The reference's ':,.2f' grouping surface is covered by big_fmt
+    # (bigint grouping, where both engines agree).  Quantizing before
+    # formatting keeps '%.2f' away from exact .xx5 midpoints, where Java
+    # (half-up) and C (half-even) printf would round apart.
     return events.select(
         "event_id",
         F.timestamp_millis(F.unix_millis(F.col("ts"))).alias("ts_ms"),
         F.date_format(F.col("ts"), "HH:mm:ss").alias("hms"),
-        F.format_number(F.col("value"), 2).alias("price_fmt"),
+        F.format_string("%.2f", qround(F.col("value"), 2)).alias("price_fmt"),
         F.format_number((F.col("user_id") * F.lit(1_000_000)).cast("long"), 0).alias("big_fmt"),
     )
 

@@ -63,6 +63,22 @@ def normalize(pdf) -> list[tuple]:
     rows = [tuple(_norm_cell(v) for v in row) for row in pdf[cols].itertuples(index=False, name=None)]
     return sorted(rows, key=repr)
 
+_DTYPE_CLASSES = (
+    ("datetime", "ts"),
+    ("int", "int"),
+    ("uint", "int"),
+    ("float", "float"),
+    ("double", "float"),
+    ("bool", "bool"),
+)
+
+def _dtype_class(dtype) -> str:
+    name = str(dtype).lower()
+    for needle, cls in _DTYPE_CLASSES:
+        if needle in name:
+            return cls
+    return "obj"  # strings, lists, decimals -- value compare covers these
+
 def compare_frames(spark_pdf, oracle_pdf) -> list[str]:
     """Return a list of mismatch descriptions (empty == match)."""
     problems: list[str] = []
@@ -70,6 +86,19 @@ def compare_frames(spark_pdf, oracle_pdf) -> list[str]:
     if s_cols != o_cols:
         problems.append(f"schema mismatch: spark={s_cols} oracle={o_cols}")
         return problems
+    # dtype drift check: a bigint-vs-double drift can repr identically
+    # after cell normalization, so compare normalized dtype classes too.
+    # int vs float is only tolerated when the column is nullable in
+    # practice (pandas upcasts nullable ints to float64/object, and which
+    # side upcasts depends on the engine, not the query).
+    for c in s_cols:
+        s_cls, o_cls = _dtype_class(spark_pdf[c].dtype), _dtype_class(oracle_pdf[c].dtype)
+        if s_cls == o_cls or "obj" in (s_cls, o_cls):
+            continue
+        nullable = bool(spark_pdf[c].isna().any() or oracle_pdf[c].isna().any())
+        if {s_cls, o_cls} == {"int", "float"} and nullable:
+            continue
+        problems.append(f"dtype mismatch on {c}: spark={spark_pdf[c].dtype} oracle={oracle_pdf[c].dtype}")
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
     s_rows, o_rows = normalize(spark_pdf), normalize(oracle_pdf)

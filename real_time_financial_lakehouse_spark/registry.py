@@ -295,7 +295,7 @@ def q_interval_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            make_timestamp((epoch_us(ts) // 1000) * 1000) AS ts_ms,
            strftime(ts, '%H:%M:%S') AS hms,
-           printf('%.2f', value) AS price_fmt,
+           printf('%.2f', floor(value * 100.0 + 0.5) / 100.0) AS price_fmt,
            format('{:,}', (user_id * 1000000)::BIGINT) AS big_fmt
     FROM events
     """,
@@ -780,8 +780,12 @@ def q_distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup.distinct_user_counts(_events(spark, sf_dir))
 
 # Streaming session windows, append mode: only sessions FINALIZED by the
-# watermark are emitted (end < max event time - watermark delay); the
-# oracle encodes exactly that subset of the gaps-and-islands sessions.
+# watermark are emitted.  The emission predicate is INCLUSIVE --
+# end <= max event time - watermark delay -- determined empirically with
+# a boundary fixture (a session ending exactly on the final watermark IS
+# emitted, for both session and tumbling windows; see
+# tests/test_streaming.py::test_append_mode_emits_at_exact_watermark).
+# The oracle encodes exactly that subset of the gaps-and-islands sessions.
 @register(
     "streaming_sessionize",
     """
@@ -808,7 +812,7 @@ def q_distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id, sid
     )
     SELECT * FROM sess
-    WHERE session_end < (SELECT max(ts) - INTERVAL 1 MINUTE FROM events)
+    WHERE session_end <= (SELECT max(ts) - INTERVAL 1 MINUTE FROM events)
     ORDER BY 1, 2
     """,
 )

@@ -129,3 +129,58 @@ def test_kafka_source_builder_shape(spark):
         pytest.skip(f"kafka connector unavailable: {type(exc).__name__}")
     assert df.isStreaming
     assert "value" in df.columns
+
+def test_append_mode_emits_at_exact_watermark(spark, tmp_path):
+    """Pin down Spark's append-mode finalization predicate at the exact
+    boundary: a window/session whose end equals the final watermark IS
+    emitted (inclusive, end <= watermark) -- for BOTH tumbling windows and
+    session windows.  The streaming oracles encode this: both
+    streaming_tumbling_counts and streaming_sessionize use `<=`."""
+    src = tmp_path / "bnd_src"
+    src.mkdir()
+    rows = [
+        # session 'a': single event, 1-min gap -> session_end 10:01:00;
+        # tumbling [10:00, 10:01) for the same event
+        {"symbol": "a", "price": 1.0, "quantity": 1.0, "timestamp": "2024-01-01T10:00:00"},
+        # max event 10:02:00 -> final watermark 10:01:00 == both ends
+        {"symbol": "b", "price": 2.0, "quantity": 1.0, "timestamp": "2024-01-01T10:02:00"},
+    ]
+    with open(src / "b1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    parsed = bronze.json_file_source(spark, str(src)).select(
+        F.col("symbol").alias("k"),
+        F.col("timestamp").cast("timestamp").alias("ts"),
+    )
+
+    out1, ck1 = str(tmp_path / "t_out"), str(tmp_path / "t_ck")
+    tumb = (
+        parsed.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 minute"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.end").alias("we"), "k")
+    )
+    q = (
+        tumb.writeStream.format("parquet").outputMode("append")
+        .option("path", out1).option("checkpointLocation", ck1)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    emitted = {(str(r["we"]), r["k"]) for r in spark.read.parquet(out1).collect()}
+    assert ("2024-01-01 10:01:00", "a") in emitted  # end == watermark -> emitted
+
+    out2, ck2 = str(tmp_path / "s_out"), str(tmp_path / "s_ck")
+    sess = (
+        parsed.withWatermark("ts", "1 minute")
+        .groupBy("k", F.session_window(F.col("ts"), "1 minute"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("k", F.col("session_window.end").alias("se"))
+    )
+    q2 = (
+        sess.writeStream.format("parquet").outputMode("append")
+        .option("path", out2).option("checkpointLocation", ck2)
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    emitted2 = {(r["k"], str(r["se"])) for r in spark.read.parquet(out2).collect()}
+    assert ("a", "2024-01-01 10:01:00") in emitted2  # session_end == watermark -> emitted
