@@ -3,9 +3,14 @@
 Prints exactly one JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+and writes the SAME payload -- plus every per-rep time -- to
+``BENCH_FULL.json`` next to this file, so the full per-query map survives
+even when the stdout tail is truncated by the capture harness.
+
 Each query is forced end-to-end with the ``noop`` writer (full execution,
 no driver collect, no sink cost) so the number reflects the distributed
-plan, not result transfer.
+plan, not result transfer.  Reps per query via $SPARK_GRAFT_BENCH_REPS
+(default 3, min of reps reported).
 """
 
 from __future__ import annotations
@@ -40,33 +45,40 @@ def main() -> None:
     small = spark.range(100).withColumnRenamed("id", "k")
     spark.range(10_000).join(F.broadcast(small), F.col("id") == F.col("k")).count()
 
-    # Two runs per query, report the min: the first run pays one-time
-    # whole-stage-codegen (Janino) compilation for that plan shape, a cost
-    # any long-running cluster amortizes; the min reflects the steady-state
-    # distributed execution the engine is designed around.
+    # N runs per query (default 3), report the min: the first run pays
+    # one-time whole-stage-codegen (Janino) compilation for that plan
+    # shape, a cost any long-running cluster amortizes; the min reflects
+    # the steady-state distributed execution the engine is designed
+    # around, and with n>=3 a regression next round is attributable to
+    # the plan rather than to one noisy rep.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
-        best = None
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        rep_times[name] = runs
+        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "rtfl_query_inventory_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "rtfl_query_inventory_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump({**payload, "reps": reps, "rep_times": rep_times}, f, indent=1)
+    except OSError:
+        pass  # stdout line is still the contract; the file is best-effort
+    print(json.dumps(payload))
     spark.stop()
 
 if __name__ == "__main__":
