@@ -410,12 +410,36 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprints(_docs(spark, sf_dir))
 
 # ---------------------------------------------------------------------------
-# Multimodal (mapInPandas plumbing; deterministic but not SQL-expressible
-# -- the byte-level decode stub lives in Python.  Driver records rows-only;
-# exact values are asserted in pytest.)
+# Multimodal (mapInPandas plumbing).  The decode stub's byte features ARE
+# SQL-expressible for utf-8 payloads: n_bytes = octet_length, byte_sum =
+# per-char codepoint sum (exact because the documents fixture is pure
+# ASCII -- asserted by tests/test_llmdata.py::test_media_fixture_is_ascii --
+# where codepoint == byte value).  This puts the multimodal family on the
+# driver's hard hash gate instead of rows-only.
 # ---------------------------------------------------------------------------
 
-@register("media_feature_summary")
+@register(
+    "media_feature_summary",
+    """
+    WITH media AS (
+      SELECT doc_id AS asset_id,
+             (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS media_type,
+             octet_length(encode(text)) AS n_bytes,
+             (SELECT coalesce(sum(ord(c)), 0)
+              FROM unnest(string_split(text, '')) AS t(c)) AS byte_sum
+      FROM documents
+    )
+    SELECT media_type,
+           count(*) AS n_assets,
+           sum(n_bytes)::BIGINT AS total_bytes,
+           floor(avg(CASE WHEN n_bytes > 0
+                          THEN byte_sum::DOUBLE / n_bytes
+                          ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS avg_byte_mean
+    FROM media
+    GROUP BY media_type
+    ORDER BY media_type
+    """,
+)
 def q_media_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_feature_summary(_docs(spark, sf_dir))
 

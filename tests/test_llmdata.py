@@ -184,6 +184,14 @@ def test_media_features_exact_values(spark, docs):
     assert by_id[0]["header_hex"] == payload[:4].hex()
     assert by_id[0]["media_type"] == "image"
 
+def test_media_fixture_is_ascii(spark, docs):
+    """Precondition for the media_feature_summary oracle: the DuckDB twin
+    sums per-char codepoints (ord), which equals the utf-8 byte sum only
+    for pure-ASCII text.  Guard the fixture so a future non-ASCII
+    documents table fails loudly here instead of hash-mismatching."""
+    n_bad = docs.filter(F.octet_length(F.col("text")) != F.length(F.col("text"))).count()
+    assert n_bad == 0
+
 def test_media_decode_stub_raises_for_real_decode():
     with pytest.raises(NotImplementedError):
         multimodal.decode_payload("image", b"abc", fake=False)
