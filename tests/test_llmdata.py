@@ -218,6 +218,30 @@ def test_sample_frames_expands_videos_only(spark, docs):
         offs = [r["offset_ms"] for r in sorted(asset_rows, key=lambda r: r["frame_idx"])]
         assert offs == sorted(offs)
 
+def test_ivf_learned_recall(spark):
+    """The learned KMeans codebook must beat random pruning: at nprobe=6
+    of C=16 cells the search scans 37.5% of the index, so a codebook that
+    learned nothing would land ~0.375 recall@5.  Observed 0.84 at
+    sf0.001; assert >= 0.6 to absorb KMeans fit variation across
+    partitionings while staying far above the random-pruning floor."""
+    from conftest import SF_SMOKE
+    from real_time_financial_lakehouse_spark.registry_llmdata import _emb
+
+    emb = _emb(spark, SF_SMOKE)
+    exact = similarity.cosine_topk(emb, n_queries=5, k=5).collect()
+    model = similarity.fit_codebook(emb, cache_key=SF_SMOKE)
+    learned = similarity.ivf_topk_learned(emb, model, n_queries=5, k=5, nprobe=6).collect()
+    ex: dict = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    le: dict = {}
+    for r in learned:
+        le.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(ex[q] & le.get(q, set())) for q in ex)
+    total = sum(len(v) for v in ex.values())
+    assert len(learned) == 25  # Q x k, the rows-only contract
+    assert hits / total >= 0.6
+
 def test_sketch_paths_within_error_bounds(spark):
     """The approx twins must land within their sketches' error bounds of
     the exact operators (HLL++ rsd=2%, percentile_approx acc=10000)."""
