@@ -702,3 +702,368 @@ def idle_rich_customers(
         )
         .orderBy("code")
     )
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H query shapes (round 2 widening).  The fixture is a
+# slimmed TPC-H: no partsupp table, no l_commitdate/l_receiptdate.
+# Q2/Q9/Q11/Q20 therefore substitute lineitem-derived facts for partsupp
+# (the JOIN/subquery shape -- what the engine is graded on -- is
+# preserved exactly); Q21 uses "last shipper in a multi-supplier order"
+# in place of the commit/receipt lateness predicate.
+# ---------------------------------------------------------------------------
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.03,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6: pure scan-side conjunctive range filter, one global agg.
+
+    Scale: every predicate (shipdate range, discount band, quantity cap)
+    is parquet-pushable min/max; zero joins, zero groupBy shuffle (single
+    global aggregate reduces map-side to one row per task)."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & F.col("l_discount").between(disc_lo, disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            qround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+def min_cost_part_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    part_type: str = "PROMO",
+    topn: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the cheapest qualifying
+    supplier -- the correlated-min-subquery pattern.  No partsupp table in
+    this fixture, so "supplies part" = distinct (l_partkey, l_suppkey)
+    from lineitem and the cost proxy is s_acctbal.
+
+    Scale: supplier/nation/region collapse to one broadcast dim; the
+    part-supplier pairs dedup with one shuffle; the per-part min is a
+    map-side-combinable groupBy joined back on (partkey, min) -- the same
+    two-pass min-then-filter plan Catalyst produces for the SQL subquery,
+    written explicitly so neither pass re-scans lineitem."""
+    sup_dim = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == region_name)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = part.filter(F.col("p_type") == part_type).select("p_partkey", "p_brand")
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(sup_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    min_cost = pairs.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        pairs.join(
+            F.broadcast(min_cost),
+            (F.col("p_partkey") == F.col("mk")) & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(topn)
+    )
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by year --
+    the two-role-dimension query (nation joins twice under different
+    roles, with a symmetric pair predicate).
+
+    Scale: both nation roles ride broadcast dims (supplier+nation,
+    customer+nation); the only fact shuffle is lineitem-orders.  The
+    symmetric (A,B)|(B,A) predicate is applied post-join on the two tiny
+    dim columns, not as a fact-side OR."""
+    n1 = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    sup = supplier.join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust = customer.join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck")).select(
+        "c_custkey", "cust_nation"
+    )
+    items = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    )
+    pair_ok = (
+        (F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)
+    ) | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    return (
+        items.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(pair_ok)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(qround(F.sum(_revenue()), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_3",
+    region_name: str = "ASIA",
+    part_type: str = "PROMO",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q8: one nation's share of a region's market for a part type,
+    by order year -- conditional-sum-over-sum after a six-table join.
+
+    Scale: customer/nation/region and supplier/nation and part are all
+    broadcast; lineitem-orders is the single fact shuffle; the share is a
+    sum(CASE)/sum over the per-year groups (two partial-aggregable sums,
+    no second pass)."""
+    cust_region = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == region_name)
+        .select("c_custkey")
+    )
+    sup_nation = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("snk"),
+    ).select("s_suppkey", "supp_nation")
+    parts = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    vol = _revenue()
+    target_vol = F.when(F.col("supp_nation") == target_nation, vol).otherwise(F.lit(0.0))
+    return (
+        lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            qround(F.sum(target_vol) / F.sum(vol), 6).alias("mkt_share"),
+            qround(F.sum(vol), 4).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+def product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_fragment: str = "widget",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    matching a name fragment.  No partsupp in this fixture, so profit
+    omits the ps_supplycost*quantity term (pure discounted revenue); the
+    five-table join + LIKE filter + two-level rollup shape is intact.
+
+    Scale: part (LIKE-filtered), supplier+nation broadcast; the fact
+    shuffle is lineitem-orders; year extraction happens post-join on the
+    already-joined orders column."""
+    parts = part.filter(F.col("p_name").contains(name_fragment)).select("p_partkey")
+    sup_nation = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("snk"), "n_name")),
+        F.col("s_nationkey") == F.col("snk"),
+    ).select("s_suppkey", "n_name")
+    return (
+        lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(qround(F.sum(_revenue()), 4).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+def important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_0",
+    fraction: float = 0.01,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose value (from one nation's suppliers)
+    exceeds a FRACTION of that nation's total -- grouped HAVING against an
+    uncorrelated scalar subquery.  partsupp value is substituted by
+    discounted lineitem revenue.
+
+    Scale: the scan is filtered to one nation's suppliers BEFORE any
+    aggregation (broadcast semi-ish join); the per-part sums and the
+    grand total come from the SAME aggregated frame (one shuffle), the
+    total being a second-stage single-row agg broadcast back into the
+    filter -- the fact table is read once."""
+    nat_suppliers = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == nation_name)
+        .select("s_suppkey")
+    )
+    per_part = (
+        lineitem.join(F.broadcast(nat_suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_revenue()).alias("value_raw"))
+    )
+    total = per_part.agg(F.sum("value_raw").alias("total_raw"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_raw") > F.col("total_raw") * F.lit(fraction))
+        .select("l_partkey", qround(F.col("value_raw"), 4).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+def top_supplier_revenue(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the maximum quarterly revenue --
+    the view-plus-scalar-max pattern (ties all surface, deterministically).
+
+    Scale: per-supplier revenue is one partial-aggregated shuffle; the
+    scalar max is a single-row agg of that (already tiny) frame broadcast
+    back -- lineitem is scanned once.  Comparing on the QUANTIZED revenue
+    makes the tie set engine-stable."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(qround(F.sum(_revenue()), 4).alias("total_revenue"))
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+def dominant_part_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_0",
+    name_like: str = "widget",
+    part: DataFrame | None = None,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    share: float = 0.5,
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers (in one nation) who supplied "more than
+    half" of some part's volume -- nested semi-join over a correlated
+    quantity threshold.  ps_availqty is substituted by the supplier's
+    shipped quantity vs the part's total shipped quantity in the window.
+
+    Scale: per-(part,supplier) and per-part totals both come off ONE
+    filtered scan (window sum over the partkey partition -- no second
+    scan, no self-join); the qualifying suppkeys then drive a broadcast
+    LEFT SEMI into supplier, so the supplier table never shuffles."""
+    items = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    )
+    if part is not None:
+        wanted = part.filter(F.col("p_name").contains(name_like)).select("p_partkey")
+        items = items.join(F.broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"))
+    per_ps = items.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("supp_qty"))
+    w = Window.partitionBy("l_partkey")
+    qualifying = (
+        per_ps.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .filter(F.col("supp_qty") > F.col("part_qty") * F.lit(share))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == nation_name)
+    )
+    return (
+        nat.join(F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+def waiting_order_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    topn: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation on the
+    fact table.  Without l_commitdate/l_receiptdate the lateness predicate
+    becomes "this supplier shipped LAST in a multi-supplier finalized
+    order": EXISTS(another supplier in the order) AND NOT EXISTS(another
+    supplier shipping strictly later).
+
+    Scale: both correlations are self-joins of lineitem keyed on
+    l_orderkey -- expressed as LEFT SEMI and LEFT ANTI so the probe side
+    carries keys only; all three legs share the orderkey shuffle
+    partitioning (Spark reuses the exchange), and supplier is broadcast
+    for the final name lookup."""
+    final_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = (
+        lineitem.join(F.broadcast(final_orders), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
+    l2 = l1.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_suppkey").alias("r_suppkey"),
+        F.col("l_shipdate").alias("r_shipdate"),
+    )
+    has_other = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("r_orderkey")) & (F.col("l_suppkey") != F.col("r_suppkey")),
+        "left_semi",
+    )
+    last_shipper = has_other.join(
+        l2,
+        (F.col("l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l_suppkey") != F.col("r_suppkey"))
+        & (F.col("r_shipdate") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    return (
+        last_shipper.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(topn)
+    )

@@ -1309,5 +1309,266 @@ def q_distinct_user_counts_approx(spark: SparkSession, sf_dir: str) -> DataFrame
 def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup.value_percentiles_approx(_events(spark, sf_dir))
 
+# ---------------------------------------------------------------------------
+# Remaining TPC-H shapes (round 2 widening): Q2, Q6, Q7, Q8, Q9, Q11,
+# Q15, Q20, Q21.  The fixture has no partsupp / l_commitdate, so
+# Q2/Q9/Q11/Q20 substitute lineitem-derived facts and Q21 uses
+# last-shipper-in-multi-supplier-order; the join/subquery shapes are
+# preserved (see operators/joins.py docstrings).
+# ---------------------------------------------------------------------------
+
+@register(
+    "forecast_revenue",
+    f"""
+    SELECT {_q('sum(l_extendedprice * l_discount)', 4)} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.forecast_revenue(_t(spark, sf_dir, "lineitem"))
+
+@register(
+    "min_cost_part_supplier",
+    """
+    WITH sup AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    jp AS (
+        SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, s.s_acctbal, s.n_name
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pr
+        JOIN sup s ON pr.l_suppkey = s.s_suppkey
+        JOIN part p ON pr.l_partkey = p.p_partkey
+        WHERE p.p_type = 'PROMO'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+    FROM jp
+    WHERE s_acctbal = (SELECT min(j2.s_acctbal) FROM jp j2
+                       WHERE j2.p_partkey = jp.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.min_cost_part_supplier(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+@register(
+    "volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           {_q("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.volume_shipping(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+@register(
+    "market_share",
+    f"""
+    SELECT year(o_orderdate) AS o_year,
+           {_q("sum(CASE WHEN sn.n_name = 'NATION_3' "
+                "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) "
+                "/ sum(l_extendedprice * (1.0 - l_discount))", 6)} AS mkt_share,
+           {_q("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS total_volume
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.market_share(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "part"),
+    )
+
+@register(
+    "product_profit",
+    f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           {_q("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.product_profit(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "part"),
+    )
+
+@register(
+    "important_parts",
+    f"""
+    WITH per_part AS (
+        SELECT l_partkey,
+               sum(l_extendedprice * (1.0 - l_discount)) AS value_raw
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_0'
+        GROUP BY 1
+    )
+    SELECT l_partkey, {_q('value_raw', 4)} AS part_value
+    FROM per_part
+    WHERE value_raw > (SELECT sum(value_raw) FROM per_part) * 0.01
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.important_parts(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+@register(
+    "top_supplier_revenue",
+    f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               {_q("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.top_supplier_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+@register(
+    "dominant_part_suppliers",
+    """
+    WITH per_ps AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%widget%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    ),
+    qual AS (
+        SELECT DISTINCT l_suppkey FROM (
+            SELECT l_suppkey, supp_qty,
+                   sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+            FROM per_ps
+        )
+        WHERE supp_qty > part_qty * 0.5
+    )
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_0'
+      AND s_suppkey IN (SELECT l_suppkey FROM qual)
+    ORDER BY s_name
+    """,
+)
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.dominant_part_suppliers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        part=_t(spark, sf_dir, "part"),
+    )
+
+@register(
+    "waiting_order_suppliers",
+    """
+    WITH l1 AS (
+        SELECT l_orderkey, l_suppkey, l_shipdate
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderstatus = 'F')
+    ),
+    last_ship AS (
+        SELECT DISTINCT a.l_orderkey, a.l_suppkey
+        FROM l1 a
+        WHERE EXISTS (SELECT 1 FROM l1 b
+                      WHERE b.l_orderkey = a.l_orderkey
+                        AND b.l_suppkey != a.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM l1 c
+                          WHERE c.l_orderkey = a.l_orderkey
+                            AND c.l_suppkey != a.l_suppkey
+                            AND c.l_shipdate > a.l_shipdate)
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM last_ship
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_waiting_order_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.waiting_order_suppliers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
 # LLM-data-pipeline registrations (dedup / similarity / text / multimodal)
 from . import registry_llmdata  # noqa: E402,F401
