@@ -1,0 +1,140 @@
+"""Training-data pipeline operators: sampling, normalization,
+contamination (engine extension).
+
+The ops a corpus-building pipeline runs between ingestion and training,
+beyond dedup/quality (operators/dedup.py, operators/text.py):
+
+* **Deterministic stratified sampling** -- per-stratum Bernoulli keep
+  decided by an md5 hash of the row key, not ``rand()``: reproducible
+  across runs, engines, and partitionings, and purely row-local (zero
+  shuffle at any scale).
+* **Deterministic per-group head sampling** -- "give me k docs per
+  language, stable under re-runs": the md5 hash acts as a frozen random
+  permutation.  Implemented two-phase (salted local top-k, then global
+  top-k per group) so one giant stratum never funnels through a single
+  window task.
+* **Corpus normalization** -- the canonical text form every downstream
+  hash/fingerprint op assumes (functions/hashing.normalize_text), as a
+  queryable projection with change accounting.
+* **Contamination check** -- n-gram overlap of a holdout split against
+  the training split (the benchmark-leakage screen): distinct shingles
+  per side, one equi-join on the shingle, per-doc overlap ratio.
+
+All hashing is md5-based (functions/hashing.py) so every operator has an
+exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long, shingles_expr
+from ..functions.numeric import qround
+
+def stratified_sample(documents: DataFrame, pct: int = 20) -> DataFrame:
+    """Keep ~pct% of each language stratum, deterministically.
+
+    The keep decision is ``md5(lang:doc_id) % 100 < pct`` -- row-local,
+    reproducible, and independent of partitioning, so at 100 TB this is
+    a pure scan-side filter: no shuffle, no rand() seed plumbing, and
+    re-running yields the identical sample (the property that matters
+    for training-data lineage)."""
+    bucket = md5_long(F.concat_ws(":", F.col("lang"), F.col("doc_id"))) % 100
+    return (
+        documents.filter(bucket < pct)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+def grouped_head_sample(documents: DataFrame, k: int = 25, salts: int = 8) -> DataFrame:
+    """Deterministic k-per-group sample: the md5 hash of doc_id is a
+    frozen uniform permutation, and the k smallest hashes per language
+    are the sample -- a reservoir sample with the randomness made
+    reproducible.
+
+    Scale: a single window over ``partition by lang`` funnels every row
+    of a giant stratum through one task.  Instead: phase 1 takes the
+    local top-k within (lang, hash-salt) buckets -- ``salts`` parallel
+    tasks per stratum, each emitting <= k rows -- and phase 2 re-ranks
+    the <= salts*k survivors per stratum.  Both phases are the same
+    window expression; the result is exactly the global top-k because
+    every global winner wins its salt bucket.  The SQL twin is the
+    single-window form (same result, the fixture proves equivalence)."""
+    h = md5_long(F.col("doc_id").cast("string"))
+    salted = documents.select(
+        "doc_id", "lang", h.alias("h"), (h % salts).alias("salt")
+    )
+    w_local = Window.partitionBy("lang", "salt").orderBy("h", "doc_id")
+    survivors = (
+        salted.withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= k)
+        .drop("lr", "salt")
+    )
+    w_global = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w_global))
+        .filter(F.col("sample_rank") <= k)
+        .select("lang", "sample_rank", "doc_id")
+        .orderBy("lang", "sample_rank")
+    )
+
+def normalize_corpus(documents: DataFrame) -> DataFrame:
+    """Canonical text normalization as a queryable projection: lowercase,
+    trim, collapse whitespace runs (the exact form every md5 fingerprint
+    in the dedup ladder hashes).  Reports per-doc change accounting so a
+    pipeline can quantify how dirty a source is.
+
+    Scale: pure row-local projection -- no shuffle; the regexes are JVM
+    codegen, no Python."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return documents.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != F.col("text")).alias("changed"),
+        (F.length("text") - F.length(norm)).alias("n_chars_removed"),
+    ).orderBy("doc_id")
+
+def contamination_check(
+    documents: DataFrame, shingle_n: int = 3, holdout_mod: int = 10
+) -> DataFrame:
+    """Benchmark-leakage screen: for each holdout doc (doc_id %
+    holdout_mod == 0), the fraction of its distinct word n-grams that
+    appear anywhere in the training split.
+
+    Scale: both sides reduce to DISTINCT shingles before the join --
+    train side globally (one shuffle, map-side partial distinct), eval
+    side per-doc (array_distinct, row-local).  The join is a LEFT join
+    on the shingle hash key (well-distributed md5 domain, no hot key by
+    construction), followed by one groupBy on the eval doc_id.  No pair
+    expansion anywhere, so no bucket cap is needed.  Docs with fewer
+    than ``shingle_n`` words have no shingles and drop out on both
+    engines identically."""
+    sh = F.expr(shingles_expr("text", shingle_n))
+    is_holdout = F.col("doc_id") % holdout_mod == 0
+    eval_sh = (
+        documents.filter(is_holdout)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+    train_sh = (
+        documents.filter(~is_holdout)
+        .select(F.explode(sh).alias("t_shingle"))
+        .distinct()
+    )
+    hits = eval_sh.join(
+        train_sh, eval_sh.shingle == train_sh.t_shingle, "left"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("t_shingle").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            qround(F.col("n_contaminated") / F.col("n_shingles"), 6).alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )

@@ -15,7 +15,7 @@ from .functions.hashing import (
     perm_params,
     shingles_sql,
 )
-from .operators import dedup, multimodal, similarity, text
+from .operators import dedup, multimodal, pipeline, similarity, text
 from .operators.dedup import MAX_BUCKET
 from .registry import register
 
@@ -523,3 +523,80 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(_docs(spark, sf_dir), k=_K, bands=_BANDS)
+
+# ---------------------------------------------------------------------------
+# Training-pipeline ops: deterministic sampling, normalization,
+# contamination (operators/pipeline.py).  md5-keyed sampling gives exact
+# DuckDB twins; the two-phase salted top-k is oracle-checked against the
+# single-window form (same result by construction).
+# ---------------------------------------------------------------------------
+
+_DOC_HASH = md5_long_sql("doc_id::VARCHAR")
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {md5_long_sql("concat_ws(':', lang, doc_id)")} % 100 < 20
+    ORDER BY doc_id
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.stratified_sample(_docs(spark, sf_dir), pct=20)
+
+@register(
+    "grouped_head_sample",
+    f"""
+    SELECT lang, sample_rank, doc_id
+    FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY {_DOC_HASH}, doc_id) AS sample_rank
+        FROM documents
+    )
+    WHERE sample_rank <= 25
+    ORDER BY lang, sample_rank
+    """,
+)
+def q_grouped_head_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.grouped_head_sample(_docs(spark, sf_dir), k=25)
+
+@register(
+    "normalize_corpus",
+    f"""
+    SELECT doc_id,
+           {_NORM_SQL} AS norm_text,
+           {_NORM_SQL} != text AS changed,
+           length(text) - length({_NORM_SQL}) AS n_chars_removed
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.normalize_corpus(_docs(spark, sf_dir))
+
+@register(
+    "contamination_check",
+    f"""
+    WITH eval_sh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    train_sh AS (
+        SELECT DISTINCT unnest({_SHINGLES}) AS t_shingle
+        FROM documents WHERE doc_id % 10 != 0
+    )
+    SELECT e.doc_id,
+           count(*) AS n_shingles,
+           count(t.t_shingle) AS n_contaminated,
+           floor(count(t.t_shingle)::DOUBLE / count(*) * 1000000.0 + 0.5)
+               / 1000000.0 AS contamination
+    FROM eval_sh e
+    LEFT JOIN train_sh t ON e.shingle = t.t_shingle
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.contamination_check(_docs(spark, sf_dir))

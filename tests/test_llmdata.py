@@ -242,6 +242,47 @@ def test_ivf_learned_recall(spark):
     assert len(learned) == 25  # Q x k, the rows-only contract
     assert hits / total >= 0.6
 
+def test_grouped_head_sample_two_phase_equals_single_window(spark):
+    """The salted two-phase top-k must equal the naive single-window
+    top-k on a skewed frame (one giant stratum), for every salt count."""
+    from pyspark.sql import Window
+
+    from real_time_financial_lakehouse_spark.functions.hashing import md5_long
+    from real_time_financial_lakehouse_spark.operators import pipeline
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    w = Window.partitionBy("lang").orderBy(md5_long(F.col("doc_id").cast("string")), "doc_id")
+    naive = {
+        (r["lang"], r["sample_rank"], r["doc_id"])
+        for r in df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 7)
+        .select("lang", "sample_rank", "doc_id")
+        .collect()
+    }
+    for salts in (1, 3, 8):
+        got = {
+            (r["lang"], r["sample_rank"], r["doc_id"])
+            for r in pipeline.grouped_head_sample(df, k=7, salts=salts).collect()
+        }
+        assert got == naive
+
+def test_contamination_check_known_overlap(spark):
+    """Hand-built corpus: holdout doc 0 shares exactly half its shingles
+    with the train split; doc 10 shares none."""
+    from real_time_financial_lakehouse_spark.operators import pipeline
+
+    rows = [
+        (0, "a b c d e f"),        # holdout: shingles {abc,bcd,cde,def}
+        (10, "x y z w v u"),       # holdout: no overlap
+        (1, "a b c d q q"),        # train: provides {abc,bcd} (+ own)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in pipeline.contamination_check(df).collect()}
+    assert out[0]["n_shingles"] == 4 and out[0]["n_contaminated"] == 2
+    assert abs(out[0]["contamination"] - 0.5) < 1e-9
+    assert out[10]["n_contaminated"] == 0
+
 def test_sketch_paths_within_error_bounds(spark):
     """The approx twins must land within their sketches' error bounds of
     the exact operators (HLL++ rsd=2%, percentile_approx acc=10000)."""
