@@ -1570,5 +1570,111 @@ def q_waiting_order_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "supplier"),
     )
 
+# ---------------------------------------------------------------------------
+# Financial indicators (operators/finance.py): VWAP, Bollinger bands,
+# max drawdown, inter-bar gaps -- the dashboard-family completion beyond
+# the reference's SMA/RSI/delta (dashboard.py:60-104).
+# ---------------------------------------------------------------------------
+from .operators import finance  # noqa: E402
+
+@register(
+    "vwap_daily",
+    f"""
+    SELECT event_type AS symbol,
+           date_trunc('day', ts) AS day,
+           CASE WHEN sum(qty) != 0
+                THEN {_q('sum(value * qty) / sum(qty)', 6)} END AS vwap,
+           {_q('sum(qty)', 6)} AS total_volume,
+           count(*) AS n_trades
+    FROM (SELECT *, (json_extract_string(props, '$.k'))::DOUBLE AS qty
+          FROM events)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.vwap_daily(_events(spark, sf_dir))
+
+@register(
+    "bollinger_bands",
+    f"""
+    SELECT event_id, symbol, ts, price,
+           CASE WHEN cnt = 20 THEN {_q('mid', 6)} END AS bb_mid,
+           CASE WHEN cnt = 20 THEN {_q('mid + 2.0 * sd', 6)} END AS bb_upper,
+           CASE WHEN cnt = 20 THEN {_q('mid - 2.0 * sd', 6)} END AS bb_lower
+    FROM (
+        SELECT event_id, event_type AS symbol, ts, value AS price,
+               avg(value) OVER w AS mid,
+               stddev_samp(value) OVER w AS sd,
+               count(*) OVER w AS cnt
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    ORDER BY symbol, ts, event_id
+    """,
+)
+def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.bollinger_bands(_events(spark, sf_dir))
+
+@register(
+    "max_drawdown",
+    f"""
+    SELECT symbol, {_q('max(dd)', 6)} AS max_drawdown
+    FROM (
+        SELECT event_type AS symbol,
+               CASE WHEN max(value) OVER w > 0
+                    THEN (max(value) OVER w - value) / max(value) OVER w
+                    ELSE 0.0 END AS dd
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.max_drawdown(_events(spark, sf_dir))
+
+@register(
+    "bar_gaps",
+    f"""
+    WITH e AS (
+        SELECT event_type AS symbol,
+               date_trunc('minute', ts) AS minute_window,
+               value, ts, event_id,
+               row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    ),
+    bars AS (
+        SELECT symbol, minute_window,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open_price,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close_price
+        FROM e
+        GROUP BY 1, 2
+    ),
+    gaps AS (
+        SELECT symbol, minute_window,
+               open_price,
+               lag(close_price) OVER (PARTITION BY symbol
+                                      ORDER BY minute_window) AS prev_close
+        FROM bars
+    )
+    SELECT symbol, minute_window,
+           {_q('open_price - prev_close', 6)} AS gap,
+           CASE WHEN prev_close > 0
+                THEN {_q('(open_price - prev_close) / prev_close', 6)} END AS gap_pct
+    FROM gaps
+    WHERE prev_close IS NOT NULL
+    ORDER BY symbol, minute_window
+    """,
+)
+def q_bar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.bar_gaps(_events(spark, sf_dir))
+
 # LLM-data-pipeline registrations (dedup / similarity / text / multimodal)
 from . import registry_llmdata  # noqa: E402,F401
