@@ -172,6 +172,79 @@ def test_asof_bucketed_carries_bucket_equikey(spark):
     assert join_lines, plan
     assert any("__pb" in ln and "__rb" in ln for ln in join_lines), join_lines
 
+def test_q6_every_predicate_pushes_into_scan(spark):
+    """forecast_revenue (Q6) is the pushdown stress test: shipdate range,
+    discount band, and quantity cap must ALL reach the parquet scan."""
+    from real_time_financial_lakehouse_spark.operators import joins
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    plan = _optimized(joins.forecast_revenue(li))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+
+def test_market_share_is_all_broadcast_one_shuffle(spark):
+    """market_share (Q8): six dims must all ride broadcast joins; the
+    only hash exchange is the final per-year aggregate."""
+    from real_time_financial_lakehouse_spark.operators import joins
+
+    t = lambda n: load_table(spark, SF_SMOKE, n)  # noqa: E731
+    plan = _plan(
+        joins.market_share(
+            t("lineitem"), t("orders"), t("customer"), t("supplier"),
+            t("nation"), t("region"), t("part"),
+        )
+    )
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert plan.count("Exchange hashpartitioning") == 1
+
+def test_q21_correlations_are_semi_and_anti(spark):
+    """waiting_order_suppliers (Q21): EXISTS/NOT EXISTS must compile to
+    semi/anti joins (keys only on the wire), never to a materializing
+    inner join + dedup."""
+    from real_time_financial_lakehouse_spark.operators import joins
+
+    plan = _plan(
+        joins.waiting_order_suppliers(
+            load_table(spark, SF_SMOKE, "lineitem"),
+            load_table(spark, SF_SMOKE, "orders"),
+            load_table(spark, SF_SMOKE, "supplier"),
+        )
+    )
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+def test_grouped_head_sample_two_phase_exchanges(spark):
+    """The salted sampler must show exactly two hash exchanges: the
+    (lang, salt) local phase and the lang re-rank -- proof the global
+    window never sees raw-stratum cardinality."""
+    from real_time_financial_lakehouse_spark.operators import pipeline
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(pipeline.grouped_head_sample(docs))
+    assert plan.count("Exchange hashpartitioning") == 2
+
+def test_bar_gaps_window_runs_on_bars_not_trades(spark):
+    """bar_gaps: the lag window must consume the aggregated OHLC bars --
+    its exchange partitions by symbol AFTER the (symbol, minute)
+    aggregate, so window state is bar-cardinality."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    plan = _plan(finance.bar_gaps(ev))
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # agg + window
+
+def test_contamination_check_has_no_pair_expansion(spark):
+    """contamination_check must stay an equi-join on the shingle --
+    no nested-loop/cartesian node anywhere in the plan."""
+    from real_time_financial_lakehouse_spark.operators import pipeline
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(pipeline.contamination_check(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
 def test_zscores_bucket_grouping_single_exchange(spark):
     from real_time_financial_lakehouse_spark.operators.grouped import user_zscores
 
