@@ -1147,6 +1147,71 @@ def q_streaming_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return streaming_click_purchase_join(spark, sf_dir)
 
+# LEFT OUTER stream-stream join: matched rows emit as they join;
+# unmatched clicks emit null-completed only once the GLOBAL watermark
+# (min over both inputs of max-event-time - 1 min) seals their 2-hour
+# window; clicks whose window is still open at end-of-drain stay in
+# state and never emit.  The oracle encodes exactly that cutoff.
+@register(
+    "streaming_click_purchase_outer",
+    """
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT least((SELECT max(click_ts) FROM clicks),
+                     (SELECT max(purchase_ts) FROM purch))
+               - INTERVAL 1 MINUTE AS w
+    ),
+    matched AS (
+        SELECT c.user_id, c.click_id, p.purchase_id, p.value
+        FROM clicks c
+        JOIN purch p
+          ON c.user_id = p.user_id
+         AND p.purchase_ts > c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 2 HOUR
+    ),
+    expired_unmatched AS (
+        SELECT c.user_id, c.click_id
+        FROM clicks c
+        WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+          AND c.click_ts + INTERVAL 2 HOUR < (SELECT w FROM wm)
+    ),
+    unioned AS (
+        SELECT user_id, purchase_id, value FROM matched
+        UNION ALL
+        SELECT user_id, NULL, NULL FROM expired_unmatched
+    )
+    SELECT user_id,
+           count(purchase_id) AS n_attributed,
+           floor(coalesce(sum(value), 0.0) * 100.0 + 0.5) / 100.0 AS attributed_value,
+           sum(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_expired_unmatched
+    FROM unioned
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_streaming_click_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import streaming_click_purchase_outer
+
+    return streaming_click_purchase_outer(spark, sf_dir)
+
+# Watermark-bounded dedup: same oracle as streaming_dedup (all dups
+# arrive within the watermark in the availableNow drain).
+@register(
+    "streaming_dedup_watermarked",
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+)
+def q_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_silver.streaming_dedup_watermarked_roundtrip(spark, sf_dir)
+
 @register(
     "merge_upsert",
     """

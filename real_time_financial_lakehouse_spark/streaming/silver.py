@@ -223,3 +223,38 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.parquet(out_dir).orderBy("window_start", "symbol")
+
+def streaming_dedup_watermarked_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``: the bounded-state form of the
+    streaming dedup -- seen-key state is evicted once the watermark
+    passes the key's event time plus the delay, so state size tracks the
+    dup-arrival horizon instead of the stream's lifetime key count.
+    This is THE dedup the 100 TB pipeline runs (the unbounded
+    ``dropDuplicates`` twin, streaming_dedup, exists to prove equality).
+
+    With the fixture drained in one availableNow pass every duplicate
+    arrives inside the watermark, so the result still equals the plain
+    events table -- same oracle as streaming_dedup."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="rtfl_dedup_wm_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="rtfl_dedup_wm_ckpt_")
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark) as ss:
+        doubled = events_stream(ss, sf_dir).union(events_stream(ss, sf_dir))
+        deduped = doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )

@@ -280,3 +280,84 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+def streaming_click_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: like the inner attribution join,
+    plus null-completed rows for clicks whose 2-hour window the global
+    watermark has fully sealed with no purchase -- the "unconverted
+    impression" feed.
+
+    The outer semantics are what make this a genuinely stateful shape:
+    a click cannot be emitted as unmatched until the watermark proves no
+    future purchase can join it (click_ts + 2h < watermark).  Clicks
+    whose window is still open when the availableNow drain ends stay in
+    state and are NOT emitted -- the SQL oracle encodes exactly that
+    cutoff, using the GLOBAL watermark (min over both inputs of
+    max-event-time - delay, Spark's multi-input watermark rule).
+
+    Scale: identical state layout to the inner join (partitioned by the
+    user equi-key, 2-hour sliver per side); the outer rows add no state,
+    only an emission rule on eviction.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import qround
+    from .silver import events_stream
+
+    out_dir = tempfile.mkdtemp(prefix="rtfl_ssjo_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="rtfl_ssjo_ckpt_")
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark) as ss:
+        ev = events_stream(ss, sf_dir)
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "1 minute")
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"),
+            )
+            .withWatermark("purchase_ts", "1 minute")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+            "left_outer",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("purchase_id").alias("n_attributed"),
+            qround(F.coalesce(F.sum("purchase_value"), F.lit(0.0)), 2).alias(
+                "attributed_value"
+            ),
+            F.sum(
+                F.when(F.col("purchase_id").isNull(), 1).otherwise(0)
+            ).alias("n_expired_unmatched"),
+        )
+        .orderBy("user_id")
+    )

@@ -184,3 +184,58 @@ def test_append_mode_emits_at_exact_watermark(spark, tmp_path):
     q2.awaitTermination()
     emitted2 = {(r["k"], str(r["se"])) for r in spark.read.parquet(out2).collect()}
     assert ("a", "2024-01-01 10:01:00") in emitted2  # session_end == watermark -> emitted
+
+def test_outer_join_expiry_is_strict_at_watermark(spark, tmp_path):
+    """Pin the LEFT OUTER stream-stream expiry predicate: an unmatched
+    left row whose join-window end equals the final watermark is NOT
+    emitted (strict <) -- unlike window finalization, which is inclusive
+    (test_append_mode_emits_at_exact_watermark).  The
+    streaming_click_purchase_outer oracle encodes this strictness."""
+    src = tmp_path / "oj_src"
+    src.mkdir()
+    rows = [
+        # click at 08:00 -> window end 10:00; click at 07:59 -> end 09:59
+        {"symbol": "click_a", "price": 1.0, "quantity": 1.0, "timestamp": "2024-01-01T08:00:00"},
+        {"symbol": "click_b", "price": 1.0, "quantity": 1.0, "timestamp": "2024-01-01T07:59:00"},
+        # click-side max ts 10:00 and purchase-side max 10:01 (0 s delays)
+        # -> GLOBAL watermark = min(10:00, 10:01) = 10:00, exactly click_a's
+        # window end (the global wm is the min across inputs, which is why
+        # the oracle uses least(max click, max purchase) - delay)
+        {"symbol": "click_c", "price": 1.0, "quantity": 1.0, "timestamp": "2024-01-01T10:00:00"},
+        {"symbol": "purchase", "price": 2.0, "quantity": 1.0, "timestamp": "2024-01-01T10:01:00"},
+    ]
+    with open(src / "b1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    parsed = bronze.json_file_source(spark, str(src)).select(
+        F.col("symbol").alias("kind"),
+        F.col("timestamp").cast("timestamp").alias("ts"),
+        F.col("price").alias("value"),
+    )
+    clicks = (
+        parsed.filter(F.col("kind").startswith("click"))
+        .select(F.col("kind").alias("click_kind"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "0 seconds")
+    )
+    purchases = (
+        parsed.filter(F.col("kind") == "purchase")
+        .select(F.col("kind").alias("p_kind"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "0 seconds")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS"))
+        & (F.col("p_kind") == F.col("click_kind")),  # never true -> all unmatched
+        "left_outer",
+    )
+    out, ck = str(tmp_path / "oj_out"), str(tmp_path / "oj_ck")
+    q = (
+        joined.writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    emitted = {r["click_kind"] for r in spark.read.parquet(out).collect()}
+    assert "click_b" in emitted      # end 09:59 < wm 10:00 -> emitted
+    assert "click_a" not in emitted  # end 10:00 == wm -> still in state
