@@ -580,20 +580,22 @@ def q_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contamination_check",
     f"""
     WITH eval_sh AS (
-        SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle
-        FROM documents WHERE doc_id % 10 = 0
+        SELECT doc_id, {md5_long_sql('shingle')} AS shingle_h
+        FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle
+              FROM documents WHERE doc_id % 10 = 0)
     ),
     train_sh AS (
-        SELECT DISTINCT unnest({_SHINGLES}) AS t_shingle
-        FROM documents WHERE doc_id % 10 != 0
+        SELECT DISTINCT {md5_long_sql('shingle')} AS t_shingle_h
+        FROM (SELECT unnest({_SHINGLES}) AS shingle
+              FROM documents WHERE doc_id % 10 != 0)
     )
     SELECT e.doc_id,
            count(*) AS n_shingles,
-           count(t.t_shingle) AS n_contaminated,
-           floor(count(t.t_shingle)::DOUBLE / count(*) * 1000000.0 + 0.5)
+           count(t.t_shingle_h) AS n_contaminated,
+           floor(count(t.t_shingle_h)::DOUBLE / count(*) * 1000000.0 + 0.5)
                / 1000000.0 AS contamination
     FROM eval_sh e
-    LEFT JOIN train_sh t ON e.shingle = t.t_shingle
+    LEFT JOIN train_sh t ON e.shingle_h = t.t_shingle_h
     GROUP BY 1
     ORDER BY 1
     """,
