@@ -214,6 +214,25 @@ def test_q21_correlations_are_semi_and_anti(spark):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
 
+def test_q21_legs_reuse_orderkey_exchange(spark):
+    """At fact scale (broadcast off) the three lineitem legs of Q21 must
+    share the l_orderkey shuffle via ReusedExchange -- the self-join
+    reads the fact table's exchange output, not three fresh shuffles."""
+    from real_time_financial_lakehouse_spark.operators import joins
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = joins.waiting_order_suppliers(
+            load_table(spark, SF_SMOKE, "lineitem"),
+            load_table(spark, SF_SMOKE, "orders"),
+            load_table(spark, SF_SMOKE, "supplier"),
+        )
+        df.collect()  # AQE finalizes the physical plan
+        assert "ReusedExchange" in _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
 def test_grouped_head_sample_two_phase_exchanges(spark):
     """The salted sampler must show exactly two hash exchanges: the
     (lang, salt) local phase and the lang re-rank -- proof the global
