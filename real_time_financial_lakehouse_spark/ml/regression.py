@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.numeric import qround
+from ..scratch import scratch_dir
 
 FEATURE_COL = "volatility"
 LABEL_COL = "average_price"
@@ -52,12 +53,11 @@ def fit_once(spark, sf_dir: str, silver: DataFrame):
     save/load path, and serve the LOADED model afterwards -- the
     reference's train-offline / load-in-stream split
     (train_model.py:42-50, process_silver.py:31-41)."""
-    import tempfile
 
     key = (id(spark.sparkContext), sf_dir)
     model = _MODEL_CACHE.get(key)
     if model is None:
-        path = tempfile.mkdtemp(prefix="rtfl_lr_model_")
+        path = scratch_dir("rtfl_lr_model_")
         save_model(train(silver), path)
         model = load_model(path)
         _MODEL_CACHE[key] = model

@@ -14,15 +14,15 @@ query result is written, read back, and the read-back DataFrame returned
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from ..scratch import scratch_dir
 
 def ctas(spark: SparkSession, df: DataFrame, table: str) -> DataFrame:
     """CREATE-OR-REPLACE-TABLE-AS-SELECT into the session catalog, backed
     by parquet at an explicit location (works on a plain in-memory catalog,
     no Hive metastore needed).  Returns the re-read table."""
-    path = os.path.join(tempfile.mkdtemp(prefix="rtfl_ctas_"), table)
+    path = os.path.join(scratch_dir("rtfl_ctas_"), table)
     (
         df.write.mode("overwrite")
         .format("parquet")
@@ -38,7 +38,7 @@ def partitioned_write(
     makes time/partition pruning work at 100 TB: a filter on the partition
     column prunes directories before any file is opened.  Returns the
     written path."""
-    path = path or os.path.join(tempfile.mkdtemp(prefix="rtfl_part_"), "t")
+    path = path or os.path.join(scratch_dir("rtfl_part_"), "t")
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     return path
 
@@ -50,7 +50,7 @@ def bucketed_table(
     shuffle (SortMergeJoin over bucketed scans, no Exchange) -- the
     standing-workload answer to the fact-to-fact shuffle called out in
     SCALE.md.  Returns the table name."""
-    path = os.path.join(tempfile.mkdtemp(prefix="rtfl_bucket_"), table)
+    path = os.path.join(scratch_dir("rtfl_bucket_"), table)
     (
         df.write.mode("overwrite")
         .format("parquet")
@@ -65,6 +65,6 @@ def csv_roundtrip(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Distributed CSV export + schema-preserving re-import.  Columns must
     be CSV-stable types (string/numeric); callers format timestamps to
     strings first -- same contract as any external CSV consumer."""
-    path = os.path.join(tempfile.mkdtemp(prefix="rtfl_csv_"), "out")
+    path = os.path.join(scratch_dir("rtfl_csv_"), "out")
     df.write.mode("overwrite").option("header", True).csv(path)
     return spark.read.schema(df.schema).option("header", True).csv(path)

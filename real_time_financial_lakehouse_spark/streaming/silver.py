@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.silver import sliding_window_agg
+from ..scratch import scratch_dir
 
 def silver_query(
     bronze: DataFrame,
@@ -134,10 +135,9 @@ def silver_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture and return the silver table it wrote -- a genuinely
     stream-executed query whose result is batch-comparable against the
     same SQL oracle as the batch sliding-window query."""
-    import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="rtfl_silver_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="rtfl_silver_ckpt_")
+    out_dir = scratch_dir("rtfl_silver_out_")
+    ckpt_dir = scratch_dir("rtfl_silver_ckpt_")
     from . import pinned_state_partitions
 
     with pinned_state_partitions(spark) as ss:
@@ -158,10 +158,9 @@ def streaming_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dropDuplicatesWithinWatermark`` (same plan, time-bounded state);
     unbounded here because the fixture drain is finite (availableNow).
     Result must equal the plain events table -- the SQL oracle."""
-    import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="rtfl_dedup_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="rtfl_dedup_ckpt_")
+    out_dir = scratch_dir("rtfl_dedup_out_")
+    ckpt_dir = scratch_dir("rtfl_dedup_ckpt_")
     from . import pinned_state_partitions
 
     with pinned_state_partitions(spark) as ss:
@@ -190,12 +189,11 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: tumbling state is the cheapest of the three -- one window per
     event, evicted the moment the watermark passes its end."""
-    import tempfile
 
     from ..functions.numeric import qround
 
-    out_dir = tempfile.mkdtemp(prefix="rtfl_tumble_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="rtfl_tumble_ckpt_")
+    out_dir = scratch_dir("rtfl_tumble_out_")
+    ckpt_dir = scratch_dir("rtfl_tumble_ckpt_")
     from . import pinned_state_partitions
 
     with pinned_state_partitions(spark) as ss:
@@ -235,10 +233,9 @@ def streaming_dedup_watermarked_roundtrip(spark: SparkSession, sf_dir: str) -> D
     With the fixture drained in one availableNow pass every duplicate
     arrives inside the watermark, so the result still equals the plain
     events table -- same oracle as streaming_dedup."""
-    import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="rtfl_dedup_wm_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="rtfl_dedup_wm_ckpt_")
+    out_dir = scratch_dir("rtfl_dedup_wm_out_")
+    ckpt_dir = scratch_dir("rtfl_dedup_wm_ckpt_")
     from . import pinned_state_partitions
 
     with pinned_state_partitions(spark) as ss:

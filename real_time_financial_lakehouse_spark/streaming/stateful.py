@@ -28,6 +28,7 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..scratch import scratch_dir
 
 EMA_ALPHA = 0.1
 
@@ -72,12 +73,11 @@ def streaming_ema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (availableNow), append each batch's update rows to parquet, and return
     the LATEST row per symbol (max n_events) -- comparable to the batch
     twin / SQL oracle."""
-    import tempfile
 
     from .silver import events_stream
 
-    out_dir = tempfile.mkdtemp(prefix="rtfl_ema_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="rtfl_ema_ckpt_")
+    out_dir = scratch_dir("rtfl_ema_out_")
+    ckpt_dir = scratch_dir("rtfl_ema_ckpt_")
 
     # file sinks are append-only; update-mode emissions land via
     # foreachBatch batch-append -- the reference's silver sink shape
@@ -117,15 +117,14 @@ def streaming_sessionize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     merged across micro-batches and closed by the watermark.  One
     expression, two execution modes; both check against the same
     gaps-and-islands SQL oracle."""
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from ..functions.numeric import qround
     from .silver import events_stream
 
-    out_dir = tempfile.mkdtemp(prefix="rtfl_sess_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="rtfl_sess_ckpt_")
+    out_dir = scratch_dir("rtfl_sess_out_")
+    ckpt_dir = scratch_dir("rtfl_sess_ckpt_")
     from . import pinned_state_partitions
 
     with pinned_state_partitions(spark) as ss:
@@ -170,7 +169,6 @@ def streaming_enrich_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow); the rollup runs in batch over the sink, keeping the
     streamed output an auditable bronze-style log.
     """
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -178,8 +176,8 @@ def streaming_enrich_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numeric import qround
     from .silver import events_stream
 
-    out_dir = tempfile.mkdtemp(prefix="rtfl_enrich_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="rtfl_enrich_ckpt_")
+    out_dir = scratch_dir("rtfl_enrich_out_")
+    ckpt_dir = scratch_dir("rtfl_enrich_ckpt_")
     from . import pinned_state_partitions
 
     with pinned_state_partitions(spark) as ss:
@@ -223,15 +221,14 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale: state is partitioned by user_id (the equi-key); per-key state
     holds only a 2-hour sliver of each side.
     """
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from ..functions.numeric import qround
     from .silver import events_stream
 
-    out_dir = tempfile.mkdtemp(prefix="rtfl_ssj_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="rtfl_ssj_ckpt_")
+    out_dir = scratch_dir("rtfl_ssj_out_")
+    ckpt_dir = scratch_dir("rtfl_ssj_ckpt_")
     from . import pinned_state_partitions
 
     with pinned_state_partitions(spark) as ss:
@@ -299,15 +296,14 @@ def streaming_click_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFram
     user equi-key, 2-hour sliver per side); the outer rows add no state,
     only an emission rule on eviction.
     """
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from ..functions.numeric import qround
     from .silver import events_stream
 
-    out_dir = tempfile.mkdtemp(prefix="rtfl_ssjo_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="rtfl_ssjo_ckpt_")
+    out_dir = scratch_dir("rtfl_ssjo_out_")
+    ckpt_dir = scratch_dir("rtfl_ssjo_ckpt_")
     from . import pinned_state_partitions
 
     with pinned_state_partitions(spark) as ss:
