@@ -63,6 +63,30 @@ def json_file_source(
     raw = reader.text(path).withColumnRenamed("value", "raw")
     return raw.select(F.from_json(F.col("raw"), schema).alias("data")).select("data.*")
 
+def rate_source(
+    spark: SparkSession,
+    rows_per_second: int = 100,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic rate source shaped like the trade stream -- the
+    load-generation path for soak-testing a deployment without a broker
+    (SURVEY section 7 phase 4 pairs it with the file source).  Emits the
+    TRADE_SCHEMA columns deterministically derived from the rate
+    source's (timestamp, value) so downstream silver logic runs
+    unchanged."""
+    reader = spark.readStream.format("rate").option(
+        "rowsPerSecond", str(rows_per_second)
+    )
+    if num_partitions:
+        reader = reader.option("numPartitions", str(num_partitions))
+    raw = reader.load()  # columns: timestamp, value
+    return raw.select(
+        F.concat(F.lit("SYM_"), (F.col("value") % 5).cast("string")).alias("symbol"),
+        (F.lit(100.0) + (F.col("value") % 1000) / F.lit(10.0)).alias("price"),
+        (F.lit(1.0) + (F.col("value") % 7).cast("double")).alias("quantity"),
+        F.date_format(F.col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss").alias("timestamp"),
+    )
+
 def write_bronze(
     parsed: DataFrame,
     out_dir: str,

@@ -185,6 +185,36 @@ def test_append_mode_emits_at_exact_watermark(spark, tmp_path):
     emitted2 = {(r["k"], str(r["se"])) for r in spark.read.parquet(out2).collect()}
     assert ("a", "2024-01-01 10:01:00") in emitted2  # session_end == watermark -> emitted
 
+def test_rate_source_emits_trade_schema(spark, tmp_path):
+    """The synthetic rate source must produce the trade schema so the
+    silver pipeline runs on it unchanged; one short micro-batch drained
+    to memory proves the plumbing."""
+    df = bronze.rate_source(spark, rows_per_second=500, num_partitions=2)
+    assert df.isStreaming
+    assert set(df.columns) == {"symbol", "price", "quantity", "timestamp"}
+    q = (
+        df.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 20
+        n = 0
+        while _t.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM rate_smoke").collect()[0]["c"]
+            if n > 0:
+                break
+            _t.sleep(0.3)
+    finally:
+        q.stop()
+    assert n > 0
+    row = spark.sql("SELECT * FROM rate_smoke LIMIT 1").collect()[0]
+    assert row["symbol"].startswith("SYM_") and row["price"] >= 100.0
+
 def test_outer_join_expiry_is_strict_at_watermark(spark, tmp_path):
     """Pin the LEFT OUTER stream-stream expiry predicate: an unmatched
     left row whose join-window end equals the final watermark is NOT
