@@ -122,3 +122,64 @@ def bar_gaps(events: DataFrame) -> DataFrame:
         .filter(F.col("gap").isNotNull())
         .orderBy("symbol", "minute_window")
     )
+
+def symbol_correlations(events: DataFrame) -> DataFrame:
+    """Pairwise Pearson correlation of per-minute closing prices between
+    symbols -- the cross-asset correlation matrix a risk dashboard keeps.
+
+    Scale: the expensive pass is the minute-bar aggregate (min_by, one
+    shuffle over trades); the correlation then runs on BAR cardinality:
+    a self-equi-join of the bars on the minute key (both sides already
+    small) and one partial-aggregable corr() per unordered pair.  The
+    symbol < symbol guard halves the pair space and fixes output
+    order."""
+    from .rollup import minute_ohlc
+
+    bars = minute_ohlc(events).select("symbol", "minute_window", "close_price")
+    a = bars.select(
+        F.col("symbol").alias("sym_a"),
+        F.col("minute_window").alias("mw"),
+        F.col("close_price").alias("close_a"),
+    )
+    b = bars.select(
+        F.col("symbol").alias("sym_b"),
+        F.col("minute_window").alias("mw_b"),
+        F.col("close_price").alias("close_b"),
+    )
+    return (
+        a.join(b, (F.col("mw") == F.col("mw_b")) & (F.col("sym_a") < F.col("sym_b")))
+        .groupBy("sym_a", "sym_b")
+        .agg(
+            qround(F.corr("close_a", "close_b"), 6).alias("corr"),
+            F.count(F.lit(1)).alias("n_minutes"),
+        )
+        .orderBy("sym_a", "sym_b")
+    )
+
+def daily_return_volatility(events: DataFrame) -> DataFrame:
+    """Daily realized volatility per symbol: population stddev of
+    log-returns between consecutive trades -- the annualization input
+    every options desk derives first.
+
+    Scale: one window (lag over symbol order) at trade cardinality, then
+    one partial-aggregable groupBy; ln() guards non-positive prices
+    explicitly (ANSI mode raises on ln(<=0))."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    log_ret = F.when(
+        (F.col("value") > 0) & (prev > 0), F.log(F.col("value") / prev)
+    )
+    return (
+        events.select(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            log_ret.alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+        .groupBy("symbol", "day")
+        .agg(
+            qround(F.stddev_pop("r"), 6).alias("realized_vol"),
+            F.count(F.lit(1)).alias("n_returns"),
+        )
+        .orderBy("symbol", "day")
+    )

@@ -1741,5 +1741,60 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.bar_gaps(_events(spark, sf_dir))
 
+_OHLC_CLOSE_SQL = """
+        SELECT event_type AS symbol,
+               date_trunc('minute', ts) AS minute_window,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close_price
+        FROM (
+            SELECT event_type, ts, value,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        GROUP BY 1, 2
+"""
+
+@register(
+    "symbol_correlations",
+    f"""
+    WITH bars AS ({_OHLC_CLOSE_SQL})
+    SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+           {_q('corr(a.close_price, b.close_price)', 6)} AS corr,
+           count(*) AS n_minutes
+    FROM bars a
+    JOIN bars b ON a.minute_window = b.minute_window AND a.symbol < b.symbol
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_symbol_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.symbol_correlations(_events(spark, sf_dir))
+
+@register(
+    "daily_return_volatility",
+    f"""
+    WITH rets AS (
+        SELECT event_type AS symbol,
+               date_trunc('day', ts) AS day,
+               CASE WHEN value > 0 AND prev > 0 THEN ln(value / prev) END AS r
+        FROM (
+            SELECT event_type, ts, value,
+                   lag(value) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+    )
+    SELECT symbol, day,
+           {_q('stddev_pop(r)', 6)} AS realized_vol,
+           count(*) AS n_returns
+    FROM rets
+    WHERE r IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_daily_return_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.daily_return_volatility(_events(spark, sf_dir))
+
 # LLM-data-pipeline registrations (dedup / similarity / text / multimodal)
 from . import registry_llmdata  # noqa: E402,F401
