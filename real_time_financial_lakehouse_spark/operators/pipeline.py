@@ -26,12 +26,27 @@ exact DuckDB oracle twin.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, shingles_expr
 from ..functions.numeric import qround
 from .dedup import _spread
+
+# pack_sequences defaults, shared verbatim with the SQL twin
+PACK_BUDGET = 256
+PACK_BUCKETS = 16
+
+# mixture_sample target proportions (the domain-mixing recipe input); the
+# fixture's five languages, weighted the way a Pile-style mix sheet would
+MIXTURE_TARGETS = (
+    ("de", 0.15),
+    ("en", 0.40),
+    ("es", 0.15),
+    ("fr", 0.15),
+    ("zh", 0.15),
+)
 
 def stratified_sample(documents: DataFrame, pct: int = 20) -> DataFrame:
     """Keep ~pct% of each language stratum, deterministically.
@@ -95,6 +110,107 @@ def normalize_corpus(documents: DataFrame) -> DataFrame:
         (norm != F.col("text")).alias("changed"),
         (F.length("text") - F.length(norm)).alias("n_chars_removed"),
     ).orderBy("doc_id")
+
+def pack_sequences(
+    documents: DataFrame, budget: int = PACK_BUDGET, n_buckets: int = PACK_BUCKETS
+) -> DataFrame:
+    """Greedy sequence packing: assign each document to a training
+    sequence so consecutive docs fill a ``budget``-token context window
+    (first-fit in doc_id order; a doc that would overflow starts the next
+    sequence, and an over-budget doc gets a sequence to itself).  The
+    sequence-building step every pre-training pipeline runs after
+    filtering -- packing efficiency decides how many FLOPs hit padding.
+
+    Packing is inherently sequential, so the operator makes the
+    parallelism unit explicit: docs are sharded into ``n_buckets``
+    deterministic md5 buckets and packed independently per bucket
+    (bucket = shard = one task).  At 100 TB you raise ``n_buckets`` to
+    O(cores) and each shard streams through one Arrow-batched
+    applyInPandas pass -- per-task memory is one shard's (doc_id,
+    n_tokens) pairs, 16 bytes/doc, NOT the text (token counts are
+    computed JVM-side before the Python boundary and only the two int
+    columns cross it).  The DuckDB twin replays the same greedy fold as
+    a recursive CTE, so the assignment is engine-checked, not just
+    shape-checked."""
+    toks = documents.select(
+        "doc_id",
+        (md5_long(F.col("doc_id").cast("string")) % n_buckets).alias("bucket"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, seq, fill = [], 0, None
+        for t in pdf["n_tokens"]:
+            if fill is None:
+                fill = t
+            elif fill + t <= budget:
+                fill += t
+            else:
+                seq, fill = seq + 1, t
+            seq_ids.append(seq)
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        return pdf[["doc_id", "bucket", "seq_id", "n_tokens"]]
+
+    return (
+        toks.groupBy("bucket")
+        .applyInPandas(pack, "doc_id long, bucket long, seq_id long, n_tokens int")
+        .orderBy("doc_id")
+    )
+
+def mixture_sample(
+    documents: DataFrame, targets=MIXTURE_TARGETS
+) -> DataFrame:
+    """Domain-mixing resample: scale the corpus to target per-language
+    proportions by downsampling every stratum to the largest total the
+    targets allow (N* = min over langs of count/weight), keeping exactly
+    floor(weight * N*) docs per language -- chosen deterministically as
+    the smallest md5 hashes, so the sample is stable across runs and
+    engines.  Returns the per-language audit sheet (counts, targets,
+    achieved fractions).
+
+    Scale: stratum counts are one partial-aggregable groupBy; the
+    per-lang quotas are a 5-row broadcast joined back to the ranked
+    docs.  The rank window partitions by lang -- for strata that dwarf a
+    task, the salted two-phase top-k of ``grouped_head_sample`` drops in
+    unchanged (quota as k); the single-window form keeps the oracle twin
+    identical.  All float math (N*, quotas) is the same IEEE-double op
+    sequence on both engines, so floor() boundaries agree exactly."""
+    spark = documents.sparkSession
+    wdf = spark.createDataFrame(list(targets), "lang string, target_w double")
+    counts = documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    j = counts.join(F.broadcast(wdf), "lang")
+    nstar = j.agg(
+        F.min(F.col("n_docs").cast("double") / F.col("target_w")).alias("ns")
+    )
+    quotas = j.crossJoin(F.broadcast(nstar)).select(
+        "lang",
+        "n_docs",
+        "target_w",
+        F.floor(F.col("target_w") * F.col("ns")).cast("long").alias("n_target"),
+    )
+    h = md5_long(F.concat_ws(":", F.lit("mix"), F.col("doc_id")))
+    ranked = documents.select("doc_id", "lang", h.alias("h")).withColumn(
+        "r", F.row_number().over(Window.partitionBy("lang").orderBy("h", "doc_id"))
+    )
+    kept = (
+        ranked.join(F.broadcast(quotas.select("lang", "n_target")), "lang")
+        .filter(F.col("r") <= F.col("n_target"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    total = F.sum("n_kept").over(Window.partitionBy())  # 5-row window: safe
+    return (
+        quotas.join(kept, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_kept",
+            "target_w",
+            qround(F.col("n_kept").cast("double") / total).alias("achieved_frac"),
+        )
+        .orderBy("lang")
+    )
 
 def contamination_check(
     documents: DataFrame, shingle_n: int = 3, holdout_mod: int = 10

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MINHASH_PRIME, md5_long, normalize_text
+from ..functions.numeric import qround
 from .dedup import _spread
 
 # BPE-ish pre-tokenization: letter runs / digit runs / punctuation runs --
@@ -134,6 +135,101 @@ def bpe_token_stats(documents: DataFrame) -> DataFrame:
             F.floor(F.size(toks).cast("double") / F.size(ws) * F.lit(1e6) + F.lit(0.5))
             / F.lit(1e6)
         ).alias("bpe_per_word"),
+    ).orderBy("doc_id")
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Word-level repetition metrics per document -- the Gopher-rules
+    family (Rae et al. 2021 §A1.1: duplicate-n-gram and top-n-gram
+    fractions used to drop machine-generated / boilerplate text):
+
+    * ``dup_word_frac``   -- 1 - distinct/total words
+    * ``top_word_frac``   -- occurrences of the most frequent word / total
+    * ``dup_bigram_frac`` -- 1 - distinct/total word bigrams
+    * ``top_bigram_frac`` -- occurrences of the most frequent bigram / total
+
+    Scale: every metric is a row-local array expression (tokenize once,
+    bigrams via zip_with over two slices, mode via a transform-over-
+    distinct lambda) -- zero shuffle, whole-stage codegen, O(distinct x
+    n_words) per row.  ``_spread`` only rescues the single-file fixture
+    scan from one-partition execution; on a real multi-file table it is
+    an AQE-absorbed no-op.  Bigram metrics are NULL for one-word docs on
+    both engines (guarded CASE)."""
+    toks = _spread(documents.select("doc_id", "text")).select(
+        "doc_id", _tokens().alias("w")
+    )
+    staged = toks.select(
+        "doc_id",
+        F.size("w").alias("n"),
+        F.col("w"),
+        F.expr(
+            "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), "
+            "(a, b) -> concat(a, ' ', b))"
+        ).alias("bg"),
+    )
+    top_of = lambda arr: F.expr(  # noqa: E731
+        f"array_max(transform(array_distinct({arr}), "
+        f"d -> size(filter({arr}, x -> x = d))))"
+    )
+    n = F.col("n").cast("double")
+    nbg = F.size("bg").cast("double")
+    return staged.select(
+        "doc_id",
+        F.col("n").alias("n_words"),
+        qround(F.lit(1.0) - F.size(F.array_distinct("w")) / n).alias("dup_word_frac"),
+        qround(top_of("w") / n).alias("top_word_frac"),
+        F.size("bg").alias("n_bigrams"),
+        F.when(F.size("bg") > 0, qround(F.lit(1.0) - F.size(F.array_distinct("bg")) / nbg)).alias(
+            "dup_bigram_frac"
+        ),
+        F.when(F.size("bg") > 0, qround(top_of("bg") / nbg)).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+# quality_gate thresholds, shared verbatim with the SQL twin; tuned on the
+# fixture so every rule fires on a real slice of the corpus (p90-ish cuts)
+GATE_MIN_CHARS = 100
+GATE_MIN_WORDS = 15
+GATE_MAX_DUP_WORD = 0.6
+GATE_MAX_TOP_WORD = 0.125
+
+def quality_gate(documents: DataFrame) -> DataFrame:
+    """Composite C4/Gopher-style keep-or-drop gate with per-rule reasons:
+    a doc is kept only if it clears length (chars AND words), duplicate-
+    word, and top-word-fraction cuts.  ``reasons`` is a comma-joined,
+    fixed-order list of the rules that failed -- the audit column a
+    filtering pipeline logs so corpus ablations can attribute removals.
+
+    Scale: row-local array expressions only (same tokenize-once shape as
+    repetition_stats), zero shuffle; the gate composes with any upstream
+    scan filter and survives predicate pushdown untouched."""
+    toks = _spread(documents.select("doc_id", "n_chars", "text")).select(
+        "doc_id", "n_chars", _tokens().alias("w")
+    )
+    staged = toks.select(
+        "doc_id",
+        "n_chars",
+        F.size("w").alias("n_words"),
+        (F.size(F.array_distinct("w")) / F.size("w").cast("double")).alias("distinct_frac"),
+        (
+            F.expr("array_max(transform(array_distinct(w), d -> size(filter(w, x -> x = d))))")
+            / F.size("w").cast("double")
+        ).alias("top_frac"),
+    )
+    fail_chars = F.col("n_chars") < GATE_MIN_CHARS
+    fail_words = F.col("n_words") < GATE_MIN_WORDS
+    fail_dup = (F.lit(1.0) - F.col("distinct_frac")) > GATE_MAX_DUP_WORD
+    fail_top = F.col("top_frac") > GATE_MAX_TOP_WORD
+    return staged.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        (~fail_chars & ~fail_words & ~fail_dup & ~fail_top).alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(fail_chars, F.lit("min_chars")),
+            F.when(fail_words, F.lit("min_words")),
+            F.when(fail_dup, F.lit("dup_words")),
+            F.when(fail_top, F.lit("top_word")),
+        ).alias("reasons"),
     ).orderBy("doc_id")
 
 def _token_hashes_expr() -> str:

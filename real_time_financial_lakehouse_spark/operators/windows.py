@@ -256,3 +256,48 @@ def user_histories(events: DataFrame, first_n: int = 5) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+def user_state_history(events: DataFrame) -> DataFrame:
+    """SCD2-style state history: collapse each user's event stream into
+    contiguous runs of the same event_type (gaps-and-islands), emitting
+    one validity interval per run -- ``valid_from`` = first event of the
+    run, ``valid_to`` = start of the next run (NULL + ``is_current`` on
+    the open interval).  The slowly-changing-dimension build step a
+    lakehouse runs to turn an append-only event log into point-in-time
+    joinable history (the reference keeps only latest-state tables; this
+    is the history the as-of join consumes).
+
+    Scale: both windows and the groupBy partition by user_id, so Catalyst
+    plans ONE exchange and reuses it end-to-end; the second window runs
+    at run (not event) cardinality.  Run detection is the standard
+    lag-compare + running-sum island id; ties on ts are broken by
+    event_id everywhere, and the lead() tiebreak includes run_id so equal
+    valid_from values cannot reorder between engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    new_run = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    runs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("new_run", new_run)
+        .withColumn(
+            "run_id",
+            F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    agg = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "run_id")
+    nxt = F.lead("valid_from").over(w2)
+    return agg.select(
+        "user_id",
+        "run_id",
+        "event_type",
+        "valid_from",
+        nxt.alias("valid_to"),
+        "last_seen",
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    ).orderBy("user_id", "run_id")

@@ -1796,5 +1796,37 @@ def q_symbol_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_daily_return_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.daily_return_volatility(_events(spark, sf_dir))
 
+@register(
+    "user_state_history",
+    """
+    WITH s AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w != event_type
+                    THEN 1 ELSE 0 END AS new_run
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+        SELECT *, (sum(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING))::BIGINT AS run_id
+        FROM s
+    ),
+    r AS (
+        SELECT user_id, run_id, event_type,
+               min(ts) AS valid_from, max(ts) AS last_seen, count(*) AS n_events
+        FROM g GROUP BY 1, 2, 3
+    )
+    SELECT user_id, run_id, event_type, valid_from,
+           lead(valid_from) OVER w2 AS valid_to, last_seen, n_events,
+           lead(valid_from) OVER w2 IS NULL AS is_current
+    FROM r
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, run_id)
+    ORDER BY user_id, run_id
+    """,
+)
+def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.user_state_history(_events(spark, sf_dir))
+
 # LLM-data-pipeline registrations (dedup / similarity / text / multimodal)
 from . import registry_llmdata  # noqa: E402,F401

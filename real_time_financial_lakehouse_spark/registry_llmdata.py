@@ -15,6 +15,7 @@ from .functions.hashing import (
     perm_params,
     shingles_sql,
 )
+from .functions.numeric import qround_sql
 from .operators import dedup, multimodal, pipeline, similarity, text
 from .operators.dedup import MAX_BUCKET
 from .registry import register
@@ -335,6 +336,59 @@ _STOP_EN = "len(list_filter(toks, t -> t IN ('the', 'a', 'of')))"
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_quality(_docs(spark, sf_dir))
 
+# word bigrams from the token list (positional zip of the two shifted
+# slices), identical to the Spark zip_with form
+_BIGRAMS = (
+    "list_transform(list_zip(w[1:len(w)-1], w[2:len(w)]), s -> s[1] || ' ' || s[2])"
+)
+_TOP_OF = "list_max(list_transform(list_distinct({arr}), d -> len(list_filter({arr}, x -> x = d))))"
+
+@register(
+    "repetition_stats",
+    f"""
+    SELECT doc_id,
+           len(w) AS n_words,
+           {qround_sql("1.0 - len(list_distinct(w))::DOUBLE / len(w)")} AS dup_word_frac,
+           {qround_sql(_TOP_OF.format(arr="w") + "::DOUBLE / len(w)")} AS top_word_frac,
+           len(bg) AS n_bigrams,
+           CASE WHEN len(bg) > 0 THEN
+             {qround_sql("1.0 - len(list_distinct(bg))::DOUBLE / len(bg)")}
+           END AS dup_bigram_frac,
+           CASE WHEN len(bg) > 0 THEN
+             {qround_sql(_TOP_OF.format(arr="bg") + "::DOUBLE / len(bg)")}
+           END AS top_bigram_frac
+    FROM (SELECT doc_id, w, {_BIGRAMS} AS bg
+          FROM (SELECT doc_id, {_TOKS} AS w FROM documents))
+    ORDER BY doc_id
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_stats(_docs(spark, sf_dir))
+
+@register(
+    "quality_gate",
+    f"""
+    SELECT doc_id, n_chars, n_words,
+           (NOT fail_chars AND NOT fail_words AND NOT fail_dup AND NOT fail_top) AS keep,
+           concat_ws(',',
+                     CASE WHEN fail_chars THEN 'min_chars' END,
+                     CASE WHEN fail_words THEN 'min_words' END,
+                     CASE WHEN fail_dup THEN 'dup_words' END,
+                     CASE WHEN fail_top THEN 'top_word' END) AS reasons
+    FROM (
+        SELECT doc_id, n_chars, len(w) AS n_words,
+               n_chars < {text.GATE_MIN_CHARS} AS fail_chars,
+               len(w) < {text.GATE_MIN_WORDS} AS fail_words,
+               (1.0 - len(list_distinct(w))::DOUBLE / len(w)) > {text.GATE_MAX_DUP_WORD} AS fail_dup,
+               ({_TOP_OF.format(arr="w")}::DOUBLE / len(w)) > {text.GATE_MAX_TOP_WORD} AS fail_top
+        FROM (SELECT doc_id, n_chars, {_TOKS} AS w FROM documents)
+    )
+    ORDER BY doc_id
+    """,
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_gate(_docs(spark, sf_dir))
+
 _S = {
     lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in text.STOPWORDS[lang])})))"
     for lang in text.STOPWORDS
@@ -602,3 +656,68 @@ def q_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.contamination_check(_docs(spark, sf_dir))
+
+_PACK_BUCKET = f"{md5_long_sql('doc_id::VARCHAR')} % {pipeline.PACK_BUCKETS}"
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, bucket, n_tokens,
+               row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        FROM (SELECT doc_id, {_PACK_BUCKET} AS bucket,
+                     len({_TOKS}) AS n_tokens
+              FROM documents)
+    ),
+    rec AS (
+        SELECT doc_id, bucket, n_tokens, rn, 0 AS seq_id, n_tokens AS fill
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.doc_id, b.bucket, b.n_tokens, b.rn,
+               CASE WHEN r.fill + b.n_tokens <= {pipeline.PACK_BUDGET}
+                    THEN r.seq_id ELSE r.seq_id + 1 END,
+               CASE WHEN r.fill + b.n_tokens <= {pipeline.PACK_BUDGET}
+                    THEN r.fill + b.n_tokens ELSE b.n_tokens END
+        FROM rec r JOIN base b ON b.bucket = r.bucket AND b.rn = r.rn + 1
+    )
+    SELECT doc_id, bucket, seq_id::BIGINT AS seq_id, n_tokens
+    FROM rec
+    ORDER BY doc_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.pack_sequences(_docs(spark, sf_dir))
+
+_MIX_VALUES = ", ".join(f"('{lang}', {w})" for lang, w in pipeline.MIXTURE_TARGETS)
+_MIX_HASH = md5_long_sql("concat_ws(':', 'mix', doc_id)")
+
+@register(
+    "mixture_sample",
+    f"""
+    WITH counts AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+    w(lang, target_w) AS (VALUES {_MIX_VALUES}),
+    j AS (SELECT c.lang, c.n_docs, w.target_w FROM counts c JOIN w USING (lang)),
+    nstar AS (SELECT min(n_docs::DOUBLE / target_w) AS ns FROM j),
+    quotas AS (
+        SELECT lang, n_docs, target_w,
+               CAST(floor(target_w * ns) AS BIGINT) AS n_target
+        FROM j, nstar
+    ),
+    ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY {_MIX_HASH}, doc_id) AS r
+        FROM documents
+    ),
+    kept AS (
+        SELECT q.lang, count(*)::BIGINT AS n_kept
+        FROM ranked k JOIN quotas q ON k.lang = q.lang AND k.r <= q.n_target
+        GROUP BY 1
+    )
+    SELECT q.lang, q.n_docs, kept.n_kept, q.target_w,
+           {qround_sql("n_kept::DOUBLE / (sum(n_kept) OVER ())::DOUBLE")} AS achieved_frac
+    FROM quotas q JOIN kept USING (lang)
+    ORDER BY lang
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.mixture_sample(_docs(spark, sf_dir))
