@@ -312,3 +312,80 @@ def test_sketch_paths_within_error_bounds(spark):
         for ap, q in [("p50_approx", 0.5), ("p90_approx", 0.9), ("p99_approx", 0.99)]:
             rank = bisect.bisect_left(vs, row[ap])
             assert abs(rank - q * n) <= max(2, 0.01 * n), (row["symbol"], ap, rank, q * n)
+
+# ---------------------------------------------------------------------------
+# pack_sequences / quality_gate / repetition_stats semantics
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_respects_budget_and_isolates_oversized(spark):
+    from real_time_financial_lakehouse_spark.operators import pipeline
+
+    rows = [
+        (i, " ".join(["w"] * n), "en", "s", n * 2)
+        for i, n in enumerate([10, 10, 10, 40, 10, 10])
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = pipeline.pack_sequences(docs, budget=25, n_buckets=1).collect()
+    by_doc = {r["doc_id"]: r["seq_id"] for r in out}
+    # greedy in doc_id order with budget 25: [10,10]=seq0, [10]=seq1 (next
+    # is the 40 which overflows), [40]=seq2 alone (over budget), [10,10]=seq3
+    assert by_doc == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 3}
+    # every sequence except the oversized singleton stays within budget
+    fills = {}
+    toks = {r["doc_id"]: r["n_tokens"] for r in out}
+    for d, s in by_doc.items():
+        fills[s] = fills.get(s, 0) + toks[d]
+    assert all(f <= 25 for s, f in fills.items() if s != 2)
+    assert fills[2] == 40
+
+def test_pack_sequences_is_deterministic_across_runs(spark):
+    from real_time_financial_lakehouse_spark.operators import pipeline
+    from real_time_financial_lakehouse_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = pipeline.pack_sequences(docs).collect()
+    b = pipeline.pack_sequences(docs.repartition(7)).collect()
+    assert a == b  # bucket hash + in-bucket doc_id order pin the result
+
+def test_quality_gate_reasons_fire_individually(spark):
+    from real_time_financial_lakehouse_spark.operators import text as t
+
+    long_clean = " ".join(f"tok{i}" for i in range(40))
+    repeated = " ".join(["dup"] * 40)
+    rows = [
+        (0, long_clean, "en", "s", len(long_clean)),      # keeps
+        (1, "tiny doc here", "en", "s", 13),  # min_chars+min_words (+top_word: 1/3 > cut)
+        (2, repeated, "en", "s", len(repeated)),          # dup_words+top_word
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r["doc_id"]: r for r in t.quality_gate(docs).collect()}
+    assert out[0]["keep"] and out[0]["reasons"] == ""
+    assert not out[1]["keep"] and out[1]["reasons"] == "min_chars,min_words,top_word"
+    assert not out[2]["keep"]
+    assert "dup_words" in out[2]["reasons"] and "top_word" in out[2]["reasons"]
+
+def test_repetition_stats_on_planted_repetition(spark):
+    from real_time_financial_lakehouse_spark.operators import text as t
+
+    rows = [
+        (0, "a b c d", "en", "s", 7),          # all distinct
+        (1, "x x x x", "en", "s", 7),          # one word repeated
+        (2, "lone", "en", "s", 4),             # single word: no bigrams
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r["doc_id"]: r for r in t.repetition_stats(docs).collect()}
+    assert out[0]["dup_word_frac"] == 0.0 and out[0]["top_word_frac"] == 0.25
+    assert out[1]["dup_word_frac"] == 0.75 and out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["n_bigrams"] == 0 and out[2]["top_bigram_frac"] is None
+
+def test_mixture_sample_hits_exact_quotas(spark):
+    from real_time_financial_lakehouse_spark.operators import pipeline
+    from real_time_financial_lakehouse_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = {r["lang"]: r for r in pipeline.mixture_sample(docs).collect()}
+    # quotas: n_kept = floor(target_w * min(n_docs / target_w)) exactly
+    nstar = min(r["n_docs"] / r["target_w"] for r in out.values())
+    for lang, r in out.items():
+        assert r["n_kept"] == int(r["target_w"] * nstar // 1), lang
+        assert r["n_kept"] <= r["n_docs"]

@@ -272,3 +272,27 @@ def test_zscores_bucket_grouping_single_exchange(spark):
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
     # one exchange for the bucket grouping (+ the final presentation sort)
     assert plan.count("Exchange hashpartitioning") == 1
+
+def test_user_state_history_single_hash_exchange(spark):
+    """Both windows and the groupBy partition by user_id: exactly one
+    hashpartitioning exchange in the whole plan (the remaining exchange
+    is the final sort's rangepartitioning)."""
+    from real_time_financial_lakehouse_spark.operators import windows
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    plan = _plan(windows.user_state_history(ev))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+def test_pack_sequences_ships_only_ints_to_python(spark):
+    """The Arrow boundary must carry (doc_id, bucket, n_tokens) only --
+    the text column is consumed JVM-side by the token count and never
+    crosses into the pandas worker."""
+    from real_time_financial_lakehouse_spark.operators import pipeline
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(pipeline.pack_sequences(docs))
+    pandas_node = next(
+        ln for ln in plan.splitlines() if "FlatMapGroupsInPandas" in ln
+    )
+    assert "text" not in pandas_node
+    assert "n_tokens" in pandas_node
