@@ -362,3 +362,28 @@ def dedup_clusters(documents: DataFrame, k: int = 8, bands: int = 4, max_iter: i
         .withColumn("cluster_id", F.col("doc_id"))
     )
     return labels.unionByName(isolated).orderBy("doc_id").localCheckpoint(eager=True)
+
+def fuzzy_dedup_keep(documents: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:
+    """End-to-end fuzzy dedup: run the LSH ladder + connected components
+    (``dedup_clusters``) and return the SURVIVING corpus -- one
+    representative (smallest doc_id) per near-duplicate cluster, with the
+    cluster size it stands for.  This is the query a corpus build
+    actually ships: everything upstream (signatures, banding, pair
+    expansion, label propagation) is plumbing for this keep-list.
+
+    Scale: inherits the ladder's bounds (hot-bucket cap, edge-subgraph
+    iteration); the final joins are doc-cardinality equi-joins on doc_id
+    / cluster_id -- sort-merge under AQE, no new quadratic step.  The
+    representative filter (doc_id == cluster_id) is exact because labels
+    converge to min(reachable id)."""
+    clusters = dedup_clusters(documents, k=k, bands=bands)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .join(documents.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+        .select("doc_id", "lang", "source", "n_chars", "n_members")
+        .orderBy("doc_id")
+    )

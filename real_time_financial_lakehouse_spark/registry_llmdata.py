@@ -538,9 +538,10 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same band-derived edge list, labeling each doc with min(reachable id).
 # ---------------------------------------------------------------------------
 
-@register(
-    "dedup_clusters",
-    f"""
+# Shared CTE prefix: LSH band edges -> transitive closure -> min-label
+# clusters.  dedup_clusters selects the labels directly;
+# fuzzy_dedup_keep layers cluster sizes + representative filter on top.
+_CLUSTERS_CTE = f"""
     WITH RECURSIVE sigs AS (
         SELECT doc_id,
                {_MH_COLS_SQL}
@@ -568,15 +569,38 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, doc_id FROM documents
         UNION
         SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
-    )
-    SELECT src AS doc_id, min(dst) AS cluster_id
-    FROM reach
-    GROUP BY 1
-    ORDER BY 1
+    ),
+    labels AS (
+        SELECT src AS doc_id, min(dst) AS cluster_id
+        FROM reach
+        GROUP BY 1
+    )"""
+
+@register(
+    "dedup_clusters",
+    _CLUSTERS_CTE
+    + """
+    SELECT doc_id, cluster_id FROM labels ORDER BY 1
     """,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(_docs(spark, sf_dir), k=_K, bands=_BANDS)
+
+@register(
+    "fuzzy_dedup_keep",
+    _CLUSTERS_CTE
+    + """
+    , sizes AS (SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY 1)
+    SELECT l.doc_id, d.lang, d.source, d.n_chars, s.n_members
+    FROM labels l
+    JOIN sizes s USING (cluster_id)
+    JOIN documents d ON d.doc_id = l.doc_id
+    WHERE l.doc_id = l.cluster_id
+    ORDER BY 1
+    """,
+)
+def q_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.fuzzy_dedup_keep(_docs(spark, sf_dir), k=_K, bands=_BANDS)
 
 # ---------------------------------------------------------------------------
 # Training-pipeline ops: deterministic sampling, normalization,

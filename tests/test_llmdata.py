@@ -389,3 +389,11 @@ def test_mixture_sample_hits_exact_quotas(spark):
     for lang, r in out.items():
         assert r["n_kept"] == int(r["target_w"] * nstar // 1), lang
         assert r["n_kept"] <= r["n_docs"]
+
+def test_fuzzy_dedup_keep_returns_representatives(docs):
+    out = {r["doc_id"]: r for r in dedup.fuzzy_dedup_keep(docs).collect()}
+    # docs 0/1 (exact dups) and 2 (near-dup) cluster together under rep 0;
+    # 3 and 4 survive as singletons
+    assert set(out) == {0, 3, 4}
+    assert out[0]["n_members"] == 3
+    assert out[3]["n_members"] == 1 and out[4]["n_members"] == 1
