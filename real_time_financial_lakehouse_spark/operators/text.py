@@ -13,7 +13,7 @@ backrefs/lookarounds -- both engines then match identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MINHASH_PRIME, md5_long, normalize_text
@@ -300,3 +300,66 @@ def top_terms(documents: DataFrame, topn: int = 20) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("term"))
         .limit(topn)
     )
+
+def vocab_coverage(documents: DataFrame, topn: int = 100) -> DataFrame:
+    """Cumulative vocabulary coverage curve: for the ``topn`` most
+    frequent terms, the fraction of ALL corpus term occurrences covered
+    by ranks 1..r -- the curve that sizes a vocabulary (where it flattens
+    is where vocab growth stops paying).
+
+    Scale: term counting is the partial-aggregated explode of
+    ``top_terms``; the corpus total is a 1-row aggregate broadcast via
+    crossJoin; the running sum's unpartitioned window runs AFTER the
+    top-N cut, so the single-task window sees ``topn`` rows, never the
+    vocabulary."""
+    terms = (
+        documents.select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"))
+        .filter(F.length("term") >= 3)
+    )
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    total = counts.agg(F.sum("n_occurrences").alias("total_occurrences"))
+    topk = counts.orderBy(F.col("n_occurrences").desc(), F.col("term")).limit(topn)
+    w = (
+        Window.orderBy(F.col("n_occurrences").desc(), F.col("term"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("n_occurrences").desc(), F.col("term")))
+            .alias("rank"),
+            "term",
+            "n_occurrences",
+            qround(
+                F.sum("n_occurrences").over(w).cast("double")
+                / F.col("total_occurrences")
+            ).alias("cum_coverage"),
+        )
+        .orderBy("rank")
+    )
+
+def token_length_histogram(documents: DataFrame, bucket_width: int = 10) -> DataFrame:
+    """Document-length histogram in whitespace tokens (width-``bucket_width``
+    buckets) with the cumulative document fraction -- the length profile
+    that picks truncation and packing budgets.
+
+    Scale: one partial-aggregable groupBy on the bucket; the cumulative
+    window runs at bucket (not doc) cardinality."""
+    n = F.size(_tokens())
+    buckets = (
+        documents.select((F.floor(n / bucket_width) * bucket_width).alias("bucket_start"))
+        .groupBy("bucket_start")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.orderBy("bucket_start").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.orderBy("bucket_start").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return buckets.select(
+        "bucket_start",
+        "n_docs",
+        qround(
+            F.sum("n_docs").over(w).cast("double") / F.sum("n_docs").over(total)
+        ).alias("cum_doc_frac"),
+    ).orderBy("bucket_start")

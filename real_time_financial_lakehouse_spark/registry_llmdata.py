@@ -532,6 +532,47 @@ def q_media_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.top_terms(_docs(spark, sf_dir))
 
+@register(
+    "vocab_coverage",
+    f"""
+    WITH counts AS (
+        SELECT term, count(*) AS n_occurrences
+        FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+              FROM documents)
+        WHERE length(term) >= 3
+        GROUP BY 1
+    ),
+    total AS (SELECT sum(n_occurrences)::BIGINT AS total_occurrences FROM counts),
+    topk AS (SELECT * FROM counts ORDER BY n_occurrences DESC, term LIMIT 100)
+    SELECT row_number() OVER w AS rank,
+           term, n_occurrences,
+           {qround_sql("(sum(n_occurrences) OVER (ORDER BY n_occurrences DESC, term ROWS UNBOUNDED PRECEDING))::DOUBLE / total_occurrences")} AS cum_coverage
+    FROM topk, total
+    WINDOW w AS (ORDER BY n_occurrences DESC, term)
+    ORDER BY rank
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.vocab_coverage(_docs(spark, sf_dir))
+
+@register(
+    "token_length_histogram",
+    f"""
+    WITH buckets AS (
+        SELECT (len({_TOKS}) // 10) * 10 AS bucket_start,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY 1
+    )
+    SELECT bucket_start, n_docs,
+           {qround_sql("(sum(n_docs) OVER (ORDER BY bucket_start ROWS UNBOUNDED PRECEDING))::DOUBLE / (sum(n_docs) OVER ())::DOUBLE")} AS cum_doc_frac
+    FROM buckets
+    ORDER BY bucket_start
+    """,
+)
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_length_histogram(_docs(spark, sf_dir))
+
 # ---------------------------------------------------------------------------
 # Connected components over the LSH near-dup graph (iterative algorithm).
 # Oracle: DuckDB recursive CTE computing the transitive closure of the
