@@ -156,6 +156,216 @@ def symbol_correlations(events: DataFrame) -> DataFrame:
         .orderBy("sym_a", "sym_b")
     )
 
+def _minute_bars(events: DataFrame) -> DataFrame:
+    """Internal bar frame for the indicator layer: high/low/close/volume
+    per (symbol, minute).  Values stay UNROUNDED here -- indicators do
+    arithmetic on them and quantize only at the output boundary, so both
+    engines run the identical IEEE sequence.  min_by/max_by keep the
+    open/close semantics windowless (one partial-aggregable shuffle)."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    qty = F.get_json_object(F.col("props"), "$.k").cast("double")
+    return events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("minute", F.col("ts")).alias("minute_window"),
+    ).agg(
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by(F.col("value"), key).alias("close"),
+        F.sum(qty).alias("vol"),
+    )
+
+def atr(events: DataFrame, n: int = 14) -> DataFrame:
+    """Average True Range (simple-MA variant) over minute bars: true range
+    is the bar's span stretched to the previous close
+    (``greatest(high-low, |high-prev_close|, |low-prev_close|)``); the
+    first bar of a symbol falls back to ``high-low`` (standard seeding).
+    ATR is the n-bar moving average, emitted only where the window is
+    full (the same null-prefix convention as SMA/Bollinger).
+
+    Scale: indicator passes run at BAR cardinality, not trade
+    cardinality -- the expensive aggregate is the windowless bar rollup;
+    both window passes (lag, then frame-avg) share one exchange on the
+    symbol and hold O(n) rows of state per task."""
+    bars = _minute_bars(events)
+    w = Window.partitionBy("symbol").orderBy("minute_window")
+    prev_close = F.lag("close").over(w)
+    tr_raw = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - prev_close),
+        F.abs(F.col("low") - prev_close),
+    )
+    staged = bars.select(
+        "symbol",
+        "minute_window",
+        F.when(prev_close.isNull(), F.col("high") - F.col("low"))
+        .otherwise(tr_raw)
+        .alias("tr"),
+    )
+    frame = w.rowsBetween(-(n - 1), 0)
+    cnt = F.count(F.lit(1)).over(frame)
+    return staged.select(
+        "symbol",
+        "minute_window",
+        qround(F.col("tr"), 6).alias("true_range"),
+        F.when(cnt == n, qround(F.avg("tr").over(frame), 6)).alias("atr"),
+    ).orderBy("symbol", "minute_window")
+
+def stochastic_oscillator(events: DataFrame, n: int = 14, d: int = 3) -> DataFrame:
+    """Stochastic oscillator over minute bars: ``%K = 100 * (close -
+    min(low, n)) / (max(high, n) - min(low, n))`` where the n-bar window
+    is full and has price range; ``%D`` is the d-bar average of %K,
+    emitted once d non-null %K values exist.  Quantization happens only
+    at the output so %D averages the raw %K sequence on both engines.
+
+    Scale: same bar-cardinality posture as ATR -- one exchange on the
+    symbol, ROWS-bounded frames, O(n) state per in-flight window."""
+    bars = _minute_bars(events)
+    w = Window.partitionBy("symbol").orderBy("minute_window")
+    frame = w.rowsBetween(-(n - 1), 0)
+    low_n = F.min("low").over(frame)
+    high_n = F.max("high").over(frame)
+    cnt = F.count(F.lit(1)).over(frame)
+    k_raw = F.when(
+        (cnt == n) & (high_n != low_n),
+        F.lit(100.0) * (F.col("close") - low_n) / (high_n - low_n),
+    )
+    staged = bars.select("symbol", "minute_window", k_raw.alias("k_raw"))
+    dframe = w.rowsBetween(-(d - 1), 0)
+    d_cnt = F.count("k_raw").over(dframe)
+    return staged.select(
+        "symbol",
+        "minute_window",
+        qround(F.col("k_raw"), 6).alias("pct_k"),
+        F.when(d_cnt == d, qround(F.avg("k_raw").over(dframe), 6)).alias("pct_d"),
+    ).orderBy("symbol", "minute_window")
+
+def on_balance_volume(events: DataFrame) -> DataFrame:
+    """On-balance volume over minute bars: running sum of bar volume
+    signed by the close-to-close direction (up-bar adds, down-bar
+    subtracts, flat contributes zero; a symbol's first bar contributes
+    zero by the lag-NULL guard).
+
+    Scale: lag + expanding cumulative sum share one exchange on the
+    symbol; the expanding frame is evaluated incrementally (one
+    accumulator per task), so state is O(1) per row."""
+    bars = _minute_bars(events)
+    w = Window.partitionBy("symbol").orderBy("minute_window")
+    delta = F.col("close") - F.lag("close").over(w)
+    signed = (
+        F.when(delta > 0, F.col("vol"))
+        .when(delta < 0, -F.col("vol"))
+        .otherwise(F.lit(0.0))
+    )
+    staged = bars.select("symbol", "minute_window", signed.alias("signed_vol"))
+    cum = Window.partitionBy("symbol").orderBy("minute_window").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return staged.select(
+        "symbol",
+        "minute_window",
+        qround(F.sum("signed_vol").over(cum), 6).alias("obv"),
+    ).orderBy("symbol", "minute_window")
+
+def beta_vs_market(events: DataFrame) -> DataFrame:
+    """Per-symbol beta against an equal-weight market index built from
+    the corpus itself: minute close-to-close returns per symbol, the
+    market return as the cross-symbol mean within each minute, then
+    ``beta = covar_pop(r, m) / var_pop(m)`` (plus the correlation) per
+    symbol -- the CAPM regression slope without leaving SQL semantics.
+
+    Scale: returns run at bar cardinality; the market frame is a
+    minute-keyed aggregate of the SAME frame (partial-aggregable); the
+    re-join is minute-keyed equi-join (broadcastable: one row per
+    minute); the final covariance is one tiny groupBy.  No pass ever
+    touches trade cardinality after the bar rollup."""
+    bars = _minute_bars(events)
+    w = Window.partitionBy("symbol").orderBy("minute_window")
+    prev = F.lag("close").over(w)
+    rets = (
+        bars.select(
+            "symbol",
+            "minute_window",
+            F.when(prev != 0, F.col("close") / prev - F.lit(1.0)).alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+    )
+    market = rets.groupBy("minute_window").agg(
+        F.avg("r").alias("m"), F.count(F.lit(1)).alias("n_syms")
+    )
+    joined = rets.join(F.broadcast(market), "minute_window")
+    var_m = F.var_pop("m")
+    return (
+        joined.groupBy("symbol")
+        .agg(
+            F.when(var_m != 0, qround(F.covar_pop("r", "m") / var_m, 6)).alias("beta"),
+            qround(F.corr("r", "m"), 6).alias("corr_mkt"),
+            F.count(F.lit(1)).alias("n_minutes"),
+        )
+        .orderBy("symbol")
+    )
+
+# MACD smoothing factors as division EXPRESSIONS (not decimal literals):
+# both engines IEEE-divide the same integers, so the alphas are
+# bit-identical without writing out 17 decimal digits.
+MACD_FAST = "(2.0D / 13.0D)"   # EMA-12
+MACD_SLOW = "(2.0D / 27.0D)"   # EMA-26
+MACD_SIGNAL = "(2.0D / 10.0D)"  # EMA-9
+
+def macd_summary(events: DataFrame) -> DataFrame:
+    """MACD state per symbol over the minute-close series: final EMA-12,
+    EMA-26, MACD line, signal line (EMA-9 of the MACD series), and the
+    histogram.
+
+    All three recurrences advance in ONE linear ``aggregate`` fold with
+    a struct accumulator ``(e12, e26, sig)`` -- per step ``e12' = a12*x
+    + (1-a12)*e12`` (same for e26), then ``sig' = a9*(e12'-e26') +
+    (1-a9)*sig``.  Seeds follow the standard convention: the EMAs seed
+    with the first close, so ``macd_1 = 0`` and the signal seeds at 0.
+    The naive form (signal = EMA-9 over the materialized MACD series,
+    each element a prefix fold) is O(n^2) in bars-per-symbol -- measured
+    609 s at sf0.1 -- and is algebraically identical to this fold, which
+    the cross-check in tests/test_properties.py pins.
+
+    Scale, stated plainly (same caveat as windows.ema_per_symbol): the
+    bounded-series batch/backfill form -- each symbol's bar series sits
+    in one aggregation buffer, fine for per-symbol bar counts up to
+    ~10^7; the streaming applyInPandasWithState EMA
+    (streaming/stateful.py) is the O(1)-state unbounded path.  Bars,
+    not trades: the only trade-cardinality pass is the windowless bar
+    rollup."""
+    bars = _minute_bars(events)
+    seq = F.array_sort(F.collect_list(F.struct("minute_window", "close")))
+    g = bars.groupBy("symbol").agg(seq.alias("seq"))
+    vals = g.select(
+        "symbol", F.expr("transform(seq, s -> s.close)").alias("vals")
+    )
+    a12, a26, a9 = MACD_FAST, MACD_SLOW, MACD_SIGNAL
+    e12 = f"{a12} * x + (1.0D - {a12}) * acc.e12"
+    e26 = f"{a26} * x + (1.0D - {a26}) * acc.e26"
+    fold = (
+        "aggregate(slice(vals, 2, size(vals)), "
+        "named_struct('e12', cast(element_at(vals, 1) as double), "
+        "             'e26', cast(element_at(vals, 1) as double), "
+        "             'sig', 0.0D), "
+        f"(acc, x) -> named_struct('e12', {e12}, 'e26', {e26}, "
+        f"'sig', {a9} * (({e12}) - ({e26})) + (1.0D - {a9}) * acc.sig))"
+    )
+    staged = vals.select(
+        "symbol",
+        F.size("vals").cast("bigint").alias("n_bars"),
+        F.expr(fold).alias("st"),
+    )
+    macd = F.col("st.e12") - F.col("st.e26")
+    return staged.select(
+        "symbol",
+        "n_bars",
+        qround(F.col("st.e12"), 6).alias("ema_fast"),
+        qround(F.col("st.e26"), 6).alias("ema_slow"),
+        qround(macd, 6).alias("macd"),
+        qround(F.col("st.sig"), 6).alias("signal"),
+        qround(macd - F.col("st.sig"), 6).alias("histogram"),
+    ).orderBy("symbol")
+
 def daily_return_volatility(events: DataFrame) -> DataFrame:
     """Daily realized volatility per symbol: population stddev of
     log-returns between consecutive trades -- the annualization input

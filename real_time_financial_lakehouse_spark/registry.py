@@ -1796,6 +1796,179 @@ def q_symbol_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_daily_return_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.daily_return_volatility(_events(spark, sf_dir))
 
+# Shared oracle CTE for the bar-based indicators: high/low/close/volume
+# per (symbol, minute), unrounded (indicators quantize at the output
+# boundary only, mirroring operators/finance.py::_minute_bars).
+_BARS_SQL = """
+bars AS (
+    SELECT event_type AS symbol,
+           date_trunc('minute', ts) AS minute_window,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           sum(qty) AS vol
+    FROM (
+        SELECT event_type, ts, value, event_id,
+               (json_extract_string(props, '$.k'))::DOUBLE AS qty,
+               row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    GROUP BY 1, 2
+)
+"""
+
+@register(
+    "atr_14",
+    f"""
+    WITH {_BARS_SQL.strip()},
+    tr AS (
+        SELECT symbol, minute_window,
+               CASE WHEN prev_close IS NULL THEN high - low
+                    ELSE greatest(high - low, abs(high - prev_close),
+                                  abs(low - prev_close)) END AS tr
+        FROM (SELECT *, lag(close) OVER (PARTITION BY symbol
+                                         ORDER BY minute_window) AS prev_close
+              FROM bars)
+    )
+    SELECT symbol, minute_window,
+           {_q('tr', 6)} AS true_range,
+           CASE WHEN count(*) OVER w = 14
+                THEN {_q('avg(tr) OVER w', 6)} END AS atr
+    FROM tr
+    WINDOW w AS (PARTITION BY symbol ORDER BY minute_window
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ORDER BY symbol, minute_window
+    """,
+)
+def q_atr_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.atr(_events(spark, sf_dir), n=14)
+
+@register(
+    "stochastic_oscillator",
+    f"""
+    WITH {_BARS_SQL.strip()},
+    k AS (
+        SELECT symbol, minute_window,
+               CASE WHEN cnt = 14 AND high_n != low_n
+                    THEN 100.0 * (close - low_n) / (high_n - low_n) END AS k_raw
+        FROM (
+            SELECT symbol, minute_window, close,
+                   min(low) OVER w AS low_n,
+                   max(high) OVER w AS high_n,
+                   count(*) OVER w AS cnt
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY minute_window
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+    )
+    SELECT symbol, minute_window,
+           {_q('k_raw', 6)} AS pct_k,
+           CASE WHEN count(k_raw) OVER d = 3
+                THEN {_q('avg(k_raw) OVER d', 6)} END AS pct_d
+    FROM k
+    WINDOW d AS (PARTITION BY symbol ORDER BY minute_window
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY symbol, minute_window
+    """,
+)
+def q_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.stochastic_oscillator(_events(spark, sf_dir), n=14, d=3)
+
+@register(
+    "obv",
+    f"""
+    WITH {_BARS_SQL.strip()},
+    s AS (
+        SELECT symbol, minute_window,
+               CASE WHEN delta > 0 THEN vol
+                    WHEN delta < 0 THEN -vol
+                    ELSE 0.0 END AS signed_vol
+        FROM (SELECT *, close - lag(close) OVER (PARTITION BY symbol
+                                                 ORDER BY minute_window) AS delta
+              FROM bars)
+    )
+    SELECT symbol, minute_window,
+           {_q('sum(signed_vol) OVER (PARTITION BY symbol ORDER BY minute_window ROWS UNBOUNDED PRECEDING)', 6)} AS obv
+    FROM s
+    ORDER BY symbol, minute_window
+    """,
+)
+def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.on_balance_volume(_events(spark, sf_dir))
+
+@register(
+    "beta_vs_market",
+    f"""
+    WITH {_BARS_SQL.strip()},
+    rets AS (
+        SELECT symbol, minute_window, close / prev - 1.0 AS r
+        FROM (SELECT *, lag(close) OVER (PARTITION BY symbol
+                                         ORDER BY minute_window) AS prev
+              FROM bars)
+        WHERE prev IS NOT NULL AND prev != 0
+    ),
+    mkt AS (SELECT minute_window, avg(r) AS m FROM rets GROUP BY 1),
+    j AS (SELECT rets.symbol, rets.r, mkt.m
+          FROM rets JOIN mkt USING (minute_window))
+    SELECT symbol,
+           CASE WHEN var_pop(m) != 0
+                THEN {_q('covar_pop(r, m) / var_pop(m)', 6)} END AS beta,
+           {_q('corr(r, m)', 6)} AS corr_mkt,
+           count(*) AS n_minutes
+    FROM j
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_beta_vs_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.beta_vs_market(_events(spark, sf_dir))
+
+_MACD_F = "(2.0 / 13.0)"
+_MACD_S = "(2.0 / 27.0)"
+_MACD_SIG = "(2.0 / 10.0)"
+# same single linear fold as the Spark side: accumulator (e12, e26, sig),
+# identical expression text so the IEEE sequences agree.  A DOUBLE[3]
+# accumulator, NOT a struct: DuckDB 1.0's list_reduce mis-evaluates
+# repeated subexpressions against struct accumulators (the 'sig' field's
+# copy of the e12 recurrence reads an already-overwritten slot from the
+# third element on); the list accumulator folds correctly.
+_MACD_E12 = f"{_MACD_F} * x[1] + (1.0 - {_MACD_F}) * acc[1]"
+_MACD_E26 = f"{_MACD_S} * x[1] + (1.0 - {_MACD_S}) * acc[2]"
+_MACD_FOLD = f"""
+    list_reduce(
+        list_transform(vals, v -> [v, v, 0.0::DOUBLE]),
+        (acc, x) -> [{_MACD_E12},
+                     {_MACD_E26},
+                     {_MACD_SIG} * (({_MACD_E12}) - ({_MACD_E26}))
+                     + (1.0 - {_MACD_SIG}) * acc[3]])
+"""
+
+@register(
+    "macd_summary",
+    f"""
+    WITH bars AS ({_OHLC_CLOSE_SQL}),
+    g AS (
+        SELECT symbol, list(close_price ORDER BY minute_window) AS vals
+        FROM bars GROUP BY 1
+    ),
+    m AS (
+        SELECT symbol, len(vals) AS n_bars, {_MACD_FOLD} AS st
+        FROM g
+    )
+    SELECT symbol, n_bars,
+           {_q('st[1]', 6)} AS ema_fast,
+           {_q('st[2]', 6)} AS ema_slow,
+           {_q('st[1] - st[2]', 6)} AS macd,
+           {_q('st[3]', 6)} AS signal,
+           {_q('(st[1] - st[2]) - st[3]', 6)} AS histogram
+    FROM m
+    ORDER BY symbol
+    """,
+)
+def q_macd_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.macd_summary(_events(spark, sf_dir))
+
 @register(
     "user_state_history",
     """
