@@ -393,3 +393,32 @@ def daily_return_volatility(events: DataFrame) -> DataFrame:
         )
         .orderBy("symbol", "day")
     )
+
+def donchian_channels(events: DataFrame, n: int = 20) -> DataFrame:
+    """Donchian channels over minute bars: the n-bar rolling extreme band
+    (upper = max high, lower = min low), its midline, and the close's
+    position within the band (0 = at the low, 1 = at the high) --
+    emitted only where the window is full, position additionally guarded
+    against a zero-range band.
+
+    Scale: same bar-cardinality posture as ATR/stochastic -- one
+    exchange on the symbol, a single ROWS-bounded frame feeding all four
+    outputs, O(n) state per task."""
+    bars = _minute_bars(events)
+    w = Window.partitionBy("symbol").orderBy("minute_window")
+    frame = w.rowsBetween(-(n - 1), 0)
+    upper = F.max("high").over(frame)
+    lower = F.min("low").over(frame)
+    cnt = F.count(F.lit(1)).over(frame)
+    full = cnt == n
+    pos = F.when(
+        full & (upper != lower), (F.col("close") - lower) / (upper - lower)
+    )
+    return bars.select(
+        "symbol",
+        "minute_window",
+        F.when(full, qround(upper, 6)).alias("upper_band"),
+        F.when(full, qround(lower, 6)).alias("lower_band"),
+        F.when(full, qround((upper + lower) / F.lit(2.0), 6)).alias("mid_band"),
+        qround(pos, 6).alias("channel_pos"),
+    ).orderBy("symbol", "minute_window")

@@ -238,3 +238,37 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
         F.size("v").alias("dim"),
         (F.floor(_norm("v") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("l2_norm"),
     ).orderBy("vec_id")
+
+def cluster_assign(embeddings: DataFrame, n_clusters: int = 8) -> DataFrame:
+    """Deterministic nearest-centroid cluster assignment: the first
+    ``n_clusters`` vectors (by vec_id) act as frozen seed centroids and
+    every vector joins its L2-nearest seed -- the assignment step of
+    k-means (and of IVF list-building) isolated as an exactly-checkable
+    query, complementing the learned-codebook path (``fit_codebook``)
+    whose floating k-means fit is checked by recall instead.
+
+    Scale: the centroid side is ``n_clusters`` rows -- broadcast; the
+    candidate scan streams through one narrow crossJoin (N x C rows of
+    (id, cluster, distance), never materialized wider than the winner
+    after the per-vector top-1 window).  Distances are quantized before
+    the argmin so the rank is engine-stable; tie-break on the smaller
+    cluster id."""
+    emb = _spread(embeddings).select("vec_id", _as_double("embedding").alias("v"))
+    seeds = emb.filter(F.col("vec_id") < n_clusters).select(
+        F.col("vec_id").alias("cluster_id"), F.col("v").alias("c")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+    )
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cluster_id",
+        (F.floor(F.sqrt(d2) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cluster_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", "dist")
+        .orderBy("vec_id")
+    )

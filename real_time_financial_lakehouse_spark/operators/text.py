@@ -363,3 +363,85 @@ def token_length_histogram(documents: DataFrame, bucket_width: int = 10) -> Data
             F.sum("n_docs").over(w).cast("double") / F.sum("n_docs").over(total)
         ).alias("cum_doc_frac"),
     ).orderBy("bucket_start")
+
+def word_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document token Shannon entropy and type-token ratio -- the
+    information-density screens a corpus filter runs alongside the
+    length/punctuation gates (low entropy = boilerplate / keyword spam,
+    TTR near 0 = mass repetition).
+
+    Entropy uses the count identity ``H = ln(N) - sum(c*ln c)/N`` so one
+    grouped pass over per-term counts suffices (no second join against
+    doc totals).
+
+    Scale: explode projects ONLY (doc_id, term) -- no payload
+    duplication; both groupBys partial-aggregate map-side, and the final
+    aggregation is per-doc (uniform key domain, no hot key).  All math
+    is JVM codegen; quantization at the output boundary only."""
+    terms = (
+        _spread(documents.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") >= 1)
+    )
+    counts = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_terms"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("clogc"),
+    )
+    ent = F.log(F.col("n_terms")) - F.col("clogc") / F.col("n_terms")
+    return per_doc.select(
+        "doc_id",
+        "n_terms",
+        "n_types",
+        qround(ent, 6).alias("entropy"),
+        qround(F.col("n_types") / F.col("n_terms"), 6).alias("type_token_ratio"),
+    ).orderBy("doc_id")
+
+def tf_idf_terms(documents: DataFrame, topn: int = 3) -> DataFrame:
+    """Per-document top-``topn`` TF-IDF terms -- the keyword-extraction
+    pass a corpus profiler runs for topic auditing and duplicate-source
+    triage.  ``tf = c / doc_len``, ``idf = ln(N / df)``, deterministic
+    tie-break (score desc, term asc).
+
+    Scale: term counts partial-aggregate before their shuffle; doc
+    length reuses the counts frame via a doc-partitioned window (no
+    second scan); the document-frequency side collapses to |vocab| rows
+    (broadcastable for bounded vocabularies, AQE-planned otherwise); the
+    corpus size N is a 1-row broadcast.  The final top-N window sees
+    only a doc's own vocabulary."""
+    terms = (
+        _spread(documents.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") >= 3)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    tf = tf.withColumn("doc_len", F.sum("c").over(Window.partitionBy("doc_id")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            qround(
+                (F.col("c") / F.col("doc_len"))
+                * F.log(F.col("n_docs") / F.col("df")),
+                6,
+            ).alias("tf_idf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf_idf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topn)
+        .select("doc_id", "rank", "term", "tf_idf")
+        .orderBy("doc_id", "rank")
+    )

@@ -1970,6 +1970,32 @@ def q_macd_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.macd_summary(_events(spark, sf_dir))
 
 @register(
+    "donchian_channels",
+    f"""
+    WITH {_BARS_SQL.strip()},
+    ch AS (
+        SELECT symbol, minute_window, close,
+               max(high) OVER w AS upper_raw,
+               min(low) OVER w AS lower_raw,
+               count(*) OVER w AS cnt
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY minute_window
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, minute_window,
+           CASE WHEN cnt = 20 THEN {_q('upper_raw', 6)} END AS upper_band,
+           CASE WHEN cnt = 20 THEN {_q('lower_raw', 6)} END AS lower_band,
+           CASE WHEN cnt = 20 THEN {_q('(upper_raw + lower_raw) / 2.0', 6)} END AS mid_band,
+           CASE WHEN cnt = 20 AND upper_raw != lower_raw
+                THEN {_q('(close - lower_raw) / (upper_raw - lower_raw)', 6)} END AS channel_pos
+    FROM ch
+    ORDER BY symbol, minute_window
+    """,
+)
+def q_donchian_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.donchian_channels(_events(spark, sf_dir), n=20)
+
+@register(
     "user_state_history",
     """
     WITH s AS (

@@ -786,3 +786,115 @@ _MIX_HASH = md5_long_sql("concat_ws(':', 'mix', doc_id)")
 )
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.mixture_sample(_docs(spark, sf_dir))
+
+# ---------------------------------------------------------------------------
+# Round-2 widening: entropy profiling, TF-IDF keywords, incremental dedup,
+# seeded nearest-centroid assignment.
+# ---------------------------------------------------------------------------
+
+@register(
+    "word_entropy",
+    f"""
+    WITH counts AS (
+        SELECT doc_id, term, count(*)::BIGINT AS c
+        FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+              FROM documents)
+        WHERE length(term) >= 1
+        GROUP BY 1, 2
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               sum(c)::BIGINT AS n_terms,
+               count(*)::BIGINT AS n_types,
+               sum(c * ln(c)) AS clogc
+        FROM counts
+        GROUP BY 1
+    )
+    SELECT doc_id, n_terms, n_types,
+           {qround_sql("ln(n_terms) - clogc / n_terms")} AS entropy,
+           {qround_sql("n_types::DOUBLE / n_terms")} AS type_token_ratio
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.word_entropy(_docs(spark, sf_dir))
+
+@register(
+    "tf_idf_terms",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, term, count(*)::BIGINT AS c
+        FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+              FROM documents)
+        WHERE length(term) >= 3
+        GROUP BY 1, 2
+    ),
+    tfl AS (SELECT *, sum(c) OVER (PARTITION BY doc_id) AS doc_len FROM tf),
+    df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, tfl.term,
+               {qround_sql("(c::DOUBLE / doc_len) * ln(n_docs::DOUBLE / df)")} AS tf_idf
+        FROM tfl JOIN df USING (term), n
+    )
+    SELECT doc_id, rank, term, tf_idf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tf_idf DESC, term) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def q_tf_idf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tf_idf_terms(_docs(spark, sf_dir), topn=3)
+
+@register(
+    "incremental_dedup",
+    f"""
+    WITH tagged AS (
+        SELECT doc_id,
+               {md5_long_sql(_NORM_SQL)} AS fingerprint,
+               {md5_long_sql("concat_ws(':', 'delta', doc_id)")} % 5 = 0 AS is_delta
+        FROM documents
+    ),
+    base AS (SELECT DISTINCT fingerprint FROM tagged WHERE NOT is_delta),
+    delta_first AS (
+        SELECT fingerprint, min(doc_id) AS doc_id
+        FROM tagged WHERE is_delta
+        GROUP BY 1
+    )
+    SELECT doc_id, fingerprint
+    FROM delta_first d
+    WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.fingerprint = d.fingerprint)
+    ORDER BY doc_id
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.incremental_dedup(_docs(spark, sf_dir), delta_mod=5)
+
+@register(
+    "cluster_assign",
+    f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS cluster_id, v AS c FROM emb WHERE vec_id < 8),
+    scored AS (
+        SELECT e.vec_id, s.cluster_id,
+               floor(sqrt(list_sum(list_transform(generate_series(1, len(e.v)),
+                                                  i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i]))))
+                     * 1000000.0 + 0.5) / 1000000.0 AS dist
+        FROM emb e CROSS JOIN seeds s
+    )
+    SELECT vec_id, cluster_id, dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist ASC, cluster_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cluster_assign(_emb(spark, sf_dir), n_clusters=8)

@@ -296,3 +296,45 @@ def test_pack_sequences_ships_only_ints_to_python(spark):
     )
     assert "text" not in pandas_node
     assert "n_tokens" in pandas_node
+
+def test_cluster_assign_broadcasts_seeds(spark):
+    """cluster_assign: the seed side is C rows and must broadcast; the
+    N x C expansion is a nested-loop over the broadcast, never a
+    shuffle-side cartesian."""
+    from real_time_financial_lakehouse_spark.operators import similarity
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _plan(similarity.cluster_assign(emb))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+def test_donchian_single_symbol_exchange(spark):
+    """donchian_channels: one hash exchange for the bar rollup + one for
+    the symbol window -- all four band outputs share the single frame."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    plan = _plan(finance.donchian_channels(ev))
+    assert plan.count("Exchange hashpartitioning") == 2  # agg + window
+
+def test_incremental_dedup_is_anti_join_no_expansion(spark):
+    """incremental_dedup: a LEFT ANTI equi-join on the fingerprint --
+    no pair expansion, no nested loop."""
+    from real_time_financial_lakehouse_spark.operators import dedup
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(dedup.incremental_dedup(docs))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+def test_tf_idf_counts_exchange_reused_at_runtime(spark):
+    """tf_idf_terms: the tf and df sides both derive from the identical
+    (doc_id, term) count exchange; AQE must reuse it at runtime so the
+    explode+count pass -- the trade-cardinality cost -- executes once."""
+    from real_time_financial_lakehouse_spark.operators import text
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = text.tf_idf_terms(docs)
+    df.collect()
+    assert "ReusedExchange" in _plan(df)
