@@ -32,19 +32,26 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # The events fixture stores TIMESTAMP(NANOS), which the parquet
-        # reader rejects unless nanos are surfaced as long.  Set at runtime
-        # so the engine also works on sessions it didn't build (the
-        # correctness driver constructs its own plain SparkSession).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Pin semantics at read time so the engine behaves identically on
+    # sessions it didn't build (the correctness driver constructs its own
+    # plain SparkSession): UTC wall-clock, and tolerate either fixture
+    # vintage -- TIMESTAMP(NANOS) (rounds 1-2) or plain microsecond
+    # NTZ-annotated timestamps (round 3 regeneration).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos long -> microsecond timestamp.  Integer DIV, not `/`: the
         # nano epoch (~1.7e18) exceeds double's exact-integer range, so
         # float division would drift by microseconds.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # NTZ-annotated fixture timestamps read back as TIMESTAMP_NTZ, which
+    # breaks instant-typed functions (unix_millis, to_utc_timestamp) and
+    # streaming watermarks.  With the session pinned to UTC the cast
+    # preserves the wall-clock, so results match DuckDB's naive reads.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

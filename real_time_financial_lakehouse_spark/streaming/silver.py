@@ -104,17 +104,32 @@ def run_silver_stream(
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
 
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """True when the events fixture stores TIMESTAMP(NANOS) (rounds 1-2
+    vintage), which Spark's parquet reader only surfaces as a long."""
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+        return str(t) == "timestamp[ns]"
+    except Exception:
+        return False
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming view of the events fixture (the bronze stand-in): file
-    source over the parquet with the catalog's nanos handling."""
+    source over the parquet, tolerant of either fixture vintage
+    (TIMESTAMP(NANOS) long-surfaced, or plain microsecond timestamps)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     from pyspark.sql import types as T
 
+    nanos = _events_ts_is_nanos(sf_dir)
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) surfaces as long
+            T.StructField("ts", T.LongType() if nanos else T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -128,7 +143,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
 
 def silver_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the real streaming pipeline (availableNow) over the events
