@@ -267,3 +267,36 @@ def contamination_check(
         )
         .orderBy("doc_id")
     )
+
+def chunk_documents(documents: DataFrame, width: int = 200, stride: int = 150) -> DataFrame:
+    """Split each document into overlapping character windows -- the
+    context-window chunking step every embedding / retrieval / pretraining
+    pipeline runs before tokenization.  Chunk i covers
+    ``[i*stride, i*stride + width)``; the last chunk is the first one whose
+    window reaches the end of the text, so every character lands in at
+    least one chunk and consecutive chunks overlap by ``width - stride``.
+
+    Scale: pure projection + explode -- no shuffle, no UDF, and the fan-out
+    factor is ~len/stride per doc, so output size is a constant multiple of
+    input size regardless of cluster width.  At 100 TB the chunk count per
+    task stays proportional to the task's input split; nothing concentrates.
+    (Token-budget packing of these chunks is ``pack_sequences``.)"""
+    n = F.length("text")
+    last_chunk = F.when(n <= width, F.lit(0)).otherwise(
+        F.ceil((n - F.lit(width)).cast("double") / F.lit(float(stride)))
+    )
+    return (
+        documents.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), last_chunk.cast("int"))).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("chunk_id") * stride + 1).cast("long").alias("char_start"),
+            F.expr(f"substr(text, chunk_id * {stride} + 1, {width})").alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+        .orderBy("doc_id", "chunk_id")
+    )

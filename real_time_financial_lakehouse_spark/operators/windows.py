@@ -301,3 +301,25 @@ def user_state_history(events: DataFrame) -> DataFrame:
         "n_events",
         nxt.isNull().alias("is_current"),
     ).orderBy("user_id", "run_id")
+
+def order_rank_percentiles(orders: DataFrame) -> DataFrame:
+    """Distribution-rank analytics over orders: percent_rank and cume_dist
+    of each order's total price within its priority class, plus the decile
+    (ntile 10).  Completes the ranking-window surface next to
+    row_number/rank/dense_rank (top_orders_per_customer).
+
+    Scale: one shuffle on o_orderpriority (5 partitions -- skewed by
+    design, same shape as any low-cardinality ranking); at 100 TB the
+    ranking itself is the bottleneck, and the fix is pre-aggregating to
+    the granularity the ranks are consumed at (here: cents) before the
+    window, or computing approximate ranks from a KLL sketch
+    (value_percentiles_approx shows that path)."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        qround(F.percent_rank().over(w), 6).alias("price_percent_rank"),
+        qround(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+        F.ntile(10).over(w).cast("long").alias("price_decile"),
+    ).orderBy("o_orderpriority", "o_totalprice", "o_orderkey")

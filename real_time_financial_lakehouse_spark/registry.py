@@ -2027,6 +2027,55 @@ def q_donchian_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.user_state_history(_events(spark, sf_dir))
 
+@register(
+    "order_rank_percentiles",
+    f"""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           {{pr}} AS price_percent_rank,
+           {{cd}} AS price_cume_dist,
+           ntile(10) OVER w AS price_decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderpriority, o_totalprice, o_orderkey
+    """.format(
+        pr="floor((percent_rank() OVER w) * 1000000.0 + 0.5) / 1000000.0",
+        cd="floor((cume_dist() OVER w) * 1000000.0 + 0.5) / 1000000.0",
+    ),
+)
+def q_order_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.order_rank_percentiles(_t(spark, sf_dir, "orders"))
+
+# Chained streaming windows: same watermark-finalization filter idiom as
+# streaming_tumbling_counts -- only 5-minute bars sealed by the final
+# watermark (max event time - 1 minute) are emitted in append mode.
+@register(
+    "streaming_windowed_rollup",
+    """
+    WITH minute AS (
+        SELECT make_timestamp((epoch_us(ts) // 60000000) * 60000000) AS m_start,
+               event_type AS symbol,
+               count(*) AS n_events,
+               sum(value) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    ),
+    five AS (
+        SELECT make_timestamp((epoch_us(m_start) // 300000000) * 300000000) AS window_start,
+               symbol,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               count(*) AS n_minutes,
+               floor(sum(sum_value) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM minute
+        GROUP BY 1, 2
+    )
+    SELECT * FROM five
+    WHERE window_start + INTERVAL 5 MINUTE <= (SELECT max(ts) - INTERVAL 1 MINUTE FROM events)
+    ORDER BY 1, 2
+    """,
+)
+def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_silver.streaming_windowed_rollup(spark, sf_dir)
+
 # LLM-data-pipeline registrations (dedup / similarity / text / multimodal)
 from . import registry_llmdata  # noqa: E402,F401
 

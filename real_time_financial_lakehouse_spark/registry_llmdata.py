@@ -73,9 +73,9 @@ _BAND_HASH_CASES = " ".join(
     for b in range(_BANDS)
 )
 
-@register(
-    "lsh_candidate_pairs",
-    f"""
+# Shared by lsh_candidate_pairs and edit_distance_pairs (no ORDER BY so it
+# can be re-used as a CTE body).
+_LSH_PAIRS_SQL = f"""
     WITH sigs AS (
         SELECT doc_id,
                {_MH_COLS_SQL}
@@ -97,8 +97,11 @@ _BAND_HASH_CASES = " ".join(
     FROM capped a
     JOIN capped b
       ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-    ORDER BY 1, 2
-    """,
+"""
+
+@register(
+    "lsh_candidate_pairs",
+    _LSH_PAIRS_SQL + "    ORDER BY 1, 2\n    ",
 )
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(_docs(spark, sf_dir), k=_K, bands=_BANDS)
@@ -898,3 +901,55 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cluster_assign(_emb(spark, sf_dir), n_clusters=8)
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: chunking + edit-distance verification
+# ---------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_S = 200, 150
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    c AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0,
+                   CASE WHEN n <= {_CHUNK_W} THEN 0
+                        ELSE CAST(ceil((n - {_CHUNK_W}) / CAST({_CHUNK_S} AS DOUBLE)) AS BIGINT)
+                   END)) AS chunk_id
+        FROM d
+    )
+    SELECT doc_id, chunk_id,
+           chunk_id * {_CHUNK_S} + 1 AS char_start,
+           substr(text, CAST(chunk_id * {_CHUNK_S} + 1 AS INTEGER), {_CHUNK_W}) AS chunk_text,
+           length(substr(text, CAST(chunk_id * {_CHUNK_S} + 1 AS INTEGER), {_CHUNK_W})) AS chunk_len
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.chunk_documents(_docs(spark, sf_dir), width=_CHUNK_W, stride=_CHUNK_S)
+
+_EDIT_SIM_SQL = qround_sql(
+    "1.0 - levenshtein(a.norm_text, b.norm_text)"
+    " / CAST(greatest(length(a.norm_text), length(b.norm_text)) AS DOUBLE)",
+    6,
+)
+
+@register(
+    "edit_distance_pairs",
+    f"""
+    WITH pairs AS ({_LSH_PAIRS_SQL}),
+    norm AS (SELECT doc_id, {_NORM_SQL} AS norm_text FROM documents)
+    SELECT p.doc_a, p.doc_b,
+           levenshtein(a.norm_text, b.norm_text) AS edit_distance,
+           {_EDIT_SIM_SQL} AS edit_similarity
+    FROM pairs p
+    JOIN norm a ON p.doc_a = a.doc_id
+    JOIN norm b ON p.doc_b = b.doc_id
+    ORDER BY 1, 2
+    """,
+)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.edit_distance_pairs(_docs(spark, sf_dir), k=_K, bands=_BANDS)

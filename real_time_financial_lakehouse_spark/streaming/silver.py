@@ -272,3 +272,57 @@ def streaming_dedup_watermarked_roundtrip(spark: SparkSession, sf_dir: str) -> D
     return spark.read.parquet(out_dir).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+def streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained event-time window aggregation in ONE streaming query:
+    per-minute bars re-aggregated into 5-minute bars by windowing over the
+    first aggregation's window column (supported since Spark 3.4).  This
+    is the streaming form of the medallion minute->bar rollup that would
+    otherwise take two jobs and an intermediate table.
+
+    Scale: both levels keep watermark-bounded state; the second level's
+    input is already minute-granular (5 orders of magnitude smaller than
+    the raw stream), so the rollup state is negligible.  Emission is
+    append-mode: a 5-minute bar is written exactly once, when the
+    watermark passes its end -- deterministic and oracle-checkable.
+
+    Sum-of-sums re-association: total_value is rounded only at the final
+    level, same tolerance class as AQE partial aggregation."""
+
+    from ..functions.numeric import qround
+
+    out_dir = scratch_dir("rtfl_rollup_out_")
+    ckpt_dir = scratch_dir("rtfl_rollup_ckpt_")
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark) as ss:
+        ev = events_stream(ss, sf_dir).withWatermark("ts", "1 minute")
+        minute = ev.groupBy(F.window("ts", "1 minute"), "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        five = (
+            minute.groupBy(F.window("window", "5 minutes"), "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.count(F.lit(1)).alias("n_minutes"),
+                qround(F.sum("sum_value"), 2).alias("total_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("event_type").alias("symbol"),
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("n_minutes").cast("long").alias("n_minutes"),
+                "total_value",
+            )
+        )
+        q = (
+            five.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("window_start", "symbol")

@@ -1,0 +1,118 @@
+"""Semantic tests for the round-3 operators: document chunking,
+edit-distance verification of LSH candidates, rank percentiles, chained
+streaming window rollup -- planted-structure properties the oracle-parity
+check can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_financial_lakehouse_spark.catalog import load_table
+from real_time_financial_lakehouse_spark.operators import dedup, pipeline, windows
+
+from conftest import SF_SMOKE
+
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows], DOC_COLS
+    )
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+def test_chunks_cover_every_character_with_exact_overlap(spark):
+    text_330 = "x" * 330  # chunks: [0,200), [150,350)->len 180
+    text_short = "short"
+    out = pipeline.chunk_documents(
+        _docs(spark, [(0, text_330), (1, text_short)]), width=200, stride=150
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    assert [r["char_start"] for r in c0] == [1, 151]
+    assert [r["chunk_len"] for r in c0] == [200, 180]
+    # last char covered: 151 + 180 - 1 == 330
+    assert c0[-1]["char_start"] + c0[-1]["chunk_len"] - 1 == 330
+    # overlap region identical in both chunks
+    assert c0[0]["chunk_text"][150:] == c0[1]["chunk_text"][:50]
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == "short"
+
+
+def test_chunk_fanout_is_len_over_stride(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = pipeline.chunk_documents(docs).count()
+    expected = docs.select(
+        F.sum(
+            F.when(F.length("text") <= 200, F.lit(1)).otherwise(
+                F.ceil((F.length("text") - 200).cast("double") / 150.0) + 1
+            )
+        )
+    ).collect()[0][0]
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_pairs
+# ---------------------------------------------------------------------------
+
+def test_edit_distance_zero_for_exact_dups_and_small_for_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [(0, base), (1, base), (2, base.replace("lazy", "hazy")), (3, "totally different content here")]
+    out = {(r["doc_a"], r["doc_b"]): r for r in dedup.edit_distance_pairs(_docs(spark, rows)).collect()}
+    assert out[(0, 1)]["edit_distance"] == 0
+    assert out[(0, 1)]["edit_similarity"] == 1.0
+    # near-dup: 3 chars of 'lazy'->'hazy' edits (x3 repeats)
+    assert 0 < out[(0, 2)]["edit_distance"] <= 3
+    assert out[(0, 2)]["edit_similarity"] > 0.9
+    # the unrelated doc never survives banding
+    assert not any(3 in pair for pair in out)
+
+
+def test_edit_similarity_bounded(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = dedup.edit_distance_pairs(docs)
+    bad = out.filter((F.col("edit_similarity") < 0) | (F.col("edit_similarity") > 1)).count()
+    assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# order_rank_percentiles
+# ---------------------------------------------------------------------------
+
+def test_rank_percentiles_bounds_and_monotonicity(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    out = windows.order_rank_percentiles(orders)
+    rows = out.filter(F.col("o_orderpriority") == "1-URGENT").collect()
+    assert rows, "fixture should have urgent orders"
+    prs = [r["price_percent_rank"] for r in rows]
+    cds = [r["price_cume_dist"] for r in rows]
+    assert prs[0] == 0.0 and max(prs) <= 1.0
+    assert all(a <= b for a, b in zip(cds, cds[1:])), "cume_dist monotone in price order"
+    assert cds[-1] == 1.0
+    deciles = {r["price_decile"] for r in rows}
+    assert deciles == set(range(1, 11))
+
+
+# ---------------------------------------------------------------------------
+# streaming_windowed_rollup
+# ---------------------------------------------------------------------------
+
+def test_streaming_rollup_minutes_bounded_and_consistent(spark):
+    from real_time_financial_lakehouse_spark.streaming.silver import (
+        streaming_windowed_rollup,
+    )
+
+    out = streaming_windowed_rollup(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows, "rollup should emit sealed 5-minute bars"
+    assert all(1 <= r["n_minutes"] <= 5 for r in rows)
+    assert all(r["n_events"] >= r["n_minutes"] for r in rows)
+    # 5-minute alignment
+    assert all(r["window_start"].minute % 5 == 0 and r["window_start"].second == 0 for r in rows)
