@@ -72,3 +72,94 @@ def user_zscores(events: DataFrame) -> DataFrame:
         .applyInPandas(_zscore_bucket, schema=ZSCORE_SCHEMA)
         .orderBy("event_id")
     )
+
+# ---------------------------------------------------------------------------
+# §2.10 completion: pandas UDAF + Python UDTF surfaces
+# ---------------------------------------------------------------------------
+
+# Plain module-level kernels (no pandas_udf decoration at import time:
+# UDTF workers re-import this module, and constructing a pandas UDF there
+# fails -- the wrapping happens inside the operator functions instead).
+
+def _wavg_kernel(v: pd.Series, w: pd.Series) -> float:
+    # Arrow grouped-aggregate kernel: whole group's columns arrive as
+    # pandas Series, returns one scalar per group.
+    return float((v * w).sum() / w.sum())
+
+def _count_kernel(v: pd.Series) -> int:
+    return len(v)
+
+def weighted_symbol_price(events: DataFrame) -> DataFrame:
+    """Weighted average price per symbol via a grouped-aggregate pandas
+    UDAF -- the SURVEY §2.10 UDAF surface, pinned with an exact SQL twin
+    (``sum(value*w)/sum(w)`` with deterministic weights ``event_id%10+1``)
+    the same way ``user_zscores`` pins applyInPandas.
+
+    Scale: grouped-agg pandas UDFs do NO map-side partial aggregation --
+    every group's full columns ship through Arrow to a Python worker.
+    That is acceptable for per-symbol/per-user group sizes and dead wrong
+    for near-global groups; the built-in ratio-of-sums form (the oracle
+    twin) is the 100 TB default, and this query exists to keep the UDAF
+    plumbing exact where a custom kernel (no SQL equivalent) would need
+    it."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.numeric import qround
+
+    # All aggregates in one agg() must be pandas UDAFs (Spark rejects
+    # mixing grouped-agg pandas UDFs with built-in aggregates), so the
+    # row count is a pandas kernel too.
+    wavg = pandas_udf(_wavg_kernel, "double")
+    cnt = pandas_udf(_count_kernel, "long")
+    w = ((F.col("event_id") % 10) + 1).cast("double")
+    return (
+        events.select(F.col("event_type").alias("symbol"), "value", w.alias("w"))
+        .groupBy("symbol")
+        .agg(
+            qround(wavg("value", "w"), 6).alias("weighted_price"),
+            cnt("value").alias("n_events"),
+        )
+        .orderBy("symbol")
+    )
+
+# Python UDTF (Arrow-batched): one input row -> one output row per term.
+TERM_POSITIONS_SCHEMA = "doc_id bigint, pos int, term string, term_len int"
+
+class _TermPositions:
+    def eval(self, doc_id, norm_text):
+        # Input text is pre-normalized JVM-side (functions.hashing
+        # .normalize_text) so Python string semantics never leak into
+        # oracle-compared values; the kernel only splits and enumerates.
+        if norm_text is None or norm_text == "":
+            return
+        for i, t in enumerate(norm_text.split(" ")):
+            yield doc_id, i + 1, t, len(t)
+
+def term_positions(spark, documents: DataFrame) -> DataFrame:
+    """Positional term expansion via a Python UDTF with a LATERAL join --
+    the SURVEY §2.10 UDTF surface.  Covers the table-function API shape
+    (per-row generator, declared schema, SQL LATERAL correlation).
+
+    Scale: a Python row generator is the slow path; the JVM-built-in twin
+    is ``posexplode(split(norm_text, ' '))`` and is what a 100 TB corpus
+    should run (the oracle SQL is exactly that form).  The UDTF here is
+    Arrow-batched (``useArrow=True``) so the boundary cost is per-batch,
+    not per-row, and the expansion is embarrassingly parallel -- no
+    shuffle, output proportional to input."""
+    from pyspark.sql.functions import udtf
+
+    from ..functions.hashing import normalize_text
+
+    tp = udtf(_TermPositions, returnType=TERM_POSITIONS_SCHEMA, useArrow=True)
+    spark.udtf.register("rtfl_term_positions", tp)
+    documents.select(
+        "doc_id", normalize_text(F.col("text")).alias("norm_text")
+    ).createOrReplaceTempView("rtfl_term_positions_src")
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.pos, t.term, t.term_len
+        FROM rtfl_term_positions_src d,
+             LATERAL rtfl_term_positions(d.doc_id, d.norm_text) t
+        ORDER BY t.doc_id, t.pos
+        """
+    )

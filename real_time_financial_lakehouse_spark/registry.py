@@ -2076,6 +2076,22 @@ def q_order_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_silver.streaming_windowed_rollup(spark, sf_dir)
 
+@register(
+    "weighted_symbol_price",
+    """
+    SELECT event_type AS symbol,
+           floor(sum(value * w) / sum(w) * 1000000.0 + 0.5) / 1000000.0 AS weighted_price,
+           count(*) AS n_events
+    FROM (SELECT event_type, value, CAST(event_id % 10 + 1 AS DOUBLE) AS w FROM events)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_weighted_symbol_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import grouped
+
+    return grouped.weighted_symbol_price(_events(spark, sf_dir))
+
 # LLM-data-pipeline registrations (dedup / similarity / text / multimodal)
 from . import registry_llmdata  # noqa: E402,F401
 

@@ -953,3 +953,19 @@ _EDIT_SIM_SQL = qround_sql(
 )
 def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.edit_distance_pairs(_docs(spark, sf_dir), k=_K, bands=_BANDS)
+
+@register(
+    "term_positions",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS pos, t[i] AS term, length(t[i]) AS term_len
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s
+    ORDER BY doc_id, pos
+    """,
+)
+def q_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import grouped
+
+    return grouped.term_positions(spark, _docs(spark, sf_dir))

@@ -116,3 +116,44 @@ def test_streaming_rollup_minutes_bounded_and_consistent(spark):
     assert all(r["n_events"] >= r["n_minutes"] for r in rows)
     # 5-minute alignment
     assert all(r["window_start"].minute % 5 == 0 and r["window_start"].second == 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# §2.10 surfaces: pandas UDAF + Python UDTF
+# ---------------------------------------------------------------------------
+
+def test_weighted_symbol_price_matches_builtin_ratio(spark):
+    from real_time_financial_lakehouse_spark.operators import grouped
+
+    events = load_table(spark, SF_SMOKE, "events")
+    out = {r["symbol"]: r for r in grouped.weighted_symbol_price(events).collect()}
+    w = ((F.col("event_id") % 10) + 1).cast("double")
+    ref = {
+        r["symbol"]: r
+        for r in events.select(F.col("event_type").alias("symbol"), "value", w.alias("w"))
+        .groupBy("symbol")
+        .agg(
+            (F.sum(F.col("value") * F.col("w")) / F.sum("w")).alias("wp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(out) == set(ref)
+    for s in out:
+        assert out[s]["n_events"] == ref[s]["n"]
+        assert out[s]["weighted_price"] == pytest.approx(ref[s]["wp"], abs=1e-5)
+
+
+def test_term_positions_enumerates_normalized_terms(spark):
+    from real_time_financial_lakehouse_spark.operators import grouped
+
+    docs = _docs(spark, [(0, "  Hello   World "), (1, "a b c")])
+    rows = grouped.term_positions(spark, docs).collect()
+    got = [(r["doc_id"], r["pos"], r["term"], r["term_len"]) for r in rows]
+    assert got == [
+        (0, 1, "hello", 5),
+        (0, 2, "world", 5),
+        (1, 1, "a", 1),
+        (1, 2, "b", 1),
+        (1, 3, "c", 1),
+    ]
