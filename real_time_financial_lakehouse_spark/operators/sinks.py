@@ -68,3 +68,25 @@ def csv_roundtrip(spark: SparkSession, df: DataFrame) -> DataFrame:
     path = os.path.join(scratch_dir("rtfl_csv_"), "out")
     df.write.mode("overwrite").option("header", True).csv(path)
     return spark.read.schema(df.schema).option("header", True).csv(path)
+
+def sorted_export(spark: SparkSession, df: DataFrame, sort_cols: list[str]) -> DataFrame:
+    """Total-order distributed export: ``repartitionByRange`` assigns
+    contiguous key ranges to partitions (one sampling pass builds the
+    range bounds), ``sortWithinPartitions`` orders inside each -- files
+    read back in partition order form one globally sorted dataset WITHOUT
+    funneling every row through a single task.
+
+    Scale: this is how a 100 TB sorted extract actually ships -- a global
+    ``orderBy`` into one output file serializes the write; range
+    partitioning keeps the write parallel at the cost of one extra
+    sampling job.  Skewed sort keys produce skewed ranges; the sampler
+    handles mild skew, degenerate keys (one value dominating) need a
+    salt column appended to the sort key."""
+    path = os.path.join(scratch_dir("rtfl_sorted_"), "out")
+    (
+        df.repartitionByRange(8, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)

@@ -2077,6 +2077,23 @@ def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_silver.streaming_windowed_rollup(spark, sf_dir)
 
 @register(
+    "sorted_export_events",
+    """
+    SELECT event_id, ts, event_type AS symbol, value
+    FROM events
+    ORDER BY symbol, ts, event_id
+    """,
+)
+def q_sorted_export_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", F.col("event_type").alias("symbol"), "value"
+    )
+    out = sinks.sorted_export(spark, ev, ["symbol", "ts", "event_id"])
+    # presentation order for the oracle compare; the physical layout's
+    # global order is asserted in tests/test_round3_ops.py
+    return out.orderBy("symbol", "ts", "event_id")
+
+@register(
     "weighted_symbol_price",
     """
     SELECT event_type AS symbol,

@@ -157,3 +157,41 @@ def test_term_positions_enumerates_normalized_terms(spark):
         (1, 2, "b", 1),
         (1, 3, "c", 1),
     ]
+
+
+# ---------------------------------------------------------------------------
+# sorted_export
+# ---------------------------------------------------------------------------
+
+def test_sorted_export_files_are_range_disjoint_and_internally_sorted(spark):
+    from real_time_financial_lakehouse_spark.operators import sinks
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", F.col("event_type").alias("symbol"), "value"
+    )
+    out = sinks.sorted_export(spark, ev, ["symbol", "event_id"])
+    tagged = out.withColumn("f", F.input_file_name())
+    # per-file key ranges must not overlap (global order across files)
+    ranges = (
+        tagged.groupBy("f")
+        .agg(
+            F.min(F.struct("symbol", "event_id")).alias("lo"),
+            F.max(F.struct("symbol", "event_id")).alias("hi"),
+        )
+        .collect()
+    )
+    spans = sorted(
+        [((r["lo"]["symbol"], r["lo"]["event_id"]), (r["hi"]["symbol"], r["hi"]["event_id"])) for r in ranges]
+    )
+    assert len(spans) > 1, "range partitioning should produce multiple files"
+    for (_lo, prev_hi), (next_lo, _hi) in zip(spans, spans[1:]):
+        assert prev_hi <= next_lo, "file key ranges overlap"
+    # rows inside each file are sorted
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+    seq = tagged.withColumn(
+        "prev", F.lag(F.struct("symbol", "event_id")).over(w)
+    ).filter(F.col("prev").isNotNull())
+    violations = seq.filter(F.col("prev") > F.struct("symbol", "event_id")).count()
+    assert violations == 0

@@ -338,3 +338,30 @@ def test_tf_idf_counts_exchange_reused_at_runtime(spark):
     df = text.tf_idf_terms(docs)
     df.collect()
     assert "ReusedExchange" in _plan(df)
+
+def test_runtime_bloom_filter_reachable_for_selective_dim_join(spark):
+    """Spark injects a runtime bloom filter (dim-side bloom_filter_agg,
+    fact-side might_contain) into shuffle joins with a selective creation
+    side -- the 100 TB semi-join reduction that prunes fact rows BEFORE
+    the exchange.  The fixture sits below the optimizer's size gates
+    (creation < 10 MB is met, application > 10 GB is not), so this test
+    lowers the application-side gate in a child session to prove the
+    engine's configuration leaves the rewrite reachable; at real scale it
+    fires with no code changes."""
+    ss = spark.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    li = load_table(ss, SF_SMOKE, "lineitem")
+    orders = load_table(ss, SF_SMOKE, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    plan = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
