@@ -453,3 +453,65 @@ def edit_distance_pairs(documents: DataFrame, k: int = 8, bands: int = 4) -> Dat
         )
         .orderBy("doc_a", "doc_b")
     )
+
+def simhash_near_pairs(
+    documents: DataFrame,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via Hamming-band bucketing: split the
+    ``bits``-bit fingerprint into ``bands`` equal bit-slices; by
+    pigeonhole, any pair within Hamming distance ``bands - 1`` (and most
+    pairs within ``max_hamming``) shares at least one exact slice, so
+    candidates meet in a (band_id, band_value) bucket instead of an
+    all-pairs join.  Candidates are then verified exactly with
+    ``bit_count(xor)``.  Completes the SimHash tier of the dedup ladder
+    (fingerprints -> pairs), the Hamming-space twin of
+    ``lsh_candidate_pairs``.
+
+    Scale: same bounds as the MinHash-LSH path -- one shuffle to bucket
+    (cardinality n_docs * bands), pair expansion only inside capped
+    buckets (``max_bucket``), verification is a projection over the
+    candidate list.  Degenerate corpora (mass-identical fingerprints)
+    hit the cap, and those pairs are exact dups the hash-groupBy tier
+    already catches."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    sigs = simhash_fingerprints(documents, bits=bits)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.expr(f"(shiftright(simhash, {b * width}) & {mask})").alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    buckets = (
+        banded.groupBy("band_id", "band_val")
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "simhash"))).alias("members"))
+        .filter(F.size("members") <= max_bucket)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (a, i) -> "
+                    "transform(slice(members, i + 2, size(members) - i - 1), "
+                    "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, "
+                    "a.simhash AS sim_a, b.simhash AS sim_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sim_a ^ sim_b)")
+    return (
+        pairs.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -131,8 +131,12 @@ def fit_codebook(embeddings: DataFrame, cache_key: str, n_cells: int = 16, seed:
     model = _CODEBOOK_CACHE.get(key)
     if model is None:
         feats = embeddings.select(array_to_vector(_as_double("embedding")).alias("features"))
+        # maxIter 8: at codebook cardinality (16 cells) Lloyd converges in
+        # a handful of passes and each extra pass is a full Spark job of
+        # scheduler overhead at fixture scale; recall-vs-exact is gated in
+        # tests either way, so extra iterations buy nothing measurable.
         model = KMeans(
-            k=n_cells, seed=seed, maxIter=20, featuresCol="features", predictionCol="cell"
+            k=n_cells, seed=seed, maxIter=8, featuresCol="features", predictionCol="cell"
         ).fit(feats)
         _CODEBOOK_CACHE[key] = model
     return model

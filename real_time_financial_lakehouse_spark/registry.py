@@ -2077,6 +2077,24 @@ def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_silver.streaming_windowed_rollup(spark, sf_dir)
 
 @register(
+    "streaming_symbol_stats",
+    f"""
+    SELECT event_type AS symbol,
+           count(*) AS n_events,
+           {{q6}} AS total_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """.format(q6="floor(sum(value) * 1000000.0 + 0.5) / 1000000.0"),
+)
+def q_streaming_symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import streaming_symbol_stats
+
+    return streaming_symbol_stats(spark, sf_dir)
+
+@register(
     "sorted_export_events",
     """
     SELECT event_id, ts, event_type AS symbol, value

@@ -969,3 +969,48 @@ def q_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import grouped
 
     return grouped.term_positions(spark, _docs(spark, sf_dir))
+
+_SH_BANDS, _SH_WIDTH, _SH_MAXHAM = 4, 4, 3
+
+@register(
+    "simhash_near_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_H_SQL} AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+    ),
+    sums AS (
+        SELECT doc_id,
+               {_BIT_SUMS_SQL}
+        FROM toks
+        GROUP BY 1
+    ),
+    fp AS (SELECT doc_id, ({_FP_SQL})::BIGINT AS simhash FROM sums),
+    banded AS (
+        SELECT doc_id, simhash, b.band_id,
+               (simhash >> (b.band_id * {_SH_WIDTH})) & {(1 << _SH_WIDTH) - 1} AS band_val
+        FROM fp
+        CROSS JOIN (SELECT unnest([{", ".join(str(b) for b in range(_SH_BANDS))}]) AS band_id) b
+    ),
+    capped AS (
+        SELECT doc_id, simhash, band_id, band_val
+        FROM (SELECT *, count(*) OVER (PARTITION BY band_id, band_val) AS bsz FROM banded)
+        WHERE bsz <= {MAX_BUCKET}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sim_a, b.simhash AS sim_b
+        FROM capped a
+        JOIN capped b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sim_a, sim_b)) <= {_SH_MAXHAM}
+    ORDER BY 1, 2
+    """,
+)
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(
+        _docs(spark, sf_dir), bits=_BITS, bands=_SH_BANDS, max_hamming=_SH_MAXHAM
+    )

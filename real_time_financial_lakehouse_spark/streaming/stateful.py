@@ -357,3 +357,169 @@ def streaming_click_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id")
     )
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+TWS_OUTPUT_SCHEMA = (
+    "symbol string, n_events bigint, total_value double, min_value double, max_value double"
+)
+TWS_STATE_SCHEMA = "n bigint, s double, mn double, mx double"
+
+def has_transform_with_state_support() -> bool:
+    """The transformWithState state protocol speaks protobuf between the
+    JVM and the Python driver worker; without ``google.protobuf`` the
+    driver worker crashes at schema negotiation.  The sandbox image lacks
+    protobuf (and pip installs are off), so the operator degrades to the
+    legacy applyInPandasWithState fold with identical semantics."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+def _make_symbol_stats_processor():
+    """Factory so the StatefulProcessor subclass is only constructed when
+    the operator runs (keeps module import side-effect free for UDF
+    workers that re-import this module)."""
+    import pandas as pd  # local: the worker deserializes the class
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _SymbolStats(StatefulProcessor):
+        """Per-symbol running (count, sum, min, max) in a ValueState --
+        the canonical shape of the NEW arbitrary-state API
+        (transformWithStateInPandas), which supersedes
+        applyInPandasWithState with typed state handles (value/list/map),
+        timers, and TTL.  The EMA operator keeps the legacy API covered;
+        this one pins the forward path."""
+
+        def init(self, handle):
+            self._state = handle.getValueState("stats", TWS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._state.get()
+            n, s, mn, mx = got if got is not None else (0, 0.0, None, None)
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                bmn = float(pdf["value"].min())
+                bmx = float(pdf["value"].max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+            self._state.update((n, s, mn, mx))
+            yield pd.DataFrame(
+                [
+                    {
+                        "symbol": key[0],
+                        "n_events": n,
+                        "total_value": s,
+                        "min_value": mn,
+                        "max_value": mx,
+                    }
+                ]
+            )
+
+        def close(self):
+            pass
+
+    return _SymbolStats()
+
+def _stats_fold_legacy(key, pdf_iter, state):
+    """applyInPandasWithState twin of _SymbolStats -- same fold, same
+    emissions, used when the environment can't run the new API (see
+    has_transform_with_state_support)."""
+    n, s, mn, mx = state.get if state.exists else (0, 0.0, None, None)
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        bmn = float(pdf["value"].min())
+        bmx = float(pdf["value"].max())
+        mn = bmn if mn is None else min(mn, bmn)
+        mx = bmx if mx is None else max(mx, bmx)
+    state.update((n, s, mn, mx))
+    yield pd.DataFrame(
+        [{"symbol": key[0], "n_events": n, "total_value": s, "min_value": mn, "max_value": mx}]
+    )
+
+def streaming_symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-symbol stats via ``transformWithStateInPandas`` -- the
+    Spark 4 arbitrary-state operator -- driven as a real stream
+    (availableNow) with update emissions appended per batch via
+    foreachBatch; returns the latest row per symbol, oracle-comparable to
+    the batch groupBy.
+
+    Scale: state is O(1) per key (four scalars in a ValueState), keyed
+    shuffle on symbol, RocksDB-spillable on a real cluster; emission per
+    (batch, key) only.  The typed-state API also gives timers + TTL,
+    which is what a production feature pipeline needs for inactivity
+    flushes (handleExpiredTimer) -- not exercised here because the
+    fixture drain is a single batch."""
+
+    from .silver import events_stream
+
+    out_dir = scratch_dir("rtfl_tws_out_")
+    ckpt_dir = scratch_dir("rtfl_tws_ckpt_")
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark) as ss:
+        ev = events_stream(ss, sf_dir).select(F.col("event_type"), F.col("value"))
+        if has_transform_with_state_support():
+            # the new-state-API operator requires the RocksDB state store
+            # (the HDFS-backed default doesn't implement the typed-state
+            # column families it uses); scoped to the child session
+            ss.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            )
+            stats = ev.groupBy("event_type").transformWithStateInPandas(
+                _make_symbol_stats_processor(),
+                outputStructType=TWS_OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        else:
+            # identical fold through the legacy arbitrary-state API
+            from pyspark.sql.streaming.state import GroupStateTimeout
+
+            stats = ev.groupBy("event_type").applyInPandasWithState(
+                _stats_fold_legacy,
+                outputStructType=TWS_OUTPUT_SCHEMA,
+                stateStructType=TWS_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        q = (
+            stats.writeStream.foreachBatch(_append)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    raw = spark.read.parquet(out_dir)
+    w = Window.partitionBy("symbol").orderBy(F.col("n_events").desc())
+    return (
+        raw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "symbol",
+            "n_events",
+            (F.floor(F.col("total_value") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "total_value"
+            ),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("symbol")
+    )
