@@ -1,0 +1,103 @@
+"""Versioned table layer: a minimal parquet transaction log giving
+snapshot isolation and time travel on top of plain parquet.
+
+The reference stores bronze/silver as Delta tables
+(consumer_lake.py:48-54, process_silver.py:43-45) and relies on two
+log-dependent behaviors the plain-parquet substitution cannot express:
+read-your-snapshot (a reader never sees a half-written commit) and time
+travel (`VERSION AS OF`).  `delta-spark` is not installable in this
+sandbox (SCALE.md probe), so this module implements the minimal core of
+the same idea -- an ordered manifest log over immutable data files:
+
+* A table is a directory of immutable parquet files plus a ``_log/``
+  directory of manifest files ``v{N}.json``, each listing exactly the
+  data files that make up version N.
+* **Commit** = write data files to unique paths, then write
+  ``v{N}.json``.  The manifest write is the atomic commit point (single
+  small file); a crash before it leaves only orphaned data files that no
+  reader can ever see -- the same guarantee Delta's ``_delta_log`` gives.
+* **Read** = pick the manifest (latest, or ``version=`` for time
+  travel), then read exactly its file list.  A raw ``*.parquet`` glob
+  over the directory bypasses the log and sees uncommitted/overwritten
+  files -- reproducing the reference's documented raw-glob quirk
+  (SURVEY §4) on purpose.
+
+Scale: the log holds one small JSON per version (file lists, not data),
+so log reads are O(versions) driver-side metadata -- the same shape as
+Delta checkpointing before compaction.  Data files are immutable, so
+concurrent readers never block writers; lost-update safety across
+CONCURRENT writers needs a putIfAbsent on the manifest write (object
+stores: conditional put), which a local filesystem approximates with
+O_EXCL create -- used here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+LOG_DIR = "_log"
+
+
+def _log_path(table_dir: str) -> str:
+    return os.path.join(table_dir, LOG_DIR)
+
+
+def _manifest(table_dir: str, version: int) -> str:
+    return os.path.join(_log_path(table_dir), f"v{version}.json")
+
+
+def table_versions(table_dir: str) -> list[int]:
+    log = _log_path(table_dir)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for name in os.listdir(log):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def commit_version(df: DataFrame, table_dir: str) -> int:
+    """Write ``df`` as the next version of the table.  Data files land
+    under a unique subdirectory first; the version becomes visible only
+    when the manifest file is created (O_EXCL -- a concurrent committer
+    of the same version loses with FileExistsError, the local stand-in
+    for an object store's conditional put)."""
+    os.makedirs(_log_path(table_dir), exist_ok=True)
+    version = (table_versions(table_dir) or [-1])[-1] + 1
+    data_dir = os.path.join(table_dir, f"data_v{version}")
+    df.write.mode("overwrite").parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    manifest = {"version": version, "files": files, "n_files": len(files)}
+    # atomic commit point: exclusive create, then single write
+    fd = os.open(_manifest(table_dir, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    return version
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: latest committed version, or ``version=`` for time
+    travel.  Reads exactly the manifest's file list -- files from newer,
+    older, or in-flight versions are invisible."""
+    versions = table_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    pick = versions[-1] if version is None else version
+    if pick not in versions:
+        raise FileNotFoundError(f"version {pick} not in {versions}")
+    with open(_manifest(table_dir, pick)) as f:
+        manifest = json.load(f)
+    return spark.read.parquet(*manifest["files"])

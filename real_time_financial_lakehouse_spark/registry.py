@@ -2077,6 +2077,58 @@ def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_silver.streaming_windowed_rollup(spark, sf_dir)
 
 @register(
+    "versioned_gold_time_travel",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               event_type AS symbol,
+               count(*) AS n_events,
+               floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT 0 AS version, day, symbol, n_events, total_value
+    FROM daily WHERE day < TIMESTAMP '2024-01-15'
+    UNION ALL
+    SELECT 1 AS version, day, symbol, n_events, total_value
+    FROM daily
+    ORDER BY version, day, symbol
+    """,
+)
+def q_versioned_gold_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style snapshot semantics on plain parquet: commit the gold
+    daily rollup twice (v0 = first half of the month, v1 = full month)
+    into a manifest-logged table, then read v0 back via time travel and
+    v1 as the latest snapshot.  Mirrors the reference's Delta versioning
+    (consumer_lake.py:48-54) without delta-spark (SCALE.md probe)."""
+    import os
+
+    from .operators import versioned
+    from .scratch import scratch_dir
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type").alias("symbol"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.floor(F.sum("value") * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
+    )
+    table_dir = os.path.join(scratch_dir("rtfl_versioned_"), "gold_daily")
+    versioned.commit_version(daily.filter(F.col("day") < "2024-01-15"), table_dir)
+    versioned.commit_version(daily, table_dir)
+    v0 = versioned.read_version(spark, table_dir, 0).withColumn("version", F.lit(0))
+    latest = versioned.read_version(spark, table_dir).withColumn("version", F.lit(1))
+    return v0.unionByName(latest).select(
+        "version", "day", "symbol", "n_events", "total_value"
+    ).orderBy("version", "day", "symbol")
+
+@register(
     "streaming_symbol_stats",
     f"""
     SELECT event_type AS symbol,

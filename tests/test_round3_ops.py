@@ -269,3 +269,112 @@ def test_simhash_near_pairs_hot_bucket_capped(spark):
     # 200 identical fingerprints blow the 64-id bucket cap -> no pairs
     # (exact-dup tier owns this corpus), and no O(n^2) task blowup
     assert dedup.simhash_near_pairs(docs).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# versioned table layer (mini transaction log)
+# ---------------------------------------------------------------------------
+
+def test_versioned_time_travel_and_snapshot_isolation(spark, tmp_path):
+    import os
+
+    from real_time_financial_lakehouse_spark.operators import versioned
+
+    table = str(tmp_path / "t")
+    v0 = versioned.commit_version(spark.range(5).selectExpr("id AS x"), table)
+    v1 = versioned.commit_version(spark.range(100, 103).selectExpr("id AS x"), table)
+    assert (v0, v1) == (0, 1)
+    # time travel sees exactly v0's content after v1 committed
+    assert sorted(r["x"] for r in versioned.read_version(spark, table, 0).collect()) == [0, 1, 2, 3, 4]
+    assert sorted(r["x"] for r in versioned.read_version(spark, table).collect()) == [100, 101, 102]
+    # raw recursive glob bypasses the log and sees BOTH versions' files --
+    # the reference's documented raw-glob quirk (SURVEY §4), reproduced
+    raw = spark.read.option("recursiveFileLookup", "true").parquet(table)
+    assert raw.count() == 8
+    # a data directory with no manifest is invisible to log readers
+    orphan = os.path.join(table, "data_v2")
+    spark.range(1000, 1002).selectExpr("id AS x").write.parquet(orphan)
+    assert versioned.table_versions(table) == [0, 1]
+    assert versioned.read_version(spark, table).count() == 3
+
+
+def test_versioned_commit_conflict_loses_cleanly(spark, tmp_path):
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from real_time_financial_lakehouse_spark.operators import versioned
+
+    table = str(tmp_path / "t2")
+    versioned.commit_version(spark.range(3).selectExpr("id AS x"), table)
+    # simulate a concurrent committer that already claimed v1
+    os.makedirs(versioned._log_path(table), exist_ok=True)
+    with open(versioned._manifest(table, 1), "w") as f:
+        json.dump({"version": 1, "files": [], "n_files": 0}, f)
+    with _pytest.raises(FileExistsError):
+        fd = os.open(
+            versioned._manifest(table, 1), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
+        os.close(fd)
+
+
+# ---------------------------------------------------------------------------
+# multi-batch streaming: state must survive across micro-batches
+# ---------------------------------------------------------------------------
+
+def test_streaming_ema_state_carries_across_micro_batches(spark, tmp_path):
+    """The fixture is one file, so availableNow drains it in one batch and
+    per-key state is never re-loaded.  Re-write events as 4 files and
+    stream with maxFilesPerTrigger=1: the EMA fold now crosses 4 batches
+    and must still equal the batch twin (state restore + fold order)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    from real_time_financial_lakehouse_spark.catalog import load_table
+    from real_time_financial_lakehouse_spark.operators.windows import ema_per_symbol
+    from real_time_financial_lakehouse_spark.streaming import pinned_state_partitions
+    from real_time_financial_lakehouse_spark.streaming.stateful import ema_stream
+
+    events = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "events_split")
+    # deterministic 4-way split ordered by time: file i holds quartile i
+    events.withColumn(
+        "part", F2.ntile(4).over(Window.orderBy("ts", "event_id"))
+    ).write.partitionBy("part").mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "out"); ck = str(tmp_path / "ck")
+    with pinned_state_partitions(spark) as ss:
+        stream = (
+            ss.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = (
+            ema_stream(stream)
+            .writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    raw = spark.read.parquet(out)
+    n_batches = raw.groupBy("symbol").count().agg(F2.max("count")).collect()[0][0]
+    assert n_batches >= 4, "stream must have run multiple micro-batches"
+    w = Window.partitionBy("symbol").orderBy(F2.col("n_events").desc())
+    final = (
+        raw.withColumn("rn", F2.row_number().over(w))
+        .filter(F2.col("rn") == 1)
+        .select("symbol", "n_events", "ema_raw")
+        .collect()
+    )
+    ref = {r["symbol"]: r for r in ema_per_symbol(events).collect()}
+    assert {r["symbol"] for r in final} == set(ref)
+    for r in final:
+        assert r["n_events"] == ref[r["symbol"]]["n_events"]
+        ema6 = __import__("math").floor(r["ema_raw"] * 1e6 + 0.5) / 1e6
+        assert ema6 == pytest.approx(ref[r["symbol"]]["ema"], abs=2e-6)
