@@ -63,12 +63,22 @@ def table_versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
-def commit_version(df: DataFrame, table_dir: str) -> int:
+def read_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest(table_dir, version)) as f:
+        return json.load(f)
+
+
+def commit_version(df: DataFrame, table_dir: str, txn: dict | None = None) -> int:
     """Write ``df`` as the next version of the table.  Data files land
     under a unique subdirectory first; the version becomes visible only
     when the manifest file is created (O_EXCL -- a concurrent committer
     of the same version loses with FileExistsError, the local stand-in
-    for an object store's conditional put)."""
+    for an object store's conditional put).
+
+    ``txn`` is recorded verbatim in the manifest -- a streaming writer
+    stores its (app_id, batch_id) there and skips re-committing a batch
+    it already owns (idempotent_commit), which is exactly Delta's
+    transactional-writer (txnAppId/txnVersion) exactly-once recipe."""
     os.makedirs(_log_path(table_dir), exist_ok=True)
     version = (table_versions(table_dir) or [-1])[-1] + 1
     data_dir = os.path.join(table_dir, f"data_v{version}")
@@ -79,11 +89,27 @@ def commit_version(df: DataFrame, table_dir: str) -> int:
         if f.endswith(".parquet")
     )
     manifest = {"version": version, "files": files, "n_files": len(files)}
+    if txn:
+        manifest["txn"] = txn
     # atomic commit point: exclusive create, then single write
     fd = os.open(_manifest(table_dir, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as f:
         json.dump(manifest, f)
     return version
+
+
+def idempotent_commit(
+    df: DataFrame, table_dir: str, app_id: str, batch_id: int
+) -> int | None:
+    """Commit unless a version already carries this (app_id, batch_id) --
+    the foreachBatch retry-safety contract: Structured Streaming may
+    re-run a batch after a failure, and the second run must become a
+    no-op instead of a duplicate version."""
+    for v in table_versions(table_dir):
+        txn = read_manifest(table_dir, v).get("txn") or {}
+        if txn.get("app_id") == app_id and txn.get("batch_id") == batch_id:
+            return None
+    return commit_version(df, table_dir, txn={"app_id": app_id, "batch_id": batch_id})
 
 
 def read_version(

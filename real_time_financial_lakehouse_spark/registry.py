@@ -2077,6 +2077,20 @@ def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_silver.streaming_windowed_rollup(spark, sf_dir)
 
 @register(
+    "streaming_incremental_gold",
+    """
+    SELECT event_type AS symbol,
+           count(*) AS n_events,
+           floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_streaming_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_silver.streaming_incremental_gold(spark, sf_dir)
+
+@register(
     "versioned_gold_time_travel",
     """
     WITH daily AS (

@@ -30,6 +30,7 @@ store should be RocksDB
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -326,3 +327,87 @@ def streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.parquet(out_dir).orderBy("window_start", "symbol")
+
+def streaming_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental lakehouse loop: the events stream drains in
+    MULTIPLE micro-batches (the fixture is re-sharded by event-time
+    quartile and read with maxFilesPerTrigger=1), and each batch MERGES
+    its partial per-symbol aggregate into a manifest-logged gold table --
+    one committed table version per micro-batch, retry-safe via the
+    (app_id, batch_id) idempotent-commit contract (the Delta
+    txnAppId/txnVersion recipe, operators/versioned.py).
+
+    This is the reference's bronze->silver->gold cadence
+    (process_silver.py:43-93) with the gold refresh made transactional:
+    a reader of the gold table sees a complete snapshot at every point,
+    never a half-merged batch, and can time-travel to any batch boundary.
+
+    Scale: the merge joins the incoming batch's partial agg (symbol
+    cardinality, tiny) against the current gold (same cardinality) --
+    both sides fit in memory at any corpus size because the MERGE runs
+    at aggregate granularity, not event granularity.  Gold is rewritten
+    per commit; at billions of keys you shard the gold table by key
+    range so each batch rewrites only touched shards."""
+
+    from ..operators import versioned
+
+    src_dir = scratch_dir("rtfl_incgold_src_")
+    table_dir = os.path.join(scratch_dir("rtfl_incgold_tbl_"), "gold")
+    ckpt_dir = scratch_dir("rtfl_incgold_ckpt_")
+
+    events = _catalog_load(spark, sf_dir)
+    from pyspark.sql import Window
+
+    events.withColumn(
+        "part", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    ).write.partitionBy("part").mode("overwrite").parquet(src_dir)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy(F.col("event_type").alias("symbol")).agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+        )
+        if versioned.table_versions(table_dir):
+            prev = versioned.read_version(batch_df.sparkSession, table_dir)
+            merged = (
+                prev.unionByName(part)
+                .groupBy("symbol")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value").alias("sum_value"),
+                )
+            )
+        else:
+            merged = part
+        versioned.idempotent_commit(
+            merged, table_dir, app_id="rtfl_incremental_gold", batch_id=batch_id
+        )
+
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark) as ss:
+        stream = (
+            ss.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    gold = versioned.read_version(spark, table_dir)
+    return gold.select(
+        "symbol",
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.floor(F.col("sum_value") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "total_value"
+        ),
+    ).orderBy("symbol")
+
+def _catalog_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    return load_table(spark, sf_dir, "events")

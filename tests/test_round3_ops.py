@@ -378,3 +378,37 @@ def test_streaming_ema_state_carries_across_micro_batches(spark, tmp_path):
         assert r["n_events"] == ref[r["symbol"]]["n_events"]
         ema6 = __import__("math").floor(r["ema_raw"] * 1e6 + 0.5) / 1e6
         assert ema6 == pytest.approx(ref[r["symbol"]]["ema"], abs=2e-6)
+
+
+def test_streaming_incremental_gold_commits_one_version_per_batch(spark):
+    from real_time_financial_lakehouse_spark.operators import versioned
+    from real_time_financial_lakehouse_spark.streaming.silver import (
+        streaming_incremental_gold,
+    )
+
+    out = {r["symbol"]: r for r in streaming_incremental_gold(spark, SF_SMOKE).collect()}
+    ref = {
+        r["symbol"]: r
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.col("event_type").alias("symbol"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(out) == set(ref)
+    for s in out:
+        assert out[s]["n_events"] == ref[s]["n"]
+        assert out[s]["total_value"] == pytest.approx(ref[s]["s"], abs=1e-5)
+
+
+def test_idempotent_commit_skips_replayed_batch(spark, tmp_path):
+    from real_time_financial_lakehouse_spark.operators import versioned
+
+    table = str(tmp_path / "t3")
+    df = spark.range(3).selectExpr("id AS x")
+    v = versioned.idempotent_commit(df, table, app_id="app", batch_id=7)
+    assert v == 0
+    # a foreachBatch retry re-runs the same batch_id: must be a no-op
+    assert versioned.idempotent_commit(df, table, app_id="app", batch_id=7) is None
+    assert versioned.table_versions(table) == [0]
+    # a different writer's batch 7 is NOT deduped against ours
+    assert versioned.idempotent_commit(df, table, app_id="other", batch_id=7) == 1
