@@ -127,3 +127,57 @@ def read_version(
     with open(_manifest(table_dir, pick)) as f:
         manifest = json.load(f)
     return spark.read.parquet(*manifest["files"])
+
+
+def compact(spark: SparkSession, table_dir: str, target_files: int = 1) -> int:
+    """OPTIMIZE: rewrite the latest snapshot's data into ``target_files``
+    files and commit the result as a NEW version with identical content.
+    Readers never block (old versions stay readable; time travel still
+    resolves every prior manifest); the log records the compaction like
+    any other commit.
+
+    Scale: small-file proliferation is the tax of frequent streaming
+    commits -- a micro-batch cadence of seconds produces thousands of
+    KB-sized files per hour, and scan cost becomes file-open dominated.
+    Periodic compaction amortizes that: one coalesce/repartition job per
+    maintenance window.  ``coalesce`` (not ``repartition``) so the
+    rewrite avoids a shuffle when only merging files."""
+    latest = read_version(spark, table_dir)
+    return commit_version(
+        latest.coalesce(target_files), table_dir, txn={"op": "compact"}
+    )
+
+
+def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:
+    """VACUUM: drop data directories for versions older than the last
+    ``keep_last`` committed versions, plus orphaned data directories no
+    manifest references (failed commits).  Manifests of vacuumed versions
+    are removed too, so a time-travel read of a vacuumed version fails
+    loudly instead of returning partial data.  Returns removed paths.
+
+    Scale: retention is a policy knob -- time travel works only within
+    the vacuum horizon, exactly as in Delta.  The deletion list is built
+    from the log (metadata-only); actual file removal is embarrassingly
+    parallel on an object store."""
+    import shutil
+
+    versions = table_versions(table_dir)
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    referenced: set[str] = set()
+    for v in keep:
+        for f in read_manifest(table_dir, v)["files"]:
+            referenced.add(os.path.dirname(f))
+    removed: list[str] = []
+    for v in versions:
+        if v in keep:
+            continue
+        os.remove(_manifest(table_dir, v))
+        removed.append(_manifest(table_dir, v))
+    for name in os.listdir(table_dir):
+        path = os.path.join(table_dir, name)
+        if name == LOG_DIR or not os.path.isdir(path):
+            continue
+        if path not in referenced:
+            shutil.rmtree(path)
+            removed.append(path)
+    return removed

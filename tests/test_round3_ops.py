@@ -412,3 +412,39 @@ def test_idempotent_commit_skips_replayed_batch(spark, tmp_path):
     assert versioned.table_versions(table) == [0]
     # a different writer's batch 7 is NOT deduped against ours
     assert versioned.idempotent_commit(df, table, app_id="other", batch_id=7) == 1
+
+
+def test_compact_preserves_content_and_history(spark, tmp_path):
+    from real_time_financial_lakehouse_spark.operators import versioned
+
+    table = str(tmp_path / "t4")
+    df = spark.range(100).selectExpr("id AS x").repartition(8)
+    versioned.commit_version(df, table)
+    assert versioned.read_manifest(table, 0)["n_files"] == 8
+    v = versioned.compact(spark, table, target_files=1)
+    assert versioned.read_manifest(table, v)["n_files"] == 1
+    assert sorted(r["x"] for r in versioned.read_version(spark, table).collect()) == list(range(100))
+    # pre-compaction version still time-travels
+    assert versioned.read_version(spark, table, 0).count() == 100
+
+
+def test_vacuum_enforces_retention_horizon(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from real_time_financial_lakehouse_spark.operators import versioned
+
+    table = str(tmp_path / "t5")
+    for i in range(3):
+        versioned.commit_version(spark.range(i * 10, i * 10 + 5).selectExpr("id AS x"), table)
+    # orphan from a failed commit: data dir, no manifest
+    spark.range(900, 905).selectExpr("id AS x").write.parquet(os.path.join(table, "data_v9"))
+    removed = versioned.vacuum(table, keep_last=1)
+    assert versioned.table_versions(table) == [2]
+    assert versioned.read_version(spark, table).count() == 5
+    with _pytest.raises(FileNotFoundError):
+        versioned.read_version(spark, table, 0)
+    assert not os.path.isdir(os.path.join(table, "data_v0"))
+    assert not os.path.isdir(os.path.join(table, "data_v9")), "orphan must be vacuumed"
+    assert removed
