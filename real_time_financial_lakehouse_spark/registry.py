@@ -2076,6 +2076,40 @@ def q_order_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_silver.streaming_windowed_rollup(spark, sf_dir)
 
+def _zorder_oracle_sql() -> str:
+    from .operators.layout import ZORDER_BITS, _interleave_sql
+
+    n = 1 << ZORDER_BITS
+    return f"""
+    WITH b AS (
+        SELECT min(user_id) AS min_u, max(user_id) AS max_u,
+               min(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS min_c,
+               max(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS max_c
+        FROM events
+    ),
+    e AS (
+        SELECT event_id, user_id,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents
+        FROM events
+    ),
+    buck AS (
+        SELECT event_id,
+               ((user_id - min_u) * {n}) // (max_u - min_u + 1) AS user_bucket,
+               ((v_cents - min_c) * {n}) // (max_c - min_c + 1) AS value_bucket
+        FROM e CROSS JOIN b
+    )
+    SELECT event_id, user_bucket, value_bucket,
+           CAST({_interleave_sql("user_bucket", "value_bucket")} AS BIGINT) AS zvalue
+    FROM buck
+    ORDER BY event_id
+    """
+
+@register("zorder_events_layout", _zorder_oracle_sql())
+def q_zorder_events_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.layout import zorder_events
+
+    return zorder_events(_events(spark, sf_dir))
+
 @register(
     "streaming_incremental_gold",
     """

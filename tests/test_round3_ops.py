@@ -448,3 +448,54 @@ def test_vacuum_enforces_retention_horizon(spark, tmp_path):
     assert not os.path.isdir(os.path.join(table, "data_v0"))
     assert not os.path.isdir(os.path.join(table, "data_v9")), "orphan must be vacuumed"
     assert removed
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+def test_zorder_files_prune_on_both_dimensions(spark, tmp_path):
+    """Quantitative file-skipping check: under a single-column sort the
+    secondary column's per-file min/max span covers ~the whole domain
+    (no pruning); under Z-order both columns' spans shrink to a fraction
+    of the domain.  Uses the value-cents span as the measure."""
+    from real_time_financial_lakehouse_spark.operators import layout
+
+    events = load_table(spark, SF_SMOKE, "events")
+    cents = F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
+
+    def avg_span(path):
+        df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        spans = (
+            df.groupBy("f")
+            .agg((F.max(cents) - F.min(cents)).alias("span"))
+            .agg(F.avg("span"))
+            .collect()[0][0]
+        )
+        return float(spans)
+
+    # baseline: sorted by user_id only
+    base = str(tmp_path / "by_user")
+    (
+        events.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    zpath = layout.zorder_write(spark, events, n_files=8)
+    domain = events.agg((F.max(cents) - F.min(cents))).collect()[0][0]
+    base_span, z_span = avg_span(base), avg_span(zpath)
+    # single-column sort leaves the other dimension unpruned
+    assert base_span > 0.6 * domain
+    # z-order must materially shrink the secondary dimension's file spans
+    assert z_span < 0.8 * base_span, (base_span, z_span, domain)
+
+
+def test_zorder_value_is_morton_interleave(spark):
+    from real_time_financial_lakehouse_spark.operators.layout import _interleave_sql
+
+    # (a=0b11, b=0b01) -> z = 1:0,1:1 interleaved = 0b1011 = 11
+    row = spark.sql(
+        f"SELECT CAST({_interleave_sql('3', '1', 2)} AS BIGINT) AS z"
+    ).collect()[0]
+    assert row["z"] == 0b1011
