@@ -2076,6 +2076,52 @@ def q_order_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_silver.streaming_windowed_rollup(spark, sf_dir)
 
+@register(
+    "versioned_gold_changes",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               event_type AS symbol,
+               count(*) AS n_events,
+               floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT day, symbol, n_events, total_value, 'insert' AS change_type
+    FROM daily WHERE day >= TIMESTAMP '2024-01-15'
+    ORDER BY day, symbol
+    """,
+)
+def q_versioned_gold_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two snapshots of the gold daily table: v0 holds the
+    first half of the month, v1 the full month, so the change feed is
+    exactly the second half's rows as inserts (first-half aggregates are
+    bit-identical across versions and classify as unchanged)."""
+    import os
+
+    from .operators import versioned
+    from .scratch import scratch_dir
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type").alias("symbol"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.floor(F.sum("value") * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
+    )
+    table_dir = os.path.join(scratch_dir("rtfl_cdc_"), "gold_daily")
+    versioned.commit_version(daily.filter(F.col("day") < "2024-01-15"), table_dir)
+    versioned.commit_version(daily, table_dir)
+    return versioned.table_changes(
+        spark, table_dir, 0, 1, key_cols=["day", "symbol"]
+    )
+
 def _zorder_oracle_sql() -> str:
     from .operators.layout import ZORDER_BITS, _interleave_sql
 

@@ -499,3 +499,22 @@ def test_zorder_value_is_morton_interleave(spark):
         f"SELECT CAST({_interleave_sql('3', '1', 2)} AS BIGINT) AS z"
     ).collect()[0]
     assert row["z"] == 0b1011
+
+
+def test_table_changes_classifies_insert_update_delete(spark, tmp_path):
+    from real_time_financial_lakehouse_spark.operators import versioned
+
+    table = str(tmp_path / "cdc")
+    v0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, v double"
+    )
+    v1 = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 99.0), (4, "d", 40.0)], "k int, name string, v double"
+    )
+    versioned.commit_version(v0, table)
+    versioned.commit_version(v1, table)
+    changes = {
+        r["k"]: r["change_type"]
+        for r in versioned.table_changes(spark, table, 0, 1, key_cols=["k"]).collect()
+    }
+    assert changes == {1: "delete", 3: "update", 4: "insert"}  # 2 unchanged, dropped
