@@ -518,3 +518,18 @@ def test_table_changes_classifies_insert_update_delete(spark, tmp_path):
         for r in versioned.table_changes(spark, table, 0, 1, key_cols=["k"]).collect()
     }
     assert changes == {1: "delete", 3: "update", 4: "insert"}  # 2 unchanged, dropped
+
+
+def test_versioned_schema_evolution_across_versions(spark, tmp_path):
+    """Adding a column is a normal commit: the latest snapshot carries the
+    new schema, time travel returns the old one -- no mergeSchema
+    in-place mutation, exactly the log-based evolution story."""
+    from real_time_financial_lakehouse_spark.operators import versioned
+
+    table = str(tmp_path / "evo")
+    versioned.commit_version(spark.range(3).selectExpr("id AS x"), table)
+    versioned.commit_version(
+        spark.range(3).selectExpr("id AS x", "id * 2 AS y"), table
+    )
+    assert versioned.read_version(spark, table, 0).columns == ["x"]
+    assert versioned.read_version(spark, table).columns == ["x", "y"]
