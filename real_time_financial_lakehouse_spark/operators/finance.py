@@ -102,9 +102,9 @@ def bar_gaps(events: DataFrame) -> DataFrame:
     shuffle) with a lag over the ALREADY-AGGREGATED bars -- the window
     runs on bar cardinality, not trade cardinality, so the expensive
     pass stays windowless."""
-    from .rollup import minute_ohlc
+    from .rollup import minute_bars_unsorted
 
-    bars = minute_ohlc(events).select(
+    bars = minute_bars_unsorted(events).select(
         "symbol", "minute_window", "open_price", "close_price"
     )
     w = Window.partitionBy("symbol").orderBy("minute_window")
@@ -133,9 +133,9 @@ def symbol_correlations(events: DataFrame) -> DataFrame:
     small) and one partial-aggregable corr() per unordered pair.  The
     symbol < symbol guard halves the pair space and fixes output
     order."""
-    from .rollup import minute_ohlc
+    from .rollup import minute_bars_unsorted
 
-    bars = minute_ohlc(events).select("symbol", "minute_window", "close_price")
+    bars = minute_bars_unsorted(events).select("symbol", "minute_window", "close_price")
     a = bars.select(
         F.col("symbol").alias("sym_a"),
         F.col("minute_window").alias("mw"),
@@ -422,3 +422,58 @@ def donchian_channels(events: DataFrame, n: int = 20) -> DataFrame:
         F.when(full, qround((upper + lower) / F.lit(2.0), 6)).alias("mid_band"),
         qround(pos, 6).alias("channel_pos"),
     ).orderBy("symbol", "minute_window")
+
+
+def resample_ffill(events: DataFrame) -> DataFrame:
+    """Regular-grid resampling with forward fill: one close per
+    (symbol, minute) on a gap-free 1-minute grid spanning each symbol's
+    observed range; minutes with no trades carry the last known close
+    (``gap_filled`` marks them).  The op every downstream indicator
+    assumes when it wants aligned, continuous bars (the reference's
+    dashboard resamples implicitly by only plotting observed minutes --
+    dashboard.py:60-104; a gold layer has to materialize the grid).
+
+    Close is the value of the max-event_id trade in the minute
+    (event_id is the fixture's unique, engine-stable tiebreak).
+
+    Scale: the grid is generated per symbol with ``sequence`` -- no
+    driver-side loop, no cross join against a calendar table; grid rows
+    scale with symbol-span, not data volume.  One equi-join on
+    (symbol, minute) where both sides hash-partition identically, then
+    one window shuffle on the symbol for the running ``last(ignorenulls)``
+    fill (incremental state: one value per in-flight partition).  A
+    symbol spanning years at minute grain is ~526k grid rows -- small;
+    if the grid itself ever dominates, chunk the sequence by day and
+    explode per chunk so no single row materializes a giant array."""
+    minute_close = (
+        events.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("minute", F.col("ts")).alias("minute"),
+        )
+        .agg(F.max_by("value", F.col("event_id")).alias("close"))
+    )
+    grid = (
+        minute_close.groupBy("symbol")
+        .agg(F.min("minute").alias("t0"), F.max("minute").alias("t1"))
+        .select(
+            "symbol",
+            F.explode(
+                F.sequence("t0", "t1", F.expr("interval 1 minute"))
+            ).alias("minute"),
+        )
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(minute_close, ["symbol", "minute"], "left")
+        .select(
+            "symbol",
+            "minute",
+            qround(F.last("close", ignorenulls=True).over(w), 6).alias("price"),
+            F.col("close").isNull().alias("gap_filled"),
+        )
+        .orderBy("symbol", "minute")
+    )

@@ -300,3 +300,42 @@ def chunk_documents(documents: DataFrame, width: int = 200, stride: int = 150) -
         .withColumn("chunk_len", F.length("chunk_text").cast("long"))
         .orderBy("doc_id", "chunk_id")
     )
+
+
+def winsorize_values(events: DataFrame, lo: float = 0.01, hi: float = 0.99) -> DataFrame:
+    """Winsorized clipping summary per symbol: exact (lo, hi) percentile
+    fences, the count clipped at each tail, and the post-clip mean --
+    the outlier-robust feature-cleaning pass a training pipeline runs
+    before normalization (fat-fingered ticks / sensor spikes must not
+    set the feature scale).
+
+    Scale: two passes over the values, both partial-agg shuffles on the
+    symbol.  The exact ``percentile`` here is the correctness twin; at
+    100 TB swap pass one to ``percentile_approx`` (KLL sketch, mergeable,
+    one pass no sort) -- the fence moves by the sketch's rank error and
+    nothing else changes.  The per-symbol fence table is tiny and
+    broadcast back (no shuffle on the second pass's join)."""
+    from pyspark.sql.functions import broadcast
+
+    fences = (
+        events.groupBy(F.col("event_type").alias("symbol"))
+        .agg(
+            F.expr(f"percentile(value, {lo})").alias("p_lo"),
+            F.expr(f"percentile(value, {hi})").alias("p_hi"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        events.select(F.col("event_type").alias("symbol"), "value")
+        .join(broadcast(fences), "symbol")
+        .groupBy("symbol")
+        .agg(
+            qround(F.first("p_lo"), 6).alias("p_lo"),
+            qround(F.first("p_hi"), 6).alias("p_hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") < F.col("p_lo")).cast("long")).alias("n_clipped_lo"),
+            F.sum((F.col("value") > F.col("p_hi")).cast("long")).alias("n_clipped_hi"),
+            qround(F.avg(clipped), 6).alias("clipped_mean"),
+        )
+        .orderBy("symbol")
+    )

@@ -71,12 +71,11 @@ def events_market_summary(events: DataFrame) -> DataFrame:
         .orderBy(F.col("minute_window").desc(), F.col("symbol"))
     )
 
-def minute_ohlc(events: DataFrame) -> DataFrame:
-    """True OHLC bars per (event_type, minute): open/close need ordered
-    first/last semantics, expressed with min_by/max_by over a composite
-    (ts, event_id) tiebreak so results are deterministic even with
-    duplicate timestamps.  min_by/max_by stay inside whole-stage codegen --
-    no window shuffle, one aggregate pass."""
+def minute_bars_unsorted(events: DataFrame) -> DataFrame:
+    """The OHLC aggregation of ``minute_ohlc`` without the presentation
+    sort -- the form downstream re-aggregations (``hourly_from_minute``)
+    consume, so the cascade doesn't inherit a pointless range-shuffle +
+    global sort between the two grouping passes."""
     key = F.struct(F.col("ts"), F.col("event_id"))
     return (
         events.groupBy(
@@ -91,7 +90,17 @@ def minute_ohlc(events: DataFrame) -> DataFrame:
             qround(F.sum("value"), 6).alias("total_value"),
             F.count(F.lit(1)).alias("n_trades"),
         )
-        .orderBy(F.col("minute_window"), F.col("symbol"))
+    )
+
+
+def minute_ohlc(events: DataFrame) -> DataFrame:
+    """True OHLC bars per (event_type, minute): open/close need ordered
+    first/last semantics, expressed with min_by/max_by over a composite
+    (ts, event_id) tiebreak so results are deterministic even with
+    duplicate timestamps.  min_by/max_by stay inside whole-stage codegen --
+    no window shuffle, one aggregate pass."""
+    return minute_bars_unsorted(events).orderBy(
+        F.col("minute_window"), F.col("symbol")
     )
 
 def daily_rollup_totals(events: DataFrame) -> DataFrame:
@@ -248,4 +257,44 @@ def value_percentiles_approx(events: DataFrame) -> DataFrame:
             F.element_at("p", 3).alias("p99_approx"),
         )
         .orderBy("symbol")
+    )
+
+
+def hourly_from_minute(events: DataFrame) -> DataFrame:
+    """Continuous-aggregate cascade: hourly OHLC bars re-aggregated from
+    the minute-level partials of ``minute_ohlc`` -- the hypertable /
+    materialized-rollup pattern where coarser grains are computed from
+    the next-finer aggregate instead of re-scanning raw events.
+
+    Every hourly stat is algebraically decomposable over the minute
+    partials: high = max(minute highs), low = min(lows), totals and
+    counts sum, and open/close chain through min_by/max_by on the minute
+    start (the hour's open is the open of its first minute -- minute
+    bars are already (ts, event_id)-ordered internally).
+    ``tests/test_round3_ops.py`` asserts the cascade equals the direct
+    hourly aggregation from raw events on the decomposable columns.
+
+    Scale: THE reason this shape exists at 100 TB -- the hourly refresh
+    reads |minutes| rows (already thousands-fold smaller than raw
+    events) instead of the raw table; with minute partials persisted
+    (e.g. the versioned gold table), each refresh is incremental.  Both
+    aggregations are partial-agg friendly; the second groupBy reuses the
+    symbol hash partitioning from the first (AQE coalesces the tiny
+    exchange)."""
+    minutes = minute_bars_unsorted(events)
+    hour = F.date_trunc("hour", F.col("minute_window"))
+    return (
+        minutes.groupBy(
+            "symbol", hour.alias("hour_window")
+        )
+        .agg(
+            F.min_by("open_price", F.col("minute_window")).alias("open_price"),
+            F.max("high_price").alias("high_price"),
+            F.min("low_price").alias("low_price"),
+            F.max_by("close_price", F.col("minute_window")).alias("close_price"),
+            qround(F.sum("total_value"), 6).alias("total_value"),
+            F.sum("n_trades").alias("n_trades"),
+            F.count(F.lit(1)).alias("n_minutes"),
+        )
+        .orderBy("hour_window", "symbol")
     )

@@ -2273,6 +2273,105 @@ def q_weighted_symbol_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return grouped.weighted_symbol_price(_events(spark, sf_dir))
 
+@register(
+    "resample_ffill",
+    """
+    WITH mc AS (
+        SELECT event_type AS symbol,
+               date_trunc('minute', ts) AS minute,
+               arg_max(value, event_id) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT symbol,
+               unnest(generate_series(min(minute), max(minute),
+                                      INTERVAL 1 minute)) AS minute
+        FROM mc GROUP BY symbol
+    )
+    SELECT g.symbol, g.minute,
+           floor((last_value(mc.close IGNORE NULLS)
+                  OVER (PARTITION BY g.symbol ORDER BY g.minute)) * 1000000.0
+                 + 0.5) / 1000000.0 AS price,
+           mc.close IS NULL AS gap_filled
+    FROM grid g LEFT JOIN mc USING (symbol, minute)
+    ORDER BY 1, 2
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.resample_ffill(_events(spark, sf_dir))
+
+
+@register(
+    "hourly_from_minute_rollup",
+    """
+    WITH e AS (
+        SELECT event_type AS symbol,
+               date_trunc('minute', ts) AS minute_window,
+               value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    ),
+    minutes AS (
+        SELECT symbol, minute_window,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open_price,
+               floor((max(value)) * 1000000.0 + 0.5) / 1000000.0 AS high_price,
+               floor((min(value)) * 1000000.0 + 0.5) / 1000000.0 AS low_price,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close_price,
+               floor((sum(value)) * 1000000.0 + 0.5) / 1000000.0 AS total_value,
+               count(*) AS n_trades
+        FROM e GROUP BY 1, 2
+    )
+    SELECT symbol,
+           date_trunc('hour', minute_window) AS hour_window,
+           arg_min(open_price, minute_window) AS open_price,
+           max(high_price) AS high_price,
+           min(low_price) AS low_price,
+           arg_max(close_price, minute_window) AS close_price,
+           floor((sum(total_value)) * 1000000.0 + 0.5) / 1000000.0 AS total_value,
+           CAST(sum(n_trades) AS BIGINT) AS n_trades,
+           count(*) AS n_minutes
+    FROM minutes
+    GROUP BY 1, 2
+    ORDER BY 2, 1
+    """,
+)
+def q_hourly_from_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup.hourly_from_minute(_events(spark, sf_dir))
+
+
+@register(
+    "winsorize_values",
+    """
+    WITH fences AS (
+        SELECT event_type AS symbol,
+               quantile_cont(value, 0.01) AS p_lo,
+               quantile_cont(value, 0.99) AS p_hi
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type AS symbol,
+           floor((any_value(f.p_lo)) * 1000000.0 + 0.5) / 1000000.0 AS p_lo,
+           floor((any_value(f.p_hi)) * 1000000.0 + 0.5) / 1000000.0 AS p_hi,
+           count(*) AS n,
+           CAST(sum(CASE WHEN e.value < f.p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+           CAST(sum(CASE WHEN e.value > f.p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+           floor((avg(least(greatest(e.value, f.p_lo), f.p_hi))) * 1000000.0
+                 + 0.5) / 1000000.0 AS clipped_mean
+    FROM events e JOIN fences f ON e.event_type = f.symbol
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import pipeline
+
+    return pipeline.winsorize_values(_events(spark, sf_dir))
+
+
 # LLM-data-pipeline registrations (dedup / similarity / text / multimodal)
 from . import registry_llmdata  # noqa: E402,F401
 

@@ -533,3 +533,94 @@ def test_versioned_schema_evolution_across_versions(spark, tmp_path):
     )
     assert versioned.read_version(spark, table, 0).columns == ["x"]
     assert versioned.read_version(spark, table).columns == ["x", "y"]
+
+
+# ---------------------------------------------------------------------------
+# resample_ffill / hourly_from_minute / winsorize_values
+# ---------------------------------------------------------------------------
+
+def _ticks(spark, rows):
+    """rows: (event_id, symbol, ts_str, value)."""
+    return spark.createDataFrame(
+        [(i, s, t, float(v)) for i, s, t, v in rows],
+        "event_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_resample_ffill_fills_gap_minutes_with_last_close(spark):
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    ev = _ticks(
+        spark,
+        [
+            (1, "A", "2024-01-01 00:00:10", 10.0),
+            (2, "A", "2024-01-01 00:00:50", 11.0),  # close of minute 0
+            (3, "A", "2024-01-01 00:03:00", 14.0),  # minutes 1,2 are gaps
+            (4, "B", "2024-01-01 00:05:00", 5.0),   # single-minute symbol
+        ],
+    )
+    out = {
+        (r["symbol"], str(r["minute"])): (r["price"], r["gap_filled"])
+        for r in finance.resample_ffill(ev).collect()
+    }
+    assert len(out) == 5  # A spans 4 grid minutes, B spans 1
+    assert out[("A", "2024-01-01 00:00:00")] == (11.0, False)
+    assert out[("A", "2024-01-01 00:01:00")] == (11.0, True)
+    assert out[("A", "2024-01-01 00:02:00")] == (11.0, True)
+    assert out[("A", "2024-01-01 00:03:00")] == (14.0, False)
+    assert out[("B", "2024-01-01 00:05:00")] == (5.0, False)
+
+
+def test_hourly_cascade_matches_direct_aggregation(spark):
+    """The continuous-aggregate algebra: hourly stats re-aggregated from
+    minute partials equal a direct hourly aggregation of raw events on
+    every decomposable column (open/close chain through the ordered
+    minute, so they are checked via the direct (ts, event_id) order)."""
+    from real_time_financial_lakehouse_spark.operators import rollup as ro
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    cascade = {
+        (r["symbol"], r["hour_window"]): r
+        for r in ro.hourly_from_minute(ev).collect()
+    }
+    key = F.struct("ts", "event_id")
+    direct = {
+        (r["symbol"], r["hour"]): r
+        for r in ev.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("hour", "ts").alias("hour"),
+        )
+        .agg(
+            F.min_by("value", key).alias("open_price"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close_price"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .collect()
+    }
+    assert cascade.keys() == direct.keys()
+    for k, c in cascade.items():
+        d = direct[k]
+        assert c["n_trades"] == d["n_trades"]
+        assert abs(c["high_price"] - d["high"]) < 1e-6
+        assert abs(c["low_price"] - d["low"]) < 1e-6
+        assert c["open_price"] == d["open_price"]
+        assert c["close_price"] == d["close_price"]
+
+
+def test_winsorize_clips_only_the_tails(spark):
+    from real_time_financial_lakehouse_spark.operators import pipeline as pl
+
+    # 101 values 0..100: p01 = 1.0, p99 = 99.0 exactly (interpolation
+    # lands on integer ranks), so exactly one value clips at each tail.
+    ev = _ticks(
+        spark,
+        [(i, "A", "2024-01-01 00:00:00", float(i)) for i in range(101)],
+    )
+    [r] = pl.winsorize_values(ev).collect()
+    assert (r["p_lo"], r["p_hi"]) == (1.0, 99.0)
+    assert (r["n_clipped_lo"], r["n_clipped_hi"]) == (1, 1)
+    assert r["n"] == 101
+    # mean after clipping: (sum(0..100) - 0 - 100 + 1 + 99) / 101
+    assert abs(r["clipped_mean"] - 50.0) < 1e-6
