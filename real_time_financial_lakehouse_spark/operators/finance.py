@@ -477,3 +477,43 @@ def resample_ffill(events: DataFrame) -> DataFrame:
         )
         .orderBy("symbol", "minute")
     )
+
+
+def rolling_median(events: DataFrame, n: int = 30) -> DataFrame:
+    """Rolling n-trade median price per symbol -- the robust centerline
+    an outlier-heavy tick stream needs where a moving average chases
+    spikes (emitted only where the window is full, same null-prefix
+    convention as SMA/Bollinger).
+
+    Spark disallows ``median``/``percentile`` with a window frame
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame is gathered
+    with ``collect_list``, sorted row-locally, and the median read off
+    the order statistics -- exactly DuckDB's ``median`` interpolation for
+    the even-n frame (mean of the two middle values).
+
+    Scale: one shuffle on the symbol; each output row materializes an
+    n-element array (n = 30 here) -- O(n log n) per row, fine for
+    indicator-sized frames; for a median over an unbounded/huge frame
+    use the KLL sketch path (``percentile_approx``) instead, which
+    merges instead of sorting."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(n - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    if n % 2 == 0:
+        med = (F.element_at(arr, n // 2) + F.element_at(arr, n // 2 + 1)) / F.lit(2.0)
+    else:
+        med = F.element_at(arr, n // 2 + 1)
+    cnt = F.count(F.lit(1)).over(w)
+    return (
+        events.select(
+            "event_id",
+            F.col("event_type").alias("symbol"),
+            "ts",
+            F.col("value").alias("price"),
+            F.when(cnt == n, qround(med, 6)).alias("rolling_median"),
+        )
+        .orderBy("symbol", "ts", "event_id")
+    )

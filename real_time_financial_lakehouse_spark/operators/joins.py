@@ -346,6 +346,25 @@ def latest_order_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
     )
     return out.select("event_id", "ts", "user_id", "o_orderkey", "o_orderdate", "o_totalprice")
 
+
+def latest_order_asof_tolerant(
+    events: DataFrame, orders: DataFrame, tolerance: str = "30 days"
+) -> DataFrame:
+    """``latest_order_asof`` with a staleness bound: an order only
+    prevails for ``tolerance`` after its date; events whose latest order
+    is older keep NULLs (the merge_asof tolerance shape)."""
+    out = asof_join_tolerance(
+        events.select("event_id", "ts", "user_id"),
+        orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_tiebreak="o_orderkey",
+        tolerance=tolerance,
+    )
+    return out.select("event_id", "ts", "user_id", "o_orderkey", "o_orderdate", "o_totalprice")
+
 def returned_item_report(
     customer: DataFrame,
     nation: DataFrame,
@@ -1066,4 +1085,38 @@ def waiting_order_suppliers(
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(topn)
+    )
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    right_tiebreak: str,
+    tolerance: str = "7 days",
+) -> DataFrame:
+    """As-of join with a staleness bound -- ``pandas.merge_asof``'s
+    ``tolerance`` semantics: the prevailing right row only counts if it
+    is at most ``tolerance`` old at the left row's time; staler matches
+    come back as an unmatched (all-NULL right side) row.  The query shape
+    quote-to-trade pipelines need when a quote older than the venue's
+    validity window must NOT prevail.
+
+    Scale: identical to ``asof_join_sorted`` (one shuffle, union-sort,
+    zero fan-out) -- the tolerance is a row-local projection on top, no
+    extra join or window.  The bucketed variant gets the same bound for
+    free when ``tolerance <= bucket`` (stale rows fall outside the two
+    probed buckets); this exact form works at any tolerance."""
+    out = asof_join_sorted(
+        left, right, left_on, right_on, left_time, right_time, right_tiebreak
+    )
+    stale = F.col(right_time).isNotNull() & (
+        F.col(right_time) < F.col(left_time) - F.expr(f"INTERVAL {tolerance}")
+    )
+    return out.select(
+        *left.columns,
+        *[F.when(~stale, F.col(c)).alias(c) for c in right.columns],
     )

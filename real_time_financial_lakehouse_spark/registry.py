@@ -2345,6 +2345,54 @@ def q_hourly_from_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "latest_order_asof_tolerant",
+    """
+    WITH j AS (
+        SELECT e.event_id, e.ts, e.user_id,
+               o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, ts, user_id,
+           CASE WHEN o_orderdate >= ts - INTERVAL 30 DAY THEN o_orderkey END AS o_orderkey,
+           CASE WHEN o_orderdate >= ts - INTERVAL 30 DAY THEN o_orderdate END AS o_orderdate,
+           CASE WHEN o_orderdate >= ts - INTERVAL 30 DAY THEN o_totalprice END AS o_totalprice
+    FROM j
+    WHERE rn = 1
+    """,
+)
+def q_latest_order_asof_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.latest_order_asof_tolerant(
+        _t(spark, sf_dir, "events"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "rolling_median",
+    """
+    SELECT event_id,
+           event_type AS symbol,
+           ts,
+           value AS price,
+           CASE WHEN count(*) OVER w = 30
+                THEN floor((median(value) OVER w) * 1000000.0 + 0.5) / 1000000.0
+           END AS rolling_median
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    ORDER BY 2, 3, 1
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.rolling_median(_events(spark, sf_dir))
+
+
+@register(
     "winsorize_values",
     """
     WITH fences AS (

@@ -624,3 +624,25 @@ def test_winsorize_clips_only_the_tails(spark):
     assert r["n"] == 101
     # mean after clipping: (sum(0..100) - 0 - 100 + 1 + 99) / 101
     assert abs(r["clipped_mean"] - 50.0) < 1e-6
+
+
+def test_asof_tolerance_nulls_stale_matches_keeps_boundary(spark):
+    from real_time_financial_lakehouse_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(1, "2024-02-01 00:00:00", 10), (2, "2024-03-15 00:00:00", 10)],
+        "event_id long, ts string, user_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    orders = spark.createDataFrame(
+        [(100, 10, "2024-01-02", 5.0)],
+        "o_orderkey long, o_custkey long, o_orderdate string, o_totalprice double",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    out = {
+        r["event_id"]: r["o_orderkey"]
+        for r in joins.latest_order_asof_tolerant(
+            left, orders, tolerance="30 days"
+        ).collect()
+    }
+    # event 1: order is 30 days old at event time -- exactly at the
+    # bound, inclusive, kept; event 2: 73 days old -- nulled, row stays
+    assert out == {1: 100, 2: None}
