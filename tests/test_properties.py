@@ -81,3 +81,163 @@ def test_union_partition_is_lossless(spark, rows, threshold):
     high = df.filter(F.col("value") >= threshold)
     low = df.filter(F.col("value") < threshold)
     assert high.unionByName(low).count() == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# as-of join: the three plans agree on ANY input
+# ---------------------------------------------------------------------------
+
+asof_left = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=600),              # ts offset secs
+        st.one_of(st.none(), st.integers(min_value=0, max_value=4)),  # key
+    ),
+    min_size=1,
+    max_size=25,
+)
+asof_right = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=600),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@_few
+@given(left=asof_left, right=asof_right)
+def test_asof_sorted_equals_naive_on_any_input(spark, left, right):
+    """Differential fuzz of the zero-fan-out union-sort as-of plan vs the
+    naive ranged-join form: duplicate timestamps (colliding offsets are
+    likely by construction), NULL keys, keys with no/empty right side --
+    the fixture differential (test_scale_plans) can't produce these."""
+    from real_time_financial_lakehouse_spark.operators import joins
+
+    ldf = spark.createDataFrame(
+        [
+            (i, BASE_TS + dt.timedelta(seconds=off), k)
+            for i, (off, k) in enumerate(left)
+        ],
+        "event_id long, ts timestamp, user_id long",
+    )
+    rdf = spark.createDataFrame(
+        [
+            (1000 + j, k, BASE_TS + dt.timedelta(seconds=off), float(v))
+            for j, (off, k, v) in enumerate(right)
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    kwargs = dict(
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_tiebreak="o_orderkey",
+    )
+    cols = ["event_id", "ts", "user_id", "o_orderkey", "o_orderdate", "o_totalprice"]
+    fast = joins.asof_join_sorted(ldf, rdf, **kwargs).select(*cols)
+    naive = joins.asof_join(ldf, rdf, left_id="event_id", **kwargs).select(*cols)
+    f, n = sorted(map(tuple, fast.collect())), sorted(map(tuple, naive.collect()))
+    assert f == n
+
+
+# ---------------------------------------------------------------------------
+# dedup_clusters: labels ARE the connected components of the edge graph
+# ---------------------------------------------------------------------------
+
+_TEMPLATES = [
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu",
+    "one two three four five six seven eight nine ten eleven twelve",
+    "red orange yellow green blue indigo violet cyan magenta black white gray",
+]
+
+dedup_docs = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2), st.booleans()),
+    min_size=2,
+    max_size=12,
+)
+
+
+@_few
+@given(docs=dedup_docs)
+def test_dedup_cluster_labels_match_union_find(spark, docs):
+    """The distributed min-label propagation must produce exactly the
+    connected components (label = min reachable doc_id) of whatever edge
+    set the LSH ladder emits -- checked against a driver-side union-find
+    over the same edges, for corpora full of planted near-duplicates."""
+    from real_time_financial_lakehouse_spark.operators import dedup
+
+    rows = []
+    for i, (tmpl, mutate) in enumerate(docs):
+        text = _TEMPLATES[tmpl] + (f" extra{i}" if mutate else "")
+        rows.append((i, text, "en", "s", len(text)))
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(df, k=8, bands=4).collect()
+    ]
+    parent = {i: i for i in range(len(docs))}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(len(docs))}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(df, k=8, bands=4).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# versioned table: any commit/compact sequence preserves every snapshot
+# ---------------------------------------------------------------------------
+
+version_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("commit"), st.integers(min_value=0, max_value=30)),
+        st.tuples(st.just("compact"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@_few
+@given(ops=version_ops)
+def test_versioned_table_time_travel_under_any_op_sequence(spark, tmp_path_factory, ops):
+    """Snapshot isolation as a property: after ANY interleaving of
+    commits and compactions, every version reads back exactly the rows
+    that were current when it committed (compaction is a rewrite -- a
+    new version with identical content)."""
+    from real_time_financial_lakehouse_spark.operators import versioned
+
+    table = str(tmp_path_factory.mktemp("vt") / "t")
+    expected = {}  # version -> sorted row ids
+    current = []
+    for op, arg in ops:
+        if op == "commit":
+            current = list(range(arg + 1))
+            df = spark.createDataFrame([(i,) for i in current], "id long")
+            v = versioned.commit_version(df, table)
+        else:
+            if not expected:
+                continue  # nothing to compact yet
+            v = versioned.compact(spark, table)
+        expected[v] = sorted(current)
+    for v, rows in expected.items():
+        got = sorted(
+            r["id"] for r in versioned.read_version(spark, table, v).collect()
+        )
+        assert got == rows, f"version {v}"
