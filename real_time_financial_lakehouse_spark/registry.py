@@ -2122,6 +2122,67 @@ def q_versioned_gold_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, table_dir, 0, 1, key_cols=["day", "symbol"]
     )
 
+@register(
+    "streaming_table_changes",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               event_type AS symbol,
+               count(*) AS n_events,
+               floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT day, symbol, n_events, total_value,
+           'insert' AS change_type,
+           CAST(CASE WHEN day < TIMESTAMP '2024-01-15' THEN 0 ELSE 1 END AS BIGINT) AS version
+    FROM daily
+    ORDER BY version, day, symbol
+    """,
+)
+def q_streaming_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING consumption of the change feed (Delta
+    ``readChangeFeed`` with ``startingVersion=0``): same two-version
+    gold table as ``versioned_gold_changes``, but the changes arrive by
+    streaming the manifest log -- v0's snapshot lands as baseline
+    inserts (version 0), v1's diff as the second half's inserts
+    (version 1; first-half aggregates are identical across versions and
+    never surface)."""
+    import os
+
+    from .operators import versioned
+    from .scratch import scratch_dir
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type").alias("symbol"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.floor(F.sum("value") * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
+    )
+    base = scratch_dir("rtfl_cdf_stream_")
+    table_dir = os.path.join(base, "gold_daily")
+    versioned.commit_version(daily.filter(F.col("day") < "2024-01-15"), table_dir)
+    versioned.commit_version(daily, table_dir)
+    versioned.changes_stream(
+        spark,
+        table_dir,
+        key_cols=["day", "symbol"],
+        out_dir=os.path.join(base, "feed"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    return (
+        versioned.read_changes_feed(spark, os.path.join(base, "feed"))
+        .orderBy("version", "day", "symbol")
+    )
+
+
 def _zorder_oracle_sql() -> str:
     from .operators.layout import ZORDER_BITS, _interleave_sql
 

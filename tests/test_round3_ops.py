@@ -646,3 +646,41 @@ def test_asof_tolerance_nulls_stale_matches_keeps_boundary(spark):
     # event 1: order is 30 days old at event time -- exactly at the
     # bound, inclusive, kept; event 2: 73 days old -- nulled, row stays
     assert out == {1: 100, 2: None}
+
+
+def test_changes_stream_is_exactly_once_across_restarts(spark, tmp_path):
+    """The streaming change feed: pass 1 emits v0's snapshot as inserts
+    plus v1's diff; after two more commits, pass 2 (same checkpoint)
+    emits ONLY v2/v3 changes -- no reprocessing, no duplicates."""
+    from real_time_financial_lakehouse_spark.operators import versioned
+
+    table = str(tmp_path / "t")
+    out = str(tmp_path / "cdf_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    versioned.commit_version(df([(1, "a"), (2, "b")]), table)          # v0
+    versioned.commit_version(df([(1, "a"), (2, "B"), (3, "c")]), table)  # v1
+    versioned.changes_stream(spark, table, ["k"], out, ckpt)
+    feed1 = {
+        (r["version"], r["k"], r["change_type"])
+        for r in versioned.read_changes_feed(spark, out).collect()
+    }
+    assert feed1 == {
+        (0, 1, "insert"), (0, 2, "insert"),        # baseline snapshot
+        (1, 2, "update"), (1, 3, "insert"),        # v0 -> v1 diff
+    }
+
+    versioned.commit_version(df([(2, "B"), (3, "c")]), table)           # v2: delete 1
+    versioned.commit_version(df([(2, "B"), (3, "C"), (4, "d")]), table)  # v3
+    versioned.changes_stream(spark, table, ["k"], out, ckpt)
+    feed2 = {
+        (r["version"], r["k"], r["change_type"])
+        for r in versioned.read_changes_feed(spark, out).collect()
+    }
+    assert feed2 == feed1 | {
+        (2, 1, "delete"),
+        (3, 3, "update"), (3, 4, "insert"),
+    }
