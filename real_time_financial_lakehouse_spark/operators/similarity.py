@@ -276,3 +276,64 @@ def cluster_assign(embeddings: DataFrame, n_clusters: int = 8) -> DataFrame:
         .select("vec_id", "cluster_id", "dist")
         .orderBy("vec_id")
     )
+
+
+_PCA_CACHE: dict = {}
+
+
+def fit_pca(embeddings: DataFrame, cache_key: str, k: int = 4):
+    """Fit ``pyspark.ml.feature.PCA`` over the embedding column once per
+    (session, dataset, k) -- the dimensionality-reduction pass a
+    training pipeline runs before clustering / ANN indexing to cut
+    vector storage and distance cost (64 -> k dims here).
+
+    Scale: Spark's PCA computes the Gramian distributedly (one pass of
+    d x d outer-product partial aggregation -- d^2 floats per task, tiny
+    at embedding dims) and eigendecomposes the d x d result on the
+    driver: exactly the right split, since the data-sized work never
+    leaves the executors and the driver handles a 64x64 matrix.  The
+    fitted components are a d x k matrix broadcast into ``transform``
+    (JVM-side matrix-vector multiply per row, no Python boundary)."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    spark = embeddings.sparkSession
+    key = (id(spark.sparkContext), cache_key, k)
+    model = _PCA_CACHE.get(key)
+    if model is None:
+        feats = embeddings.select(
+            array_to_vector(_as_double("embedding")).alias("features")
+        )
+        model = PCA(k=k, inputCol="features", outputCol="pca").fit(feats)
+        _PCA_CACHE[key] = model
+    return model
+
+
+def pca_project(embeddings: DataFrame, model) -> DataFrame:
+    """Project every embedding onto the fitted principal components:
+    (vec_id, k-dim projection, squared norm retained by the projection).
+    Rounding at the output boundary only (eigenvector sign/order is
+    deterministic for a fixed dataset but NOT SQL-expressible, so this
+    query is verified by pytest properties -- orthonormal components,
+    non-increasing explained variance, projection = X @ PC cross-checked
+    in numpy -- and registered rows-only, like the ML pair)."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from ..functions.numeric import qround
+
+    feats = embeddings.select(
+        "vec_id", array_to_vector(_as_double("embedding")).alias("features")
+    )
+    proj = model.transform(feats).select(
+        "vec_id", vector_to_array(F.col("pca")).alias("p")
+    )
+    retained = F.aggregate(
+        "p", F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return proj.select(
+        "vec_id",
+        F.expr(
+            "transform(p, x -> cast(floor(x * 1000000.0 + 0.5) / 1000000.0 as double))"
+        ).alias("pca"),
+        qround(retained, 6).alias("retained_sq_norm"),
+    ).orderBy("vec_id")

@@ -445,3 +445,51 @@ def tf_idf_terms(documents: DataFrame, topn: int = 3) -> DataFrame:
         .select("doc_id", "rank", "term", "tf_idf")
         .orderBy("doc_id", "rank")
     )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Corpus-unigram language-model score per document: the mean log
+    probability of the doc's tokens under the corpus's own unigram
+    distribution -- the cheap stand-in for the KenLM-perplexity quality
+    signal CCNet-style pipelines filter on (low scores = rare-token
+    gibberish, high scores = common-word boilerplate; both tails get
+    screened).
+
+    Scale: one explode projecting ONLY (doc_id, term); the vocabulary
+    aggregate partial-aggregates map-side; the terms-to-vocab join is an
+    equi-join on the term (broadcast while the vocab fits, sort-merge
+    beyond -- Zipf means the vocab is tiny relative to token volume).
+    The corpus total is a 1-row frame crossed in via broadcast.  All
+    math is JVM codegen (``avg(ln cf) - ln N`` folds the per-token
+    probability product into one grouped pass)."""
+    from pyspark.sql.functions import broadcast
+
+    terms = (
+        _spread(documents.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") >= 1)
+    )
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    total = vocab.agg(F.sum("cf").cast("double").alias("n_total"))
+    per_doc = (
+        terms.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log(F.col("cf"))).alias("avg_log_cf"),
+        )
+    )
+    return (
+        per_doc.crossJoin(broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            qround(F.col("avg_log_cf") - F.log(F.col("n_total")), 6).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )

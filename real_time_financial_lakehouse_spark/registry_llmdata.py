@@ -1014,3 +1014,33 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(
         _docs(spark, sf_dir), bits=_BITS, bands=_SH_BANDS, max_hamming=_SH_MAXHAM
     )
+
+
+@register(
+    "unigram_logprob",
+    f"""
+    WITH t2 AS (
+        SELECT doc_id, term
+        FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+              FROM documents)
+        WHERE length(term) >= 1
+    ),
+    vocab AS (SELECT term, count(*)::BIGINT AS cf FROM t2 GROUP BY 1),
+    total AS (SELECT sum(cf)::DOUBLE AS n_total FROM vocab)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           {qround_sql("avg(ln(cf)) - ln((SELECT n_total FROM total))")} AS avg_logprob
+    FROM t2 JOIN vocab USING (term)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.unigram_logprob(_docs(spark, sf_dir))
+
+
+@register("pca_embeddings")
+def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    model = similarity.fit_pca(emb, cache_key=sf_dir, k=4)
+    return similarity.pca_project(emb, model)

@@ -684,3 +684,27 @@ def test_changes_stream_is_exactly_once_across_restarts(spark, tmp_path):
         (2, 1, "delete"),
         (3, 3, "update"), (3, 4, "insert"),
     }
+
+
+def test_pca_components_orthonormal_and_projection_exact(spark):
+    """PCA properties numpy can pin that SQL cannot: the fitted basis is
+    orthonormal, explained variance is non-increasing, and the Spark-side
+    projection equals X @ PC computed locally."""
+    np = pytest.importorskip("numpy")
+    from real_time_financial_lakehouse_spark.operators import similarity
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    model = similarity.fit_pca(emb, cache_key="test" + SF_SMOKE, k=4)
+    pc = model.pc.toArray()                      # (64, 4)
+    assert np.allclose(pc.T @ pc, np.eye(4), atol=1e-9)
+    ev = model.explainedVariance.toArray()
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+
+    rows = similarity.pca_project(emb, model).collect()
+    raw = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert len(rows) == len(raw)
+    for r in rows[:20]:
+        expected = np.array(raw[r["vec_id"]], dtype=np.float64) @ pc
+        got = np.array(r["pca"])
+        assert np.allclose(got, np.round(expected * 1e6 + 0.5 - 0.5) / 1e6, atol=2e-6)
+        assert abs(r["retained_sq_norm"] - float(expected @ expected)) < 1e-3
