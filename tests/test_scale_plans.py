@@ -365,3 +365,26 @@ def test_runtime_bloom_filter_reachable_for_selective_dim_join(spark):
     plan = j._jdf.queryExecution().optimizedPlan().toString()
     assert "bloom_filter_agg" in plan
     assert "might_contain" in plan
+
+
+def test_hourly_cascade_has_exactly_three_exchanges(spark):
+    """The continuous-aggregate cascade must not inherit minute_ohlc's
+    presentation sort: minute agg exchange + hour agg exchange + final
+    ORDER BY range exchange, nothing else (a fourth exchange means the
+    interior global sort of every minute bar came back)."""
+    from real_time_financial_lakehouse_spark.operators import rollup
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    plan = _plan(rollup.hourly_from_minute(ev))
+    assert plan.count("Exchange") == 3
+
+
+def test_winsorize_broadcasts_fence_table(spark):
+    """Pass two must get its fences via broadcast -- no shuffle join of
+    the event stream against the tiny per-symbol percentile table."""
+    from real_time_financial_lakehouse_spark.operators import pipeline
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    plan = _plan(pipeline.winsorize_values(ev))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
