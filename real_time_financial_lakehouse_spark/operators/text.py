@@ -70,8 +70,10 @@ def text_quality(documents: DataFrame) -> DataFrame:
     # punctuation = what remains after stripping alphanumerics and spaces
     punct = F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", ""))
     n_tokens = F.size(_tokens())
-    stop_ratio = _stopword_count("en") / n_tokens
-    punct_ratio = punct / n_chars
+    # ANSI-safe: empty/whitespace-only docs have 0 chars or 0 tokens --
+    # the ratio is NULL there, never a DIVIDE_BY_ZERO (Spark 4 default)
+    stop_ratio = F.when(n_tokens > 0, _stopword_count("en") / n_tokens)
+    punct_ratio = F.when(n_chars > 0, punct / n_chars)
     q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     return documents.select(
         "doc_id",
@@ -80,7 +82,8 @@ def text_quality(documents: DataFrame) -> DataFrame:
         q6(punct_ratio).alias("punct_ratio"),
         q6(stop_ratio).alias("stopword_ratio"),
         (
-            (n_chars >= 50) & (n_tokens >= 10) & (punct_ratio < F.lit(0.3))
+            (n_chars >= 50) & (n_tokens >= 10)
+            & F.coalesce(punct_ratio < F.lit(0.3), F.lit(False))
         ).alias("quality_pass"),
     ).orderBy("doc_id")
 

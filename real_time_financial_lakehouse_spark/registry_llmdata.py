@@ -328,10 +328,14 @@ _STOP_EN = "len(list_filter(toks, t -> t IN ('the', 'a', 'of')))"
     SELECT doc_id,
            length(text) AS n_chars,
            len(toks) AS n_tokens,
-           floor(({_PUNCT}::DOUBLE / length(text)) * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
-           floor(({_STOP_EN}::DOUBLE / len(toks)) * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+           CASE WHEN length(text) > 0 THEN
+             floor(({_PUNCT}::DOUBLE / length(text)) * 1000000.0 + 0.5) / 1000000.0
+           END AS punct_ratio,
+           CASE WHEN len(toks) > 0 THEN
+             floor(({_STOP_EN}::DOUBLE / len(toks)) * 1000000.0 + 0.5) / 1000000.0
+           END AS stopword_ratio,
            (length(text) >= 50 AND len(toks) >= 10
-            AND ({_PUNCT}::DOUBLE / length(text)) < 0.3) AS quality_pass
+            AND coalesce(CASE WHEN length(text) > 0 THEN {_PUNCT}::DOUBLE / length(text) END < 0.3, false)) AS quality_pass
     FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
     ORDER BY doc_id
     """,

@@ -708,3 +708,34 @@ def test_pca_components_orthonormal_and_projection_exact(spark):
         got = np.array(r["pca"])
         assert np.allclose(got, np.round(expected * 1e6 + 0.5 - 0.5) / 1e6, atol=2e-6)
         assert abs(r["retained_sq_norm"] - float(expected @ expected)) < 1e-3
+
+
+def test_document_ops_tolerate_null_empty_whitespace_docs(spark):
+    """Fixture-regeneration armor: every document operator must survive a
+    corpus containing NULL, empty, and whitespace-only texts (Spark 4's
+    ANSI mode turns an unguarded ratio into DIVIDE_BY_ZERO -- exactly how
+    text_quality broke on this battery before the guard)."""
+    from real_time_financial_lakehouse_spark.operators import dedup as dd
+    from real_time_financial_lakehouse_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (0, None, "en", "s", 0),
+            (1, "", "en", "s", 0),
+            (2, "   ", "en", "s", 3),
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 55),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    quality = {r["doc_id"]: r for r in tx.text_quality(docs).collect()}
+    assert quality[1]["punct_ratio"] is None          # 0 chars -> NULL, no error
+    assert quality[2]["stopword_ratio"] == 0.0        # split('') -> [''], 1 token
+    assert quality[1]["quality_pass"] is False
+    assert quality[3]["quality_pass"] is True         # >=50 chars, 10 tokens, 0 punct
+    for fn in (
+        tx.token_stats, tx.lang_id, tx.word_entropy, tx.unigram_logprob,
+        tx.bpe_token_stats, tx.repetition_stats, tx.quality_gate,
+        dd.exact_dedup, dd.minhash_signatures, dd.lsh_candidate_pairs,
+        dd.simhash_fingerprints, dd.dedup_clusters,
+    ):
+        fn(docs).collect()  # must not raise
