@@ -19,6 +19,16 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import qround
 
+def _safe_corr(x: str, y: str):
+    """Pearson correlation that returns NULL (not DIVIDE_BY_ZERO) for a
+    constant series under ANSI mode: covar_pop / (stddev_pop * stddev_pop)
+    with the division guarded as a scalar CASE -- mathematically F.corr,
+    differing only in float op order (absorbed by the 1e-6 quantization;
+    oracle parity stays hash-identical on the fixtures)."""
+    denom = F.stddev_pop(x) * F.stddev_pop(y)
+    return F.when(denom != 0, qround(F.covar_pop(x, y) / denom, 6))
+
+
 def vwap_daily(events: DataFrame) -> DataFrame:
     """Volume-weighted average price per (symbol, day); volume is the
     ``k`` field of the props JSON (the fixture's stand-in for trade
@@ -150,7 +160,12 @@ def symbol_correlations(events: DataFrame) -> DataFrame:
         a.join(b, (F.col("mw") == F.col("mw_b")) & (F.col("sym_a") < F.col("sym_b")))
         .groupBy("sym_a", "sym_b")
         .agg(
-            qround(F.corr("close_a", "close_b"), 6).alias("corr"),
+            # ANSI-safe Pearson: F.corr's own final division throws on a
+            # zero-variance series even under CASE (Catalyst extracts
+            # aggregate functions out of the guard and evaluates them
+            # unconditionally), so the ratio is built from covar/stddev
+            # partials where the division is a guarded SCALAR expression
+            _safe_corr("close_a", "close_b").alias("corr"),
             F.count(F.lit(1)).alias("n_minutes"),
         )
         .orderBy("sym_a", "sym_b")
@@ -298,7 +313,8 @@ def beta_vs_market(events: DataFrame) -> DataFrame:
         joined.groupBy("symbol")
         .agg(
             F.when(var_m != 0, qround(F.covar_pop("r", "m") / var_m, 6)).alias("beta"),
-            qround(F.corr("r", "m"), 6).alias("corr_mkt"),
+            # same ANSI zero-variance-safe Pearson as symbol_correlations
+            _safe_corr("r", "m").alias("corr_mkt"),
             F.count(F.lit(1)).alias("n_minutes"),
         )
         .orderBy("symbol")

@@ -1759,7 +1759,8 @@ _OHLC_CLOSE_SQL = """
     f"""
     WITH bars AS ({_OHLC_CLOSE_SQL})
     SELECT a.symbol AS sym_a, b.symbol AS sym_b,
-           {_q('corr(a.close_price, b.close_price)', 6)} AS corr,
+           CASE WHEN var_pop(a.close_price) != 0 AND var_pop(b.close_price) != 0
+                THEN {_q('corr(a.close_price, b.close_price)', 6)} END AS corr,
            count(*) AS n_minutes
     FROM bars a
     JOIN bars b ON a.minute_window = b.minute_window AND a.symbol < b.symbol
@@ -1914,7 +1915,8 @@ def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT symbol,
            CASE WHEN var_pop(m) != 0
                 THEN {_q('covar_pop(r, m) / var_pop(m)', 6)} END AS beta,
-           {_q('corr(r, m)', 6)} AS corr_mkt,
+           CASE WHEN var_pop(m) != 0 AND var_pop(r) != 0
+                THEN {_q('corr(r, m)', 6)} END AS corr_mkt,
            count(*) AS n_minutes
     FROM j
     GROUP BY 1

@@ -739,3 +739,43 @@ def test_document_ops_tolerate_null_empty_whitespace_docs(spark):
         dd.simhash_fingerprints, dd.dedup_clusters,
     ):
         fn(docs).collect()  # must not raise
+
+
+def test_event_ops_tolerate_degenerate_series(spark):
+    """Constant prices (zero variance/range), NULL values, NULL props,
+    NULL user_ids: every indicator must return rows or NULLs, never an
+    ANSI DIVIDE_BY_ZERO -- F.corr threw on constant series before the
+    _safe_corr guard (Catalyst evaluates extracted aggregates even under
+    a CASE, so the guard must live in the scalar ratio)."""
+    from real_time_financial_lakehouse_spark.operators import (
+        finance,
+        pipeline,
+        rollup,
+        windows,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "A", 5.0, '{"k": 2}'),
+        (2, "2024-01-01 00:01:00", 1, "A", 5.0, '{"k": 0}'),
+        (3, "2024-01-01 00:02:00", 2, "A", 5.0, None),
+        (4, "2024-01-01 00:01:00", 2, "B", None, "{}"),
+        (5, "2024-01-01 00:02:00", None, "B", 0.0, '{"k": -1}'),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    beta = {r["symbol"]: r for r in finance.beta_vs_market(ev).collect()}
+    for r in beta.values():
+        assert r["corr_mkt"] is None  # constant returns -> NULL, no error
+    for fn in (
+        finance.vwap_daily, finance.bollinger_bands, finance.max_drawdown,
+        finance.bar_gaps, finance.symbol_correlations,
+        finance.daily_return_volatility, finance.atr,
+        finance.stochastic_oscillator, finance.on_balance_volume,
+        finance.macd_summary, finance.donchian_channels,
+        finance.resample_ffill, finance.rolling_median,
+        pipeline.winsorize_values, rollup.minute_ohlc,
+        rollup.hourly_from_minute, windows.ema_per_symbol,
+    ):
+        fn(ev).collect()  # must not raise
