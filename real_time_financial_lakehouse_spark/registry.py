@@ -186,7 +186,10 @@ def q_partitioned_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.date_format(F.col("ts"), "yyyy-MM-dd")
     )
     path = sinks.partitioned_write(ev, ["day"])
-    part = spark.read.parquet(path).filter(
+    # explicit schema on the read-back: schema-drift protection on real
+    # data, and an empty write (no files, only _SUCCESS) reads as an
+    # empty frame instead of UNABLE_TO_INFER_SCHEMA
+    part = spark.read.schema(ev.schema).parquet(path).filter(
         F.col("day").cast("string").isin("2024-01-02", "2024-01-03")
     )
     return (

@@ -163,6 +163,14 @@ def silver_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             events_stream(ss, sf_dir), out_dir, ckpt_dir, available_now=True
         )
         q.awaitTermination()
+    silver_cols = (
+        "window_start timestamp, window_end timestamp, symbol string, "
+        "volatility double, average_price double, n_events bigint"
+    )
+    if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        # an empty drained stream writes no files; that is an empty
+        # silver table, not an unreadable one
+        return spark.createDataFrame([], silver_cols)
     return spark.read.parquet(out_dir).select(
         "window_start", "window_end", "symbol", "volatility", "average_price", "n_events"
     )
@@ -398,6 +406,12 @@ def streaming_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    if not versioned.table_versions(table_dir):
+        # zero micro-batches (empty source): the gold table was never
+        # committed -- an empty snapshot, not a read error
+        return spark.createDataFrame(
+            [], "symbol string, n_events long, total_value double"
+        )
     gold = versioned.read_version(spark, table_dir)
     return gold.select(
         "symbol",

@@ -779,3 +779,35 @@ def test_event_ops_tolerate_degenerate_series(spark):
         rollup.hourly_from_minute, windows.ema_per_symbol,
     ):
         fn(ev).collect()  # must not raise
+
+
+def test_queries_survive_fully_empty_tables(spark, tmp_path):
+    """Empty-input armor across the query families: zero-row fixtures
+    must produce zero-row (or grand-total-free) results, never a read
+    error -- the full-registry empty sweep found and fixed three
+    read-back bugs (partitioned_day_rollup, streaming_silver_roundtrip,
+    streaming_incremental_gold). Known by-design exceptions: Spark emits
+    no ROLLUP/CUBE grand-total row on empty input (ANSI does), and the
+    ML fits (ml_price_prediction, ann_ivf_kmeans_topk, pca_embeddings)
+    require training data."""
+    import shutil
+
+    from real_time_financial_lakehouse_spark import registry
+
+    src = SF_SMOKE
+    dst = str(tmp_path / "sf_empty")
+    (tmp_path / "sf_empty").mkdir()
+    for t in ["events", "documents", "orders", "lineitem", "customer", "nation", "region"]:
+        df = spark.read.parquet(f"{src}/{t}.parquet").limit(0)
+        out_dir = str(tmp_path / f"{t}_w")
+        df.coalesce(1).write.mode("overwrite").parquet(out_dir)
+        f = next(x for x in __import__("os").listdir(out_dir) if x.endswith(".parquet"))
+        shutil.move(f"{out_dir}/{f}", f"{dst}/{t}.parquet")
+    for name in [
+        "gold_market_summary", "minute_ohlc", "rsi_14", "sma_5",
+        "partitioned_day_rollup", "streaming_silver_roundtrip",
+        "streaming_incremental_gold", "latest_order_asof",
+        "resample_ffill", "winsorize_values", "dedup_exact",
+        "text_quality", "pricing_summary", "shipping_priority",
+    ]:
+        assert registry.QUERIES[name](spark, dst).count() == 0, name
