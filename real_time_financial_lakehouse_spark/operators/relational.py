@@ -15,7 +15,7 @@ takes and returns DataFrames without forcing any action.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import qround
@@ -158,3 +158,56 @@ def merge_upsert(events: DataFrame) -> DataFrame:
         .alias("action"),
     )
     return merged.orderBy("event_id")
+
+
+def funnel_counts(
+    events: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered event-sequence funnel: per stage, how many users performed
+    stage k strictly AFTER their first occurrence of stage k-1 -- the
+    Amplitude/Mixpanel-style conversion query an events gold layer
+    serves (each user counts once per stage, anchored at their earliest
+    qualifying time; order matters, a purchase before the first view
+    does not convert).
+
+    Scale: one user-keyed groupBy per stage over a stage-filtered scan
+    (filter pushes to parquet; partial agg map-side), chained by
+    user-keyed equi-joins -- every shuffle is on the same key, so AQE
+    reuses the partitioning down the chain, and each stage's frame
+    shrinks monotonically (funnels only narrow).  The final counts are
+    three scalar aggregates unioned driver-free; conversion ratios are
+    NULL-guarded for empty stages."""
+    per_stage = []
+    anchored = None
+    for stage in stages:
+        hits = events.filter(F.col("event_type") == stage).select("user_id", "ts")
+        if anchored is None:
+            anchored = hits.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            anchored = (
+                hits.join(anchored.select("user_id", F.col("t").alias("t_prev")), "user_id")
+                .filter(F.col("ts") > F.col("t_prev"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        per_stage.append(
+            anchored.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+                F.lit(len(per_stage) + 1).cast("long").alias("stage"),
+                F.lit(stage).alias("event_type"),
+                "n_users",
+            )
+        )
+    out = per_stage[0]
+    for frame in per_stage[1:]:
+        out = out.unionByName(frame)
+    w = Window.orderBy("stage")
+    prev = F.lag("n_users").over(w)
+    return out.select(
+        "stage",
+        "event_type",
+        "n_users",
+        F.when(
+            prev > 0,
+            F.floor(F.col("n_users") / prev * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).alias("conversion"),
+    ).orderBy("stage")

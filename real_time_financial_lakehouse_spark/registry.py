@@ -2340,6 +2340,38 @@ def q_weighted_symbol_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.weighted_symbol_price(_events(spark, sf_dir))
 
 @register(
+    "funnel_counts",
+    """
+    WITH a AS (SELECT user_id, min(ts) AS t FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    b AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN a ON e.user_id = a.user_id
+          WHERE e.event_type = 'click' AND e.ts > a.t GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN b ON e.user_id = b.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > b.t GROUP BY 1),
+    counts AS (
+        SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+               CAST((SELECT count(*) FROM a) AS BIGINT) AS n_users
+        UNION ALL
+        SELECT 2, 'click', CAST((SELECT count(*) FROM b) AS BIGINT)
+        UNION ALL
+        SELECT 3, 'purchase', CAST((SELECT count(*) FROM c) AS BIGINT)
+    )
+    SELECT stage, event_type, n_users,
+           CASE WHEN lag(n_users) OVER (ORDER BY stage) > 0 THEN
+             floor(n_users::DOUBLE / lag(n_users) OVER (ORDER BY stage)
+                   * 1000000.0 + 0.5) / 1000000.0
+           END AS conversion
+    FROM counts
+    ORDER BY stage
+    """,
+)
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.funnel_counts(_events(spark, sf_dir))
+
+
+@register(
     "resample_ffill",
     """
     WITH mc AS (

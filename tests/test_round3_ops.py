@@ -811,3 +811,32 @@ def test_queries_survive_fully_empty_tables(spark, tmp_path):
         "text_quality", "pricing_summary", "shipping_priority",
     ]:
         assert registry.QUERIES[name](spark, dst).count() == 0, name
+
+
+def test_funnel_is_order_sensitive(spark):
+    """A purchase BEFORE the user's first view must not convert; one
+    strictly-ordered view->click->purchase user converts through all
+    three stages."""
+    from real_time_financial_lakehouse_spark.operators import relational
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:01:00", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 00:02:00", 1, "purchase", 1.0, "{}"),
+        # user 2: purchase first, then view -- stage 1 only
+        (4, "2024-01-01 00:00:00", 2, "purchase", 1.0, "{}"),
+        (5, "2024-01-01 00:01:00", 2, "view", 1.0, "{}"),
+        # user 3: view then click at the SAME timestamp -- strict '>' fails
+        (6, "2024-01-01 00:00:00", 3, "view", 1.0, "{}"),
+        (7, "2024-01-01 00:00:00", 3, "click", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["stage"]: r for r in relational.funnel_counts(ev).collect()}
+    assert (out[1]["n_users"], out[2]["n_users"], out[3]["n_users"]) == (3, 1, 1)
+    assert out[1]["conversion"] is None
+    assert out[2]["conversion"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[3]["conversion"] == 1.0
