@@ -211,3 +211,52 @@ def funnel_counts(
             F.floor(F.col("n_users") / prev * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
         ).alias("conversion"),
     ).orderBy("stage")
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Retention-cohort triangle: users grouped by first-activity day,
+    counted on each subsequent active day as an offset from the cohort
+    day, with the share of the cohort still active -- the companion to
+    ``funnel_counts`` in any product-analytics gold layer.
+
+    Scale: one groupBy(user) for the cohort anchor, one distinct over
+    (user, day) -- both partial-aggregable shuffles on the user -- then a
+    user-keyed equi-join (the anchor frame is one row per user; AQE
+    broadcasts it when small, SMJ beyond) and a final
+    (cohort, offset)-keyed aggregate at triangle cardinality
+    (days^2 / 2 rows, tiny).  The cohort-size join for the retention
+    denominator reuses the offset-0 row -- no second scan of events."""
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    cells = (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    size = cells.filter(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        cells.join(size, "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_users",
+            "cohort_size",
+            F.when(
+                F.col("cohort_size") > 0,
+                F.floor(
+                    F.col("n_users") / F.col("cohort_size") * F.lit(1e6) + F.lit(0.5)
+                )
+                / F.lit(1e6),
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -2372,6 +2372,38 @@ def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retention_cohorts",
+    """
+    WITH first AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        FROM events GROUP BY 1
+    ),
+    active AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    cells AS (
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, a.day) AS INTEGER) AS day_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM active a JOIN first f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    ),
+    size AS (
+        SELECT cohort_day, n_users AS cohort_size FROM cells WHERE day_offset = 0
+    )
+    SELECT c.cohort_day, c.day_offset, c.n_users, s.cohort_size,
+           CASE WHEN s.cohort_size > 0 THEN
+             floor(c.n_users::DOUBLE / s.cohort_size * 1000000.0 + 0.5) / 1000000.0
+           END AS retention
+    FROM cells c JOIN size s ON c.cohort_day = s.cohort_day
+    ORDER BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.retention_cohorts(_events(spark, sf_dir))
+
+
+@register(
     "resample_ffill",
     """
     WITH mc AS (

@@ -840,3 +840,33 @@ def test_funnel_is_order_sensitive(spark):
     assert out[1]["conversion"] is None
     assert out[2]["conversion"] == pytest.approx(1 / 3, abs=1e-6)
     assert out[3]["conversion"] == 1.0
+
+
+def test_retention_triangle_semantics(spark):
+    """Planted cohorts: day-0 retention is always 1.0, a user active on
+    their cohort day and day 2 (but not day 1) appears only at offsets
+    0 and 2, and cohort membership follows FIRST activity."""
+    from real_time_financial_lakehouse_spark.operators import relational
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-03 10:00:00", 1, "view", 1.0, "{}"),   # offset 2, skips day 1
+        (3, "2024-01-01 11:00:00", 2, "click", 1.0, "{}"),  # same cohort, day 0 only
+        (4, "2024-01-02 09:00:00", 3, "view", 1.0, "{}"),   # second cohort
+        (5, "2024-01-03 09:00:00", 3, "view", 1.0, "{}"),   # its offset 1
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (str(r["cohort_day"])[:10], r["day_offset"]): r
+        for r in relational.retention_cohorts(ev).collect()
+    }
+    assert out[("2024-01-01", 0)]["n_users"] == 2
+    assert out[("2024-01-01", 0)]["retention"] == 1.0
+    assert out[("2024-01-01", 2)]["n_users"] == 1
+    assert out[("2024-01-01", 2)]["retention"] == 0.5
+    assert ("2024-01-01", 1) not in out                      # nobody active day 1
+    assert out[("2024-01-02", 1)]["n_users"] == 1
+    assert len(out) == 4
