@@ -235,10 +235,13 @@ def symbol_bounds(events: DataFrame) -> DataFrame:
     )
 
 def user_histories(events: DataFrame, first_n: int = 5) -> DataFrame:
-    """Per-user ordered event history as an array column: collect_list of
-    (ts, event_id) structs, array_sort (struct ordering = ts then id, so
-    the array is deterministic regardless of arrival order), project the
-    ids, keep the first N.
+    """Per-user ordered event history: collect_list of (ts, event_id)
+    structs, array_sort (struct ordering = ts then id, so the array is
+    deterministic regardless of arrival order), project the ids, keep the
+    first N, and emit them joined as one comma-separated string column
+    (`first_events`) -- a scalar, portable shape that every downstream
+    consumer (CSV export, hash-based comparison, feature store) can
+    digest without array-type support.
 
     Scale: collect_list buffers each user's rows in the aggregation
     state -- fine for per-entity histories (thousands of events), the
@@ -251,7 +254,13 @@ def user_histories(events: DataFrame, first_n: int = 5) -> DataFrame:
     return (
         events.groupBy("user_id")
         .agg(
-            F.slice(sorted_ids, 1, first_n).alias("first_events"),
+            F.array_join(
+                F.transform(
+                    F.slice(sorted_ids, 1, first_n),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("first_events"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("user_id")

@@ -1340,7 +1340,7 @@ def q_symbol_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_histories",
     """
     SELECT user_id,
-           list_slice(list(event_id ORDER BY ts, event_id), 1, 5) AS first_events,
+           array_to_string(list_slice(list(event_id ORDER BY ts, event_id), 1, 5), ',') AS first_events,
            count(*) AS n_events
     FROM events
     GROUP BY 1
@@ -2618,11 +2618,56 @@ _ROUND3_FRONT = [
     "streaming_click_purchase_outer",
 ]
 
+# Green (rows+schema+hash, or rows-only where no oracle by design) in
+# CORRECTNESS_r03: all of _ROUND3_FRONT except user_histories (red: the
+# driver's canonicalizer could not hash its then-array<long> output; the
+# query now emits a joined string and is re-fronted for r4).
+_DRIVER_VERIFIED_R3 = [n for n in _ROUND3_FRONT if n != "user_histories"]
+
+# Round-4 front: the re-shaped user_histories plus every remaining
+# never-driver-checked query (round-2 TPC-H shapes, the technical
+# indicator suite, sketches, watermarked streaming, versioned-table /
+# layout / analytics additions from round 3) = exactly 50.
+_ROUND4_FRONT = [
+    "user_histories",
+    # streaming (watermarked dedup / tumbling / rollups / MERGE)
+    "streaming_dedup_watermarked", "streaming_tumbling_counts",
+    "streaming_windowed_rollup", "streaming_symbol_stats",
+    "streaming_incremental_gold", "streaming_table_changes",
+    # sketches
+    "distinct_user_counts_approx", "value_percentiles_approx",
+    # late TPC-H shapes
+    "forecast_revenue", "min_cost_part_supplier", "volume_shipping",
+    "market_share", "product_profit", "important_parts",
+    "top_supplier_revenue", "dominant_part_suppliers",
+    "waiting_order_suppliers",
+    # technical indicators
+    "vwap_daily", "bollinger_bands", "max_drawdown", "bar_gaps",
+    "symbol_correlations", "daily_return_volatility", "atr_14",
+    "stochastic_oscillator", "obv", "beta_vs_market", "macd_summary",
+    "donchian_channels",
+    # windows / ranking / export
+    "order_rank_percentiles", "sorted_export_events",
+    "weighted_symbol_price", "rolling_median", "winsorize_values",
+    "resample_ffill", "hourly_from_minute_rollup",
+    "latest_order_asof_tolerant",
+    # versioned tables / layout
+    "versioned_gold_changes", "versioned_gold_time_travel",
+    "zorder_events_layout",
+    # analytics
+    "funnel_counts", "retention_cohorts",
+    # LLM-data round-3 additions
+    "ann_ivf_kmeans_topk", "chunk_documents", "edit_distance_pairs",
+    "term_positions", "simhash_near_pairs", "unigram_logprob",
+    "pca_embeddings",
+]
+
 def _rotate_for_driver() -> None:
-    front = [n for n in _ROUND3_FRONT if n in QUERIES]
-    placed = set(front) | set(_DRIVER_VERIFIED_R1_R2)
+    front = [n for n in _ROUND4_FRONT if n in QUERIES]
+    verified_names = _DRIVER_VERIFIED_R1_R2 + _DRIVER_VERIFIED_R3
+    placed = set(front) | set(verified_names)
     rest_unverified = [n for n in QUERIES if n not in placed]
-    verified = [n for n in _DRIVER_VERIFIED_R1_R2 if n in QUERIES]
+    verified = [n for n in verified_names if n in QUERIES and n not in front]
     order = front + rest_unverified + verified
     for d in (QUERIES, ORACLE_SQL):
         reordered = {n: d[n] for n in order if n in d}
