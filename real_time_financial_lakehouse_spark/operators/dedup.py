@@ -421,7 +421,9 @@ def incremental_dedup(documents: DataFrame, delta_mod: int = 5) -> DataFrame:
         .orderBy("doc_id")
     )
 
-def edit_distance_pairs(documents: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:
+def edit_distance_pairs(
+    documents: DataFrame, k: int = 8, bands: int = 4, max_len: int = 4096
+) -> DataFrame:
     """Verify LSH candidate pairs with exact Levenshtein distance -- the
     confirm step of the dedup ladder (band to find candidates, edit-distance
     to prove near-duplication before dropping a document).
@@ -430,18 +432,28 @@ def edit_distance_pairs(documents: DataFrame, k: int = 8, bands: int = 4) -> Dat
     all-pairs; here it runs only on the banding survivors, whose count is
     bounded by the hot-bucket cap (MAX_BUCKET^2 per bucket worst case).
     The texts join back to the pair list via two broadcast-or-shuffle hash
-    joins on doc_id -- linear shuffles, no fan-out.  At 100 TB you would
-    additionally length-truncate the compared texts (a 1 MB x 1 MB pair is
-    a terabyte of DP cells); the fixture's docs are <1 KB so the exact
-    form is benchmarked here.  JVM built-in ``levenshtein``, no UDF."""
+    joins on doc_id -- linear shuffles, no fan-out.  Compared texts are
+    length-truncated to ``max_len`` chars BEFORE the DP runs (a 1 MB x
+    1 MB pair is a terabyte of DP cells; 4096 x 4096 is bounded) -- the
+    score is then a truncated-prefix similarity, the standard production
+    trade at this confirm stage; the fixture's docs are <1 KB so the cap
+    is exact there.  A candidate pair whose normalized texts are BOTH
+    empty ('' vs '   ') has a zero denominator: the docs are
+    byte-identical after normalization, so similarity is 1.0 by
+    definition rather than a division by zero (which Spark 4 ANSI mode
+    turns into a runtime error).  JVM built-in ``levenshtein``, no UDF."""
     from ..functions.numeric import qround
 
     pairs = lsh_candidate_pairs(documents, k=k, bands=bands)
-    norm = documents.select("doc_id", normalize_text(F.col("text")).alias("norm_text"))
+    norm = documents.select(
+        "doc_id",
+        F.substring(normalize_text(F.col("text")), 1, max_len).alias("norm_text"),
+    )
     a = norm.select(F.col("doc_id").alias("doc_a"), F.col("norm_text").alias("text_a"))
     b = norm.select(F.col("doc_id").alias("doc_b"), F.col("norm_text").alias("text_b"))
     lev = F.levenshtein("text_a", "text_b")
-    sim = F.lit(1.0) - lev / F.greatest(F.length("text_a"), F.length("text_b"))
+    denom = F.greatest(F.length("text_a"), F.length("text_b"))
+    sim = F.when(denom > 0, F.lit(1.0) - lev / denom).otherwise(F.lit(1.0))
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")

@@ -35,10 +35,18 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 LOG_DIR = "_log"
+
+# An unreferenced data directory younger than this may belong to an
+# in-flight commit whose manifest has not landed yet; vacuum leaves it
+# alone.  Older than this it is a crashed attempt's orphan and is reaped.
+ORPHAN_GRACE_S = 3600.0
 
 
 def _log_path(table_dir: str) -> str:
@@ -70,10 +78,18 @@ def read_manifest(table_dir: str, version: int) -> dict:
 
 def commit_version(df: DataFrame, table_dir: str, txn: dict | None = None) -> int:
     """Write ``df`` as the next version of the table.  Data files land
-    under a unique subdirectory first; the version becomes visible only
-    when the manifest file is created (O_EXCL -- a concurrent committer
-    of the same version loses with FileExistsError, the local stand-in
-    for an object store's conditional put).
+    under a per-ATTEMPT unique subdirectory (``data_v{N}_{uuid}``), so
+    two committers racing for the same version number can never touch
+    each other's files -- the same reason Delta writes globally-unique
+    data file names.  The version becomes visible only when the manifest
+    file is created (O_EXCL -- the concurrent loser gets
+    FileExistsError, the local stand-in for an object store's
+    conditional put) and the manifest records the attempt's own data
+    paths, so a winning manifest can only ever reference files the
+    winner wrote.  The loser's data directory is removed on the way out;
+    a crash between data write and manifest create leaves an orphan
+    directory that no reader sees and ``vacuum`` reaps after a grace
+    period.
 
     ``txn`` is recorded verbatim in the manifest -- a streaming writer
     stores its (app_id, batch_id) there and skips re-committing a batch
@@ -81,7 +97,7 @@ def commit_version(df: DataFrame, table_dir: str, txn: dict | None = None) -> in
     transactional-writer (txnAppId/txnVersion) exactly-once recipe."""
     os.makedirs(_log_path(table_dir), exist_ok=True)
     version = (table_versions(table_dir) or [-1])[-1] + 1
-    data_dir = os.path.join(table_dir, f"data_v{version}")
+    data_dir = os.path.join(table_dir, f"data_v{version}_{uuid.uuid4().hex[:12]}")
     df.write.mode("overwrite").parquet(data_dir)
     files = sorted(
         os.path.join(data_dir, f)
@@ -92,7 +108,15 @@ def commit_version(df: DataFrame, table_dir: str, txn: dict | None = None) -> in
     if txn:
         manifest["txn"] = txn
     # atomic commit point: exclusive create, then single write
-    fd = os.open(_manifest(table_dir, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        fd = os.open(
+            _manifest(table_dir, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
+    except FileExistsError:
+        # lost the race: our data dir is private, remove it and surface
+        # the conflict (caller retries against the new latest version)
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
     with os.fdopen(fd, "w") as f:
         json.dump(manifest, f)
     return version
@@ -148,36 +172,54 @@ def compact(spark: SparkSession, table_dir: str, target_files: int = 1) -> int:
     )
 
 
-def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:
-    """VACUUM: drop data directories for versions older than the last
-    ``keep_last`` committed versions, plus orphaned data directories no
-    manifest references (failed commits).  Manifests of vacuumed versions
-    are removed too, so a time-travel read of a vacuumed version fails
-    loudly instead of returning partial data.  Returns removed paths.
+def vacuum(
+    table_dir: str, keep_last: int = 1, orphan_grace_s: float = ORPHAN_GRACE_S
+) -> list[str]:
+    """VACUUM: drop the data directories that the EXPLICITLY vacuumed
+    versions reference (and nothing referenced by any kept manifest),
+    plus orphaned data directories no manifest at all references --
+    crashed commit attempts -- but only once they are older than
+    ``orphan_grace_s`` seconds, because a young unreferenced directory
+    may be an in-flight commit whose manifest is about to land (the
+    same reason Delta's VACUUM has a retention-hours floor).  Manifests
+    of vacuumed versions are removed too, so a time-travel read of a
+    vacuumed version fails loudly instead of returning partial data.
+    Returns removed paths.
 
     Scale: retention is a policy knob -- time travel works only within
     the vacuum horizon, exactly as in Delta.  The deletion list is built
     from the log (metadata-only); actual file removal is embarrassingly
     parallel on an object store."""
-    import shutil
-
     versions = table_versions(table_dir)
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
-    referenced: set[str] = set()
+
+    def _dirs_of(v: int) -> set[str]:
+        return {os.path.dirname(f) for f in read_manifest(table_dir, v)["files"]}
+
+    kept_dirs: set[str] = set()
     for v in keep:
-        for f in read_manifest(table_dir, v)["files"]:
-            referenced.add(os.path.dirname(f))
+        kept_dirs |= _dirs_of(v)
+    doomed_dirs: set[str] = set()
     removed: list[str] = []
     for v in versions:
         if v in keep:
             continue
+        doomed_dirs |= _dirs_of(v)
         os.remove(_manifest(table_dir, v))
         removed.append(_manifest(table_dir, v))
-    for name in os.listdir(table_dir):
+    all_referenced = kept_dirs | doomed_dirs
+    now = time.time()
+    for name in sorted(os.listdir(table_dir)):
         path = os.path.join(table_dir, name)
         if name == LOG_DIR or not os.path.isdir(path):
             continue
-        if path not in referenced:
+        if path in kept_dirs:
+            continue
+        if path in doomed_dirs:
+            shutil.rmtree(path)
+            removed.append(path)
+        elif path not in all_referenced and now - os.path.getmtime(path) > orphan_grace_s:
+            # unreferenced orphan past the grace window: crashed attempt
             shutil.rmtree(path)
             removed.append(path)
     return removed

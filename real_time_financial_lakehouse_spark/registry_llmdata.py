@@ -935,17 +935,25 @@ _CHUNK_W, _CHUNK_S = 200, 150
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.chunk_documents(_docs(spark, sf_dir), width=_CHUNK_W, stride=_CHUNK_S)
 
-_EDIT_SIM_SQL = qround_sql(
-    "1.0 - levenshtein(a.norm_text, b.norm_text)"
-    " / CAST(greatest(length(a.norm_text), length(b.norm_text)) AS DOUBLE)",
-    6,
+# Guarded similarity: both-empty normalized texts are identical by
+# definition (similarity 1.0), never a division by zero — mirrors the
+# F.when() guard in dedup.edit_distance_pairs.
+_EDIT_SIM_SQL = (
+    "CASE WHEN greatest(length(a.norm_text), length(b.norm_text)) > 0 THEN "
+    + qround_sql(
+        "1.0 - levenshtein(a.norm_text, b.norm_text)"
+        " / CAST(greatest(length(a.norm_text), length(b.norm_text)) AS DOUBLE)",
+        6,
+    )
+    + " ELSE 1.0 END"
 )
 
 @register(
     "edit_distance_pairs",
     f"""
     WITH pairs AS ({_LSH_PAIRS_SQL}),
-    norm AS (SELECT doc_id, {_NORM_SQL} AS norm_text FROM documents)
+    -- substr cap mirrors max_len=4096 in dedup.edit_distance_pairs
+    norm AS (SELECT doc_id, substr({_NORM_SQL}, 1, 4096) AS norm_text FROM documents)
     SELECT p.doc_a, p.doc_b,
            levenshtein(a.norm_text, b.norm_text) AS edit_distance,
            {_EDIT_SIM_SQL} AS edit_similarity

@@ -298,8 +298,10 @@ def test_versioned_time_travel_and_snapshot_isolation(spark, tmp_path):
     assert versioned.read_version(spark, table).count() == 3
 
 
-def test_versioned_commit_conflict_loses_cleanly(spark, tmp_path):
-    import json
+def test_versioned_commit_conflict_loses_cleanly(spark, tmp_path, monkeypatch):
+    """Two committers race for the same version number: the winner's data
+    files must survive untouched (per-attempt unique data dirs), the
+    loser must raise FileExistsError AND remove its own data directory."""
     import os
 
     import pytest as _pytest
@@ -308,15 +310,23 @@ def test_versioned_commit_conflict_loses_cleanly(spark, tmp_path):
 
     table = str(tmp_path / "t2")
     versioned.commit_version(spark.range(3).selectExpr("id AS x"), table)
-    # simulate a concurrent committer that already claimed v1
-    os.makedirs(versioned._log_path(table), exist_ok=True)
-    with open(versioned._manifest(table, 1), "w") as f:
-        json.dump({"version": 1, "files": [], "n_files": 0}, f)
+    # winner claims v1 first
+    versioned.commit_version(spark.range(100, 103).selectExpr("id AS x"), table)
+    winner_files = set(versioned.read_manifest(table, 1)["files"])
+    # loser computed next-version BEFORE the winner's manifest landed:
+    # freeze its view of the log at [0] so it also attempts v1
+    monkeypatch.setattr(versioned, "table_versions", lambda d: [0])
     with _pytest.raises(FileExistsError):
-        fd = os.open(
-            versioned._manifest(table, 1), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-        )
-        os.close(fd)
+        versioned.commit_version(spark.range(900, 903).selectExpr("id AS x"), table)
+    monkeypatch.undo()
+    # winner's commit is intact, byte-for-byte file list
+    assert set(versioned.read_manifest(table, 1)["files"]) == winner_files
+    for f in winner_files:
+        assert os.path.exists(f)
+    assert sorted(r["x"] for r in versioned.read_version(spark, table, 1).collect()) == [100, 101, 102]
+    # loser left no data directory behind (only log + 2 committed dirs)
+    data_dirs = [n for n in os.listdir(table) if n != versioned.LOG_DIR and os.path.isdir(os.path.join(table, n))]
+    assert len(data_dirs) == 2
 
 
 # ---------------------------------------------------------------------------
@@ -438,15 +448,22 @@ def test_vacuum_enforces_retention_horizon(spark, tmp_path):
     table = str(tmp_path / "t5")
     for i in range(3):
         versioned.commit_version(spark.range(i * 10, i * 10 + 5).selectExpr("id AS x"), table)
+    v0_dirs = {os.path.dirname(f) for f in versioned.read_manifest(table, 0)["files"]}
     # orphan from a failed commit: data dir, no manifest
-    spark.range(900, 905).selectExpr("id AS x").write.parquet(os.path.join(table, "data_v9"))
-    removed = versioned.vacuum(table, keep_last=1)
+    orphan = os.path.join(table, "data_v9_deadbeef")
+    spark.range(900, 905).selectExpr("id AS x").write.parquet(orphan)
+    # a FRESH orphan may be an in-flight commit -> grace period protects it
+    versioned.vacuum(table, keep_last=3)
+    assert os.path.isdir(orphan), "young orphan must survive the grace period"
+    # past the grace window the orphan is a crashed attempt and is reaped
+    removed = versioned.vacuum(table, keep_last=1, orphan_grace_s=0.0)
     assert versioned.table_versions(table) == [2]
     assert versioned.read_version(spark, table).count() == 5
     with _pytest.raises(FileNotFoundError):
         versioned.read_version(spark, table, 0)
-    assert not os.path.isdir(os.path.join(table, "data_v0"))
-    assert not os.path.isdir(os.path.join(table, "data_v9")), "orphan must be vacuumed"
+    for d in v0_dirs:
+        assert not os.path.isdir(d)
+    assert not os.path.isdir(orphan), "orphan must be vacuumed"
     assert removed
 
 
@@ -737,8 +754,38 @@ def test_document_ops_tolerate_null_empty_whitespace_docs(spark):
         tx.bpe_token_stats, tx.repetition_stats, tx.quality_gate,
         dd.exact_dedup, dd.minhash_signatures, dd.lsh_candidate_pairs,
         dd.simhash_fingerprints, dd.dedup_clusters,
+        dd.edit_distance_pairs, dd.simhash_near_pairs, dd.ngram_jaccard_pairs,
+        dd.fuzzy_dedup_keep, dd.incremental_dedup,
     ):
         fn(docs).collect()  # must not raise
+
+
+def test_edit_distance_pairs_empty_pair_and_long_doc_cap(spark):
+    """Two docs that normalize to empty text ('' and '   ') form an LSH
+    candidate pair with zero max-length: similarity must be 1.0, never an
+    ANSI DIVIDE_BY_ZERO.  And a degenerate megabyte-scale doc pair must
+    hit the max_len truncation, not a 10^12-cell Levenshtein DP."""
+    from real_time_financial_lakehouse_spark.operators import dedup as dd
+
+    empties = spark.createDataFrame(
+        [(0, "   ", "en", "s", 3), (1, "   ", "en", "s", 3),
+         (2, "some real text here", "en", "s", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r for r in dd.edit_distance_pairs(empties).collect()}
+    assert (0, 1) in rows                      # identical raw shingles band together
+    assert rows[(0, 1)]["edit_distance"] == 0
+    assert rows[(0, 1)]["edit_similarity"] == 1.0
+
+    big = "word " * 2_000                       # 10k chars; cap cuts 1e8 DP cells to 4e6
+    longs = spark.createDataFrame(
+        [(0, big + "alpha", "en", "s", 1), (1, big + "omega", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = dd.edit_distance_pairs(longs, max_len=2048).collect()
+    for r in out:                               # truncated prefixes are identical
+        assert r["edit_distance"] == 0
+        assert r["edit_similarity"] == 1.0
 
 
 def test_event_ops_tolerate_degenerate_series(spark):
