@@ -160,38 +160,63 @@ def ivf_topk_learned(
     nprobe: int = 2,
 ) -> DataFrame:
     """IVF search against the learned codebook: assign every candidate to
-    its KMeans cell once, probe the ``nprobe`` nearest cells per query,
-    exact cosine re-rank inside the probed cells.
+    its KMeans cell, probe the ``nprobe`` nearest cells per query, exact
+    cosine re-rank inside the probed cells.
 
-    Scale shape: candidate assignment is one broadcast-centroid pass;
-    probing is a tiny crossJoin (Q x C rows, C = codebook size) ranked by
-    centroid distance; the search join is an equi-join on the cell id, so
-    each query scans ~nprobe/C of the index instead of all of it.  Recall
-    vs the exact baseline is asserted in
-    tests/test_llmdata.py::test_ivf_learned_recall."""
-    assigned = assign_cells(model, embeddings).withColumn("nv", _norm("v"))
-    cands = assigned.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("cell").alias("c_cell"), "v", "nv"
+    Scale shape: the fitted centroid matrix (C x dim doubles -- a few KB)
+    is inlined as a LITERAL array expression, so both cell assignment
+    (argmin over per-centroid squared distance) and query probing (sort
+    the per-centroid distances WITH their cell index, take the first
+    ``nprobe``) are pure per-row projections: zero shuffle, zero extra
+    jobs, no ML-vector conversion, whole-stage-codegen'd.  This replaces
+    the previous model.transform pass + centroid crossJoin + ranking
+    window, which cost three extra exchanges per run and regressed the
+    warm-rep wall 1.6x.  The only shuffles left are intrinsic: the
+    (broadcast tiny probes) x (cell-partitioned candidates) equi-join on
+    the cell id -- each query scans ~nprobe/C of the index -- and the
+    final per-query top-k window.  Recall vs the exact baseline is
+    asserted in tests/test_llmdata.py::test_ivf_learned_recall."""
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    # ONE expr string, not nested F.lit()/F.array() Column composition:
+    # C x dim literals as Column objects cost a py4j round-trip each
+    # (~1-2 s of pure driver time per run); a single SQL string is one
+    # call and the JVM parses the doubles
+    cent_lit = F.expr(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in centers
+        ) + ")"
     )
-    spark = embeddings.sparkSession
-    cent_rows = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    cent_df = spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
-    queries = assigned.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("nv").alias("nq")
+    emb = _spread(embeddings).select("vec_id", _as_double("embedding").alias("v"))
+    # per-row squared distance to every centroid: one literal-array pass
+    with_d = emb.withColumn("cents", cent_lit).withColumn(
+        "dists",
+        F.expr(
+            "transform(cents, c -> aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
+            " 0D, (acc, t) -> acc + t))"
+        ),
+    ).drop("cents")
+    cands = with_d.select(
+        F.col("vec_id").alias("neighbor_id"),
+        (F.expr("array_position(dists, array_min(dists))").cast("int") - 1).alias("c_cell"),
+        "v",
+        _norm("v").alias("nv"),
     )
-    qc = queries.crossJoin(F.broadcast(cent_df))
-    cent_dist = F.expr(
-        "aggregate(zip_with(q, centroid, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+    # nprobe nearest cells per query: sort (distance, cell) structs --
+    # struct ordering gives the deterministic cell-id tiebreak -- and
+    # slice; no window, no crossJoin
+    queries = with_d.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        _norm("v").alias("nq"),
+        F.expr(
+            f"transform(slice(array_sort(transform(dists,"
+            f" (d, i) -> named_struct('d', d, 'i', i))), 1, {nprobe}), s -> s.i)"
+        ).alias("probe_cells"),
     )
-    wq = Window.partitionBy("query_id").orderBy(cent_dist.asc(), F.col("cell"))
-    probed = (
-        qc.withColumn("probe_rank", F.row_number().over(wq))
-        .filter(F.col("probe_rank") <= nprobe)
-        .select("query_id", "q", "nq", "cell")
+    probed = queries.select(
+        "query_id", "q", "nq", F.explode("probe_cells").alias("cell")
     )
-    pairs = probed.join(cands, F.col("cell") == F.col("c_cell")).filter(
+    pairs = F.broadcast(probed).join(cands, F.col("cell") == F.col("c_cell")).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     denom = F.col("nq") * F.col("nv")

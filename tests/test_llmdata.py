@@ -218,6 +218,31 @@ def test_sample_frames_expands_videos_only(spark, docs):
         offs = [r["offset_ms"] for r in sorted(asset_rows, key=lambda r: r["frame_idx"])]
         assert offs == sorted(offs)
 
+def test_ivf_learned_plan_stays_lean(spark):
+    """Perf pin for the round-3 regression: ivf_topk_learned must stay a
+    pure-expression plan -- no ML-transform UDF stage, at most the five
+    intrinsic exchanges (2x _spread round-robin, broadcast probes, top-k
+    window hash, final sort) -- and plan CONSTRUCTION must stay cheap
+    (the regression was ~2s of driver time building C x dim nested
+    F.lit() literals, one py4j round-trip each; the fix inlines the
+    centroid matrix as one SQL string)."""
+    import re
+    import time
+
+    from conftest import SF_SMOKE
+    from real_time_financial_lakehouse_spark.registry_llmdata import _emb
+
+    emb = _emb(spark, SF_SMOKE)
+    model = similarity.fit_codebook(emb, cache_key=SF_SMOKE)
+    t0 = time.time()
+    df = similarity.ivf_topk_learned(emb, model, n_queries=5, k=5, nprobe=6)
+    build_s = time.time() - t0
+    assert build_s < 1.0, f"plan construction took {build_s:.2f}s"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "UDF" not in plan
+    assert len(re.findall(r"Exchange", plan)) <= 5
+
+
 def test_ivf_learned_recall(spark):
     """The learned KMeans codebook must beat random pruning: at nprobe=6
     of C=16 cells the search scans 37.5% of the index, so a codebook that
