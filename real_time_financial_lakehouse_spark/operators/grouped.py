@@ -122,6 +122,33 @@ def weighted_symbol_price(events: DataFrame) -> DataFrame:
         .orderBy("symbol")
     )
 
+def term_positions(documents: DataFrame) -> DataFrame:
+    """Positional term expansion, JVM built-ins only:
+    ``posexplode(split(norm_text, ' '))`` -- the DEFAULT formulation and
+    the one to copy.  Pure generate-side narrow transform: no shuffle
+    until the final presentation sort, output proportional to input,
+    whole-stage-codegen'd end to end.  ``term_positions_udtf`` computes
+    the identical result through a Python UDTF and exists to cover the
+    §2.10 table-function API surface; this version is what a 100 TB
+    corpus should run."""
+    from ..functions.hashing import normalize_text
+
+    norm = documents.select(
+        "doc_id", normalize_text(F.col("text")).alias("norm_text")
+    ).filter(F.col("norm_text").isNotNull() & (F.col("norm_text") != ""))
+    return (
+        norm.select(
+            "doc_id", F.posexplode(F.split("norm_text", " ")).alias("p", "term")
+        )
+        .select(
+            "doc_id",
+            (F.col("p") + 1).cast("int").alias("pos"),
+            "term",
+            F.length("term").cast("int").alias("term_len"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
 # Python UDTF (Arrow-batched): one input row -> one output row per term.
 TERM_POSITIONS_SCHEMA = "doc_id bigint, pos int, term string, term_len int"
 
@@ -135,10 +162,13 @@ class _TermPositions:
         for i, t in enumerate(norm_text.split(" ")):
             yield doc_id, i + 1, t, len(t)
 
-def term_positions(spark, documents: DataFrame) -> DataFrame:
+def term_positions_udtf(spark, documents: DataFrame) -> DataFrame:
     """Positional term expansion via a Python UDTF with a LATERAL join --
     the SURVEY §2.10 UDTF surface.  Covers the table-function API shape
-    (per-row generator, declared schema, SQL LATERAL correlation).
+    (per-row generator, declared schema, SQL LATERAL correlation).  The
+    explicit ``_udtf`` suffix marks this as the SLOW PATH kept for API
+    coverage -- ``term_positions`` (posexplode built-ins) is the default
+    a user should copy.
 
     Scale: a Python row generator is the slow path; the JVM-built-in twin
     is ``posexplode(split(norm_text, ' '))`` and is what a 100 TB corpus

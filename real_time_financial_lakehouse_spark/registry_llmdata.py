@@ -518,6 +518,54 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_feature_summary(_docs(spark, sf_dir))
 
+# Real-codec gate: docs -> ACTUAL PNGs (stdlib encoder, real deflate +
+# CRCs) -> real decode (chunk walk, inflate, unfilter) -> per-asset
+# geometry + pixel mean.  The oracle recomputes the expected decoded
+# stats straight from the text bytes (ASCII fixture: ord == byte; tiling
+# = floor(budget/n) full copies + a budget%n prefix), so a broken
+# decoder hash-mismatches.  pixel_crc (not SQL-expressible) is pinned in
+# tests/test_llmdata.py instead and dropped here.
+@register(
+    "png_media_features",
+    """
+    WITH base AS (
+      SELECT doc_id AS asset_id,
+             coalesce(text, '') AS txt,
+             octet_length(encode(coalesce(text, ''))) AS n
+      FROM documents
+    ),
+    dims AS (
+      SELECT asset_id, txt, n,
+             (n % 13 + 1) AS w,
+             (n % 7 + 1) AS h
+      FROM base
+    ),
+    sums AS (
+      SELECT asset_id, w, h, n, w * h AS budget,
+             CASE WHEN n = 0 THEN 0
+                  ELSE (SELECT coalesce(sum(ord(c)), 0)
+                        FROM unnest(string_split(txt, '')) AS t(c)) END AS total,
+             CASE WHEN n = 0 THEN 0
+                  ELSE (SELECT coalesce(sum(ord(c)), 0)
+                        FROM unnest(string_split(substring(txt, 1, (w * h) % n), ''))
+                             AS t(c)) END AS rem_sum
+      FROM dims
+    )
+    SELECT asset_id,
+           w::INT AS width,
+           h::INT AS height,
+           1::INT AS channels,
+           budget::BIGINT AS n_pixels,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE floor(((budget // n) * total + rem_sum)::DOUBLE / budget
+                           * 1e6 + 0.5) / 1e6 END AS mean_value
+    FROM sums
+    ORDER BY asset_id
+    """,
+)
+def q_png_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.png_media_features(_docs(spark, sf_dir)).drop("pixel_crc")
+
 # ---------------------------------------------------------------------------
 # Corpus term frequencies (explode / UNNEST)
 # ---------------------------------------------------------------------------
@@ -966,21 +1014,26 @@ _EDIT_SIM_SQL = (
 def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.edit_distance_pairs(_docs(spark, sf_dir), k=_K, bands=_BANDS)
 
-@register(
-    "term_positions",
-    f"""
+_TERM_POSITIONS_SQL = f"""
     WITH toks AS (
         SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
     )
     SELECT doc_id, CAST(i AS INTEGER) AS pos, t[i] AS term, length(t[i]) AS term_len
     FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s
     ORDER BY doc_id, pos
-    """,
-)
+    """
+
+@register("term_positions", _TERM_POSITIONS_SQL)
 def q_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import grouped
 
-    return grouped.term_positions(spark, _docs(spark, sf_dir))
+    return grouped.term_positions(_docs(spark, sf_dir))
+
+@register("term_positions_udtf", _TERM_POSITIONS_SQL)
+def q_term_positions_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import grouped
+
+    return grouped.term_positions_udtf(spark, _docs(spark, sf_dir))
 
 _SH_BANDS, _SH_WIDTH, _SH_MAXHAM = 4, 4, 3
 

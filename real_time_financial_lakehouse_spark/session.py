@@ -64,3 +64,28 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def delta_configs(version: str = "4.0.0") -> dict[str, str]:
+    """The exact session config Delta Lake needs on Spark 4 (Scala 2.13)
+    -- the reference's consumer_lake.py:9-25 posture, reproduced for the
+    day ``delta-spark`` is installable here.  Usage:
+
+        get_spark(extra_conf=delta_configs())
+
+    then every ``fmt="delta"`` writer/reader in this engine (the
+    ``fmt`` parameter on streaming.bronze.write_bronze and friends)
+    becomes a real Delta table; nothing else changes, which
+    tests/test_streaming.py::test_delta_format_string_reaches_the_writer
+    proves by asserting the format string arrives at Spark's DataSource
+    resolution untouched.  ``delta-spark`` is NOT bundled in this
+    sandbox (SCALE.md records the probe), so the versioned-table layer
+    (operators/versioned.py) supplies the log semantics in the
+    meantime."""
+    return {
+        "spark.jars.packages": f"io.delta:delta-spark_2.13:{version}",
+        "spark.sql.extensions": "io.delta.sql.DeltaSparkSessionExtension",
+        "spark.sql.catalog.spark_catalog": (
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+        ),
+    }

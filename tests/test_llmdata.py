@@ -196,6 +196,100 @@ def test_media_decode_stub_raises_for_real_decode():
     with pytest.raises(NotImplementedError):
         multimodal.decode_payload("image", b"abc", fake=False)
 
+
+def test_png_roundtrip_exact():
+    """Real-codec pin: encode known pixels, decode, get the exact raster
+    back (geometry, mean, crc32 of the reconstruction)."""
+    import zlib
+
+    pixels = bytes(range(24))                    # 6x4 gray ramp
+    png = multimodal.encode_png(6, 4, pixels)
+    assert png[:8] == multimodal.PNG_SIGNATURE
+    d = multimodal.decode_png(png)
+    assert (d["width"], d["height"], d["channels"], d["n_pixels"]) == (6, 4, 1, 24)
+    assert d["sample_sum"] == sum(pixels)
+    assert d["mean_value"] == sum(pixels) / 24
+    assert d["pixel_crc"] == zlib.crc32(pixels)
+    # RGB too
+    rgb = bytes((i * 7) % 256 for i in range(3 * 5 * 3))
+    d3 = multimodal.decode_png(multimodal.encode_png(3, 5, rgb, color_type=2))
+    assert (d3["width"], d3["height"], d3["channels"]) == (3, 5, 3)
+    assert d3["pixel_crc"] == zlib.crc32(rgb)
+
+
+def test_png_decoder_handles_all_filter_types():
+    """The decoder must undo every PNG scanline filter (None/Sub/Up/
+    Average/Paeth), not just the filter-0 stream our encoder emits: build
+    an IDAT whose rows are hand-filtered with types 1-4 and assert the
+    reconstruction equals the plain filter-0 image bit for bit."""
+    import struct
+    import zlib
+
+    w, h = 5, 5
+    pixels = bytes((x * 31 + y * 57) % 256 for y in range(h) for x in range(w))
+    ref = multimodal.decode_png(multimodal.encode_png(w, h, pixels))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    rows = [pixels[y * w : (y + 1) * w] for y in range(h)]
+    filt = bytearray()
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        filt.append(ftype)
+        for x in range(w):
+            a = rows[y][x - 1] if x > 0 else 0
+            b = rows[y - 1][x] if y > 0 else 0
+            c = rows[y - 1][x - 1] if (x > 0 and y > 0) else 0
+            v = rows[y][x]
+            pred = [0, a, b, (a + b) // 2, paeth(a, b, c)][ftype]
+            filt.append((v - pred) & 0xFF)
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    png = (
+        multimodal.PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(filt)))
+        + chunk(b"IEND", b"")
+    )
+    d = multimodal.decode_png(png)
+    assert d["pixel_crc"] == ref["pixel_crc"]
+    assert d["sample_sum"] == ref["sample_sum"]
+
+
+def test_png_decode_payload_dispatches_to_real_decoder():
+    """A payload with a real PNG signature takes the real-decode path even
+    under fake=False -- the stub is only for formats with no codec."""
+    pixels = b"\x00\x80\xff\x40"
+    png = multimodal.encode_png(2, 2, pixels)
+    feats = multimodal.decode_payload("image", png, fake=False)
+    assert feats["byte_sum"] == sum(pixels)
+    assert feats["byte_mean"] == sum(pixels) / 4
+    assert feats["header_hex"] == png[:4].hex()
+
+
+def test_png_media_features_end_to_end(spark, docs):
+    """Spark-side pipeline: real PNGs encoded from doc text, really
+    decoded; geometry must follow the documented w/h derivation and the
+    decoded mean must equal the tiled-byte mean computed directly."""
+    out = {r["asset_id"]: r for r in multimodal.png_media_features(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        data = (row["text"] or "").encode()
+        w, h = len(data) % 13 + 1, len(data) % 7 + 1
+        budget = w * h
+        tiled = (data * (budget // max(1, len(data)) + 1))[:budget] if data else b"\x00" * budget
+        r = out[row["doc_id"]]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 1)
+        assert r["n_pixels"] == budget
+        import zlib
+
+        assert r["pixel_crc"] == zlib.crc32(tiled)
+
 def test_resize_media_right_sizes_payloads(spark, docs):
     media = multimodal.attach_media(docs)
     out = multimodal.resize_media(media, target_w=8, target_h=4).collect()

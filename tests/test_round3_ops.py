@@ -145,18 +145,24 @@ def test_weighted_symbol_price_matches_builtin_ratio(spark):
 
 
 def test_term_positions_enumerates_normalized_terms(spark):
+    """Both formulations -- the default posexplode built-ins and the
+    Python-UDTF API-surface variant -- must emit the identical expansion."""
     from real_time_financial_lakehouse_spark.operators import grouped
 
     docs = _docs(spark, [(0, "  Hello   World "), (1, "a b c")])
-    rows = grouped.term_positions(spark, docs).collect()
-    got = [(r["doc_id"], r["pos"], r["term"], r["term_len"]) for r in rows]
-    assert got == [
+    expected = [
         (0, 1, "hello", 5),
         (0, 2, "world", 5),
         (1, 1, "a", 1),
         (1, 2, "b", 1),
         (1, 3, "c", 1),
     ]
+    for rows in (
+        grouped.term_positions(docs).collect(),
+        grouped.term_positions_udtf(spark, docs).collect(),
+    ):
+        got = [(r["doc_id"], r["pos"], r["term"], r["term_len"]) for r in rows]
+        assert got == expected
 
 
 # ---------------------------------------------------------------------------
