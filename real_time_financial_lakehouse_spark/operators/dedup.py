@@ -234,6 +234,54 @@ def ngram_jaccard_pairs(
         .orderBy("doc_a", "doc_b")
     )
 
+def shared_window_pairs(
+    documents: DataFrame, window_w: int = 8, max_df: int = MAX_BUCKET
+) -> DataFrame:
+    """Exact-substring dedup tier: pairs of documents sharing at least one
+    EXACT ``window_w``-word window of normalized text, with the count of
+    shared windows.  This is the deduplication semantics of Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better" (long exact
+    overlaps, not set similarity): a doc pair can share a verbatim
+    paragraph yet sit far apart in shingle-Jaccard, and vice versa --
+    which is why the ladder carries both tiers.
+
+    Scale: same bounded inverted-index shape as the n-gram tier -- the
+    window projection runs once per doc, windows are md5-hashed to 60-bit
+    longs so the bucket shuffle moves primitive keys (not 8-word
+    strings), buckets above ``max_df`` are dropped before pair expansion
+    (a window that appears in >64 docs is boilerplate, exactly the
+    stop-gram argument at MAX_BUCKET), and pair blowup stays confined to
+    each bucket's sorted id array.  Long windows make high-df buckets
+    rare, so the cap almost never bites on real corpora."""
+    w = window_w
+    words = "split(norm_text, ' ')"
+    win_expr = (
+        f"CASE WHEN size({words}) >= {w} "
+        f"THEN transform(sequence(1, size({words}) - {w} + 1),"
+        f" i -> concat_ws(' ', slice({words}, i, {w}))) "
+        f"ELSE array() END"
+    )
+    docs = _spread(documents).select(
+        "doc_id", normalize_text(F.col("text")).alias("norm_text")
+    )
+    exploded = (
+        docs.select("doc_id", F.array_distinct(F.expr(win_expr)).alias("arr"))
+        .select("doc_id", F.explode_outer("arr").alias("win"))
+        .filter(F.col("win").isNotNull())
+    )
+    hashed = exploded.select("doc_id", md5_long(F.col("win")).alias("wh"))
+    buckets = (
+        hashed.groupBy("wh")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= max_df)
+    )
+    return (
+        _pairs_within_bucket(buckets)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+        .orderBy("doc_a", "doc_b")
+    )
+
 def simhash_fingerprints(documents: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash: per-token md5-based hash; fingerprint bit b is 1 when the
     weighted sum of (+1 / -1) over tokens' bit b is positive.

@@ -302,6 +302,63 @@ def chunk_documents(documents: DataFrame, width: int = 200, stride: int = 150) -
     )
 
 
+def token_budget_mixture(documents: DataFrame, budget_frac: float = 0.5) -> DataFrame:
+    """Water-filling token-budget allocation across sources: given a
+    global token budget (``budget_frac`` of the corpus), every source
+    gets ``min(its tokens, L)`` where the water level ``L`` is chosen so
+    the allocations sum to the budget -- small sources are taken whole,
+    large sources are capped at the common level.  This is the
+    mixture-rebalancing step a pretraining recipe runs to stop one
+    dominant crawl from swamping the mix.
+
+    The closed form avoids any iteration: sort sources by token count
+    ascending, and ``L = max_k (B - cum_{k-1}) / (n - k + 1)`` -- the
+    candidate level is increasing while sources are fully consumable and
+    decreasing after the crossing point, so the max IS the level.  One
+    expression over a window, no loop, identical in the DuckDB twin.
+
+    Scale: the data-sized work is one map-side-combinable groupBy
+    (source -> token sums); everything after runs at SOURCE cardinality
+    (a handful of rows), so the ordering window and the two broadcast
+    joins on single-row totals are metadata-cheap at any corpus size."""
+    from ..functions.hashing import normalize_text
+
+    toks = documents.select(
+        "source",
+        F.size(F.split(normalize_text(F.col("text")), " ")).alias("n_tokens"),
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+    totals = per_src.agg(
+        F.sum("total_tokens").alias("grand"), F.count(F.lit(1)).alias("n_sources")
+    )
+    j = per_src.crossJoin(F.broadcast(totals))
+    # source-cardinality frame: a global (unpartitioned) window is fine
+    w_order = Window.orderBy("total_tokens", "source")
+    cum_prev = F.coalesce(
+        F.sum("total_tokens").over(w_order.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    k = F.row_number().over(w_order)
+    budget = F.col("grand") * F.lit(budget_frac)
+    lvl = (budget - cum_prev) / (F.col("n_sources") - k + 1)
+    ranked = j.withColumn("lvl", lvl)
+    level = ranked.agg(F.max("lvl").alias("level"))
+    alloc = F.least(F.col("total_tokens").cast("double"), F.col("level"))
+    return (
+        ranked.crossJoin(F.broadcast(level))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            qround(alloc, 6).alias("alloc_tokens"),
+            qround(alloc / F.col("total_tokens"), 6).alias("sample_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def winsorize_values(events: DataFrame, lo: float = 0.01, hi: float = 0.99) -> DataFrame:
     """Winsorized clipping summary per symbol: exact (lo, hi) percentile
     fences, the count clipped at each tail, and the post-clip mean --

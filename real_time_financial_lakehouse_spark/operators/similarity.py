@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import qround
 from .dedup import _spread
 
 def _as_double(col: str) -> F.Column:
@@ -301,6 +302,47 @@ def cluster_assign(embeddings: DataFrame, n_clusters: int = 8) -> DataFrame:
         .select("vec_id", "cluster_id", "dist")
         .orderBy("vec_id")
     )
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Per-vector int8 scalar quantization with reconstruction error --
+    the storage-compression pass a 100 TB vector corpus runs before
+    ANN indexing (4x smaller than float32; FAISS's SQ8).  Each vector is
+    min-max quantized to 256 levels: ``q = floor((x - mn) * 255 /
+    (mx - mn) + 0.5)``; a constant vector (zero range) maps to all-zero
+    codes instead of a division by zero.  Emits the quantization
+    parameters, the exact integer code sum (a content fingerprint), and
+    the round-trip RMSE.
+
+    Scale: pure per-row projection -- array expressions only, no
+    shuffle, no UDF; the codes stay inside the row so nothing here
+    limits parallelism at any corpus size."""
+    emb = _spread(embeddings).select("vec_id", _as_double("embedding").alias("v"))
+    q_codes = F.expr(
+        "CASE WHEN array_max(v) > array_min(v) THEN "
+        "transform(v, x -> CAST(floor((x - array_min(v)) * 255.0D"
+        " / (array_max(v) - array_min(v)) + 0.5D) AS INT)) "
+        "ELSE transform(v, x -> 0) END"
+    )
+    qd = emb.withColumn("codes", q_codes).withColumn(
+        "scale",
+        F.when(
+            F.expr("array_max(v)") > F.expr("array_min(v)"),
+            (F.expr("array_max(v)") - F.expr("array_min(v)")) / F.lit(255.0),
+        ).otherwise(F.lit(0.0)),
+    )
+    sq_err = F.expr(
+        "aggregate(zip_with(v, codes, (x, q) -> "
+        "(x - (array_min(v) + q * scale)) * (x - (array_min(v) + q * scale))),"
+        " 0D, (acc, e) -> acc + e)"
+    )
+    return qd.select(
+        "vec_id",
+        qround(F.expr("array_min(v)"), 6).alias("q_min"),
+        qround(F.expr("array_max(v)"), 6).alias("q_max"),
+        F.expr("aggregate(codes, 0L, (acc, q) -> acc + q)").alias("code_sum"),
+        qround(F.sqrt(sq_err / F.size("v")), 6).alias("rmse"),
+    ).orderBy("vec_id")
 
 
 _PCA_CACHE: dict = {}

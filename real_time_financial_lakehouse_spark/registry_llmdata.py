@@ -1109,3 +1109,103 @@ def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     model = similarity.fit_pca(emb, cache_key=sf_dir, k=4)
     return similarity.pca_project(emb, model)
+
+
+# ---------------------------------------------------------------------------
+# Round 4 additions: exact-substring dedup tier, token-budget mixture,
+# embedding quantization.
+# ---------------------------------------------------------------------------
+
+@register(
+    "shared_window_pairs",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+    toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+    wins AS (
+        SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+                          i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS w
+            FROM toks)
+    ),
+    capped AS (
+        -- df cap mirroring dedup.MAX_BUCKET (boilerplate windows dropped)
+        SELECT doc_id, w
+        FROM (SELECT *, count(*) OVER (PARTITION BY w) AS df FROM wins)
+        WHERE df <= {MAX_BUCKET}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_windows
+    FROM capped a
+    JOIN capped b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_shared_window_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.shared_window_pairs(_docs(spark, sf_dir), window_w=8)
+
+
+@register(
+    "token_budget_mixture",
+    f"""
+    WITH toks AS (
+        SELECT source, len(string_split({_NORM_SQL}, ' ')) AS n_tokens FROM documents
+    ),
+    per_src AS (
+        SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+        FROM toks GROUP BY 1
+    ),
+    tot AS (SELECT sum(total_tokens)::DOUBLE AS grand, count(*) AS n_sources FROM per_src),
+    ranked AS (
+        SELECT p.*, t.grand, t.n_sources,
+               row_number() OVER (ORDER BY total_tokens, source) AS k,
+               coalesce(sum(total_tokens) OVER (
+                   ORDER BY total_tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+        FROM per_src p CROSS JOIN tot t
+    ),
+    lev AS (
+        SELECT max((grand * 0.5 - cum_prev) / (n_sources - k + 1)) AS level FROM ranked
+    )
+    SELECT source, n_docs, total_tokens,
+           {qround_sql("least(total_tokens::DOUBLE, (SELECT level FROM lev))")} AS alloc_tokens,
+           {qround_sql("least(total_tokens::DOUBLE, (SELECT level FROM lev)) / total_tokens")} AS sample_rate
+    FROM per_src
+    ORDER BY source
+    """,
+)
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.token_budget_mixture(_docs(spark, sf_dir), budget_frac=0.5)
+
+
+@register(
+    "quantize_embeddings",
+    f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    rng AS (
+        SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+               CASE WHEN list_max(v) > list_min(v)
+                    THEN (list_max(v) - list_min(v)) / 255.0 ELSE 0.0 END AS scale
+        FROM emb
+    ),
+    coded AS (
+        SELECT vec_id, v, mn, mx, scale,
+               CASE WHEN mx > mn
+                    THEN list_transform(v, x -> CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INT))
+                    ELSE list_transform(v, x -> 0) END AS codes
+        FROM rng
+    )
+    SELECT vec_id,
+           {qround_sql("mn")} AS q_min,
+           {qround_sql("mx")} AS q_max,
+           list_sum(codes)::BIGINT AS code_sum,
+           {qround_sql("sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> (v[i] - (mn + codes[i] * scale)) * (v[i] - (mn + codes[i] * scale)))) / len(v))")} AS rmse
+    FROM coded
+    ORDER BY vec_id
+    """,
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_embeddings(_emb(spark, sf_dir))

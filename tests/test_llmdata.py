@@ -516,3 +516,74 @@ def test_fuzzy_dedup_keep_returns_representatives(docs):
     assert set(out) == {0, 3, 4}
     assert out[0]["n_members"] == 3
     assert out[3]["n_members"] == 1 and out[4]["n_members"] == 1
+
+
+def test_shared_window_pairs_exact_substring_semantics(spark):
+    """A verbatim 8-word overlap pairs two docs even when their overall
+    shingle similarity is low; docs with no 8-word window in common never
+    pair."""
+    from real_time_financial_lakehouse_spark.operators import dedup as dd
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, shared + " unique tail about finance and markets today", "en", "s", 1),
+        (1, "totally different opening words here and then " + shared, "en", "s", 1),
+        (2, "no overlap with anything else at all whatsoever in this text", "en", "s", 1),
+        (3, "short doc", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared_windows"]
+             for r in dd.shared_window_pairs(docs).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert all(2 not in p and 3 not in p for p in pairs)
+
+
+def test_token_budget_mixture_water_filling_properties(spark):
+    """The allocation must (a) never exceed a source's own tokens,
+    (b) sum to the budget when the budget is binding, (c) take small
+    sources whole while capping large ones at a common level."""
+    rows = []
+    did = 0
+    for src, n_docs, words in (("tiny", 2, 3), ("mid", 10, 20), ("huge", 50, 100)):
+        for _ in range(n_docs):
+            rows.append((did, " ".join(f"w{i}" for i in range(words)), "en", src, 1))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from real_time_financial_lakehouse_spark.operators import pipeline as pl
+
+    out = {r["source"]: r for r in pl.token_budget_mixture(docs, budget_frac=0.5).collect()}
+    totals = {"tiny": 6, "mid": 200, "huge": 5000}
+    budget = sum(totals.values()) * 0.5
+    for src, r in out.items():
+        assert r["total_tokens"] == totals[src]
+        assert r["alloc_tokens"] <= r["total_tokens"] + 1e-6
+        assert 0.0 < r["sample_rate"] <= 1.0
+    assert abs(sum(r["alloc_tokens"] for r in out.values()) - budget) < 1e-3
+    assert out["tiny"]["alloc_tokens"] == 6.0          # taken whole
+    assert out["mid"]["alloc_tokens"] == 200.0         # still below the level
+    assert out["huge"]["sample_rate"] < 1.0            # capped at the level
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    """SQ8 reconstruction: rmse must be below half a quantization step,
+    codes must span [0, 255] for a non-constant vector, and a constant
+    vector must map to all-zero codes with zero error."""
+    emb = spark.createDataFrame(
+        [(0, [float(i) for i in range(64)], 0),
+         (1, [0.5] * 64, 0),
+         (2, [(-1.0) ** i * (i / 7.0) for i in range(64)], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    from real_time_financial_lakehouse_spark.operators import similarity as sim
+
+    out = {r["vec_id"]: r for r in sim.quantize_embeddings(emb).collect()}
+    for vid, r in out.items():
+        rng = r["q_max"] - r["q_min"]
+        step = rng / 255.0
+        assert r["rmse"] <= step / 2 + 1e-9
+    assert out[1]["code_sum"] == 0 and out[1]["rmse"] == 0.0
+    assert out[0]["code_sum"] == sum(round((i - 0) * 255.0 / 63.0) for i in range(64))
