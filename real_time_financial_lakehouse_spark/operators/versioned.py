@@ -76,7 +76,50 @@ def read_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
-def commit_version(df: DataFrame, table_dir: str, txn: dict | None = None) -> int:
+def _write_data(df: DataFrame, table_dir: str, version: int) -> tuple[str, list[str]]:
+    """Write ``df`` into a per-attempt unique data directory and return
+    (directory, sorted parquet file list)."""
+    data_dir = os.path.join(table_dir, f"data_v{version}_{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    return data_dir, files
+
+
+def _commit_manifest(
+    table_dir: str,
+    version: int,
+    files: list[str],
+    txn: dict | None,
+    own_data_dir: str | None,
+) -> int:
+    """Atomically publish ``files`` as version ``version``.  Exclusive
+    create is the commit point; on a lost race the attempt's own private
+    data directory (if any) is removed and the conflict surfaces."""
+    manifest = {"version": version, "files": files, "n_files": len(files)}
+    if txn:
+        manifest["txn"] = txn
+    try:
+        fd = os.open(
+            _manifest(table_dir, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
+    except FileExistsError:
+        # lost the race: our data dir is private, remove it and surface
+        # the conflict (caller retries against the new latest version)
+        if own_data_dir:
+            shutil.rmtree(own_data_dir, ignore_errors=True)
+        raise
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    return version
+
+
+def commit_version(
+    df: DataFrame, table_dir: str, txn: dict | None = None, mode: str = "overwrite"
+) -> int:
     """Write ``df`` as the next version of the table.  Data files land
     under a per-ATTEMPT unique subdirectory (``data_v{N}_{uuid}``), so
     two committers racing for the same version number can never touch
@@ -91,35 +134,27 @@ def commit_version(df: DataFrame, table_dir: str, txn: dict | None = None) -> in
     directory that no reader sees and ``vacuum`` reaps after a grace
     period.
 
+    ``mode="append"`` carries the previous version's file list forward
+    and adds the new files -- Delta's append commit: old data files are
+    never rewritten, the manifest simply references them again, so an
+    append costs only the new data regardless of table size.  The new
+    files may carry MORE columns than the old ones (schema evolution);
+    read the union schema back with ``read_version(merge_schema=True)``.
+
     ``txn`` is recorded verbatim in the manifest -- a streaming writer
     stores its (app_id, batch_id) there and skips re-committing a batch
     it already owns (idempotent_commit), which is exactly Delta's
     transactional-writer (txnAppId/txnVersion) exactly-once recipe."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     os.makedirs(_log_path(table_dir), exist_ok=True)
-    version = (table_versions(table_dir) or [-1])[-1] + 1
-    data_dir = os.path.join(table_dir, f"data_v{version}_{uuid.uuid4().hex[:12]}")
-    df.write.mode("overwrite").parquet(data_dir)
-    files = sorted(
-        os.path.join(data_dir, f)
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet")
-    )
-    manifest = {"version": version, "files": files, "n_files": len(files)}
-    if txn:
-        manifest["txn"] = txn
-    # atomic commit point: exclusive create, then single write
-    try:
-        fd = os.open(
-            _manifest(table_dir, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-        )
-    except FileExistsError:
-        # lost the race: our data dir is private, remove it and surface
-        # the conflict (caller retries against the new latest version)
-        shutil.rmtree(data_dir, ignore_errors=True)
-        raise
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f)
-    return version
+    prior = table_versions(table_dir)
+    version = (prior or [-1])[-1] + 1
+    carried: list[str] = []
+    if mode == "append" and prior:
+        carried = read_manifest(table_dir, prior[-1])["files"]
+    data_dir, files = _write_data(df, table_dir, version)
+    return _commit_manifest(table_dir, version, carried + files, txn, data_dir)
 
 
 def idempotent_commit(
@@ -137,11 +172,21 @@ def idempotent_commit(
 
 
 def read_version(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Snapshot read: latest committed version, or ``version=`` for time
     travel.  Reads exactly the manifest's file list -- files from newer,
-    older, or in-flight versions are invisible."""
+    older, or in-flight versions are invisible.
+
+    ``merge_schema=True`` unions the per-file schemas (Spark's
+    ``mergeSchema``): files written before a column was added surface it
+    as NULL -- Delta's add-column schema evolution, where old data files
+    are never rewritten.  Off by default because schema merging footer-
+    reads every file up front; a production log would cache the evolved
+    schema in the manifest (as Delta's metadata action does)."""
     versions = table_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no committed versions in {table_dir}")
@@ -150,7 +195,91 @@ def read_version(
         raise FileNotFoundError(f"version {pick} not in {versions}")
     with open(_manifest(table_dir, pick)) as f:
         manifest = json.load(f)
-    return spark.read.parquet(*manifest["files"])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*manifest["files"])
+
+
+def _file_column_range(path: str, col: str):
+    """(min, max) of ``col`` across a parquet file's row groups, straight
+    from the footer statistics -- a metadata read, no data scan.  Returns
+    None when any row group lacks min/max stats (treat as
+    may-contain-anything)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    try:
+        idx = md.schema.names.index(col)
+    except ValueError:
+        return None
+    mins, maxs = [], []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mins.append(st.min)
+        maxs.append(st.max)
+    if not mins:
+        return None
+    return min(mins), max(maxs)
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    prune: tuple[str, object, object] | None = None,
+) -> int:
+    """``DELETE FROM table WHERE predicate`` as a copy-on-write commit:
+    rewrite only the data files that can contain matching rows, carry
+    every other file into the new manifest untouched, and publish the
+    result as the next version (old versions stay time-travel readable
+    -- deletion is logical until ``vacuum``).
+
+    ``prune=(col, lo, hi)`` declares that every matching row has
+    ``lo <= col <= hi``; files whose parquet footer min/max range for
+    ``col`` does not overlap ``[lo, hi]`` are carried forward without
+    being read.  This is Delta's data-skipping delete: on a 100 TB table
+    a predicate touching one day rewrites that day's files only -- the
+    manifest diff records how many files were carried vs rewritten.
+    Footer stats are metadata reads (O(files), driver-side, no Spark
+    job); a file with missing stats is conservatively rewritten.
+    Without ``prune`` every file is rewritten (correct, full COW).
+
+    Rows where the predicate is NULL are KEPT -- SQL DELETE removes only
+    rows where the predicate is TRUE."""
+    from pyspark.sql import functions as F
+
+    versions = table_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    latest = versions[-1]
+    files = read_manifest(table_dir, latest)["files"]
+    touched, carried = [], []
+    for f in files:
+        if prune is not None:
+            rng = _file_column_range(f, prune[0])
+            if rng is not None and (rng[1] < prune[1] or rng[0] > prune[2]):
+                carried.append(f)
+                continue
+        touched.append(f)
+    version = latest + 1
+    new_files = list(carried)
+    data_dir: str | None = None
+    if touched:
+        kept = spark.read.parquet(*touched).filter(
+            ~F.coalesce(F.expr(predicate), F.lit(False))
+        )
+        data_dir, written = _write_data(kept, table_dir, version)
+        new_files += written
+    txn = {
+        "op": "delete",
+        "predicate": predicate,
+        "files_rewritten": len(touched),
+        "files_carried": len(carried),
+    }
+    return _commit_manifest(table_dir, version, sorted(new_files), txn, data_dir)
 
 
 def compact(spark: SparkSession, table_dir: str, target_files: int = 1) -> int:

@@ -2289,6 +2289,119 @@ def q_versioned_gold_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("version", "day", "symbol")
 
 @register(
+    "versioned_delete_where",
+    """
+    SELECT event_type AS symbol,
+           count(*) AS n_events,
+           floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM events
+    WHERE value IS NULL OR NOT (value BETWEEN 100.0 AND 150.0)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_versioned_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE on the manifest-logged table as a copy-on-write
+    commit with parquet-footer data skipping: the snapshot is committed
+    range-partitioned on ``value``, so the delete's ``prune`` interval
+    lets ``operators/versioned.py::delete_where`` carry the non-
+    overlapping files into the new manifest WITHOUT reading them and
+    rewrite only the files whose footer min/max intersects the band --
+    Delta's stats-pruned DELETE (the reference keeps silver as a Delta
+    table, process_silver.py:43-45; row-level deletes are the retention
+    / GDPR path of that layer).  The old version stays time-travel
+    readable; deletion is logical until vacuum.  A pytest asserts
+    files_carried > 0 and old-snapshot readability."""
+    import os
+
+    from .operators import versioned
+    from .scratch import scratch_dir
+
+    base = _events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    table_dir = os.path.join(scratch_dir("rtfl_delete_"), "events_v")
+    versioned.commit_version(base.repartitionByRange(8, "value"), table_dir)
+    versioned.delete_where(
+        spark,
+        table_dir,
+        "value BETWEEN 100.0D AND 150.0D",
+        prune=("value", 100.0, 150.0),
+    )
+    latest = versioned.read_version(spark, table_dir)
+    return (
+        latest.groupBy(F.col("event_type").alias("symbol"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.floor(F.sum("value") * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("symbol")
+    )
+
+@register(
+    "versioned_append_evolution",
+    """
+    WITH h1 AS (
+        SELECT CAST(NULL AS TIMESTAMP) AS day, value FROM events
+        WHERE ts < TIMESTAMP '2024-01-15'
+    ),
+    h2 AS (
+        SELECT date_trunc('day', ts) AS day, value FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15'
+    ),
+    u AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+    SELECT day,
+           count(*) AS n_events,
+           floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM u
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_versioned_append_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append commit + add-column schema evolution on the manifest log:
+    v0 holds the first half-month WITHOUT the ``day`` column, v1 appends
+    the second half WITH it -- the append manifest re-references v0's
+    files untouched (an append costs only the new data regardless of
+    table size), and a ``merge_schema`` read surfaces ``day`` as NULL
+    for the pre-evolution files, exactly Delta's add-column semantics
+    (old data files are never rewritten).  Mirrors the reference's
+    ``mode("append")`` Delta writes (consumer_lake.py:48-54)."""
+    import os
+
+    from .operators import versioned
+    from .scratch import scratch_dir
+
+    ev = _events(spark, sf_dir)
+    cut = F.lit("2024-01-15").cast("timestamp")
+    table_dir = os.path.join(scratch_dir("rtfl_evolve_"), "events_v")
+    versioned.commit_version(
+        ev.filter(F.col("ts") < cut).select("event_id", "event_type", "value"),
+        table_dir,
+    )
+    versioned.commit_version(
+        ev.filter(F.col("ts") >= cut).select(
+            "event_id",
+            "event_type",
+            "value",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        ),
+        table_dir,
+        mode="append",
+    )
+    merged = versioned.read_version(spark, table_dir, merge_schema=True)
+    return (
+        merged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.floor(F.sum("value") * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("day")
+    )
+
+@register(
     "streaming_symbol_stats",
     f"""
     SELECT event_type AS symbol,

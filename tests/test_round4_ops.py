@@ -1,0 +1,122 @@
+"""Round-4 operator tests: versioned-table append / DELETE WHERE /
+schema evolution, plus the new training-pipeline ops."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_financial_lakehouse_spark.operators import versioned
+
+
+# ---------------------------------------------------------------------------
+# versioned: append commits
+# ---------------------------------------------------------------------------
+
+
+def test_versioned_append_carries_prior_files(spark, tmp_path):
+    table = str(tmp_path / "t")
+    versioned.commit_version(spark.range(3).selectExpr("id AS x"), table)
+    v0_files = set(versioned.read_manifest(table, 0)["files"])
+    versioned.commit_version(
+        spark.range(10, 12).selectExpr("id AS x"), table, mode="append"
+    )
+    v1_files = set(versioned.read_manifest(table, 1)["files"])
+    # the append manifest re-references every v0 file plus new ones
+    assert v0_files < v1_files
+    assert sorted(r["x"] for r in versioned.read_version(spark, table).collect()) == [
+        0, 1, 2, 10, 11,
+    ]
+    # time travel still sees the pre-append snapshot
+    assert versioned.read_version(spark, table, 0).count() == 3
+
+
+def test_versioned_append_rejects_bad_mode(spark, tmp_path):
+    with pytest.raises(ValueError):
+        versioned.commit_version(
+            spark.range(1), str(tmp_path / "t"), mode="upsert"
+        )
+
+
+def test_vacuum_keeps_dirs_carried_into_kept_manifest(spark, tmp_path):
+    """A data directory written for v0 but re-referenced by the kept
+    (appended) v1 manifest must survive a vacuum of v0."""
+    table = str(tmp_path / "t")
+    versioned.commit_version(spark.range(3).selectExpr("id AS x"), table)
+    versioned.commit_version(
+        spark.range(10, 12).selectExpr("id AS x"), table, mode="append"
+    )
+    versioned.vacuum(table, keep_last=1, orphan_grace_s=0.0)
+    assert versioned.table_versions(table) == [1]
+    assert sorted(r["x"] for r in versioned.read_version(spark, table).collect()) == [
+        0, 1, 2, 10, 11,
+    ]
+
+
+# ---------------------------------------------------------------------------
+# versioned: DELETE WHERE with footer-stats pruning
+# ---------------------------------------------------------------------------
+
+
+def test_delete_where_prunes_untouched_files(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df = spark.range(1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    versioned.commit_version(df.repartitionByRange(8, "v"), table)
+    v = versioned.delete_where(
+        spark, table, "v BETWEEN 100.0D AND 199.0D", prune=("v", 100.0, 199.0)
+    )
+    txn = versioned.read_manifest(table, v)["txn"]
+    assert txn["op"] == "delete"
+    # the band covers 1/10 of the range-partitioned key space: most
+    # files must be carried forward without a read
+    assert txn["files_carried"] > 0
+    assert txn["files_rewritten"] < 8
+    got = sorted(r["k"] for r in versioned.read_version(spark, table).collect())
+    assert got == [k for k in range(1000) if not (100 <= k <= 199)]
+    # old snapshot untouched (logical delete until vacuum)
+    assert versioned.read_version(spark, table, 0).count() == 1000
+
+
+def test_delete_where_null_predicate_rows_kept(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], "k INT, v DOUBLE"
+    )
+    versioned.commit_version(df, table)
+    versioned.delete_where(spark, table, "v > 10.0D")
+    got = sorted(
+        r["k"] for r in versioned.read_version(spark, table).collect()
+    )
+    # NULL predicate -> row kept (SQL DELETE removes only TRUE rows)
+    assert got == [1, 2]
+
+
+def test_delete_where_without_prune_rewrites_everything(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    versioned.commit_version(df.repartition(4), table)
+    v = versioned.delete_where(spark, table, "v < 10.0D")
+    txn = versioned.read_manifest(table, v)["txn"]
+    assert txn["files_carried"] == 0
+    assert versioned.read_version(spark, table).count() == 90
+
+
+# ---------------------------------------------------------------------------
+# versioned: schema evolution via merge_schema read
+# ---------------------------------------------------------------------------
+
+
+def test_append_schema_evolution_nulls_for_old_files(spark, tmp_path):
+    table = str(tmp_path / "t")
+    versioned.commit_version(spark.range(3).selectExpr("id AS x"), table)
+    versioned.commit_version(
+        spark.range(10, 12).selectExpr("id AS x", "id * 2 AS y"),
+        table,
+        mode="append",
+    )
+    merged = versioned.read_version(spark, table, merge_schema=True)
+    assert set(merged.columns) == {"x", "y"}
+    rows = {r["x"]: r["y"] for r in merged.collect()}
+    assert rows == {0: None, 1: None, 2: None, 10: 20, 11: 22}
