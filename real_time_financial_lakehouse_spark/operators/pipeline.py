@@ -396,3 +396,69 @@ def winsorize_values(events: DataFrame, lo: float = 0.01, hi: float = 0.99) -> D
         )
         .orderBy("symbol")
     )
+
+
+def boilerplate_strip(
+    documents: DataFrame, width: int = 8, min_df: int = 2
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet / RefinedWeb line-dedup
+    idea): segment each normalized document into non-overlapping
+    ``width``-word windows, count each segment's document frequency
+    across the WHOLE corpus, drop every segment that appears in
+    ``min_df``-or-more distinct documents (navigation chrome, license
+    headers, templated footers -- and, in this fixture, the verbatim
+    spans shared by near-duplicate docs), and reassemble the surviving
+    segments in order.  Emits per-doc accounting so a pipeline can watch
+    how much boilerplate each source carries.
+
+    Scale: one groupBy(segment) builds the frequency table with map-side
+    partial aggregation (duplicates collapse before the wire), and only
+    the segments ABOVE the df threshold survive the filter -- that
+    boilerplate list is tiny relative to the corpus (boilerplate is by
+    definition repeated), so the removal join is a broadcast LEFT ANTI
+    against the exploded segments: the corpus never shuffles for it.
+    The reassembly groupBy(doc_id) is the second and last shuffle.  At
+    100 TB, join on ``md5_long(seg)`` (8-byte keys) instead of the raw
+    segment text to shrink both the frequency table and the wire format;
+    a df-capped variant (stop counting a segment past the threshold) is
+    the same skip-list idiom ngram_jaccard_pairs uses."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    words = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+    nseg = F.greatest(
+        F.ceil(F.size(words) / F.lit(float(width))).cast("int"), F.lit(1)
+    )
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * width + 1, F.lit(width))),
+    )
+    segs = documents.select("doc_id", F.posexplode(seg_arr).alias("pos", "seg"))
+    boilerplate = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("seg")
+    )
+    kept = segs.join(F.broadcast(boilerplate), "seg", "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = documents.select("doc_id", nseg.cast("long").alias("n_segments"))
+    return (
+        totals.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_segments",
+            (F.col("n_segments") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+        .orderBy("doc_id")
+    )

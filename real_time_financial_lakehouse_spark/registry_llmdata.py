@@ -1209,3 +1209,46 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_embeddings(_emb(spark, sf_dir))
+
+
+@register(
+    "boilerplate_strip",
+    r"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(w[(i*8+1):(i*8+8)], ' ') AS seg
+        FROM base,
+             LATERAL (SELECT unnest(generate_series(0, greatest(CAST(ceil(len(w)/8.0) AS INT), 1) - 1)) AS i) g
+    ),
+    bp AS (
+        SELECT seg FROM (
+            SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1
+        ) WHERE df >= 2
+    ),
+    kept AS (SELECT s.doc_id, s.pos, s.seg FROM segs s ANTI JOIN bp USING (seg)),
+    agg AS (
+        SELECT doc_id,
+               string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY 1
+    ),
+    tot AS (
+        SELECT doc_id,
+               CAST(greatest(CAST(ceil(len(w)/8.0) AS INT), 1) AS BIGINT) AS n_segments
+        FROM base
+    )
+    SELECT t.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           t.n_segments,
+           t.n_segments - coalesce(a.n_kept, 0) AS n_removed
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    ORDER BY 1
+    """,
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.boilerplate_strip(_docs(spark, sf_dir), width=8, min_df=2)

@@ -739,6 +739,7 @@ def test_document_ops_tolerate_null_empty_whitespace_docs(spark):
     ANSI mode turns an unguarded ratio into DIVIDE_BY_ZERO -- exactly how
     text_quality broke on this battery before the guard)."""
     from real_time_financial_lakehouse_spark.operators import dedup as dd
+    from real_time_financial_lakehouse_spark.operators import pipeline as pl
     from real_time_financial_lakehouse_spark.operators import text as tx
 
     docs = spark.createDataFrame(
@@ -761,7 +762,7 @@ def test_document_ops_tolerate_null_empty_whitespace_docs(spark):
         dd.exact_dedup, dd.minhash_signatures, dd.lsh_candidate_pairs,
         dd.simhash_fingerprints, dd.dedup_clusters,
         dd.edit_distance_pairs, dd.simhash_near_pairs, dd.ngram_jaccard_pairs,
-        dd.fuzzy_dedup_keep, dd.incremental_dedup,
+        dd.fuzzy_dedup_keep, dd.incremental_dedup, pl.boilerplate_strip,
     ):
         fn(docs).collect()  # must not raise
 

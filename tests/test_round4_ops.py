@@ -120,3 +120,64 @@ def test_append_schema_evolution_nulls_for_old_files(spark, tmp_path):
     assert set(merged.columns) == {"x", "y"}
     rows = {r["x"]: r["y"] for r in merged.collect()}
     assert rows == {0: None, 1: None, 2: None, 10: 20, 11: 22}
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_strip
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_strip_removes_shared_segments(spark):
+    from real_time_financial_lakehouse_spark.operators import pipeline
+
+    # width=3: "the quick brown" opens three docs (df=3 -> boilerplate);
+    # each doc's tail segments are unique and must survive in order.
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps high over lazy dogs", "en", "s", 0),
+            (1, "the quick brown cat sleeps all day long here", "en", "s", 0),
+            (2, "the quick brown owl hunts at night time only", "en", "s", 0),
+            (3, "completely different words in this document body", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pipeline.boilerplate_strip(docs, width=3, min_df=2).collect()
+    }
+    assert rows[0]["clean_text"] == "fox jumps high over lazy dogs"
+    assert rows[0]["n_segments"] == 3 and rows[0]["n_removed"] == 1
+    assert rows[3]["clean_text"].startswith("completely different words")
+    assert rows[3]["n_removed"] == 0
+
+
+def test_boilerplate_strip_fully_boilerplate_doc_empties(spark):
+    from real_time_financial_lakehouse_spark.operators import pipeline
+
+    docs = spark.createDataFrame(
+        [(0, "same same same", "en", "s", 0), (1, "same same same", "en", "s", 0),
+         (2, None, "en", "s", 0), (3, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pipeline.boilerplate_strip(docs, width=8, min_df=2).collect()
+    }
+    # both copies of the duplicated doc reduce to empty
+    assert rows[0]["clean_text"] == "" and rows[0]["n_removed"] == 1
+    assert rows[1]["clean_text"] == ""
+    # NULL and '' normalize to the same '' segment (df=2) -> stripped, no error
+    assert rows[2]["clean_text"] == "" and rows[3]["clean_text"] == ""
+
+
+def test_boilerplate_strip_anti_join_is_broadcast(spark):
+    """The boilerplate list must reach the corpus as a broadcast LEFT
+    ANTI join -- the corpus side never shuffles for the removal."""
+    from real_time_financial_lakehouse_spark.operators import pipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} filler text body segment number {i}", "en", "s", 0) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    plan = pipeline.boilerplate_strip(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
