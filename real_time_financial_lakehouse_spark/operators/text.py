@@ -496,3 +496,68 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def heavy_hitters_cms(
+    documents: DataFrame, topn: int = 20, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Heavy hitters through a count-min sketch: hash every term into
+    ``depth`` independent md5 rows of ``width`` buckets, sum occurrence
+    counts per bucket, and estimate each candidate term's frequency as
+    the MIN of its ``depth`` bucket totals.  The classic CMS guarantees
+    hold: the estimate never undercounts, and overcounts by more than
+    (e/width) * N with probability < exp(-depth).  Emitted next to the
+    exact counts so the containment (est >= exact) is oracle-checked,
+    not just asserted.
+
+    Scale: the sketch is depth x width integers -- FIXED memory no
+    matter the corpus (here 4 x 512), and bucket totals are mergeable by
+    addition, which is why CMS is the streaming/distributed answer to
+    "top terms over 100 TB": each task folds its split into a local
+    sketch, the reduce merges them cell-wise.  This batch formulation
+    builds the sketch FROM the partial-aggregated term counts (identical
+    cell values, one explode less); the exact-count column exists for
+    validation -- a production pipeline keeps only the sketch plus a
+    small candidate set.  Plan: one term-count shuffle, then the sketch
+    (2 K rows) broadcasts back onto the candidates -- the corpus is
+    read once."""
+    from ..functions.hashing import md5_long
+
+    cnts = (
+        documents.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term")
+        )
+        .filter(F.length("term") >= 3)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    pairs = cnts.select(
+        "term",
+        "exact_count",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j"),
+    ).withColumn(
+        "bucket",
+        md5_long(
+            F.concat_ws(":", F.col("j").cast("string"), F.col("term")), hexdigits=7
+        )
+        % width,
+    )
+    sketch = pairs.groupBy("j", "bucket").agg(
+        F.sum("exact_count").alias("cell_total")
+    )
+    return (
+        pairs.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("term")
+        .agg(
+            F.min("cell_total").alias("est_count"),
+            F.first("exact_count").alias("exact_count"),
+        )
+        .select(
+            "term",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy(F.col("est_count").desc(), F.col("term"))
+        .limit(topn)
+    )

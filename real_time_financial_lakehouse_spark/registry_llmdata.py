@@ -1252,3 +1252,42 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.boilerplate_strip(_docs(spark, sf_dir), width=8, min_df=2)
+
+
+@register(
+    "heavy_hitters_cms",
+    f"""
+    WITH cnts AS (
+        SELECT term, count(*) AS exact_count
+        FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+            FROM documents
+        )
+        WHERE length(term) >= 3
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT term, exact_count, j,
+               {md5_long_sql("j::VARCHAR || ':' || term", 7)} % 512 AS bucket
+        FROM cnts, (SELECT unnest([0, 1, 2, 3]) AS j) js
+    ),
+    sketch AS (
+        SELECT j, bucket, sum(exact_count) AS cell_total
+        FROM pairs GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT p.term,
+               min(s.cell_total)::BIGINT AS est_count,
+               any_value(p.exact_count) AS exact_count
+        FROM pairs p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+        GROUP BY 1
+    )
+    SELECT term, est_count, exact_count,
+           est_count - exact_count AS overcount
+    FROM est
+    ORDER BY est_count DESC, term
+    LIMIT 20
+    """,
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.heavy_hitters_cms(_docs(spark, sf_dir))

@@ -181,3 +181,51 @@ def test_boilerplate_strip_anti_join_is_broadcast(spark):
     )
     plan = pipeline.boilerplate_strip(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters_cms
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_bounds_error(spark):
+    from real_time_financial_lakehouse_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(i, ("alpha " * 50 + "beta " * 20 + f"unique{i} rare word") , "en", "s", 0)
+         for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = tx.heavy_hitters_cms(docs, topn=50).collect()
+    assert rows, "expected heavy hitters"
+    n_total = 20 * (50 + 20 + 3)
+    for r in rows:
+        # CMS containment: estimates never undercount
+        assert r["est_count"] >= r["exact_count"]
+        assert r["overcount"] == r["est_count"] - r["exact_count"]
+        # CMS error bound: over by at most (e/width) * N (width=512)
+        assert r["overcount"] <= (2.7183 / 512) * n_total + 1
+    # the true heavy hitter surfaces first
+    assert rows[0]["term"] == "alpha" and rows[0]["exact_count"] == 1000
+
+
+def test_cms_sketch_is_fixed_size(spark):
+    """The sketch the estimates come from must stay depth x width cells
+    regardless of vocabulary size."""
+    from real_time_financial_lakehouse_spark.functions.hashing import md5_long
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(i, i + 30)), "en", "s", 0)
+         for i in range(50)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    cnts = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"))
+        .filter(F.length("term") >= 3)
+        .groupBy("term").count()
+    )
+    pairs = cnts.select(
+        F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"), "term"
+    ).withColumn("bucket", md5_long(F.concat_ws(":", F.col("j").cast("string"), "term"), hexdigits=7) % 512)
+    n_cells = pairs.select("j", "bucket").distinct().count()
+    assert n_cells <= 4 * 512
