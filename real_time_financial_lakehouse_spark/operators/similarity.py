@@ -14,9 +14,12 @@ Scale design:
   ``label`` plays the coarse-quantizer cell id; in production the cell id
   comes from a k-means codebook (computed once, broadcast).  The search
   join becomes an equi-join on the cell, i.e. 1/C of the scan per query.
-* an LSH variant falls out of dedup.lsh_candidate_pairs applied to
-  sign-random-projection bits; omitted here because IVF + exact re-rank
-  is the better recall/cost point for dense embeddings.
+* ``ann_hyperplane_topk`` is the LSH alternative: sign-random-projection
+  bits banded exactly like dedup.lsh_candidate_pairs, stateless (no
+  codebook to train), with the hyperplanes embedded as literals so the
+  whole path is exactly oracle-checkable.  IVF + exact re-rank remains
+  the better recall/cost point for static dense corpora; LSH wins when
+  the corpus streams and retraining a codebook is operationally costly.
 """
 
 from __future__ import annotations
@@ -404,3 +407,133 @@ def pca_project(embeddings: DataFrame, model) -> DataFrame:
         ).alias("pca"),
         qround(retained, 6).alias("retained_sq_norm"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Sign-random-projection (hyperplane) LSH ANN
+# ---------------------------------------------------------------------------
+
+HP_BITS = 16
+HP_BANDS = 4
+HP_DIM = 64
+
+
+def hyperplane_matrix(bits: int = HP_BITS, dim: int = HP_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes on a 0.001 grid, derived
+    from md5 (no seeded RNG), so the Spark plan and the DuckDB oracle
+    embed the IDENTICAL matrix as literals -- the whole LSH path becomes
+    exactly oracle-checkable, unlike a library ANN."""
+    import hashlib
+
+    H = []
+    for b in range(bits):
+        row = []
+        for i in range(dim):
+            hv = int(hashlib.md5(f"hp:{b}:{i}".encode()).hexdigest()[:7], 16)
+            row.append(((hv % 2001) - 1000) / 1000.0)
+        H.append(row)
+    return H
+
+
+def _hp_band_spark(H: list[list[float]], j: int, rows: int) -> str:
+    """Spark SQL expr: band j's packed sign bits of column ``v``."""
+    parts = []
+    for r in range(rows):
+        arr = ", ".join(f"{x}D" for x in H[j * rows + r])
+        dot = (
+            f"aggregate(zip_with(v, array({arr}), (x, y) -> x * y),"
+            f" 0D, (acc, w) -> acc + w)"
+        )
+        # quantize before the sign so a dot within 5e-7 of zero cannot
+        # flip between engines' summation orders
+        parts.append(
+            f"(CASE WHEN floor({dot} * 1000000.0 + 0.5) >= 0"
+            f" THEN {1 << r} ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
+def hp_band_sql(H: list[list[float]], j: int, rows: int) -> str:
+    """DuckDB twin of _hp_band_spark (same literals, same quantization)."""
+    parts = []
+    for r in range(rows):
+        arr = ", ".join(str(x) for x in H[j * rows + r])
+        dot = f"list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * ([{arr}])[i]))"
+        parts.append(
+            f"(CASE WHEN floor({dot} * 1000000.0 + 0.5) >= 0"
+            f" THEN {1 << r} ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
+def ann_hyperplane_topk(
+    embeddings: DataFrame,
+    bits: int = HP_BITS,
+    bands: int = HP_BANDS,
+    k: int = 3,
+    n_queries: int = 8,
+) -> DataFrame:
+    """ANN by sign random projection: each vector's ``bits`` sign bits
+    (dot against fixed hyperplanes) split into ``bands`` bit-slices;
+    candidates for a query are the vectors sharing at least one exact
+    band -- the cosine-space twin of the MinHash banding the dedup
+    ladder uses, and the LSH counterpart to the IVF cell join.  Survivor
+    pairs are re-ranked with the exact quantized cosine.
+
+    Scale: signatures are a pure projection (JVM array expressions, no
+    shuffle, no Python); the candidate join is an equi-join on
+    (band_id, band_value) -- bucketed, never all-pairs -- and the exact
+    re-rank runs only on banding survivors.  Cost tuning is the standard
+    LSH dial: more bands -> higher recall, bigger buckets; more bits per
+    band -> smaller buckets, lower recall.  Unlike IVF there is no
+    codebook to train or broadcast -- the index is stateless, which is
+    the operational argument for hyperplane LSH on streaming corpora."""
+    rows = bits // bands
+    H = hyperplane_matrix(bits)
+    emb = _spread(embeddings).select("vec_id", _as_double("embedding").alias("v"))
+    emb = emb.withColumn("nv", _norm("v"))
+    sigs = emb.select(
+        "vec_id",
+        "v",
+        "nv",
+        *[F.expr(_hp_band_spark(H, j, rows)).alias(f"band_{j}") for j in range(bands)],
+    )
+    bd = sigs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"band_{j}") for j in range(bands)])
+        ).alias("band_id", "band_val"),
+    )
+    qb = bd.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "band_id", "band_val"
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(
+            bd.select(F.col("vec_id").alias("neighbor_id"), "band_id", "band_val"),
+            ["band_id", "band_val"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = sigs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("nv").alias("nq")
+    )
+    c = sigs.select(F.col("vec_id").alias("neighbor_id"), "v", "nv")
+    pairs = cand.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
+    denom = F.col("nq") * F.col("nv")
+    cos = F.when(denom != 0, _dot("q", "v") / denom).otherwise(F.lit(0.0))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

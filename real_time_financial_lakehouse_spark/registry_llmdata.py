@@ -1291,3 +1291,56 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.heavy_hitters_cms(_docs(spark, sf_dir))
+
+
+_HP = similarity.hyperplane_matrix()
+_HP_ROWS = similarity.HP_BITS // similarity.HP_BANDS
+_HP_BAND_CASE = " ".join(
+    f"WHEN {j} THEN ({similarity.hp_band_sql(_HP, j, _HP_ROWS)})"
+    for j in range(similarity.HP_BANDS)
+)
+
+
+@register(
+    "ann_hyperplane_topk",
+    f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    bd AS (
+        SELECT vec_id, j AS band_id,
+               CASE j {_HP_BAND_CASE} END AS band_val
+        FROM emb, (SELECT unnest([0, 1, 2, 3]) AS j) js
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM bd q JOIN bd c ON q.band_id = c.band_id AND q.band_val = c.band_val
+        WHERE q.vec_id < 8 AND q.vec_id != c.vec_id
+    ),
+    pairs AS (
+        SELECT p.query_id, p.neighbor_id,
+               CASE WHEN {_NORM_Q} * {_NORM_V} != 0
+                    THEN {_DOT} / ({_NORM_Q} * {_NORM_V})
+                    ELSE 0.0 END AS cos_raw
+        FROM cand p
+        JOIN (SELECT vec_id, v AS q FROM emb) q ON q.vec_id = p.query_id
+        JOIN (SELECT vec_id, v FROM emb) e ON e.vec_id = p.neighbor_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               floor(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_hyperplane_topk(_emb(spark, sf_dir))
