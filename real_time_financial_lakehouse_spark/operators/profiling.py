@@ -1,0 +1,57 @@
+"""Table profiling: per-column data-quality statistics in one pass.
+
+The first thing a lakehouse operator runs against a new 100 TB source is
+a profile -- null rates, cardinalities, value ranges -- to decide
+partitioning, z-order keys, and quality gates.  This operator computes it
+as ONE aggregation over ONE scan (no per-column jobs, no driver loops),
+then unpivots the single result row into a per-column report with
+``stack``.
+
+Scale notes: multiple exact ``countDistinct`` aggregates make Catalyst
+plan an Expand (one duplicated stream per distinct aggregate) -- correct
+but a multiplier on shuffle volume.  ``approx=True`` swaps them for
+HyperLogLog++ ``approx_count_distinct``, which collapses the plan back to
+a single partial-aggregated pass: that is the 100 TB default, exact is
+the oracle-checkable twin (same trade as distinct_user_counts vs
+distinct_user_counts_approx).  Min/max surface as strings so one report
+schema covers numeric, string, and timestamp columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame, columns: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    cols = columns or df.columns
+    distinct = (
+        (lambda c: F.approx_count_distinct(c)) if approx else (lambda c: F.countDistinct(c))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return (
+        one.select(
+            F.col("__n_rows").alias("n_rows"),
+            F.expr(
+                f"stack({len(cols)}, {stack_args})"
+                " AS (column_name, n_nulls, n_distinct, min_value, max_value)"
+            ),
+        )
+        .select(
+            "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+        )
+        .orderBy("column_name")
+    )

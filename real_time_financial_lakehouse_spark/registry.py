@@ -2788,3 +2788,28 @@ def _rotate_for_driver() -> None:
         d.update(reordered)
 
 _rotate_for_driver()
+
+
+_PROFILE_COLS = ["event_id", "event_type", "props", "ts", "user_id", "value"]
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+           count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_value,
+           CAST(max({c}) AS VARCHAR) AS max_value
+    FROM events"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_events", f"SELECT * FROM (\n{_PROFILE_ORACLE}\n) ORDER BY 1")
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan per-column profile of the events table (null counts,
+    exact cardinalities, stringified min/max) -- the survey pass that
+    decides partitioning and z-order keys before any pipeline runs.
+    ``approx=True`` is the single-pass HLL++ variant for 100 TB (see
+    operators/profiling.py)."""
+    from .operators.profiling import profile_columns
+
+    return profile_columns(_events(spark, sf_dir), _PROFILE_COLS)

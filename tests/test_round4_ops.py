@@ -271,3 +271,37 @@ def test_hyperplane_matrix_deterministic():
     a, b = sim.hyperplane_matrix(), sim.hyperplane_matrix()
     assert a == b
     assert all(-1.0 <= x <= 1.0 for row in a for x in row)
+
+
+# ---------------------------------------------------------------------------
+# profile_columns
+# ---------------------------------------------------------------------------
+
+
+def test_profile_columns_counts_nulls_and_cardinality(spark):
+    from real_time_financial_lakehouse_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "a", None), (4, "b", None)],
+        "id INT, s STRING, v DOUBLE",
+    )
+    rows = {r["column_name"]: r for r in profile_columns(df).collect()}
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["v"]["n_nulls"] == 2 and rows["v"]["min_value"] == "1.5"
+    assert rows["id"]["n_rows"] == 4 and rows["id"]["max_value"] == "4"
+
+
+def test_profile_columns_approx_is_single_pass(spark):
+    """approx=True must avoid the multi-distinct Expand: HLL sketches
+    keep the profile a single partial-aggregated scan at 100 TB."""
+    from real_time_financial_lakehouse_spark.operators.profiling import profile_columns
+
+    df = spark.range(1000).selectExpr("id AS a", "id % 7 AS b")
+    exact_plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
+    approx_plan = profile_columns(df, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan
+    assert "Expand" not in approx_plan
+    rows = {r["column_name"]: r for r in profile_columns(df, approx=True).collect()}
+    # HLL cardinalities land within the published ~2% envelope
+    assert abs(rows["a"]["n_distinct"] - 1000) <= 50
+    assert rows["b"]["n_distinct"] == 7
