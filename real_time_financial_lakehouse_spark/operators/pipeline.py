@@ -462,3 +462,46 @@ def boilerplate_strip(
         )
         .orderBy("doc_id")
     )
+
+
+# PII patterns shared by the Spark op and its DuckDB oracle twin: kept to
+# syntax valid AND identical in meaning for both Java regex and RE2
+# (character classes, bounded repetition -- no lookarounds, no \b).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^ ]+", "<URL>"),
+    ("phone", r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "<PHONE>"),
+    ("longnum", r"[0-9]{6,}", "<NUM>"),
+]
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """PII scrubbing for training corpora: replace emails, URLs, phone
+    numbers, and long digit runs (account/SSN-shaped) with typed
+    placeholder tokens, with per-category match accounting so a pipeline
+    can monitor how much PII each source leaks.  Replacements apply in
+    PII_PATTERNS order (email before the digit rules, so a phone inside
+    an email is counted once as email); counts are measured against the
+    ORIGINAL text per pattern.
+
+    Scale: pure row-local projection -- regexp_replace / regexp_
+    extract_all are JVM codegen, no shuffle, no Python; at 100 TB this
+    fuses into whatever scan feeds it.  The pattern list is the contract:
+    both the Spark expressions and the DuckDB oracle read PII_PATTERNS,
+    so adding a category cannot silently diverge the two engines."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    clean = text
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long").alias(
+                f"n_{name}"
+            )
+        )
+        clean = F.regexp_replace(clean, pat, repl)
+    return documents.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        *counts,
+        (F.length(text) - F.length(clean)).cast("long").alias("n_chars_removed"),
+    ).orderBy("doc_id")

@@ -1344,3 +1344,27 @@ _HP_BAND_CASE = " ".join(
 )
 def q_ann_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_hyperplane_topk(_emb(spark, sf_dir))
+
+
+_PII_COUNTS = ",\n           ".join(
+    f"len(regexp_extract_all(coalesce(text, ''), '{pat}'))::BIGINT AS n_{name}"
+    for name, pat, _ in pipeline.PII_PATTERNS
+)
+_PII_CLEAN = "coalesce(text, '')"
+for _name, _pat, _repl in pipeline.PII_PATTERNS:
+    _PII_CLEAN = f"regexp_replace({_PII_CLEAN}, '{_pat}', '{_repl}', 'g')"
+
+
+@register(
+    "redact_pii",
+    f"""
+    SELECT doc_id,
+           {_PII_CLEAN} AS clean_text,
+           {_PII_COUNTS},
+           (length(coalesce(text, '')) - length({_PII_CLEAN}))::BIGINT AS n_chars_removed
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.redact_pii(_docs(spark, sf_dir))

@@ -305,3 +305,45 @@ def test_profile_columns_approx_is_single_pass(spark):
     # HLL cardinalities land within the published ~2% envelope
     assert abs(rows["a"]["n_distinct"] - 1000) <= 50
     assert rows["b"]["n_distinct"] == 7
+
+
+# ---------------------------------------------------------------------------
+# redact_pii
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    from real_time_financial_lakehouse_spark.operators import pipeline
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail bob@example.com or alice.k@corp.io today", "en", "s", 0),
+            (1, "see https://ex.co/path?q=1 for info", "en", "s", 0),
+            (2, "call 555-123-4567 about account 123456789", "en", "s", 0),
+            (3, "nothing sensitive here", "en", "s", 0),
+            (4, None, "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in pipeline.redact_pii(docs).collect()}
+    assert rows[0]["clean_text"] == "mail <EMAIL> or <EMAIL> today"
+    assert rows[0]["n_email"] == 2
+    assert rows[1]["clean_text"] == "see <URL> for info" and rows[1]["n_url"] == 1
+    assert rows[2]["clean_text"] == "call <PHONE> about account <NUM>"
+    assert rows[2]["n_phone"] == 1 and rows[2]["n_longnum"] == 1
+    assert rows[3]["clean_text"] == "nothing sensitive here"
+    assert all(rows[3][f"n_{k}"] == 0 for k in ("email", "url", "phone", "longnum"))
+    assert rows[4]["clean_text"] == "" and rows[4]["n_chars_removed"] == 0
+
+
+def test_redact_pii_email_wins_over_digit_rules(spark):
+    from real_time_financial_lakehouse_spark.operators import pipeline
+
+    docs = spark.createDataFrame(
+        [(0, "reach 123456789@numbers.net now", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = pipeline.redact_pii(docs).collect()[0]
+    # the digits are consumed by the email replacement, not double-redacted
+    assert r["clean_text"] == "reach <EMAIL> now"
+    assert r["n_email"] == 1
