@@ -575,3 +575,93 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_keep_priority(documents: DataFrame) -> DataFrame:
+    """Cross-source exact dedup with survivor preference: when the same
+    normalized content appears in several sources, keep the copy from
+    the lexicographically-first source (doc_id tiebreak) -- the "trusted
+    source wins" rule every multi-crawl ingest applies before training
+    (a curated dump beats a web re-crawl of the same page).
+
+    Scale: one hash-groupBy, like dedup_exact -- the arg-min survivor is
+    ``min(struct(source, doc_id))``, which partial-aggregates map-side
+    (each task keeps one best row per hash before the shuffle), unlike a
+    window row_number over the full corpus which must shuffle every
+    row.  Swap the struct's first field to an explicit priority-rank
+    column to encode a non-lexicographic source ranking."""
+    from ..functions.hashing import md5_long, normalize_text
+
+    h = md5_long(normalize_text(F.col("text")))
+    return (
+        documents.groupBy(h.alias("content_hash"))
+        .agg(
+            F.min(F.struct(F.col("source"), F.col("doc_id"))).alias("best"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .select(
+            "content_hash",
+            F.col("best.doc_id").alias("survivor_doc_id"),
+            F.col("best.source").alias("survivor_source"),
+            "n_copies",
+            "n_sources",
+        )
+        .orderBy("content_hash")
+    )
+
+
+def minhash_jaccard_estimate(
+    documents: DataFrame, k: int = 8, bands: int = 4, shingle_n: int = 3
+) -> DataFrame:
+    """Sketch-accuracy audit for the dedup ladder: for every LSH
+    candidate pair, the MinHash ESTIMATE of Jaccard similarity (the
+    fraction of the k signature components that agree -- the unbiased
+    estimator banding implicitly thresholds) next to the EXACT shingle
+    Jaccard, plus the absolute error.  This is the query you run before
+    trusting a (k, bands) configuration at 100 TB: it tells you what the
+    banding threshold actually was on your corpus.
+
+    Scale: signatures and shingle sets are both single-projection
+    columns; the exact Jaccard runs ONLY on banding survivors (bounded
+    by the hot-bucket cap), never all-pairs.  |A∪B| is computed as
+    |A|+|B|-|A∩B| so only the intersection's array pass runs per pair.
+    Two empty shingle sets are byte-identical content: Jaccard 1.0 by
+    definition, never a zero division."""
+    from ..functions.numeric import qround
+
+    pairs = lsh_candidate_pairs(documents, k=k, bands=bands, shingle_n=shingle_n)
+    sigs = minhash_signatures(documents, k=k, shingle_n=shingle_n)
+    sets = documents.select(
+        "doc_id",
+        F.array_distinct(F.expr(shingles_expr("text", shingle_n))).alias("sh"),
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)]
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)]
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    agree = sum(
+        (F.col(f"a_{i}").eqNullSafe(F.col(f"b_{i}"))).cast("int") for i in range(k)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    exact = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
+    est = agree.cast("double") / F.lit(float(k))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            qround(est, 6).alias("est_jaccard"),
+            qround(exact, 6).alias("exact_jaccard"),
+            qround(F.abs(est - exact), 6).alias("abs_error"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1368,3 +1368,71 @@ for _name, _pat, _repl in pipeline.PII_PATTERNS:
 )
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.redact_pii(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_keep_priority",
+    f"""
+    WITH hashed AS (
+        SELECT doc_id, source, {md5_long_sql(_NORM_SQL)} AS content_hash
+        FROM documents
+    ),
+    stats AS (
+        SELECT content_hash, count(*) AS n_copies,
+               count(DISTINCT source) AS n_sources
+        FROM hashed GROUP BY 1
+    ),
+    surv AS (
+        SELECT content_hash, doc_id AS survivor_doc_id, source AS survivor_source
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY content_hash
+                                         ORDER BY source, doc_id) AS rn
+            FROM hashed
+        ) WHERE rn = 1
+    )
+    SELECT s.content_hash, survivor_doc_id, survivor_source, n_copies, n_sources
+    FROM surv s JOIN stats USING (content_hash)
+    ORDER BY 1
+    """,
+)
+def q_dedup_keep_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_keep_priority(_docs(spark, sf_dir))
+
+
+_MH_AGREE_SQL = " + ".join(
+    f"(CASE WHEN a.mh_{i} IS NOT DISTINCT FROM b.mh_{i} THEN 1 ELSE 0 END)"
+    for i in range(_K)
+)
+
+
+@register(
+    "minhash_jaccard_estimate",
+    f"""
+    WITH pairs AS ({_LSH_PAIRS_SQL}),
+    sigs AS (
+        SELECT doc_id,
+               {_MH_COLS_SQL}
+        FROM documents
+    ),
+    sets AS (SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents),
+    joined AS (
+        SELECT p.doc_a, p.doc_b,
+               ({_MH_AGREE_SQL}) / {float(_K)} AS est_raw,
+               len(list_intersect(sa.sh, sb.sh)) AS n_inter,
+               len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS n_union
+        FROM pairs p
+        JOIN sigs a ON p.doc_a = a.doc_id
+        JOIN sigs b ON p.doc_b = b.doc_id
+        JOIN sets sa ON p.doc_a = sa.doc_id
+        JOIN sets sb ON p.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           {qround_sql("est_raw")} AS est_jaccard,
+           {qround_sql("CASE WHEN n_union > 0 THEN n_inter::DOUBLE / n_union ELSE 1.0 END")} AS exact_jaccard,
+           {qround_sql("abs(est_raw - CASE WHEN n_union > 0 THEN n_inter::DOUBLE / n_union ELSE 1.0 END)")} AS abs_error
+    FROM joined
+    ORDER BY 1, 2
+    """,
+)
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_jaccard_estimate(_docs(spark, sf_dir), k=_K, bands=_BANDS)

@@ -347,3 +347,47 @@ def test_redact_pii_email_wins_over_digit_rules(spark):
     # the digits are consumed by the email replacement, not double-redacted
     assert r["clean_text"] == "reach <EMAIL> now"
     assert r["n_email"] == 1
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_priority / minhash_jaccard_estimate
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_keep_priority_prefers_first_source(spark):
+    from real_time_financial_lakehouse_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (10, "same content here", "en", "web_crawl", 0),
+            (3, "same content here", "en", "curated", 0),
+            (7, "Same   CONTENT here ", "en", "web_crawl", 0),  # normalizes equal
+            (1, "unique text body", "en", "web_crawl", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = dd.dedup_keep_priority(docs).collect()
+    by_copies = {r["n_copies"]: r for r in rows}
+    assert by_copies[3]["survivor_source"] == "curated"
+    assert by_copies[3]["survivor_doc_id"] == 3
+    assert by_copies[3]["n_sources"] == 2
+    assert by_copies[1]["survivor_doc_id"] == 1
+
+
+def test_minhash_estimate_brackets_exact_jaccard(spark):
+    """Near-identical docs must produce a high estimate AND a high exact
+    Jaccard; the estimator's granularity is 1/k."""
+    from real_time_financial_lakehouse_spark.operators import dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    docs = spark.createDataFrame(
+        [(0, base, "en", "s", 0), (1, base + "lambda mu", "en", "s", 0),
+         (2, "totally different words everywhere now always forever", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r for r in dd.minhash_jaccard_estimate(docs).collect()}
+    assert (0, 1) in rows
+    r = rows[(0, 1)]
+    assert r["exact_jaccard"] > 0.7
+    assert r["est_jaccard"] >= 0.625         # >= 5 of 8 components agree
+    assert abs(r["abs_error"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 1e-6
