@@ -2813,3 +2813,41 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.profiling import profile_columns
 
     return profile_columns(_events(spark, sf_dir), _PROFILE_COLS)
+
+
+_CMS_BUCKET = "(('0x' || substr(md5(j::VARCHAR || ':' || user_id::VARCHAR), 1, 7))::BIGINT) % 256"
+
+
+@register(
+    "streaming_user_cms",
+    f"""
+    WITH cnts AS (
+        SELECT user_id, count(*) AS exact_count FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT user_id, exact_count, j, {_CMS_BUCKET} AS bucket
+        FROM cnts, (SELECT unnest([0, 1, 2, 3]) AS j) js
+    ),
+    sketch AS (
+        SELECT j, bucket, sum(exact_count) AS cell_total
+        FROM pairs GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT p.user_id,
+               min(s.cell_total)::BIGINT AS est_count,
+               any_value(p.exact_count) AS exact_count
+        FROM pairs p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+        GROUP BY 1
+    )
+    SELECT user_id, est_count, exact_count,
+           est_count - exact_count AS overcount
+    FROM est
+    ORDER BY est_count DESC, user_id
+    LIMIT 20
+    """,
+)
+def q_streaming_user_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch folded across streaming micro-batches; the batch
+    SQL oracle is exact because sketch addition commutes with batching
+    (see streaming/silver.streaming_user_cms)."""
+    return streaming_silver.streaming_user_cms(spark, sf_dir)

@@ -425,3 +425,123 @@ def _catalog_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load_table
 
     return load_table(spark, sf_dir, "events")
+
+def streaming_user_cms(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = 4,
+    width: int = 256,
+    topn: int = 20,
+) -> DataFrame:
+    """Streaming heavy hitters via a count-min sketch folded across
+    micro-batches: the events stream drains in multiple batches (fixture
+    re-sharded by event-time quartile, maxFilesPerTrigger=1), each batch
+    computes its LOCAL depth x width sketch and writes it to a
+    deterministic per-batch path (overwrite => a retried batch rewrites,
+    never double-counts), and the final sketch is the CELL-WISE SUM of
+    the batch sketches -- the mergeability that makes CMS the streaming
+    answer to "top users over an unbounded stream": state is
+    depth x width integers per batch, never per-key.
+
+    Because sketch addition commutes with batching, the merged sketch is
+    bit-identical to a single batch sketch over the whole fixture -- so
+    this STREAMING query has an exact batch SQL oracle (same md5 cells),
+    not a rows-only check.  Estimates are min-over-rows as in
+    operators/text.heavy_hitters_cms; exact counts ride along to expose
+    the overcount.
+
+    Scale: per batch, one partial-aggregated groupBy on (row, bucket)
+    whose output is <= depth x width rows regardless of batch size; the
+    candidate scoring joins the tiny merged sketch (broadcast) onto the
+    distinct-key set.  At 100 TB/day the sketch parquet is KBs per
+    batch; compaction is a no-op."""
+    from ..functions.hashing import md5_long
+
+    src_dir = scratch_dir("rtfl_cms_src_")
+    sketch_dir = scratch_dir("rtfl_cms_sketch_")
+    ckpt_dir = scratch_dir("rtfl_cms_ckpt_")
+
+    events = _catalog_load(spark, sf_dir)
+    from pyspark.sql import Window
+
+    events.withColumn(
+        "part", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    ).write.partitionBy("part").mode("overwrite").parquet(src_dir)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        cells = (
+            batch_df.select(
+                "user_id",
+                F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j"),
+            )
+            .withColumn(
+                "bucket",
+                md5_long(
+                    F.concat_ws(
+                        ":", F.col("j").cast("string"), F.col("user_id").cast("string")
+                    ),
+                    hexdigits=7,
+                )
+                % width,
+            )
+            .groupBy("j", "bucket")
+            .agg(F.count(F.lit(1)).alias("cell_total"))
+        )
+        cells.write.mode("overwrite").parquet(
+            os.path.join(sketch_dir, f"batch={batch_id}")
+        )
+
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark) as ss:
+        stream = (
+            ss.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    sketch = (
+        spark.read.option("basePath", sketch_dir)
+        .parquet(os.path.join(sketch_dir, "batch=*"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cell_total").alias("cell_total"))
+    )
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    pairs = exact.select(
+        "user_id",
+        "exact_count",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j"),
+    ).withColumn(
+        "bucket",
+        md5_long(
+            F.concat_ws(
+                ":", F.col("j").cast("string"), F.col("user_id").cast("string")
+            ),
+            hexdigits=7,
+        )
+        % width,
+    )
+    return (
+        pairs.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.min("cell_total").alias("est_count"),
+            F.first("exact_count").alias("exact_count"),
+        )
+        .select(
+            "user_id",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy(F.col("est_count").desc(), F.col("user_id"))
+        .limit(topn)
+    )

@@ -391,3 +391,31 @@ def test_minhash_estimate_brackets_exact_jaccard(spark):
     assert r["exact_jaccard"] > 0.7
     assert r["est_jaccard"] >= 0.625         # >= 5 of 8 components agree
     assert abs(r["abs_error"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# streaming_user_cms
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_cms_merges_batches_and_never_undercounts(spark):
+    """The stream must drain in several micro-batches and the cell-wise
+    sum of batch sketches must behave as one global sketch: estimates
+    never undercount the exact per-user counts."""
+    import glob
+
+    from real_time_financial_lakehouse_spark.streaming.silver import (
+        streaming_user_cms,
+    )
+
+    rows = streaming_user_cms(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected heavy hitters"
+    for r in rows:
+        assert r["est_count"] >= r["exact_count"]
+        assert r["overcount"] == r["est_count"] - r["exact_count"]
+    # multiple micro-batches actually happened (ntile(4) resharding)
+    batch_dirs = glob.glob("/dev/shm/rtfl_cms_sketch_*/batch=*")
+    assert any(
+        len(glob.glob(d.rsplit("/batch=", 1)[0] + "/batch=*")) >= 2
+        for d in batch_dirs
+    )
