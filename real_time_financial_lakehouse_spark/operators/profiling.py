@@ -55,3 +55,54 @@ def profile_columns(
         )
         .orderBy("column_name")
     )
+
+
+def key_skew_profile(df: DataFrame, key: str, topn: int = 5) -> DataFrame:
+    """Join-key skew diagnosis: per-key row counts reduced to the
+    numbers that decide a shuffle strategy -- mean/max rows per key, the
+    p99 key, the max/mean skew ratio, and the share of all rows held by
+    the ``topn`` heaviest keys.  This is the query you run BEFORE
+    picking salting factors or trusting AQE's skew-join splitting on a
+    100 TB join: a skew_ratio near 1 means plain hash partitioning is
+    fine; a top-key share of 30% means one task would own 30% of the
+    shuffle.
+
+    Scale: one partial-aggregated groupBy(key); everything after runs at
+    KEY cardinality, not row cardinality (the percentile and the top-N
+    sort see one row per key).  Output is a single summary row --
+    nothing data-sized ever concentrates."""
+    per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        per_key.orderBy(F.col("n").desc(), F.col(key))
+        .limit(topn)
+        .agg(F.sum("n").alias("top_rows"))
+    )
+    summary = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_per_key"),
+        F.expr("percentile(n, 0.99)").alias("p99_per_key"),
+        F.avg("n").alias("mean_per_key"),
+    )
+    return (
+        summary.crossJoin(F.broadcast(top))
+        .select(
+            F.lit(key).alias("key"),
+            "n_keys",
+            "n_rows",
+            "max_per_key",
+            (F.floor(F.col("p99_per_key") * 100.0 + F.lit(0.5)) / 100.0).alias(
+                "p99_per_key"
+            ),
+            (
+                F.floor(
+                    F.col("max_per_key") / F.col("mean_per_key") * 10000.0 + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("skew_ratio"),
+            (
+                F.floor(F.col("top_rows") / F.col("n_rows") * 10000.0 + F.lit(0.5))
+                / 10000.0
+            ).alias("top5_share"),
+        )
+    )

@@ -2851,3 +2851,32 @@ def q_streaming_user_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle is exact because sketch addition commutes with batching
     (see streaming/silver.streaming_user_cms)."""
     return streaming_silver.streaming_user_cms(spark, sf_dir)
+
+
+@register(
+    "key_skew_profile",
+    """
+    WITH per_key AS (
+        SELECT event_type AS k, count(*) AS n FROM events GROUP BY 1
+    ),
+    top AS (
+        SELECT sum(n) AS top_rows
+        FROM (SELECT n FROM per_key ORDER BY n DESC, k LIMIT 5)
+    )
+    SELECT 'event_type' AS key,
+           count(*) AS n_keys,
+           sum(n)::BIGINT AS n_rows,
+           max(n) AS max_per_key,
+           floor(quantile_cont(n, 0.99) * 100.0 + 0.5) / 100.0 AS p99_per_key,
+           floor(max(n) / avg(n) * 10000.0 + 0.5) / 10000.0 AS skew_ratio,
+           floor((SELECT top_rows FROM top) / sum(n) * 10000.0 + 0.5) / 10000.0 AS top5_share
+    FROM per_key
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-strategy survey of the events join key (see
+    operators/profiling.key_skew_profile); the salting decision in
+    segment_activity_salted starts from this report."""
+    from .operators.profiling import key_skew_profile
+
+    return key_skew_profile(_events(spark, sf_dir), "event_type")

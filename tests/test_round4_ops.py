@@ -419,3 +419,24 @@ def test_streaming_cms_merges_batches_and_never_undercounts(spark):
         len(glob.glob(d.rsplit("/batch=", 1)[0] + "/batch=*")) >= 2
         for d in batch_dirs
     )
+
+
+# ---------------------------------------------------------------------------
+# key_skew_profile
+# ---------------------------------------------------------------------------
+
+
+def test_key_skew_profile_flags_hot_key(spark):
+    from real_time_financial_lakehouse_spark.operators.profiling import (
+        key_skew_profile,
+    )
+
+    # one key holds 90 of 100 rows
+    df = spark.createDataFrame(
+        [("hot",)] * 90 + [(f"k{i}",) for i in range(10)], "k STRING"
+    )
+    r = key_skew_profile(df, "k").collect()[0]
+    assert r["n_keys"] == 11 and r["n_rows"] == 100
+    assert r["max_per_key"] == 90
+    assert r["skew_ratio"] > 9  # 90 / (100/11) ~ 9.9
+    assert r["top5_share"] > 0.9
