@@ -6,6 +6,7 @@ expressions (functions/hashing.py), so both sides hash the same bits.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .functions.hashing import (
@@ -1301,9 +1302,9 @@ _HP_BAND_CASE = " ".join(
 )
 
 
-@register(
-    "ann_hyperplane_topk",
-    f"""
+# Shared by ann_hyperplane_topk and retrieve_rerank (no ORDER BY so it
+# can be re-used as a CTE body).
+_HP_TOPK_SQL = f"""
     WITH emb AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
@@ -1339,11 +1340,46 @@ _HP_BAND_CASE = " ".join(
         FROM scored
     )
     WHERE rank <= 3
-    ORDER BY query_id, rank
-    """,
-)
+"""
+
+
+@register("ann_hyperplane_topk", _HP_TOPK_SQL + "    ORDER BY query_id, rank\n    ")
 def q_ann_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_hyperplane_topk(_emb(spark, sf_dir))
+
+
+@register(
+    "retrieve_rerank",
+    f"""
+    WITH topk AS ({_HP_TOPK_SQL}    )
+    SELECT t.query_id, t.rank, t.neighbor_id, t.cosine,
+           substr(d.text, 1, 80) AS snippet,
+           d.source
+    FROM topk t JOIN documents d ON t.neighbor_id = d.doc_id
+    ORDER BY t.query_id, t.rank
+    """,
+)
+def q_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval: hyperplane-LSH candidate generation + exact
+    cosine re-rank (ann_hyperplane_topk) joined back to the documents
+    table for the snippet a RAG pipeline would return.  Fixture
+    convention: vec_id indexes the same corpus as doc_id.
+
+    Scale: the top-k result is Q x k rows -- broadcast onto the
+    documents equi-join, so the corpus scan never shuffles and column
+    pruning keeps only (doc_id, text-prefix, source) in flight."""
+    topk = similarity.ann_hyperplane_topk(_emb(spark, sf_dir))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring("text", 1, 80).alias("snippet"),
+        "source",
+    )
+    return (
+        F.broadcast(topk)
+        .join(docs, topk["neighbor_id"] == docs["doc_id"])
+        .select("query_id", "rank", "neighbor_id", "cosine", "snippet", "source")
+        .orderBy("query_id", "rank")
+    )
 
 
 _PII_COUNTS = ",\n           ".join(
