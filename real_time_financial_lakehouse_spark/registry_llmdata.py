@@ -1472,3 +1472,48 @@ _MH_AGREE_SQL = " + ".join(
 )
 def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_jaccard_estimate(_docs(spark, sf_dir), k=_K, bands=_BANDS)
+
+
+@register(
+    "bloom_incremental_dedup",
+    f"""
+    WITH tagged AS (
+        SELECT doc_id,
+               {md5_long_sql(_NORM_SQL)} AS fingerprint,
+               {md5_long_sql("concat_ws(':', 'delta', doc_id)")} % 5 = 0 AS is_delta
+        FROM documents
+    ),
+    base AS (SELECT doc_id, fingerprint FROM tagged WHERE NOT is_delta),
+    delta AS (SELECT doc_id, fingerprint FROM tagged WHERE is_delta),
+    bits AS (
+        SELECT DISTINCT
+               {md5_long_sql("concat_ws(':', i, fingerprint::VARCHAR)", 7)} % 4096 AS pos
+        FROM base, (SELECT unnest([0, 1, 2]) AS i) hs
+    ),
+    hits AS (
+        SELECT doc_id
+        FROM (
+            SELECT d.doc_id,
+                   {md5_long_sql("concat_ws(':', i, d.fingerprint::VARCHAR)", 7)} % 4096 AS pos
+            FROM delta d, (SELECT unnest([0, 1, 2]) AS i) hs
+        ) p
+        JOIN bits USING (pos)
+        GROUP BY doc_id
+        HAVING count(*) = 3
+    ),
+    confirmed AS (
+        SELECT d.doc_id
+        FROM delta d
+        WHERE EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
+          AND EXISTS (SELECT 1 FROM base b WHERE b.fingerprint = d.fingerprint)
+    )
+    SELECT d.doc_id, d.fingerprint,
+           EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id) AS bloom_candidate,
+           EXISTS (SELECT 1 FROM confirmed c WHERE c.doc_id = d.doc_id) AS confirmed_dup,
+           NOT EXISTS (SELECT 1 FROM confirmed c WHERE c.doc_id = d.doc_id) AS kept
+    FROM delta d
+    ORDER BY d.doc_id
+    """,
+)
+def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.bloom_incremental_dedup(_docs(spark, sf_dir), delta_mod=5)

@@ -440,3 +440,40 @@ def test_key_skew_profile_flags_hot_key(spark):
     assert r["max_per_key"] == 90
     assert r["skew_ratio"] > 9  # 90 / (100/11) ~ 9.9
     assert r["top5_share"] > 0.9
+
+
+# ---------------------------------------------------------------------------
+# bloom_incremental_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_dedup_agrees_with_exact_and_never_misses(spark):
+    from real_time_financial_lakehouse_spark.catalog import load_table
+    from real_time_financial_lakehouse_spark.operators import dedup as dd
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = dd.bloom_incremental_dedup(docs).collect()
+    assert rows, "delta split produced no docs"
+    for r in rows:
+        # no false negatives: every confirmed duplicate was a Bloom candidate
+        if r["confirmed_dup"]:
+            assert r["bloom_candidate"]
+        assert r["kept"] == (not r["confirmed_dup"])
+
+
+def test_bloom_dedup_pruning_on_disjoint_corpora(spark):
+    """A delta whose content shares nothing with the base should produce
+    (almost) no Bloom candidates -- the map-side filter does the work."""
+    from real_time_financial_lakehouse_spark.operators import dedup as dd
+
+    # doc_ids where md5('delta:<id>') % 5 == 0 become the delta
+    docs = spark.createDataFrame(
+        [(i, f"base text number {i} padded with words", "en", "s", 0) for i in range(60)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = dd.bloom_incremental_dedup(docs).collect()
+    n_cand = sum(1 for r in rows if r["bloom_candidate"])
+    n_conf = sum(1 for r in rows if r["confirmed_dup"])
+    assert n_conf == 0                       # all texts unique
+    # false-positive rate stays well under 50% even at this tiny m
+    assert n_cand <= max(1, len(rows) // 2)
