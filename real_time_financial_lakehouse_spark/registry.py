@@ -2880,3 +2880,58 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.profiling import key_skew_profile
 
     return key_skew_profile(_events(spark, sf_dir), "event_type")
+
+
+@register(
+    "bucketed_revenue_join",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           floor(sum(l_extendedprice * (1.0 - l_discount)) * 10000.0 + 0.5) / 10000.0
+               AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join over CO-BUCKETED tables: both sides are
+    saveAsTable'd bucketed (and sorted) on the join key, so the
+    SortMergeJoin runs over bucketed scans with NO Exchange before the
+    join -- the standing-workload answer to the orders-x-lineitem
+    shuffle SCALE.md calls out (at 100 TB the bucketed layout amortizes
+    one shuffle's cost across every subsequent join on that key).
+    tests/test_round4_ops.py asserts the Exchange-free join plan; this
+    registry entry puts the layout on the value gate (results checked
+    THROUGH the bucketed tables against the plain-join oracle)."""
+    from .operators import sinks
+
+    ob = sinks.bucketed_table(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "rtfl_b_orders",
+        "o_orderkey",
+    )
+    lb = sinks.bucketed_table(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        "rtfl_b_lineitem",
+        "l_orderkey",
+    )
+    o, l = spark.table(ob), spark.table(lb)
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (
+                F.floor(
+                    F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -477,3 +477,30 @@ def test_bloom_dedup_pruning_on_disjoint_corpora(spark):
     assert n_conf == 0                       # all texts unique
     # false-positive rate stays well under 50% even at this tiny m
     assert n_cand <= max(1, len(rows) // 2)
+
+
+# ---------------------------------------------------------------------------
+# bucketed_revenue_join
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_revenue_join_has_no_exchange_before_join(spark):
+    """Co-bucketed scans must feed the SortMergeJoin directly -- no
+    Exchange on the join key on either side (AQE would broadcast at
+    smoke SF, so the broadcast threshold is disabled to expose the
+    fact-to-fact path the layout exists for)."""
+    from real_time_financial_lakehouse_spark.registry import QUERIES
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["bucketed_revenue_join"](spark, "/root/testdata/sf0.001")
+        rows = df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "SelectedBucketsCount" in plan
+        assert len(rows) >= 1 and all(r["n_items"] > 0 for r in rows)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
