@@ -2887,7 +2887,7 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            count(*) AS n_items,
-           floor(sum(l_extendedprice * (1.0 - l_discount)) * 10000.0 + 0.5) / 10000.0
+           floor(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
                AS revenue
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY 1
@@ -2924,9 +2924,17 @@ def q_bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
+            # per-item cast to DECIMAL makes the sum EXACT and therefore
+            # independent of the bucketed layout's addition order -- the
+            # float sum straddled a rounding boundary at sf0.1
             (
                 F.floor(
-                    F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                    F.sum(
+                        F.expr(
+                            "CAST(l_extendedprice * (1.0 - l_discount)"
+                            " AS DECIMAL(18,6))"
+                        )
+                    ).cast("double")
                     * F.lit(10000.0)
                     + F.lit(0.5)
                 )
