@@ -561,3 +561,71 @@ def heavy_hitters_cms(
         .orderBy(F.col("est_count").desc(), F.col("term"))
         .limit(topn)
     )
+
+
+def bigram_logprob(documents: DataFrame, k_smooth: float = 0.5) -> DataFrame:
+    """Corpus-bigram language-model score per document with add-k
+    smoothing: mean log P(w2 | w1) where P = (c(w1,w2) + k) /
+    (c(w1) + k*V).  One step up the n-gram ladder from
+    ``unigram_logprob`` -- the bigram conditional catches
+    scrambled-word-order gibberish that unigram frequency cannot (every
+    token common, every transition rare), which is the signal KenLM-style
+    perplexity filters actually use.
+
+    Scale: ordered token arrays are a projection; bigram expansion is a
+    row-local transform + explode (fan-out |tokens|, same as any
+    shingling); the two count tables partial-aggregate map-side and are
+    Zipf-small relative to token volume, so both probability joins are
+    broadcast-until-large equi-joins.  The vocabulary size is a 1-row
+    broadcast.  Documents with fewer than 2 tokens surface with
+    n_bigrams = 0 and a NULL score -- visible, not dropped."""
+    toks = F.expr(
+        "filter(split(lower(text), '[^a-z]+'), x -> length(x) >= 1)"
+    )
+    base = _spread(documents.select("doc_id", "text")).select(
+        "doc_id", toks.alias("w")
+    )
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w)-2),"
+                " i -> struct(w[i] AS w1, w[i+1] AS w2)) ELSE array() END"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bigram"))
+    cw = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c_context"))
+    vocab = (
+        base.select(F.explode("w").alias("t"))
+        .agg(F.countDistinct("t").cast("double").alias("v_size"))
+    )
+    k = F.lit(float(k_smooth))
+    scored = (
+        pairs.join(cb, ["w1", "w2"])
+        .join(cw, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c_bigram") + k) / (F.col("c_context") + k * F.col("v_size"))
+            ).alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("lp").alias("avg_lp"),
+        )
+    )
+    from ..functions.numeric import qround
+
+    return (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            qround(F.col("avg_lp"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1517,3 +1517,43 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.bloom_incremental_dedup(_docs(spark, sf_dir), delta_mod=5)
+
+
+@register(
+    "bigram_logprob",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> length(x) >= 1) AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM base,
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i) g
+    ),
+    cb AS (SELECT w1, w2, count(*) AS c_bigram FROM pairs GROUP BY 1, 2),
+    cw AS (SELECT w1, count(*) AS c_context FROM pairs GROUP BY 1),
+    v AS (
+        SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v_size
+        FROM (SELECT unnest(w) AS t FROM base)
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               count(*) AS n_bigrams,
+               avg(ln((cb.c_bigram + 0.5) / (cw.c_context + 0.5 * v.v_size))) AS avg_lp
+        FROM pairs p
+        JOIN cb USING (w1, w2)
+        JOIN cw USING (w1), v
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_bigrams, 0) AS n_bigrams,
+           {qround_sql("s.avg_lp")} AS avg_logprob
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    ORDER BY 1
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_logprob(_docs(spark, sf_dir))

@@ -504,3 +504,29 @@ def test_bucketed_revenue_join_has_no_exchange_before_join(spark):
         assert len(rows) >= 1 and all(r["n_items"] > 0 for r in rows)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_logprob_scores_transitions_not_frequency(spark):
+    """Scrambled word order must score LOWER than natural repeated order
+    even when unigram frequencies are identical -- the signal bigrams add
+    over unigram_logprob."""
+    from real_time_financial_lakehouse_spark.operators import text as tx
+
+    natural = "the cat sat on the mat " * 10
+    scrambled = "mat the on sat cat the " * 5 + "cat mat the sat on the " * 5
+    docs = spark.createDataFrame(
+        [(0, natural, "en", "s", 0), (1, natural, "en", "s", 0),
+         (2, scrambled, "en", "s", 0), (3, "solo", "en", "s", 0),
+         (4, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in tx.bigram_logprob(docs).collect()}
+    assert rows[0]["avg_logprob"] > rows[2]["avg_logprob"]
+    # one-token and empty docs: visible with zero bigrams, NULL score
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["avg_logprob"] is None
+    assert rows[4]["n_bigrams"] == 0 and rows[4]["avg_logprob"] is None
