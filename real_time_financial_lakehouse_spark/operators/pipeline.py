@@ -505,3 +505,71 @@ def redact_pii(documents: DataFrame) -> DataFrame:
         *counts,
         (F.length(text) - F.length(clean)).cast("long").alias("n_chars_removed"),
     ).orderBy("doc_id")
+
+
+def corpus_summary(documents: DataFrame) -> DataFrame:
+    """The one-row dataset card every corpus release ships: document /
+    token / char totals, language and source cardinalities, and the
+    exact-duplicate rate (1 - distinct content fingerprints / docs) --
+    the first numbers a data audit asks for and the denominators every
+    downstream quality metric normalizes by.
+
+    Scale: one scan, one aggregation; the content-hash distinct is a
+    countDistinct over 60-bit md5 longs (swap to approx_count_distinct
+    at 100 TB, same trade as profile_columns); everything else is
+    map-side partial-aggregated sums."""
+    from ..functions.hashing import md5_long, normalize_text
+    from ..functions.numeric import qround
+
+    toks = F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
+    fp = md5_long(normalize_text(F.coalesce(F.col("text"), F.lit(""))))
+    return documents.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(fp).alias("n_distinct_contents"),
+        qround(
+            F.lit(1.0) - F.countDistinct(fp) / F.count(F.lit(1)), 6
+        ).alias("exact_dup_rate"),
+    )
+
+
+def dataset_split_counts(
+    documents: DataFrame, train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    md5 bucket (doc_id-keyed, so re-runs and re-shards reproduce the
+    same split -- the property random() splits lose), reported as
+    per-split doc/token counts and shares.
+
+    Scale: the split is a pure projection (no shuffle, no RNG state);
+    the report is one partial-aggregated groupBy over 3 groups.  Keying
+    the hash on doc_id rather than content keeps near-duplicate leakage
+    detection a SEPARATE concern (contamination_check) instead of
+    silently entangling the two."""
+    from ..functions.hashing import md5_long
+    from ..functions.numeric import qround
+
+    bucket = md5_long(F.concat_ws(":", F.lit("split"), F.col("doc_id"))) % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    toks = F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
+    tagged = documents.select(split.alias("split"), toks.alias("n_toks"))
+    total = tagged.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    return (
+        tagged.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            qround(F.col("n_docs") / F.col("n_total"), 6).alias("doc_share"),
+        )
+        .orderBy("split")
+    )

@@ -1557,3 +1557,59 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_logprob(_docs(spark, sf_dir))
+
+
+_WS_TOKS_SQL = "len(string_split_regex(trim(coalesce(text, '')), '\\s+'))"
+_NORM_COALESCE_SQL = (
+    "regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')"
+)
+_FP_COALESCE_SQL = md5_long_sql(_NORM_COALESCE_SQL)
+
+
+@register(
+    "corpus_summary",
+    f"""
+    WITH fp AS (
+        SELECT lang, source,
+               {_WS_TOKS_SQL} AS n_toks,
+               length(coalesce(text, '')) AS n_chars,
+               {_FP_COALESCE_SQL} AS fingerprint
+        FROM documents
+    )
+    SELECT count(*) AS n_docs,
+           sum(n_toks)::BIGINT AS total_tokens,
+           sum(n_chars)::BIGINT AS total_chars,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           count(DISTINCT fingerprint) AS n_distinct_contents,
+           {qround_sql("1.0 - count(DISTINCT fingerprint)::DOUBLE / count(*)")} AS exact_dup_rate
+    FROM fp
+    """,
+)
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.corpus_summary(_docs(spark, sf_dir))
+
+
+@register(
+    "dataset_split_counts",
+    f"""
+    WITH tagged AS (
+        SELECT CASE
+                 WHEN {md5_long_sql("concat_ws(':', 'split', doc_id)")} % 100 < 80 THEN 'train'
+                 WHEN {md5_long_sql("concat_ws(':', 'split', doc_id)")} % 100 < 90 THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               {_WS_TOKS_SQL} AS n_toks
+        FROM documents
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           sum(n_toks)::BIGINT AS n_tokens,
+           {qround_sql("count(*)::DOUBLE / (SELECT count(*) FROM documents)")} AS doc_share
+    FROM tagged
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.dataset_split_counts(_docs(spark, sf_dir))

@@ -530,3 +530,38 @@ def test_bigram_logprob_scores_transitions_not_frequency(spark):
     # one-token and empty docs: visible with zero bigrams, NULL score
     assert rows[3]["n_bigrams"] == 0 and rows[3]["avg_logprob"] is None
     assert rows[4]["n_bigrams"] == 0 and rows[4]["avg_logprob"] is None
+
+
+# ---------------------------------------------------------------------------
+# corpus_summary / dataset_split_counts
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_summary_counts_duplicates(spark):
+    from real_time_financial_lakehouse_spark.operators import pipeline
+
+    docs = spark.createDataFrame(
+        [(0, "same text", "en", "a", 0), (1, "Same   TEXT", "en", "b", 0),
+         (2, "other words", "fr", "a", 0), (3, None, "fr", "a", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = pipeline.corpus_summary(docs).collect()[0]
+    assert r["n_docs"] == 4 and r["n_langs"] == 2 and r["n_sources"] == 2
+    # docs 0/1 normalize identically -> 3 distinct contents (incl. empty)
+    assert r["n_distinct_contents"] == 3
+    assert abs(r["exact_dup_rate"] - 0.25) < 1e-6
+
+
+def test_dataset_split_is_deterministic_and_roughly_proportioned(spark):
+    from real_time_financial_lakehouse_spark.catalog import load_table
+    from real_time_financial_lakehouse_spark.operators import pipeline
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    a = {r["split"]: r for r in pipeline.dataset_split_counts(docs).collect()}
+    b = {r["split"]: r for r in pipeline.dataset_split_counts(docs).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k]["n_docs"] == b[k]["n_docs"]          # frozen split
+    shares = {k: a[k]["doc_share"] for k in a}
+    assert abs(shares.get("train", 0) - 0.8) < 0.08
+    assert abs(sum(shares.values()) - 1.0) < 1e-6
