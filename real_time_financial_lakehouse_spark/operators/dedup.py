@@ -342,17 +342,31 @@ def dedup_clusters(documents: DataFrame, k: int = 8, bands: int = 4, max_iter: i
     blocks are freed by GC); on a multi-executor cluster prefer a
     reliable ``checkpoint()`` dir so the labels survive executor loss.
     """
+    edges = lsh_candidate_pairs(documents, k=k, bands=bands).select("doc_a", "doc_b")
+    return min_label_components(edges, documents.select("doc_id"), max_iter=max_iter)
+
+
+def min_label_components(
+    edges: DataFrame, universe: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label-propagation connected components over a (doc_a, doc_b)
+    edge list; ``universe`` supplies every node id (column ``doc_id``) so
+    isolated nodes come back as their own single-member cluster.  Shared
+    by the LSH ladder (``dedup_clusters``) and the embedding-space
+    semantic dedup (similarity.semantic_dedup_keep) -- the loop's scale
+    properties (edge-subgraph iteration, lineage cuts) are documented on
+    ``dedup_clusters`` and apply to any caller."""
     import warnings
 
     # persist the DIRECTED edges before mirroring (both union branches
-    # read the cache -> the LSH index is computed once), then CUT the
-    # mirrored edge list's lineage with an eager localCheckpoint: every
-    # loop iteration references sym, and without the cut each pass's
-    # logical plan re-embeds the whole LSH lineage -- plan analysis on
-    # the driver grows per pass and ends up dominating the loop
-    # (measured: iterations creep 0.6 s -> 3.3 s without the cut, flat
-    # ~0.3 s with it).
-    edges = lsh_candidate_pairs(documents, k=k, bands=bands).select("doc_a", "doc_b").persist()
+    # read the cache -> the upstream pair index is computed once), then
+    # CUT the mirrored edge list's lineage with an eager localCheckpoint:
+    # every loop iteration references sym, and without the cut each
+    # pass's logical plan re-embeds the whole upstream lineage -- plan
+    # analysis on the driver grows per pass and ends up dominating the
+    # loop (measured: iterations creep 0.6 s -> 3.3 s without the cut,
+    # flat ~0.3 s with it).
+    edges = edges.persist()
     edges.count()
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -396,7 +410,7 @@ def dedup_clusters(documents: DataFrame, k: int = 8, bands: int = 4, max_iter: i
             break
     if changed > 0:
         warnings.warn(
-            f"dedup_clusters: not converged after {max_iter} passes "
+            f"min_label_components: not converged after {max_iter} passes "
             f"({changed} labels still changing) -- a duplicate chain deeper "
             f"than max_iter exists; returned labels are an upper bound. "
             f"Raise max_iter or switch to star-contraction.",
@@ -405,8 +419,7 @@ def dedup_clusters(documents: DataFrame, k: int = 8, bands: int = 4, max_iter: i
     # isolated nodes (no candidate edge) are their own cluster; they join
     # the loop's output exactly once, corpus-sized but single-pass
     isolated = (
-        documents.select("doc_id")
-        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        universe.join(labels.select("doc_id"), "doc_id", "left_anti")
         .withColumn("cluster_id", F.col("doc_id"))
     )
     return labels.unionByName(isolated).orderBy("doc_id").localCheckpoint(eager=True)

@@ -537,3 +537,41 @@ def ann_hyperplane_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def semantic_dedup_keep(
+    embeddings: DataFrame, threshold: float = 0.4, max_iter: int = 20
+) -> DataFrame:
+    """Semantic dedup survivor corpus: embedding-cosine near-dup pairs
+    (cell-restricted, ``embedding_near_dup``) become edges, connected
+    components collapse transitive near-dup chains (A~B~C dedups as one
+    group even when cos(A,C) < threshold), and one representative --
+    the smallest vec_id -- survives per cluster with the member count it
+    stands for.  The embedding-space twin of the text ladder's
+    ``fuzzy_dedup_keep``: SemDeDup-style pruning where paraphrases and
+    re-encodings that share no n-grams still collapse.
+
+    Scale: inherits the cell-bucketed pair bound (never all-pairs) and
+    the min-label loop's properties (iterates only the near-dup
+    subgraph, lineage cuts per pass -- see dedup.min_label_components);
+    the final joins are id-cardinality equi-joins."""
+    from .dedup import min_label_components
+
+    edges = embedding_near_dup(embeddings, threshold=threshold).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    universe = embeddings.select(F.col("vec_id").alias("doc_id"))
+    clusters = min_label_components(edges, universe, max_iter=max_iter)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .join(
+            embeddings.select(F.col("vec_id"), "label"),
+            clusters["doc_id"] == F.col("vec_id"),
+        )
+        .select("vec_id", "label", "n_members")
+        .orderBy("vec_id")
+    )

@@ -1613,3 +1613,43 @@ def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.dataset_split_counts(_docs(spark, sf_dir))
+
+
+@register(
+    "semantic_dedup_keep",
+    f"""
+    WITH RECURSIVE emb AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nv
+        FROM emb
+    ),
+    edges AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE floor(({_COS_PAIR}) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
+    ),
+    sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    reach(src, dst) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ),
+    labels AS (
+        SELECT src AS vec_id, min(dst) AS cluster_id
+        FROM reach GROUP BY 1
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY 1)
+    SELECT l.vec_id, e.label, s.n_members
+    FROM labels l
+    JOIN sizes s USING (cluster_id)
+    JOIN embeddings e ON e.vec_id = l.vec_id
+    WHERE l.vec_id = l.cluster_id
+    ORDER BY 1
+    """,
+)
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semantic_dedup_keep(_emb(spark, sf_dir), threshold=0.4)

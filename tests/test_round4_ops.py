@@ -565,3 +565,34 @@ def test_dataset_split_is_deterministic_and_roughly_proportioned(spark):
     shares = {k: a[k]["doc_share"] for k in a}
     assert abs(shares.get("train", 0) - 0.8) < 0.08
     assert abs(sum(shares.values()) - 1.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup_keep
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_collapses_transitive_chain(spark):
+    """A ~ B and B ~ C above threshold must collapse to ONE survivor even
+    if cos(A, C) is below threshold -- the transitivity the pairwise
+    query cannot express."""
+    from real_time_financial_lakehouse_spark.operators import similarity as sim
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 6
+
+    rows = [
+        (0, vec(1.0, 0.0), 1),      # A
+        (1, vec(0.9, 0.45), 1),     # B ~ A and ~ C
+        (2, vec(0.45, 0.9), 1),     # C ~ B, far from A (cos ~0.66 ok both)
+        (3, vec(-1.0, 0.1), 1),     # isolated
+        (4, vec(0.0, 1.0), 2),      # different cell: never pairs with 0-3
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in sim.semantic_dedup_keep(emb, threshold=0.8).collect()}
+    # cos(A,B)=.894? compute: A.B = .9 /(1*1.006)= .894 >= .8; B.C=.81/(1.006*1.006)=.80;
+    # A.C=.45/1.006=.447 < .8 -> chain collapses via B
+    assert 0 in out and out[0]["n_members"] == 3
+    assert 1 not in out and 2 not in out
+    assert out[3]["n_members"] == 1
+    assert out[4]["n_members"] == 1
