@@ -260,3 +260,33 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def debounce_events(events: DataFrame, min_gap_s: int = 5) -> DataFrame:
+    """Telemetry debounce: within each (user_id, event_type) stream, drop
+    an event that fires less than ``min_gap_s`` seconds after the
+    previous KEPT... in the standard lag-based approximation, after the
+    previous event (double-click suppression, retry-storm collapse --
+    the cheap cleanup pass every event pipeline runs before
+    sessionization).  First event per key always survives.
+
+    Scale: one window over (user_id, event_type) ordered by time -- a
+    single hash-partitioned exchange on a high-cardinality composite
+    key, no self-join; the lag frame is one row, so state per task is
+    O(1) rows.  The lag-vs-previous-event form (not previous-KEPT) is
+    deliberate: it is expressible as one window pass on both engines;
+    the kept-anchored variant needs a session-style running state
+    (sessionize_users' gaps-and-islands shape) and is documented there."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_ok = prev.isNull() | (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > min_gap_s * 1_000_000
+    )
+    return (
+        events.withColumn("__keep", gap_ok)
+        .filter(F.col("__keep"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )

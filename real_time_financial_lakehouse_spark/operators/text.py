@@ -629,3 +629,38 @@ def bigram_logprob(documents: DataFrame, k_smooth: float = 0.5) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def quality_deciles(documents: DataFrame) -> DataFrame:
+    """Curriculum binning: rank every document by a deterministic quality
+    score (here token count with distinct-token tiebreak -- swap in any
+    composite), cut the corpus into NTILE(10) deciles, and report each
+    decile's size and score range.  The binning a curriculum-learning or
+    quality-stratified-mixing recipe samples from ("upweight the top two
+    deciles, drop the bottom one").
+
+    Scale: the score is a row-local projection; NTILE is one global sort
+    -- the honest cost of exact decile boundaries.  At 100 TB swap the
+    exact NTILE for approx_percentile cutoffs (one aggregation, no
+    sort) and a join against the 9 boundary values; the report shape is
+    unchanged -- the same exact-vs-sketch trade as value_percentiles and
+    winsorize_values document."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    scored = documents.select(
+        "doc_id",
+        F.size(toks).alias("score"),
+        F.size(F.array_distinct(toks)).alias("tiebreak"),
+    )
+    w = Window.orderBy("score", "tiebreak", "doc_id")
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("decile")
+    )

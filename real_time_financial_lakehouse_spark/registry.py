@@ -2943,3 +2943,22 @@ def q_bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "debounce_events",
+    """
+    WITH g AS (
+        SELECT event_id, ts, user_id, event_type, value,
+               lag(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT event_id, ts, user_id, event_type, value
+    FROM g
+    WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 5000000
+    ORDER BY event_id
+    """,
+)
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.debounce_events(_events(spark, sf_dir))

@@ -1653,3 +1653,27 @@ def q_dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup_keep(_emb(spark, sf_dir), threshold=0.4)
+
+
+@register(
+    "quality_deciles",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {_WS_TOKS_SQL} AS score,
+               len(list_distinct(string_split_regex(trim(coalesce(text, '')), '\\s+'))) AS tiebreak
+        FROM documents
+    )
+    SELECT decile, count(*) AS n_docs,
+           min(score) AS min_score, max(score) AS max_score
+    FROM (
+        SELECT doc_id, score,
+               ntile(10) OVER (ORDER BY score, tiebreak, doc_id) AS decile
+        FROM scored
+    )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_deciles(_docs(spark, sf_dir))

@@ -596,3 +596,43 @@ def test_semantic_dedup_collapses_transitive_chain(spark):
     assert 1 not in out and 2 not in out
     assert out[3]["n_members"] == 1
     assert out[4]["n_members"] == 1
+
+
+# ---------------------------------------------------------------------------
+# debounce_events / quality_deciles
+# ---------------------------------------------------------------------------
+
+
+def test_debounce_drops_rapid_repeats_keeps_first(spark):
+    from datetime import datetime
+
+    from real_time_financial_lakehouse_spark.operators import relational
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 12, 0, 2), 7, "click", 1.0, "{}"),   # <5s: drop
+        (3, datetime(2024, 1, 1, 12, 0, 9), 7, "click", 1.0, "{}"),   # 7s: keep
+        (4, datetime(2024, 1, 1, 12, 0, 1), 7, "view", 1.0, "{}"),    # other type
+        (5, datetime(2024, 1, 1, 12, 0, 3), 8, "click", 1.0, "{}"),   # other user
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    kept = sorted(r["event_id"] for r in relational.debounce_events(ev).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_quality_deciles_partition_the_corpus(spark):
+    from real_time_financial_lakehouse_spark.catalog import load_table
+    from real_time_financial_lakehouse_spark.operators import text as tx
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    rows = tx.quality_deciles(docs).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    # deciles are ordered score bands
+    for a, b in zip(rows, rows[1:]):
+        assert a["min_score"] <= b["min_score"]
