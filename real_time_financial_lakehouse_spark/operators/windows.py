@@ -332,3 +332,43 @@ def order_rank_percentiles(orders: DataFrame) -> DataFrame:
         qround(F.cume_dist().over(w), 6).alias("price_cume_dist"),
         F.ntile(10).over(w).cast("long").alias("price_decile"),
     ).orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+
+
+def user_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    lag each user's time-ordered events to form (from_type, to_type)
+    steps, count them corpus-wide, and normalize per source state into
+    transition probabilities -- the behavioral model behind next-action
+    prediction, funnel leak analysis, and bot detection (uniform rows
+    are a bot tell).
+
+    Scale: one window exchange on user_id (high cardinality, O(1) lag
+    state per task), then a partial-aggregated groupBy at state-pair
+    cardinality (|types|^2 rows -- tiny); the per-source normalization
+    is a window over that tiny frame.  Nothing data-sized concentrates."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .select("from_type", F.col("event_type").alias("to_type"))
+    )
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = W.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.floor(
+                F.col("n_transitions")
+                / F.sum("n_transitions").over(totals)
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("prob"),
+    ).orderBy("from_type", "to_type")

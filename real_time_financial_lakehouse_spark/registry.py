@@ -2962,3 +2962,29 @@ def q_bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.debounce_events(_events(spark, sf_dir))
+
+
+@register(
+    "user_transition_matrix",
+    """
+    WITH steps AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS from_type,
+               event_type AS to_type
+        FROM events
+    ),
+    counts AS (
+        SELECT from_type, to_type, count(*) AS n_transitions
+        FROM steps WHERE from_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           floor(n_transitions::DOUBLE
+                 / sum(n_transitions) OVER (PARTITION BY from_type)
+                 * 1000000.0 + 0.5) / 1000000.0 AS prob
+    FROM counts
+    ORDER BY 1, 2
+    """,
+)
+def q_user_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.user_transition_matrix(_events(spark, sf_dir))

@@ -636,3 +636,19 @@ def test_quality_deciles_partition_the_corpus(spark):
     # deciles are ordered score bands
     for a, b in zip(rows, rows[1:]):
         assert a["min_score"] <= b["min_score"]
+
+
+def test_transition_matrix_rows_sum_to_one(spark):
+    from real_time_financial_lakehouse_spark.catalog import load_table
+    from real_time_financial_lakehouse_spark.operators import windows as wd
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    rows = wd.user_transition_matrix(ev).collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], 0.0)
+        by_from[r["from_type"]] += r["prob"]
+        assert r["n_transitions"] > 0
+    for total in by_from.values():
+        assert abs(total - 1.0) < 1e-4     # per-source probabilities normalize
