@@ -533,3 +533,92 @@ def rolling_median(events: DataFrame, n: int = 30) -> DataFrame:
         )
         .orderBy("symbol", "ts", "event_id")
     )
+
+
+def twap_daily(events: DataFrame) -> DataFrame:
+    """Time-weighted average price per (symbol, day): each tick's price
+    is weighted by how long it prevailed -- the seconds until the next
+    tick of the same symbol that day; the day's last tick carries zero
+    holding time and is excluded from the weighting (its price never
+    prevailed within the day).  TWAP is the execution-quality benchmark
+    VWAP cannot replace when volume is bursty: a thin market's single
+    large trade dominates VWAP but not TWAP.
+
+    Scale: one lead() window over (symbol, day) ordered by time -- a
+    single exchange on a high-cardinality composite key with O(1) frame
+    state -- then a partial-aggregable groupBy at (symbol, day)
+    cardinality.  Single-tick days have no prevailing interval: NULL
+    TWAP by the ANSI division guard, never an error."""
+    from pyspark.sql import Window
+
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
+    hold = (
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    ).cast("double") / F.lit(1e6)
+    ticked = events.select(
+        F.col("event_type").alias("symbol"),
+        day.alias("day"),
+        F.col("value"),
+        hold.alias("hold_s"),
+    )
+    wsum = F.sum("hold_s")
+    return (
+        ticked.groupBy("symbol", "day")
+        .agg(
+            F.when(wsum > 0, qround(F.sum(F.col("value") * F.col("hold_s")) / wsum, 6))
+            .alias("twap"),
+            qround(wsum, 3).alias("span_s"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .orderBy("symbol", "day")
+    )
+
+
+def engulfing_patterns(events: DataFrame) -> DataFrame:
+    """Candlestick engulfing detection on minute OHLC bars: a bullish
+    engulfing is a down bar followed by an up bar whose body covers the
+    previous body (open <= prev close AND close >= prev open); bearish
+    is the mirror.  The classic two-bar reversal signal, expressed as
+    pure lag comparisons -- no pattern-matching DSL needed.
+
+    Scale: bars are one partial-aggregable min_by/max_by rollup (one
+    shuffle, windowless open/close); the pattern test is a lag window
+    over (symbol) ordered by minute -- one more exchange at bar (not
+    tick) cardinality, O(1) state."""
+    from pyspark.sql import Window
+
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    bars = events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("minute", F.col("ts")).alias("minute"),
+    ).agg(
+        F.min_by(F.col("value"), key).alias("open"),
+        F.max_by(F.col("value"), key).alias("close"),
+    )
+    w = Window.partitionBy("symbol").orderBy("minute")
+    po, pc = F.lag("open").over(w), F.lag("close").over(w)
+    bullish = (
+        (pc < po)                               # previous bar down
+        & (F.col("close") > F.col("open"))      # current bar up
+        & (F.col("open") <= pc)                 # body engulfs...
+        & (F.col("close") >= po)
+    )
+    bearish = (
+        (pc > po)
+        & (F.col("close") < F.col("open"))
+        & (F.col("open") >= pc)
+        & (F.col("close") <= po)
+    )
+    return (
+        bars.select(
+            "symbol",
+            "minute",
+            qround(F.col("open"), 6).alias("open"),
+            qround(F.col("close"), 6).alias("close"),
+            F.coalesce(bullish, F.lit(False)).alias("bullish_engulfing"),
+            F.coalesce(bearish, F.lit(False)).alias("bearish_engulfing"),
+        )
+        .filter(F.col("bullish_engulfing") | F.col("bearish_engulfing"))
+        .orderBy("symbol", "minute")
+    )

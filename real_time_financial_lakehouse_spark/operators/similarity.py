@@ -575,3 +575,37 @@ def semantic_dedup_keep(
         .select("vec_id", "label", "n_members")
         .orderBy("vec_id")
     )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid profile: the mean vector of each label's
+    embeddings, reported as its L2 norm and leading components plus the
+    member count -- the cluster-quality readout behind every IVF
+    codebook and embedding-space drift monitor (a shrinking centroid
+    norm means the label's vectors point nowhere coherent).
+
+    Scale: positions explode to (label, dim) granularity -- fan-out
+    |dim| per vector, the same constant multiple any matrix op pays --
+    then ONE partial-aggregable groupBy computes every per-dimension
+    mean; the per-label reduction runs at |labels| x |dim| cardinality.
+    No collect, no Python: at 100 TB this is exactly the distributed
+    half of fit_codebook's KMeans iteration.  Components are emitted as
+    scalar columns (not an array) so the report stays hashable for
+    driver-side value comparison."""
+    dims = embeddings.select(
+        "label", F.posexplode(_as_double("embedding")).alias("pos", "x")
+    )
+    cent = dims.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    profile = cent.groupBy("label").agg(
+        qround(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"),
+        *[
+            qround(F.max(F.when(F.col("pos") == i, F.col("m"))), 6).alias(f"c{i}")
+            for i in range(4)
+        ],
+    )
+    counts = embeddings.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        profile.join(counts, "label")
+        .select("label", "n_vectors", "centroid_norm", "c0", "c1", "c2", "c3")
+        .orderBy("label")
+    )

@@ -2988,3 +2988,74 @@ def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_user_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.user_transition_matrix(_events(spark, sf_dir))
+
+
+@register(
+    "twap_daily",
+    """
+    WITH t AS (
+        SELECT event_type AS symbol,
+               date_trunc('day', ts) AS day,
+               value,
+               (epoch_us(lead(ts) OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                        ORDER BY ts, event_id))
+                - epoch_us(ts)) / 1000000.0 AS hold_s
+        FROM events
+    )
+    SELECT symbol, day,
+           CASE WHEN sum(hold_s) > 0
+                THEN floor(sum(value * hold_s) / sum(hold_s) * 1000000.0 + 0.5) / 1000000.0
+           END AS twap,
+           floor(sum(hold_s) * 1000.0 + 0.5) / 1000.0 AS span_s,
+           count(*) AS n_ticks
+    FROM t
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.twap_daily(_events(spark, sf_dir))
+
+
+@register(
+    "engulfing_patterns",
+    """
+    WITH e AS (
+        SELECT event_type AS symbol,
+               date_trunc('minute', ts) AS minute,
+               value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    ),
+    bars AS (
+        SELECT symbol, minute,
+               max(CASE WHEN rn_a = 1 THEN value END) AS o,
+               max(CASE WHEN rn_d = 1 THEN value END) AS c
+        FROM e GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT symbol, minute, o, c,
+               lag(o) OVER (PARTITION BY symbol ORDER BY minute) AS po,
+               lag(c) OVER (PARTITION BY symbol ORDER BY minute) AS pc
+        FROM bars
+    )
+    SELECT symbol, minute,
+           floor(o * 1000000.0 + 0.5) / 1000000.0 AS open,
+           floor(c * 1000000.0 + 0.5) / 1000000.0 AS close,
+           coalesce(pc < po AND c > o AND o <= pc AND c >= po, FALSE) AS bullish_engulfing,
+           coalesce(pc > po AND c < o AND o >= pc AND c <= po, FALSE) AS bearish_engulfing
+    FROM lagged
+    WHERE coalesce(pc < po AND c > o AND o <= pc AND c >= po, FALSE)
+       OR coalesce(pc > po AND c < o AND o >= pc AND c <= po, FALSE)
+    ORDER BY 1, 2
+    """,
+)
+def q_engulfing_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.engulfing_patterns(_events(spark, sf_dir))

@@ -1677,3 +1677,31 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_deciles(_docs(spark, sf_dir))
+
+
+@register(
+    "label_centroids",
+    f"""
+    WITH dims AS (
+        SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+    ),
+    cent AS (SELECT label, pos, avg(x) AS m FROM dims GROUP BY 1, 2),
+    profile AS (
+        SELECT label,
+               {qround_sql("sqrt(sum(m * m))")} AS centroid_norm,
+               {qround_sql("max(CASE WHEN pos = 0 THEN m END)")} AS c0,
+               {qround_sql("max(CASE WHEN pos = 1 THEN m END)")} AS c1,
+               {qround_sql("max(CASE WHEN pos = 2 THEN m END)")} AS c2,
+               {qround_sql("max(CASE WHEN pos = 3 THEN m END)")} AS c3
+        FROM cent GROUP BY 1
+    ),
+    counts AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY 1)
+    SELECT p.label, c.n_vectors, p.centroid_norm, p.c0, p.c1, p.c2, p.c3
+    FROM profile p JOIN counts c USING (label)
+    ORDER BY 1
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroids(_emb(spark, sf_dir))

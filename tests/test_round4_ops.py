@@ -652,3 +652,75 @@ def test_transition_matrix_rows_sum_to_one(spark):
         assert r["n_transitions"] > 0
     for total in by_from.values():
         assert abs(total - 1.0) < 1e-4     # per-source probabilities normalize
+
+
+# ---------------------------------------------------------------------------
+# twap_daily / engulfing_patterns / label_centroids
+# ---------------------------------------------------------------------------
+
+
+def test_twap_weights_by_holding_time(spark):
+    from datetime import datetime
+
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    # price 10 held for 90s, price 20 held for 10s, last tick unweighted
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 0, 0), 1, "AAA", 10.0, "{}"),
+        (2, datetime(2024, 1, 1, 9, 1, 30), 1, "AAA", 20.0, "{}"),
+        (3, datetime(2024, 1, 1, 9, 1, 40), 1, "AAA", 99.0, "{}"),
+        (4, datetime(2024, 1, 1, 9, 0, 0), 1, "BBB", 5.0, "{}"),  # single tick
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["symbol"]: r for r in finance.twap_daily(ev).collect()}
+    assert abs(out["AAA"]["twap"] - (10.0 * 90 + 20.0 * 10) / 100) < 1e-6
+    assert out["AAA"]["n_ticks"] == 3
+    assert out["BBB"]["twap"] is None  # no prevailing interval
+
+
+def test_engulfing_detects_bullish_reversal(spark):
+    from datetime import datetime
+
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    rows = [
+        # bar 1 (down: open 10 -> close 8)
+        (1, datetime(2024, 1, 1, 9, 0, 1), 1, "AAA", 10.0, "{}"),
+        (2, datetime(2024, 1, 1, 9, 0, 50), 1, "AAA", 8.0, "{}"),
+        # bar 2 (up and engulfing: open 7.5 <= 8, close 11 >= 10)
+        (3, datetime(2024, 1, 1, 9, 1, 1), 1, "AAA", 7.5, "{}"),
+        (4, datetime(2024, 1, 1, 9, 1, 50), 1, "AAA", 11.0, "{}"),
+        # bar 3 (up but NOT engulfing bar 2)
+        (5, datetime(2024, 1, 1, 9, 2, 1), 1, "AAA", 10.5, "{}"),
+        (6, datetime(2024, 1, 1, 9, 2, 50), 1, "AAA", 10.8, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = finance.engulfing_patterns(ev).collect()
+    assert len(out) == 1
+    assert out[0]["bullish_engulfing"] and not out[0]["bearish_engulfing"]
+    assert out[0]["minute"].minute == 1
+
+
+def test_label_centroids_mean_and_norm(spark):
+    import math
+
+    from real_time_financial_lakehouse_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0], 1), (1, [0.0, 1.0, 0.0, 0.0], 1),
+         (2, [2.0, 2.0, 0.0, 0.0], 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["label"]: r for r in sim.label_centroids(emb).collect()}
+    assert out[1]["n_vectors"] == 2
+    assert abs(out[1]["c0"] - 0.5) < 1e-6 and abs(out[1]["c1"] - 0.5) < 1e-6
+    assert abs(out[1]["centroid_norm"] - math.sqrt(0.5)) < 1e-5
+    assert abs(out[2]["centroid_norm"] - math.sqrt(8.0)) < 1e-5
