@@ -664,3 +664,76 @@ def quality_deciles(documents: DataFrame) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+BM25_QUERY_TERMS = ("hash", "join", "scan")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    documents: DataFrame,
+    query_terms: tuple = BM25_QUERY_TERMS,
+    topn: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 lexical retrieval: rank documents against a bag-of-words
+    query with the Robertson/Sparck-Jones scoring every search engine
+    ships -- idf = ln((N - df + 0.5)/(df + 0.5) + 1), tf saturated by k1
+    and length-normalized by b against the corpus mean length.  The
+    lexical complement to the vector path (cosine/IVF/LSH): together
+    they are the hybrid-retrieval pair a RAG stack actually deploys.
+
+    Scale: term stats (df per query term, N, avgdl) are one
+    partial-aggregated pass; scoring touches ONLY postings of the query
+    terms -- the inverted-index discipline: the per-term filter hits the
+    exploded stream before any join, so the corpus never joins
+    corpus-sized frames.  Top-N is TakeOrderedAndProject, never a global
+    sort.  ln() on both engines, quantized at the boundary."""
+    from ..functions.numeric import qround
+
+    terms = (
+        _spread(documents.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") >= 3)
+    )
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qlist = list(query_terms)
+    qterms = terms.filter(F.col("term").isin(qlist))
+    df_tbl = qterms.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    tf_tbl = qterms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf_tbl.join(F.broadcast(df_tbl), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_terms"),
+            F.sum("term_score").alias("score_raw"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", "n_matched_terms", qround(F.col("score_raw"), 6).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(topn)
+    )

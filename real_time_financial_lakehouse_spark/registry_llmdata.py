@@ -1705,3 +1705,50 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(_emb(spark, sf_dir))
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in text.BM25_QUERY_TERMS)
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH terms AS (
+        SELECT doc_id, term
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+            FROM documents
+        )
+        WHERE length(term) >= 3
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+    ),
+    qterms AS (SELECT * FROM terms WHERE term IN ({_BM25_TERMS_SQL})),
+    df_tbl AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM qterms GROUP BY 1
+    ),
+    tf_tbl AS (SELECT doc_id, term, count(*) AS tf FROM qterms GROUP BY 1, 2),
+    scored AS (
+        SELECT t.doc_id,
+               count(*) AS n_matched_terms,
+               sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score_raw
+        FROM tf_tbl t
+        JOIN df_tbl d USING (term)
+        JOIN dl l USING (doc_id), stats s
+        GROUP BY 1
+    )
+    SELECT doc_id, n_matched_terms,
+           {qround_sql("score_raw")} AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_search(_docs(spark, sf_dir))

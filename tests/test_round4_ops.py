@@ -724,3 +724,24 @@ def test_label_centroids_mean_and_norm(spark):
     assert abs(out[1]["c0"] - 0.5) < 1e-6 and abs(out[1]["c1"] - 0.5) < 1e-6
     assert abs(out[1]["centroid_norm"] - math.sqrt(0.5)) < 1e-5
     assert abs(out[2]["centroid_norm"] - math.sqrt(8.0)) < 1e-5
+
+
+def test_bm25_ranks_term_rich_docs_and_saturates_tf(spark):
+    from real_time_financial_lakehouse_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hash join scan hash join scan extra words here", "en", "s", 0),
+            (1, "hash appears once among many other filler words", "en", "s", 0),
+            (2, "hash " * 50 + "pad", "en", "s", 0),      # tf spam, long doc
+            (3, "no relevant terms at all in this one", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = tx.bm25_search(docs, query_terms=("hash", "join", "scan")).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert 3 not in by_id                       # no query term -> no posting
+    assert by_id[0]["n_matched_terms"] == 3
+    # multi-term coverage beats single-term tf spam (k1 saturation)
+    assert by_id[0]["bm25"] > by_id[2]["bm25"]
+    assert by_id[0]["bm25"] > by_id[1]["bm25"]
