@@ -763,6 +763,10 @@ def test_document_ops_tolerate_null_empty_whitespace_docs(spark):
         dd.simhash_fingerprints, dd.dedup_clusters,
         dd.edit_distance_pairs, dd.simhash_near_pairs, dd.ngram_jaccard_pairs,
         dd.fuzzy_dedup_keep, dd.incremental_dedup, pl.boilerplate_strip,
+        dd.dedup_keep_priority, dd.minhash_jaccard_estimate,
+        dd.bloom_incremental_dedup, pl.redact_pii, pl.corpus_summary,
+        pl.dataset_split_counts, tx.bigram_logprob, tx.heavy_hitters_cms,
+        tx.bm25_search, tx.quality_deciles,
     ):
         fn(docs).collect()  # must not raise
 
