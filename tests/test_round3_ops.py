@@ -855,7 +855,7 @@ def test_queries_survive_fully_empty_tables(spark, tmp_path):
     src = SF_SMOKE
     dst = str(tmp_path / "sf_empty")
     (tmp_path / "sf_empty").mkdir()
-    for t in ["events", "documents", "orders", "lineitem", "customer", "nation", "region"]:
+    for t in ["events", "documents", "orders", "lineitem", "customer", "nation", "region", "embeddings"]:
         df = spark.read.parquet(f"{src}/{t}.parquet").limit(0)
         out_dir = str(tmp_path / f"{t}_w")
         df.coalesce(1).write.mode("overwrite").parquet(out_dir)
@@ -867,6 +867,13 @@ def test_queries_survive_fully_empty_tables(spark, tmp_path):
         "streaming_incremental_gold", "latest_order_asof",
         "resample_ffill", "winsorize_values", "dedup_exact",
         "text_quality", "pricing_summary", "shipping_priority",
+        # round-4 additions that must yield zero rows on zero input
+        "debounce_events", "user_transition_matrix", "twap_daily",
+        "engulfing_patterns", "bm25_search", "boilerplate_strip",
+        "redact_pii", "bigram_logprob", "quality_deciles",
+        "heavy_hitters_cms", "dedup_keep_priority",
+        "bloom_incremental_dedup", "cosine_topk", "label_centroids",
+        "semantic_dedup_keep",
     ]:
         assert registry.QUERIES[name](spark, dst).count() == 0, name
 
