@@ -241,3 +241,77 @@ def test_versioned_table_time_travel_under_any_op_sequence(spark, tmp_path_facto
             r["id"] for r in versioned.read_version(spark, table, v).collect()
         )
         assert got == rows, f"version {v}"
+
+
+doc_rows = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=40),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", f"s{i % 3}", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+@_few
+@given(texts=doc_rows)
+def test_cms_never_undercounts_property(spark, texts):
+    """Count-min containment must hold for ANY corpus: the sketch
+    estimate is >= the exact count for every reported term."""
+    from real_time_financial_lakehouse_spark.operators.text import heavy_hitters_cms
+
+    for r in heavy_hitters_cms(_docs_df(spark, texts), topn=100).collect():
+        assert r["est_count"] >= r["exact_count"]
+        assert r["overcount"] >= 0
+
+
+@_few
+@given(texts=doc_rows)
+def test_bloom_dedup_no_false_negatives_property(spark, texts):
+    """For ANY corpus: a delta doc whose fingerprint exists in the base
+    must be flagged a Bloom candidate AND a confirmed duplicate (bits
+    are never lost), and kept == not confirmed."""
+    from real_time_financial_lakehouse_spark.operators.dedup import (
+        bloom_incremental_dedup,
+    )
+
+    rows = bloom_incremental_dedup(_docs_df(spark, texts)).collect()
+    for r in rows:
+        if r["confirmed_dup"]:
+            assert r["bloom_candidate"]
+        assert r["kept"] == (not r["confirmed_dup"])
+
+
+@_few
+@given(texts=doc_rows)
+def test_boilerplate_strip_conservation_property(spark, texts):
+    """For ANY corpus: per doc, kept + removed segments == total
+    segments, and a corpus of all-distinct docs is never stripped."""
+    from real_time_financial_lakehouse_spark.operators.pipeline import (
+        boilerplate_strip,
+    )
+
+    rows = boilerplate_strip(_docs_df(spark, texts)).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert 0 <= r["n_removed"] <= r["n_segments"]
+        # clean text never longer than the normalized original
+        assert len(r["clean_text"]) <= len(" ".join(texts[r["doc_id"]].split())) + 1
+
+
+@_few
+@given(texts=doc_rows)
+def test_split_counts_partition_property(spark, texts):
+    """The md5 split is a PARTITION for any corpus: split sizes sum to
+    the corpus size and shares sum to 1."""
+    from real_time_financial_lakehouse_spark.operators.pipeline import (
+        dataset_split_counts,
+    )
+
+    rows = dataset_split_counts(_docs_df(spark, texts)).collect()
+    assert sum(r["n_docs"] for r in rows) == len(texts)
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-4

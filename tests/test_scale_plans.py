@@ -388,3 +388,41 @@ def test_winsorize_broadcasts_fence_table(spark):
     plan = _plan(pipeline.winsorize_values(ev))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_redact_pii_is_pure_projection(spark):
+    """PII scrubbing must add no shuffle -- it fuses into the scan."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    from real_time_financial_lakehouse_spark.operators.pipeline import redact_pii
+
+    plan = _plan(redact_pii(docs))
+    # the only exchange allowed is the presentation orderBy's range
+    # partitioning; no hashpartitioning anywhere
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_debounce_single_exchange_on_composite_key(spark):
+    from real_time_financial_lakehouse_spark.operators.relational import (
+        debounce_events,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    plan = _plan(debounce_events(ev))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "user_id" in plan.split("Exchange hashpartitioning")[1][:120]
+
+
+def test_bm25_filters_postings_before_joins(spark):
+    """The query-term filter must hit the exploded term stream below
+    every join -- the inverted-index discipline: corpus-sized frames
+    never join each other."""
+    from real_time_financial_lakehouse_spark.operators.text import bm25_search
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = bm25_search(docs)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # the IN filter on the query terms survives optimization (it is the
+    # posting prune) and the final ranking is a take-ordered, not a sort
+    assert "hash IN" in optimized or "IN (hash" in optimized.replace("'", "") or "term IN" in optimized.replace("#", " ").replace("'", "")
+    physical = _plan(df)
+    assert "TakeOrderedAndProject" in physical
