@@ -492,8 +492,11 @@ def edit_distance_pairs(
     Scale: Levenshtein is O(len_a * len_b) PER PAIR, so it must never run
     all-pairs; here it runs only on the banding survivors, whose count is
     bounded by the hot-bucket cap (MAX_BUCKET^2 per bucket worst case).
-    The texts join back to the pair list via two broadcast-or-shuffle hash
-    joins on doc_id -- linear shuffles, no fan-out.  Compared texts are
+    The pair list (small by construction) is checkpointed once, its
+    doc-id set broadcast, and the corpus semi-join-filtered map-side, so
+    the normalize+truncate projection and the two text joins touch only
+    candidate docs -- the corpus never shuffles and the LSH plan never
+    re-executes per join branch.  Compared texts are
     length-truncated to ``max_len`` chars BEFORE the DP runs (a 1 MB x
     1 MB pair is a terabyte of DP cells; 4096 x 4096 is bounded) -- the
     score is then a truncated-prefix similarity, the standard production
@@ -505,8 +508,9 @@ def edit_distance_pairs(
     turns into a runtime error).  JVM built-in ``levenshtein``, no UDF."""
     from ..functions.numeric import qround
 
-    pairs = lsh_candidate_pairs(documents, k=k, bands=bands)
-    norm = documents.select(
+    pairs = lsh_candidate_pairs(documents, k=k, bands=bands).localCheckpoint(eager=True)
+    ids = pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    norm = documents.join(F.broadcast(ids), "doc_id", "leftsemi").select(
         "doc_id",
         F.substring(normalize_text(F.col("text")), 1, max_len).alias("norm_text"),
     )
@@ -635,30 +639,62 @@ def minhash_jaccard_estimate(
     trusting a (k, bands) configuration at 100 TB: it tells you what the
     banding threshold actually was on your corpus.
 
-    Scale: signatures and shingle sets are both single-projection
-    columns; the exact Jaccard runs ONLY on banding survivors (bounded
-    by the hot-bucket cap), never all-pairs.  |A∪B| is computed as
+    Scale: the candidate-pair set (small by construction -- banding
+    survivors under the hot-bucket cap) is checkpointed once, its doc-id
+    set broadcast, and the corpus SEMI-join-filtered map-side BEFORE any
+    per-row-expensive work -- so the shingling + signature projection
+    runs only over candidate docs, in ONE shared pass (the shingle array
+    feeds both the k-min signature and the distinct-shingle set), not
+    the five full-corpus passes a naive four-way join costs.  The two
+    feature joins key on that filtered frame; the corpus itself never
+    shuffles, and the exact Jaccard runs ONLY on banding survivors,
+    never all-pairs.  |A∪B| is computed as
     |A|+|B|-|A∩B| so only the intersection's array pass runs per pair.
     Two empty shingle sets are byte-identical content: Jaccard 1.0 by
     definition, never a zero division."""
     from ..functions.numeric import qround
 
-    pairs = lsh_candidate_pairs(documents, k=k, bands=bands, shingle_n=shingle_n)
-    sigs = minhash_signatures(documents, k=k, shingle_n=shingle_n)
-    sets = documents.select(
-        "doc_id",
-        F.array_distinct(F.expr(shingles_expr("text", shingle_n))).alias("sh"),
+    # Eager localCheckpoint: `pairs` is referenced twice more below (the
+    # id set for the semi filter, plus the final join); without the cut
+    # the whole LSH plan -- itself a full shingle+signature pass -- would
+    # execute once per reference.
+    pairs = lsh_candidate_pairs(
+        documents, k=k, bands=bands, shingle_n=shingle_n
+    ).localCheckpoint(eager=True)
+    ids = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    cand = documents.join(F.broadcast(ids), "doc_id", "leftsemi")
+    mins = []
+    for i in range(k):
+        a_i, b_i = perm_params(i)
+        mins.append(
+            F.expr(f"array_min(transform(hs, h -> ({a_i} * h + {b_i}) % {MINHASH_PRIME}))")
+        )
+    feats = (
+        cand.select("doc_id", F.expr(shingles_expr("text", shingle_n)).alias("shl"))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(shl, s -> cast(conv(substring(md5(s),1,7),16,10) as bigint))"
+            ).alias("hs"),
+            F.array_distinct("shl").alias("sh"),
+        )
+        .select("doc_id", F.array(*mins).alias("sig"), "sh")
     )
-    a = sigs.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)]
+    a = feats.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("sh").alias("sh_a"),
     )
-    b = sigs.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)]
+    b = feats.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("sh").alias("sh_b"),
     )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    agree = sum(
-        (F.col(f"a_{i}").eqNullSafe(F.col(f"b_{i}"))).cast("int") for i in range(k)
+    agree = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> cast((x <=> y) as int)),"
+        " 0, (acc, v) -> acc + v)"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -667,8 +703,6 @@ def minhash_jaccard_estimate(
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -759,4 +793,58 @@ def bloom_incremental_dedup(
             (~F.coalesce(F.col("confirmed_dup"), F.lit(False))).alias("kept"),
         )
         .orderBy("doc_id")
+    )
+
+def source_overlap_matrix(documents: DataFrame) -> DataFrame:
+    """Cross-source duplication matrix: for every pair of sources, how
+    many distinct normalized contents they SHARE, plus the overlap
+    coefficient (shared / min(|A|, |B|)) -- the first diagnostic a
+    corpus curator runs before mixing crawls (a 0.9 overlap means the
+    second source buys almost no new data, and dedup priority between
+    the two matters).
+
+    Scale: one hash-groupBy collapses the corpus to distinct contents
+    (partial agg map-side), each carrying its sorted distinct-source
+    array; source pairs expand INSIDE that array (same bounded-bucket
+    idiom as LSH -- the fan-out is bounded by the number of sources,
+    not by data), and the final matrix aggregates at |sources|^2
+    cardinality.  Per-source distinct totals ride out of the same
+    grouped frame, so the corpus is scanned and shuffled exactly once."""
+    h = md5_long(normalize_text(F.col("text")))
+    per_content = (
+        documents.select(h.alias("content_hash"), "source")
+        .groupBy("content_hash")
+        .agg(F.sort_array(F.collect_set("source")).alias("sources"))
+    )
+    pairs = _pairs_within_bucket(per_content, ids_col="sources").select(
+        F.col("doc_a").alias("source_a"), F.col("doc_b").alias("source_b")
+    )
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    totals = per_content.select(
+        F.explode("sources").alias("source")
+    ).groupBy("source").agg(F.count(F.lit(1)).alias("n_distinct"))
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("n_distinct").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("n_distinct").alias("n_b")
+    )
+    from ..functions.numeric import qround
+
+    return (
+        shared.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            qround(
+                F.col("n_shared") / F.least("n_a", "n_b").cast("double"), 6
+            ).alias("overlap_coeff"),
+        )
+        .orderBy("source_a", "source_b")
     )

@@ -622,3 +622,188 @@ def engulfing_patterns(events: DataFrame) -> DataFrame:
         .filter(F.col("bullish_engulfing") | F.col("bearish_engulfing"))
         .orderBy("symbol", "minute")
     )
+
+def _daily_bars(events: DataFrame, positive_only: bool = False) -> DataFrame:
+    """Internal daily OHLC frame: open/high/low/close per (symbol, day),
+    open/close resolved windowlessly via min_by/max_by on (ts, event_id)
+    -- one partial-aggregable shuffle at day granularity, same shape as
+    ``_minute_bars``.  ``positive_only`` drops non-positive ticks first
+    (required by log-range volatility estimators; mirrored in oracles)."""
+    src = events.filter(F.col("value") > 0) if positive_only else events
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return src.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(
+        F.min_by(F.col("value"), key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by(F.col("value"), key).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+def range_volatility(events: DataFrame) -> DataFrame:
+    """Daily range-based volatility estimators per (symbol, day):
+    Parkinson (high/low range) and Garman-Klass (range + open/close
+    drift) -- the standard OHLC estimators that extract ~5-7x more
+    efficiency from a day's bar than close-to-close variance, straight
+    from the published formulas (Parkinson 1980, Garman-Klass 1980):
+
+        parkinson    = sqrt( ln(H/L)^2 / (4 ln 2) )
+        garman_klass = sqrt( 0.5 ln(H/L)^2 - (2 ln 2 - 1) ln(C/O)^2 )
+
+    Non-positive ticks are excluded (a log-range over value <= 0 is
+    undefined); since L <= O,C <= H the GK radicand is non-negative
+    analytically, and it is clamped at 0 against float round-off.
+
+    Scale: one windowless OHLC rollup at day granularity (partial agg
+    before the shuffle), then per-row arithmetic -- no window pass at
+    all; the whole query is one exchange at |symbol x day| cardinality."""
+    bars = _daily_bars(events, positive_only=True)
+    hl = F.log(F.col("high") / F.col("low"))
+    co = F.log(F.col("close") / F.col("open"))
+    ln2 = 0.6931471805599453
+    gk_rad = F.greatest(
+        F.lit(0.5) * hl * hl - F.lit(2.0 * ln2 - 1.0) * co * co, F.lit(0.0)
+    )
+    return bars.select(
+        "symbol",
+        "day",
+        "n_ticks",
+        qround(F.sqrt(hl * hl / F.lit(4.0 * ln2)), 6).alias("parkinson_vol"),
+        qround(F.sqrt(gk_rad), 6).alias("garman_klass_vol"),
+    ).orderBy("symbol", "day")
+
+def pivot_points(events: DataFrame) -> DataFrame:
+    """Classic floor-trader pivot levels for each (symbol, day), computed
+    from the PREVIOUS day's high/low/close -- the levels a trading desk
+    publishes before the open:
+
+        P = (H + L + C) / 3;  R1 = 2P - L;  S1 = 2P - H
+        R2 = P + (H - L);     S2 = P - (H - L)
+
+    Days with no prior bar (each symbol's first day) are omitted, the
+    same null-prefix convention as the moving-average indicators.
+
+    Scale: a day-granularity OHLC rollup plus ONE lag window over
+    (symbol) ordered by day -- both passes share an exchange at bar
+    cardinality; state per task is a single previous row."""
+    bars = _daily_bars(events)
+    w = Window.partitionBy("symbol").orderBy("day")
+    ph, pl, pc = (F.lag(c).over(w) for c in ("high", "low", "close"))
+    p = (ph + pl + pc) / 3.0
+    return (
+        bars.select(
+            "symbol",
+            "day",
+            qround(p, 6).alias("pivot"),
+            qround(2.0 * p - pl, 6).alias("r1"),
+            qround(2.0 * p - ph, 6).alias("s1"),
+            qround(p + (ph - pl), 6).alias("r2"),
+            qround(p - (ph - pl), 6).alias("s2"),
+        )
+        .filter(F.col("pivot").isNotNull())
+        .orderBy("symbol", "day")
+    )
+
+def williams_r(events: DataFrame, n: int = 14) -> DataFrame:
+    """Williams %R momentum oscillator over minute bars: position of the
+    close inside the n-bar high-low channel, scaled to [-100, 0]
+    (``-100 * (HH - close) / (HH - LL)``).  Emitted only where the
+    window is full; a flat channel (HH = LL) yields NULL rather than a
+    division error -- the overbought/oversold reading is undefined when
+    the price never moved.
+
+    Scale: bar rollup (one shuffle) + one frame-bounded window pass over
+    (symbol) ordered by minute -- O(n) rows of state per task; the
+    channel extrema are running max/min, not a per-row rescan."""
+    bars = _minute_bars(events)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("minute_window")
+        .rowsBetween(-(n - 1), 0)
+    )
+    hh = F.max("high").over(w)
+    ll = F.min("low").over(w)
+    full = F.count(F.lit(1)).over(w) == n
+    wr = F.when(hh != ll, -100.0 * (hh - F.col("close")) / (hh - ll))
+    return (
+        bars.select(
+            "symbol",
+            "minute_window",
+            qround(F.col("close"), 6).alias("close"),
+            F.when(full, qround(hh, 6)).alias("channel_high"),
+            F.when(full, qround(ll, 6)).alias("channel_low"),
+            F.when(full, qround(wr, 6)).alias("williams_r"),
+        )
+        .filter(F.col("channel_high").isNotNull())
+        .orderBy("symbol", "minute_window")
+    )
+
+def cci(events: DataFrame, n: int = 20) -> DataFrame:
+    """Commodity Channel Index over minute bars: deviation of the
+    typical price ``tp = (H + L + C) / 3`` from its n-bar mean, scaled
+    by 0.015x the MEAN ABSOLUTE deviation (Lambert's original scaling).
+    MAD is deviation-from-the-window-mean, so it cannot be expressed as
+    a window aggregate of any precomputed per-row column: the window's
+    tp values are collected into a bounded array (n rows max) and both
+    the mean and the MAD fold over that array JVM-side.  A zero-MAD
+    window (n identical bars) yields NULL.  Emitted only where the
+    window is full.
+
+    Scale: bar-cardinality window with O(n) array state per row -- the
+    collect_list frame is bounded by the constant n, never by data
+    volume; both folds are codegen'd array aggregates, no UDF."""
+    bars = _minute_bars(events)
+    tp = ((F.col("high") + F.col("low") + F.col("close")) / 3.0).alias("tp")
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("minute_window")
+        .rowsBetween(-(n - 1), 0)
+    )
+    with_tp = bars.select("symbol", "minute_window", tp)
+    ws = F.collect_list("tp").over(w)
+    frame = with_tp.select(
+        "symbol", "minute_window", "tp", ws.alias("ws")
+    ).filter(F.size("ws") == n)
+    mean = F.expr(f"aggregate(ws, cast(0.0 as double), (a, x) -> a + x) / {n}")
+    mad = F.expr(
+        f"aggregate(ws, cast(0.0 as double), (a, x) -> a + abs(x - "
+        f"(aggregate(ws, cast(0.0 as double), (a2, x2) -> a2 + x2) / {n}))) / {n}"
+    )
+    cci_val = F.when(mad != 0, (F.col("tp") - mean) / (F.lit(0.015) * mad))
+    return frame.select(
+        "symbol",
+        "minute_window",
+        qround(F.col("tp"), 6).alias("typical_price"),
+        qround(mean, 6).alias("tp_sma"),
+        qround(cci_val, 6).alias("cci"),
+    ).orderBy("symbol", "minute_window")
+
+def return_autocorr(events: DataFrame) -> DataFrame:
+    """Lag-1 autocorrelation of daily close-to-close returns per symbol
+    -- the classic mean-reversion / momentum diagnostic (negative =
+    reverting, positive = trending).  Population Pearson correlation of
+    (r_t, r_{t-1}), guarded to NULL for constant series, over daily
+    bars.
+
+    Scale: day-granularity rollup + one lag window + one final groupBy
+    at |symbols| cardinality -- every pass partial-aggregates;
+    correlation is the one-pass covar_pop/stddev_pop form, no re-scan."""
+    bars = _daily_bars(events)
+    w = Window.partitionBy("symbol").orderBy("day")
+    rets = bars.select(
+        "symbol",
+        "day",
+        (F.col("close") / F.lag("close").over(w) - 1.0).alias("r"),
+    ).withColumn("r_prev", F.lag("r").over(w))
+    pair = rets.filter(F.col("r").isNotNull() & F.col("r_prev").isNotNull())
+    return (
+        pair.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            _safe_corr("r", "r_prev").alias("autocorr_lag1"),
+            qround(F.avg("r"), 6).alias("mean_daily_return"),
+        )
+        .orderBy("symbol")
+    )

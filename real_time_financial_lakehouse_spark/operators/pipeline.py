@@ -573,3 +573,43 @@ def dataset_split_counts(
         )
         .orderBy("split")
     )
+
+def shard_manifest(documents: DataFrame, n_shards: int = 16) -> DataFrame:
+    """Deterministic training-shard assignment manifest: every document
+    hashes to one of ``n_shards`` shards by md5(doc_id) -- the global
+    shuffle a training pipeline needs before writing tokenized shards
+    (hash placement is order-free, so re-runs and backfills land every
+    doc in the same shard; no RNG, no skew from ingestion order).  The
+    manifest reports each shard's doc count, token total, char total,
+    source diversity and doc-id span -- what the trainer's data loader
+    reads to plan epoch scheduling.
+
+    Scale: ONE partial-aggregable groupBy at n_shards cardinality; the
+    hash is uniform so shards balance to ~1/n each regardless of input
+    order or key skew (asserted by the fixture's max/min shard-size
+    ratio staying near 1).  The write path pairs this manifest with
+    ``df.repartition(n_shards, shard_col).write`` -- the same hash
+    routes rows and manifest alike."""
+    shard = (
+        md5_long(F.concat_ws(":", F.lit("shard"), F.col("doc_id")), 7) % n_shards
+    ).alias("shard_id")
+    toks = F.size(F.split(F.col("text"), " "))
+    return (
+        documents.select(
+            shard,
+            F.col("doc_id"),
+            F.col("source"),
+            F.col("n_chars"),
+            F.when(F.col("text").isNull(), F.lit(0)).otherwise(toks).alias("n_tokens"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard_id")
+    )

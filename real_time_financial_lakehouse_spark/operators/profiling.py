@@ -106,3 +106,62 @@ def key_skew_profile(df: DataFrame, key: str, topn: int = 5) -> DataFrame:
             ).alias("top5_share"),
         )
     )
+
+
+def kmv_distinct_estimate(
+    documents: DataFrame, k: int = 32, group_col: str = "source"
+) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch per group, audited against
+    the exact count (Bar-Yossef et al. 2002, the KMV/bottom-k sketch):
+    hash every normalized document into the 60-bit md5 space, keep each
+    group's k smallest DISTINCT hashes, and estimate the group's
+    distinct cardinality as ``(k-1) / (h_k / 2^60)`` -- if the k-th
+    smallest of D uniform points sits at h_k, then D is about
+    (k-1) * 2^60 / h_k.  Groups with fewer than k distinct hashes are
+    exact by construction.  md5 is engine-stable, so unlike HLL
+    (``distinct_user_counts_approx``, Spark-private sketch) the WHOLE
+    sketch -- chosen hashes, estimate, and error -- is exactly
+    oracle-checkable; the report shows estimate, exact, and relative
+    error side by side, which is the audit you run before trusting a
+    sketch config on a 100 TB corpus.
+
+    Scale: dedup of (group, hash) partial-aggregates map-side; the
+    bottom-k per group is a WindowGroupLimit-pushed rank (each task
+    keeps <= k rows per group before the exchange), so the shuffle
+    carries O(groups x k), never the corpus.  The exact-count audit
+    column costs one more partial-agg pass; drop it in production and
+    the sketch is one bounded shuffle."""
+    from ..functions.hashing import md5_long, normalize_text
+    from ..functions.numeric import qround
+
+    from pyspark.sql import Window
+
+    hashed = documents.select(
+        F.col(group_col).alias("grp"),
+        md5_long(normalize_text(F.col("text"))).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    bottom = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    sketch = bottom.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("h_k"),
+    )
+    exact = hashed.groupBy("grp").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(1152921504606846976.0) / F.col("h_k")
+    )
+    return (
+        sketch.join(exact, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_kept",
+            qround(est, 4).alias("kmv_estimate"),
+            "exact_distinct",
+            qround(
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+            ).alias("rel_error"),
+        )
+        .orderBy(group_col)
+    )

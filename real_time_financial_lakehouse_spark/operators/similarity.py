@@ -609,3 +609,108 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
         .select("label", "n_vectors", "centroid_norm", "c0", "c1", "c2", "c3")
         .orderBy("label")
     )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    m_sub: int = 8,
+    n_codes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring
+    (Jegou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011): the vector splits into ``m_sub`` subvectors, each
+    quantized to its nearest anchor from a per-subspace codebook of
+    ``n_codes`` entries, so a 64-dim float vector compresses to 8 code
+    bytes; a query then scores any candidate with ``m_sub`` lookups into
+    its precomputed query-to-anchor distance table instead of a 64-dim
+    arithmetic pass.  Anchors here are the subvectors of the first
+    ``n_codes`` vec_ids -- a deterministic codebook that keeps the whole
+    path (codes, LUT, ADC scores, ranking) exactly oracle-checkable; a
+    production codebook swaps in per-subspace k-means anchors (the
+    ``fit_codebook`` pattern) with identical plan shape.  Output ranks
+    candidates per query by ADC distance and reports the EXACT squared
+    L2 next to it, so quantization error is visible data.
+
+    Scale: the codebook (m_sub x n_codes subvectors -- KBs) rides in a
+    broadcast single-row crossJoin, so encoding is a pure per-row
+    projection (argmin over the anchor array, JVM-side) -- zero shuffle
+    over the corpus, exactly how a 100 TB index encodes; the query side
+    (n_queries rows with flattened LUT arrays) broadcasts against the
+    streamed candidate scan, and each pair costs m_sub array lookups
+    plus one 64-dim exact pass for the audit column (drop ``exact_d2``
+    in production and it is lookups only).  The only shuffles are the
+    per-query top-k window at candidate cardinality and the final sort."""
+    sub_d = dim // m_sub
+    emb = _spread(embeddings).filter(F.size("embedding") == dim).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    sub_expr = F.expr(
+        f"transform(sequence(0, {m_sub - 1}),"
+        f" m -> struct(m AS m, slice(v, m * {sub_d} + 1, {sub_d}) AS sub))"
+    )
+    subs = emb.select("vec_id", F.explode(sub_expr).alias("s")).select(
+        "vec_id", "s.m", "s.sub"
+    )
+    # codebook as ONE sorted array-of-structs row: (m, a_id, sub_a)
+    cbook = subs.filter(F.col("vec_id") < n_codes).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("m"), F.col("vec_id").alias("a_id"), F.col("sub").alias("sub_a")
+                )
+            )
+        ).alias("cb")
+    )
+    d2_to = (
+        "aggregate(zip_with(slice(v, {m} * %d + 1, %d), a.sub_a,"
+        " (x, y) -> (x - y) * (x - y)), 0D, (acc, t) -> acc + t)" % (sub_d, sub_d)
+    )
+    # per-row code array: for each subspace, the anchor minimizing (d2, a_id)
+    codes_expr = F.expr(
+        f"transform(sequence(0, {m_sub - 1}), m -> "
+        f"array_sort(transform(filter(cb, a -> a.m = m), "
+        f"a -> struct({d2_to.format(m='m')} AS d2, a.a_id AS a_id)))[0].a_id)"
+    )
+    # per-query flattened LUT: qd2 for (m, a_id) at index m * n_codes + a_id
+    # (filter preserves cb's (m, a_id) sort order)
+    lut_expr = F.expr(
+        f"flatten(transform(sequence(0, {m_sub - 1}), m -> "
+        f"transform(filter(cb, a -> a.m = m), a -> {d2_to.format(m='m')})))"
+    )
+    cands = (
+        emb.crossJoin(F.broadcast(cbook))
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+                codes_expr.alias("codes"))
+    )
+    qside = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .crossJoin(F.broadcast(cbook))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("q"),
+                lut_expr.alias("lut"))
+    )
+    pairs = F.broadcast(qside).crossJoin(cands).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    adc = F.expr(
+        f"aggregate(sequence(0, {m_sub - 1}), 0D, (acc, m) -> "
+        f"acc + element_at(lut, m * {n_codes} + element_at(codes, m + 1) + 1))"
+    )
+    exact = F.expr(
+        "aggregate(zip_with(q, cv, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (acc, t) -> acc + t)"
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (F.floor(adc * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("adc_d2"),
+        (F.floor(exact * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("exact_d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -3059,3 +3059,170 @@ def q_engulfing_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import finance
 
     return finance.engulfing_patterns(_events(spark, sf_dir))
+
+
+# Shared oracle CTE: daily OHLC bars (open/close via the row_number
+# trick that mirrors Spark's min_by/max_by on (ts, event_id)).
+_DAILY_BARS_SQL = """
+dbars AS (
+    SELECT symbol, day,
+           max(CASE WHEN rn_a = 1 THEN value END) AS o,
+           max(value) AS h,
+           min(value) AS l,
+           max(CASE WHEN rn_d = 1 THEN value END) AS c,
+           count(*) AS n_ticks
+    FROM (
+        SELECT event_type AS symbol, date_trunc('day', ts) AS day, value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    GROUP BY 1, 2
+)
+"""
+
+
+@register(
+    "range_volatility",
+    f"""
+    WITH src AS (SELECT * FROM events WHERE value > 0),
+    {_DAILY_BARS_SQL.strip().replace("FROM events", "FROM src")}
+    SELECT symbol, day, n_ticks,
+           {_q('sqrt(ln(h / l) * ln(h / l) / (4 * 0.6931471805599453))', 6)} AS parkinson_vol,
+           {_q('sqrt(greatest(0.5 * ln(h / l) * ln(h / l) - (2 * 0.6931471805599453 - 1.0) * ln(c / o) * ln(c / o), 0.0))', 6)} AS garman_klass_vol
+    FROM dbars
+    ORDER BY symbol, day
+    """,
+)
+def q_range_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.range_volatility(_events(spark, sf_dir))
+
+
+@register(
+    "pivot_points",
+    f"""
+    WITH {_DAILY_BARS_SQL.strip()},
+    lagged AS (
+        SELECT symbol, day,
+               lag(h) OVER (PARTITION BY symbol ORDER BY day) AS ph,
+               lag(l) OVER (PARTITION BY symbol ORDER BY day) AS pl,
+               lag(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+        FROM dbars
+    )
+    SELECT symbol, day,
+           {_q('(ph + pl + pc) / 3.0', 6)} AS pivot,
+           {_q('2.0 * ((ph + pl + pc) / 3.0) - pl', 6)} AS r1,
+           {_q('2.0 * ((ph + pl + pc) / 3.0) - ph', 6)} AS s1,
+           {_q('((ph + pl + pc) / 3.0) + (ph - pl)', 6)} AS r2,
+           {_q('((ph + pl + pc) / 3.0) - (ph - pl)', 6)} AS s2
+    FROM lagged
+    WHERE ph IS NOT NULL
+    ORDER BY symbol, day
+    """,
+)
+def q_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.pivot_points(_events(spark, sf_dir))
+
+
+@register(
+    "williams_r_14",
+    f"""
+    WITH {_BARS_SQL.strip()},
+    framed AS (
+        SELECT symbol, minute_window, close,
+               max(high) OVER w AS hh,
+               min(low) OVER w AS ll,
+               count(*) OVER w AS cnt
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY minute_window
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, minute_window,
+           {_q('close', 6)} AS close,
+           {_q('hh', 6)} AS channel_high,
+           {_q('ll', 6)} AS channel_low,
+           CASE WHEN hh <> ll
+                THEN {_q('-100.0 * (hh - close) / (hh - ll)', 6)} END AS williams_r
+    FROM framed
+    WHERE cnt = 14
+    ORDER BY symbol, minute_window
+    """,
+)
+def q_williams_r_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.williams_r(_events(spark, sf_dir), n=14)
+
+
+@register(
+    "cci_20",
+    f"""
+    WITH {_BARS_SQL.strip()},
+    tps AS (
+        SELECT symbol, minute_window, (high + low + close) / 3.0 AS tp
+        FROM bars
+    ),
+    framed AS (
+        SELECT symbol, minute_window, tp,
+               list(tp) OVER (PARTITION BY symbol ORDER BY minute_window
+                              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ws
+        FROM tps
+    ),
+    stats AS (
+        SELECT symbol, minute_window, tp,
+               list_aggregate(ws, 'sum') / 20 AS m,
+               list_aggregate(list_transform(ws, x ->
+                   abs(x - (list_aggregate(ws, 'sum') / 20))), 'sum') / 20 AS mad
+        FROM framed
+        WHERE len(ws) = 20
+    )
+    SELECT symbol, minute_window,
+           {_q('tp', 6)} AS typical_price,
+           {_q('m', 6)} AS tp_sma,
+           CASE WHEN mad <> 0
+                THEN {_q('(tp - m) / (0.015 * mad)', 6)} END AS cci
+    FROM stats
+    ORDER BY symbol, minute_window
+    """,
+)
+def q_cci_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.cci(_events(spark, sf_dir), n=20)
+
+
+@register(
+    "return_autocorr",
+    f"""
+    WITH {_DAILY_BARS_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               c / lag(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0 AS r
+        FROM dbars
+    ),
+    pairs AS (
+        SELECT symbol, r,
+               lag(r) OVER (PARTITION BY symbol ORDER BY day) AS r_prev
+        FROM rets
+    )
+    SELECT symbol,
+           count(*) AS n_days,
+           CASE WHEN stddev_pop(r) * stddev_pop(r_prev) <> 0
+                THEN {_q('covar_pop(r, r_prev) / (stddev_pop(r) * stddev_pop(r_prev))', 6)} END AS autocorr_lag1,
+           {_q('avg(r)', 6)} AS mean_daily_return
+    FROM pairs
+    WHERE r IS NOT NULL AND r_prev IS NOT NULL
+    GROUP BY symbol
+    ORDER BY symbol
+    """,
+)
+def q_return_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.return_autocorr(_events(spark, sf_dir))

@@ -833,6 +833,8 @@ def test_event_ops_tolerate_degenerate_series(spark):
         finance.stochastic_oscillator, finance.on_balance_volume,
         finance.macd_summary, finance.donchian_channels,
         finance.resample_ffill, finance.rolling_median,
+        finance.range_volatility, finance.pivot_points,
+        finance.williams_r, finance.cci, finance.return_autocorr,
         pipeline.winsorize_values, rollup.minute_ohlc,
         rollup.hourly_from_minute, windows.ema_per_symbol,
     ):
@@ -874,6 +876,10 @@ def test_queries_survive_fully_empty_tables(spark, tmp_path):
         "heavy_hitters_cms", "dedup_keep_priority",
         "bloom_incremental_dedup", "cosine_topk", "label_centroids",
         "semantic_dedup_keep",
+        # round-4 continuation additions
+        "range_volatility", "pivot_points", "williams_r_14", "cci_20",
+        "return_autocorr", "minhash_jaccard_estimate",
+        "edit_distance_pairs",
     ]:
         assert registry.QUERIES[name](spark, dst).count() == 0, name
 

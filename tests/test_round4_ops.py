@@ -745,3 +745,127 @@ def test_bm25_ranks_term_rich_docs_and_saturates_tf(spark):
     # multi-term coverage beats single-term tf spam (k1 saturation)
     assert by_id[0]["bm25"] > by_id[2]["bm25"]
     assert by_id[0]["bm25"] > by_id[1]["bm25"]
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation: OHLC-derived indicators
+# ---------------------------------------------------------------------------
+
+
+def _ticks(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_pivot_points_formula_and_ordering(spark):
+    """Planted two-day series: day-2 levels derive from day-1 OHLC via
+    the floor-trader formulas; each symbol's first day is omitted; the
+    level ladder orders s2 < s1 < pivot < r1 < r2 when the prior day
+    had range."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    ev = _ticks(spark, [
+        (1, "2024-01-01 09:00:00", 1, "A", 10.0, "{}"),   # day-1 open
+        (2, "2024-01-01 10:00:00", 1, "A", 14.0, "{}"),   # high
+        (3, "2024-01-01 11:00:00", 1, "A", 8.0, "{}"),    # low
+        (4, "2024-01-01 12:00:00", 1, "A", 12.0, "{}"),   # close
+        (5, "2024-01-02 09:00:00", 1, "A", 11.0, "{}"),
+    ])
+    out = finance.pivot_points(ev).collect()
+    assert len(out) == 1                      # first day has no prior bar
+    r = out[0]
+    p = (14.0 + 8.0 + 12.0) / 3
+    assert r["pivot"] == pytest.approx(p, abs=1e-6)
+    assert r["r1"] == pytest.approx(2 * p - 8.0, abs=1e-6)
+    assert r["s1"] == pytest.approx(2 * p - 14.0, abs=1e-6)
+    assert r["r2"] == pytest.approx(p + 6.0, abs=1e-6)
+    assert r["s2"] == pytest.approx(p - 6.0, abs=1e-6)
+    assert r["s2"] < r["s1"] < r["pivot"] < r["r1"] < r["r2"]
+
+
+def test_williams_r_channel_extremes(spark):
+    """A close at the channel high reads %R = 0, at the channel low
+    -100; a FLAT channel (high == low across the window) yields NULL
+    instead of a division error."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    base = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "A", float(v), "{}")
+        for i, v in enumerate([5, 9, 7, 5, 9, 3])
+    ]
+    out = {
+        r["minute_window"].minute: r
+        for r in finance.williams_r(_ticks(spark, base), n=3).collect()
+    }
+    # window {9,7,5}: close 5 is the channel low
+    assert out[3]["williams_r"] == pytest.approx(-100.0, abs=1e-6)
+    # window {5,9}: close 9 is the channel high
+    assert out[4]["williams_r"] == pytest.approx(0.0, abs=1e-6)
+    flat = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "A", 4.0, "{}") for i in range(4)
+    ]
+    flat_rows = finance.williams_r(_ticks(spark, flat), n=3).collect()
+    assert flat_rows and all(r["williams_r"] is None for r in flat_rows)
+
+
+def test_cci_constant_and_planted(spark):
+    """Constant bars have zero mean absolute deviation -> NULL CCI (no
+    ANSI divide error); a single spike above a flat history lands at
+    Lambert's ceiling (1 / 0.015 scaled by the window geometry)."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    flat = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "A", 2.0, "{}") for i in range(5)
+    ]
+    rows = finance.cci(_ticks(spark, flat), n=4).collect()
+    assert rows and all(r["cci"] is None for r in rows)
+
+    spiked = flat[:-1] + [(9, "2024-01-01 00:04:00", 1, "A", 6.0, "{}")]
+    out = finance.cci(_ticks(spark, spiked), n=4).collect()
+    last = out[-1]
+    # tp values [2,2,2,6]: mean 3, mad 1.5 -> cci = (6-3)/(0.015*1.5)
+    assert last["cci"] == pytest.approx((6 - 3) / (0.015 * 1.5), abs=1e-3)
+
+
+def test_range_volatility_flat_day_and_nonpositive_guard(spark):
+    """A flat day (H == L) has zero Parkinson and Garman-Klass vol; ticks
+    with value <= 0 are excluded from the bar rather than producing a
+    log-domain error."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    ev = _ticks(spark, [
+        (1, "2024-01-01 09:00:00", 1, "A", 7.0, "{}"),
+        (2, "2024-01-01 10:00:00", 1, "A", 7.0, "{}"),
+        (3, "2024-01-01 11:00:00", 1, "A", 0.0, "{}"),    # excluded
+        (4, "2024-01-01 12:00:00", 1, "A", -3.0, "{}"),   # excluded
+    ])
+    out = finance.range_volatility(ev).collect()
+    assert len(out) == 1
+    assert out[0]["n_ticks"] == 2                # nonpositive ticks dropped
+    assert out[0]["parkinson_vol"] == 0.0
+    assert out[0]["garman_klass_vol"] == 0.0
+
+
+def test_return_autocorr_alternating_series_reverts(spark):
+    """A strictly alternating up/down daily close series has negative
+    lag-1 autocorrelation; a constant-return series yields NULL (guarded
+    denominator), never a divide error."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    closes = [10.0, 12.0, 9.6, 12.0, 9.6, 12.0, 9.6, 12.0]
+    ev = _ticks(spark, [
+        (i, f"2024-01-{i+1:02d} 12:00:00", 1, "A", c, "{}")
+        for i, c in enumerate(closes)
+    ])
+    out = finance.return_autocorr(ev).collect()
+    assert len(out) == 1
+    assert out[0]["autocorr_lag1"] < -0.5
+
+    const = _ticks(spark, [
+        (i, f"2024-01-{i+1:02d} 12:00:00", 1, "A", 5.0, "{}") for i in range(4)
+    ])
+    out2 = finance.return_autocorr(const).collect()
+    assert out2[0]["autocorr_lag1"] is None
