@@ -810,7 +810,10 @@ def source_overlap_matrix(documents: DataFrame) -> DataFrame:
     not by data), and the final matrix aggregates at |sources|^2
     cardinality.  Per-source distinct totals ride out of the same
     grouped frame, so the corpus is scanned and shuffled exactly once."""
-    h = md5_long(normalize_text(F.col("text")))
+    # coalesce NULL text to '': a NULL hash would group in Spark but
+    # never meet itself in the oracle's equi-join, so NULL-text docs are
+    # treated as empty content on both engines
+    h = md5_long(normalize_text(F.coalesce(F.col("text"), F.lit(""))))
     per_content = (
         documents.select(h.alias("content_hash"), "source")
         .groupBy("content_hash")

@@ -136,9 +136,12 @@ def kmv_distinct_estimate(
 
     from pyspark.sql import Window
 
+    # coalesce NULL text to '' so the hash is never NULL -- a NULL key
+    # would order differently across engines (Spark sorts NULLS FIRST,
+    # DuckDB NULLS LAST) and break the bottom-k determinism
     hashed = documents.select(
         F.col(group_col).alias("grp"),
-        md5_long(normalize_text(F.col("text"))).alias("h"),
+        md5_long(normalize_text(F.coalesce(F.col("text"), F.lit("")))).alias("h"),
     ).distinct()
     w = Window.partitionBy("grp").orderBy("h")
     bottom = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

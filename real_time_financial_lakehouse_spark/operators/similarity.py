@@ -696,7 +696,7 @@ def pq_adc_topk(
     )
     adc = F.expr(
         f"aggregate(sequence(0, {m_sub - 1}), 0D, (acc, m) -> "
-        f"acc + element_at(lut, m * {n_codes} + element_at(codes, m + 1) + 1))"
+        f"acc + element_at(lut, cast(m * {n_codes} + element_at(codes, m + 1) + 1 as int)))"
     )
     exact = F.expr(
         "aggregate(zip_with(q, cv, (x, y) -> (x - y) * (x - y)),"

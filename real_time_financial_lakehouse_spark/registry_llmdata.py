@@ -1752,3 +1752,151 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in text.BM25_QUERY_TERMS)
 )
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_search(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: PQ-ADC ANN, KMV sketch, source overlap, shard manifest
+# ---------------------------------------------------------------------------
+
+_NORM_COAL_SQL = "regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')"
+
+
+@register(
+    "ann_pq_adc_topk",
+    f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE len(embedding) = 64
+    ),
+    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+    subs AS (
+        SELECT vec_id, m, v[m * 8 + 1 : m * 8 + 8] AS sub
+        FROM emb, ms
+    ),
+    anchors AS (
+        SELECT m, vec_id AS a_id, sub AS sub_a FROM subs WHERE vec_id < 8
+    ),
+    d AS (
+        SELECT s.vec_id, s.m, a.a_id,
+               list_aggregate(list_transform(generate_series(1, 8),
+                   i -> (s.sub[i] - a.sub_a[i]) * (s.sub[i] - a.sub_a[i])), 'sum') AS d2
+        FROM subs s JOIN anchors a ON s.m = a.m
+    ),
+    codes AS (
+        SELECT vec_id, m, a_id AS code
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                           ORDER BY d2, a_id) AS rn FROM d)
+        WHERE rn = 1
+    ),
+    lut AS (SELECT vec_id AS query_id, m, a_id, d2 FROM d WHERE vec_id < 5),
+    adc AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               list_aggregate(list(l.d2 ORDER BY l.m), 'sum') AS adc_raw
+        FROM codes c
+        JOIN lut l ON l.m = c.m AND l.a_id = c.code
+        WHERE l.query_id <> c.vec_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT a.query_id, a.neighbor_id,
+               floor(a.adc_raw * 1000000.0 + 0.5) / 1000000.0 AS adc_d2,
+               floor(list_aggregate(list_transform(generate_series(1, 64),
+                   i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])), 'sum')
+                   * 1000000.0 + 0.5) / 1000000.0 AS exact_d2
+        FROM adc a
+        JOIN emb q ON q.vec_id = a.query_id
+        JOIN emb c ON c.vec_id = a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_d2, exact_d2, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_d2, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_adc_topk(_emb(spark, sf_dir), n_queries=5, k=5)
+
+
+@register(
+    "kmv_distinct_estimate",
+    f"""
+    WITH hashed AS (
+        SELECT DISTINCT source AS grp, {md5_long_sql(_NORM_COAL_SQL)} AS h
+        FROM documents
+    ),
+    bottom AS (
+        SELECT grp, h,
+               row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM hashed
+    ),
+    sketch AS (
+        SELECT grp, count(*) AS n_kept, max(h) AS h_k
+        FROM bottom WHERE rn <= 32 GROUP BY grp
+    ),
+    exact AS (SELECT grp, count(*) AS exact_distinct FROM hashed GROUP BY grp),
+    est AS (
+        SELECT s.grp, s.n_kept, e.exact_distinct,
+               CASE WHEN s.n_kept < 32 THEN s.n_kept::DOUBLE
+                    ELSE 31.0 * 1152921504606846976.0 / s.h_k END AS est_raw
+        FROM sketch s JOIN exact e USING (grp)
+    )
+    SELECT grp AS source, n_kept,
+           {qround_sql('est_raw', 4)} AS kmv_estimate,
+           exact_distinct,
+           {qround_sql('abs(est_raw - exact_distinct) / exact_distinct', 6)} AS rel_error
+    FROM est
+    ORDER BY source
+    """,
+)
+def q_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import profiling
+
+    return profiling.kmv_distinct_estimate(_docs(spark, sf_dir), k=32)
+
+
+@register(
+    "source_overlap_matrix",
+    f"""
+    WITH hashed AS (
+        SELECT DISTINCT {md5_long_sql(_NORM_COAL_SQL)} AS h, source
+        FROM documents WHERE source IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        FROM hashed a JOIN hashed b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    totals AS (SELECT source, count(*) AS n_distinct FROM hashed GROUP BY source)
+    SELECT p.source_a, p.source_b, p.n_shared,
+           ta.n_distinct AS n_a, tb.n_distinct AS n_b,
+           {qround_sql('p.n_shared / least(ta.n_distinct, tb.n_distinct)::DOUBLE', 6)} AS overlap_coeff
+    FROM pairs p
+    JOIN totals ta ON p.source_a = ta.source
+    JOIN totals tb ON p.source_b = tb.source
+    ORDER BY 1, 2
+    """,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.source_overlap_matrix(_docs(spark, sf_dir))
+
+
+@register(
+    "shard_manifest",
+    f"""
+    SELECT ({md5_long_sql("concat_ws(':', 'shard', doc_id)", 7)}) % 16 AS shard_id,
+           count(*) AS n_docs,
+           sum(CASE WHEN text IS NULL THEN 0
+                    ELSE len(string_split(text, ' ')) END)::BIGINT AS total_tokens,
+           sum(n_chars)::BIGINT AS total_chars,
+           count(DISTINCT source) AS n_sources,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.shard_manifest(_docs(spark, sf_dir), n_shards=16)

@@ -767,8 +767,12 @@ def test_document_ops_tolerate_null_empty_whitespace_docs(spark):
         dd.bloom_incremental_dedup, pl.redact_pii, pl.corpus_summary,
         pl.dataset_split_counts, tx.bigram_logprob, tx.heavy_hitters_cms,
         tx.bm25_search, tx.quality_deciles,
+        dd.source_overlap_matrix, pl.shard_manifest,
     ):
         fn(docs).collect()  # must not raise
+    from real_time_financial_lakehouse_spark.operators import profiling as pf
+
+    pf.kmv_distinct_estimate(docs).collect()  # must not raise
 
 
 def test_edit_distance_pairs_empty_pair_and_long_doc_cap(spark):
@@ -879,7 +883,8 @@ def test_queries_survive_fully_empty_tables(spark, tmp_path):
         # round-4 continuation additions
         "range_volatility", "pivot_points", "williams_r_14", "cci_20",
         "return_autocorr", "minhash_jaccard_estimate",
-        "edit_distance_pairs",
+        "edit_distance_pairs", "ann_pq_adc_topk", "kmv_distinct_estimate",
+        "source_overlap_matrix", "shard_manifest",
     ]:
         assert registry.QUERIES[name](spark, dst).count() == 0, name
 

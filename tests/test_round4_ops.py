@@ -869,3 +869,101 @@ def test_return_autocorr_alternating_series_reverts(spark):
     ])
     out2 = finance.return_autocorr(const).collect()
     assert out2[0]["autocorr_lag1"] is None
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation: PQ-ADC, KMV sketch, source overlap, shard manifest
+# ---------------------------------------------------------------------------
+
+
+def test_pq_adc_exact_for_anchor_neighbors(spark):
+    """A candidate that IS a codebook anchor quantizes to itself, so its
+    ADC distance equals its exact squared L2 -- quantization error is
+    exactly zero for anchor vectors.  And a duplicate of the query ranks
+    first with ADC distance 0 when the query is itself an anchor."""
+    import math
+
+    from real_time_financial_lakehouse_spark.operators import similarity as sim
+
+    def vec(seed):
+        return [math.sin(seed * 31 + i) for i in range(64)]
+
+    rows = [(i, vec(i), 0) for i in range(10)]
+    rows.append((10, vec(0), 0))        # exact duplicate of query 0
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = sim.pq_adc_topk(emb, n_queries=1, k=11)
+    got = {r["neighbor_id"]: r for r in out.collect()}
+    # anchor neighbors (vec_id < 8, excluding the query itself): ADC == exact
+    for nid in range(1, 8):
+        assert got[nid]["adc_d2"] == got[nid]["exact_d2"], nid
+    # the planted duplicate scores 0 under both metrics and ranks first
+    assert got[10]["adc_d2"] == 0.0
+    assert got[10]["exact_d2"] == 0.0
+    assert got[10]["rank"] == 1
+
+
+def test_kmv_exact_below_k_and_bounded_error_above(spark):
+    """A group with fewer than k distinct contents reports the exact
+    count as its estimate (rel_error 0); a 300-distinct group under a
+    k=32 sketch lands within the theoretical ~1/sqrt(k) error band
+    (asserted loosely at 50%)."""
+    from real_time_financial_lakehouse_spark.operators import profiling as pf
+
+    rows = [(i, f"small doc {i % 5}", "en", "tiny", 10) for i in range(20)]
+    rows += [(100 + i, f"big unique doc number {i}", "en", "big", 20) for i in range(300)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["source"]: r for r in pf.kmv_distinct_estimate(docs, k=32).collect()}
+    assert out["tiny"]["exact_distinct"] == 5
+    assert out["tiny"]["kmv_estimate"] == 5.0
+    assert out["tiny"]["rel_error"] == 0.0
+    assert out["big"]["exact_distinct"] == 300
+    assert out["big"]["rel_error"] < 0.5
+
+
+def test_source_overlap_matrix_planted_counts(spark):
+    """Sources A (2 distinct contents) and B (3 distinct) sharing exactly
+    one content report n_shared=1 and overlap 1/min(2,3); duplicate rows
+    of the same content within a source do not inflate anything."""
+    from real_time_financial_lakehouse_spark.operators import dedup as dd
+
+    rows = [
+        (0, "shared text", "A", 11),
+        (1, "shared text", "A", 11),     # dup within A: still 1 content
+        (2, "a only", "A", 6),
+        (3, "shared text", "B", 11),
+        (4, "b only one", "B", 10),
+        (5, "b only two", "B", 10),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", s, n) for i, t, s, n in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = dd.source_overlap_matrix(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("A", "B")
+    assert (r["n_shared"], r["n_a"], r["n_b"]) == (1, 2, 3)
+    assert r["overlap_coeff"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_shard_manifest_total_and_balance(spark):
+    """Every document lands in exactly one shard (counts sum to the
+    corpus size), assignment is deterministic across runs, and the md5
+    hash balances 320 docs over 16 shards within a loose 4x max/min."""
+    from real_time_financial_lakehouse_spark.operators import pipeline as pl
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with words", "en", f"s{i % 3}", 20) for i in range(320)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    m1 = pl.shard_manifest(docs, n_shards=16).collect()
+    m2 = pl.shard_manifest(docs, n_shards=16).collect()
+    assert [tuple(r) for r in m1] == [tuple(r) for r in m2]
+    counts = [r["n_docs"] for r in m1]
+    assert sum(counts) == 320
+    assert len(m1) == 16
+    assert max(counts) <= 4 * min(counts)
