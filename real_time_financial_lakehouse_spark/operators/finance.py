@@ -807,3 +807,57 @@ def return_autocorr(events: DataFrame) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+def skyline_days(events: DataFrame) -> DataFrame:
+    """Pareto-frontier (skyline) of trading days per symbol on the
+    (total volume, average price) plane: a day survives iff no other day
+    of the same symbol is >= on BOTH axes and strictly better on one --
+    the classic maximal-vector query ("days that were both busy and
+    expensive", with nothing strictly better available).
+
+    Scale: dominance is evaluated with an O(n log n) window sweep, not
+    the O(n^2) all-pairs NOT EXISTS the semantics naively suggest (the
+    oracle runs exactly that quadratic form, which is the point of the
+    pair): collapse to one row per distinct volume (keeping the max
+    price there), take the prefix-max price over STRICTLY greater
+    volumes (distinct-row frame makes ROWS 1 PRECEDING mean exactly
+    "strictly greater"), and a day survives iff it carries its volume's
+    max price and beats that prefix max.  Ties on both axes are mutual
+    non-domination -- duplicates both survive.  Everything after the bar
+    rollup runs at day cardinality; dominance is decided on the ROUNDED
+    plane so both engines compare identical doubles."""
+    qty = F.get_json_object(F.col("props"), "$.k").cast("double")
+    pts = (
+        events.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            qround(F.sum(qty), 6).alias("total_volume"),
+            qround(F.avg("value"), 6).alias("avg_price"),
+        )
+        # NULL on either axis cannot be ordered against: such days are
+        # excluded on BOTH engines (a NULL comparison would silently keep
+        # the row under the oracle's NOT EXISTS but drop it here)
+        .filter(F.col("total_volume").isNotNull() & F.col("avg_price").isNotNull())
+    )
+    per_x = Window.partitionBy("symbol", "total_volume")
+    with_mx = pts.withColumn("max_y_at_x", F.max("avg_price").over(per_x))
+    xs = with_mx.select("symbol", "total_volume", "max_y_at_x").distinct()
+    w_prefix = (
+        Window.partitionBy("symbol")
+        .orderBy(F.col("total_volume").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = xs.withColumn("best_above", F.max("max_y_at_x").over(w_prefix)).select(
+        "symbol", "total_volume", "best_above"
+    )
+    return (
+        with_mx.join(prefix, ["symbol", "total_volume"])
+        .filter(
+            (F.col("avg_price") == F.col("max_y_at_x"))
+            & (F.col("best_above").isNull() | (F.col("avg_price") > F.col("best_above")))
+        )
+        .select("symbol", "day", "total_volume", "avg_price")
+        .orderBy("symbol", F.col("total_volume").desc(), "day")
+    )

@@ -613,3 +613,44 @@ def shard_manifest(documents: DataFrame, n_shards: int = 16) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+def weighted_sample_per_source(documents: DataFrame, n: int = 20) -> DataFrame:
+    """Weighted sampling without replacement, ``n`` docs per source,
+    length-weighted: the Efraimidis-Spirakis A-ES scheme -- draw
+    u ~ U(0,1) per doc, rank by key = u^(1/weight), keep the top n --
+    gives each doc inclusion probability proportional to its weight
+    with NO sequential pass and no rejection loop, which is why it is
+    the distributed weighted-reservoir algorithm (each partition ranks
+    locally, winners merge).  u comes from the doc's md5, so the
+    "random" draw is reproducible across runs, engines and re-shards --
+    the property a training pipeline needs for auditable data recipes.
+    Zero-length / NULL-length docs carry no weight and are excluded.
+
+    Scale: the key is a pure projection; per-source top-n is a
+    WindowGroupLimit-pushed rank, so each task ships <= n rows per
+    source and the shuffle carries O(sources x n).  Ranking compares the
+    ROUNDED key (tie-broken by doc_id) so both engines order identical
+    doubles."""
+    from pyspark.sql import Window
+
+    u = md5_long(F.concat_ws(":", F.lit("wsample"), F.col("doc_id"))) / F.lit(
+        1152921504606846976.0
+    )
+    # 9-digit quantization: length-weighted keys crowd toward 1.0
+    # (u^(1/w) with w ~ hundreds), so a 1e-6 grid would tie most of the
+    # corpus and the doc_id tiebreak would swamp the weighting
+    key = qround(
+        F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 9
+    )
+    keyed = (
+        documents.filter(F.col("n_chars") > 0)
+        .select("source", "doc_id", "n_chars", key.alias("sample_key"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("sample_key").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .orderBy("source", "rank")
+    )

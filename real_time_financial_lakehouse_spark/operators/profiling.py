@@ -168,3 +168,107 @@ def kmv_distinct_estimate(
         )
         .orderBy(group_col)
     )
+
+
+def mad_outliers(events: DataFrame, z_cut: float = 3.5) -> DataFrame:
+    """Robust per-symbol outlier report via the median / MAD (median
+    absolute deviation) rule: robust z = |v - median| / (1.4826 * MAD),
+    flagging |z| > ``z_cut`` -- the estimator that survives the very
+    outliers a mean/stddev z-score is corrupted by (one fat-fingered
+    tick inflates stddev and hides itself).  1.4826 scales MAD to the
+    stddev of a normal.  A zero-MAD symbol (>=50% identical values)
+    reports NULL z columns rather than a division error.
+
+    Scale: three partial-agg passes at symbol cardinality -- median,
+    then MAD over the broadcast-joined deviations, then the z-scan with
+    both scalars broadcast back.  Exact ``percentile`` is the
+    correctness twin; at 100 TB swap both order statistics to the KLL
+    sketch (``percentile_approx``) and the passes collapse to mergeable
+    one-pass sketches, same report schema."""
+    from ..functions.numeric import qround
+
+    med = events.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    devs = events.select(F.col("event_type").alias("symbol"), "value").join(
+        F.broadcast(med), "symbol"
+    )
+    mad = devs.groupBy("symbol").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    scored = devs.join(F.broadcast(mad), "symbol")
+    # the mad != 0 guard must live INSIDE the per-row expression: ANSI
+    # mode raises DIVIDE_BY_ZERO even for doubles, and aggregates under
+    # a CASE still evaluate their input rows
+    z = F.when(
+        F.col("mad") != 0,
+        F.abs(F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")),
+    )
+    return (
+        scored.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            qround(F.first("med"), 6).alias("median_value"),
+            qround(F.first("mad"), 6).alias("mad"),
+            F.sum(F.when(z > z_cut, 1).otherwise(0)).alias("n_outliers"),
+            qround(F.max(z), 6).alias("max_robust_z"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def selfjoin_size_estimate(
+    events: DataFrame, width: int = 256, depth: int = 3
+) -> DataFrame:
+    """Join-cardinality estimation via count-min/AMS sketch inner
+    product: the size of ``events JOIN events ON user_id`` equals
+    ``sum(cnt_u^2)`` (the stream's second frequency moment), and a CMS
+    row estimates it as ``sum_j c[j]^2`` -- hash collisions only ADD,
+    so each row overestimates and the minimum over ``depth`` rows is the
+    sketch estimate (Alon-Matias-Szegedy / Cormode-Muthukrishnan).  This
+    is the statistic a query planner needs to choose a join strategy
+    BEFORE running the join; the report shows the estimate, the exact
+    moment, and the relative error, per the audit-the-sketch convention
+    (``minhash_jaccard_estimate``, ``kmv_distinct_estimate``).
+
+    Scale: the CMS build is one partial-agg groupBy at (depth x width)
+    cardinality -- counters merge across partitions, micro-batches, and
+    days, so the estimate maintains incrementally while the exact
+    ``sum(cnt^2)`` needs a full re-shuffle of the key column every time;
+    that asymmetry is the whole point at 100 TB.  md5 positions keep the
+    sketch engine-stable, so even the collision error is oracle-exact."""
+    from ..functions.hashing import md5_long
+    from ..functions.numeric import qround
+
+    keyed = events.filter(F.col("user_id").isNotNull())
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])
+    ).alias("r")
+    positions = keyed.select(F.col("user_id"), rows).select(
+        "r",
+        (md5_long(F.concat_ws(":", F.col("r"), F.col("user_id")), 7) % width).alias(
+            "pos"
+        ),
+    )
+    counters = positions.groupBy("r", "pos").agg(F.count(F.lit(1)).alias("c"))
+    per_row = counters.groupBy("r").agg(F.sum(F.col("c") * F.col("c")).alias("f2_row"))
+    est = per_row.agg(F.min("f2_row").alias("estimate"))
+    exact = (
+        keyed.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("exact_size"))
+    )
+    return (
+        est.crossJoin(exact)
+        .select(
+            F.lit(width).alias("width"),
+            F.lit(depth).alias("depth"),
+            "estimate",
+            "exact_size",
+            qround(
+                (F.col("estimate") - F.col("exact_size"))
+                / F.col("exact_size").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+    )

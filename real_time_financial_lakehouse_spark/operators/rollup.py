@@ -298,3 +298,41 @@ def hourly_from_minute(events: DataFrame) -> DataFrame:
         )
         .orderBy("hour_window", "symbol")
     )
+
+def seasonal_baseline(events: DataFrame) -> DataFrame:
+    """Hour-of-day seasonal baseline per symbol: mean/stddev of the
+    price and event count for each (symbol, hour-of-day), plus the
+    hour's mean as a ratio of the symbol's overall mean -- the profile
+    an anomaly detector subtracts before alerting (a quiet-hour spike is
+    news; the same level at the daily peak is Tuesday).
+
+    Scale: one partial-agg groupBy at (symbol x 24) cardinality plus a
+    symbol-level roll of the same partials; the ratio join broadcasts
+    the per-symbol scalars.  Nothing here is data-sized after the first
+    aggregate."""
+    hourly = events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.hour("ts").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("value").alias("mean_raw"),
+        F.stddev_pop("value").alias("std_raw"),
+    )
+    overall = events.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.avg("value").alias("symbol_mean")
+    )
+    return (
+        hourly.join(F.broadcast(overall), "symbol")
+        .select(
+            "symbol",
+            "hour_of_day",
+            "n_events",
+            qround(F.col("mean_raw"), 6).alias("mean_value"),
+            qround(F.col("std_raw"), 6).alias("std_value"),
+            F.when(
+                F.col("symbol_mean") != 0,
+                qround(F.col("mean_raw") / F.col("symbol_mean"), 6),
+            ).alias("vs_symbol_mean"),
+        )
+        .orderBy("symbol", "hour_of_day")
+    )

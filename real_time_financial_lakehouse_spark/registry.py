@@ -3226,3 +3226,126 @@ def q_return_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import finance
 
     return finance.return_autocorr(_events(spark, sf_dir))
+
+
+@register(
+    "mad_outliers",
+    f"""
+    WITH med AS (
+        SELECT event_type AS symbol, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1
+    ),
+    devs AS (
+        SELECT e.event_type AS symbol, e.value, m.med
+        FROM events e JOIN med m ON e.event_type = m.symbol
+    ),
+    mad AS (
+        SELECT symbol, quantile_cont(abs(value - med), 0.5) AS mad
+        FROM devs GROUP BY 1
+    )
+    SELECT d.symbol,
+           count(*) AS n,
+           {_q('any_value(d.med)', 6)} AS median_value,
+           {_q('any_value(m.mad)', 6)} AS mad,
+           sum(CASE WHEN m.mad <> 0
+                     AND abs(d.value - d.med) / (1.4826 * m.mad) > 3.5
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           CASE WHEN any_value(m.mad) <> 0
+                THEN {_q('max(abs(d.value - d.med) / (1.4826 * m.mad))', 6)} END
+               AS max_robust_z
+    FROM devs d JOIN mad m ON d.symbol = m.symbol
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import profiling
+
+    return profiling.mad_outliers(_events(spark, sf_dir))
+
+
+@register(
+    "selfjoin_size_estimate",
+    f"""
+    WITH keyed AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    positions AS (
+        SELECT r,
+               (('0x' || substr(md5(concat_ws(':', r, user_id)), 1, 7))::BIGINT) % 256 AS pos
+        FROM keyed, (SELECT unnest([0, 1, 2]) AS r) rs
+    ),
+    counters AS (SELECT r, pos, count(*) AS c FROM positions GROUP BY 1, 2),
+    per_row AS (SELECT r, sum(c * c)::BIGINT AS f2_row FROM counters GROUP BY 1),
+    est AS (SELECT min(f2_row) AS estimate FROM per_row),
+    exact AS (
+        SELECT sum(cnt * cnt)::BIGINT AS exact_size
+        FROM (SELECT count(*) AS cnt FROM keyed GROUP BY user_id)
+    )
+    SELECT 256 AS width, 3 AS depth, estimate, exact_size,
+           {_q('(estimate - exact_size) / exact_size::DOUBLE', 6)} AS rel_error
+    FROM est, exact
+    """,
+)
+def q_selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import profiling
+
+    return profiling.selfjoin_size_estimate(_events(spark, sf_dir))
+
+
+@register(
+    "seasonal_baseline",
+    f"""
+    WITH hourly AS (
+        SELECT event_type AS symbol,
+               extract(hour FROM ts)::INT AS hour_of_day,
+               count(*) AS n_events,
+               avg(value) AS mean_raw,
+               stddev_pop(value) AS std_raw
+        FROM events GROUP BY 1, 2
+    ),
+    overall AS (
+        SELECT event_type AS symbol, avg(value) AS symbol_mean
+        FROM events GROUP BY 1
+    )
+    SELECT h.symbol, h.hour_of_day, h.n_events,
+           {_q('h.mean_raw', 6)} AS mean_value,
+           {_q('h.std_raw', 6)} AS std_value,
+           CASE WHEN o.symbol_mean <> 0
+                THEN {_q('h.mean_raw / o.symbol_mean', 6)} END AS vs_symbol_mean
+    FROM hourly h JOIN overall o ON h.symbol = o.symbol
+    ORDER BY 1, 2
+    """,
+)
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import rollup as rollup_ops
+
+    return rollup_ops.seasonal_baseline(_events(spark, sf_dir))
+
+
+@register(
+    "skyline_days",
+    f"""
+    WITH pts AS (
+        SELECT * FROM (
+            SELECT event_type AS symbol,
+                   date_trunc('day', ts) AS day,
+                   {_q("sum((json_extract_string(props, '$.k'))::DOUBLE)", 6)} AS total_volume,
+                   {_q('avg(value)', 6)} AS avg_price
+            FROM events GROUP BY 1, 2
+        ) WHERE total_volume IS NOT NULL AND avg_price IS NOT NULL
+    )
+    SELECT p.symbol, p.day, p.total_volume, p.avg_price
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.symbol = p.symbol
+          AND q.total_volume >= p.total_volume
+          AND q.avg_price >= p.avg_price
+          AND (q.total_volume > p.total_volume OR q.avg_price > p.avg_price)
+    )
+    ORDER BY 1, p.total_volume DESC, 2
+    """,
+)
+def q_skyline_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.skyline_days(_events(spark, sf_dir))

@@ -1900,3 +1900,23 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.shard_manifest(_docs(spark, sf_dir), n_shards=16)
+
+
+@register(
+    "weighted_sample_per_source",
+    f"""
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               {qround_sql(f"pow(({md5_long_sql('''concat_ws(':', 'wsample', doc_id)''')}) / 1152921504606846976.0, 1.0 / n_chars)", 9)} AS sample_key
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT source, doc_id, n_chars, sample_key, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY sample_key DESC, doc_id) AS rank
+          FROM keyed)
+    WHERE rank <= 20
+    ORDER BY source, rank
+    """,
+)
+def q_weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.weighted_sample_per_source(_docs(spark, sf_dir), n=20)

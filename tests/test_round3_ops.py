@@ -768,6 +768,7 @@ def test_document_ops_tolerate_null_empty_whitespace_docs(spark):
         pl.dataset_split_counts, tx.bigram_logprob, tx.heavy_hitters_cms,
         tx.bm25_search, tx.quality_deciles,
         dd.source_overlap_matrix, pl.shard_manifest,
+        pl.weighted_sample_per_source,
     ):
         fn(docs).collect()  # must not raise
     from real_time_financial_lakehouse_spark.operators import profiling as pf
@@ -839,9 +840,15 @@ def test_event_ops_tolerate_degenerate_series(spark):
         finance.resample_ffill, finance.rolling_median,
         finance.range_volatility, finance.pivot_points,
         finance.williams_r, finance.cci, finance.return_autocorr,
+        finance.skyline_days,
         pipeline.winsorize_values, rollup.minute_ohlc,
-        rollup.hourly_from_minute, windows.ema_per_symbol,
+        rollup.hourly_from_minute, rollup.seasonal_baseline,
+        windows.ema_per_symbol,
     ):
+        fn(ev).collect()  # must not raise
+    from real_time_financial_lakehouse_spark.operators import profiling as pf
+
+    for fn in (pf.mad_outliers, pf.selfjoin_size_estimate):
         fn(ev).collect()  # must not raise
 
 
@@ -884,7 +891,8 @@ def test_queries_survive_fully_empty_tables(spark, tmp_path):
         "range_volatility", "pivot_points", "williams_r_14", "cci_20",
         "return_autocorr", "minhash_jaccard_estimate",
         "edit_distance_pairs", "ann_pq_adc_topk", "kmv_distinct_estimate",
-        "source_overlap_matrix", "shard_manifest",
+        "source_overlap_matrix", "shard_manifest", "mad_outliers",
+        "seasonal_baseline", "skyline_days", "weighted_sample_per_source",
     ]:
         assert registry.QUERIES[name](spark, dst).count() == 0, name
 

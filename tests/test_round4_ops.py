@@ -967,3 +967,110 @@ def test_shard_manifest_total_and_balance(spark):
     assert sum(counts) == 320
     assert len(m1) == 16
     assert max(counts) <= 4 * min(counts)
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation batch 3: robust stats, sketches, skyline, sampling
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_flags_spike_and_guards_constant(spark):
+    """One fat-fingered tick among steady prices is flagged by the
+    median/MAD rule (and does NOT inflate the robust scale the way it
+    would inflate stddev); a constant series has MAD 0 and reports NULL
+    z instead of a division error."""
+    from real_time_financial_lakehouse_spark.operators import profiling as pf
+
+    vals = [10.0, 10.1, 9.9, 10.2, 9.8, 10.0, 500.0]
+    ev = _ticks(spark, [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "A", v, "{}") for i, v in enumerate(vals)
+    ] + [
+        (10 + i, f"2024-01-01 00:{i:02d}:00", 1, "B", 7.0, "{}") for i in range(4)
+    ])
+    out = {r["symbol"]: r for r in pf.mad_outliers(ev).collect()}
+    assert out["A"]["n_outliers"] == 1
+    assert out["A"]["median_value"] == pytest.approx(10.0, abs=1e-6)
+    assert out["A"]["mad"] == pytest.approx(0.1, abs=1e-6)   # spike-immune scale
+    assert out["B"]["mad"] == 0.0
+    assert out["B"]["max_robust_z"] is None
+    assert out["B"]["n_outliers"] == 0
+
+
+def test_selfjoin_estimate_exact_without_collisions_and_overestimates(spark):
+    """Self-join size = sum of squared key counts: planted counts
+    [3, 2, 1] give exactly 14, and with far fewer keys than sketch
+    width there are no collisions, so the CMS estimate is exact; a
+    1-wide sketch degenerates to n^2 (all keys collide), always an
+    overestimate."""
+    from real_time_financial_lakehouse_spark.operators import profiling as pf
+
+    rows = [(i, "2024-01-01 00:00:00", u, "A", 1.0, "{}")
+            for i, u in enumerate([1, 1, 1, 2, 2, 3])]
+    ev = _ticks(spark, rows)
+    r = pf.selfjoin_size_estimate(ev, width=256, depth=3).collect()[0]
+    assert r["exact_size"] == 14
+    assert r["estimate"] == 14
+    assert r["rel_error"] == 0.0
+    narrow = pf.selfjoin_size_estimate(ev, width=1, depth=2).collect()[0]
+    assert narrow["estimate"] == 36                 # (3+2+1)^2: all collided
+    assert narrow["estimate"] >= narrow["exact_size"]
+
+
+def test_seasonal_baseline_ratio(spark):
+    """Planted two-hour profile: the busy hour's mean lands above the
+    symbol mean, the quiet hour below, and the ratios are exact."""
+    from real_time_financial_lakehouse_spark.operators import rollup as ro
+
+    ev = _ticks(spark, [
+        (1, "2024-01-01 09:00:00", 1, "A", 20.0, "{}"),
+        (2, "2024-01-02 09:30:00", 1, "A", 20.0, "{}"),
+        (3, "2024-01-01 03:00:00", 1, "A", 10.0, "{}"),
+        (4, "2024-01-02 03:30:00", 1, "A", 10.0, "{}"),
+    ])
+    out = {r["hour_of_day"]: r for r in ro.seasonal_baseline(ev).collect()}
+    assert out[9]["vs_symbol_mean"] == pytest.approx(20.0 / 15.0, abs=1e-6)
+    assert out[3]["vs_symbol_mean"] == pytest.approx(10.0 / 15.0, abs=1e-6)
+    assert out[9]["n_events"] == 2
+
+
+def test_skyline_dominance_ties_and_duplicates(spark):
+    """Planted plane: a point dominated on both axes is dropped; a point
+    beaten on one axis but better on the other survives; exact duplicate
+    points are mutually non-dominating and BOTH survive; equal-volume
+    lower-price days are dominated by the same-volume higher-price day."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    def day(i, val, qty):
+        return (i, f"2024-01-{i:02d} 12:00:00", 1, "A", float(val),
+                '{"k": %d}' % qty)
+
+    ev = _ticks(spark, [
+        day(1, 10, 100),   # vol 100, price 10  -> skyline (max volume)
+        day(2, 20, 50),    # vol 50, price 20   -> skyline (better price)
+        day(3, 5, 50),     # vol 50, price 5    -> dominated by day 2
+        day(4, 9, 80),     # vol 80, price 9    -> dominated by day 1
+        day(5, 20, 50),    # duplicate of day 2 -> both survive
+    ])
+    out = finance.skyline_days(ev).collect()
+    days = sorted(r["day"].day for r in out)
+    assert days == [1, 2, 5]
+
+
+def test_weighted_sample_prefers_heavy_docs_and_caps_n(spark):
+    """Length-weighted A-ES sampling: with 100 weight-5 docs and 100
+    weight-5000 docs in one source, the top-20 is overwhelmingly heavy
+    docs; output is deterministic across runs and capped at n per
+    source."""
+    from real_time_financial_lakehouse_spark.operators import pipeline as pl
+
+    rows = [(i, "light", "en", "s", 5) for i in range(100)]
+    rows += [(100 + i, "heavy doc", "en", "s", 5000) for i in range(100)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out1 = pl.weighted_sample_per_source(docs, n=20).collect()
+    out2 = pl.weighted_sample_per_source(docs, n=20).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    assert len(out1) == 20
+    n_heavy = sum(1 for r in out1 if r["n_chars"] == 5000)
+    assert n_heavy >= 15
