@@ -426,3 +426,77 @@ def test_bm25_filters_postings_before_joins(spark):
     assert "hash IN" in optimized or "IN (hash" in optimized.replace("'", "") or "term IN" in optimized.replace("#", " ").replace("'", "")
     physical = _plan(df)
     assert "TakeOrderedAndProject" in physical
+
+def test_pq_adc_no_exchange_before_topk_window(spark):
+    """PQ encoding is a pure projection over the broadcast codebook and
+    the query LUTs broadcast against the candidate scan: the ONLY hash
+    exchange in the whole ADC plan is the per-query top-k window."""
+    from real_time_financial_lakehouse_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    df = sim.pq_adc_topk(emb, n_queries=3, k=3)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("BroadcastExchange") >= 2      # codebook row + query side
+    # candidates reach the scoring crossJoin without a hash shuffle: every
+    # hashpartitioning exchange in the plan is the rank window's query_id
+    # one (AQE prints the plan twice, so compare counts, not totals)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(") == plan.count(
+        "Exchange hashpartitioning(query_id"
+    ), plan
+    # and the top-k is WindowGroupLimit-pushed below that exchange
+    assert "WindowGroupLimit" in plan
+
+
+def test_kmv_bottom_k_is_window_group_limited(spark):
+    """The per-group bottom-k rank must push a WindowGroupLimit below
+    the exchange so each task ships <= k rows per group, not the corpus."""
+    from real_time_financial_lakehouse_spark.operators import profiling as pf
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = pf.kmv_distinct_estimate(docs, k=8)
+    df.collect()
+    assert "WindowGroupLimit" in _plan(df)
+
+
+def test_weighted_sample_is_window_group_limited(spark):
+    """A-ES per-source top-n: WindowGroupLimit below the exchange bounds
+    the shuffle at O(sources x n)."""
+    from real_time_financial_lakehouse_spark.operators import pipeline as pl
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = pl.weighted_sample_per_source(docs, n=5)
+    df.collect()
+    assert "WindowGroupLimit" in _plan(df)
+
+
+def test_skyline_runs_at_day_cardinality(spark):
+    """The skyline sweep must aggregate ticks to days FIRST (one partial
+    agg) and run every window at day cardinality -- no pair expansion,
+    no nested-loop join anywhere in the plan."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    df = finance.skyline_days(ev)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_selfjoin_estimate_never_joins_the_table(spark):
+    """The AMS estimate must come from sketch counters, never from
+    materializing the self-join: no join operator over the events table
+    appears in the sketch branch (the only join is the final 1x1 cross
+    of the two scalar reports)."""
+    from real_time_financial_lakehouse_spark.operators import profiling as pf
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    df = pf.selfjoin_size_estimate(ev)
+    df.collect()
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan      # scalar cross only
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
