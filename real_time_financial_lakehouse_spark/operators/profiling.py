@@ -272,3 +272,43 @@ def selfjoin_size_estimate(
             ).alias("rel_error"),
         )
     )
+
+
+def event_gap_stats(events: DataFrame, outage_s: float = 300.0) -> DataFrame:
+    """Feed-health diagnosis per symbol from inter-arrival gaps: mean /
+    p95 / max seconds between consecutive events plus the count of gaps
+    exceeding ``outage_s`` -- the first query an on-call runs when a
+    market-data feed looks stale (a healthy feed has a tight gap
+    distribution; outages show up as a fat max and a nonzero outage
+    count long before a missing-data report does).
+
+    Scale: one window pass (lag over symbol/time order -- O(1) state per
+    task) and one partial-agg groupBy at symbol cardinality.  Exact
+    ``percentile`` is the oracle twin; swap to the KLL sketch at 100 TB
+    as usual."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import qround
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = events.select(
+        F.col("event_type").alias("symbol"),
+        (
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(w))
+            )
+            / F.lit(1_000_000.0)
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            qround(F.avg("gap_s"), 6).alias("mean_gap_s"),
+            qround(F.expr("percentile(gap_s, 0.95)"), 6).alias("p95_gap_s"),
+            qround(F.max("gap_s"), 6).alias("max_gap_s"),
+            F.sum((F.col("gap_s") > outage_s).cast("long")).alias("n_outages"),
+        )
+        .orderBy("symbol")
+    )

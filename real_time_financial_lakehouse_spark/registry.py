@@ -3349,3 +3349,101 @@ def q_skyline_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import finance
 
     return finance.skyline_days(_events(spark, sf_dir))
+
+
+@register(
+    "streaming_seasonal_anomaly",
+    f"""
+    WITH base AS (
+        SELECT event_type AS symbol, extract(hour FROM ts)::INT AS hod,
+               avg(value) AS mean_v, stddev_pop(value) AS std_v
+        FROM events GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT e.event_type AS symbol,
+               extract(hour FROM e.ts)::INT AS hour_of_day,
+               CASE WHEN b.std_v <> 0
+                    THEN abs((e.value - b.mean_v) / b.std_v) END AS az
+        FROM events e
+        JOIN base b ON e.event_type = b.symbol
+                   AND extract(hour FROM e.ts)::INT = b.hod
+    )
+    SELECT symbol, hour_of_day, count(*) AS n_anomalies,
+           {_q('max(az)', 6)} AS max_abs_z
+    FROM flagged
+    WHERE az > 3.0
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_streaming_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import streaming_seasonal_anomaly_roundtrip
+
+    return streaming_seasonal_anomaly_roundtrip(spark, sf_dir)
+
+
+@register(
+    "event_gap_stats",
+    f"""
+    WITH gaps AS (
+        SELECT event_type AS symbol,
+               (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type
+                                                      ORDER BY ts, event_id)))
+                   / 1000000.0 AS gap_s
+        FROM events
+    )
+    SELECT symbol, count(*) AS n_gaps,
+           {_q('avg(gap_s)', 6)} AS mean_gap_s,
+           {_q('quantile_cont(gap_s, 0.95)', 6)} AS p95_gap_s,
+           {_q('max(gap_s)', 6)} AS max_gap_s,
+           sum((gap_s > 300.0)::INT)::BIGINT AS n_outages
+    FROM gaps
+    WHERE gap_s IS NOT NULL
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import profiling
+
+    return profiling.event_gap_stats(_events(spark, sf_dir))
+
+
+@register(
+    "dollar_bars",
+    f"""
+    WITH ticks AS (
+        SELECT event_type AS symbol, ts, event_id, value,
+               value * (json_extract_string(props, '$.k'))::DOUBLE AS dollars,
+               floor(sum(value * (json_extract_string(props, '$.k'))::DOUBLE)
+                         OVER (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING)
+                     / 250000.0)::BIGINT AS bar_id
+        FROM events
+    ),
+    rn AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY symbol, bar_id
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY symbol, bar_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM ticks
+    )
+    SELECT symbol, bar_id,
+           {_q('max(CASE WHEN rn_a = 1 THEN value END)', 6)} AS open,
+           {_q('max(value)', 6)} AS high,
+           {_q('min(value)', 6)} AS low,
+           {_q('max(CASE WHEN rn_d = 1 THEN value END)', 6)} AS close,
+           {_q('sum(dollars)', 4)} AS dollar_volume,
+           count(*) AS n_ticks,
+           min(ts) AS bar_start,
+           max(ts) AS bar_end
+    FROM rn
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.dollar_bars(_events(spark, sf_dir))

@@ -523,3 +523,75 @@ def streaming_symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+def streaming_seasonal_anomaly_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly detection against a learned seasonal baseline:
+    the per-(symbol, hour-of-day) mean/stddev profile is computed in
+    BATCH over the historical table, broadcast, and the event stream is
+    scored row-by-row against it -- |z| > 3 rows are flagged and
+    appended to the anomaly log (availableNow), which is then rolled up
+    per (symbol, hour) for the report.
+
+    This is the canonical monitoring split: the EXPENSIVE statistical
+    pass runs batch on history (refreshed on whatever cadence), and the
+    stream pays only a broadcast-join lookup + one arithmetic expression
+    per row -- stateless, no watermark, no state store; at 100 TB/day
+    the stream never shuffles.  The z-guard lives inside the row
+    expression (ANSI DIVIDE_BY_ZERO applies to doubles); a zero-variance
+    baseline cell can never flag.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import qround
+    from .silver import events_stream
+
+    out_dir = scratch_dir("rtfl_anom_out_")
+    ckpt_dir = scratch_dir("rtfl_anom_ckpt_")
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark) as ss:
+        from ..catalog import load_table
+
+        hist = load_table(ss, sf_dir, "events")
+        base = hist.groupBy(
+            F.col("event_type").alias("b_symbol"),
+            F.hour("ts").alias("b_hod"),
+        ).agg(
+            F.avg("value").alias("mean_v"),
+            F.stddev_pop("value").alias("std_v"),
+        )
+        ev = events_stream(ss, sf_dir)
+        scored = ev.join(
+            F.broadcast(base),
+            (ev["event_type"] == F.col("b_symbol")) & (F.hour(ev["ts"]) == F.col("b_hod")),
+        )
+        az = F.when(
+            F.col("std_v") != 0,
+            F.abs((F.col("value") - F.col("mean_v")) / F.col("std_v")),
+        )
+        flagged = scored.select(
+            F.col("event_type").alias("symbol"),
+            F.hour("ts").alias("hour_of_day"),
+            az.alias("az"),
+        ).filter(F.col("az") > 3.0)
+        q = (
+            flagged.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    sunk = spark.read.schema(
+        "symbol string, hour_of_day int, az double"
+    ).parquet(out_dir)
+    return (
+        sunk.groupBy("symbol", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_anomalies"),
+            qround(F.max("az"), 6).alias("max_abs_z"),
+        )
+        .orderBy("symbol", "hour_of_day")
+    )

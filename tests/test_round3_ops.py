@@ -840,7 +840,7 @@ def test_event_ops_tolerate_degenerate_series(spark):
         finance.resample_ffill, finance.rolling_median,
         finance.range_volatility, finance.pivot_points,
         finance.williams_r, finance.cci, finance.return_autocorr,
-        finance.skyline_days,
+        finance.skyline_days, finance.dollar_bars,
         pipeline.winsorize_values, rollup.minute_ohlc,
         rollup.hourly_from_minute, rollup.seasonal_baseline,
         windows.ema_per_symbol,
@@ -848,7 +848,7 @@ def test_event_ops_tolerate_degenerate_series(spark):
         fn(ev).collect()  # must not raise
     from real_time_financial_lakehouse_spark.operators import profiling as pf
 
-    for fn in (pf.mad_outliers, pf.selfjoin_size_estimate):
+    for fn in (pf.mad_outliers, pf.selfjoin_size_estimate, pf.event_gap_stats):
         fn(ev).collect()  # must not raise
 
 
@@ -893,6 +893,7 @@ def test_queries_survive_fully_empty_tables(spark, tmp_path):
         "edit_distance_pairs", "ann_pq_adc_topk", "kmv_distinct_estimate",
         "source_overlap_matrix", "shard_manifest", "mad_outliers",
         "seasonal_baseline", "skyline_days", "weighted_sample_per_source",
+        "event_gap_stats", "dollar_bars", "streaming_seasonal_anomaly",
     ]:
         assert registry.QUERIES[name](spark, dst).count() == 0, name
 

@@ -1074,3 +1074,80 @@ def test_weighted_sample_prefers_heavy_docs_and_caps_n(spark):
     assert len(out1) == 20
     n_heavy = sum(1 for r in out1 if r["n_chars"] == 5000)
     assert n_heavy >= 15
+
+
+def test_event_gap_stats_outage_detection(spark):
+    """Planted feed: gaps of 10 s and 390 s give two gaps, one outage
+    (> 300 s), and exact mean/max; a single-event symbol has no gaps
+    and is absent."""
+    from real_time_financial_lakehouse_spark.operators import profiling as pf
+
+    ev = _ticks(spark, [
+        (1, "2024-01-01 00:00:00", 1, "A", 1.0, "{}"),
+        (2, "2024-01-01 00:00:10", 1, "A", 1.0, "{}"),
+        (3, "2024-01-01 00:06:40", 1, "A", 1.0, "{}"),
+        (4, "2024-01-01 00:00:00", 1, "B", 1.0, "{}"),
+    ])
+    out = {r["symbol"]: r for r in pf.event_gap_stats(ev).collect()}
+    assert out["A"]["n_gaps"] == 2
+    assert out["A"]["n_outages"] == 1
+    assert out["A"]["max_gap_s"] == pytest.approx(390.0, abs=1e-6)
+    assert out["A"]["mean_gap_s"] == pytest.approx(200.0, abs=1e-6)
+    assert "B" not in out
+
+
+def test_dollar_bars_cut_on_cumulative_dollars(spark):
+    """Planted tape with 60-dollar ticks and a 100-dollar bucket: the
+    cumulative clock cuts bars at [0, 1, 1, 2 ...] regardless of
+    wall-clock spacing, and OHLC reads off each bar's first/last tick."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    ev = _ticks(spark, [
+        (1, "2024-01-01 00:00:00", 1, "A", 6.0, '{"k": 10}'),   # cum 60  -> bar 0
+        (2, "2024-01-01 09:00:00", 1, "A", 12.0, '{"k": 5}'),   # cum 120 -> bar 1
+        (3, "2024-01-01 09:00:01", 1, "A", 3.0, '{"k": 20}'),   # cum 180 -> bar 1
+        (4, "2024-01-01 23:00:00", 1, "A", 10.0, '{"k": 3}'),   # cum 210 -> bar 2
+    ])
+    out = {r["bar_id"]: r for r in finance.dollar_bars(ev, bucket_dollars=100.0).collect()}
+    assert sorted(out) == [0, 1, 2]
+    assert out[0]["n_ticks"] == 1
+    assert out[1]["n_ticks"] == 2
+    assert out[1]["open"] == 12.0 and out[1]["close"] == 3.0
+    assert out[1]["high"] == 12.0 and out[1]["low"] == 3.0
+    assert out[1]["dollar_volume"] == pytest.approx(120.0, abs=1e-4)
+
+
+def test_streaming_seasonal_anomaly_flags_planted_spike(spark, tmp_path):
+    """A 1000x spike inside an otherwise steady hour is the only flagged
+    anomaly after the stream is scored against the batch-learned
+    baseline."""
+    import os
+
+    from real_time_financial_lakehouse_spark.streaming.stateful import (
+        streaming_seasonal_anomaly_roundtrip,
+    )
+
+    rows = [(i, f"2024-01-01 09:{i:02d}:00", 1, "A", 10.0 + (i % 3) * 0.1, "{}")
+            for i in range(30)]
+    rows.append((99, "2024-01-01 09:45:00", 1, "A", 10000.0, "{}"))
+    ev = _ticks(spark, rows)
+    sf = str(tmp_path / "sf_planted")
+    os.makedirs(sf)
+    # write with the fixture's vintage (INT64 micros, not INT96) so the
+    # stream reader's timestamp normalization sees what it expects
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        ev.coalesce(1).write.parquet(str(tmp_path / "ev_w"))
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    import shutil
+
+    f = next(x for x in os.listdir(tmp_path / "ev_w") if x.endswith(".parquet"))
+    shutil.move(str(tmp_path / "ev_w" / f), f"{sf}/events.parquet")
+    out = streaming_seasonal_anomaly_roundtrip(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0]["symbol"] == "A"
+    assert out[0]["hour_of_day"] == 9
+    assert out[0]["n_anomalies"] == 1
+    assert out[0]["max_abs_z"] > 4.0
