@@ -737,3 +737,118 @@ def bm25_search(
         .orderBy(F.col("bm25").desc(), F.col("doc_id"))
         .limit(topn)
     )
+
+def ngram_novelty(documents: DataFrame, shingle_n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word shingles that appear in no other document (corpus document
+    frequency 1) -- the content-originality signal that separates
+    authored text (high novelty) from templated / boilerplate / copied
+    text (low novelty) even when no single pair crosses a dedup
+    threshold.  Docs too short to shingle report NULL novelty.
+
+    Scale: the shingling projection runs once; the document-frequency
+    aggregate partial-aggregates map-side over (shingle -> df); the
+    df join back to the doc's shingles is an equi-join on the shingle
+    (Zipf: the distinct-shingle table is far smaller than token volume).
+    Two shuffles total -- the same inverted-index discipline as
+    ``ngram_jaccard_pairs``, with no pair expansion at all."""
+    from ..functions.hashing import shingles_expr
+
+    sh = (
+        _spread(documents.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(F.expr(shingles_expr("text", shingle_n)))
+            ).alias("shingle"),
+        )
+    )
+    present = sh.filter(F.col("shingle").isNotNull())
+    df_tbl = present.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        present.join(df_tbl, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    all_docs = documents.select("doc_id")
+    return (
+        all_docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.when(
+                F.col("n_shingles") > 0,
+                qround(F.col("n_unique") / F.col("n_shingles").cast("double"), 6),
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+def cross_entropy_eval(
+    documents: DataFrame, train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """Train/val/test cross-entropy audit: fit an add-one-smoothed
+    unigram LM on the TRAIN split (the same deterministic md5 split as
+    ``dataset_split_counts``) and report each split's token count,
+    cross-entropy under that model, and out-of-vocabulary rate -- the
+    eval-discipline query that catches split leakage (val CE suspiciously
+    equal to train CE) and distribution shift (test OOV spiking) before
+    anyone trains on the data.
+
+    Smoothing: p(t) = (cf_train(t) + 1) / (N_train + V_train + 1), with
+    unseen tokens taking cf 0 -- so every probability is finite and the
+    whole report is exactly oracle-checkable.
+
+    Scale: one token explode; the train-vocab aggregate and the
+    terms-to-vocab join are the ``unigram_logprob`` shape (vocab tiny by
+    Zipf, broadcast); the model scalars (N, V) cross in as a broadcast
+    single row; the final groupBy has three groups."""
+    bucket = md5_long(F.concat_ws(":", F.lit("split"), F.col("doc_id"))) % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    terms = (
+        _spread(documents.select("doc_id", "text"))
+        .select(
+            split.alias("split"),
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") >= 1)
+    )
+    vocab = (
+        terms.filter(F.col("split") == "train")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    model = vocab.agg(
+        F.sum("cf").cast("double").alias("n_train"),
+        F.count(F.lit(1)).cast("double").alias("v_train"),
+    )
+    logp = F.log(
+        (F.coalesce(F.col("cf"), F.lit(0)) + F.lit(1.0))
+        / (F.col("n_train") + F.col("v_train") + F.lit(1.0))
+    )
+    scored = (
+        terms.join(vocab, "term", "left")
+        .crossJoin(F.broadcast(model))
+        .select(
+            "split",
+            logp.alias("logp"),
+            F.col("cf").isNull().cast("long").alias("oov"),
+        )
+    )
+    return (
+        scored.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            qround(-F.avg("logp"), 6).alias("cross_entropy"),
+            qround(F.avg(F.col("oov").cast("double")), 6).alias("oov_rate"),
+        )
+        .orderBy("split")
+    )

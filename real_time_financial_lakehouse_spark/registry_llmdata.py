@@ -1920,3 +1920,63 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.weighted_sample_per_source(_docs(spark, sf_dir), n=20)
+
+
+@register(
+    "ngram_novelty",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle
+        FROM documents
+    ),
+    df_tbl AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    per_doc AS (
+        SELECT s.doc_id, count(*) AS n_shingles,
+               sum((d.df = 1)::INT)::BIGINT AS n_unique
+        FROM sh s JOIN df_tbl d USING (shingle)
+        GROUP BY 1
+    )
+    SELECT doc.doc_id,
+           coalesce(p.n_shingles, 0) AS n_shingles,
+           coalesce(p.n_unique, 0) AS n_unique,
+           CASE WHEN p.n_shingles > 0
+                THEN {qround_sql('p.n_unique / p.n_shingles::DOUBLE', 6)} END AS novelty
+    FROM documents doc LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY doc.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ngram_novelty(_docs(spark, sf_dir))
+
+
+@register(
+    "cross_entropy_eval",
+    f"""
+    WITH terms AS (
+        SELECT CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               term
+        FROM (
+            SELECT {md5_long_sql("concat_ws(':', 'split', doc_id)")} % 100 AS b,
+                   unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                      x -> length(x) >= 1)) AS term
+            FROM documents
+        )
+    ),
+    vocab AS (SELECT term, count(*) AS cf FROM terms WHERE split = 'train' GROUP BY 1),
+    model AS (SELECT sum(cf)::DOUBLE AS n_train, count(*)::DOUBLE AS v_train FROM vocab),
+    scored AS (
+        SELECT t.split,
+               ln((coalesce(v.cf, 0) + 1.0) / (m.n_train + m.v_train + 1.0)) AS logp,
+               (v.cf IS NULL)::INT AS oov
+        FROM terms t LEFT JOIN vocab v USING (term), model m
+    )
+    SELECT split, count(*) AS n_tokens,
+           {qround_sql('-avg(logp)', 6)} AS cross_entropy,
+           {qround_sql('avg(oov::DOUBLE)', 6)} AS oov_rate
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_cross_entropy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.cross_entropy_eval(_docs(spark, sf_dir))

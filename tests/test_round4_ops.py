@@ -1151,3 +1151,67 @@ def test_streaming_seasonal_anomaly_flags_planted_spike(spark, tmp_path):
     assert out[0]["hour_of_day"] == 9
     assert out[0]["n_anomalies"] == 1
     assert out[0]["max_abs_z"] > 4.0
+
+
+def test_ngram_novelty_separates_copies_from_originals(spark):
+    """Two identical docs share every shingle (novelty 0); a unique doc
+    scores 1; a too-short doc reports NULL novelty with zero shingles."""
+    from real_time_financial_lakehouse_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+            (1, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+            (2, "completely original content nobody else wrote here", "en", "s", 50),
+            (3, "too short", "en", "s", 9),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in tx.ngram_novelty(docs).collect()}
+    assert out[0]["novelty"] == 0.0
+    assert out[1]["novelty"] == 0.0
+    assert out[2]["novelty"] == 1.0
+    assert out[3]["n_shingles"] == 0 and out[3]["novelty"] is None
+
+
+def test_cross_entropy_oov_and_identity_properties(spark):
+    """Guaranteed properties: the train split scored by its own model
+    has OOV rate 0 by construction; a corpus of identical docs yields
+    equal cross-entropy and zero OOV on every split (the model is the
+    same distribution everywhere); and a split whose only content is
+    vocabulary absent from train shows a positive OOV rate."""
+    from real_time_financial_lakehouse_spark.operators import text as tx
+
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma", "en", "s", 16) for i in range(60)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["split"]: r for r in tx.cross_entropy_eval(same).collect()}
+    assert out["train"]["oov_rate"] == 0.0
+    ces = {r["cross_entropy"] for r in out.values()}
+    assert len(ces) == 1                       # identical distribution everywhere
+    assert all(r["oov_rate"] == 0.0 for r in out.values())
+
+    # find a doc_id the md5 split sends to val/test, give it unique vocab
+    rows = [(i, "common words shared by all documents", "en", "s", 36)
+            for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    base = {r["split"]: r for r in tx.cross_entropy_eval(docs).collect()}
+    heldout = [s for s in base if s != "train"]
+    assert heldout, "md5 split of 30 ids produced no held-out docs"
+    # swap every held-out doc's text for unseen vocabulary
+    from real_time_financial_lakehouse_spark.functions.hashing import md5_long
+    tagged = docs.withColumn(
+        "b", md5_long(F.concat_ws(":", F.lit("split"), F.col("doc_id"))) % 100
+    )
+    docs2 = tagged.selectExpr(
+        "doc_id",
+        "CASE WHEN b >= 80 THEN 'xylophone quixotic zephyr' ELSE text END AS text",
+        "lang", "source", "n_chars",
+    )
+    out2 = {r["split"]: r for r in tx.cross_entropy_eval(docs2).collect()}
+    assert out2["train"]["oov_rate"] == 0.0
+    for s in heldout:
+        assert out2[s]["oov_rate"] == 1.0
