@@ -852,3 +852,86 @@ def cross_entropy_eval(
         )
         .orderBy("split")
     )
+
+def bpe_train_merges(documents: DataFrame, n_merges: int = 6) -> DataFrame:
+    """Distributed BPE tokenizer training: learn the first ``n_merges``
+    byte-pair-encoding merges from the corpus (Sennrich et al. 2016) --
+    repeatedly count adjacent symbol pairs, merge the most frequent one
+    everywhere, and record the merge table a tokenizer would ship.
+    Ties break lexicographically so the learned table is deterministic.
+
+    Scale: the critical move is that BPE training never touches the
+    corpus after one pass -- the corpus collapses to the (word, freq)
+    VOCABULARY table (Zipf: thousands of rows where the corpus has
+    billions of tokens), every pair count is weighted by ``freq``, and
+    each merge iteration is a vocab-cardinality groupBy plus a pure
+    array-fold projection rewriting the symbol arrays.  The per-step
+    argmax is a 1-row driver collect (metadata, like the versioned-table
+    manifests); each step localCheckpoints the tiny vocab frame so the
+    lineage does not stack across iterations (same discipline as
+    ``dedup.min_label_components``).  Genuinely iterative, so this query
+    is rows-only for the driver; pytest pins it against a reference
+    in-memory BPE implementation."""
+    words = (
+        _spread(documents.select("text"))
+        .select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(
+        "freq",
+        F.expr("array_append(split(w, ''), '</w>')").alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for step in range(n_merges):
+        pairs = vocab.select(
+            "freq",
+            # CASE guard: sequence(0, -1) DESCENDS in Spark, so a
+            # single-symbol word would index syms[-1] (same trap as
+            # functions.hashing.shingles_expr documents)
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) >= 2 THEN"
+                    " transform(sequence(0, size(syms) - 2),"
+                    " i -> struct(syms[i] AS l, syms[i+1] AS r))"
+                    " ELSE array() END"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] is None:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((step, l, r, int(cnt)))
+        # rewrite every symbol array: merge adjacent (l, r) -> l||r via a
+        # skip-flagged index fold -- pure projection, no shuffle
+        l_sql = l.replace("'", "\\'")
+        r_sql = r.replace("'", "\\'")
+        merge_expr = (
+            "aggregate(sequence(0, size(syms) - 1),"
+            " named_struct('out', cast(array() as array<string>), 'skip', false),"
+            " (acc, i) -> CASE"
+            "   WHEN acc.skip THEN named_struct('out', acc.out, 'skip', false)"
+            f"  WHEN i < size(syms) - 1 AND syms[i] = '{l_sql}'"
+            f"       AND syms[i+1] = '{r_sql}'"
+            f"    THEN named_struct('out', array_append(acc.out, '{l_sql}{r_sql}'),"
+            "          'skip', true)"
+            "   ELSE named_struct('out', array_append(acc.out, syms[i]),"
+            "        'skip', false) END,"
+            " acc -> acc.out)"
+        )
+        vocab = vocab.select("freq", F.expr(merge_expr).alias("syms")).localCheckpoint(
+            eager=True
+        )
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count long"
+    ).orderBy("step")

@@ -1980,3 +1980,11 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cross_entropy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.cross_entropy_eval(_docs(spark, sf_dir))
+
+
+# rows-only by design: BPE training is genuinely iterative (argmax +
+# rewrite per step); pytest pins the learned merge table against a
+# reference in-memory implementation (tests/test_round4_ops.py).
+@register("bpe_train_merges")
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_train_merges(_docs(spark, sf_dir), n_merges=6)

@@ -769,7 +769,7 @@ def test_document_ops_tolerate_null_empty_whitespace_docs(spark):
         tx.bm25_search, tx.quality_deciles,
         dd.source_overlap_matrix, pl.shard_manifest,
         pl.weighted_sample_per_source, tx.ngram_novelty,
-        tx.cross_entropy_eval,
+        tx.cross_entropy_eval, tx.bpe_train_merges,
     ):
         fn(docs).collect()  # must not raise
     from real_time_financial_lakehouse_spark.operators import profiling as pf
@@ -895,7 +895,7 @@ def test_queries_survive_fully_empty_tables(spark, tmp_path):
         "source_overlap_matrix", "shard_manifest", "mad_outliers",
         "seasonal_baseline", "skyline_days", "weighted_sample_per_source",
         "event_gap_stats", "dollar_bars", "streaming_seasonal_anomaly",
-        "ngram_novelty", "cross_entropy_eval",
+        "ngram_novelty", "cross_entropy_eval", "bpe_train_merges",
     ]:
         assert registry.QUERIES[name](spark, dst).count() == 0, name
 

@@ -1215,3 +1215,69 @@ def test_cross_entropy_oov_and_identity_properties(spark):
     assert out2["train"]["oov_rate"] == 0.0
     for s in heldout:
         assert out2[s]["oov_rate"] == 1.0
+
+
+def _reference_bpe(word_freqs, n_merges):
+    """Greedy BPE on a word-frequency dict, lexicographic tiebreak."""
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in word_freqs.items()}
+    merges = []
+    for step in range(n_merges):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        merges.append((step, l, r, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """The distributed BPE trainer must learn the exact merge table a
+    reference in-memory greedy BPE learns, tiebreaks included."""
+    from real_time_financial_lakehouse_spark.operators import text as tx
+
+    corpus = ["low lower lowest", "low low new newer", "widest wide new"]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(corpus)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    freqs = {}
+    for t in corpus:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    expected = _reference_bpe(freqs, 6)
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in tx.bpe_train_merges(docs, n_merges=6).collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_train_merge_counts_monotone_enough(spark):
+    """Later merges can never count higher than the FIRST merge (the
+    global argmax at step 0); empty corpora learn nothing."""
+    from real_time_financial_lakehouse_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(i, "banana bandana ban", "en", "s", 18) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = tx.bpe_train_merges(docs, n_merges=5).collect()
+    assert rows and all(r["pair_count"] <= rows[0]["pair_count"] for r in rows)
+    empty = docs.filter("doc_id < 0")
+    assert tx.bpe_train_merges(empty, n_merges=3).count() == 0
