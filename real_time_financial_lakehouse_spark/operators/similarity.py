@@ -714,3 +714,56 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def hybrid_rrf_search(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    k_rrf: int = 60,
+    topn: int = 10,
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    the BM25 lexical ranking and the vector-cosine ranking are fused as
+    ``sum(1 / (k + rank))`` over whichever lists a document appears in --
+    the standard score-free fusion a RAG stack deploys because it needs
+    no cross-encoder and no score calibration between the two retrievers.
+    Lexical side: the corpus ``bm25_search`` top-20; vector side: top-20
+    cosine neighbors of the query vector (vec_id 0); both rankings use
+    the rounded-score + id tiebreak so fusion is deterministic.
+
+    Scale: each retriever already bounds its own list (bm25: inverted
+    postings + TakeOrdered; cosine: broadcast query, WindowGroupLimit),
+    so fusion operates on two TOP-K FRAMES -- the full-outer join and
+    the rank windows run on tens of rows regardless of corpus size.
+    This is the whole point of RRF at 100 TB: retrieval cost lives in
+    the retrievers, fusion is free."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import qround
+    from .text import bm25_search
+
+    lex = bm25_search(documents, topn=20).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("rank_lex"),
+    )
+    vec = cosine_topk(embeddings, n_queries=1, k=20).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_vec")
+    )
+    fused = lex.join(vec, "doc_id", "full_outer")
+    contrib = lambda c: F.when(  # noqa: E731 - tiny local shorthand
+        F.col(c).isNotNull(), 1.0 / (F.lit(float(k_rrf)) + F.col(c))
+    ).otherwise(F.lit(0.0))
+    scored = fused.select(
+        "doc_id",
+        "rank_lex",
+        "rank_vec",
+        qround(contrib("rank_lex") + contrib("rank_vec"), 6).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= topn)
+        .orderBy("fused_rank")
+    )

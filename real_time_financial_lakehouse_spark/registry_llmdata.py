@@ -1988,3 +1988,81 @@ def q_cross_entropy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("bpe_train_merges")
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_train_merges(_docs(spark, sf_dir), n_merges=6)
+
+
+@register(
+    "hybrid_rrf_search",
+    f"""
+    WITH terms AS (
+        SELECT doc_id, term
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+            FROM documents
+        )
+        WHERE length(term) >= 3
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+    ),
+    qterms AS (SELECT * FROM terms WHERE term IN ({_BM25_TERMS_SQL})),
+    df_tbl AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM qterms GROUP BY 1
+    ),
+    tf_tbl AS (SELECT doc_id, term, count(*) AS tf FROM qterms GROUP BY 1, 2),
+    scored AS (
+        SELECT t.doc_id,
+               sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score_raw
+        FROM tf_tbl t
+        JOIN df_tbl d USING (term)
+        JOIN dl l USING (doc_id), stats s
+        GROUP BY 1
+    ),
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY {qround_sql("score_raw")} DESC, doc_id)
+                   AS rank_lex
+        FROM scored
+        QUALIFY rank_lex <= 20
+    ),
+    emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT v AS q FROM emb WHERE vec_id = 0),
+    vpairs AS (
+        SELECT e.vec_id AS doc_id,
+               floor((CASE WHEN {_NORM_Q} * {_NORM_V} != 0
+                           THEN {_DOT} / ({_NORM_Q} * {_NORM_V})
+                           ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        FROM q CROSS JOIN emb e
+        WHERE e.vec_id != 0
+    ),
+    vec AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank_vec
+        FROM vpairs
+        QUALIFY rank_vec <= 20
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.rank_lex, v.rank_vec
+        FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id
+    ),
+    rrf AS (
+        SELECT doc_id, rank_lex, rank_vec,
+               {qround_sql("coalesce(1.0 / (60 + rank_lex), 0.0) + coalesce(1.0 / (60 + rank_vec), 0.0)", 6)} AS rrf_score
+        FROM fused
+    )
+    SELECT doc_id, rank_lex, rank_vec, rrf_score,
+           row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS fused_rank
+    FROM rrf
+    QUALIFY fused_rank <= 10
+    ORDER BY fused_rank
+    """,
+)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.hybrid_rrf_search(_docs(spark, sf_dir), _emb(spark, sf_dir))

@@ -1281,3 +1281,28 @@ def test_bpe_train_merge_counts_monotone_enough(spark):
     assert rows and all(r["pair_count"] <= rows[0]["pair_count"] for r in rows)
     empty = docs.filter("doc_id < 0")
     assert tx.bpe_train_merges(empty, n_merges=3).count() == 0
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark):
+    """A doc present in BOTH top-20 lists outranks docs present in only
+    one at similar positions; rank-1 in a single list scores exactly
+    1/61; a doc in both at ranks (r1, r2) scores 1/(60+r1) + 1/(60+r2)."""
+    from conftest import SF_SMOKE
+
+    from real_time_financial_lakehouse_spark.catalog import load_table
+    from real_time_financial_lakehouse_spark.operators import similarity as sim
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = sim.hybrid_rrf_search(docs, emb).collect()
+    assert out and out[0]["fused_rank"] == 1
+    for r in out:
+        expected = 0.0
+        if r["rank_lex"] is not None:
+            expected += 1.0 / (60 + r["rank_lex"])
+        if r["rank_vec"] is not None:
+            expected += 1.0 / (60 + r["rank_vec"])
+        assert r["rrf_score"] == pytest.approx(expected, abs=1e-6)
+    # fused order is non-increasing in rrf_score
+    scores = [r["rrf_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
