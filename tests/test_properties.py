@@ -315,3 +315,126 @@ def test_split_counts_partition_property(spark, texts):
     rows = dataset_split_counts(_docs_df(spark, texts)).collect()
     assert sum(r["n_docs"] for r in rows) == len(texts)
     assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-4
+
+
+@_few
+@given(rows=event_rows)
+def test_skyline_exactly_the_undominated_set(spark, rows):
+    """For ANY input, the skyline window sweep must return exactly the
+    points no other same-symbol point weakly dominates with one strict
+    edge -- checked against a brute-force O(n^2) reference."""
+    from real_time_financial_lakehouse_spark.operators.finance import skyline_days
+
+    data = [
+        (i, BASE_TS + dt.timedelta(seconds=off), i % 7, etype, float(val),
+         '{"k": %d}' % ((i % 5) + 1))
+        for i, (off, etype, val) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {(r["symbol"], r["day"]) for r in skyline_days(df).collect()}
+    # brute-force reference on the same rounded plane
+    import collections
+
+    agg = collections.defaultdict(lambda: [0.0, 0.0, 0])
+    for i, (off, etype, val) in enumerate(rows):
+        day = (BASE_TS + dt.timedelta(seconds=off)).date()
+        a = agg[(etype, day)]
+        a[0] += ((i % 5) + 1) * float(val)
+        a[1] += float(val)
+        a[2] += 1
+    import math
+
+    pts = {
+        k: (math.floor(v[0] * 1e6 + 0.5) / 1e6,
+            math.floor(v[1] / v[2] * 1e6 + 0.5) / 1e6)
+        for k, v in agg.items()
+    }
+    expected = set()
+    for (sym, day), (x, y) in pts.items():
+        dominated = any(
+            s2 == sym and (x2, y2) != (x, y) and x2 >= x and y2 >= y
+            for (s2, _), (x2, y2) in pts.items()
+        ) and any(
+            s2 == sym and x2 >= x and y2 >= y and (x2 > x or y2 > y)
+            for (s2, _), (x2, y2) in pts.items()
+        )
+        if not dominated:
+            expected.add((sym, day))
+    got_days = {(s, d.date()) for s, d in got}
+    assert got_days == expected
+
+
+@_few
+@given(rows=event_rows)
+def test_dollar_bars_partition_ticks_and_conserve_dollars(spark, rows):
+    """Bars partition the tape: tick counts sum to the input size and
+    per-bar dollar volumes sum to the total traded dollars."""
+    from real_time_financial_lakehouse_spark.operators.finance import dollar_bars
+
+    data = [
+        (i, BASE_TS + dt.timedelta(seconds=off), i % 7, etype, float(val),
+         '{"k": %d}' % ((i % 4) + 1))
+        for i, (off, etype, val) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = dollar_bars(df, bucket_dollars=500.0).collect()
+    assert sum(r["n_ticks"] for r in out) == len(rows)
+    total = sum(((i % 4) + 1) * float(val) for i, (_, _, val) in enumerate(rows))
+    assert sum(r["dollar_volume"] for r in out) == pytest.approx(total, rel=1e-6)
+    for r in out:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["bar_start"] <= r["bar_end"]
+
+
+doc_texts = st.lists(
+    st.text(alphabet="abcde ", min_size=0, max_size=40), min_size=1, max_size=25
+)
+
+
+@_few
+@given(texts=doc_texts)
+def test_kmv_estimate_exact_below_k_property(spark, texts):
+    """For ANY corpus with fewer distinct contents than k, the KMV
+    estimate must equal the exact distinct count."""
+    from real_time_financial_lakehouse_spark.operators.profiling import (
+        kmv_distinct_estimate,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = kmv_distinct_estimate(docs, k=64).collect()
+    for r in out:
+        assert r["n_kept"] == r["exact_distinct"] <= 64
+        assert r["kmv_estimate"] == float(r["exact_distinct"])
+        assert r["rel_error"] == 0.0
+
+
+@_few
+@given(texts=doc_texts)
+def test_weighted_sample_is_subset_and_capped(spark, texts):
+    """The weighted sample is always a subset of the positive-weight
+    docs, at most n per source, with ranks contiguous from 1."""
+    from real_time_financial_lakehouse_spark.operators.pipeline import (
+        weighted_sample_per_source,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", f"s{i % 2}", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = weighted_sample_per_source(docs, n=5).collect()
+    eligible = {i for i, t in enumerate(texts) if len(t) > 0}
+    by_source: dict = {}
+    for r in out:
+        assert r["doc_id"] in eligible
+        by_source.setdefault(r["source"], []).append(r["rank"])
+    for ranks in by_source.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
