@@ -767,3 +767,103 @@ def hybrid_rrf_search(
         .filter(F.col("fused_rank") <= topn)
         .orderBy("fused_rank")
     )
+
+
+def ivfpq_adc_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    m_sub: int = 8,
+    n_codes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """IVFADC -- the full Jegou et al. composition: IVF coarse cells
+    restrict WHICH candidates a query scores (here the fixture ``label``
+    cell, as in ``ann_ivf_topk``), and product-quantization codes decide
+    HOW each surviving candidate is scored (m_sub LUT lookups, as in
+    ``pq_adc_topk``).  This is the memory/recall point most production
+    vector indexes ship: the inverted lists bound the scan and the codes
+    bound the bytes per vector.
+
+    Scale: encoding stays a pure projection over the broadcast codebook;
+    the probe is an equi-join on the cell id (1/C of the index per
+    query, AQE-handled on skewed cells) instead of the brute-force
+    crossJoin; scoring per pair is m_sub lookups.  Exact squared-L2
+    rides along as the audit column, same convention as
+    ``pq_adc_topk``."""
+    sub_d = dim // m_sub
+    emb = _spread(embeddings).filter(F.size("embedding") == dim).select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    sub_expr = F.expr(
+        f"transform(sequence(0, {m_sub - 1}),"
+        f" m -> struct(m AS m, slice(v, m * {sub_d} + 1, {sub_d}) AS sub))"
+    )
+    subs = emb.select("vec_id", F.explode(sub_expr).alias("s")).select(
+        "vec_id", "s.m", "s.sub"
+    )
+    cbook = subs.filter(F.col("vec_id") < n_codes).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("m"), F.col("vec_id").alias("a_id"), F.col("sub").alias("sub_a")
+                )
+            )
+        ).alias("cb")
+    )
+    d2_to = (
+        "aggregate(zip_with(slice(v, {m} * %d + 1, %d), a.sub_a,"
+        " (x, y) -> (x - y) * (x - y)), 0D, (acc, t) -> acc + t)" % (sub_d, sub_d)
+    )
+    codes_expr = F.expr(
+        f"transform(sequence(0, {m_sub - 1}), m -> "
+        f"array_sort(transform(filter(cb, a -> a.m = m), "
+        f"a -> struct({d2_to.format(m='m')} AS d2, a.a_id AS a_id)))[0].a_id)"
+    )
+    lut_expr = F.expr(
+        f"flatten(transform(sequence(0, {m_sub - 1}), m -> "
+        f"transform(filter(cb, a -> a.m = m), a -> {d2_to.format(m='m')})))"
+    )
+    cands = (
+        emb.crossJoin(F.broadcast(cbook))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("c_cell"),
+            F.col("v").alias("cv"),
+            codes_expr.alias("codes"),
+        )
+    )
+    qside = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .crossJoin(F.broadcast(cbook))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_cell"),
+            F.col("v").alias("q"),
+            lut_expr.alias("lut"),
+        )
+    )
+    pairs = F.broadcast(qside).join(
+        cands, F.col("q_cell") == F.col("c_cell")
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    adc = F.expr(
+        f"aggregate(sequence(0, {m_sub - 1}), 0D, (acc, m) -> "
+        f"acc + element_at(lut, cast(m * {n_codes} + element_at(codes, m + 1) + 1 as int)))"
+    )
+    exact = F.expr(
+        "aggregate(zip_with(q, cv, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (acc, t) -> acc + t)"
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("q_cell").alias("cell"),
+        "neighbor_id",
+        (F.floor(adc * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("adc_d2"),
+        (F.floor(exact * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("exact_d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

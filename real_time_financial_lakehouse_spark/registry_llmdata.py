@@ -2066,3 +2066,61 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hybrid_rrf_search(_docs(spark, sf_dir), _emb(spark, sf_dir))
+
+
+@register(
+    "ann_ivfpq_topk",
+    f"""
+    WITH emb AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE len(embedding) = 64
+    ),
+    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+    subs AS (
+        SELECT vec_id, m, v[m * 8 + 1 : m * 8 + 8] AS sub
+        FROM emb, ms
+    ),
+    anchors AS (
+        SELECT m, vec_id AS a_id, sub AS sub_a FROM subs WHERE vec_id < 8
+    ),
+    d AS (
+        SELECT s.vec_id, s.m, a.a_id,
+               list_aggregate(list_transform(generate_series(1, 8),
+                   i -> (s.sub[i] - a.sub_a[i]) * (s.sub[i] - a.sub_a[i])), 'sum') AS d2
+        FROM subs s JOIN anchors a ON s.m = a.m
+    ),
+    codes AS (
+        SELECT vec_id, m, a_id AS code
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                           ORDER BY d2, a_id) AS rn FROM d)
+        WHERE rn = 1
+    ),
+    lut AS (SELECT vec_id AS query_id, m, a_id, d2 FROM d WHERE vec_id < 5),
+    adc AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               list_aggregate(list(l.d2 ORDER BY l.m), 'sum') AS adc_raw
+        FROM codes c
+        JOIN lut l ON l.m = c.m AND l.a_id = c.code
+        WHERE l.query_id <> c.vec_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT a.query_id, q.label AS cell, a.neighbor_id,
+               floor(a.adc_raw * 1000000.0 + 0.5) / 1000000.0 AS adc_d2,
+               floor(list_aggregate(list_transform(generate_series(1, 64),
+                   i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])), 'sum')
+                   * 1000000.0 + 0.5) / 1000000.0 AS exact_d2
+        FROM adc a
+        JOIN emb q ON q.vec_id = a.query_id
+        JOIN emb c ON c.vec_id = a.neighbor_id AND c.label = q.label
+    )
+    SELECT query_id, cell, neighbor_id, adc_d2, exact_d2, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_d2, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivfpq_adc_topk(_emb(spark, sf_dir), n_queries=5, k=5)

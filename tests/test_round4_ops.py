@@ -1306,3 +1306,54 @@ def test_hybrid_rrf_fuses_both_rankings(spark):
     # fused order is non-increasing in rrf_score
     scores = [r["rrf_score"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_ivfpq_restricts_to_cell_and_anchor_exactness(spark):
+    """IVFADC must only score candidates in the query's coarse cell, and
+    anchor-vector candidates still have zero quantization error."""
+    import math
+
+    from real_time_financial_lakehouse_spark.operators import similarity as sim
+
+    def vec(seed):
+        return [math.sin(seed * 17 + i) for i in range(64)]
+
+    # vec 0 is a query AND an anchor; cells split ids across two labels
+    rows = [(i, vec(i), i % 2) for i in range(12)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = sim.ivfpq_adc_topk(emb, n_queries=2, k=10).collect()
+    assert out
+    for r in out:
+        # candidate must share the query's cell
+        assert r["cell"] == r["query_id"] % 2
+        assert r["neighbor_id"] % 2 == r["cell"]
+        if r["neighbor_id"] < 8:          # anchor candidate: ADC == exact
+            assert r["adc_d2"] == r["exact_d2"]
+
+
+def test_observation_metrics_on_gold_rollup(spark):
+    """The Observation API (df.observe) collects row-level audit metrics
+    in the SAME pass as the query -- no second scan.  The gold rollup
+    observed with count/sum must report metrics matching the output."""
+    from pyspark.sql import Observation
+
+    from real_time_financial_lakehouse_spark.operators.rollup import (
+        events_market_summary,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, "2024-01-01 00:00:%02d" % (i % 60), 1, "A", float(i), "{}")
+         for i in range(50)],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    obs = Observation("audit")
+    observed = ev.observe(
+        obs, F.count(F.lit(1)).alias("n_in"), F.sum("value").alias("v_in")
+    )
+    out = events_market_summary(observed).collect()
+    assert obs.get["n_in"] == 50
+    assert obs.get["v_in"] == pytest.approx(sum(range(50)))
+    assert sum(r["transaction_count"] for r in out) == 50
