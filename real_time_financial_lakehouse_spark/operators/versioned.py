@@ -476,3 +476,45 @@ def read_changes_feed(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "batch=*")
     ).drop("batch")
+
+
+def restore_version(table_dir: str, to_version: int) -> int:
+    """Delta RESTORE: make an OLD snapshot the new latest by committing a
+    new manifest that re-references the old version's files -- history is
+    preserved (the bad versions stay readable for forensics), nothing is
+    rewritten, and the restore itself is one manifest write regardless of
+    table size.  The txn records what was restored, so ``table_history``
+    shows the rollback as an audited operation."""
+    man = read_manifest(table_dir, to_version)
+    prior = table_versions(table_dir)
+    if not prior:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    version = prior[-1] + 1
+    return _commit_manifest(
+        table_dir,
+        version,
+        man["files"],
+        {"op": "restore", "restored_from": to_version},
+        None,
+    )
+
+
+def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per committed version with the operation
+    kind and file count, read from manifest metadata only (no data files
+    touched -- at any table size this is a handful of JSON reads)."""
+    rows = []
+    for v in table_versions(table_dir):
+        man = read_manifest(table_dir, v)
+        txn = man.get("txn") or {}
+        rows.append(
+            (
+                v,
+                str(txn.get("op", "write")),
+                int(man.get("n_files", len(man["files"]))),
+                txn.get("restored_from"),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "version int, op string, n_files int, restored_from int"
+    ).orderBy("version")

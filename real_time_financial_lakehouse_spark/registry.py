@@ -3447,3 +3447,57 @@ def q_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import finance
 
     return finance.dollar_bars(_events(spark, sf_dir))
+
+
+@register(
+    "versioned_restore",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               event_type AS symbol,
+               count(*) AS n_events,
+               floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT 3 AS version, day, symbol, n_events, total_value
+    FROM daily WHERE day < TIMESTAMP '2024-01-15'
+    ORDER BY day, symbol
+    """,
+)
+def q_versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE semantics on the manifest log: commit the gold
+    rollup three times (v0 = first half, v1 = full month, v2 = second
+    half only -- the 'bad deploy'), RESTORE to v0 (one manifest write
+    re-referencing v0's files, v3), and read the latest snapshot back --
+    which must equal v0's content exactly while v1/v2 stay readable for
+    forensics.  History auditing (`table_history`) is pinned in pytest."""
+    import os
+
+    from .operators import versioned
+    from .scratch import scratch_dir
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type").alias("symbol"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.floor(F.sum("value") * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
+    )
+    table_dir = os.path.join(scratch_dir("rtfl_restore_"), "gold_daily")
+    versioned.commit_version(daily.filter(F.col("day") < "2024-01-15"), table_dir)
+    versioned.commit_version(daily, table_dir)
+    versioned.commit_version(daily.filter(F.col("day") >= "2024-01-15"), table_dir)
+    v3 = versioned.restore_version(table_dir, 0)
+    return (
+        versioned.read_version(spark, table_dir)
+        .withColumn("version", F.lit(v3))
+        .select("version", "day", "symbol", "n_events", "total_value")
+        .orderBy("day", "symbol")
+    )

@@ -896,7 +896,7 @@ def test_queries_survive_fully_empty_tables(spark, tmp_path):
         "seasonal_baseline", "skyline_days", "weighted_sample_per_source",
         "event_gap_stats", "dollar_bars", "streaming_seasonal_anomaly",
         "ngram_novelty", "cross_entropy_eval", "bpe_train_merges",
-        "hybrid_rrf_search", "ann_ivfpq_topk",
+        "hybrid_rrf_search", "ann_ivfpq_topk", "versioned_restore",
     ]:
         assert registry.QUERIES[name](spark, dst).count() == 0, name
 

@@ -1357,3 +1357,26 @@ def test_observation_metrics_on_gold_rollup(spark):
     assert obs.get["n_in"] == 50
     assert obs.get["v_in"] == pytest.approx(sum(range(50)))
     assert sum(r["transaction_count"] for r in out) == 50
+
+
+def test_restore_rereferences_without_rewrite_and_history_audits(spark, tmp_path):
+    """RESTORE must re-reference the old version's files (no new data
+    directory), leave the bad versions readable, and show up in the
+    history audit with its source version."""
+    table = str(tmp_path / "t")
+    versioned.commit_version(spark.range(3).selectExpr("id AS x"), table)
+    versioned.commit_version(spark.range(100, 105).selectExpr("id AS x"), table)
+    v = versioned.restore_version(table, 0)
+    assert v == 2
+    # restored manifest references exactly v0's files -- zero data writes
+    assert versioned.read_manifest(table, 2)["files"] == \
+        versioned.read_manifest(table, 0)["files"]
+    assert sorted(r["x"] for r in versioned.read_version(spark, table).collect()) == [0, 1, 2]
+    # forensics: the bad version is still readable
+    assert versioned.read_version(spark, table, 1).count() == 5
+    hist = {r["version"]: r for r in versioned.table_history(spark, table).collect()}
+    assert hist[2]["op"] == "restore" and hist[2]["restored_from"] == 0
+    assert hist[0]["op"] == "write" and hist[0]["restored_from"] is None
+    # vacuum keeping only the restored head must preserve v0's data dirs
+    versioned.vacuum(table, keep_last=1, orphan_grace_s=0.0)
+    assert sorted(r["x"] for r in versioned.read_version(spark, table).collect()) == [0, 1, 2]
