@@ -924,3 +924,109 @@ def dollar_bars(events: DataFrame, bucket_dollars: float = 250_000.0) -> DataFra
         )
         .orderBy("symbol", "bar_id")
     )
+
+def _tick_signs(events: DataFrame):
+    """Internal: the tick rule (Lee-Ready without quotes) -- an uptick is
+    a buy (+1), a downtick a sell (-1), and a zero tick inherits the
+    previous non-zero sign (carried with an IGNORE NULLS last_value
+    window, O(1) state).  Returns (symbol, ts, event_id, value, qty,
+    sign); each symbol's first tick (no prior sign) has NULL sign."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    dp = F.col("value") - F.lag("value").over(w)
+    raw = F.when(dp > 0, F.lit(1)).when(dp < 0, F.lit(-1))
+    qty = F.get_json_object(F.col("props"), "$.k").cast("double")
+    carry = Window.partitionBy("symbol").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return events.select(
+        F.col("event_type").alias("symbol"),
+        "ts",
+        "event_id",
+        "value",
+        qty.alias("qty"),
+        raw.alias("raw_sign"),
+    ).select(
+        "symbol",
+        "ts",
+        "event_id",
+        "value",
+        "qty",
+        F.last("raw_sign", ignorenulls=True).over(carry).alias("sign"),
+    )
+
+def order_flow_imbalance(events: DataFrame) -> DataFrame:
+    """Order-flow imbalance per (symbol, day) via the tick rule: classify
+    every trade as buyer- or seller-initiated from its price change
+    (zero ticks inherit the prior sign), then report buy/sell counts,
+    signed volume, and the imbalance ratio (buys - sells)/(buys + sells)
+    -- the microstructure pressure gauge that leads short-horizon
+    returns.  Unclassifiable ticks (each symbol's leading run before any
+    price change) are counted but excluded from the ratio.
+
+    Scale: one lag window + one sign-carry window sharing the same
+    (symbol, time) sort -- a single exchange -- then a partial-agg
+    groupBy at day granularity."""
+    signed = _tick_signs(events)
+    buys = F.sum((F.col("sign") == 1).cast("long"))
+    sells = F.sum((F.col("sign") == -1).cast("long"))
+    return (
+        signed.groupBy(
+            "symbol", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            buys.alias("n_buys"),
+            sells.alias("n_sells"),
+            qround(F.sum(F.col("sign") * F.coalesce("qty", F.lit(0.0))), 6).alias(
+                "signed_volume"
+            ),
+        )
+        .select(
+            "symbol",
+            "day",
+            "n_ticks",
+            "n_buys",
+            "n_sells",
+            "signed_volume",
+            F.when(
+                (F.col("n_buys") + F.col("n_sells")) > 0,
+                qround(
+                    (F.col("n_buys") - F.col("n_sells"))
+                    / (F.col("n_buys") + F.col("n_sells")).cast("double"),
+                    6,
+                ),
+            ).alias("imbalance"),
+        )
+        .orderBy("symbol", "day")
+    )
+
+def kyle_lambda(events: DataFrame) -> DataFrame:
+    """Kyle's lambda per symbol: the price-impact coefficient from the
+    closed-form OLS of price change on signed volume (tick-rule signs),
+    ``lambda = cov(dp, sv) / var(sv)`` -- how many price units one unit
+    of net order flow moves the market; the standard illiquidity
+    measure.  Constant signed volume yields NULL (guarded), and ticks
+    without a classified sign or prior price are excluded.
+
+    Scale: the tick windows share one (symbol, time) exchange; the OLS
+    is the one-pass covar_pop/var_pop closed form (same discipline as
+    ``ols_volatility_price``) at symbol cardinality."""
+    w = Window.partitionBy("symbol").orderBy("ts", "event_id")
+    signed = _tick_signs(events).withColumn(
+        "dp", F.col("value") - F.lag("value").over(w)
+    )
+    obs = signed.filter(
+        F.col("sign").isNotNull() & F.col("dp").isNotNull() & F.col("qty").isNotNull()
+    ).select("symbol", "dp", (F.col("sign") * F.col("qty")).alias("sv"))
+    var_sv = F.var_pop("sv")
+    return (
+        obs.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.when(var_sv != 0, qround(F.covar_pop("dp", "sv") / var_sv, 9)).alias(
+                "kyle_lambda"
+            ),
+            _safe_corr("dp", "sv").alias("flow_corr"),
+        )
+        .orderBy("symbol")
+    )

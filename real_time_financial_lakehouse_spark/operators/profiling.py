@@ -312,3 +312,56 @@ def event_gap_stats(events: DataFrame, outage_s: float = 300.0) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+def anomaly_episodes(
+    events: DataFrame, z_cut: float = 3.0, gap_s: float = 300.0
+) -> DataFrame:
+    """Alert-episode report: z-score anomalies (per-symbol mean/std,
+    guarded for zero variance) grouped into EPISODES -- consecutive
+    anomalous events less than ``gap_s`` apart -- with each episode's
+    span, event count, and peak z.  This is the dedup an alerting
+    pipeline needs: one fat-tailed burst is one page, not five hundred.
+
+    Scale: the stats pass is one partial-agg groupBy broadcast back; the
+    episode assignment is the gaps-and-islands idiom (lag + conditional
+    cumsum) over ONLY the anomalous rows -- the window runs on the
+    filtered minority, not the corpus -- and the final rollup aggregates
+    at episode cardinality."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import qround
+
+    stats = events.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.avg("value").alias("mean_v"), F.stddev_pop("value").alias("std_v")
+    )
+    scored = events.select(
+        F.col("event_type").alias("symbol"), "ts", "event_id", "value"
+    ).join(F.broadcast(stats), "symbol")
+    az = F.when(
+        F.col("std_v") != 0, F.abs((F.col("value") - F.col("mean_v")) / F.col("std_v"))
+    )
+    anomalies = scored.select(
+        "symbol", "ts", "event_id", az.alias("az")
+    ).filter(F.col("az") > z_cut)
+    w = Window.partitionBy("symbol").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    ) / F.lit(1_000_000.0)
+    flagged = anomalies.withColumn(
+        "new_ep", F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    )
+    wc = Window.partitionBy("symbol").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    eps = flagged.withColumn("episode", F.sum("new_ep").over(wc))
+    return (
+        eps.groupBy("symbol", "episode")
+        .agg(
+            F.min("ts").alias("episode_start"),
+            F.max("ts").alias("episode_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            qround(F.max("az"), 6).alias("peak_z"),
+        )
+        .orderBy("symbol", "episode")
+    )

@@ -935,3 +935,52 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = 6) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count long"
     ).orderBy("step")
+
+def zipf_fit(documents: DataFrame, min_freq: int = 2) -> DataFrame:
+    """Zipf's-law fit of the corpus term distribution: regress ln(freq)
+    on ln(rank) over terms with frequency >= ``min_freq`` and report the
+    slope (a healthy natural-language corpus sits near -1), intercept,
+    and correlation -- the one-row diagnostic that flags machine-
+    generated or template-heavy corpora (slopes far from -1, poor fit)
+    before any model trains on them.
+
+    Scale: one token explode + one partial-agg vocab count; the rank is
+    a global sort at VOCAB cardinality (Zipf-bounded, not corpus-
+    bounded), and the regression is the one-pass covar_pop/var_pop
+    closed form over that frame.  Nothing after the vocab aggregate is
+    data-sized."""
+    terms = (
+        _spread(documents.select("text"))
+        .select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"))
+        .filter(F.length("term") >= 1)
+    )
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+    )
+    ranked = vocab.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.col("freq").desc(), F.col("term")))
+            .cast("double")
+        ).alias("lr"),
+        F.log(F.col("freq").cast("double")).alias("lf"),
+    )
+    var_lr = F.var_pop("lr")
+    denom = F.stddev_pop("lr") * F.stddev_pop("lf")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.when(var_lr != 0, qround(F.covar_pop("lr", "lf") / var_lr, 6)).alias(
+            "zipf_slope"
+        ),
+        F.when(
+            var_lr != 0,
+            qround(
+                F.avg("lf") - (F.covar_pop("lr", "lf") / var_lr) * F.avg("lr"), 6
+            ),
+        ).alias("intercept"),
+        F.when(denom != 0, qround(F.covar_pop("lr", "lf") / denom, 6)).alias(
+            "fit_corr"
+        ),
+    )

@@ -3501,3 +3501,120 @@ def q_versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("version", "day", "symbol", "n_events", "total_value")
         .orderBy("day", "symbol")
     )
+
+
+_TICK_SIGNS_SQL = """
+ticks AS (
+    SELECT event_type AS symbol, ts, event_id, value,
+           (json_extract_string(props, '$.k'))::DOUBLE AS qty,
+           CASE WHEN value - lag(value) OVER w > 0 THEN 1
+                WHEN value - lag(value) OVER w < 0 THEN -1 END AS raw_sign
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+signed AS (
+    SELECT symbol, ts, event_id, value, qty,
+           last_value(raw_sign IGNORE NULLS)
+               OVER (PARTITION BY symbol ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sign
+    FROM ticks
+)
+"""
+
+
+@register(
+    "order_flow_imbalance",
+    f"""
+    WITH {_TICK_SIGNS_SQL.strip()}
+    SELECT symbol, date_trunc('day', ts) AS day,
+           count(*) AS n_ticks,
+           sum((sign = 1)::INT)::BIGINT AS n_buys,
+           sum((sign = -1)::INT)::BIGINT AS n_sells,
+           {_q('sum(sign * coalesce(qty, 0.0))', 6)} AS signed_volume,
+           CASE WHEN sum((sign = 1)::INT) + sum((sign = -1)::INT) > 0
+                THEN {_q('(sum((sign = 1)::INT) - sum((sign = -1)::INT)) / (sum((sign = 1)::INT) + sum((sign = -1)::INT))::DOUBLE', 6)}
+           END AS imbalance
+    FROM signed
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_order_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.order_flow_imbalance(_events(spark, sf_dir))
+
+
+@register(
+    "kyle_lambda",
+    f"""
+    WITH {_TICK_SIGNS_SQL.strip()},
+    obs AS (
+        SELECT symbol,
+               value - lag(value) OVER (PARTITION BY symbol
+                                        ORDER BY ts, event_id) AS dp,
+               sign * qty AS sv,
+               sign, qty
+        FROM signed
+    )
+    SELECT symbol, count(*) AS n_obs,
+           CASE WHEN var_pop(sv) <> 0
+                THEN {_q('covar_pop(dp, sv) / var_pop(sv)', 9)} END AS kyle_lambda,
+           CASE WHEN stddev_pop(dp) * stddev_pop(sv) <> 0
+                THEN {_q('covar_pop(dp, sv) / (stddev_pop(dp) * stddev_pop(sv))', 6)} END
+               AS flow_corr
+    FROM obs
+    WHERE sign IS NOT NULL AND dp IS NOT NULL AND qty IS NOT NULL
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.kyle_lambda(_events(spark, sf_dir))
+
+
+@register(
+    "anomaly_episodes",
+    f"""
+    WITH stats AS (
+        SELECT event_type AS symbol, avg(value) AS mean_v,
+               stddev_pop(value) AS std_v
+        FROM events GROUP BY 1
+    ),
+    scored AS (
+        SELECT e.event_type AS symbol, e.ts, e.event_id,
+               CASE WHEN s.std_v <> 0
+                    THEN abs((e.value - s.mean_v) / s.std_v) END AS az
+        FROM events e JOIN stats s ON e.event_type = s.symbol
+    ),
+    anomalies AS (SELECT * FROM scored WHERE az > 3.0),
+    flagged AS (
+        SELECT symbol, ts, event_id, az,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 > 300.0
+                    THEN 1 ELSE 0 END AS new_ep
+        FROM anomalies
+        WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)
+    ),
+    eps AS (
+        SELECT symbol, az, ts,
+               sum(new_ep) OVER (PARTITION BY symbol ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS episode
+        FROM flagged
+    )
+    SELECT symbol, episode::BIGINT AS episode,
+           min(ts) AS episode_start, max(ts) AS episode_end,
+           count(*) AS n_events,
+           {_q('max(az)', 6)} AS peak_z
+    FROM eps
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_anomaly_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import profiling
+
+    return profiling.anomaly_episodes(_events(spark, sf_dir))

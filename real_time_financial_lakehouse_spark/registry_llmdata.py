@@ -2124,3 +2124,34 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_adc_topk(_emb(spark, sf_dir), n_queries=5, k=5)
+
+
+@register(
+    "zipf_fit",
+    f"""
+    WITH terms AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> length(x) >= 1)) AS term
+        FROM documents
+    ),
+    vocab AS (
+        SELECT term, count(*) AS freq FROM terms GROUP BY 1
+        HAVING count(*) >= 2
+    ),
+    ranked AS (
+        SELECT ln((row_number() OVER (ORDER BY freq DESC, term))::DOUBLE) AS lr,
+               ln(freq::DOUBLE) AS lf
+        FROM vocab
+    )
+    SELECT count(*) AS n_terms,
+           CASE WHEN var_pop(lr) <> 0
+                THEN {qround_sql('covar_pop(lr, lf) / var_pop(lr)', 6)} END AS zipf_slope,
+           CASE WHEN var_pop(lr) <> 0
+                THEN {qround_sql('avg(lf) - (covar_pop(lr, lf) / var_pop(lr)) * avg(lr)', 6)} END AS intercept,
+           CASE WHEN stddev_pop(lr) * stddev_pop(lf) <> 0
+                THEN {qround_sql('covar_pop(lr, lf) / (stddev_pop(lr) * stddev_pop(lf))', 6)} END AS fit_corr
+    FROM ranked
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.zipf_fit(_docs(spark, sf_dir))

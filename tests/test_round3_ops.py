@@ -769,7 +769,7 @@ def test_document_ops_tolerate_null_empty_whitespace_docs(spark):
         tx.bm25_search, tx.quality_deciles,
         dd.source_overlap_matrix, pl.shard_manifest,
         pl.weighted_sample_per_source, tx.ngram_novelty,
-        tx.cross_entropy_eval, tx.bpe_train_merges,
+        tx.cross_entropy_eval, tx.bpe_train_merges, tx.zipf_fit,
     ):
         fn(docs).collect()  # must not raise
     from real_time_financial_lakehouse_spark.operators import profiling as pf
@@ -842,6 +842,7 @@ def test_event_ops_tolerate_degenerate_series(spark):
         finance.range_volatility, finance.pivot_points,
         finance.williams_r, finance.cci, finance.return_autocorr,
         finance.skyline_days, finance.dollar_bars,
+        finance.order_flow_imbalance, finance.kyle_lambda,
         pipeline.winsorize_values, rollup.minute_ohlc,
         rollup.hourly_from_minute, rollup.seasonal_baseline,
         windows.ema_per_symbol,
@@ -849,7 +850,8 @@ def test_event_ops_tolerate_degenerate_series(spark):
         fn(ev).collect()  # must not raise
     from real_time_financial_lakehouse_spark.operators import profiling as pf
 
-    for fn in (pf.mad_outliers, pf.selfjoin_size_estimate, pf.event_gap_stats):
+    for fn in (pf.mad_outliers, pf.selfjoin_size_estimate, pf.event_gap_stats,
+               pf.anomaly_episodes):
         fn(ev).collect()  # must not raise
 
 
@@ -897,6 +899,7 @@ def test_queries_survive_fully_empty_tables(spark, tmp_path):
         "event_gap_stats", "dollar_bars", "streaming_seasonal_anomaly",
         "ngram_novelty", "cross_entropy_eval", "bpe_train_merges",
         "hybrid_rrf_search", "ann_ivfpq_topk", "versioned_restore",
+        "order_flow_imbalance", "kyle_lambda", "anomaly_episodes",
     ]:
         assert registry.QUERIES[name](spark, dst).count() == 0, name
 

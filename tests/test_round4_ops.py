@@ -1380,3 +1380,83 @@ def test_restore_rereferences_without_rewrite_and_history_audits(spark, tmp_path
     # vacuum keeping only the restored head must preserve v0's data dirs
     versioned.vacuum(table, keep_last=1, orphan_grace_s=0.0)
     assert sorted(r["x"] for r in versioned.read_version(spark, table).collect()) == [0, 1, 2]
+
+
+def test_tick_rule_signs_and_imbalance(spark):
+    """Planted tape: upticks are buys, downticks sells, zero ticks
+    inherit the prior sign; imbalance reflects the counts and the
+    leading unclassified tick is counted but excluded from the ratio."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    ev = _ticks(spark, [
+        (1, "2024-01-01 00:00:00", 1, "A", 10.0, '{"k": 1}'),   # no prior: unsigned
+        (2, "2024-01-01 00:01:00", 1, "A", 11.0, '{"k": 2}'),   # uptick  -> buy
+        (3, "2024-01-01 00:02:00", 1, "A", 11.0, '{"k": 3}'),   # zero    -> buy (carry)
+        (4, "2024-01-01 00:03:00", 1, "A", 9.0, '{"k": 4}'),    # downtick-> sell
+    ])
+    r = finance.order_flow_imbalance(ev).collect()[0]
+    assert (r["n_ticks"], r["n_buys"], r["n_sells"]) == (4, 2, 1)
+    assert r["signed_volume"] == pytest.approx(2 + 3 - 4, abs=1e-6)
+    assert r["imbalance"] == pytest.approx((2 - 1) / 3, abs=1e-6)
+
+
+def test_kyle_lambda_planted_impact(spark):
+    """A tape where every price move is exactly 0.01 per signed unit of
+    volume recovers lambda = 0.01; constant signed volume is guarded to
+    NULL."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    # dp_t = 0.01 * sv_t with varying qty -> exact OLS slope 0.01
+    rows, price = [], 100.0
+    qtys = [1, 3, 2, 5, 4, 2]
+    signs = [1, -1, 1, 1, -1, -1]
+    for i, (q, s) in enumerate(zip(qtys, signs)):
+        price += 0.01 * s * q
+        rows.append((i + 2, f"2024-01-01 00:{i+1:02d}:00", 1, "A", round(price, 6),
+                     '{"k": %d}' % q))
+    rows.insert(0, (1, "2024-01-01 00:00:00", 1, "A", 100.0, '{"k": 1}'))
+    ev = _ticks(spark, rows)
+    r = finance.kyle_lambda(ev).collect()[0]
+    assert r["kyle_lambda"] == pytest.approx(0.01, abs=1e-6)
+    assert r["flow_corr"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_anomaly_episodes_group_bursts(spark):
+    """Two spikes 10 s apart form ONE episode; a third spike 20 min
+    later opens a second episode; quiet symbols produce nothing."""
+    from real_time_financial_lakehouse_spark.operators import profiling as pf
+
+    base = [(i, f"2024-01-01 00:{i:02d}:00", 1, "A", 10.0 + (i % 2), "{}")
+            for i in range(40)]
+    spikes = [
+        (100, "2024-01-01 01:00:00", 1, "A", 1000.0, "{}"),
+        (101, "2024-01-01 01:00:10", 1, "A", 1000.0, "{}"),
+        (102, "2024-01-01 01:20:10", 1, "A", 1000.0, "{}"),
+    ]
+    out = pf.anomaly_episodes(_ticks(spark, base + spikes)).collect()
+    assert len(out) == 2
+    assert out[0]["n_events"] == 2 and out[1]["n_events"] == 1
+    assert out[0]["peak_z"] > 3.0
+
+
+def test_zipf_fit_flags_uniform_corpus(spark):
+    """A perfectly uniform 'corpus' (every term equally frequent) has
+    zipf slope 0; a skewed corpus fits a negative slope with strong
+    correlation."""
+    from real_time_financial_lakehouse_spark.operators import text as tx
+
+    uniform = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "en", "s", 22) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = tx.zipf_fit(uniform).collect()[0]
+    assert r["zipf_slope"] == 0.0
+
+    skew_text = " ".join(["the"] * 64 + ["of"] * 16 + ["cat"] * 4 + ["dog"] * 2)
+    skewed = spark.createDataFrame(
+        [(0, skew_text, "en", "s", len(skew_text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r2 = tx.zipf_fit(skewed).collect()[0]
+    assert r2["zipf_slope"] < -0.5
+    assert r2["fit_corr"] < -0.9
