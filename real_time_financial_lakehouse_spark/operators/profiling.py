@@ -365,3 +365,42 @@ def anomaly_episodes(
         )
         .orderBy("symbol", "episode")
     )
+
+
+def benford_check(events: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit of the value column: observed vs
+    expected (log10(1 + 1/d)) share per leading digit plus each digit's
+    chi-square contribution -- the classic fabricated-data / broken-feed
+    screen (organic multiplicative data follows Benford; synthetic or
+    truncated feeds deviate loudly).  Non-positive values carry no
+    leading significant digit and are excluded (counted in the report's
+    denominator note via n_total vs n_used is unnecessary -- the shares
+    are over used rows, the standard formulation).
+
+    Scale: the leading digit is a pure per-row expression
+    (``floor(v / 10^floor(log10 v))``); one partial-agg groupBy at digit
+    cardinality (9 rows) ends the query.  Nothing downstream is
+    data-sized."""
+    from ..functions.numeric import qround
+
+    v = F.col("value")
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    used = events.filter(v > 0).select(digit.alias("digit"))
+    counts = used.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    total = counts.agg(F.sum("n_obs").cast("double").alias("n_total"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    obs_share = F.col("n_obs") / F.col("n_total")
+    chi2 = (
+        (obs_share - expected) * (obs_share - expected) / expected * F.col("n_total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            qround(obs_share, 6).alias("obs_share"),
+            qround(expected, 6).alias("benford_share"),
+            qround(chi2, 6).alias("chi2_contrib"),
+        )
+        .orderBy("digit")
+    )

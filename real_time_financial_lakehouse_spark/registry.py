@@ -3618,3 +3618,78 @@ def q_anomaly_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import profiling
 
     return profiling.anomaly_episodes(_events(spark, sf_dir))
+
+
+@register(
+    "benford_check",
+    f"""
+    WITH used AS (
+        SELECT floor(value / pow(10.0, floor(log10(value))))::INT AS digit
+        FROM events WHERE value > 0
+    ),
+    counts AS (SELECT digit, count(*) AS n_obs FROM used GROUP BY 1),
+    total AS (SELECT sum(n_obs)::DOUBLE AS n_total FROM counts)
+    SELECT digit, n_obs,
+           {_q('n_obs / n_total', 6)} AS obs_share,
+           {_q('log10(1.0 + 1.0 / digit)', 6)} AS benford_share,
+           {_q('(n_obs / n_total - log10(1.0 + 1.0 / digit)) * (n_obs / n_total - log10(1.0 + 1.0 / digit)) / log10(1.0 + 1.0 / digit) * n_total', 6)} AS chi2_contrib
+    FROM counts, total
+    ORDER BY digit
+    """,
+)
+def q_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import profiling
+
+    return profiling.benford_check(_events(spark, sf_dir))
+
+
+@register(
+    "volatility_cones",
+    f"""
+    WITH {_BARS_SQL.strip()},
+    rets AS (
+        SELECT symbol, minute_window,
+               ln(close / lag(close) OVER (PARTITION BY symbol
+                                           ORDER BY minute_window)) AS r
+        FROM bars WHERE close > 0
+    ),
+    rv AS (SELECT * FROM rets WHERE r IS NOT NULL),
+    rolled AS (
+        SELECT symbol,
+               CASE WHEN count(r) OVER w5 = 5
+                    THEN stddev_samp(r) OVER w5 END AS rv_5,
+               CASE WHEN count(r) OVER w20 = 20
+                    THEN stddev_samp(r) OVER w20 END AS rv_20,
+               CASE WHEN count(r) OVER w60 = 60
+                    THEN stddev_samp(r) OVER w60 END AS rv_60
+        FROM rv
+        WINDOW w5 AS (PARTITION BY symbol ORDER BY minute_window
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+               w20 AS (PARTITION BY symbol ORDER BY minute_window
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+               w60 AS (PARTITION BY symbol ORDER BY minute_window
+                       ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+    ),
+    stacked AS (
+        SELECT symbol, h.horizon,
+               CASE h.horizon WHEN 5 THEN rv_5 WHEN 20 THEN rv_20
+                    ELSE rv_60 END AS rv
+        FROM rolled, (SELECT unnest([5, 20, 60]) AS horizon) h
+    )
+    SELECT symbol, horizon,
+           count(*) AS n_windows,
+           {_q('min(rv)', 6)} AS rv_min,
+           {_q('quantile_cont(rv, 0.25)', 6)} AS rv_p25,
+           {_q('quantile_cont(rv, 0.5)', 6)} AS rv_median,
+           {_q('quantile_cont(rv, 0.75)', 6)} AS rv_p75,
+           {_q('max(rv)', 6)} AS rv_max
+    FROM stacked
+    WHERE rv IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_volatility_cones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.volatility_cones(_events(spark, sf_dir))

@@ -843,6 +843,7 @@ def test_event_ops_tolerate_degenerate_series(spark):
         finance.williams_r, finance.cci, finance.return_autocorr,
         finance.skyline_days, finance.dollar_bars,
         finance.order_flow_imbalance, finance.kyle_lambda,
+        finance.volatility_cones,
         pipeline.winsorize_values, rollup.minute_ohlc,
         rollup.hourly_from_minute, rollup.seasonal_baseline,
         windows.ema_per_symbol,
@@ -851,7 +852,7 @@ def test_event_ops_tolerate_degenerate_series(spark):
     from real_time_financial_lakehouse_spark.operators import profiling as pf
 
     for fn in (pf.mad_outliers, pf.selfjoin_size_estimate, pf.event_gap_stats,
-               pf.anomaly_episodes):
+               pf.anomaly_episodes, pf.benford_check):
         fn(ev).collect()  # must not raise
 
 
@@ -900,6 +901,7 @@ def test_queries_survive_fully_empty_tables(spark, tmp_path):
         "ngram_novelty", "cross_entropy_eval", "bpe_train_merges",
         "hybrid_rrf_search", "ann_ivfpq_topk", "versioned_restore",
         "order_flow_imbalance", "kyle_lambda", "anomaly_episodes",
+        "benford_check", "volatility_cones",
     ]:
         assert registry.QUERIES[name](spark, dst).count() == 0, name
 

@@ -1460,3 +1460,45 @@ def test_zipf_fit_flags_uniform_corpus(spark):
     r2 = tx.zipf_fit(skewed).collect()[0]
     assert r2["zipf_slope"] < -0.5
     assert r2["fit_corr"] < -0.9
+
+
+def test_benford_on_exponential_data_and_digit_extraction(spark):
+    """Values spanning several decades with a log-uniform flavor follow
+    Benford closely; leading-digit extraction handles sub-1 values; the
+    shares sum to 1 and every digit is in 1..9."""
+    import math
+
+    from real_time_financial_lakehouse_spark.operators import profiling as pf
+
+    rows = [
+        (i, "2024-01-01 00:00:00", 1, "A", math.exp(i * 0.037) * 0.01, "{}")
+        for i in range(500)
+    ]
+    rows.append((9999, "2024-01-01 00:00:00", 1, "A", -5.0, "{}"))   # excluded
+    out = pf.benford_check(_ticks(spark, rows)).collect()
+    digits = [r["digit"] for r in out]
+    assert set(digits) <= set(range(1, 10))
+    assert sum(r["n_obs"] for r in out) == 500                # negative excluded
+    assert sum(r["obs_share"] for r in out) == pytest.approx(1.0, abs=1e-4)
+    by_d = {r["digit"]: r for r in out}
+    # exponential growth is Benford-distributed: digit 1 dominates
+    assert by_d[1]["obs_share"] > by_d[9]["obs_share"]
+    assert sum(r["chi2_contrib"] for r in out) < 20.0          # good fit
+
+
+def test_volatility_cone_orders_percentiles(spark):
+    """Cone quantiles are ordered min <= p25 <= median <= p75 <= max and
+    longer horizons have at least one window when the series is long
+    enough."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    rows = [
+        (i, f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00", 1, "A",
+         10.0 + ((i * 7919) % 100) / 50.0, "{}")
+        for i in range(120)
+    ]
+    out = finance.volatility_cones(_ticks(spark, rows)).collect()
+    horizons = {r["horizon"] for r in out}
+    assert horizons == {5, 20, 60}
+    for r in out:
+        assert r["rv_min"] <= r["rv_p25"] <= r["rv_median"] <= r["rv_p75"] <= r["rv_max"]
