@@ -796,18 +796,24 @@ def return_autocorr(events: DataFrame) -> DataFrame:
     correlation is the one-pass covar_pop/stddev_pop form, no re-scan."""
     bars = _daily_bars(events)
     w = Window.partitionBy("symbol").orderBy("day")
+    prev_close = F.lag("close").over(w)
+    # zero/NULL prior close cannot anchor a return (ANSI doubles raise
+    # DIVIDE_BY_ZERO); such days yield NULL r and drop out of the pairs
     rets = bars.select(
         "symbol",
         "day",
-        (F.col("close") / F.lag("close").over(w) - 1.0).alias("r"),
+        F.when(prev_close != 0, F.col("close") / prev_close - 1.0).alias("r"),
     ).withColumn("r_prev", F.lag("r").over(w))
     pair = rets.filter(F.col("r").isNotNull() & F.col("r_prev").isNotNull())
     return (
         pair.groupBy("symbol")
         .agg(
-            F.count(F.lit(1)).alias("n_days"),
+            # the correlation SAMPLE: consecutive (r_t, r_{t-1}) pairs --
+            # a D-day series contributes D-2 pairs; the mean is over the
+            # same sample so every reported number shares one population
+            F.count(F.lit(1)).alias("n_pairs"),
             _safe_corr("r", "r_prev").alias("autocorr_lag1"),
-            qround(F.avg("r"), 6).alias("mean_daily_return"),
+            qround(F.avg("r"), 6).alias("mean_paired_return"),
         )
         .orderBy("symbol")
     )
@@ -929,8 +935,10 @@ def _tick_signs(events: DataFrame):
     """Internal: the tick rule (Lee-Ready without quotes) -- an uptick is
     a buy (+1), a downtick a sell (-1), and a zero tick inherits the
     previous non-zero sign (carried with an IGNORE NULLS last_value
-    window, O(1) state).  Returns (symbol, ts, event_id, value, qty,
-    sign); each symbol's first tick (no prior sign) has NULL sign."""
+    window, O(1) state).  Returns (symbol, ts, event_id, value, qty, dp,
+    sign); each symbol's first tick (no prior sign) has NULL sign, and
+    ``dp`` (the price change driving the sign) rides along so consumers
+    never rebuild the lag window themselves."""
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     dp = F.col("value") - F.lag("value").over(w)
     raw = F.when(dp > 0, F.lit(1)).when(dp < 0, F.lit(-1))
@@ -944,6 +952,7 @@ def _tick_signs(events: DataFrame):
         "event_id",
         "value",
         qty.alias("qty"),
+        dp.alias("dp"),
         raw.alias("raw_sign"),
     ).select(
         "symbol",
@@ -951,6 +960,7 @@ def _tick_signs(events: DataFrame):
         "event_id",
         "value",
         "qty",
+        "dp",
         F.last("raw_sign", ignorenulls=True).over(carry).alias("sign"),
     )
 
@@ -1011,10 +1021,7 @@ def kyle_lambda(events: DataFrame) -> DataFrame:
     Scale: the tick windows share one (symbol, time) exchange; the OLS
     is the one-pass covar_pop/var_pop closed form (same discipline as
     ``ols_volatility_price``) at symbol cardinality."""
-    w = Window.partitionBy("symbol").orderBy("ts", "event_id")
-    signed = _tick_signs(events).withColumn(
-        "dp", F.col("value") - F.lag("value").over(w)
-    )
+    signed = _tick_signs(events)
     obs = signed.filter(
         F.col("sign").isNotNull() & F.col("dp").isNotNull() & F.col("qty").isNotNull()
     ).select("symbol", "dp", (F.col("sign") * F.col("qty")).alias("sv"))

@@ -384,7 +384,17 @@ def benford_check(events: DataFrame) -> DataFrame:
     from ..functions.numeric import qround
 
     v = F.col("value")
-    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    raw_digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    # ulp armor: log10 of a value one double below a power of ten rounds
+    # UP to the integer (999.9999999999999 -> 3.0), making the quotient
+    # 0.99... and the raw digit 0 (true digit 9); the mirror edge can
+    # produce 10.  Both map back explicitly -- the same CASE runs in the
+    # oracle, so the correction is itself hash-checked.
+    digit = (
+        F.when(raw_digit == 0, F.lit(9))
+        .when(raw_digit == 10, F.lit(1))
+        .otherwise(raw_digit)
+    )
     used = events.filter(v > 0).select(digit.alias("digit"))
     counts = used.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
     total = counts.agg(F.sum("n_obs").cast("double").alias("n_total"))

@@ -299,6 +299,21 @@ def hourly_from_minute(events: DataFrame) -> DataFrame:
         .orderBy("hour_window", "symbol")
     )
 
+def hourly_symbol_stats(events: DataFrame) -> DataFrame:
+    """Shared per-(symbol, hour-of-day) mean/stddev frame: the seasonal
+    statistical baseline consumed by both the batch profile
+    (``seasonal_baseline``) and the streaming anomaly scorer
+    (``streaming.stateful.streaming_seasonal_anomaly_roundtrip``) -- one
+    definition so the two can never drift from the shared oracle."""
+    return events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.hour("ts").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("value").alias("mean_v"),
+        F.stddev_pop("value").alias("std_v"),
+    )
+
 def seasonal_baseline(events: DataFrame) -> DataFrame:
     """Hour-of-day seasonal baseline per symbol: mean/stddev of the
     price and event count for each (symbol, hour-of-day), plus the
@@ -310,14 +325,9 @@ def seasonal_baseline(events: DataFrame) -> DataFrame:
     symbol-level roll of the same partials; the ratio join broadcasts
     the per-symbol scalars.  Nothing here is data-sized after the first
     aggregate."""
-    hourly = events.groupBy(
-        F.col("event_type").alias("symbol"),
-        F.hour("ts").alias("hour_of_day"),
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.avg("value").alias("mean_raw"),
-        F.stddev_pop("value").alias("std_raw"),
-    )
+    hourly = hourly_symbol_stats(events).withColumnRenamed(
+        "mean_v", "mean_raw"
+    ).withColumnRenamed("std_v", "std_raw")
     overall = events.groupBy(F.col("event_type").alias("symbol")).agg(
         F.avg("value").alias("symbol_mean")
     )

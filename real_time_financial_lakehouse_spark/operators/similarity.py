@@ -611,6 +611,94 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _pq_parts(m_sub: int, n_codes: int, sub_d: int):
+    """Shared PQ machinery: the (codes, LUT) expressions both PQ search
+    variants build over a broadcast single-row codebook column ``cb``
+    (sorted array of (m, a_id, sub_a) structs).
+
+    The flattened LUT enumerates EVERY (m, c) slot explicitly -- slot
+    m * n_codes + c holds the query's distance to anchor (m, c), or
+    +Infinity when that anchor is absent (a vec_id below ``n_codes``
+    missing from the table, or carrying the wrong dimension).  A
+    positional flatten of whatever anchors exist would silently shift
+    later slots on a sparse codebook and score against the wrong
+    subspace; explicit enumeration keeps indexing correct and the codes
+    (an argmin over PRESENT anchors only, via try_element_at so an
+    anchor-free degenerate corpus yields NULL codes rather than an ANSI
+    array error) can never point at an Infinity slot."""
+    d2_to = (
+        "aggregate(zip_with(slice(v, {m} * %d + 1, %d), a.sub_a,"
+        " (x, y) -> (x - y) * (x - y)), 0D, (acc, t) -> acc + t)" % (sub_d, sub_d)
+    )
+    codes_expr = F.expr(
+        f"transform(sequence(0, {m_sub - 1}), m -> "
+        f"try_element_at(array_sort(transform(filter(cb, a -> a.m = m), "
+        f"a -> struct({d2_to.format(m='m')} AS d2, a.a_id AS a_id))), 1).a_id)"
+    )
+    lut_expr = F.expr(
+        f"flatten(transform(sequence(0, {m_sub - 1}), m -> "
+        f"transform(sequence(0, {n_codes - 1}), c -> "
+        f"coalesce(try_element_at(transform(filter(cb, a -> a.m = m AND a.a_id = c), "
+        f"a -> {d2_to.format(m='m')}), 1), cast('Infinity' as double)))))"
+    )
+    adc_expr = F.expr(
+        f"aggregate(sequence(0, {m_sub - 1}), 0D, (acc, m) -> "
+        f"acc + element_at(lut, cast(m * {n_codes} + element_at(codes, m + 1) + 1 as int)))"
+    )
+    return codes_expr, lut_expr, adc_expr
+
+
+def _pq_frames(
+    embeddings: DataFrame, n_queries: int, m_sub: int, n_codes: int, dim: int,
+    with_label: bool = False,
+):
+    """Shared PQ frames: dim-filtered double vectors, the broadcast
+    single-row codebook, encoded candidates and LUT-carrying queries."""
+    sub_d = dim // m_sub
+    base_cols = ["vec_id"] + (["label"] if with_label else [])
+    emb = _spread(embeddings).filter(F.size("embedding") == dim).select(
+        *base_cols, _as_double("embedding").alias("v")
+    )
+    sub_expr = F.expr(
+        f"transform(sequence(0, {m_sub - 1}),"
+        f" m -> struct(m AS m, slice(v, m * {sub_d} + 1, {sub_d}) AS sub))"
+    )
+    subs = emb.select("vec_id", F.explode(sub_expr).alias("s")).select(
+        "vec_id", "s.m", "s.sub"
+    )
+    cbook = subs.filter(F.col("vec_id") < n_codes).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("m"), F.col("vec_id").alias("a_id"), F.col("sub").alias("sub_a")
+                )
+            )
+        ).alias("cb")
+    )
+    codes_expr, lut_expr, adc_expr = _pq_parts(m_sub, n_codes, sub_d)
+    cand_cols = [F.col("vec_id").alias("neighbor_id")] + (
+        [F.col("label").alias("c_cell")] if with_label else []
+    )
+    cands = emb.crossJoin(F.broadcast(cbook)).select(
+        *cand_cols, F.col("v").alias("cv"), codes_expr.alias("codes")
+    )
+    q_cols = [F.col("vec_id").alias("query_id")] + (
+        [F.col("label").alias("q_cell")] if with_label else []
+    )
+    qside = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .crossJoin(F.broadcast(cbook))
+        .select(*q_cols, F.col("v").alias("q"), lut_expr.alias("lut"))
+    )
+    return cands, qside, adc_expr
+
+
+_EXACT_D2 = (
+    "aggregate(zip_with(q, cv, (x, y) -> (x - y) * (x - y)),"
+    " 0D, (acc, t) -> acc + t)"
+)
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     n_queries: int = 5,
@@ -626,7 +714,7 @@ def pq_adc_topk(
     ``n_codes`` entries, so a 64-dim float vector compresses to 8 code
     bytes; a query then scores any candidate with ``m_sub`` lookups into
     its precomputed query-to-anchor distance table instead of a 64-dim
-    arithmetic pass.  Anchors here are the subvectors of the first
+    arithmetic pass.  Anchors are the subvectors of the first
     ``n_codes`` vec_ids -- a deterministic codebook that keeps the whole
     path (codes, LUT, ADC scores, ranking) exactly oracle-checkable; a
     production codebook swaps in per-subspace k-means anchors (the
@@ -643,70 +731,17 @@ def pq_adc_topk(
     plus one 64-dim exact pass for the audit column (drop ``exact_d2``
     in production and it is lookups only).  The only shuffles are the
     per-query top-k window at candidate cardinality and the final sort."""
-    sub_d = dim // m_sub
-    emb = _spread(embeddings).filter(F.size("embedding") == dim).select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
-    sub_expr = F.expr(
-        f"transform(sequence(0, {m_sub - 1}),"
-        f" m -> struct(m AS m, slice(v, m * {sub_d} + 1, {sub_d}) AS sub))"
-    )
-    subs = emb.select("vec_id", F.explode(sub_expr).alias("s")).select(
-        "vec_id", "s.m", "s.sub"
-    )
-    # codebook as ONE sorted array-of-structs row: (m, a_id, sub_a)
-    cbook = subs.filter(F.col("vec_id") < n_codes).agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("m"), F.col("vec_id").alias("a_id"), F.col("sub").alias("sub_a")
-                )
-            )
-        ).alias("cb")
-    )
-    d2_to = (
-        "aggregate(zip_with(slice(v, {m} * %d + 1, %d), a.sub_a,"
-        " (x, y) -> (x - y) * (x - y)), 0D, (acc, t) -> acc + t)" % (sub_d, sub_d)
-    )
-    # per-row code array: for each subspace, the anchor minimizing (d2, a_id)
-    codes_expr = F.expr(
-        f"transform(sequence(0, {m_sub - 1}), m -> "
-        f"array_sort(transform(filter(cb, a -> a.m = m), "
-        f"a -> struct({d2_to.format(m='m')} AS d2, a.a_id AS a_id)))[0].a_id)"
-    )
-    # per-query flattened LUT: qd2 for (m, a_id) at index m * n_codes + a_id
-    # (filter preserves cb's (m, a_id) sort order)
-    lut_expr = F.expr(
-        f"flatten(transform(sequence(0, {m_sub - 1}), m -> "
-        f"transform(filter(cb, a -> a.m = m), a -> {d2_to.format(m='m')})))"
-    )
-    cands = (
-        emb.crossJoin(F.broadcast(cbook))
-        .select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
-                codes_expr.alias("codes"))
-    )
-    qside = (
-        emb.filter(F.col("vec_id") < n_queries)
-        .crossJoin(F.broadcast(cbook))
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("q"),
-                lut_expr.alias("lut"))
-    )
+    cands, qside, adc = _pq_frames(embeddings, n_queries, m_sub, n_codes, dim)
     pairs = F.broadcast(qside).crossJoin(cands).filter(
         F.col("query_id") != F.col("neighbor_id")
-    )
-    adc = F.expr(
-        f"aggregate(sequence(0, {m_sub - 1}), 0D, (acc, m) -> "
-        f"acc + element_at(lut, cast(m * {n_codes} + element_at(codes, m + 1) + 1 as int)))"
-    )
-    exact = F.expr(
-        "aggregate(zip_with(q, cv, (x, y) -> (x - y) * (x - y)),"
-        " 0D, (acc, t) -> acc + t)"
     )
     scored = pairs.select(
         "query_id",
         "neighbor_id",
         (F.floor(adc * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("adc_d2"),
-        (F.floor(exact * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("exact_d2"),
+        (F.floor(F.expr(_EXACT_D2) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "exact_d2"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("neighbor_id"))
     return (
@@ -781,9 +816,10 @@ def ivfpq_adc_topk(
     restrict WHICH candidates a query scores (here the fixture ``label``
     cell, as in ``ann_ivf_topk``), and product-quantization codes decide
     HOW each surviving candidate is scored (m_sub LUT lookups, as in
-    ``pq_adc_topk``).  This is the memory/recall point most production
-    vector indexes ship: the inverted lists bound the scan and the codes
-    bound the bytes per vector.
+    ``pq_adc_topk``; both variants share the ``_pq_frames`` machinery).
+    This is the memory/recall point most production vector indexes ship:
+    the inverted lists bound the scan and the codes bound the bytes per
+    vector.
 
     Scale: encoding stays a pure projection over the broadcast codebook;
     the probe is an equi-join on the cell id (1/C of the index per
@@ -791,75 +827,20 @@ def ivfpq_adc_topk(
     crossJoin; scoring per pair is m_sub lookups.  Exact squared-L2
     rides along as the audit column, same convention as
     ``pq_adc_topk``."""
-    sub_d = dim // m_sub
-    emb = _spread(embeddings).filter(F.size("embedding") == dim).select(
-        "vec_id", "label", _as_double("embedding").alias("v")
-    )
-    sub_expr = F.expr(
-        f"transform(sequence(0, {m_sub - 1}),"
-        f" m -> struct(m AS m, slice(v, m * {sub_d} + 1, {sub_d}) AS sub))"
-    )
-    subs = emb.select("vec_id", F.explode(sub_expr).alias("s")).select(
-        "vec_id", "s.m", "s.sub"
-    )
-    cbook = subs.filter(F.col("vec_id") < n_codes).agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("m"), F.col("vec_id").alias("a_id"), F.col("sub").alias("sub_a")
-                )
-            )
-        ).alias("cb")
-    )
-    d2_to = (
-        "aggregate(zip_with(slice(v, {m} * %d + 1, %d), a.sub_a,"
-        " (x, y) -> (x - y) * (x - y)), 0D, (acc, t) -> acc + t)" % (sub_d, sub_d)
-    )
-    codes_expr = F.expr(
-        f"transform(sequence(0, {m_sub - 1}), m -> "
-        f"array_sort(transform(filter(cb, a -> a.m = m), "
-        f"a -> struct({d2_to.format(m='m')} AS d2, a.a_id AS a_id)))[0].a_id)"
-    )
-    lut_expr = F.expr(
-        f"flatten(transform(sequence(0, {m_sub - 1}), m -> "
-        f"transform(filter(cb, a -> a.m = m), a -> {d2_to.format(m='m')})))"
-    )
-    cands = (
-        emb.crossJoin(F.broadcast(cbook))
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("label").alias("c_cell"),
-            F.col("v").alias("cv"),
-            codes_expr.alias("codes"),
-        )
-    )
-    qside = (
-        emb.filter(F.col("vec_id") < n_queries)
-        .crossJoin(F.broadcast(cbook))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("label").alias("q_cell"),
-            F.col("v").alias("q"),
-            lut_expr.alias("lut"),
-        )
+    cands, qside, adc = _pq_frames(
+        embeddings, n_queries, m_sub, n_codes, dim, with_label=True
     )
     pairs = F.broadcast(qside).join(
         cands, F.col("q_cell") == F.col("c_cell")
     ).filter(F.col("query_id") != F.col("neighbor_id"))
-    adc = F.expr(
-        f"aggregate(sequence(0, {m_sub - 1}), 0D, (acc, m) -> "
-        f"acc + element_at(lut, cast(m * {n_codes} + element_at(codes, m + 1) + 1 as int)))"
-    )
-    exact = F.expr(
-        "aggregate(zip_with(q, cv, (x, y) -> (x - y) * (x - y)),"
-        " 0D, (acc, t) -> acc + t)"
-    )
     scored = pairs.select(
         "query_id",
         F.col("q_cell").alias("cell"),
         "neighbor_id",
         (F.floor(adc * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("adc_d2"),
-        (F.floor(exact * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("exact_d2"),
+        (F.floor(F.expr(_EXACT_D2) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "exact_d2"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("neighbor_id"))
     return (

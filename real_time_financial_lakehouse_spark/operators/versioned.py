@@ -485,10 +485,10 @@ def restore_version(table_dir: str, to_version: int) -> int:
     rewritten, and the restore itself is one manifest write regardless of
     table size.  The txn records what was restored, so ``table_history``
     shows the rollback as an audited operation."""
-    man = read_manifest(table_dir, to_version)
     prior = table_versions(table_dir)
     if not prior:
         raise FileNotFoundError(f"no committed versions in {table_dir}")
+    man = read_manifest(table_dir, to_version)
     version = prior[-1] + 1
     return _commit_manifest(
         table_dir,

@@ -3203,7 +3203,9 @@ def q_cci_20(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_DAILY_BARS_SQL.strip()},
     rets AS (
         SELECT symbol, day,
-               c / lag(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0 AS r
+               CASE WHEN lag(c) OVER (PARTITION BY symbol ORDER BY day) <> 0
+                    THEN c / lag(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0
+               END AS r
         FROM dbars
     ),
     pairs AS (
@@ -3212,10 +3214,10 @@ def q_cci_20(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rets
     )
     SELECT symbol,
-           count(*) AS n_days,
+           count(*) AS n_pairs,
            CASE WHEN stddev_pop(r) * stddev_pop(r_prev) <> 0
                 THEN {_q('covar_pop(r, r_prev) / (stddev_pop(r) * stddev_pop(r_prev))', 6)} END AS autocorr_lag1,
-           {_q('avg(r)', 6)} AS mean_daily_return
+           {_q('avg(r)', 6)} AS mean_paired_return
     FROM pairs
     WHERE r IS NOT NULL AND r_prev IS NOT NULL
     GROUP BY symbol
@@ -3624,8 +3626,13 @@ def q_anomaly_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "benford_check",
     f"""
     WITH used AS (
-        SELECT floor(value / pow(10.0, floor(log10(value))))::INT AS digit
-        FROM events WHERE value > 0
+        SELECT CASE WHEN raw_digit = 0 THEN 9
+                    WHEN raw_digit = 10 THEN 1
+                    ELSE raw_digit END AS digit
+        FROM (
+            SELECT floor(value / pow(10.0, floor(log10(value))))::INT AS raw_digit
+            FROM events WHERE value > 0
+        )
     ),
     counts AS (SELECT digit, count(*) AS n_obs FROM used GROUP BY 1),
     total AS (SELECT sum(n_obs)::DOUBLE AS n_total FROM counts)

@@ -1758,7 +1758,9 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-4 continuation: PQ-ADC ANN, KMV sketch, source overlap, shard manifest
 # ---------------------------------------------------------------------------
 
-_NORM_COAL_SQL = "regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')"
+from .functions.hashing import NORMALIZE_TEXT_SQL as _NORM_TPL
+
+_NORM_COAL_SQL = _NORM_TPL.format(expr="coalesce(text, '')")
 
 
 @register(

@@ -553,13 +553,14 @@ def streaming_seasonal_anomaly_roundtrip(spark: SparkSession, sf_dir: str) -> Da
     with pinned_state_partitions(spark) as ss:
         from ..catalog import load_table
 
+        from ..operators.rollup import hourly_symbol_stats
+
         hist = load_table(ss, sf_dir, "events")
-        base = hist.groupBy(
-            F.col("event_type").alias("b_symbol"),
-            F.hour("ts").alias("b_hod"),
-        ).agg(
-            F.avg("value").alias("mean_v"),
-            F.stddev_pop("value").alias("std_v"),
+        base = hourly_symbol_stats(hist).select(
+            F.col("symbol").alias("b_symbol"),
+            F.col("hour_of_day").alias("b_hod"),
+            "mean_v",
+            "std_v",
         )
         ev = events_stream(ss, sf_dir)
         scored = ev.join(

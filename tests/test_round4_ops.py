@@ -1502,3 +1502,55 @@ def test_volatility_cone_orders_percentiles(spark):
     assert horizons == {5, 20, 60}
     for r in out:
         assert r["rv_min"] <= r["rv_p25"] <= r["rv_median"] <= r["rv_p75"] <= r["rv_max"]
+
+
+def test_benford_digit_at_power_of_ten_boundary(spark):
+    """Values one double below a power of ten (log10 rounds UP to the
+    integer) must land in digit 9, never digit 0 / division error; exact
+    powers of ten land in digit 1."""
+    from real_time_financial_lakehouse_spark.operators import profiling as pf
+
+    vals = [999.9999999999999, 9.999999999999998, 1000.0, 1.0, 0.1]
+    ev = _ticks(spark, [
+        (i, "2024-01-01 00:00:00", 1, "A", v, "{}") for i, v in enumerate(vals)
+    ])
+    out = {r["digit"]: r["n_obs"] for r in pf.benford_check(ev).collect()}
+    assert out == {9: 2, 1: 3}
+
+
+def test_return_autocorr_survives_zero_close_day(spark):
+    """A day whose close is 0.0 cannot anchor the next day's return:
+    the query must not raise (ANSI doubles) and the zero-anchored return
+    drops out of the pair sample."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    ev = _ticks(spark, [
+        (1, "2024-01-01 12:00:00", 1, "A", 10.0, "{}"),
+        (2, "2024-01-02 12:00:00", 1, "A", 0.0, "{}"),    # zero close
+        (3, "2024-01-03 12:00:00", 1, "A", 12.0, "{}"),
+        (4, "2024-01-04 12:00:00", 1, "A", 11.0, "{}"),
+        (5, "2024-01-05 12:00:00", 1, "A", 13.0, "{}"),
+    ])
+    rows = finance.return_autocorr(ev).collect()   # must not raise
+    assert len(rows) == 1 and rows[0]["n_pairs"] >= 1
+
+
+def test_pq_sparse_codebook_stays_aligned(spark):
+    """A codebook with a MISSING anchor id (vec_id 3 absent) must not
+    shift LUT slots: anchor candidates still show ADC == exact, proving
+    every lookup hits its own subspace slot."""
+    import math
+
+    from real_time_financial_lakehouse_spark.operators import similarity as sim
+
+    def vec(seed):
+        return [math.sin(seed * 31 + i) for i in range(64)]
+
+    rows = [(i, vec(i), 0) for i in range(12) if i != 3]   # anchor 3 missing
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = sim.pq_adc_topk(emb, n_queries=1, k=11).collect()
+    got = {r["neighbor_id"]: r for r in out}
+    for nid in [1, 2, 4, 5, 6, 7]:          # present anchors: zero quant error
+        assert got[nid]["adc_d2"] == got[nid]["exact_d2"], nid
