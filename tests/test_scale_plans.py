@@ -500,3 +500,74 @@ def test_selfjoin_estimate_never_joins_the_table(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" not in plan      # scalar cross only
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+
+def test_tick_windows_share_one_exchange(spark):
+    """order_flow_imbalance's lag window and sign-carry window use the
+    same (symbol, time) sort: exactly ONE hashpartitioning exchange on
+    the symbol feeds both, then the day rollup adds its own."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    df = finance.order_flow_imbalance(ev)
+    df.collect()
+    plan = _plan(df)
+    # windows partition on event_type/symbol; dedupe AQE's double print
+    # by requiring the distinct window-exchange count to be 1
+    import re
+
+    exch = {
+        m.group(0)
+        for m in re.finditer(r"Exchange hashpartitioning\((\w+)#\d+", plan)
+        if m.group(1) in ("event_type", "symbol")
+    }
+    assert len(exch) <= 2, plan      # one window exchange + one rollup
+
+
+def test_anomaly_episode_window_runs_on_filtered_minority(spark):
+    """The gaps-and-islands window must run AFTER the az > cut filter --
+    the Filter sits below the Window operators in the plan, so episode
+    state is sized by the anomaly rate, not the corpus."""
+    from real_time_financial_lakehouse_spark.operators import profiling as pf
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    df = pf.anomaly_episodes(ev)
+    df.collect()
+    plan = _plan(df)
+    # the window's sort appears above a filter containing the z cut
+    assert "Window" in plan
+    w_pos = plan.index("Window")
+    assert "Filter" in plan[w_pos:], "anomaly filter must feed the window"
+
+
+def test_benford_is_single_scan_digit_rollup(spark):
+    """Benford is one scan + a 9-row aggregate: no join of data-sized
+    frames, no window, the only join is the broadcast of the 1-row
+    total."""
+    from real_time_financial_lakehouse_spark.operators import profiling as pf
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    df = pf.benford_check(ev)
+    df.collect()
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "Window " not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+
+
+def test_volatility_cone_horizons_share_sort(spark):
+    """All horizon frames use one (symbol, minute) window sort: a single
+    symbol-keyed exchange serves every rolling-vol frame."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    df = finance.volatility_cones(ev)
+    df.collect()
+    plan = _plan(df)
+    import re
+
+    # count DISTINCT symbol-hash exchanges (AQE prints the plan twice)
+    ids = {
+        m.group(0)
+        for m in re.finditer(r"Exchange hashpartitioning\(symbol#\d+, \d+\)", plan)
+    }
+    assert len(ids) <= 2, plan       # bar rollup + one shared window sort
