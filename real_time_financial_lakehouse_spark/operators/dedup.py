@@ -76,6 +76,34 @@ def _pairs_within_bucket(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
         ).alias("p")
     ).select("p.doc_a", "p.doc_b")
 
+def _shingle_hashes_expr(shingle_n: int = 3, text_col: str = "text"):
+    """Shared shingle-hash array producer: shingle the text, md5 each
+    shingle once into a bigint array column.  minhash_signatures AND the
+    fused candidate-feature pass of minhash_jaccard_estimate both build
+    from this single expression, so the estimate's 'agree' column can
+    never silently decouple from the LSH banding that produced the
+    candidate pairs."""
+    return _hash_array_expr(shingles_expr(text_col, shingle_n))
+
+
+def _hash_array_expr(arr_sql: str):
+    """md5 -> 28-bit-bigint map over a string-array SQL expression (the
+    per-shingle hash both minhash paths share)."""
+    return F.expr(
+        f"transform({arr_sql}, s -> cast(conv(substring(md5(s),1,7),16,10) as bigint))"
+    )
+
+
+def _minhash_min_expr(i: int, hs_col: str = "hs"):
+    """Shared permutation-min: min over the shingle-hash array under the
+    i-th fixed universal-hash permutation (perm_params keeps the (a, b)
+    constants identical to the oracle SQL's minhash_sql)."""
+    a, b = perm_params(i)
+    return F.expr(
+        f"array_min(transform({hs_col}, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+    )
+
+
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact dedup on normalized text: one row per distinct content hash,
     keeping the smallest doc_id as representative."""
@@ -99,21 +127,12 @@ def minhash_signatures(documents: DataFrame, k: int = 8, shingle_n: int = 3) -> 
     CollapseProject keeps the expensive array producer separate only
     because it is referenced k times -- measured 8x faster at sf0.1).
     Zero shuffles -- the whole signature is a projection."""
-    sh = shingles_expr("text", shingle_n)
     hashed = _spread(documents).select(
-        "doc_id",
-        F.expr(
-            f"transform({sh}, s -> cast(conv(substring(md5(s),1,7),16,10) as bigint))"
-        ).alias("hs"),
+        "doc_id", _shingle_hashes_expr(shingle_n).alias("hs")
     )
-    cols = [F.col("doc_id")]
-    for i in range(k):
-        a, b = perm_params(i)
-        cols.append(
-            F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME}))").alias(
-                f"mh_{i}"
-            )
-        )
+    cols = [F.col("doc_id")] + [
+        _minhash_min_expr(i).alias(f"mh_{i}") for i in range(k)
+    ]
     return hashed.select(*cols)
 
 def lsh_candidate_pairs(
@@ -665,19 +684,12 @@ def minhash_jaccard_estimate(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
     cand = documents.join(F.broadcast(ids), "doc_id", "leftsemi")
-    mins = []
-    for i in range(k):
-        a_i, b_i = perm_params(i)
-        mins.append(
-            F.expr(f"array_min(transform(hs, h -> ({a_i} * h + {b_i}) % {MINHASH_PRIME}))")
-        )
+    mins = [_minhash_min_expr(i) for i in range(k)]
     feats = (
         cand.select("doc_id", F.expr(shingles_expr("text", shingle_n)).alias("shl"))
         .select(
             "doc_id",
-            F.expr(
-                "transform(shl, s -> cast(conv(substring(md5(s),1,7),16,10) as bigint))"
-            ).alias("hs"),
+            _hash_array_expr("shl").alias("hs"),
             F.array_distinct("shl").alias("sh"),
         )
         .select("doc_id", F.array(*mins).alias("sig"), "sh")

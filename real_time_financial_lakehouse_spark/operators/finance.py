@@ -923,7 +923,7 @@ def dollar_bars(events: DataFrame, bucket_dollars: float = 250_000.0) -> DataFra
             qround(F.col("high_raw"), 6).alias("high"),
             qround(F.col("low_raw"), 6).alias("low"),
             qround(F.col("close_raw"), 6).alias("close"),
-            qround(F.col("dv"), 4).alias("dollar_volume"),
+            qround(F.col("dv"), 6).alias("dollar_volume"),
             "n_ticks",
             "bar_start",
             "bar_end",

@@ -593,14 +593,17 @@ def shard_manifest(documents: DataFrame, n_shards: int = 16) -> DataFrame:
     shard = (
         md5_long(F.concat_ws(":", F.lit("shard"), F.col("doc_id")), 7) % n_shards
     ).alias("shard_id")
-    toks = F.size(F.split(F.col("text"), " "))
+    # module-wide token convention (corpus_summary / dataset_split_counts):
+    # trim + split on \s+ -- a single-space split would count empty text
+    # as 1 token and inflate on consecutive spaces
+    toks = F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
     return (
         documents.select(
             shard,
             F.col("doc_id"),
             F.col("source"),
             F.col("n_chars"),
-            F.when(F.col("text").isNull(), F.lit(0)).otherwise(toks).alias("n_tokens"),
+            toks.alias("n_tokens"),
         )
         .groupBy("shard_id")
         .agg(
@@ -633,15 +636,17 @@ def weighted_sample_per_source(documents: DataFrame, n: int = 20) -> DataFrame:
     doubles."""
     from pyspark.sql import Window
 
-    u = md5_long(F.concat_ws(":", F.lit("wsample"), F.col("doc_id"))) / F.lit(
-        1152921504606846976.0
-    )
-    # 9-digit quantization: length-weighted keys crowd toward 1.0
-    # (u^(1/w) with w ~ hundreds), so a 1e-6 grid would tie most of the
-    # corpus and the doc_id tiebreak would swamp the weighting
-    key = qround(
-        F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 9
-    )
+    # +0.5 keeps u strictly inside (0, 1) so ln(u) is finite
+    u = (
+        md5_long(F.concat_ws(":", F.lit("wsample"), F.col("doc_id"))) + F.lit(0.5)
+    ) / F.lit(1152921504606846976.0)
+    # Order-equivalent LOG form of the A-ES key (Efraimidis-Spirakis):
+    # rank by ln(u)/w instead of u^(1/w).  The power form crowds onto the
+    # quantization grid near 1.0 once w reaches ~1e5-1e6 chars (any fixed
+    # decimal grid ties large docs and the doc_id tiebreak silently
+    # replaces the length weighting); ln(u)/w spreads values at every
+    # document length, so a 9-digit grid stays collision-free.
+    key = qround(F.log(u) / F.col("n_chars").cast("double"), 9)
     keyed = (
         documents.filter(F.col("n_chars") > 0)
         .select("source", "doc_id", "n_chars", key.alias("sample_key"))

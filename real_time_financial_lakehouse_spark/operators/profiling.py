@@ -397,11 +397,28 @@ def benford_check(events: DataFrame) -> DataFrame:
     )
     used = events.filter(v > 0).select(digit.alias("digit"))
     counts = used.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
-    total = counts.agg(F.sum("n_obs").cast("double").alias("n_total"))
+    # Constant 1..9 digit spine: a digit with ZERO observations must
+    # still appear in the report -- it carries the LARGEST possible
+    # chi-square term (expected * n_total), so omitting it silently
+    # understates the deviation exactly when the data is most skewed.
+    spine = events.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    counts = spine.join(counts, "digit", "left").select(
+        "digit", F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs")
+    )
+    total = counts.agg(
+        F.coalesce(F.sum("n_obs"), F.lit(0)).cast("double").alias("n_total")
+    )
     expected = F.log10(1.0 + 1.0 / F.col("digit"))
-    obs_share = F.col("n_obs") / F.col("n_total")
-    chi2 = (
-        (obs_share - expected) * (obs_share - expected) / expected * F.col("n_total")
+    nt = F.col("n_total")
+    obs_share = F.when(nt != 0, F.col("n_obs") / nt)
+    chi2 = F.when(
+        nt != 0,
+        (F.col("n_obs") / nt - expected)
+        * (F.col("n_obs") / nt - expected)
+        / expected
+        * nt,
     )
     return (
         counts.crossJoin(F.broadcast(total))

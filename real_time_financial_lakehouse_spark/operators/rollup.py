@@ -227,37 +227,71 @@ def event_type_unpivot(events: DataFrame) -> DataFrame:
 def distinct_user_counts_approx(events: DataFrame) -> DataFrame:
     """The 100 TB sketch path for ``distinct_user_counts``:
     ``approx_count_distinct`` (HyperLogLog++, rsd 2%) -- a mergeable
-    sketch, one pass, no two-phase distinct expand.  Same query shape as
-    the exact twin; pytest asserts the estimate lands within tolerance
-    of the exact count (no SQL oracle -- sketch internals are
-    engine-specific by design)."""
+    sketch, one pass, no two-phase distinct expand.
+
+    Oracle-checkable audit form (the KMV template): the HLL estimate
+    itself is engine-internal, so the query emits the EXACT count (which
+    the DuckDB oracle recomputes bit-identically) plus a
+    ``approx_within_bound`` certificate asserting the sketch landed
+    within 10% (5x the configured rsd; HLL's sparse mode is exact below
+    a few thousand so small groups get an absolute floor of 5).  The
+    sketch still runs -- it is folded into the boolean -- while every
+    output column is deterministically recomputable.  pytest separately
+    asserts the raw estimate tolerance."""
+    exact = F.count_distinct("user_id")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    bound = F.greatest(0.10 * exact.cast("double"), F.lit(5.0))
     return (
         events.groupBy(F.col("event_type").alias("symbol"))
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+            exact.alias("n_users_exact"),
             F.count(F.lit(1)).alias("n_events"),
+            (
+                F.abs(approx.cast("double") - exact.cast("double")) <= bound
+            ).alias("approx_within_bound"),
         )
         .orderBy("symbol")
     )
 
 def value_percentiles_approx(events: DataFrame) -> DataFrame:
     """The 100 TB sketch path for ``value_percentiles``:
-    ``percentile_approx`` (KLL-style mergeable quantile sketch,
-    accuracy 10000) -- one pass, no per-group full sort.  pytest asserts
-    each approximate quantile lands within the sketch's rank-error bound
-    of the exact value."""
-    pcts = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
-    return (
-        events.groupBy(F.col("event_type").alias("symbol"))
-        .agg(pcts.alias("p"))
-        .select(
-            "symbol",
-            F.element_at("p", 1).alias("p50_approx"),
-            F.element_at("p", 2).alias("p90_approx"),
-            F.element_at("p", 3).alias("p99_approx"),
-        )
-        .orderBy("symbol")
+    ``percentile_approx`` (GK-style mergeable quantile sketch,
+    accuracy 10000) -- one pass, no per-group full sort.
+
+    Oracle-checkable audit form (the KMV template): sketch output is
+    engine-internal, so the query emits the EXACT interpolated
+    percentiles (DuckDB ``quantile_cont`` recomputes them
+    bit-identically) plus an ``approx_within_bound`` certificate: each
+    sketch quantile must fall between the exact quantiles at
+    p +/- 0.005 (the sketch guarantees rank error 1/accuracy; 0.005
+    gives 50x headroom while still being a real rank-error assertion).
+    The sketch runs and is folded into the boolean; every output column
+    is deterministically recomputable.  pytest separately asserts the
+    raw estimates."""
+    approx = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    lo = F.percentile("value", F.array(F.lit(0.495), F.lit(0.895), F.lit(0.985)))
+    hi = F.percentile("value", F.array(F.lit(0.505), F.lit(0.905), F.lit(0.995)))
+    exact = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    # NB: [] is 0-based in Spark SQL (element_at is the 1-based form)
+    in_band = F.expr(
+        "forall(sequence(0, 2), i -> ap[i] >= plo[i] AND ap[i] <= phi[i])"
     )
+    agg = (
+        events.groupBy(F.col("event_type").alias("symbol"))
+        .agg(
+            approx.alias("ap"),
+            lo.alias("plo"),
+            hi.alias("phi"),
+            exact.alias("pe"),
+        )
+    )
+    return agg.select(
+        "symbol",
+        qround(F.element_at("pe", 1), 6).alias("p50"),
+        qround(F.element_at("pe", 2), 6).alias("p90"),
+        qround(F.element_at("pe", 3), 6).alias("p99"),
+        in_band.alias("approx_within_bound"),
+    ).orderBy("symbol")
 
 
 def hourly_from_minute(events: DataFrame) -> DataFrame:

@@ -237,6 +237,50 @@ def ivf_topk_learned(
         .orderBy("query_id", "rank")
     )
 
+def ivf_recall_audit(
+    embeddings: DataFrame,
+    model,
+    n_queries: int = 5,
+    k: int = 5,
+    nprobe: int = 6,
+    min_recall: float = 0.6,
+) -> DataFrame:
+    """Oracle-checkable certificate form of the learned-IVF search (the
+    KMV template): the learned codebook's cell assignments are not
+    SQL-expressible, so instead of the neighbor lists the query emits ONE
+    row of deterministically recomputable columns -- query/k/exact-pair
+    counts -- plus a ``recall_ok`` certificate asserting the IVF search
+    recovered >= ``min_recall`` of the exact brute-force top-k (the same
+    gate tests/test_llmdata.py::test_ivf_learned_recall pins; observed
+    0.84+ at both sf0.001 and sf0.01, threshold 0.6 absorbs KMeans fit
+    variation across partitionings while staying far above the
+    random-pruning floor of nprobe/C = 0.375).
+
+    Scale: both arms are the already-bounded searches (broadcast query
+    side; IVF probes nprobe/C of the index); the audit join is
+    top-k-frame sized (Q x k rows) and the final rollup is one row."""
+    exact = cosine_topk(embeddings, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    learned = ivf_topk_learned(
+        embeddings, model, n_queries=n_queries, k=k, nprobe=nprobe
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(learned, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            F.lit(n_queries).alias("n_queries"),
+            F.lit(k).alias("k"),
+            "n_exact_pairs",
+            (
+                F.col("n_hits").cast("double")
+                >= F.lit(min_recall) * F.col("n_exact_pairs").cast("double")
+            ).alias("recall_ok"),
+        )
+    )
+
+
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs -- the last tier of the dedup
     ladder: semantic dupes that share no n-grams.  Candidate pairs are
@@ -406,6 +450,47 @@ def pca_project(embeddings: DataFrame, model) -> DataFrame:
             "transform(p, x -> cast(floor(x * 1000000.0 + 0.5) / 1000000.0 as double))"
         ).alias("pca"),
         qround(retained, 6).alias("retained_sq_norm"),
+    ).orderBy("vec_id")
+
+
+def pca_audit(embeddings: DataFrame, model) -> DataFrame:
+    """Driver-safe, oracle-checkable certificate form of the PCA query
+    (the KMV template): every output column is a SCALAR the DuckDB
+    oracle can recompute deterministically -- the round-3/round-4 driver
+    canonicalizer cannot hash array columns, so the raw k-dim projection
+    (pytest-pinned via ``pca_project``) stays out of the driver output.
+
+    Per vector it emits the exact squared norm of the input (oracle:
+    ``list_sum(list_transform(...))``), the component count, and a
+    ``projection_bounded`` certificate: because Spark ML's PCA projects
+    the UNCENTERED rows onto an orthonormal basis (RowMatrix
+    ``computePrincipalComponents`` centers only the covariance
+    estimate), Bessel's inequality guarantees
+    ``||x @ PC||^2 <= ||x||^2`` -- a real linear-algebra invariant the
+    engine must satisfy and the oracle asserts TRUE.  Scale: one
+    broadcast d x k matrix-vector multiply per row, no shuffle beyond
+    the fit's d x d Gramian pass."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    k = len(model.explainedVariance)
+    feats = embeddings.select(
+        "vec_id",
+        array_to_vector(_as_double("embedding")).alias("features"),
+        F.aggregate(
+            _as_double("embedding"), F.lit(0.0), lambda acc, x: acc + x * x
+        ).alias("sq"),
+    )
+    proj = model.transform(feats).select(
+        "vec_id", "sq", vector_to_array(F.col("pca")).alias("p")
+    )
+    retained = F.aggregate("p", F.lit(0.0), lambda acc, x: acc + x * x)
+    return proj.select(
+        "vec_id",
+        qround(F.col("sq"), 6).alias("orig_sq_norm"),
+        F.lit(k).alias("n_components"),
+        (retained <= F.col("sq") * 1.000000001 + 1e-9).alias(
+            "projection_bounded"
+        ),
     ).orderBy("vec_id")
 
 
@@ -743,6 +828,12 @@ def pq_adc_topk(
             "exact_d2"
         ),
     )
+    # Degenerate-corpus guard: if a subspace has NO anchors (no
+    # dim-matching vec_id < n_codes) the LUT lookup yields NULL adc_d2,
+    # and Spark's ascending sort puts NULLs FIRST -- k NULL-scored rows
+    # per query where the join-based DuckDB oracle returns zero rows.
+    # Drop unscorable pairs before ranking so both engines agree.
+    scored = scored.filter(F.col("adc_d2").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -842,6 +933,9 @@ def ivfpq_adc_topk(
             "exact_d2"
         ),
     )
+    # Same degenerate-corpus guard as pq_adc_topk: NULL adc scores (an
+    # anchorless subspace) must not outrank real candidates.
+    scored = scored.filter(F.col("adc_d2").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

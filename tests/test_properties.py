@@ -384,7 +384,12 @@ def test_dollar_bars_partition_ticks_and_conserve_dollars(spark, rows):
     out = dollar_bars(df, bucket_dollars=500.0).collect()
     assert sum(r["n_ticks"] for r in out) == len(rows)
     total = sum(((i % 4) + 1) * float(val) for i, (_, _, val) in enumerate(rows))
-    assert sum(r["dollar_volume"] for r in out) == pytest.approx(total, rel=1e-6)
+    # dollar_volume is quantized at 6 dp (mirroring the oracle), so the
+    # conservation check must allow up to 5e-7 absolute error per bar on
+    # top of float accumulation noise.
+    assert sum(r["dollar_volume"] for r in out) == pytest.approx(
+        total, rel=1e-6, abs=5e-7 * max(1, len(out))
+    )
     for r in out:
         assert r["low"] <= r["open"] <= r["high"]
         assert r["low"] <= r["close"] <= r["high"]
