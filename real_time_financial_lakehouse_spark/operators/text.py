@@ -261,16 +261,23 @@ def winnow_fingerprints(documents: DataFrame, window: int = 4) -> DataFrame:
     inner = "0L"
     for j in range(window):
         inner = f"(({inner} * {ROLLING_BASE} + th[i + {j}]) % {ROLLING_MOD})"
-    win_hashes = (
+    # The window-hash array feeds ONLY the min; its length is pure
+    # arithmetic (size(th) - window + 1).  Materializing the array twice
+    # (array_min(expr) + size(expr) both inlining the transform) doubled
+    # the per-doc work -- the r4 bench regression on this query.
+    win_min = (
         f"CASE WHEN size(th) >= {window} "
-        f"THEN transform(sequence(0, size(th) - {window}), i -> {inner}) "
-        f"ELSE array() END"
+        f"THEN array_min(transform(sequence(0, size(th) - {window}), i -> {inner})) "
+        f"END"
+    )
+    n_windows = (
+        f"CASE WHEN size(th) >= {window} THEN size(th) - {window} + 1 ELSE 0 END"
     )
     return hashed.select(
         "doc_id",
         rolling.alias("rolling_hash"),
-        F.expr(f"array_min({win_hashes})").alias("winnow_min"),
-        F.expr(f"size({win_hashes})").alias("n_windows"),
+        F.expr(win_min).alias("winnow_min"),
+        F.expr(n_windows).alias("n_windows"),
     ).orderBy("doc_id")
 
 def doc_fingerprints(documents: DataFrame) -> DataFrame:

@@ -2800,9 +2800,55 @@ _ROUND4_FRONT = [
     "pca_embeddings",
 ]
 
+# Green in CORRECTNESS_r04: all of _ROUND4_FRONT except the four err
+# rows (pca_embeddings crashed the driver canonicalizer on its
+# then-array<double> column; the three sketch queries had no oracle and
+# recorded err: no_oracle).  All four were re-shaped for r5 -- scalar
+# certificate outputs with real oracle twins -- and are re-fronted.
+_ROUND4_ERR = [
+    "pca_embeddings", "distinct_user_counts_approx",
+    "value_percentiles_approx", "ann_ivf_kmeans_topk",
+]
+_DRIVER_VERIFIED_R4 = [n for n in _ROUND4_FRONT if n not in _ROUND4_ERR]
+
+# Round-5 front: the four re-shaped r4 err rows first (the judge checks
+# they come back clean), then 46 of the 58 never-driver-checked
+# oracle-exact queries -- retrieval/ANN, versioned-table, dedup-audit,
+# microstructure and diagnostics families prioritized.  The 12 deferred
+# names (simple indicator/window shapes, all locally parity-green) plus
+# rows-only bpe_train_merges queue for r6.
+_ROUND5_FRONT = _ROUND4_ERR + [
+    # retrieval / ANN / embeddings
+    "bm25_search", "hybrid_rrf_search", "ann_pq_adc_topk",
+    "ann_ivfpq_topk", "ann_hyperplane_topk", "retrieve_rerank",
+    "quantize_embeddings", "label_centroids", "semantic_dedup_keep",
+    # dedup audits / pipeline ops
+    "minhash_jaccard_estimate", "bloom_incremental_dedup",
+    "dedup_keep_priority", "source_overlap_matrix", "boilerplate_strip",
+    "redact_pii", "token_budget_mixture", "weighted_sample_per_source",
+    "shard_manifest", "dataset_split_counts", "corpus_summary",
+    # text / language-model analysis
+    "bigram_logprob", "ngram_novelty", "cross_entropy_eval",
+    "heavy_hitters_cms", "kmv_distinct_estimate", "zipf_fit",
+    "benford_check", "png_media_features",
+    # versioned tables / layout / joins
+    "versioned_delete_where", "versioned_append_evolution",
+    "versioned_restore", "bucketed_revenue_join",
+    # streaming
+    "streaming_user_cms", "streaming_seasonal_anomaly",
+    # microstructure / finance
+    "order_flow_imbalance", "kyle_lambda", "dollar_bars",
+    "volatility_cones", "cci_20", "return_autocorr",
+    # profiling / analytics
+    "profile_events", "key_skew_profile", "selfjoin_size_estimate",
+    "event_gap_stats", "anomaly_episodes", "user_transition_matrix",
+]
+
 def _rotate_for_driver() -> None:
-    front = [n for n in _ROUND4_FRONT if n in QUERIES]
-    verified_names = _DRIVER_VERIFIED_R1_R2 + _DRIVER_VERIFIED_R3
+    front = [n for n in _ROUND5_FRONT if n in QUERIES]
+    verified_names = (
+        _DRIVER_VERIFIED_R1_R2 + _DRIVER_VERIFIED_R3 + _DRIVER_VERIFIED_R4
+    )
     placed = set(front) | set(verified_names)
     rest_unverified = [n for n in QUERIES if n not in placed]
     verified = [n for n in verified_names if n in QUERIES and n not in front]
@@ -2812,7 +2858,10 @@ def _rotate_for_driver() -> None:
         d.clear()
         d.update(reordered)
 
-_rotate_for_driver()
+# NB: _rotate_for_driver() is invoked at the very END of this module --
+# round-4-continuation queries register below this point, and the round-5
+# front names several of them, so rotating here would silently leave them
+# out of the driver's first-50 window.
 
 
 _PROFILE_COLS = ["event_id", "event_type", "props", "ts", "user_id", "value"]
@@ -3732,3 +3781,8 @@ def q_volatility_cones(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import finance
 
     return finance.volatility_cones(_events(spark, sf_dir))
+
+
+# All registrations (including registry_llmdata's and the late blocks
+# above) are complete -- order the registry for the external driver gate.
+_rotate_for_driver()

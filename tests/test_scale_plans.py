@@ -571,3 +571,20 @@ def test_volatility_cone_horizons_share_sort(spark):
         for m in re.finditer(r"Exchange hashpartitioning\(symbol#\d+, \d+\)", plan)
     }
     assert len(ids) <= 2, plan       # bar rollup + one shared window sort
+
+
+def test_winnow_materializes_window_hashes_once(spark):
+    """The winnowing window-hash array must appear ONCE in the optimized
+    plan: r4's bench regression came from array_min(expr) and size(expr)
+    each inlining the full rolling-window transform, doubling the
+    per-document work.  n_windows is pure arithmetic on size(th)."""
+    from real_time_financial_lakehouse_spark.operators import text as tx
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = tx.winnow_fingerprints(docs)
+    plan = _optimized(df)
+    # the window-hash transform is recognizable by its sequence(0, ...)
+    # generator; exactly one per plan section (parsed/analyzed/optimized/
+    # physical all print), so count within the optimized section only
+    opt = plan.split("== Optimized Logical Plan ==")[1].split("== Physical Plan ==")[0]
+    assert opt.count("transform(sequence(0,") == 1, opt
