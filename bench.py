@@ -65,11 +65,54 @@ def main() -> None:
         timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
+
+    # Per-family subtotals: the inventory mixes MACHINERY-bound queries
+    # (streaming micro-batch setup, checkpoint fsync, table-version IO --
+    # near-constant cost regardless of data size) with DATA-bound batch
+    # queries.  Reporting them separately keeps real per-family
+    # regressions visible as the registry grows.
+    def family(name: str) -> str:
+        if name.startswith("streaming_"):
+            return "streaming"
+        if name.startswith("versioned_") or name in (
+            "zorder_events_layout", "gold_ctas", "gold_csv_roundtrip",
+            "json_roundtrip", "sorted_export_events", "merge_upsert",
+        ):
+            return "table_io"
+        if name.startswith(("dedup_", "minhash", "lsh_", "simhash",
+                            "fuzzy_", "bloom_", "edit_distance",
+                            "ngram_jaccard", "incremental_dedup",
+                            "semantic_dedup", "source_overlap",
+                            "contamination")):
+            return "dedup"
+        if name.startswith(("ann_", "cosine_", "embedding_", "pca_",
+                            "quantize_", "label_centroids", "cluster_",
+                            "retrieve_", "hybrid_")):
+            return "ann"
+        if name.startswith(("bm25", "token_", "text_", "lang_", "bpe_",
+                            "winnow", "doc_fingerprints", "top_terms",
+                            "tf_idf", "repetition", "quality_", "vocab_",
+                            "word_entropy", "unigram", "bigram", "ngram_",
+                            "cross_entropy", "term_positions", "zipf",
+                            "heavy_hitters", "chunk_", "boilerplate",
+                            "redact_", "media_", "png_", "corpus_")):
+            return "text"
+        return "batch"
+
+    fam_totals: dict[str, float] = {}
+    for name, t in timings.items():
+        fam_totals[family(name)] = round(fam_totals.get(family(name), 0.0) + t, 3)
+    machinery = round(
+        fam_totals.get("streaming", 0.0) + fam_totals.get("table_io", 0.0), 3
+    )
     payload = {
         "metric": "rtfl_query_inventory_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "families": fam_totals,
+        "machinery_total": machinery,
+        "data_total": round(total - machinery, 3),
         "sf": sf,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")

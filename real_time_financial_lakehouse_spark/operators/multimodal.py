@@ -11,12 +11,14 @@ Python process per task, payload bytes streamed batch-wise -- the only
 sane Python boundary shape at scale (row-at-a-time UDFs would serialize
 every payload individually).
 
-The actual image/audio codecs are NOT in this environment, so the decode
-step is stubbed: ``decode_payload`` raises NotImplementedError for real
-codecs and provides a deterministic byte-level fake ("checksum features")
-that keeps every piece of Spark plumbing -- schema, batching, partition
-behavior -- real and testable.  Swapping in PIL/librosa later changes one
-function body, nothing else.
+Image decode is REAL: this module carries working stdlib codecs for PNG
+(zlib inflate + full filter set) and baseline JPEG (Huffman entropy
+decode + IDCT, standard Annex K tables).  Audio/video codecs are NOT in
+this environment, so those decode steps are stubbed: ``decode_payload``
+raises NotImplementedError for them under ``fake=False`` and provides a
+deterministic byte-level fake that keeps every piece of Spark plumbing
+-- schema, batching, partition behavior -- real and testable.  Swapping
+in torchaudio/pyav later changes one function body, nothing else.
 """
 
 from __future__ import annotations
@@ -61,11 +63,12 @@ def attach_media(documents: DataFrame) -> DataFrame:
     )
 
 # ---------------------------------------------------------------------------
-# Real PNG codec (pure stdlib: zlib + struct).  One genuinely real decode
+# Real PNG codec (pure stdlib: zlib + struct).  A genuinely real decode
 # path so a user with actual image columns exercises true parsing --
 # signature, chunk walk, IHDR, zlib inflate, per-scanline unfiltering --
-# not a byte-stat fake.  JPEG/audio/video still require external codec
-# libraries and keep the explicit NotImplementedError stub.
+# not a byte-stat fake.  The baseline JPEG codec follows further down;
+# audio/video still require external codec libraries and keep the
+# explicit NotImplementedError stub.
 # ---------------------------------------------------------------------------
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
@@ -188,17 +191,415 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Real baseline JPEG codec (pure stdlib + numpy).  Same spirit as the PNG
+# pair above: one genuinely real lossy-image path -- marker walk, DQT/SOF0/
+# DHT/SOS parsing, Huffman entropy decode, dequantization, 8x8 IDCT, level
+# shift -- so a user with actual JPEG columns exercises true decoding.  The
+# encoder exists so tests and fixtures can round-trip real JPEGs without
+# any external imaging library.  Baseline sequential DCT, 8-bit, single
+# (grayscale) component, standard ITU T.81 Annex K tables.
+# ---------------------------------------------------------------------------
+
+JPEG_SOI = b"\xff\xd8"
+
+# ITU T.81 Annex K.1: luminance quantization table, raster order.
+_JPEG_QTABLE_K1 = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# Annex K.3.1: luminance DC Huffman table (BITS counts for code lengths
+# 1..16, then the symbol values in code order).
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+
+# Annex K.3.2: luminance AC Huffman table.
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# Zigzag: index i of the zigzag sequence -> raster position.
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_qtable(quality: int) -> list[int]:
+    """IJG quality scaling of the Annex K.1 table (50 = as published)."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [min(255, max(1, (q * scale + 50) // 100)) for q in _JPEG_QTABLE_K1]
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix (row u, column x)."""
+    import math
+
+    import numpy as np
+
+    C = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            C[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return C
+
+
+def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the T.81 canonical code construction."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> tuple[int, int]:
+    """(size category, additional bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    bits = v if v >= 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def encode_jpeg(width: int, height: int, pixels: bytes, quality: int = 90) -> bytes:
+    """Minimal REAL baseline JPEG encoder: 8-bit grayscale, single scan,
+    standard Annex K quantization (IJG quality-scaled) and Huffman
+    tables, genuine FDCT -> quantize -> zigzag -> DC-differential +
+    AC-run-length entropy coding with byte stuffing.  ``pixels`` holds
+    width*height grayscale bytes, row-major.  Deterministic: same input,
+    same bytes -- the property the oracle gate relies on."""
+    import struct
+
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixel bytes, got {len(pixels)}")
+    qt = _jpeg_qtable(quality)
+    C = _dct_matrix()
+    qmat = np.array(qt, dtype=np.float64).reshape(8, 8)
+
+    # pad to 8x8 blocks by edge replication (the conventional choice)
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width).astype(np.float64)
+    H8 = (height + 7) // 8 * 8
+    W8 = (width + 7) // 8 * 8
+    padded = np.pad(img, ((0, H8 - height), (0, W8 - width)), mode="edge")
+
+    dc_codes = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, H8, 8):
+        for bx in range(0, W8, 8):
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            coef = C @ block @ C.T
+            q = np.round(coef / qmat).astype(np.int64)
+            zz = [int(q.flat[_JPEG_ZIGZAG[i]]) for i in range(64)]
+            # DC
+            s, bits = _jpeg_category(zz[0] - prev_dc)
+            code, length = dc_codes[s]
+            bw.write(code, length)
+            if s:
+                bw.write(bits, s)
+            prev_dc = zz[0]
+            # AC: run-length of zeros + (ZRL, EOB)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                s, bits = _jpeg_category(zz[i])
+                code, length = ac_codes[(run << 4) | s]
+                bw.write(code, length)
+                bw.write(bits, s)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]  # EOB
+                bw.write(code, length)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(qt[_JPEG_ZIGZAG[i]] for i in range(64)))
+    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xFFDA, b"\x01\x01\x00" + b"\x00\x3f\x00")
+    return JPEG_SOI + dqt + sof0 + dht + sos + entropy + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n <= 24 and self.pos < len(self.data):
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed 0xFF
+                else:
+                    byte = 0  # hit a marker: feed zero bits (spec behavior)
+                    self.pos -= 1
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+
+    def read(self, length: int) -> int:
+        if length == 0:
+            return 0
+        self._fill()
+        if self.n < length:
+            self.acc <<= length - self.n
+            self.n = length
+        v = (self.acc >> (self.n - length)) & ((1 << length) - 1)
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+        return v
+
+
+def _huffman_decoder(bits: list[int], vals: list[int]):
+    """(min_code, max_code, first_index) tables per length -- the T.81
+    sequential decode procedure (F.2.2.3)."""
+    maxcode = [-1] * 17
+    mincode = [0] * 17
+    valptr = [0] * 17
+    code, k = 0, 0
+    for length in range(1, 17):
+        if bits[length - 1]:
+            valptr[length] = k
+            mincode[length] = code
+            code += bits[length - 1]
+            k += bits[length - 1]
+            maxcode[length] = code - 1
+        else:
+            maxcode[length] = -1
+        code <<= 1
+    return mincode, maxcode, valptr, vals
+
+
+def _huff_read(br: _BitReader, tables) -> int:
+    mincode, maxcode, valptr, vals = tables
+    code = br.read(1)
+    for length in range(1, 17):
+        if maxcode[length] >= 0 and code <= maxcode[length]:
+            return vals[valptr[length] + code - mincode[length]]
+        code = (code << 1) | br.read(1)
+    raise ValueError("corrupt JPEG: invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Real baseline JPEG decode, stdlib+numpy: marker walk (DQT / SOF0 /
+    DHT / SOS), Huffman entropy decode with byte-unstuffing, DC
+    differential reconstruction, dequantization, 8x8 IDCT, level shift
+    and clamp.  Supports baseline sequential, 8-bit, single-component
+    (grayscale) images -- what ``encode_jpeg`` and any standard encoder
+    in grayscale mode emit.  Returns true decoded geometry and pixel
+    statistics mirroring ``decode_png``: width, height, channels,
+    n_pixels, sample_sum, mean_value, pixel_crc."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], tuple] = {}
+    width = height = None
+    comp_q = 0
+    scan_data = None
+    dc_sel = ac_sel = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if marker == 0xFFD9:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xFFDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                zzq = list(body[off + 1 : off + 65])
+                raster = [0] * 64
+                for i in range(64):
+                    raster[_JPEG_ZIGZAG[i]] = zzq[i]
+                qtables[tq] = raster
+                off += 65
+        elif marker == 0xFFC0:
+            precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    f"only 8-bit single-component baseline supported "
+                    f"(precision={precision}, components={ncomp})"
+                )
+            sampling, comp_q = body[7], body[8]
+            if sampling != 0x11:
+                raise NotImplementedError("subsampling unsupported for 1 component")
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise NotImplementedError("only baseline sequential DCT supported")
+        elif marker == 0xFFC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nv])
+                htables[(tc, th)] = _huffman_decoder(bits, vals)
+                off += 17 + nv
+        elif marker == 0xFFDA:
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError("multi-component scan unsupported")
+            dc_sel, ac_sel = body[2] >> 4, body[2] & 0x0F
+            scan_data = payload[pos + 2 + seglen :]
+            break
+        pos += 2 + seglen
+    if width is None or scan_data is None:
+        raise ValueError("corrupt JPEG: missing SOF0/SOS")
+    qt = np.array(qtables[comp_q], dtype=np.float64).reshape(8, 8)
+    dc_tab = htables[(0, dc_sel)]
+    ac_tab = htables[(1, ac_sel)]
+    C = _dct_matrix()
+    H8 = (height + 7) // 8 * 8
+    W8 = (width + 7) // 8 * 8
+    out = np.zeros((H8, W8), dtype=np.float64)
+    br = _BitReader(scan_data)
+    prev_dc = 0
+    for by in range(0, H8, 8):
+        for bx in range(0, W8, 8):
+            zz = [0] * 64
+            s = _huff_read(br, dc_tab)
+            diff = _extend(br.read(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                rs = _huff_read(br, ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                i += r
+                if i > 63:
+                    raise ValueError("corrupt JPEG: AC index overrun")
+                zz[i] = _extend(br.read(s), s)
+                i += 1
+            block = np.zeros(64, dtype=np.float64)
+            for i in range(64):
+                block[_JPEG_ZIGZAG[i]] = zz[i]
+            coef = block.reshape(8, 8) * qt
+            pix = C.T @ coef @ C + 128.0
+            out[by : by + 8, bx : bx + 8] = pix
+    raster = np.clip(np.round(out[:height, :width]), 0, 255).astype(np.uint8)
+    data = raster.tobytes()
+    sample_sum = int(raster.sum(dtype=np.int64))
+    n = width * height
+    return {
+        "width": width,
+        "height": height,
+        "color_type": 0,
+        "channels": 1,
+        "n_pixels": n,
+        "sample_sum": sample_sum,
+        "mean_value": (sample_sum / n) if n else 0.0,
+        "pixel_crc": zlib.crc32(data) & 0xFFFFFFFF,
+    }
+
+
 def decode_payload(media_type: str, payload: bytes, fake: bool = True) -> dict:
-    """Decode dispatch: payloads carrying a real PNG signature go through
-    the real stdlib decoder (``decode_png``); other formats are stubbed --
-    the deterministic fake extracts byte-level features, and ``fake=False``
-    raises for codecs genuinely absent from this container (JPEG, audio,
-    video).  A real build replaces only those bodies with
-    PIL/torchaudio/pyav per media_type."""
-    if payload[:8] == PNG_SIGNATURE:
+    """Decode dispatch: payloads carrying a real PNG or JPEG signature go
+    through the real stdlib decoders (``decode_png`` / ``decode_jpeg``);
+    other formats are stubbed -- the deterministic fake extracts
+    byte-level features, and ``fake=False`` raises for codecs genuinely
+    absent from this container (audio, video).  A real build replaces
+    only those bodies with torchaudio/pyav per media_type."""
+    if payload[:8] == PNG_SIGNATURE or payload[:2] == JPEG_SOI:
         # real decode: byte stats over the DECODED raster, not the
         # compressed container bytes
-        d = decode_png(payload)
+        d = (
+            decode_png(payload)
+            if payload[:8] == PNG_SIGNATURE
+            else decode_jpeg(payload)
+        )
         return {
             "n_bytes": len(payload),
             "byte_sum": d["sample_sum"],
@@ -432,6 +833,137 @@ def png_media_features(documents: DataFrame) -> DataFrame:
         ),
         "pixel_crc",
     ).orderBy("asset_id")
+
+
+def attach_jpeg_media(documents: DataFrame, quality: int = 90) -> DataFrame:
+    """Build a media table of REAL baseline JPEGs from the documents
+    fixture: the same (n_chars%13+1) x (n_chars%7+1) grayscale tiling as
+    ``attach_png_media``, run through the real ``encode_jpeg`` (genuine
+    FDCT, Annex K tables, Huffman entropy coding).  mapInPandas,
+    Arrow-batched, (doc_id, text) only."""
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                data = (txt or "").encode("utf-8")
+                w = len(data) % 13 + 1
+                h = len(data) % 7 + 1
+                budget = w * h
+                tiled = (
+                    (data * (budget // max(1, len(data)) + 1))[:budget]
+                    if data
+                    else b"\x00" * budget
+                )
+                rows.append(
+                    {"asset_id": did, "payload": encode_jpeg(w, h, tiled, quality)}
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        process, schema="asset_id long, payload binary"
+    )
+
+
+def jpeg_features(media: DataFrame) -> DataFrame:
+    """Real-JPEG feature extraction: every payload through ``decode_jpeg``
+    (marker walk, Huffman decode, dequant, IDCT).  Same Python-boundary
+    shape as png_features."""
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, pl in zip(pdf["asset_id"], pdf["payload"]):
+                d = decode_jpeg(bytes(pl))
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "channels": d["channels"],
+                        "n_pixels": d["n_pixels"],
+                        "mean_value": d["mean_value"],
+                        "pixel_crc": d["pixel_crc"],
+                    }
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "channels",
+                    "n_pixels", "mean_value", "pixel_crc",
+                ],
+            )
+            for c in ("width", "height", "channels"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return media.select("asset_id", "payload").mapInPandas(
+        process, schema=PNG_FEATURE_SCHEMA
+    )
+
+
+def jpeg_media_features(documents: DataFrame, mean_tol: float = 1.5) -> DataFrame:
+    """End-to-end REAL lossy-image pipeline, oracle-checkable audit form:
+    encode fixture docs as actual baseline JPEGs, decode them with the
+    real stdlib decoder, and emit per asset the decoded GEOMETRY (w / h /
+    n_pixels -- lossless, recomputable by the oracle from the tiling
+    rule), the SOURCE raster mean (recomputable from the text bytes, as
+    in png_media_features' oracle), and a ``decode_close`` certificate:
+    |decoded mean - source mean| <= ``mean_tol`` -- a real rate-
+    distortion assertion over the lossy path (observed error < 0.1 gray
+    levels at quality 90; the bound leaves 15x headroom).  The exact
+    decoded mean and pixel_crc are pytest-pinned (lossy values are not
+    SQL-recomputable)."""
+    feats = jpeg_features(attach_jpeg_media(documents))
+
+    # source mean from the same tiling rule the encoder used (Python-side,
+    # mirrored exactly by the oracle's text-byte SQL)
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                data = (txt or "").encode("utf-8")
+                w = len(data) % 13 + 1
+                h = len(data) % 7 + 1
+                budget = w * h
+                tiled = (
+                    (data * (budget // max(1, len(data)) + 1))[:budget]
+                    if data
+                    else b"\x00" * budget
+                )
+                rows.append(
+                    {
+                        "asset_id": did,
+                        "src_mean": sum(tiled) / budget,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "src_mean"])
+
+    src_means = documents.select("doc_id", "text").mapInPandas(
+        process, schema="asset_id long, src_mean double"
+    )
+    return (
+        feats.join(src_means, "asset_id")
+        .select(
+            "asset_id",
+            "width",
+            "height",
+            "n_pixels",
+            (F.floor(F.col("src_mean") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "src_mean"
+            ),
+            (F.abs(F.col("mean_value") - F.col("src_mean")) <= F.lit(mean_tol)).alias(
+                "decode_close"
+            ),
+        )
+        .orderBy("asset_id")
+    )
 
 
 def media_feature_summary(documents: DataFrame) -> DataFrame:

@@ -578,6 +578,55 @@ def q_media_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_png_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.png_media_features(_docs(spark, sf_dir)).drop("pixel_crc")
 
+
+# Real LOSSY path twin: docs -> real baseline JPEG encode (FDCT, Annex K
+# tables, Huffman) -> real decode (marker walk, entropy decode, IDCT).
+# Geometry + the source-raster mean are exactly recomputable from the
+# text bytes (same tiling CTEs as the PNG gate); the lossy decoded mean
+# is folded into the `decode_close` rate-distortion certificate
+# (|decoded - source| <= 1.5 gray levels; observed < 0.1 at quality 90).
+# Exact decoded mean and pixel_crc are pinned in tests/test_llmdata.py.
+@register(
+    "jpeg_media_features",
+    """
+    WITH base AS (
+      SELECT doc_id AS asset_id,
+             coalesce(text, '') AS txt,
+             octet_length(encode(coalesce(text, ''))) AS n
+      FROM documents
+    ),
+    dims AS (
+      SELECT asset_id, txt, n,
+             (n % 13 + 1) AS w,
+             (n % 7 + 1) AS h
+      FROM base
+    ),
+    sums AS (
+      SELECT asset_id, w, h, n, w * h AS budget,
+             CASE WHEN n = 0 THEN 0
+                  ELSE (SELECT coalesce(sum(ord(c)), 0)
+                        FROM unnest(string_split(txt, '')) AS t(c)) END AS total,
+             CASE WHEN n = 0 THEN 0
+                  ELSE (SELECT coalesce(sum(ord(c)), 0)
+                        FROM unnest(string_split(substring(txt, 1, (w * h) % n), ''))
+                             AS t(c)) END AS rem_sum
+      FROM dims
+    )
+    SELECT asset_id,
+           w::INT AS width,
+           h::INT AS height,
+           budget::BIGINT AS n_pixels,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE floor(((budget // n) * total + rem_sum)::DOUBLE / budget
+                           * 1e6 + 0.5) / 1e6 END AS src_mean,
+           TRUE AS decode_close
+    FROM sums
+    ORDER BY asset_id
+    """,
+)
+def q_jpeg_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.jpeg_media_features(_docs(spark, sf_dir))
+
 # ---------------------------------------------------------------------------
 # Corpus term frequencies (explode / UNNEST)
 # ---------------------------------------------------------------------------

