@@ -105,20 +105,45 @@ def main() -> None:
     machinery = round(
         fam_totals.get("streaming", 0.0) + fam_totals.get("table_io", 0.0), 3
     )
+    # The stdout contract is ONE parseable JSON line.  The r4 driver
+    # record shows the full 208-query map overflows the driver's stdout
+    # capture ("parsed": null, tail only) -- so stdout carries a compact
+    # HEADLINE subset + the family subtotals, and the complete per-query
+    # map (with per-rep times) goes to BENCH_FULL.json.
+    headline = [
+        "gold_market_summary", "silver_sliding_window", "minute_ohlc",
+        "pricing_summary", "regional_revenue", "market_share",
+        "product_profit", "latest_order_asof",
+        "exact_dedup" if "exact_dedup" in timings else "dedup_exact",
+        "lsh_candidate_pairs", "dedup_clusters", "fuzzy_dedup_keep",
+        "minhash_jaccard_estimate", "semantic_dedup_keep",
+        "cosine_topk", "ann_ivf_kmeans_topk", "ann_pq_adc_topk",
+        "ann_ivfpq_topk", "ann_hyperplane_topk",
+        "bm25_search", "hybrid_rrf_search", "tf_idf_terms", "token_stats",
+        "lang_id", "winnow_fingerprints", "bpe_train_merges",
+        "contamination_check", "pack_sequences", "stratified_sample",
+        "streaming_silver_roundtrip", "streaming_windowed_rollup",
+        "streaming_click_purchase", "versioned_gold_changes",
+        "versioned_restore", "vwap_daily", "bollinger_bands",
+        "dollar_bars", "volatility_cones", "png_media_features",
+        "jpeg_media_features", "benford_check", "profile_events",
+    ]
     payload = {
         "metric": "rtfl_query_inventory_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {n: timings[n] for n in headline if n in timings},
         "families": fam_totals,
         "machinery_total": machinery,
         "data_total": round(total - machinery, 3),
+        "n_queries": len(timings),
         "sf": sf,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     try:
         with open(full_path, "w") as f:
-            json.dump({**payload, "reps": reps, "rep_times": rep_times}, f, indent=1)
+            json.dump({**payload, "queries": timings, "reps": reps,
+                       "rep_times": rep_times}, f, indent=1)
     except OSError:
         pass  # stdout line is still the contract; the file is best-effort
     print(json.dumps(payload))

@@ -901,9 +901,16 @@ def test_queries_survive_fully_empty_tables(spark, tmp_path):
         "ngram_novelty", "cross_entropy_eval", "bpe_train_merges",
         "hybrid_rrf_search", "ann_ivfpq_topk", "versioned_restore",
         "order_flow_imbalance", "kyle_lambda", "anomaly_episodes",
-        "benford_check", "volatility_cones",
+        "volatility_cones",
     ]:
         assert registry.QUERIES[name](spark, dst).count() == 0, name
+    # benford_check intentionally emits its constant 1..9 digit spine on
+    # ANY input (zero-observation digits carry the largest chi2 term);
+    # on empty input that is 9 zero-count rows with NULL shares -- the
+    # oracle does the same.
+    rows = registry.QUERIES["benford_check"](spark, dst).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert all(r["n_obs"] == 0 and r["obs_share"] is None for r in rows)
 
 
 def test_funnel_is_order_sensitive(spark):
