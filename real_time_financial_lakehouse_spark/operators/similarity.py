@@ -942,3 +942,93 @@ def ivfpq_adc_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def embedding_dim_profile(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension statistical profile of the embedding space: mean,
+    population stddev, min, max, and a dead-dimension flag per
+    coordinate -- the pass a vector pipeline runs before PQ subspace
+    allocation or dimension pruning (a zero-variance dim wastes a code
+    byte; a wildly-scaled dim dominates L2).
+
+    Scale: posexplode multiplies rows by the dimension count, but the
+    groupBy partial-aggregates per task BEFORE the exchange, so the
+    shuffle carries O(tasks x dims) partial rows and the output is
+    dim-cardinality.  No driver-side loops, no per-dim jobs -- one scan,
+    one tiny shuffle."""
+    ex = _spread(embeddings).select(
+        F.posexplode(_as_double("embedding")).alias("pos", "x")
+    )
+    return (
+        ex.groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            qround(F.avg("x"), 6).alias("mean"),
+            qround(F.stddev_pop("x"), 6).alias("std"),
+            qround(F.min("x"), 6).alias("min_x"),
+            qround(F.max("x"), 6).alias("max_x"),
+            (F.stddev_pop("x") == 0).alias("dead_dim"),
+        )
+        .orderBy("dim")
+    )
+
+
+def ann_index_delta_report(
+    embeddings: DataFrame,
+    bits: int = HP_BITS,
+    bands: int = HP_BANDS,
+    delta_mod: int = 5,
+    hot_bucket: int = 64,
+) -> DataFrame:
+    """Incremental ANN-index maintenance report over the stateless
+    hyperplane-LSH index: vectors split into the already-indexed BASE
+    snapshot (vec_id % delta_mod != 0) and a freshly-arrived DELTA batch
+    (% delta_mod == 0); each band bucket reports base/delta counts, a
+    hot-bucket flag (bucket exceeding ``hot_bucket`` members -- the
+    inverted list that needs splitting), and a rebalance flag (delta
+    outgrew base -- the list whose statistics the snapshot no longer
+    represents).  This is the nightly health check a production vector
+    index runs instead of a full rebuild: because sign-LSH is stateless,
+    ingesting the delta is a pure projection -- no codebook refit, no
+    re-shard of the base.
+
+    Scale: signatures are JVM array expressions (zero shuffle); the
+    report is ONE partial-aggregated groupBy at bucket cardinality
+    (bands x 2^bits/band ceiling, corpus-independent).  Deterministic
+    md5-derived hyperplanes keep every output column exactly
+    oracle-checkable."""
+    rows = bits // bands
+    H = hyperplane_matrix(bits)
+    emb = _spread(embeddings).select("vec_id", _as_double("embedding").alias("v"))
+    sigs = emb.select(
+        "vec_id",
+        *[F.expr(_hp_band_spark(H, j, rows)).alias(f"band_{j}") for j in range(bands)],
+    )
+    bd = sigs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"band_{j}") for j in range(bands)])
+        ).alias("band_id", "band_val"),
+    )
+    is_delta = (F.col("vec_id") % delta_mod) == 0
+    return (
+        bd.select("band_id", "band_val", is_delta.alias("is_delta"))
+        .groupBy("band_id", "band_val")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(~F.col("is_delta"), 1).otherwise(0)), F.lit(0)
+            ).alias("n_base"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_delta"), 1).otherwise(0)), F.lit(0)
+            ).alias("n_delta"),
+        )
+        .select(
+            "band_id",
+            "band_val",
+            "n_base",
+            "n_delta",
+            ((F.col("n_base") + F.col("n_delta")) > hot_bucket).alias("hot_bucket"),
+            (F.col("n_delta") > F.col("n_base")).alias("needs_rebalance"),
+        )
+        .orderBy("band_id", "band_val")
+    )

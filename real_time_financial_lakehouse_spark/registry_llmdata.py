@@ -2265,3 +2265,63 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.zipf_fit(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: embedding-space profiling + incremental ANN index
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_dim_profile",
+    f"""
+    WITH ex AS (
+        SELECT generate_subscripts(embedding, 1) AS dim,
+               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        FROM embeddings
+    )
+    SELECT dim::INT AS dim,
+           count(*)::BIGINT AS n,
+           {qround_sql('avg(x)', 6)} AS mean,
+           {qround_sql('stddev_pop(x)', 6)} AS std,
+           {qround_sql('min(x)', 6)} AS min_x,
+           {qround_sql('max(x)', 6)} AS max_x,
+           (stddev_pop(x) = 0) AS dead_dim
+    FROM ex
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_dim_profile(_emb(spark, sf_dir))
+
+
+@register(
+    "ann_index_delta_report",
+    f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    bd AS (
+        SELECT vec_id, j AS band_id,
+               CASE j {_HP_BAND_CASE} END AS band_val
+        FROM emb, (SELECT unnest([0, 1, 2, 3]) AS j) js
+    )
+    SELECT band_id, band_val,
+           coalesce(sum(CASE WHEN vec_id % 5 != 0 THEN 1 ELSE 0 END), 0)::BIGINT
+               AS n_base,
+           coalesce(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END), 0)::BIGINT
+               AS n_delta,
+           (coalesce(sum(CASE WHEN vec_id % 5 != 0 THEN 1 ELSE 0 END), 0)
+            + coalesce(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END), 0)) > 64
+               AS hot_bucket,
+           coalesce(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END), 0)
+            > coalesce(sum(CASE WHEN vec_id % 5 != 0 THEN 1 ELSE 0 END), 0)
+               AS needs_rebalance
+    FROM bd
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_ann_index_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_index_delta_report(_emb(spark, sf_dir))

@@ -905,7 +905,8 @@ def test_queries_survive_fully_empty_tables(spark, tmp_path):
         "volatility_cones",
         # round-5 additions
         "psi_drift", "volatility_cones_approx", "bpe_encode_report",
-        "jpeg_media_features",
+        "jpeg_media_features", "embedding_dim_profile",
+        "ann_index_delta_report",
     ]:
         assert registry.QUERIES[name](spark, dst).count() == 0, name
     # benford_check intentionally emits its constant 1..9 digit spine on

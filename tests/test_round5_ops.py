@@ -212,3 +212,39 @@ def test_bpe_encode_handles_degenerate_docs(spark):
     out = tx.bpe_encode_report(docs, [("a", "l"), ("al", "p")]).collect()
     assert [r["doc_id"] for r in out] == [3]
     assert out[0]["n_words"] == 2 and out[0]["all_roundtrip_ok"] is True
+
+
+def test_embedding_dim_profile_matches_numpy(spark):
+    """Per-dimension stats must equal numpy's over the fixture."""
+    np = pytest.importorskip("numpy")
+    from real_time_financial_lakehouse_spark.operators import similarity
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    X = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    out = similarity.embedding_dim_profile(emb).collect()
+    assert len(out) == X.shape[1]
+    for r in out:
+        col = X[:, r["dim"] - 1]
+        assert r["n"] == len(col)
+        assert r["mean"] == pytest.approx(col.mean(), abs=2e-6)
+        assert r["std"] == pytest.approx(col.std(), abs=2e-6)
+        assert r["min_x"] == pytest.approx(col.min(), abs=2e-6)
+        assert r["max_x"] == pytest.approx(col.max(), abs=2e-6)
+        assert r["dead_dim"] is False
+
+
+def test_ann_index_delta_report_counts_and_flags(spark):
+    """Bucket counts must partition the (vector x band) universe into
+    base/delta by the vec_id % 5 rule, and the flags must follow the
+    counts."""
+    from real_time_financial_lakehouse_spark.operators import similarity
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n_vec = emb.count()
+    n_delta_vec = emb.filter(F.col("vec_id") % 5 == 0).count()
+    out = similarity.ann_index_delta_report(emb).collect()
+    assert sum(r["n_base"] + r["n_delta"] for r in out) == n_vec * 4  # 4 bands
+    assert sum(r["n_delta"] for r in out) == n_delta_vec * 4
+    for r in out:
+        assert r["hot_bucket"] == (r["n_base"] + r["n_delta"] > 64)
+        assert r["needs_rebalance"] == (r["n_delta"] > r["n_base"])
