@@ -588,3 +588,76 @@ def test_winnow_materializes_window_hashes_once(spark):
     # physical all print), so count within the optimized section only
     opt = plan.split("== Optimized Logical Plan ==")[1].split("== Physical Plan ==")[0]
     assert opt.count("transform(sequence(0,") == 1, opt
+
+
+def test_expectation_report_shares_scans_and_broadcasts_fk(spark):
+    """The five events-table checks fold into a single aggregation (no
+    per-check scans) and every FK check joins without a sort-merge --
+    broadcast for the dim side, never a full shuffle sort."""
+    from real_time_financial_lakehouse_spark.operators import profiling as pf
+
+    df = pf.expectation_report(
+        load_table(spark, SF_SMOKE, "events"),
+        load_table(spark, SF_SMOKE, "orders"),
+        load_table(spark, SF_SMOKE, "customer"),
+        load_table(spark, SF_SMOKE, "lineitem"),
+    )
+    df.collect()
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # one logical events scan (AQE may print the plan twice)
+    assert plan.count("events.parquet") <= 2
+
+
+def test_psi_drift_is_one_scan_plus_bin_cardinality_work(spark):
+    """The corpus-sized work is ONE groupBy at (symbol x bin); global
+    bounds ride a broadcast 1-row frame; no windows, no sort-merge."""
+    from real_time_financial_lakehouse_spark.operators import profiling as pf
+
+    df = pf.psi_drift(load_table(spark, SF_SMOKE, "events"))
+    df.collect()
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "Window " not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+
+
+def test_embedding_dim_profile_single_partial_agg_pass(spark):
+    """posexplode + ONE partially-aggregated groupBy: no joins, no
+    windows, a single hash exchange (AQE reprint tolerated)."""
+    from real_time_financial_lakehouse_spark.operators import similarity as sim
+
+    df = sim.embedding_dim_profile(load_table(spark, SF_SMOKE, "embeddings"))
+    df.collect()
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "Window " not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial" in plan  # map-side combine before the exchange
+
+
+def test_ann_index_delta_report_is_projection_plus_one_groupby(spark):
+    """LSH signatures are pure projections; the report is one
+    bucket-cardinality groupBy -- no join anywhere in the plan."""
+    from real_time_financial_lakehouse_spark.operators import similarity as sim
+
+    df = sim.ann_index_delta_report(load_table(spark, SF_SMOKE, "embeddings"))
+    df.collect()
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bpe_encode_joins_vocab_broadcast_only(spark):
+    """Tokenizer application must keep the corpus un-shuffled on the
+    word key: the vocab side broadcasts, never a sort-merge join."""
+    from real_time_financial_lakehouse_spark.operators import text as tx
+
+    df = tx.bpe_encode_report(
+        load_table(spark, SF_SMOKE, "documents"), [("e", "</w>"), ("t", "h")]
+    )
+    df.collect()
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
