@@ -1164,3 +1164,52 @@ def volatility_cones_approx(
         )
         .orderBy("symbol", "horizon")
     )
+
+
+def bipower_jump_stats(events: DataFrame) -> DataFrame:
+    """Jump detection via realized variance vs bipower variation
+    (Barndorff-Nielsen & Shephard 2004): per (symbol, day), RV = sum of
+    squared minute-bar log returns captures TOTAL quadratic variation
+    (continuous + jumps) while BV = (pi/2) * sum(|r_i| * |r_{i-1}|) is
+    robust to jumps and estimates only the continuous part -- so
+    max(RV - BV, 0) isolates the day's jump contribution, and
+    jump_share = jump / RV is the fraction of that day's variance that
+    arrived in discontinuous moves (the quantity a risk desk monitors to
+    separate "volatile day" from "gapped day").
+
+    Scale: minute bars first (one partial-agg shuffle at bar
+    cardinality); returns and the adjacent-|r| product come from ONE
+    (symbol, day) window sort shared by both lags; the report aggregates
+    at (symbol x day) cardinality."""
+    bars = _minute_bars(events).filter(F.col("close") > 0)
+    b = bars.select(
+        "symbol",
+        "minute_window",
+        "close",
+        F.date_trunc("day", F.col("minute_window")).alias("day"),
+    )
+    w = Window.partitionBy("symbol", "day").orderBy("minute_window")
+    r = F.log(F.col("close") / F.lag("close").over(w))
+    rets = b.select("symbol", "day", "minute_window", r.alias("r")).filter(
+        F.col("r").isNotNull()
+    )
+    prev_r = F.lag("r").over(w)
+    rr = rets.select("symbol", "day", "r", prev_r.alias("pr"))
+    half_pi = 1.5707963267948966
+    rv = F.sum(F.col("r") * F.col("r"))
+    bv = F.lit(half_pi) * F.coalesce(
+        F.sum(F.when(F.col("pr").isNotNull(), F.abs("r") * F.abs("pr"))),
+        F.lit(0.0),
+    )
+    jump = F.greatest(rv - bv, F.lit(0.0))
+    return (
+        rr.groupBy("symbol", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rets"),
+            qround(rv, 6).alias("realized_var"),
+            qround(bv, 6).alias("bipower_var"),
+            qround(jump, 6).alias("jump_var"),
+            F.when(rv != 0, qround(jump / rv, 6)).alias("jump_share"),
+        )
+        .orderBy("symbol", "day")
+    )

@@ -576,12 +576,24 @@ def psi_drift(events: DataFrame, n_bins: int = 10, psi_alert: float = 0.2) -> Da
         F.sum(F.when(~F.col("is_cur"), 1).otherwise(0)).alias("n_ref"),
         F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).alias("n_cur"),
     )
+    return psi_from_cells(cells, n_bins=n_bins, psi_alert=psi_alert)
+
+
+def psi_from_cells(
+    cells: DataFrame, n_bins: int = 10, psi_alert: float = 0.2
+) -> DataFrame:
+    """PSI rollup from a (symbol, bin, n_ref, n_cur) cell frame -- shared
+    by the batch monitor and the streaming twin (whose cells come from
+    micro-batch partial counts), so both paths compute the bit-identical
+    statistic and share one oracle.  Laplace smoothing
+    (n + 0.5) / (N + 0.5 * n_bins) keeps every share strictly positive
+    so ln() is always defined, and an absent bin contributes a finite,
+    correctly-signed term.  Everything here runs at cell cardinality."""
+    from ..functions.numeric import qround
+
     totals = cells.groupBy("symbol").agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )
-    # Laplace smoothing: (n + 0.5) / (N + 0.5 * n_bins) keeps every
-    # share strictly positive so ln() is always defined, and an absent
-    # bin contributes a finite, correctly-signed term.
     joined = cells.join(totals, "symbol")
     p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * n_bins)
     p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * n_bins)
@@ -602,3 +614,45 @@ def psi_drift(events: DataFrame, n_bins: int = 10, psi_alert: float = 0.2) -> Da
         qround(F.col("psi"), 6).alias("psi"),
         (F.col("psi") > psi_alert).alias("drift_alert"),
     ).orderBy("symbol")
+
+
+def ts_monotonicity_report(events: DataFrame) -> DataFrame:
+    """Event-time disorder audit per symbol: how out-of-order is the feed
+    in ARRIVAL order (event_id) -- the measurement that justifies a
+    streaming watermark setting.  A row is out-of-order when its event
+    time precedes the running max of everything that arrived before it;
+    ``max_late_s`` is the worst such regression in seconds, i.e. the
+    smallest watermark delay that would have dropped zero rows.
+
+    Scale: one (symbol, arrival) window sort; the running max is O(1)
+    state per task; the report is a partial-agg groupBy at symbol
+    cardinality."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import qround
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("ts").over(w)
+    late_s = (
+        F.unix_micros(prev_max) - F.unix_micros(F.col("ts"))
+    ).cast("double") / 1e6
+    tagged = events.select(
+        F.col("event_type").alias("symbol"),
+        F.when(late_s > 0, late_s).alias("late_s"),
+    )
+    return (
+        tagged.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("late_s").alias("n_out_of_order"),
+            qround(
+                F.count("late_s").cast("double") / F.count(F.lit(1)), 6
+            ).alias("ooo_rate"),
+            qround(F.coalesce(F.max("late_s"), F.lit(0.0)), 6).alias("max_late_s"),
+        )
+        .orderBy("symbol")
+    )

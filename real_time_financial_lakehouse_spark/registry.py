@@ -3892,6 +3892,16 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.psi_drift(_events(spark, sf_dir))
 
 
+# Streaming twin: micro-batch partial (symbol, bin) counts merged into
+# the identical psi_from_cells rollup -- bit-identical to the batch
+# monitor, so it shares psi_drift's oracle verbatim.
+@register("streaming_psi_drift", ORACLE_SQL["psi_drift"])
+def q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import streaming_psi_drift_roundtrip
+
+    return streaming_psi_drift_roundtrip(spark, sf_dir)
+
+
 # The documented 100 TB swap for volatility_cones (GK quantile sketch in
 # place of the exact per-group sort), in the oracle-checkable audit form:
 # exact quantiles recomputed by the oracle + an approx_within_band
@@ -3908,6 +3918,80 @@ def q_volatility_cones_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import finance
 
     return finance.volatility_cones_approx(_events(spark, sf_dir))
+
+
+@register(
+    "bipower_jump_stats",
+    f"""
+    WITH {_BARS_SQL.strip()},
+    b AS (
+        SELECT symbol, minute_window, close,
+               date_trunc('day', minute_window) AS day
+        FROM bars WHERE close > 0
+    ),
+    rets AS (
+        SELECT symbol, day, minute_window,
+               ln(close / lag(close) OVER (PARTITION BY symbol, day
+                                           ORDER BY minute_window)) AS r
+        FROM b
+    ),
+    rv AS (SELECT * FROM rets WHERE r IS NOT NULL),
+    rr AS (
+        SELECT symbol, day, r,
+               lag(r) OVER (PARTITION BY symbol, day ORDER BY minute_window) AS pr
+        FROM rv
+    )
+    SELECT symbol, day,
+           count(*) AS n_rets,
+           {_q('sum(r * r)', 6)} AS realized_var,
+           {_q('1.5707963267948966 * coalesce(sum(CASE WHEN pr IS NOT NULL THEN abs(r) * abs(pr) END), 0.0)', 6)} AS bipower_var,
+           {_q('greatest(sum(r * r) - 1.5707963267948966 * coalesce(sum(CASE WHEN pr IS NOT NULL THEN abs(r) * abs(pr) END), 0.0), 0.0)', 6)} AS jump_var,
+           CASE WHEN sum(r * r) != 0 THEN
+               {_q('greatest(sum(r * r) - 1.5707963267948966 * coalesce(sum(CASE WHEN pr IS NOT NULL THEN abs(r) * abs(pr) END), 0.0), 0.0) / sum(r * r)', 6)}
+           END AS jump_share
+    FROM rr
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_bipower_jump_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.bipower_jump_stats(_events(spark, sf_dir))
+
+
+@register(
+    "ts_monotonicity_report",
+    f"""
+    WITH tagged AS (
+        SELECT event_type AS symbol,
+               CASE WHEN (epoch_us(max(ts) OVER (PARTITION BY event_type
+                                                 ORDER BY event_id
+                                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND 1 PRECEDING))
+                          - epoch_us(ts))::DOUBLE / 1e6 > 0
+                    THEN (epoch_us(max(ts) OVER (PARTITION BY event_type
+                                                 ORDER BY event_id
+                                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND 1 PRECEDING))
+                          - epoch_us(ts))::DOUBLE / 1e6
+               END AS late_s
+        FROM events
+    )
+    SELECT symbol,
+           count(*) AS n_events,
+           count(late_s) AS n_out_of_order,
+           {_q('count(late_s)::DOUBLE / count(*)', 6)} AS ooo_rate,
+           {_q('coalesce(max(late_s), 0.0)', 6)} AS max_late_s
+    FROM tagged
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_ts_monotonicity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import profiling
+
+    return profiling.ts_monotonicity_report(_events(spark, sf_dir))
 
 
 # All registrations (including registry_llmdata's and the late blocks

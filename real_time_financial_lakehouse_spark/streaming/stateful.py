@@ -596,3 +596,99 @@ def streaming_seasonal_anomaly_roundtrip(spark: SparkSession, sf_dir: str) -> Da
         )
         .orderBy("symbol", "hour_of_day")
     )
+
+
+def streaming_psi_drift_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch PSI drift monitor: the binning grid
+    (global value min/max) and the reference/current time split are
+    fixed from the historical table; the event stream then bins each
+    CURRENT-half row with a pure projection and ``foreachBatch`` appends
+    per-micro-batch PARTIAL (symbol, bin) counts -- the mergeable-sketch
+    discipline: each batch ships bin-cardinality rows, never raw events,
+    and the final report sums partials.  Reference cells come from the
+    batch half; the PSI rollup is the SAME ``psi_from_cells`` code as the
+    batch monitor, so the streamed result is bit-identical to
+    ``psi_drift`` and shares its DuckDB oracle.
+
+    Scale: per micro-batch the stream does one projection + one
+    partial-agg groupBy at (symbol x bin) cardinality; no state store,
+    no watermark -- the "state" IS the append-only partial-count log,
+    which also makes the monitor replayable/auditable (each batch's
+    contribution is a visible row set)."""
+    from ..catalog import load_table
+    from ..operators.profiling import psi_from_cells
+    from . import pinned_state_partitions
+    from .silver import events_stream
+
+    n_bins = 10
+    out_dir = scratch_dir("rtfl_psi_out_")
+    ckpt_dir = scratch_dir("rtfl_psi_ckpt_")
+    with pinned_state_partitions(spark) as ss:
+        hist = load_table(ss, sf_dir, "events").filter(F.col("value").isNotNull())
+        b = hist.agg(
+            F.floor(
+                (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2
+            )
+            .cast("long")
+            .alias("mid_us"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        ).collect()[0]
+        mid_us, vmin, vmax = b["mid_us"], b["vmin"], b["vmax"]
+
+        def bin_expr():
+            if vmax is None or vmin is None or vmax == vmin:
+                return F.lit(0).cast("int")
+            return (
+                F.least(
+                    F.floor(
+                        (F.col("value") - F.lit(vmin))
+                        / (F.lit(vmax) - F.lit(vmin))
+                        * n_bins
+                    ),
+                    F.lit(n_bins - 1),
+                )
+                .cast("int")
+            )
+
+        ev = events_stream(ss, sf_dir).filter(
+            F.col("value").isNotNull() & (F.unix_micros("ts") > F.lit(mid_us))
+        )
+        binned = ev.select(
+            F.col("event_type").alias("symbol"), bin_expr().alias("bin")
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.groupBy("symbol", "bin")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+        q = (
+            binned.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        ref_cells = (
+            hist.filter(F.unix_micros("ts") <= F.lit(mid_us))
+            .select(F.col("event_type").alias("symbol"), bin_expr().alias("bin"))
+            .groupBy("symbol", "bin")
+            .agg(F.count(F.lit(1)).alias("n_ref"))
+        )
+    partials = spark.read.schema("symbol string, bin int, cnt long").parquet(out_dir)
+    cur_cells = partials.groupBy("symbol", "bin").agg(F.sum("cnt").alias("n_cur"))
+    cells = (
+        ref_cells.join(cur_cells, ["symbol", "bin"], "full_outer")
+        .select(
+            "symbol",
+            "bin",
+            F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        )
+    )
+    return psi_from_cells(cells, n_bins=n_bins)

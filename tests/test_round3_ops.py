@@ -845,6 +845,7 @@ def test_event_ops_tolerate_degenerate_series(spark):
         finance.skyline_days, finance.dollar_bars,
         finance.order_flow_imbalance, finance.kyle_lambda,
         finance.volatility_cones, finance.volatility_cones_approx,
+        finance.bipower_jump_stats,
         pipeline.winsorize_values, rollup.minute_ohlc,
         rollup.hourly_from_minute, rollup.seasonal_baseline,
         windows.ema_per_symbol,
@@ -853,7 +854,8 @@ def test_event_ops_tolerate_degenerate_series(spark):
     from real_time_financial_lakehouse_spark.operators import profiling as pf
 
     for fn in (pf.mad_outliers, pf.selfjoin_size_estimate, pf.event_gap_stats,
-               pf.anomaly_episodes, pf.benford_check, pf.psi_drift):
+               pf.anomaly_episodes, pf.benford_check, pf.psi_drift,
+               pf.ts_monotonicity_report):
         fn(ev).collect()  # must not raise
 
 
@@ -906,7 +908,8 @@ def test_queries_survive_fully_empty_tables(spark, tmp_path):
         # round-5 additions
         "psi_drift", "volatility_cones_approx", "bpe_encode_report",
         "jpeg_media_features", "embedding_dim_profile",
-        "ann_index_delta_report",
+        "ann_index_delta_report", "streaming_psi_drift",
+        "bipower_jump_stats", "ts_monotonicity_report",
     ]:
         assert registry.QUERIES[name](spark, dst).count() == 0, name
     # benford_check intentionally emits its constant 1..9 digit spine on

@@ -248,3 +248,78 @@ def test_ann_index_delta_report_counts_and_flags(spark):
     for r in out:
         assert r["hot_bucket"] == (r["n_base"] + r["n_delta"] > 64)
         assert r["needs_rebalance"] == (r["n_delta"] > r["n_base"])
+
+
+def test_streaming_psi_drift_equals_batch(spark):
+    """The streaming twin (micro-batch partial counts merged through
+    psi_from_cells) must equal the batch monitor row for row."""
+    from real_time_financial_lakehouse_spark.operators import profiling
+    from real_time_financial_lakehouse_spark.streaming.stateful import (
+        streaming_psi_drift_roundtrip,
+    )
+
+    batch = profiling.psi_drift(load_table(spark, SF_SMOKE, "events")).collect()
+    streamed = streaming_psi_drift_roundtrip(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def test_bipower_jump_detects_planted_jump(spark):
+    """A smooth random-walk day must show jump_share near 0; the same
+    series with one enormous single-minute gap must attribute most of
+    its variance to the jump (RV - BV)."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    rows = []
+    # smooth: tiny alternating returns around 100
+    px = 100.0
+    for i in range(120):
+        px *= 1.0001 if i % 2 == 0 else 0.9999
+        rows.append((i, f"2024-01-01 10:{i // 60:02d}:{i % 60:02d}", 1, "SMTH",
+                     px, '{"k": 1}'))
+    # jumpy: same walk with one 20% gap in the middle
+    px = 100.0
+    for i in range(120):
+        px *= 1.0001 if i % 2 == 0 else 0.9999
+        if i == 60:
+            px *= 1.2
+        rows.append((1000 + i, f"2024-01-01 10:{i // 60:02d}:{i % 60:02d}", 1,
+                     "JMPY", px, '{"k": 1}'))
+    # one row per MINUTE so every tick is its own bar
+    rows = [
+        (r[0], f"2024-01-01 {10 + (int(r[0]) % 1000) // 60:02d}:{(int(r[0]) % 1000) % 60:02d}:00",
+         r[2], r[3], r[4], r[5])
+        for r in rows
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["symbol"]: r for r in finance.bipower_jump_stats(ev).collect()}
+    assert out["SMTH"]["jump_share"] is None or out["SMTH"]["jump_share"] < 0.3
+    assert out["JMPY"]["jump_share"] > 0.8  # the gap dominates RV
+    assert out["JMPY"]["realized_var"] > out["JMPY"]["bipower_var"]
+
+
+def test_ts_monotonicity_flags_late_rows_exactly(spark):
+    """Arrival order (event_id) vs event time: two planted regressions of
+    30s and 90s must be counted with max_late_s = 90."""
+    from real_time_financial_lakehouse_spark.operators import profiling
+
+    rows = [
+        (1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:01:00"),
+        (3, "2024-01-01 00:00:30"),          # 30s behind running max
+        (4, "2024-01-01 00:02:00"),
+        (5, "2024-01-01 00:00:30"),          # 90s behind running max
+        (6, "2024-01-01 00:03:00"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, t, 1, "A", 1.0) for i, t in rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = profiling.ts_monotonicity_report(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_events"] == 6
+    assert r["n_out_of_order"] == 2
+    assert r["max_late_s"] == pytest.approx(90.0)
+    assert r["ooo_rate"] == pytest.approx(2 / 6, abs=1e-6)
