@@ -3994,6 +3994,95 @@ def q_ts_monotonicity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.ts_monotonicity_report(_events(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Custom Python DataSource (Spark 4 connector API) -- the sandbox-real
+# stand-in for the reference's Kafka consumer (consumer_lake.py:37-42).
+# The tick feed itself is md5-deterministic, so the ORACLE recomputes the
+# SOURCE from generate_series and the whole connector path (partitioned
+# batch read / offset-managed streaming read -> rollup) is hash-checked.
+# ---------------------------------------------------------------------------
+
+_TICK_N = 50_000
+
+def _tick_gold_oracle() -> str:
+    from .sources.tick_source import tick_oracle_sql
+
+    return f"""
+    WITH ticks AS ({tick_oracle_sql(_TICK_N)})
+    SELECT event_type AS symbol,
+           date_trunc('minute', ts) AS minute_window,
+           floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
+           floor((max(value)) * 1000000.0 + 0.5) / 1000000.0 AS max_price,
+           floor((min(value)) * 1000000.0 + 0.5) / 1000000.0 AS min_price,
+           floor((stddev_pop(value)) * 1000000.0 + 0.5) / 1000000.0 AS volatility,
+           count(*) AS transaction_count
+    FROM ticks
+    GROUP BY 1, 2
+    ORDER BY 2 DESC, 1
+    """
+
+
+@register("custom_source_gold", _tick_gold_oracle())
+def q_custom_source_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship gold rollup fed by the custom ``rtfl_ticks`` batch
+    connector: partitions generate executor-side, the rollup is the
+    same events_market_summary shape as the parquet path."""
+    from .sources import register_tick_source
+
+    register_tick_source(spark)
+    ticks = (
+        spark.read.format("rtfl_ticks")
+        .option("n_ticks", _TICK_N)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return rollup.events_market_summary(ticks)
+
+
+@register("streaming_custom_source_gold", _tick_gold_oracle())
+def q_streaming_custom_source_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same gold rollup through the STREAMING face of the custom
+    connector: offset-planned micro-batches (checkpointed, replayable)
+    drain the bounded feed under availableNow into a parquet bronze,
+    which then rolls up -- the Kafka->bronze->gold path with the broker
+    swapped for the in-process source."""
+    from .scratch import scratch_dir
+    from .sources import register_tick_source
+
+    out_dir = scratch_dir("rtfl_ticks_bronze_")
+    ckpt_dir = scratch_dir("rtfl_ticks_ckpt_")
+    # no stateful operator in this stream (append-only parquet bronze),
+    # so no pinned-partition child session is needed -- which also
+    # matters because Python data-source registration does not span
+    # newSession() children in this build
+    register_tick_source(spark)
+    stream = (
+        spark.readStream.format("rtfl_ticks")
+        .option("n_ticks", _TICK_N)
+        .option("batch_size", 12_500)
+        .load()
+    )
+    # Python micro-batch streams don't support Trigger.AvailableNow
+    # (Spark falls back to ONE batch); drain the bounded feed with
+    # processAllAvailable -- the reader returns an empty batch at the
+    # same offset once n_ticks is reached, which is the "no new data"
+    # signal the drain waits for.
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    bronze = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).parquet(out_dir)
+    return rollup.events_market_summary(bronze)
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

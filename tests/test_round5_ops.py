@@ -323,3 +323,63 @@ def test_ts_monotonicity_flags_late_rows_exactly(spark):
     assert r["n_out_of_order"] == 2
     assert r["max_late_s"] == pytest.approx(90.0)
     assert r["ooo_rate"] == pytest.approx(2 / 6, abs=1e-6)
+
+
+def test_tick_source_batch_is_partitioned_and_deterministic(spark):
+    """The custom DataSource must honor n_partitions (executor-side
+    generation), produce exactly n_ticks rows, and be bit-deterministic
+    across reads."""
+    from real_time_financial_lakehouse_spark.sources import register_tick_source
+
+    register_tick_source(spark)
+    df = (
+        spark.read.format("rtfl_ticks")
+        .option("n_ticks", 997)
+        .option("n_partitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 997
+    a = [tuple(r) for r in df.orderBy("event_id").collect()]
+    b = [tuple(r) for r in df.orderBy("event_id").collect()]
+    assert a == b
+    assert [r[0] for r in a] == list(range(997))
+    # schema contract matches the events fixture so every events
+    # operator runs unchanged on the connector output
+    assert df.columns == ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def test_tick_source_stream_offsets_partition_the_feed(spark):
+    """Offset planning: read(start) must advance by batch_size and
+    readBetweenOffsets must replay a checkpointed range exactly."""
+    from real_time_financial_lakehouse_spark.sources.tick_source import (
+        _TickStreamReader,
+        _tick_row,
+    )
+
+    r = _TickStreamReader({"n_ticks": 10, "batch_size": 4})
+    off0 = r.initialOffset()
+    rows1, off1 = r.read(off0)
+    assert off1 == {"tick": 4} and len(list(rows1)) == 4
+    rows2, off2 = r.read(off1)
+    assert off2 == {"tick": 8} and len(list(rows2)) == 4
+    rows3, off3 = r.read(off2)
+    assert off3 == {"tick": 10} and len(list(rows3)) == 2
+    # drained: empty batch at the same offset (the stop signal)
+    rows4, off4 = r.read(off3)
+    assert off4 == {"tick": 10} and list(rows4) == []
+    # exactly-once replay of an arbitrary committed range
+    replay = list(r.readBetweenOffsets({"tick": 2}, {"tick": 6}))
+    assert replay == [_tick_row(i) for i in range(2, 6)]
+
+
+def test_tick_source_stream_equals_batch(spark):
+    """The streamed bronze (offset-planned micro-batches) must hold the
+    identical row set as the batch read of the same feed."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from real_time_financial_lakehouse_spark import registry
+
+    batch = registry.QUERIES["custom_source_gold"](spark, SF_SMOKE).collect()
+    streamed = registry.QUERIES["streaming_custom_source_gold"](spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
