@@ -1515,7 +1515,8 @@ def test_benford_digit_at_power_of_ten_boundary(spark):
         (i, "2024-01-01 00:00:00", 1, "A", v, "{}") for i, v in enumerate(vals)
     ])
     out = {r["digit"]: r["n_obs"] for r in pf.benford_check(ev).collect()}
-    assert out == {9: 2, 1: 3}
+    # the 1..9 spine always reports every digit; unobserved ones at 0
+    assert out == {1: 3, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 2}
 
 
 def test_return_autocorr_survives_zero_close_day(spark):
