@@ -585,6 +585,167 @@ def decode_jpeg(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Real WAV/PCM audio codec (pure stdlib: struct).  RIFF chunk walk, fmt
+# parsing, 16-bit PCM sample decode -- the audio counterpart of the PNG /
+# JPEG pairs above, so the "audio" media_type also has a genuinely real
+# decode path.  Compressed codecs (mp3/aac/opus) stay stubbed -- no codec
+# libraries in this container.
+# ---------------------------------------------------------------------------
+
+WAV_RIFF = b"RIFF"
+
+
+def encode_wav(
+    samples: list[int], sample_rate: int = 16_000, n_channels: int = 1
+) -> bytes:
+    """Minimal REAL WAV encoder: canonical 44-byte RIFF/fmt/data layout,
+    16-bit signed little-endian PCM.  ``samples`` are interleaved int16
+    values (clamped).  Deterministic bytes for identical input."""
+    import struct
+
+    pcm = b"".join(
+        struct.pack("<h", max(-32768, min(32767, int(s)))) for s in samples
+    )
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16
+    )
+    return (
+        WAV_RIFF
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Real WAV decode, stdlib-only: validate RIFF/WAVE, walk chunks to
+    ``fmt `` and ``data``, decode 16-bit PCM samples, and report true
+    audio geometry + sample statistics: sample_rate, n_channels,
+    n_samples (per channel), duration_ms, peak amplitude, mean absolute
+    amplitude, and RMS -- the features an audio-quality gate filters on
+    (silence, clipping) before transcription."""
+    import struct
+
+    if payload[:4] != WAV_RIFF or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("corrupt WAV: missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM supported (format={audio_format}, bits={bits})"
+        )
+    n_vals = len(data) // 2
+    vals = struct.unpack(f"<{n_vals}h", data[: n_vals * 2])
+    n_samples = n_vals // max(1, n_channels)
+    abs_sum = sum(abs(v) for v in vals)
+    sq_sum = sum(v * v for v in vals)
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_samples": n_samples,
+        "duration_ms": (n_samples * 1000) // sample_rate if sample_rate else 0,
+        "peak": max((abs(v) for v in vals), default=0),
+        "mean_abs": (abs_sum / n_vals) if n_vals else 0.0,
+        "rms": (sq_sum / n_vals) ** 0.5 if n_vals else 0.0,
+    }
+
+
+def attach_wav_media(documents: DataFrame) -> DataFrame:
+    """Build a media table of REAL WAV clips from the documents fixture:
+    each doc's utf-8 bytes become int16 samples ((byte - 64) * 256 --
+    spans negative and positive amplitudes), n_chars % 3 + 1 tiled
+    repeats, encoded with the real RIFF writer.  mapInPandas,
+    Arrow-batched, (doc_id, text) only."""
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                data = (txt or "").encode("utf-8") or b"\x40"
+                reps = len(data) % 3 + 1
+                samples = [(b - 64) * 256 for b in data] * reps
+                rows.append(
+                    {"asset_id": did, "payload": encode_wav(samples)}
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        process, schema="asset_id long, payload binary"
+    )
+
+
+def wav_media_features(documents: DataFrame) -> DataFrame:
+    """End-to-end REAL audio pipeline: encode fixture docs as actual WAV
+    clips, decode them with the real RIFF/PCM decoder, report geometry +
+    amplitude stats.  PCM is lossless, so every output column is exactly
+    recomputable by the oracle from the doc's text bytes (unlike the
+    JPEG path, no rate-distortion certificate is needed)."""
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, pl in zip(pdf["asset_id"], pdf["payload"]):
+                d = decode_wav(bytes(pl))
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "sample_rate": d["sample_rate"],
+                        "n_samples": d["n_samples"],
+                        "duration_ms": d["duration_ms"],
+                        "peak": d["peak"],
+                        "mean_abs": d["mean_abs"],
+                    }
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["asset_id", "sample_rate", "n_samples",
+                         "duration_ms", "peak", "mean_abs"],
+            )
+            for c in ("sample_rate", "peak"):
+                out[c] = out[c].astype("int64")
+            yield out
+
+    feats = attach_wav_media(documents).select("asset_id", "payload").mapInPandas(
+        process,
+        schema=(
+            "asset_id long, sample_rate long, n_samples long,"
+            " duration_ms long, peak long, mean_abs double"
+        ),
+    )
+    return feats.select(
+        "asset_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "peak",
+        (F.floor(F.col("mean_abs") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "mean_abs"
+        ),
+    ).orderBy("asset_id")
+
+
 def decode_payload(media_type: str, payload: bytes, fake: bool = True) -> dict:
     """Decode dispatch: payloads carrying a real PNG or JPEG signature go
     through the real stdlib decoders (``decode_png`` / ``decode_jpeg``);
@@ -604,6 +765,14 @@ def decode_payload(media_type: str, payload: bytes, fake: bool = True) -> dict:
             "n_bytes": len(payload),
             "byte_sum": d["sample_sum"],
             "byte_mean": d["mean_value"],
+            "header_hex": payload[:4].hex(),
+        }
+    if payload[:4] == WAV_RIFF and payload[8:12] == b"WAVE":
+        d = decode_wav(payload)
+        return {
+            "n_bytes": len(payload),
+            "byte_sum": d["peak"],
+            "byte_mean": d["mean_abs"],
             "header_hex": payload[:4].hex(),
         }
     if not fake:

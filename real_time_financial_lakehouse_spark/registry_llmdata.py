@@ -627,6 +627,53 @@ def q_png_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_jpeg_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.jpeg_media_features(_docs(spark, sf_dir))
 
+
+# Real AUDIO path: docs -> real RIFF/PCM WAV encode -> real decode.  PCM
+# is lossless, so geometry and amplitude stats are exactly recomputable
+# from the text bytes (ASCII fixture: ord == byte, same assumption as
+# the PNG gate).  Sample value = clamp((byte - 64) * 256); repeats only
+# scale n_samples/duration, never peak or the mean.
+@register(
+    "wav_media_features",
+    """
+    WITH base AS (
+      SELECT doc_id AS asset_id,
+             coalesce(text, '') AS txt,
+             octet_length(encode(coalesce(text, ''))) AS n0
+      FROM documents
+    ),
+    eff AS (
+      SELECT asset_id, txt, (n0 = 0) AS empty,
+             CASE WHEN n0 = 0 THEN 1 ELSE n0 END AS n,
+             (CASE WHEN n0 = 0 THEN 1 ELSE n0 END % 3 + 1) AS reps
+      FROM base
+    ),
+    stats AS (
+      SELECT asset_id, n, reps,
+             CASE WHEN empty THEN 0
+                  ELSE (SELECT max(abs(greatest(-32768,
+                                least(32767, (ord(c) - 64) * 256))))
+                        FROM unnest(string_split(txt, '')) AS t(c)) END AS peak,
+             CASE WHEN empty THEN 0.0
+                  ELSE (SELECT sum(abs(greatest(-32768,
+                                least(32767, (ord(c) - 64) * 256))))::DOUBLE
+                        FROM unnest(string_split(txt, '')) AS t(c)) / n
+             END AS mean_abs
+      FROM eff
+    )
+    SELECT asset_id,
+           16000::BIGINT AS sample_rate,
+           (n * reps)::BIGINT AS n_samples,
+           (((n * reps) * 1000) // 16000)::BIGINT AS duration_ms,
+           peak::BIGINT AS peak,
+           floor(mean_abs * 1e6 + 0.5) / 1e6 AS mean_abs
+    FROM stats
+    ORDER BY asset_id
+    """,
+)
+def q_wav_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.wav_media_features(_docs(spark, sf_dir))
+
 # ---------------------------------------------------------------------------
 # Corpus term frequencies (explode / UNNEST)
 # ---------------------------------------------------------------------------

@@ -665,3 +665,48 @@ def test_quantize_embeddings_roundtrip_error_bound(spark):
         assert r["rmse"] <= step / 2 + 1e-9
     assert out[1]["code_sum"] == 0 and out[1]["rmse"] == 0.0
     assert out[0]["code_sum"] == sum(round((i - 0) * 255.0 / 63.0) for i in range(64))
+
+
+def test_wav_roundtrip_exact_and_chunk_walk():
+    """Real PCM codec pin: encode known samples, decode, get exact stats
+    back; a WAV with an extra (odd-length) LIST chunk before data must
+    still decode -- the chunk walk honors word alignment."""
+    import struct
+
+    samples = [0, 1000, -1000, 32767, -32768, 500]
+    wav = multimodal.encode_wav(samples, sample_rate=8000)
+    d = multimodal.decode_wav(wav)
+    assert d["sample_rate"] == 8000
+    assert d["n_samples"] == 6 and d["n_channels"] == 1
+    assert d["peak"] == 32768
+    assert d["mean_abs"] == sum(abs(s) for s in samples) / 6
+    assert d["duration_ms"] == 6 * 1000 // 8000
+
+    # inject an odd-length chunk between fmt and data
+    fmt_end = wav.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    patched = wav[:fmt_end] + extra + wav[fmt_end:]
+    d2 = multimodal.decode_wav(patched)
+    assert d2["peak"] == d["peak"] and d2["n_samples"] == d["n_samples"]
+
+
+def test_wav_media_features_end_to_end(spark, docs):
+    """Spark-side audio pipeline: real WAVs encoded from doc text,
+    really decoded; stats must equal the direct byte computation."""
+    out = {r["asset_id"]: r for r in multimodal.wav_media_features(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        data = (row["text"] or "").encode() or b"\x40"
+        reps = len(data) % 3 + 1
+        samples = [max(-32768, min(32767, (b - 64) * 256)) for b in data] * reps
+        r = out[row["doc_id"]]
+        assert r["sample_rate"] == 16000
+        assert r["n_samples"] == len(samples)
+        assert r["peak"] == max(abs(s) for s in samples)
+        assert abs(r["mean_abs"] - sum(abs(s) for s in samples) / len(samples)) < 2e-6
+
+
+def test_wav_decode_payload_dispatches_to_real_decoder():
+    wav = multimodal.encode_wav([100, -200, 300])
+    feats = multimodal.decode_payload("audio", wav, fake=False)
+    assert feats["byte_sum"] == 300          # peak amplitude
+    assert feats["header_hex"] == wav[:4].hex()

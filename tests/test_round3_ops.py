@@ -773,6 +773,11 @@ def test_document_ops_tolerate_null_empty_whitespace_docs(spark):
         lambda d: tx.bpe_encode_report(d, [("a", "l")]),
     ):
         fn(docs).collect()  # must not raise
+    from real_time_financial_lakehouse_spark.operators import multimodal as mm
+
+    for fn in (mm.png_media_features, mm.jpeg_media_features,
+               mm.wav_media_features):
+        fn(docs).collect()  # must not raise
     from real_time_financial_lakehouse_spark.operators import profiling as pf
 
     pf.kmv_distinct_estimate(docs).collect()  # must not raise
@@ -910,6 +915,7 @@ def test_queries_survive_fully_empty_tables(spark, tmp_path):
         "jpeg_media_features", "embedding_dim_profile",
         "ann_index_delta_report", "streaming_psi_drift",
         "bipower_jump_stats", "ts_monotonicity_report",
+        "wav_media_features",
     ]:
         assert registry.QUERIES[name](spark, dst).count() == 0, name
     # benford_check intentionally emits its constant 1..9 digit spine on
