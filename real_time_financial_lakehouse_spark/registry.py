@@ -4083,6 +4083,30 @@ def q_streaming_custom_source_gold(spark: SparkSession, sf_dir: str) -> DataFram
     return rollup.events_market_summary(bronze)
 
 
+@register("custom_sink_roundtrip", ORACLE_SQL["gold_market_summary"])
+def q_custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold rollup THROUGH the custom ``rtfl_jsonl`` writer: executor-side
+    JSONL shards + driver-side manifest commit (the two-phase visibility
+    protocol), then read back exactly the committed shards.  Values are
+    checked through the sink, so the oracle is the flagship's own --
+    same contract as gold_csv_roundtrip for the built-in CSV sink."""
+    from .scratch import scratch_dir
+    from .sources import read_manifested, register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    gold = rollup.events_market_summary(_events(spark, sf_dir))
+    out_dir = scratch_dir("rtfl_jsonl_sink_")
+    gold.write.format("rtfl_jsonl").option("path", out_dir).mode("append").save()
+    schema = (
+        "symbol string, minute_window timestamp, avg_price double,"
+        " max_price double, min_price double, volatility double,"
+        " transaction_count long"
+    )
+    return read_manifested(spark, out_dir, schema).orderBy(
+        F.col("minute_window").desc(), F.col("symbol")
+    )
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

@@ -9,6 +9,13 @@ deterministic tick feed that a DuckDB oracle can recompute row for row.
 Swapping in a real broker changes the read() body, not the plumbing.
 """
 
+from .jsonl_sink import JsonlDataSource, read_manifested, register_jsonl_sink
 from .tick_source import TickDataSource, register_tick_source
 
-__all__ = ["TickDataSource", "register_tick_source"]
+__all__ = [
+    "JsonlDataSource",
+    "TickDataSource",
+    "read_manifested",
+    "register_jsonl_sink",
+    "register_tick_source",
+]

@@ -1,0 +1,142 @@
+"""``rtfl_jsonl``: a custom Spark 4 Python DataSource WRITER -- the
+write-side counterpart of ``tick_source``, demonstrating the connector
+commit protocol the reference's Kafka producer / CSV export rely on
+(producer.py:22, the dashboard CSV path):
+
+* each TASK serializes its partition to its own JSONL shard
+  (executor-side, no driver funnel) and returns a ``WriterCommitMessage``
+  naming the shard and its row count;
+* the DRIVER's ``commit(messages)`` runs once, after every task
+  succeeded, and publishes the ``_MANIFEST.json`` naming exactly the
+  committed shards -- readers resolve the manifest, so a half-written
+  job (task retry, speculative twin, abort) is never visible.  That is
+  the same visibility discipline as a Hadoop commit protocol or a Delta
+  transaction log, at connector scale.
+
+Rows serialize with sorted keys and ISO timestamps, so the file bytes
+are deterministic for a deterministic input order."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+try:  # pragma: no cover - import surface depends on the Spark build
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    _HAVE_DATASOURCE_API = True
+except ImportError:  # pragma: no cover
+    DataSource = object  # type: ignore[assignment,misc]
+    DataSourceWriter = object  # type: ignore[assignment,misc]
+    WriterCommitMessage = object  # type: ignore[assignment,misc]
+    _HAVE_DATASOURCE_API = False
+
+
+class _ShardCommit(WriterCommitMessage if _HAVE_DATASOURCE_API else object):
+    def __init__(self, filename: str, n_rows: int) -> None:
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+def _json_val(v):
+    if isinstance(v, dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    return v
+
+
+class _JsonlWriter(DataSourceWriter):
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> _ShardCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.path, exist_ok=True)
+        # task-unique temp name (attempt number disambiguates retries /
+        # speculative twins); only commit() publishes it
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        name = f"part-{pid:05d}-{attempt}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in iterator:
+                f.write(
+                    json.dumps(
+                        {k: _json_val(v) for k, v in row.asDict().items()},
+                        sort_keys=True,
+                    )
+                    + "\n"
+                )
+                n += 1
+        return _ShardCommit(name, n)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "shards": sorted(
+                ({"file": m.filename, "n_rows": m.n_rows} for m in messages),
+                key=lambda d: d["file"],
+            ),
+            "total_rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+class JsonlDataSource(DataSource):
+    """``df.write.format("rtfl_jsonl").option("path", dir).save()``."""
+
+    @classmethod
+    def name(cls) -> str:  # noqa: D102
+        return "rtfl_jsonl"
+
+    def writer(self, schema, overwrite):  # noqa: D102
+        return _JsonlWriter(self.options)
+
+
+def read_manifested(spark, path: str, schema: str):
+    """Reader side of the commit protocol: resolve ``_MANIFEST.json``
+    and load EXACTLY the committed shards -- uncommitted/aborted temp
+    files in the directory are invisible, the property the two-phase
+    commit exists to provide."""
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    files = [os.path.join(path, s["file"]) for s in manifest["shards"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
+
+
+_REGISTERED: set = set()
+
+
+def register_jsonl_sink(spark) -> None:
+    """Idempotent registration (shared-registry tolerant, like
+    register_tick_source)."""
+    if not _HAVE_DATASOURCE_API:  # pragma: no cover
+        raise NotImplementedError(
+            "this Spark build lacks the Python DataSource API"
+        )
+    key = id(spark)
+    if key in _REGISTERED:
+        return
+    try:
+        spark.dataSource.register(JsonlDataSource)
+    except Exception as ex:  # noqa: BLE001
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(ex):
+            raise
+    _REGISTERED.add(key)

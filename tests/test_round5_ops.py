@@ -383,3 +383,31 @@ def test_tick_source_stream_equals_batch(spark):
     batch = registry.QUERIES["custom_source_gold"](spark, SF_SMOKE).collect()
     streamed = registry.QUERIES["streaming_custom_source_gold"](spark, SF_SMOKE).collect()
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def test_jsonl_sink_commit_protocol_hides_uncommitted_shards(spark, tmp_path):
+    """Only manifested shards are visible to the reader: a stray
+    uncommitted temp file in the directory must not leak into the read,
+    and the manifest's row accounting must match the data."""
+    import json
+    import os
+
+    from real_time_financial_lakehouse_spark.sources import (
+        read_manifested,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    df = spark.range(100).selectExpr("id", "id * 2 AS dbl")
+    out = str(tmp_path / "sink")
+    df.write.format("rtfl_jsonl").option("path", out).mode("append").save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 100
+    assert sum(s["n_rows"] for s in manifest["shards"]) == 100
+    # plant an orphan shard (a failed/speculative task's leftover)
+    with open(os.path.join(out, "part-99999-0.jsonl"), "w") as f:
+        f.write('{"id": 12345, "dbl": 24690}\n')
+    back = read_manifested(spark, out, "id long, dbl long")
+    assert back.count() == 100
+    assert back.filter("id = 12345").count() == 0
+    assert {r["id"] for r in back.collect()} == set(range(100))
