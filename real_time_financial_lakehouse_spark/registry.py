@@ -4083,6 +4083,38 @@ def q_streaming_custom_source_gold(spark: SparkSession, sf_dir: str) -> DataFram
     return rollup.events_market_summary(bronze)
 
 
+@register(
+    "streaming_expectation_gate",
+    f"""
+    WITH tagged AS (
+        SELECT value,
+               CASE WHEN value IS NULL THEN 'value_null'
+                    WHEN value < 0 THEN 'value_negative'
+                    WHEN user_id IS NULL THEN 'user_null'
+                    WHEN event_type NOT IN
+                         ('click','error','purchase','signup','view')
+                         THEN 'bad_event_type' END AS fail_reason
+        FROM events
+    )
+    SELECT * FROM (
+        SELECT 'passed' AS status, '' AS reason,
+               count(*)::BIGINT AS n_rows,
+               {_q('coalesce(sum(value), 0.0)', 6)} AS total_value
+        FROM tagged WHERE fail_reason IS NULL
+        UNION ALL
+        SELECT 'quarantined', fail_reason, count(*)::BIGINT,
+               {_q('coalesce(sum(value), 0.0)', 6)}
+        FROM tagged WHERE fail_reason IS NOT NULL GROUP BY 2
+    )
+    ORDER BY status, reason
+    """,
+)
+def q_streaming_expectation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import streaming_expectation_gate_roundtrip
+
+    return streaming_expectation_gate_roundtrip(spark, sf_dir)
+
+
 @register("custom_sink_roundtrip", ORACLE_SQL["gold_market_summary"])
 def q_custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gold rollup THROUGH the custom ``rtfl_jsonl`` writer: executor-side

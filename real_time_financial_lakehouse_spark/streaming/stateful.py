@@ -692,3 +692,93 @@ def streaming_psi_drift_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return psi_from_cells(cells, n_bins=n_bins)
+
+
+def streaming_expectation_gate_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming data-contract gate: every micro-batch splits into rows
+    that PASS the declared expectations (value present and non-negative,
+    user present, event_type in the enum) and rows that FAIL -- passing
+    rows append to the bronze table, failing rows to a QUARANTINE table
+    with a per-row reason column, and the report rolls up both sides.
+    This is the quarantine pattern a medallion pipeline runs between
+    ingest and silver: a bad feed never poisons downstream tables, and
+    the quarantine is itself queryable for triage.
+
+    Scale: the gate is a pure row predicate (no shuffle, no state); the
+    split writes are two append sinks fed by ONE foreachBatch pass
+    (batch_df cached per micro-batch so the pass is not recomputed per
+    sink).  The report aggregates at (status x reason) cardinality."""
+    from ..functions.numeric import qround
+    from .silver import events_stream
+
+    ok_dir = scratch_dir("rtfl_gate_ok_")
+    bad_dir = scratch_dir("rtfl_gate_bad_")
+    ckpt_dir = scratch_dir("rtfl_gate_ckpt_")
+    enum = ("click", "error", "purchase", "signup", "view")
+
+    reason = (
+        F.when(F.col("value").isNull(), F.lit("value_null"))
+        .when(F.col("value") < 0, F.lit("value_negative"))
+        .when(F.col("user_id").isNull(), F.lit("user_null"))
+        .when(~F.col("event_type").isin(*enum), F.lit("bad_event_type"))
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = batch_df.withColumn("fail_reason", reason)
+        tagged.persist()
+        try:
+            (
+                tagged.filter(F.col("fail_reason").isNull())
+                .drop("fail_reason")
+                .write.mode("append")
+                .parquet(ok_dir)
+            )
+            (
+                tagged.filter(F.col("fail_reason").isNotNull())
+                .write.mode("append")
+                .parquet(bad_dir)
+            )
+        finally:
+            tagged.unpersist()
+
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark) as ss:
+        ev = events_stream(ss, sf_dir)
+        q = (
+            ev.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    ok = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).parquet(ok_dir)
+    try:
+        bad = spark.read.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string, fail_reason string"
+        ).parquet(bad_dir)
+    except Exception:  # noqa: BLE001 - a fully-clean feed writes no shards
+        bad = None
+    passed = ok.agg(
+        F.lit("passed").alias("status"),
+        F.lit("").alias("reason"),
+        F.count(F.lit(1)).alias("n_rows"),
+        qround(F.coalesce(F.sum("value"), F.lit(0.0)), 6).alias("total_value"),
+    ).select("status", "reason", "n_rows", "total_value")
+    if bad is None:
+        return passed.orderBy("status", "reason")
+    failed = (
+        bad.groupBy(F.lit("quarantined").alias("status"),
+                    F.col("fail_reason").alias("reason"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            qround(F.coalesce(F.sum("value"), F.lit(0.0)), 6).alias("total_value"),
+        )
+    )
+    return passed.unionByName(failed).orderBy("status", "reason")

@@ -411,3 +411,47 @@ def test_jsonl_sink_commit_protocol_hides_uncommitted_shards(spark, tmp_path):
     assert back.count() == 100
     assert back.filter("id = 12345").count() == 0
     assert {r["id"] for r in back.collect()} == set(range(100))
+
+
+def test_streaming_expectation_gate_quarantines_planted_bad_rows(spark, tmp_path):
+    """Planted contract violations must land in quarantine with their
+    reasons; clean rows pass with conserved value totals."""
+    import os
+    import shutil
+
+    from real_time_financial_lakehouse_spark.streaming.stateful import (
+        streaming_expectation_gate_roundtrip,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 10.0, "{}"),
+        (2, "2024-01-01 00:01:00", 2, "view", 20.0, "{}"),
+        (3, "2024-01-01 00:02:00", 3, "hover", 5.0, "{}"),     # bad enum
+        (4, "2024-01-01 00:03:00", None, "click", 1.0, "{}"),  # null user
+        (5, "2024-01-01 00:04:00", 4, "view", -7.0, "{}"),     # negative
+        (6, "2024-01-01 00:05:00", 5, "purchase", None, "{}"), # null value
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sf = str(tmp_path / "sf_gate")
+    os.makedirs(sf)
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        ev.coalesce(1).write.parquet(str(tmp_path / "ev_w"))
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    f = next(x for x in os.listdir(tmp_path / "ev_w") if x.endswith(".parquet"))
+    shutil.move(str(tmp_path / "ev_w" / f), f"{sf}/events.parquet")
+
+    out = {(r["status"], r["reason"]): r
+           for r in streaming_expectation_gate_roundtrip(spark, sf).collect()}
+    assert out[("passed", "")]["n_rows"] == 2
+    assert out[("passed", "")]["total_value"] == 30.0
+    assert out[("quarantined", "bad_event_type")]["n_rows"] == 1
+    assert out[("quarantined", "user_null")]["n_rows"] == 1
+    assert out[("quarantined", "value_negative")]["total_value"] == -7.0
+    assert out[("quarantined", "value_null")]["n_rows"] == 1
