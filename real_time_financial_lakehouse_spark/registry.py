@@ -3579,6 +3579,74 @@ def q_versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "versioned_compaction",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               event_type AS symbol,
+               count(*) AS n_events,
+               floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT day, symbol, n_events, total_value,
+           TRUE AS compacted_to_target
+    FROM daily
+    ORDER BY day, symbol
+    """,
+)
+def q_versioned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE on the manifest log: three fragmented commits (each
+    snapshot deliberately split across 4 files -- the small-file tax of
+    streaming cadence), then ``compact`` rewrites the latest snapshot
+    into ONE file as a new version.  The query returns the
+    post-compaction snapshot -- which must equal the pre-compaction
+    content exactly (the oracle recomputes it from raw events) -- plus a
+    ``compacted_to_target`` certificate read from the new manifest
+    (n_files == target).  Old versions stay time-travelable; history is
+    pinned in pytest."""
+    import os
+
+    from .operators import versioned
+    from .scratch import scratch_dir
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type").alias("symbol"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.floor(F.sum("value") * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
+    )
+    table_dir = os.path.join(scratch_dir("rtfl_compact_"), "gold_daily")
+    versioned.commit_version(
+        daily.filter(F.col("day") < "2024-01-10").repartition(4), table_dir
+    )
+    versioned.commit_version(
+        daily.filter(F.col("day") < "2024-01-20").repartition(4), table_dir
+    )
+    versioned.commit_version(daily.repartition(4), table_dir)
+    v = versioned.compact(spark, table_dir, target_files=1)
+    n_files = versioned.read_manifest(table_dir, v)["n_files"]
+    return (
+        versioned.read_version(spark, table_dir)
+        .select(
+            "day",
+            "symbol",
+            "n_events",
+            "total_value",
+            F.lit(n_files == 1).alias("compacted_to_target"),
+        )
+        .orderBy("day", "symbol")
+    )
+
+
 _TICK_SIGNS_SQL = """
 ticks AS (
     SELECT event_type AS symbol, ts, event_id, value,
