@@ -604,8 +604,12 @@ def encode_wav(
     values (clamped).  Deterministic bytes for identical input."""
     import struct
 
-    pcm = b"".join(
-        struct.pack("<h", max(-32768, min(32767, int(s)))) for s in samples
+    import numpy as np
+
+    pcm = (
+        np.clip(np.asarray(samples, dtype=np.int64), -32768, 32767)
+        .astype("<i2")
+        .tobytes()
     )
     byte_rate = sample_rate * n_channels * 2
     fmt = struct.pack(
@@ -652,19 +656,20 @@ def decode_wav(payload: bytes) -> dict:
         raise NotImplementedError(
             f"only 16-bit PCM supported (format={audio_format}, bits={bits})"
         )
+    import numpy as np
+
     n_vals = len(data) // 2
-    vals = struct.unpack(f"<{n_vals}h", data[: n_vals * 2])
+    vals = np.frombuffer(data[: n_vals * 2], dtype="<i2").astype(np.int64)
     n_samples = n_vals // max(1, n_channels)
-    abs_sum = sum(abs(v) for v in vals)
-    sq_sum = sum(v * v for v in vals)
+    a = np.abs(vals)
     return {
         "sample_rate": sample_rate,
         "n_channels": n_channels,
         "n_samples": n_samples,
         "duration_ms": (n_samples * 1000) // sample_rate if sample_rate else 0,
-        "peak": max((abs(v) for v in vals), default=0),
-        "mean_abs": (abs_sum / n_vals) if n_vals else 0.0,
-        "rms": (sq_sum / n_vals) ** 0.5 if n_vals else 0.0,
+        "peak": int(a.max()) if n_vals else 0,
+        "mean_abs": (int(a.sum()) / n_vals) if n_vals else 0.0,
+        "rms": float(np.sqrt((vals * vals).sum() / n_vals)) if n_vals else 0.0,
     }
 
 
@@ -678,14 +683,18 @@ def attach_wav_media(documents: DataFrame) -> DataFrame:
     def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
                 data = (txt or "").encode("utf-8") or b"\x40"
                 reps = len(data) % 3 + 1
-                samples = [(b - 64) * 256 for b in data] * reps
+                base = (
+                    np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 64
+                ) * 256
                 rows.append(
-                    {"asset_id": did, "payload": encode_wav(samples)}
+                    {"asset_id": did, "payload": encode_wav(np.tile(base, reps))}
                 )
             yield pd.DataFrame(rows, columns=["asset_id", "payload"])
 
