@@ -1216,3 +1216,96 @@ def bipower_jump_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("symbol", "day")
     )
+
+
+def pairs_spread_zscore(events: DataFrame, z_alert: float = 2.0) -> DataFrame:
+    """Pairs-trading spread monitor for every unordered symbol pair:
+    hedge ratio from the OLS closed form (covar_pop / var_pop of
+    minute closes), spread = close_a - h * close_b, and the spread's
+    z-score history reduced to alert counts -- the stat-arb screen that
+    finds when a historically-cointegrated pair has diverged
+    (|z| > ``z_alert``).  Two passes by construction: pair-level stats
+    (one partial-agg groupBy), then the z pass with stats broadcast
+    back -- the same split a 100 TB backtest uses, since per-pair state
+    is O(1).
+
+    Scale: the expensive input is the minute-bar aggregate (one shuffle
+    at bar cardinality, shared machinery with symbol_correlations); the
+    pair join runs at bar cardinality with the symbol < symbol guard
+    halving the space; everything downstream is pair-cardinality."""
+    from .rollup import minute_bars_unsorted
+
+    bars = minute_bars_unsorted(events).select("symbol", "minute_window", "close_price")
+    a = bars.select(
+        F.col("symbol").alias("sym_a"),
+        F.col("minute_window").alias("mw"),
+        F.col("close_price").alias("pa"),
+    )
+    b = bars.select(
+        F.col("symbol").alias("sym_b"),
+        F.col("minute_window").alias("mw_b"),
+        F.col("close_price").alias("pb"),
+    )
+    paired = a.join(
+        b, (F.col("mw") == F.col("mw_b")) & (F.col("sym_a") < F.col("sym_b"))
+    ).select("sym_a", "sym_b", "mw", "pa", "pb")
+    var_b = F.var_pop("pb")
+    h = F.when(var_b != 0, F.covar_pop("pa", "pb") / var_b)
+    stats = paired.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("n_minutes"), h.alias("h")
+    )
+    with_spread = paired.join(stats, ["sym_a", "sym_b"]).select(
+        "sym_a",
+        "sym_b",
+        "n_minutes",
+        (F.col("pa") - F.col("h") * F.col("pb")).alias("spread"),
+        "h",
+    )
+    # z needs the GROUP stats per row: pair-cardinality stats broadcast
+    # back for the alert pass.  Stats are quantized BEFORE the z pass so
+    # both engines score identical doubles.
+    spread_stats = with_spread.groupBy("sym_a", "sym_b").agg(
+        F.max("n_minutes").alias("n_minutes"),
+        qround(F.max("h"), 6).alias("hedge_ratio"),
+        qround(F.avg("spread"), 6).alias("spread_mean"),
+        qround(F.stddev_pop("spread"), 6).alias("spread_std"),
+    )
+    alerts = (
+        with_spread.join(F.broadcast(spread_stats), ["sym_a", "sym_b"])
+        .select(
+            "sym_a",
+            "sym_b",
+            F.when(
+                (F.col("spread_std") != 0)
+                & (
+                    F.abs(
+                        (F.col("spread") - F.col("spread_mean"))
+                        / F.col("spread_std")
+                    )
+                    > z_alert
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_alert"),
+            F.when(
+                F.col("spread_std") != 0,
+                F.abs(
+                    (F.col("spread") - F.col("spread_mean")) / F.col("spread_std")
+                ),
+            ).alias("az"),
+        )
+        .groupBy("sym_a", "sym_b")
+        .agg(
+            F.sum("is_alert").alias("n_z_alerts"),
+            qround(F.coalesce(F.max("az"), F.lit(0.0)), 6).alias("max_abs_z"),
+        )
+    )
+    return (
+        spread_stats.join(alerts, ["sym_a", "sym_b"])
+        .select(
+            "sym_a", "sym_b", "n_minutes", "hedge_ratio",
+            "spread_mean", "spread_std", "n_z_alerts", "max_abs_z",
+        )
+        .orderBy("sym_a", "sym_b")
+    )

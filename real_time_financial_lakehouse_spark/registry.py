@@ -3647,6 +3647,138 @@ def q_versioned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pairs_spread_zscore",
+    f"""
+    WITH bars AS ({_OHLC_CLOSE_SQL}),
+    paired AS (
+        SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+               a.minute_window AS mw,
+               a.close_price AS pa, b.close_price AS pb
+        FROM bars a
+        JOIN bars b ON a.minute_window = b.minute_window AND a.symbol < b.symbol
+    ),
+    st AS (
+        SELECT sym_a, sym_b, count(*) AS n_minutes,
+               CASE WHEN var_pop(pb) != 0
+                    THEN covar_pop(pa, pb) / var_pop(pb) END AS h
+        FROM paired GROUP BY 1, 2
+    ),
+    sp AS (
+        SELECT p.sym_a, p.sym_b, s.n_minutes, s.h,
+               p.pa - s.h * p.pb AS spread
+        FROM paired p JOIN st s USING (sym_a, sym_b)
+    ),
+    ss AS (
+        SELECT sym_a, sym_b, max(n_minutes) AS n_minutes,
+               {_q('max(h)', 6)} AS hedge_ratio,
+               {_q('avg(spread)', 6)} AS spread_mean,
+               {_q('stddev_pop(spread)', 6)} AS spread_std
+        FROM sp GROUP BY 1, 2
+    ),
+    al AS (
+        SELECT p.sym_a, p.sym_b,
+               sum(CASE WHEN s.spread_std != 0
+                        AND abs((p.spread - s.spread_mean) / s.spread_std) > 2.0
+                        THEN 1 ELSE 0 END)::BIGINT AS n_z_alerts,
+               {_q("coalesce(max(CASE WHEN s.spread_std != 0 THEN abs((p.spread - s.spread_mean) / s.spread_std) END), 0.0)", 6)} AS max_abs_z
+        FROM sp p JOIN ss s USING (sym_a, sym_b) GROUP BY 1, 2
+    )
+    SELECT sym_a, sym_b, n_minutes, hedge_ratio, spread_mean, spread_std,
+           n_z_alerts, max_abs_z
+    FROM ss JOIN al USING (sym_a, sym_b)
+    ORDER BY 1, 2
+    """,
+)
+def q_pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.pairs_spread_zscore(_events(spark, sf_dir))
+
+
+@register(
+    "tpch_refresh_cycle",
+    f"""
+    WITH tagged AS (
+        SELECT o_orderkey, o_totalprice,
+               ((('0x' || substr(md5('rf:' || o_orderkey), 1, 15))::BIGINT)
+                % 20 = 0) AS is_refresh
+        FROM orders
+    ),
+    base AS (SELECT * FROM tagged WHERE NOT is_refresh),
+    versions AS (
+        SELECT 0 AS version, count(*) AS n_orders,
+               {_q('coalesce(sum(o_totalprice), 0.0)', 2)} AS total_price
+        FROM base
+        UNION ALL
+        SELECT 1, count(*), {_q('coalesce(sum(o_totalprice), 0.0)', 2)}
+        FROM tagged
+        UNION ALL
+        SELECT 2, count(*), {_q('coalesce(sum(o_totalprice), 0.0)', 2)}
+        FROM base
+    )
+    SELECT version, n_orders, total_price FROM versions ORDER BY version
+    """,
+)
+def q_tpch_refresh_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H refresh functions (RF1 insert / RF2 delete, TPC-H spec
+    section 2.27) through the versioned-table layer: v0 commits the base
+    95% of orders, RF1 appends the md5-chosen 5% refresh set (v1 =
+    base + refresh), RF2 deletes exactly that set again (v2 == v0
+    content).  The report reads EVERY version via time travel and emits
+    per-version counts and price totals -- the ACID-maintenance cycle
+    the 22 query shapes alone don't exercise.
+
+    Scale: each refresh batch is one bounded commit (append = manifest
+    add; delete = footer-stats-pruned rewrite of affected files only);
+    time travel reads are manifest-resolved, no log replay."""
+    import os
+
+    from .functions.hashing import md5_long
+    from .operators import versioned
+    from .scratch import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    is_refresh = (
+        md5_long(F.concat_ws("", F.lit("rf:"), F.col("o_orderkey"))) % 20 == 0
+    )
+    tagged = orders.withColumn("is_refresh", is_refresh)
+    base = tagged.filter(~F.col("is_refresh")).drop("is_refresh")
+    refresh = tagged.filter(F.col("is_refresh")).drop("is_refresh")
+    table_dir = os.path.join(scratch_dir("rtfl_rf_"), "orders_v")
+    versioned.commit_version(base, table_dir)                      # v0
+    versioned.commit_version(base.unionByName(refresh), table_dir) # v1 = RF1
+    # RF2: delete the refresh set from the latest snapshot -- the same
+    # md5 rule as the split, expressed as a SQL predicate (no key list
+    # ever concentrates on the driver)
+    versioned.delete_where(
+        spark,
+        table_dir,
+        "cast(conv(substring(md5(concat_ws('', 'rf:', o_orderkey)), 1, 15),"
+        " 16, 10) as bigint) % 20 = 0",
+    )                                                              # v2
+    reports = []
+    for v in (0, 1, 2):
+        snap = versioned.read_version(spark, table_dir, version=v)
+        reports.append(
+            snap.agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_orders"),
+                (
+                    F.floor(
+                        F.coalesce(F.sum("o_totalprice"), F.lit(0.0)) * 100.0
+                        + F.lit(0.5)
+                    )
+                    / 100.0
+                ).alias("total_price"),
+            ).select("version", "n_orders", "total_price")
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("version")
+
+
 _TICK_SIGNS_SQL = """
 ticks AS (
     SELECT event_type AS symbol, ts, event_id, value,

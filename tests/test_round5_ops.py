@@ -455,3 +455,48 @@ def test_streaming_expectation_gate_quarantines_planted_bad_rows(spark, tmp_path
     assert out[("quarantined", "user_null")]["n_rows"] == 1
     assert out[("quarantined", "value_negative")]["total_value"] == -7.0
     assert out[("quarantined", "value_null")]["n_rows"] == 1
+
+
+def test_tpch_refresh_cycle_restores_base(spark):
+    """RF1 then RF2 must return the table to its v0 content: v0 == v2
+    and v1 carries exactly the refresh delta on top."""
+    from real_time_financial_lakehouse_spark import registry
+
+    out = {r["version"]: r for r in
+           registry.QUERIES["tpch_refresh_cycle"](spark, SF_SMOKE).collect()}
+    assert out[0]["n_orders"] == out[2]["n_orders"]
+    assert out[0]["total_price"] == out[2]["total_price"]
+    assert out[1]["n_orders"] > out[0]["n_orders"]
+
+
+def test_pairs_spread_zscore_flags_planted_divergence(spark):
+    """Two tightly-coupled series (B = 2A + noise) with one planted
+    divergence minute must alert exactly there; the hedge ratio must
+    recover ~2."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    rows = []
+    for i in range(60):
+        pa = 100.0 + (i % 7)
+        pb = 2.0 * pa + 0.01 * (i % 3)
+        if i == 30:
+            # divergence on the RESPONSE side (pa): an outlier in the
+            # regressor pb would legitimately shrink the OLS slope
+            pa += 25.0
+        rows.append((2 * i, f"2024-01-01 10:{i:02d}:00", 1, "AAA", pa, "{}"))
+        rows.append((2 * i + 1, f"2024-01-01 10:{i:02d}:00", 1, "BBB", pb, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = finance.pairs_spread_zscore(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["sym_a"], r["sym_b"]) == ("AAA", "BBB")
+    assert r["n_minutes"] == 60
+    assert r["n_z_alerts"] >= 1
+    assert r["max_abs_z"] > 2.0
+    # the pair regression is pb on... spread = pa - h * pb with
+    # h = covar(pa,pb)/var(pb) ~ 0.5 for pb = 2*pa
+    assert 0.4 < r["hedge_ratio"] < 0.6
