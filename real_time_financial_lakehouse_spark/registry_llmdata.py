@@ -2372,3 +2372,50 @@ def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_index_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_index_delta_report(_emb(spark, sf_dir))
+
+
+# Dedup-funnel dataset card: the whole ladder reduced to one row of
+# stage counts -- corpus size, distinct contents (exact tier), LSH
+# candidate pairs (banding tier), clustered docs (connected components),
+# survivors (the final kept corpus).  The oracle NESTS the registered
+# stage oracles verbatim, so the funnel can never drift from the stages
+# it summarizes.  Scale: each stage is the already-bounded query; the
+# funnel adds only 1-row aggregations crossJoined together.
+from .registry import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
+
+
+@register(
+    "dedup_funnel",
+    f"""
+    SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+           (SELECT count(*) FROM ({_ORACLE_SQL['dedup_exact']}))::BIGINT
+               AS n_distinct_contents,
+           (SELECT count(*) FROM ({_ORACLE_SQL['lsh_candidate_pairs']}))::BIGINT
+               AS n_candidate_pairs,
+           (SELECT count(*) FROM ({_ORACLE_SQL['dedup_clusters']}))::BIGINT
+               AS n_clustered_docs,
+           (SELECT count(*) FROM ({_ORACLE_SQL['fuzzy_dedup_keep']}))::BIGINT
+               AS n_survivors
+    """,
+)
+def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    parts = [
+        docs.agg(F.count(F.lit(1)).alias("n_docs")),
+        dedup.exact_dedup(docs).agg(
+            F.count(F.lit(1)).alias("n_distinct_contents")
+        ),
+        dedup.lsh_candidate_pairs(docs, k=_K, bands=_BANDS).agg(
+            F.count(F.lit(1)).alias("n_candidate_pairs")
+        ),
+        dedup.dedup_clusters(docs, k=_K, bands=_BANDS).agg(
+            F.count(F.lit(1)).alias("n_clustered_docs")
+        ),
+        dedup.fuzzy_dedup_keep(docs, k=_K, bands=_BANDS).agg(
+            F.count(F.lit(1)).alias("n_survivors")
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.crossJoin(p)
+    return out
