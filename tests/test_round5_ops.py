@@ -500,3 +500,37 @@ def test_pairs_spread_zscore_flags_planted_divergence(spark):
     # the pair regression is pb on... spread = pa - h * pb with
     # h = covar(pa,pb)/var(pb) ~ 0.5 for pb = 2*pa
     assert 0.4 < r["hedge_ratio"] < 0.6
+
+
+def test_tick_source_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across restarts: four single-batch runs against the
+    SAME checkpoint must walk the offset log 0->10->20->30->40 with no
+    duplicate and no gap -- the property a Kafka consumer gets from
+    committed offsets, here provided by the Python stream reader's
+    offset planning."""
+    from real_time_financial_lakehouse_spark.sources import register_tick_source
+
+    register_tick_source(spark)
+    out = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(4):
+        q = (
+            spark.readStream.format("rtfl_ticks")
+            .option("n_ticks", 40)
+            .option("batch_size", 10)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = sorted(
+        r["event_id"]
+        for r in spark.read.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        ).parquet(out).collect()
+    )
+    assert got == list(range(40))
