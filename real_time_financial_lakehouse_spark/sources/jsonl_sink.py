@@ -121,22 +121,18 @@ def read_manifested(spark, path: str, schema: str):
     return spark.read.schema(schema).json(files)
 
 
-_REGISTERED: set = set()
-
-
 def register_jsonl_sink(spark) -> None:
-    """Idempotent registration (shared-registry tolerant, like
-    register_tick_source)."""
+    """Idempotent registration (shared-registry tolerant, session-object
+    marker -- same rationale as register_tick_source)."""
     if not _HAVE_DATASOURCE_API:  # pragma: no cover
         raise NotImplementedError(
             "this Spark build lacks the Python DataSource API"
         )
-    key = id(spark)
-    if key in _REGISTERED:
+    if getattr(spark, "_rtfl_jsonl_registered", False):
         return
     try:
         spark.dataSource.register(JsonlDataSource)
     except Exception as ex:  # noqa: BLE001
         if "DATA_SOURCE_ALREADY_EXISTS" not in str(ex):
             raise
-    _REGISTERED.add(key)
+    spark._rtfl_jsonl_registered = True

@@ -157,19 +157,17 @@ class TickDataSource(DataSource):
         return _TickStreamReader(self.options)
 
 
-_REGISTERED: set = set()
-
-
 def register_tick_source(spark) -> None:
     """Idempotent per-SESSION registration of the custom source (Python
     data sources register on the SparkSession, not the context -- a
-    ``newSession()`` child needs its own registration)."""
+    ``newSession()`` child needs its own registration).  The
+    already-done marker lives ON the session object (an id()-keyed
+    global set could go stale when a GC'd session's id is reused)."""
     if not _HAVE_DATASOURCE_API:  # pragma: no cover
         raise NotImplementedError(
             "this Spark build lacks the Python DataSource API"
         )
-    key = id(spark)
-    if key in _REGISTERED:
+    if getattr(spark, "_rtfl_ticks_registered", False):
         return
     try:
         spark.dataSource.register(TickDataSource)
@@ -178,4 +176,4 @@ def register_tick_source(spark) -> None:
         # (DATA_SOURCE_ALREADY_EXISTS from a sibling session is fine)
         if "DATA_SOURCE_ALREADY_EXISTS" not in str(ex):
             raise
-    _REGISTERED.add(key)
+    spark._rtfl_ticks_registered = True
