@@ -898,17 +898,77 @@ def q_ols_volatility_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and served through the S8 save/load path -- the reference's
 # train-offline / load-in-stream split, so repeated invocations (and the
 # benchmark) measure inference, not LinearRegression.fit.
-# Float-nondeterministic across solvers, so no SQL oracle (driver records
-# rows-only); exact parity of the closed form is covered by
-# ols_volatility_price, and pytest covers save/load and the lit(0.0)
-# fallback.
-@register("ml_price_prediction")
+#
+# Oracle-checkable audit form (round 5 -- the last rows-only query in
+# the LLM/analytics families to convert): the emitted predicted_price is
+# the CLOSED-FORM least-squares prediction, which the oracle recomputes
+# exactly -- including the singular case (zero feature variance -> the
+# intercept-only model, mean(y)), which is also precisely what MLlib's
+# normal-equation solver returns (measured: coef exactly 0.0, intercept
+# exactly mean(y)); in the regular case MLlib matches the closed form to
+# ~1e-15.  The REAL MLlib path still runs every invocation: its per-row
+# prediction folds into the `mllib_close` certificate
+# (|mllib - closed| <= 1e-6, nine orders of magnitude of headroom).
+@register(
+    "ml_price_prediction",
+    f"""
+    WITH {_SLIDING_CTE},
+    agg AS (
+        SELECT symbol, window_start,
+               {_q('stddev_pop(value)', 6)} AS volatility,
+               {_q('avg(value)', 6)} AS average_price
+        FROM wins
+        GROUP BY symbol, window_start
+    ),
+    filtered AS (
+        SELECT * FROM agg WHERE average_price > 0 AND volatility >= 0
+    ),
+    st AS (
+        SELECT covar_pop(volatility, average_price) AS c,
+               var_pop(volatility) AS v,
+               avg(average_price) AS my,
+               avg(volatility) AS mx
+        FROM filtered
+    )
+    SELECT f.symbol, f.window_start, f.volatility, f.average_price,
+           {_q('CASE WHEN st.v != 0 THEN (st.c / st.v) * f.volatility + (st.my - (st.c / st.v) * st.mx) ELSE st.my END', 6)} AS predicted_price,
+           TRUE AS mllib_close
+    FROM filtered f, st
+    ORDER BY f.symbol, f.window_start
+    """,
+)
 def q_ml_price_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = silver.sliding_window_agg(_events(spark, sf_dir))
     filtered = positive_filter(agg)
     model = ml_regression.fit_once(spark, sf_dir, filtered)
     scored = ml_regression.infer_with_fallback(model, filtered)
-    return scored.select("symbol", "window_start", "volatility", "average_price", "predicted_price")
+    st = filtered.agg(
+        F.covar_pop("volatility", "average_price").alias("c"),
+        F.var_pop("volatility").alias("v"),
+        F.avg("average_price").alias("my"),
+        F.avg("volatility").alias("mx"),
+    )
+    slope = F.col("c") / F.col("v")
+    closed = F.when(
+        F.col("v") != 0,
+        slope * F.col("volatility") + (F.col("my") - slope * F.col("mx")),
+    ).otherwise(F.col("my"))
+    from .functions.numeric import qround
+
+    return (
+        scored.crossJoin(F.broadcast(st))
+        .select(
+            "symbol",
+            "window_start",
+            "volatility",
+            "average_price",
+            qround(closed, 6).alias("predicted_price"),
+            (F.abs(F.col("predicted_price") - closed) <= 1e-6).alias(
+                "mllib_close"
+            ),
+        )
+        .orderBy("symbol", "window_start")
+    )
 
 # ---------------------------------------------------------------------------
 # Ranking windows, subquery shapes, OLAP grouping sets, outer joins

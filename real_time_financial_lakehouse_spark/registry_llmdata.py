@@ -2111,7 +2111,73 @@ def q_cross_entropy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only by design: BPE training is genuinely iterative (argmax +
 # rewrite per step); pytest pins the learned merge table against a
 # reference in-memory implementation (tests/test_round4_ops.py).
-@register("bpe_train_merges")
+# Exact oracle for the iterative trainer, UNROLLED: each of the 6 merge
+# steps becomes a CTE chain (adjacent-pair counts at vocab cardinality,
+# deterministic argmax, vocab rewrite).  The rewrite uses the
+# double-separator string encoding -- symbols joined by SEP||SEP and the
+# string wrapped in single SEPs -- so a left-to-right ``replace`` of
+# SEP||l||SEP||SEP||r||SEP with SEP||lr||SEP is EXACTLY the BPE merge
+# fold: whole-symbol matches only (symbol text never contains SEP, and a
+# partial-symbol match would need a SEP inside a symbol), and
+# back-to-back merge chains keep their shared boundary (each match
+# consumes one SEP from each side of the pair, leaving the neighbors'
+# SEPs in place; verified against the Spark fold on chain corpora like
+# 'aaaa').  This removes the last LLM-family rows-only query: the
+# trainer is now hash-checked end to end.
+_BPE_SEP = "chr(31)"
+
+
+def _bpe_step_ctes(i: int) -> str:
+    s = _BPE_SEP
+    return f"""
+    syms_{i} AS (
+        SELECT freq, string_split(trim(s, {s}), {s} || {s}) AS sy FROM vocab_{i}
+    ),
+    ks_{i} AS (
+        SELECT freq, sy, unnest(generate_series(1, len(sy) - 1)) AS k FROM syms_{i}
+    ),
+    pairs_{i} AS (
+        SELECT sy[k] AS l, sy[k + 1] AS r, sum(freq)::BIGINT AS cnt
+        FROM ks_{i} GROUP BY 1, 2
+    ),
+    top_{i} AS (SELECT l, r, cnt FROM pairs_{i} ORDER BY cnt DESC, l, r LIMIT 1),
+    vocab_{i + 1} AS (
+        SELECT freq,
+               CASE WHEN (SELECT count(*) FROM top_{i}) = 1
+                    THEN replace(s,
+                         (SELECT {s} || l || {s} || {s} || r || {s} FROM top_{i}),
+                         (SELECT {s} || l || r || {s} FROM top_{i}))
+                    ELSE s END AS s
+        FROM vocab_{i}
+    )"""
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    s = _BPE_SEP
+    sql = f"""
+    WITH words AS (
+        SELECT w, count(*)::BIGINT AS freq
+        FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+              FROM documents)
+        WHERE length(w) >= 1 GROUP BY 1
+    ),
+    vocab_0 AS (
+        SELECT freq,
+               {s} || array_to_string(string_split(w, ''), {s} || {s})
+                   || {s} || {s} || '</w>' || {s} AS s
+        FROM words
+    )"""
+    for i in range(n_merges):
+        sql += "," + _bpe_step_ctes(i)
+    sel = "\n UNION ALL ".join(
+        f'SELECT {i} AS step, l AS "left", r AS "right", cnt AS pair_count'
+        f" FROM top_{i}"
+        for i in range(n_merges)
+    )
+    return sql + f"\n    SELECT * FROM ({sel}) ORDER BY step"
+
+
+@register("bpe_train_merges", _bpe_oracle_sql(6))
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_train_merges(_docs(spark, sf_dir), n_merges=6)
 
