@@ -4399,6 +4399,73 @@ def q_custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Iterative PageRank, exactly oracle-checked: the five iterations UNROLL
+# into CTE chains (the bpe_train_merges discipline applied to a graph
+# algorithm) -- inflow aggregation, dangling-mass redistribution, and
+# teleport per step, at node/edge cardinality.
+def _pagerank_oracle_sql(d: float = 0.85, n_iter: int = 5) -> str:
+    sql = f"""
+    WITH steps AS (
+        SELECT from_type, event_type AS to_type
+        FROM (
+            SELECT event_type, lag(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+            FROM events
+        )
+        WHERE from_type IS NOT NULL
+    ),
+    counts AS (
+        SELECT from_type, to_type, count(*)::BIGINT AS n
+        FROM steps GROUP BY 1, 2
+    ),
+    out_tot AS (SELECT from_type, sum(n)::BIGINT AS tot FROM counts GROUP BY 1),
+    edges AS (
+        SELECT c.from_type, c.to_type, c.n::DOUBLE / o.tot AS w
+        FROM counts c JOIN out_tot o USING (from_type)
+    ),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    pr_0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)"""
+    for i in range(n_iter):
+        sql += f""",
+    inflow_{i} AS (
+        SELECT e.to_type AS node, sum(p.pr * e.w) AS s
+        FROM pr_{i} p JOIN edges e ON e.from_type = p.node GROUP BY 1
+    ),
+    dang_{i} AS (
+        SELECT coalesce(sum(p.pr), 0.0) AS m FROM pr_{i} p
+        WHERE NOT EXISTS (SELECT 1 FROM out_tot o WHERE o.from_type = p.node)
+    ),
+    pr_{i + 1} AS (
+        SELECT n.node,
+               (1.0 - {d}) / nn.n
+               + {d} * (coalesce(f.s, 0.0) + dg.m / nn.n) AS pr
+        FROM nodes n
+        CROSS JOIN nn
+        CROSS JOIN dang_{i} dg
+        LEFT JOIN inflow_{i} f ON f.node = n.node
+    )"""
+    return sql + f"""
+    SELECT p.node,
+           {_q('p.pr', 6)} AS pagerank,
+           coalesce(ie.n_in_edges, 0)::BIGINT AS n_in_edges,
+           coalesce(oe.n_out_edges, 0)::BIGINT AS n_out_edges
+    FROM pr_{n_iter} p
+    LEFT JOIN (SELECT to_type AS node, count(*)::BIGINT AS n_in_edges
+               FROM edges GROUP BY 1) ie ON ie.node = p.node
+    LEFT JOIN (SELECT from_type AS node, count(*)::BIGINT AS n_out_edges
+               FROM edges GROUP BY 1) oe ON oe.node = p.node
+    ORDER BY p.node
+    """
+
+
+@register("event_pagerank", _pagerank_oracle_sql())
+def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import windows as win_ops
+
+    return win_ops.event_pagerank(_events(spark, sf_dir))
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

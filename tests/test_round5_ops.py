@@ -534,3 +534,28 @@ def test_tick_source_restart_resumes_from_checkpoint(spark, tmp_path):
         ).parquet(out).collect()
     )
     assert got == list(range(40))
+
+
+def test_event_pagerank_known_graph(spark):
+    """Hand-checkable graph: A->B always, B->A always, C isolated (one
+    user only emits C once -- no transitions).  A and B must tie with
+    the dominant rank; C keeps only teleport + dangling share; ranks sum
+    to 1."""
+    rows = []
+    # user 1 alternates A/B forever -> edges A->B and B->A
+    for i in range(20):
+        rows.append((i, f"2024-01-01 00:{i:02d}:00", 1, "A" if i % 2 == 0 else "B", 1.0))
+    rows.append((100, "2024-01-01 01:00:00", 2, "C", 1.0))  # isolated node
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    from real_time_financial_lakehouse_spark.operators.windows import event_pagerank
+
+    out = {r["node"]: r for r in event_pagerank(ev).collect()}
+    assert set(out) == {"A", "B", "C"}
+    total = sum(r["pagerank"] for r in out.values())
+    assert abs(total - 1.0) < 1e-5
+    assert out["A"]["pagerank"] == pytest.approx(out["B"]["pagerank"], abs=2e-2)
+    assert out["C"]["pagerank"] < out["A"]["pagerank"]
+    assert out["C"]["n_out_edges"] == 0 and out["C"]["n_in_edges"] == 0
+    assert out["A"]["n_out_edges"] == 1 and out["A"]["n_in_edges"] == 1
