@@ -1309,3 +1309,51 @@ def pairs_spread_zscore(events: DataFrame, z_alert: float = 2.0) -> DataFrame:
         )
         .orderBy("sym_a", "sym_b")
     )
+
+
+def ses_forecast(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Simple-exponential-smoothing forecast per symbol over the daily
+    value totals, WITH its own one-step-ahead backtest: the SES level
+    after all days is the flat forecast for tomorrow, and MAE over the
+    historical one-step errors (|x_t - s_{t-1}|) reports how well that
+    smoothing constant actually fit this series -- the minimal
+    forecasting loop a capacity-planning dashboard runs.
+
+    Determinism: the level is the LITERAL sequential fold
+    (s_t = a*x_t + (1-a)*s_{t-1}, seeded with x_1) -- the same op order
+    as DuckDB's list_reduce, so both engines produce bit-identical
+    doubles (the ema_per_symbol discipline).  The backtest re-folds each
+    prefix (O(days^2) inside one row's array ops) -- intentional at DAY
+    cardinality (~31 folds of <=31 elements); a year-scale series would
+    hoist the running level into a second array first (the cci_20
+    lesson).
+
+    Scale: one partial-agg groupBy to day cardinality, one groupBy to
+    symbol cardinality holding a days-length array -- bounded state, no
+    window, nothing data-sized after the first shuffle."""
+    a = alpha
+    daily = events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.sum("value").alias("x"))
+    series = daily.groupBy("symbol").agg(
+        F.expr("transform(array_sort(collect_list(struct(day, x))), s -> s.x)")
+        .alias("xs")
+    )
+    fold = f"(acc, x) -> {a}D * x + {1.0 - a}D * acc"
+    level = f"aggregate(slice(xs, 2, size(xs) - 1), cast(xs[0] as double), {fold})"
+    errors = (
+        f"transform(sequence(2, size(xs)), t -> abs(element_at(xs, t)"
+        f" - aggregate(slice(xs, 2, t - 2), cast(xs[0] as double), {fold})))"
+    )
+    mae = (
+        f"CASE WHEN size(xs) >= 2 THEN"
+        f" aggregate({errors}, 0D, (acc, e) -> acc + e) / (size(xs) - 1) END"
+    )
+    return series.select(
+        "symbol",
+        F.size("xs").alias("n_days"),
+        qround(F.expr("element_at(xs, size(xs))"), 6).alias("last_actual"),
+        qround(F.expr(level), 6).alias("forecast_next"),
+        qround(F.expr(mae), 6).alias("backtest_mae"),
+    ).orderBy("symbol")

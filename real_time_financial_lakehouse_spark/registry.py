@@ -4459,6 +4459,39 @@ def _pagerank_oracle_sql(d: float = 0.85, n_iter: int = 5) -> str:
     """
 
 
+@register(
+    "ses_forecast",
+    f"""
+    WITH daily AS (
+        SELECT event_type AS symbol, date_trunc('day', ts) AS day,
+               sum(value) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT symbol, list(x ORDER BY day) AS xs FROM daily GROUP BY 1
+    )
+    SELECT symbol,
+           len(xs)::INT AS n_days,
+           {_q('xs[len(xs)]', 6)} AS last_actual,
+           {_q('list_reduce(xs, (acc, x) -> 0.3 * x + 0.7 * acc)', 6)} AS forecast_next,
+           CASE WHEN len(xs) >= 2 THEN
+               {_q('''list_reduce(
+                    list_prepend(0.0,
+                        list_transform(generate_series(2, len(xs)),
+                            t -> abs(xs[t] - list_reduce(xs[1:t-1],
+                                     (acc, x) -> 0.3 * x + 0.7 * acc)))),
+                    (acc, e) -> acc + e) / (len(xs) - 1)''', 6)}
+           END AS backtest_mae
+    FROM series
+    ORDER BY symbol
+    """,
+)
+def q_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.ses_forecast(_events(spark, sf_dir))
+
+
 @register("event_pagerank", _pagerank_oracle_sql())
 def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import windows as win_ops

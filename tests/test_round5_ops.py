@@ -559,3 +559,30 @@ def test_event_pagerank_known_graph(spark):
     assert out["C"]["pagerank"] < out["A"]["pagerank"]
     assert out["C"]["n_out_edges"] == 0 and out["C"]["n_in_edges"] == 0
     assert out["A"]["n_out_edges"] == 1 and out["A"]["n_in_edges"] == 1
+
+
+def test_ses_forecast_matches_reference_fold(spark):
+    """The SES level and backtest MAE must equal a reference in-memory
+    fold for a known series; a single-day symbol reports NULL MAE."""
+    rows = []
+    xs = [10.0, 20.0, 10.0, 30.0]
+    for i, v in enumerate(xs):
+        rows.append((i, f"2024-01-{i + 1:02d} 10:00:00", 1, "A", v))
+    rows.append((99, "2024-01-01 10:00:00", 1, "B", 5.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    from real_time_financial_lakehouse_spark.operators.finance import ses_forecast
+
+    out = {r["symbol"]: r for r in ses_forecast(ev, alpha=0.3).collect()}
+    s = xs[0]
+    errs = []
+    for x in xs[1:]:
+        errs.append(abs(x - s))
+        s = 0.3 * x + 0.7 * s
+    assert out["A"]["n_days"] == 4
+    assert out["A"]["last_actual"] == 30.0
+    assert out["A"]["forecast_next"] == pytest.approx(s, abs=1e-6)
+    assert out["A"]["backtest_mae"] == pytest.approx(sum(errs) / 3, abs=1e-6)
+    assert out["B"]["n_days"] == 1 and out["B"]["backtest_mae"] is None
+    assert out["B"]["forecast_next"] == 5.0
