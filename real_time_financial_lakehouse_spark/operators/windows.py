@@ -415,6 +415,10 @@ def event_pagerank(
         F.col("event_type").alias("node")
     ).distinct()
     n_nodes = nodes.count()  # node-cardinality metadata (like a manifest)
+    if n_nodes == 0:  # empty feed: an empty report, not a zero division
+        return events.sparkSession.createDataFrame(
+            [], "node string, pagerank double, n_in_edges long, n_out_edges long"
+        )
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
     for _ in range(n_iter):
         inflow = (

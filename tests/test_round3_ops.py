@@ -915,7 +915,8 @@ def test_queries_survive_fully_empty_tables(spark, tmp_path):
         "jpeg_media_features", "embedding_dim_profile",
         "ann_index_delta_report", "streaming_psi_drift",
         "bipower_jump_stats", "ts_monotonicity_report",
-        "wav_media_features",
+        "wav_media_features", "ses_forecast", "event_pagerank",
+        "pairs_spread_zscore",
     ]:
         assert registry.QUERIES[name](spark, dst).count() == 0, name
     # benford_check intentionally emits its constant 1..9 digit spine on
