@@ -1032,3 +1032,46 @@ def ann_index_delta_report(
         )
         .orderBy("band_id", "band_val")
     )
+
+
+def embedding_outliers(embeddings: DataFrame, z_cut: float = 2.5) -> DataFrame:
+    """Embedding-space outlier report: each vector's L2 distance to its
+    label's centroid, z-scored within the label -- the mislabeled-sample
+    / embedding-drift screen a training pipeline runs before trusting a
+    labeled corpus (a vector far from its own centroid is either
+    mislabeled or a genuine distribution-tail document worth auditing).
+
+    Scale: centroids come from one posexplode + partial-agg groupBy at
+    (label x dim) cardinality (the label_centroids machinery); distances
+    join the exploded frame back to the tiny centroid frame and reduce
+    per vector -- corpus x dim rows partial-aggregated, no crossJoin, no
+    Python.  The z pass broadcasts label-cardinality stats.  A
+    zero-spread label (all members identical) reports NULL z rather than
+    a division error."""
+    dims = _spread(embeddings).select(
+        "vec_id", "label", F.posexplode(_as_double("embedding")).alias("pos", "x")
+    )
+    cent = dims.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    dist = (
+        dims.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))))
+            .alias("d")
+        )
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("d").alias("mu"), F.stddev_pop("d").alias("sd")
+    )
+    z = F.when(F.col("sd") != 0, (F.col("d") - F.col("mu")) / F.col("sd"))
+    return (
+        dist.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id",
+            "label",
+            qround(F.col("d"), 6).alias("dist_to_centroid"),
+            qround(z, 6).alias("z"),
+            F.coalesce(z > z_cut, F.lit(False)).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )

@@ -2440,6 +2440,38 @@ def q_ann_index_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_index_delta_report(_emb(spark, sf_dir))
 
 
+@register(
+    "embedding_outliers",
+    f"""
+    WITH dims AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        FROM embeddings
+    ),
+    cent AS (SELECT label, pos, avg(x) AS m FROM dims GROUP BY 1, 2),
+    dist AS (
+        SELECT d.vec_id, d.label, sqrt(sum((d.x - c.m) * (d.x - c.m))) AS dd
+        FROM dims d JOIN cent c ON c.label = d.label AND c.pos = d.pos
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT label, avg(dd) AS mu, stddev_pop(dd) AS sd FROM dist GROUP BY 1
+    )
+    SELECT v.vec_id, v.label,
+           {qround_sql('v.dd', 6)} AS dist_to_centroid,
+           {qround_sql('CASE WHEN s.sd != 0 THEN (v.dd - s.mu) / s.sd END', 6)} AS z,
+           coalesce(
+               (CASE WHEN s.sd != 0 THEN (v.dd - s.mu) / s.sd END) > 2.5,
+               FALSE) AS is_outlier
+    FROM dist v JOIN stats s USING (label)
+    ORDER BY v.vec_id
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_outliers(_emb(spark, sf_dir))
+
+
 # Dedup-funnel dataset card: the whole ladder reduced to one row of
 # stage counts -- corpus size, distinct contents (exact tier), LSH
 # candidate pairs (banding tier), clustered docs (connected components),

@@ -710,3 +710,24 @@ def test_wav_decode_payload_dispatches_to_real_decoder():
     feats = multimodal.decode_payload("audio", wav, fake=False)
     assert feats["byte_sum"] == 300          # peak amplitude
     assert feats["header_hex"] == wav[:4].hex()
+
+
+def test_embedding_outliers_flags_planted_stray(spark):
+    """A vector far from its label's centroid must be the flagged
+    outlier; tight cluster members must not flag; a single-member label
+    (zero spread) reports NULL z without error."""
+    # enough tight members that one stray CAN exceed z=2.5: with n
+    # points the max population z is sqrt(n-1), so n must be > 7.25
+    rows = [
+        (i, [1.0 + 0.001 * i, 0.001 * (i % 3), 0.0], 0) for i in range(12)
+    ]
+    rows.append((50, [-5.0, 5.0, 5.0], 0))   # stray member of label 0
+    rows.append((60, [0.0, 1.0, 0.0], 1))    # lone member of label 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = {r["vec_id"]: r for r in similarity.embedding_outliers(emb).collect()}
+    assert out[50]["is_outlier"] is True
+    assert all(out[i]["is_outlier"] is False for i in range(12))
+    assert out[60]["z"] is None and out[60]["is_outlier"] is False
+    assert out[60]["dist_to_centroid"] == 0.0
