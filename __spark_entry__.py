@@ -25,9 +25,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return events_market_summary(events)
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md section 2."""
+    """One entry per implemented operator from SURVEY.md section 2.
+
+    Rotation is re-applied here (idempotent) so the driver's first-50
+    window is correct regardless of module IMPORT order: if
+    registry_llmdata is imported before registry (their import is
+    circular), the module-end rotation would have run over a partially
+    populated registry."""
+    registry._rotate_for_driver()
     return dict(registry.QUERIES)
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each oracle-checkable query."""
+    registry._rotate_for_driver()
     return dict(registry.ORACLE_SQL)

@@ -925,6 +925,25 @@ PNG_FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _tile_text_raster(txt: str | None) -> tuple[int, int, bytes]:
+    """Shared tiling rule for the image pipelines: a doc's utf-8 bytes
+    tiled into a (n%13+1) x (n%7+1) grayscale raster.  ONE definition on
+    purpose -- attach_png_media, attach_jpeg_media, AND the
+    jpeg_media_features source-mean pass must tile byte-for-byte
+    identically or the decode_close certificate (and both oracles)
+    silently drift."""
+    data = (txt or "").encode("utf-8")
+    w = len(data) % 13 + 1
+    h = len(data) % 7 + 1
+    budget = w * h
+    tiled = (
+        (data * (budget // max(1, len(data)) + 1))[:budget]
+        if data
+        else b"\x00" * budget
+    )
+    return w, h, tiled
+
+
 def attach_png_media(documents: DataFrame) -> DataFrame:
     """Build a media table of REAL PNG images from the documents fixture:
     each doc's utf-8 text bytes are tiled into a (n_chars%13+1) x
@@ -939,11 +958,7 @@ def attach_png_media(documents: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                data = (txt or "").encode("utf-8")
-                w = len(data) % 13 + 1
-                h = len(data) % 7 + 1
-                budget = w * h
-                tiled = (data * (budget // max(1, len(data)) + 1))[:budget] if data else b"\x00" * budget
+                w, h, tiled = _tile_text_raster(txt)
                 rows.append({"asset_id": did, "payload": encode_png(w, h, tiled)})
             yield pd.DataFrame(rows, columns=["asset_id", "payload"])
 
@@ -1026,15 +1041,7 @@ def attach_jpeg_media(documents: DataFrame, quality: int = 90) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                data = (txt or "").encode("utf-8")
-                w = len(data) % 13 + 1
-                h = len(data) % 7 + 1
-                budget = w * h
-                tiled = (
-                    (data * (budget // max(1, len(data)) + 1))[:budget]
-                    if data
-                    else b"\x00" * budget
-                )
+                w, h, tiled = _tile_text_raster(txt)
                 rows.append(
                     {"asset_id": did, "payload": encode_jpeg(w, h, tiled, quality)}
                 )
@@ -1106,19 +1113,11 @@ def jpeg_media_features(documents: DataFrame, mean_tol: float = 1.5) -> DataFram
         for pdf in batches:
             rows = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                data = (txt or "").encode("utf-8")
-                w = len(data) % 13 + 1
-                h = len(data) % 7 + 1
-                budget = w * h
-                tiled = (
-                    (data * (budget // max(1, len(data)) + 1))[:budget]
-                    if data
-                    else b"\x00" * budget
-                )
+                w, h, tiled = _tile_text_raster(txt)
                 rows.append(
                     {
                         "asset_id": did,
-                        "src_mean": sum(tiled) / budget,
+                        "src_mean": sum(tiled) / (w * h),
                     }
                 )
             yield pd.DataFrame(rows, columns=["asset_id", "src_mean"])

@@ -594,8 +594,11 @@ def shard_manifest(documents: DataFrame, n_shards: int = 16) -> DataFrame:
         md5_long(F.concat_ws(":", F.lit("shard"), F.col("doc_id")), 7) % n_shards
     ).alias("shard_id")
     # module-wide token convention (corpus_summary / dataset_split_counts):
-    # trim + split on \s+ -- a single-space split would count empty text
-    # as 1 token and inflate on consecutive spaces
+    # trim + split on \s+ so consecutive spaces never inflate counts.
+    # NB: split('') yields [''] in both engines, so NULL/empty docs count
+    # as 1 token under this convention -- consistent with the sibling
+    # ops, which is the point (the old single-space split disagreed with
+    # them on multi-space runs).
     toks = F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
     return (
         documents.select(

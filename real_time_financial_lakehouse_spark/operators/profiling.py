@@ -459,7 +459,9 @@ def expectation_report(
     joins.  Output is expectation-cardinality (8 rows)."""
     from ..functions.numeric import qround
 
-    enum = ("click", "error", "purchase", "signup", "view")
+    from .rollup import EVENT_TYPES  # ONE definition of the contract enum
+
+    enum = tuple(EVENT_TYPES)
 
     # coalesce every counter: F.sum over an EMPTY table is NULL, and the
     # report must stay well-typed (0 failures of 0 checks) on empty input

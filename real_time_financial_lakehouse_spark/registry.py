@@ -4336,10 +4336,9 @@ def q_streaming_custom_source_gold(spark: SparkSession, sf_dir: str) -> DataFram
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()
-    bronze = spark.read.schema(
-        "event_id long, ts timestamp, user_id long, event_type string,"
-        " value double, props string"
-    ).parquet(out_dir)
+    from .sources.tick_source import TICK_SCHEMA
+
+    bronze = spark.read.schema(TICK_SCHEMA).parquet(out_dir)
     return rollup.events_market_summary(bronze)
 
 

@@ -79,6 +79,9 @@ class _JsonlWriter(DataSourceWriter):
         return _ShardCommit(name, n)
 
     def commit(self, messages) -> None:
+        # a zero-partition write runs no tasks, so no task ever created
+        # the directory -- the driver-side commit must not assume it
+        os.makedirs(self.path, exist_ok=True)
         manifest = {
             "shards": sorted(
                 ({"file": m.filename, "n_rows": m.n_rows} for m in messages),

@@ -103,6 +103,8 @@ class _TickBatchReader(DataSourceReader):
 
     def partitions(self):  # noqa: D102 - API contract
         n, p = self.n_ticks, max(1, self.n_partitions)
+        if n <= 0:  # empty feed: no partitions, not a range() crash
+            return [_RangePartition(0, 0)]
         step = -(-n // p)
         return [
             _RangePartition(lo, min(lo + step, n)) for lo in range(0, n, step)

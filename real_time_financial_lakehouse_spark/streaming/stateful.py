@@ -716,7 +716,9 @@ def streaming_expectation_gate_roundtrip(
     ok_dir = scratch_dir("rtfl_gate_ok_")
     bad_dir = scratch_dir("rtfl_gate_bad_")
     ckpt_dir = scratch_dir("rtfl_gate_ckpt_")
-    enum = ("click", "error", "purchase", "signup", "view")
+    from ..operators.rollup import EVENT_TYPES  # the one contract enum
+
+    enum = tuple(EVENT_TYPES)
 
     reason = (
         F.when(F.col("value").isNull(), F.lit("value_null"))
@@ -754,15 +756,15 @@ def streaming_expectation_gate_roundtrip(
             .start()
         )
         q.awaitTermination()
-    ok = spark.read.schema(
-        "event_id long, ts timestamp, user_id long, event_type string,"
-        " value double, props string"
-    ).parquet(ok_dir)
+    # the events fixture schema -- identical by design to the custom
+    # tick connector's contract, so reuse the one definition
+    from ..sources.tick_source import TICK_SCHEMA
+
+    ok = spark.read.schema(TICK_SCHEMA).parquet(ok_dir)
     try:
-        bad = spark.read.schema(
-            "event_id long, ts timestamp, user_id long, event_type string,"
-            " value double, props string, fail_reason string"
-        ).parquet(bad_dir)
+        bad = spark.read.schema(TICK_SCHEMA + ", fail_reason string").parquet(
+            bad_dir
+        )
     except Exception:  # noqa: BLE001 - a fully-clean feed writes no shards
         bad = None
     passed = ok.agg(

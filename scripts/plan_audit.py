@@ -69,13 +69,10 @@ def main() -> int:
         flags = []
         if "CartesianProduct" in plan:
             flags.append("cartesian-product")
-        if ("BatchEvalPython" in plan or "PythonUDF" in plan) and (
-            name not in _PYTHON_ALLOWED
-        ):
-            # ArrowEvalPython / MapInPandas / mapInArrow are the blessed
-            # vectorized boundaries; BatchEvalPython is row-at-a-time
-            if "BatchEvalPython" in plan:
-                flags.append("row-at-a-time-python")
+        # ArrowEvalPython / MapInPandas / mapInArrow are the blessed
+        # vectorized boundaries; BatchEvalPython is row-at-a-time
+        if "BatchEvalPython" in plan and name not in _PYTHON_ALLOWED:
+            flags.append("row-at-a-time-python")
         n_exchanges = plan.count("Exchange ")
         report[name] = {"exchanges": n_exchanges, "flags": flags}
         if flags:
