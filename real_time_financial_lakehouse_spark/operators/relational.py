@@ -290,3 +290,54 @@ def debounce_events(events: DataFrame, min_gap_s: int = 5) -> DataFrame:
         .select("event_id", "ts", "user_id", "event_type", "value")
         .orderBy("event_id")
     )
+
+
+def customer_rfm(orders: DataFrame, n_tiles: int = 4) -> DataFrame:
+    """RFM customer segmentation over the orders table: recency (days
+    since the customer's last order, against the corpus max date),
+    frequency (order count), monetary (total spend), each quartiled with
+    NTILE and concatenated into the classic 'RFM cell' label -- the
+    segmentation every CRM/lifecycle pipeline starts from.
+
+    Determinism: every NTILE orders by (metric, o_custkey) so tied
+    customers land in the same tile in both engines.  Scale: one
+    partial-agg groupBy to customer cardinality; the three NTILEs are
+    single-partition windows over that aggregated frame -- at true 100 TB
+    customer counts swap them for percent_rank (range-partition
+    friendly) or approx-quantile cut points; the orders scan itself
+    never sorts."""
+    from pyspark.sql import Window as W
+
+    from ..functions.numeric import qround
+
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    ref = per_cust.agg(F.max("last_order").alias("ref_date"))
+    base = per_cust.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.datediff(F.col("ref_date"), F.col("last_order")).alias("recency_days"),
+        "frequency",
+        qround(F.col("monetary"), 2).alias("monetary"),
+    )
+    r_w = W.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    f_w = W.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    m_w = W.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    return (
+        base.select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            F.ntile(n_tiles).over(r_w).alias("r_tile"),
+            F.ntile(n_tiles).over(f_w).alias("f_tile"),
+            F.ntile(n_tiles).over(m_w).alias("m_tile"),
+        )
+        .withColumn(
+            "rfm_cell",
+            F.concat_ws("", F.col("r_tile"), F.col("f_tile"), F.col("m_tile")),
+        )
+        .orderBy("o_custkey")
+    )

@@ -461,3 +461,78 @@ def event_pagerank(
         )
         .orderBy("node")
     )
+
+
+def session_event_pmi(events: DataFrame, gap_min: int = 30) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring in
+    the same user session (30-minute gap rule): PMI > 0 means the pair
+    appears together more than independence predicts -- the association
+    signal behind market-basket analysis and item2vec-style co-occurrence
+    embeddings, computed exactly at type-pair cardinality.
+
+    Scale: sessionization is one (user, time) window pass (gaps-and-
+    islands, O(1) state); sessions collapse to their distinct-type SET
+    (bounded by |types|), pairs expand inside that tiny array (the
+    _pairs_within_bucket discipline -- never a row self-join), and all
+    counting is partial-aggregated at type / type-pair cardinality."""
+    from pyspark.sql import Window as W
+
+    from ..functions.numeric import qround
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(
+        gap.isNull() | (gap >= gap_min * 60 * 1_000_000), 1
+    ).otherwise(0)
+    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sess = events.select(
+        "user_id",
+        "event_type",
+        F.sum(new_sess).over(cum).alias("sess_no"),
+    )
+    per_sess = sess.groupBy("user_id", "sess_no").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    n_total = per_sess.agg(F.count(F.lit(1)).alias("n_sessions"))
+    singles = (
+        per_sess.select(F.explode("types").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        per_sess.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(types, (x, i) ->"
+                    " transform(slice(types, i + 2, size(types)),"
+                    " y -> named_struct('a', x, 'b', y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(F.col("t").alias("a"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("t").alias("b"), F.col("n").alias("n_b"))
+    pmi = F.log(
+        F.col("n_both").cast("double")
+        * F.col("n_sessions")
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return (
+        pairs.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("a").alias("type_a"),
+            F.col("b").alias("type_b"),
+            "n_both",
+            "n_a",
+            "n_b",
+            qround(pmi, 6).alias("pmi"),
+        )
+        .orderBy("type_a", "type_b")
+    )

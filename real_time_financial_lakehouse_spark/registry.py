@@ -4491,6 +4491,88 @@ def q_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.ses_forecast(_events(spark, sf_dir))
 
 
+@register(
+    "customer_rfm",
+    f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               count(*)::BIGINT AS frequency,
+               sum(o_totalprice) AS monetary
+        FROM orders GROUP BY 1
+    ),
+    ref AS (SELECT max(last_order) AS ref_date FROM per_cust),
+    base AS (
+        SELECT o_custkey,
+               date_diff('day', last_order, ref_date)::INT AS recency_days,
+               frequency,
+               {_q('monetary', 2)} AS monetary
+        FROM per_cust, ref
+    ),
+    tiled AS (
+        SELECT o_custkey, recency_days, frequency, monetary,
+               ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS r_tile,
+               ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_tile,
+               ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_tile
+        FROM base
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           r_tile::INT AS r_tile, f_tile::INT AS f_tile, m_tile::INT AS m_tile,
+           r_tile::VARCHAR || f_tile::VARCHAR || m_tile::VARCHAR AS rfm_cell
+    FROM tiled
+    ORDER BY o_custkey
+    """,
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import customer_rfm
+
+    return customer_rfm(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "session_event_pmi",
+    f"""
+    WITH s AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM s
+    ),
+    st AS (SELECT DISTINCT user_id, sess_no, event_type FROM sess),
+    nt AS (SELECT count(*)::BIGINT AS n
+           FROM (SELECT DISTINCT user_id, sess_no FROM sess)),
+    singles AS (SELECT event_type AS t, count(*)::BIGINT AS n FROM st GROUP BY 1),
+    pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb, count(*)::BIGINT AS n_both
+        FROM st a
+        JOIN st b ON a.user_id = b.user_id AND a.sess_no = b.sess_no
+                 AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.ta AS type_a, p.tb AS type_b, p.n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           {_q('ln(p.n_both::DOUBLE * nt.n / (sa.n::DOUBLE * sb.n))', 6)} AS pmi
+    FROM pairs p
+    JOIN singles sa ON sa.t = p.ta
+    JOIN singles sb ON sb.t = p.tb
+    CROSS JOIN nt
+    ORDER BY 1, 2
+    """,
+)
+def q_session_event_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import session_event_pmi
+
+    return session_event_pmi(_events(spark, sf_dir))
+
+
 @register("event_pagerank", _pagerank_oracle_sql())
 def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import windows as win_ops

@@ -586,3 +586,67 @@ def test_ses_forecast_matches_reference_fold(spark):
     assert out["A"]["backtest_mae"] == pytest.approx(sum(errs) / 3, abs=1e-6)
     assert out["B"]["n_days"] == 1 and out["B"]["backtest_mae"] is None
     assert out["B"]["forecast_next"] == 5.0
+
+
+def test_customer_rfm_tiles_and_cells(spark):
+    """Known 8-customer frame: best customer (recent, frequent, big
+    spender) lands in cell 111; worst in 444; quartiles are balanced."""
+    import datetime as dt
+
+    rows = []
+    for c in range(8):
+        # customer c: (8 - c) orders, sizes decreasing with c, last
+        # order c days before the reference date
+        for o in range(8 - c):
+            rows.append((c * 100 + o, c,
+                         dt.date(2024, 3, 28 - c), 1000.0 - 100.0 * c))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    from real_time_financial_lakehouse_spark.operators.relational import customer_rfm
+
+    out = {r["o_custkey"]: r for r in customer_rfm(orders).collect()}
+    assert out[0]["rfm_cell"] == "111"
+    assert out[7]["rfm_cell"] == "444"
+    assert out[0]["recency_days"] == 0 and out[7]["recency_days"] == 7
+    from collections import Counter
+
+    for tile_col in ("r_tile", "f_tile", "m_tile"):
+        assert Counter(r[tile_col] for r in out.values()) == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_session_event_pmi_planted_association(spark):
+    """Types X and Y always co-occur (PMI > 0, maximal); X and Z never
+    share a session (no pair row)."""
+    rows = []
+    eid = 0
+    for u in range(10):
+        base = u * 10_000
+        # session 1: X and Y together
+        rows.append((eid, u, "signup", base)); eid += 1
+        rows.append((eid, u, "view", base + 60), ); eid += 1
+        # session 2 (2h later): Z alone
+        rows.append((eid, u, "error", base + 7200), ); eid += 1
+    ev = spark.createDataFrame(
+        [(i, u, t, f"2024-01-01 00:00:00") for i, u, t, _s in rows],
+        "event_id long, user_id long, event_type string, ts string",
+    )
+    # rebuild with real offsets
+    import datetime as dt
+
+    data = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u, t, 1.0)
+        for i, u, t, s in rows
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    from real_time_financial_lakehouse_spark.operators.windows import session_event_pmi
+
+    out = {(r["type_a"], r["type_b"]): r for r in session_event_pmi(ev).collect()}
+    assert ("signup", "view") in out
+    r = out[("signup", "view")]
+    assert r["n_both"] == 10 and r["n_a"] == 10 and r["n_b"] == 10
+    # PMI = ln(n_both * N / (n_a * n_b)) = ln(10 * 20 / 100) = ln 2
+    assert r["pmi"] == pytest.approx(0.693147, abs=1e-5)
+    assert not any("error" in k for k in out)
