@@ -862,6 +862,14 @@ def test_event_ops_tolerate_degenerate_series(spark):
                pf.anomaly_episodes, pf.benford_check, pf.psi_drift,
                pf.ts_monotonicity_report):
         fn(ev).collect()  # must not raise
+    from real_time_financial_lakehouse_spark.operators.windows import (
+        event_pagerank,
+        session_event_pmi,
+    )
+
+    for fn in (finance.ses_forecast, finance.pairs_spread_zscore,
+               finance.bipower_jump_stats, event_pagerank, session_event_pmi):
+        fn(ev).collect()  # must not raise
 
 
 def test_queries_survive_fully_empty_tables(spark, tmp_path):
@@ -916,7 +924,7 @@ def test_queries_survive_fully_empty_tables(spark, tmp_path):
         "ann_index_delta_report", "streaming_psi_drift",
         "bipower_jump_stats", "ts_monotonicity_report",
         "wav_media_features", "ses_forecast", "event_pagerank",
-        "pairs_spread_zscore",
+        "pairs_spread_zscore", "customer_rfm", "session_event_pmi",
     ]:
         assert registry.QUERIES[name](spark, dst).count() == 0, name
     # benford_check intentionally emits its constant 1..9 digit spine on
