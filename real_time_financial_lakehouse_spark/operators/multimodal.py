@@ -1098,10 +1098,14 @@ def jpeg_media_features(documents: DataFrame, mean_tol: float = 1.5) -> DataFram
     n_pixels -- lossless, recomputable by the oracle from the tiling
     rule), the SOURCE raster mean (recomputable from the text bytes, as
     in png_media_features' oracle), and a ``decode_close`` certificate:
-    |decoded mean - source mean| <= ``mean_tol`` -- a real rate-
-    distortion assertion over the lossy path (observed error < 0.1 gray
-    levels at quality 90; the bound leaves 15x headroom).  The exact
-    decoded mean and pixel_crc are pytest-pinned (lossy values are not
+    |decoded mean - source mean| <= mean_tol + 12/sqrt(n_pixels) -- a
+    real rate-distortion assertion over the lossy path.  The bound
+    scales with raster size because per-pixel quantization error only
+    averages out over enough pixels: typical docs sit under 0.1 gray
+    levels at quality 90, but a 2x2 raster with a sharp edge (a space
+    next to letters) legitimately reaches ~2 levels (sf0.1 worst case),
+    well inside the 7.5-level small-raster bound.  The exact decoded
+    mean and pixel_crc are pytest-pinned (lossy values are not
     SQL-recomputable)."""
     feats = jpeg_features(attach_jpeg_media(documents))
 
@@ -1135,9 +1139,11 @@ def jpeg_media_features(documents: DataFrame, mean_tol: float = 1.5) -> DataFram
             (F.floor(F.col("src_mean") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
                 "src_mean"
             ),
-            (F.abs(F.col("mean_value") - F.col("src_mean")) <= F.lit(mean_tol)).alias(
-                "decode_close"
-            ),
+            (
+                F.abs(F.col("mean_value") - F.col("src_mean"))
+                <= F.lit(mean_tol)
+                + F.lit(12.0) / F.sqrt(F.col("n_pixels").cast("double"))
+            ).alias("decode_close"),
         )
         .orderBy("asset_id")
     )
