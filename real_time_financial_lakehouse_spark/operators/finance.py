@@ -1357,3 +1357,210 @@ def ses_forecast(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         qround(F.expr(level), 6).alias("forecast_next"),
         qround(F.expr(mae), 6).alias("backtest_mae"),
     ).orderBy("symbol")
+
+
+def amihud_illiquidity(events: DataFrame) -> DataFrame:
+    """Amihud (2002) price-impact illiquidity per symbol: the average of
+    daily |return| / dollar volume, scaled by 1e6 -- the standard
+    cross-sectional liquidity screen a risk desk ranks names by.
+    Dollar volume is sum(price * qty) with qty from the props JSON ``k``
+    field (the vwap_daily convention); zero-volume and first-of-series
+    days are excluded on both engines.
+
+    Scale: one windowless day-granularity rollup (close via max_by, a
+    partial-aggregable shuffle), one lag window per symbol at day
+    cardinality, one final groupBy to symbol cardinality -- nothing
+    data-sized after the first exchange."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    qty = F.get_json_object(F.col("props"), "$.k").cast("double")
+    daily = events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(
+        F.max_by(F.col("value"), key).alias("c"),
+        F.sum(F.col("value") * qty).alias("dv"),
+    )
+    w = Window.partitionBy("symbol").orderBy("day")
+    ret = F.col("c") / F.lag("c").over(w) - F.lit(1.0)
+    valid = daily.select("symbol", "dv", ret.alias("r")).filter(
+        F.col("r").isNotNull() & (F.col("dv") > 0)
+    )
+    return (
+        valid.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            qround(F.avg(F.abs(F.col("r")) / F.col("dv")) * 1e6, 6).alias(
+                "amihud_x1e6"
+            ),
+            qround(F.avg("dv"), 2).alias("avg_dollar_volume"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def roll_spread(events: DataFrame) -> DataFrame:
+    """Roll (1984) implied effective spread per symbol: 2 * sqrt(-cov)
+    over the serial covariance of successive minute-bar price changes.
+    A positive serial covariance leaves the estimator undefined -- the
+    spread column is NULL there (the standard convention), with the raw
+    covariance always reported so the caller can see why.
+
+    Scale: the minute-bar rollup (partial-agg shuffle), two stacked lag
+    windows sharing one (symbol, minute) sort, then a symbol-cardinality
+    aggregate; covar_pop is partial-aggregable, so the last exchange
+    carries only per-symbol moment triples."""
+    bars = _minute_bars(events)
+    w = Window.partitionBy("symbol").orderBy("minute_window")
+    dp = (F.col("close") - F.lag("close").over(w)).alias("dp")
+    priced = bars.select("symbol", "minute_window", dp)
+    lagged = priced.select(
+        "symbol",
+        F.col("dp"),
+        F.lag("dp").over(Window.partitionBy("symbol").orderBy("minute_window"))
+        .alias("dp_prev"),
+    ).filter(F.col("dp").isNotNull() & F.col("dp_prev").isNotNull())
+    cov = F.covar_pop("dp", "dp_prev")
+    return (
+        lagged.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            qround(cov, 6).alias("serial_cov"),
+            # Sign decision on the QUANTIZED covariance so a near-zero cov
+            # cannot flip NULL/non-NULL across engines' partial-agg order.
+            qround(
+                F.when(qround(cov, 6) < 0, F.lit(2.0) * F.sqrt(-cov)), 6
+            ).alias("roll_spread"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def var_cvar_report(events: DataFrame) -> DataFrame:
+    """Historical-simulation VaR/CVaR per symbol over daily close-to-close
+    returns: the k-th worst return (k = ceil(5% * n), the order-statistic
+    definition -- deterministic on both engines, no interpolation to
+    drift across float op order) and the average of the k worst returns
+    (expected shortfall).
+
+    Scale: day-granularity rollup, one lag window, then a rank window at
+    (symbol x day) cardinality bounded by WindowGroupLimit-style early
+    cutoff on the k smallest -- all state is per-symbol day counts."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    daily = events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    rets = daily.select(
+        "symbol",
+        "day",
+        (F.col("c") / F.lag("c").over(w) - F.lit(1.0)).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    ranked = rets.select(
+        "symbol",
+        "r",
+        F.row_number()
+        .over(Window.partitionBy("symbol").orderBy("r", "day"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("symbol")).alias("n"),
+    )
+    k = F.greatest(F.lit(1), F.ceil(F.lit(0.05) * F.col("n")))
+    return (
+        ranked.groupBy("symbol")
+        .agg(
+            F.max("n").alias("n_days"),
+            qround(F.max(F.when(F.col("rk") == k, F.col("r"))), 6).alias("var95"),
+            qround(
+                F.sum(F.when(F.col("rk") <= k, F.col("r")))
+                / F.max(F.when(F.col("rk") <= k, F.col("rk"))),
+                6,
+            ).alias("cvar95"),
+            qround(F.min("r"), 6).alias("worst_return"),
+        )
+        .orderBy("symbol")
+    )
+
+
+# Abramowitz-Stegun 26.2.17 polynomial CDF of the standard normal --
+# emitted as SQL TEXT consumed verbatim by BOTH engines (Spark F.expr and
+# the DuckDB oracle), so every step is the identical IEEE sequence.
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _norm_cdf_sql(x: str) -> str:
+    t = f"(1.0 / (1.0 + 0.2316419 * abs({x})))"
+    poly = (
+        f"({t} * (0.31938153 + {t} * (-0.356563782 + {t} * (1.781477937 "
+        f"+ {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    cdf_abs = f"(1.0 - {_INV_SQRT_2PI!r} * exp(-(({x}) * ({x})) / 2.0) * {poly})"
+    return f"(CASE WHEN ({x}) >= 0.0 THEN {cdf_abs} ELSE 1.0 - {cdf_abs} END)"
+
+
+def black_scholes_pricer(
+    events: DataFrame, rate: float = 0.02, t_years: float = 30.0 / 365.0
+) -> DataFrame:
+    """European call/put fair values per symbol under Black-Scholes:
+    spot = last daily close, strike = spot rounded to the nearest whole
+    dollar, sigma = annualized stddev of daily log returns (sqrt(252)),
+    N(.) = the Abramowitz-Stegun 26.2.17 polynomial (shared SQL text with
+    the oracle, see ``_norm_cdf_sql``).  Symbols with a degenerate series
+    (zero vol, a single day, or a non-positive close) price as NULL.
+
+    Scale: two symbol-cardinality aggregates (close series and return
+    moments) -- the whole query collapses to |symbols| rows after the
+    first partial-agg shuffle; the pricing itself is per-row projection
+    arithmetic in whole-stage codegen."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    daily = events.filter(F.col("value") > 0).groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    lr = daily.select(
+        "symbol",
+        "day",
+        "c",
+        F.log(F.col("c") / F.lag("c").over(w)).alias("lr"),
+    )
+    per_sym = lr.groupBy("symbol").agg(
+        F.max_by(F.col("c"), F.col("day")).alias("spot"),
+        F.stddev_pop("lr").alias("sd_daily"),
+        F.count(F.col("lr")).alias("n_rets"),
+    )
+    base = per_sym.select(
+        "symbol",
+        "n_rets",
+        "spot",
+        F.floor(F.col("spot") + F.lit(0.5)).cast("double").alias("strike"),
+        (F.col("sd_daily") * F.lit(float(252.0**0.5))).alias("sigma"),
+    ).filter((F.col("n_rets") >= 2) & (F.col("spot") > 0))
+    rt = rate * t_years
+    priced = (
+        base.withColumn("sqt", F.expr(f"sigma * sqrt({t_years!r})"))
+        .withColumn(
+            "d1",
+            F.expr(
+                f"CASE WHEN sigma > 0 THEN (ln(spot / strike) "
+                f"+ ({rate!r} + sigma * sigma / 2.0) * {t_years!r}) / sqt END"
+            ),
+        )
+        .withColumn("d2", F.expr("d1 - sqt"))
+        .withColumn("nd1", F.expr(_norm_cdf_sql("d1")))
+        .withColumn("nd2", F.expr(_norm_cdf_sql("d2")))
+    )
+    return priced.select(
+        "symbol",
+        qround(F.col("spot"), 6).alias("spot"),
+        F.col("strike"),
+        qround(F.col("sigma"), 6).alias("sigma_annual"),
+        qround(F.col("d1"), 6).alias("d1"),
+        qround(F.col("d2"), 6).alias("d2"),
+        qround(
+            F.expr(f"spot * nd1 - strike * exp(-{rt!r}) * nd2"), 6
+        ).alias("call_price"),
+        qround(
+            F.expr(f"strike * exp(-{rt!r}) * (1.0 - nd2) - spot * (1.0 - nd1)"),
+            6,
+        ).alias("put_price"),
+    ).orderBy("symbol")

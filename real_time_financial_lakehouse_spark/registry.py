@@ -4580,6 +4580,193 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win_ops.event_pagerank(_events(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Round-5 continuation: market-risk / liquidity family (Amihud, Roll,
+# historical VaR/ES, Black-Scholes).  Shared daily-close oracle CTE below.
+# ---------------------------------------------------------------------------
+
+_DAILY_CLOSE_SQL = """
+dclose AS (
+    SELECT event_type AS symbol, date_trunc('day', ts) AS day,
+           max(CASE WHEN rn_d = 1 THEN value END) AS c
+    FROM (
+        SELECT event_type, ts, value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    GROUP BY 1, 2
+)
+"""
+
+
+@register(
+    "amihud_illiquidity",
+    f"""
+    WITH daily AS (
+        SELECT event_type AS symbol, date_trunc('day', ts) AS day,
+               max(CASE WHEN rn_d = 1 THEN value END) AS c,
+               sum(value * qty) AS dv
+        FROM (
+            SELECT *, (json_extract_string(props, '$.k'))::DOUBLE AS qty,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        GROUP BY 1, 2
+    ),
+    rets AS (
+        SELECT symbol, dv,
+               c / lag(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0 AS r
+        FROM daily
+    )
+    SELECT symbol, count(*)::BIGINT AS n_days,
+           {_q('avg(abs(r) / dv) * 1000000.0', 6)} AS amihud_x1e6,
+           {_q('avg(dv)', 2)} AS avg_dollar_volume
+    FROM rets
+    WHERE r IS NOT NULL AND dv > 0
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.amihud_illiquidity(_events(spark, sf_dir))
+
+
+@register(
+    "roll_spread",
+    f"""
+    WITH bars AS (
+        SELECT symbol, minute_window,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close
+        FROM (
+            SELECT event_type AS symbol, date_trunc('minute', ts) AS minute_window,
+                   value,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        GROUP BY 1, 2
+    ),
+    dps AS (
+        SELECT symbol, minute_window,
+               close - lag(close) OVER (PARTITION BY symbol ORDER BY minute_window) AS dp
+        FROM bars
+    ),
+    pairs AS (
+        SELECT symbol, dp,
+               lag(dp) OVER (PARTITION BY symbol ORDER BY minute_window) AS dp_prev
+        FROM dps
+    )
+    SELECT symbol, count(*)::BIGINT AS n_pairs,
+           {_q('covar_pop(dp, dp_prev)', 6)} AS serial_cov,
+           CASE WHEN {_q('covar_pop(dp, dp_prev)', 6)} < 0
+                THEN {_q('2.0 * sqrt(-covar_pop(dp, dp_prev))', 6)}
+           END AS roll_spread
+    FROM pairs
+    WHERE dp IS NOT NULL AND dp_prev IS NOT NULL
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.roll_spread(_events(spark, sf_dir))
+
+
+@register(
+    "var_cvar_report",
+    f"""
+    WITH {_DAILY_CLOSE_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               c / lag(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0 AS r
+        FROM dclose
+    ),
+    ranked AS (
+        SELECT symbol, r,
+               row_number() OVER (PARTITION BY symbol ORDER BY r, day) AS rk,
+               count(*) OVER (PARTITION BY symbol) AS n
+        FROM rets WHERE r IS NOT NULL
+    ),
+    ks AS (
+        SELECT *, greatest(1, ceil(0.05::DOUBLE * n)::BIGINT) AS k FROM ranked
+    )
+    SELECT symbol, max(n)::BIGINT AS n_days,
+           {_q('max(CASE WHEN rk = k THEN r END)', 6)} AS var95,
+           {_q('sum(CASE WHEN rk <= k THEN r END) / max(CASE WHEN rk <= k THEN rk END)', 6)} AS cvar95,
+           {_q('min(r)', 6)} AS worst_return
+    FROM ks
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_var_cvar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.var_cvar_report(_events(spark, sf_dir))
+
+
+def _black_scholes_oracle_sql() -> str:
+    from .operators.finance import _norm_cdf_sql
+
+    rate, t_years = 0.02, 30.0 / 365.0
+    rt = rate * t_years
+    sqrt252 = 252.0**0.5
+    return f"""
+    WITH src AS (SELECT * FROM events WHERE value > 0),
+    {_DAILY_CLOSE_SQL.strip().replace("FROM events", "FROM src")},
+    lr AS (
+        SELECT symbol, day, c,
+               ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day)) AS lr
+        FROM dclose
+    ),
+    per_sym AS (
+        SELECT symbol, arg_max(c, day) AS spot, stddev_pop(lr) AS sd_daily,
+               count(lr) AS n_rets
+        FROM lr GROUP BY 1
+    ),
+    base AS (
+        SELECT symbol, n_rets, spot, floor(spot + 0.5)::DOUBLE AS strike,
+               sd_daily * {sqrt252!r} AS sigma
+        FROM per_sym WHERE n_rets >= 2 AND spot > 0
+    ),
+    p1 AS (
+        SELECT *, sigma * sqrt({t_years!r}) AS sqt,
+               CASE WHEN sigma > 0
+                    THEN (ln(spot / strike) + ({rate!r} + sigma * sigma / 2.0)
+                          * {t_years!r}) / (sigma * sqrt({t_years!r}))
+               END AS d1
+        FROM base
+    ),
+    p2 AS (SELECT *, d1 - sqt AS d2 FROM p1),
+    p3 AS (
+        SELECT *, {_norm_cdf_sql("d1")} AS nd1, {_norm_cdf_sql("d2")} AS nd2
+        FROM p2
+    )
+    SELECT symbol,
+           {_q('spot', 6)} AS spot,
+           strike,
+           {_q('sigma', 6)} AS sigma_annual,
+           {_q('d1', 6)} AS d1,
+           {_q('d2', 6)} AS d2,
+           {_q(f'spot * nd1 - strike * exp(-{rt!r}) * nd2', 6)} AS call_price,
+           {_q(f'strike * exp(-{rt!r}) * (1.0 - nd2) - spot * (1.0 - nd1)', 6)} AS put_price
+    FROM p3
+    ORDER BY symbol
+    """
+
+
+@register("black_scholes_pricer", _black_scholes_oracle_sql())
+def q_black_scholes_pricer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.black_scholes_pricer(_events(spark, sf_dir))
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()
