@@ -1564,3 +1564,249 @@ def black_scholes_pricer(
             6,
         ).alias("put_price"),
     ).orderBy("symbol")
+
+
+def holt_forecast(
+    events: DataFrame, alpha: float = 0.3, beta: float = 0.1
+) -> DataFrame:
+    """Holt linear-trend (double exponential smoothing) forecast per
+    symbol over daily value totals -- the ses_forecast upgrade that also
+    tracks a trend component:
+
+        l_t = a*x_t + (1-a)(l_{t-1} + b_{t-1})
+        b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}
+
+    seeded the standard way (l_2 = x_2, b_2 = x_2 - x_1) and folded
+    STRICTLY left-to-right with a struct accumulator, the same op order
+    as the DuckDB oracle's list_reduce over a prepended-init struct list
+    -- both engines produce bit-identical doubles (the ema_per_symbol
+    discipline, extended to two coupled states).
+
+    Scale: one partial-agg groupBy to day cardinality, one groupBy to
+    symbol cardinality holding a days-length array -- bounded state, no
+    window pass."""
+    a, b = alpha, beta
+    daily = events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.sum("value").alias("x"))
+    series = daily.groupBy("symbol").agg(
+        F.expr("transform(array_sort(collect_list(struct(day, x))), s -> s.x)")
+        .alias("xs")
+    ).filter(F.size("xs") >= 2)
+    lnew = f"{a}D * x + {1.0 - a}D * (acc.l + acc.b)"
+    st = (
+        f"aggregate(slice(xs, 3, size(xs) - 2), "
+        f"named_struct('l', cast(xs[1] as double), "
+        f"'b', cast(xs[1] - xs[0] as double)), "
+        f"(acc, x) -> named_struct('l', {lnew}, "
+        f"'b', {b}D * (({lnew}) - acc.l) + {1.0 - b}D * acc.b))"
+    )
+    return series.select(
+        "symbol",
+        F.size("xs").alias("n_days"),
+        qround(F.expr("element_at(xs, size(xs))"), 6).alias("last_actual"),
+        qround(F.expr(f"({st}).l"), 6).alias("level"),
+        qround(F.expr(f"({st}).b"), 6).alias("trend"),
+        qround(F.expr(f"({st}).l + ({st}).b"), 6).alias("forecast_next"),
+    ).orderBy("symbol")
+
+
+def heikin_ashi(events: DataFrame) -> DataFrame:
+    """Heikin-Ashi smoothed daily candles per symbol:
+
+        ha_close_t = (o + h + l + c) / 4
+        ha_open_t  = (ha_open_{t-1} + ha_close_{t-1}) / 2,
+                     seeded (o_1 + c_1) / 2
+        ha_high/low = extremes of {h, ha_open, ha_close} / {l, ...}
+
+    ha_open is the classic prefix recurrence; at day cardinality it is
+    evaluated as a per-day left fold over the ha_close prefix (O(days^2)
+    inside one row's array ops -- the ses_forecast backtest pattern),
+    keeping the op order identical to the oracle's list_reduce.
+
+    Scale: the day-granularity OHLC rollup is the only data-sized pass;
+    everything after runs on |symbol| rows holding month-length arrays."""
+    bars = _daily_bars(events)
+    series = bars.groupBy("symbol").agg(
+        F.expr(
+            "array_sort(collect_list(struct(day, open as o, high as h,"
+            " low as l, close as c)))"
+        ).alias("bs")
+    )
+    hc = "transform(bs, b -> (b.o + b.h + b.l + b.c) / 4.0)"
+    ho1 = "(bs[0].o + bs[0].c) / 2.0"
+    per_day = (
+        f"transform(sequence(1, size(bs)), t -> named_struct("
+        f"'day', element_at(bs, t).day, "
+        f"'h', element_at(bs, t).h, "
+        f"'l', element_at(bs, t).l, "
+        f"'hc', element_at({hc}, t), "
+        f"'ho', aggregate(slice({hc}, 1, t - 1), {ho1},"
+        f" (acc, x) -> (acc + x) / 2.0)))"
+    )
+    ex = series.select("symbol", F.explode(F.expr(per_day)).alias("e"))
+    return ex.select(
+        "symbol",
+        F.col("e.day").alias("day"),
+        qround(F.col("e.ho"), 6).alias("ha_open"),
+        qround(F.greatest("e.h", "e.ho", "e.hc"), 6).alias("ha_high"),
+        qround(F.least("e.l", "e.ho", "e.hc"), 6).alias("ha_low"),
+        qround(F.col("e.hc"), 6).alias("ha_close"),
+        (qround(F.col("e.hc"), 6) > qround(F.col("e.ho"), 6)).alias("bullish"),
+    ).orderBy("symbol", "day")
+
+
+def cusum_changepoints(events: DataFrame) -> DataFrame:
+    """Two-sided CUSUM change detection per symbol over daily mean value:
+    with series mean mu and population sd (both computed by SEQUENTIAL
+    fold over the sorted day array so either engine sums in the same
+    order), slack k = 0.5*sd and decision threshold h = 4*sd,
+
+        s+_t = max(0, s+_{t-1} + x_t - mu - k)
+        s-_t = max(0, s-_{t-1} + mu - x_t - k)
+
+    and a day alarms when its (quantized) statistic exceeds the
+    (quantized) threshold -- the standard mean-shift monitor a data
+    pipeline runs over per-partition health metrics.
+
+    Scale: day-granularity rollup then |symbol| rows of month-length
+    arrays; the per-day prefix folds are O(days^2) inside array ops."""
+    daily = events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.avg("value").alias("x"))
+    series = daily.groupBy("symbol").agg(
+        F.expr("array_sort(collect_list(struct(day, x)))").alias("ds")
+    )
+    xs = "transform(ds, s -> s.x)"
+    staged = (
+        series.withColumn("n", F.expr("size(ds)"))
+        .withColumn("mu", F.expr(f"aggregate({xs}, 0D, (acc, x) -> acc + x) / n"))
+        .withColumn(
+            "sd",
+            F.expr(
+                f"sqrt(aggregate({xs}, 0D,"
+                f" (acc, x) -> acc + (x - mu) * (x - mu)) / n)"
+            ),
+        )
+    )
+    spos = (
+        f"aggregate(slice({xs}, 1, t), 0D,"
+        f" (acc, x) -> greatest(0D, acc + x - mu - 0.5D * sd))"
+    )
+    sneg = (
+        f"aggregate(slice({xs}, 1, t), 0D,"
+        f" (acc, x) -> greatest(0D, acc + mu - x - 0.5D * sd))"
+    )
+    per_day = (
+        f"transform(sequence(1, n), t -> named_struct("
+        f"'day', element_at(ds, t).day, 'x', element_at(ds, t).x, "
+        f"'sp', {spos}, 'sn', {sneg}))"
+    )
+    ex = staged.select(
+        "symbol", "mu", "sd", F.explode(F.expr(per_day)).alias("e")
+    )
+    h_q = qround(F.lit(4.0) * F.col("sd"), 6)
+    return ex.select(
+        "symbol",
+        F.col("e.day").alias("day"),
+        qround(F.col("e.x"), 6).alias("x"),
+        qround(F.col("e.sp"), 6).alias("cusum_pos"),
+        qround(F.col("e.sn"), 6).alias("cusum_neg"),
+        (qround(F.col("e.sp"), 6) > h_q).alias("alarm_pos"),
+        (qround(F.col("e.sn"), 6) > h_q).alias("alarm_neg"),
+    ).orderBy("symbol", "day")
+
+
+def hurst_exponent(
+    events: DataFrame, scales: tuple = (16, 64, 256)
+) -> DataFrame:
+    """Hurst exponent per symbol by rescaled-range (R/S) analysis over
+    minute-bar log returns: for each block size n in ``scales``, split
+    the return series into full blocks of n, compute each block's
+    rescaled range (max cumulative deviation - min) / population sd,
+    average per scale, and fit ln(R/S) ~ H * ln(n) by closed-form OLS.
+    H ~ 0.5 is a random walk; persistent series trend above it.
+
+    Scale: the return series shuffles once on symbol for the lag window;
+    block statistics are partial-aggregable group-bys at block
+    cardinality; cumulative deviations use a window whose partition is a
+    single block (bounded frames).  The final fit runs on
+    |symbol x scales| rows."""
+    bars = _minute_bars(events).filter(F.col("close") > 0)
+    w = Window.partitionBy("symbol").orderBy("minute_window")
+    rets = (
+        bars.select(
+            "symbol",
+            "minute_window",
+            F.log(F.col("close") / F.lag("close").over(w)).alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+        .select(
+            "symbol",
+            "r",
+            (F.row_number().over(w.orderBy("minute_window")) - 1).alias("idx"),
+        )
+    )
+    scale_df = rets.sparkSession.createDataFrame(
+        [(int(s),) for s in scales], "scale int"
+    )
+    blocks = rets.crossJoin(F.broadcast(scale_df)).select(
+        "symbol",
+        "scale",
+        "r",
+        "idx",
+        F.floor(F.col("idx") / F.col("scale")).alias("blk"),
+    )
+    bstats = blocks.groupBy("symbol", "scale", "blk").agg(
+        F.count(F.lit(1)).alias("bn"),
+        F.avg("r").alias("bmean"),
+        F.stddev_pop("r").alias("bsd"),
+    )
+    wb = Window.partitionBy("symbol", "scale", "blk").orderBy("idx")
+    cums = (
+        blocks.join(bstats, ["symbol", "scale", "blk"])
+        .filter((F.col("bn") == F.col("scale")) & (F.col("bsd") > 0))
+        .select(
+            "symbol",
+            "scale",
+            "blk",
+            "bsd",
+            F.sum(F.col("r") - F.col("bmean")).over(wb).alias("cum"),
+        )
+    )
+    rs = (
+        cums.groupBy("symbol", "scale", "blk")
+        .agg(
+            ((F.max("cum") - F.min("cum")) / F.max("bsd")).alias("rs")
+        )
+        .groupBy("symbol", "scale")
+        .agg(F.avg("rs").alias("avg_rs"), F.count(F.lit(1)).alias("n_blocks"))
+    )
+    fit_src = rs.select(
+        "symbol",
+        "scale",
+        "avg_rs",
+        F.log(F.col("scale").cast("double")).alias("u"),
+        F.log("avg_rs").alias("v"),
+    )
+    fitted = fit_src.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_scales"),
+        F.when(
+            (F.count(F.lit(1)) >= 2) & (F.var_pop("u") > 0),
+            F.covar_pop("u", "v") / F.var_pop("u"),
+        ).alias("hurst_raw"),
+    )
+    wide = rs.groupBy("symbol").pivot("scale", [int(s) for s in scales]).agg(
+        F.first("avg_rs")
+    )
+    out = fitted.join(wide, "symbol")
+    cols = [
+        "symbol",
+        F.col("n_scales"),
+        qround(F.col("hurst_raw"), 6).alias("hurst"),
+    ]
+    for s in scales:
+        cols.append(qround(F.col(str(int(s))), 6).alias(f"rs_{int(s)}"))
+    return out.select(*cols).orderBy("symbol")

@@ -4767,6 +4767,232 @@ def q_black_scholes_pricer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.black_scholes_pricer(_events(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Round-5 continuation: recursive-fold time series (Holt, Heikin-Ashi,
+# CUSUM, Hurst).  The two-state folds use the prepended-init struct-list
+# list_reduce trick on the DuckDB side (list_reduce seeds with the FIRST
+# element, so the init struct is prepended and data rides in an 'x' field).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "holt_forecast",
+    # NB: a struct-accumulator list_reduce would be the natural twin of
+    # Spark's aggregate() fold, but DuckDB 1.0 resolves ``acc.l`` inside a
+    # LATER struct-literal field as a lateral reference to the output
+    # field just computed (not the accumulator) -- silently wrong for any
+    # two-state recurrence.  The recursive CTE below carries (l, b) as
+    # plain columns, runs the identical IEEE op order, and has no such
+    # shadowing.
+    f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type AS symbol, date_trunc('day', ts) AS day,
+               sum(value) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT symbol, list(x ORDER BY day) AS xs FROM daily GROUP BY 1
+        HAVING count(*) >= 2
+    ),
+    hw AS (
+        SELECT symbol, xs, len(xs) AS n, 2 AS t,
+               xs[2] AS l, xs[2] - xs[1] AS b
+        FROM series
+        UNION ALL
+        SELECT symbol, xs, n, t + 1,
+               0.3 * xs[t + 1] + 0.7 * (l + b),
+               0.1 * ((0.3 * xs[t + 1] + 0.7 * (l + b)) - l) + 0.9 * b
+        FROM hw WHERE t < n
+    )
+    SELECT symbol, n::INT AS n_days,
+           {_q('xs[n]', 6)} AS last_actual,
+           {_q('l', 6)} AS level,
+           {_q('b', 6)} AS trend,
+           {_q('l + b', 6)} AS forecast_next
+    FROM hw
+    WHERE t = n
+    ORDER BY symbol
+    """,
+)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.holt_forecast(_events(spark, sf_dir))
+
+
+@register(
+    "heikin_ashi",
+    f"""
+    WITH {_DAILY_BARS_SQL.strip()},
+    series AS (
+        SELECT symbol,
+               list({{'day': day, 'o': o, 'h': h, 'l': l, 'c': c}} ORDER BY day) AS bs
+        FROM dbars GROUP BY 1
+    ),
+    ex AS (
+        SELECT symbol, bs,
+               unnest(generate_series(1, len(bs))) AS t
+        FROM series
+    ),
+    vals AS (
+        SELECT symbol,
+               bs[t].day AS day, bs[t].h AS h, bs[t].l AS l,
+               list_transform(bs, b -> (b.o + b.h + b.l + b.c) / 4.0)[t] AS hc,
+               list_reduce(
+                   list_prepend((bs[1].o + bs[1].c) / 2.0,
+                       list_transform(bs, b -> (b.o + b.h + b.l + b.c) / 4.0)[1:t-1]),
+                   (acc, x) -> (acc + x) / 2.0) AS ho
+        FROM ex
+    )
+    SELECT symbol, day,
+           {_q('ho', 6)} AS ha_open,
+           {_q('greatest(h, ho, hc)', 6)} AS ha_high,
+           {_q('least(l, ho, hc)', 6)} AS ha_low,
+           {_q('hc', 6)} AS ha_close,
+           ({_q('hc', 6)} > {_q('ho', 6)}) AS bullish
+    FROM vals
+    ORDER BY symbol, day
+    """,
+)
+def q_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.heikin_ashi(_events(spark, sf_dir))
+
+
+@register(
+    "cusum_changepoints",
+    f"""
+    WITH daily AS (
+        SELECT event_type AS symbol, date_trunc('day', ts) AS day,
+               avg(value) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT symbol, list(day ORDER BY day) AS ds, list(x ORDER BY day) AS xs
+        FROM daily GROUP BY 1
+    ),
+    staged AS (
+        SELECT symbol, ds, xs, len(xs) AS n,
+               list_reduce(list_prepend(0.0::DOUBLE, xs),
+                           (acc, x) -> acc + x) / len(xs) AS mu
+        FROM series
+    ),
+    staged2 AS (
+        SELECT *, sqrt(list_reduce(list_prepend(0.0::DOUBLE, xs),
+                       (acc, x) -> acc + (x - mu) * (x - mu)) / n) AS sd
+        FROM staged
+    ),
+    ex AS (
+        SELECT symbol, ds, xs, mu, sd,
+               unnest(generate_series(1, n)) AS t
+        FROM staged2
+    ),
+    vals AS (
+        SELECT symbol, ds[t] AS day, xs[t] AS x, sd,
+               list_reduce(list_prepend(0.0::DOUBLE, xs[1:t]),
+                   (acc, x) -> greatest(0.0, acc + x - mu - 0.5 * sd)) AS sp,
+               list_reduce(list_prepend(0.0::DOUBLE, xs[1:t]),
+                   (acc, x) -> greatest(0.0, acc + mu - x - 0.5 * sd)) AS sn
+        FROM ex
+    )
+    SELECT symbol, day,
+           {_q('x', 6)} AS x,
+           {_q('sp', 6)} AS cusum_pos,
+           {_q('sn', 6)} AS cusum_neg,
+           ({_q('sp', 6)} > {_q('4.0 * sd', 6)}) AS alarm_pos,
+           ({_q('sn', 6)} > {_q('4.0 * sd', 6)}) AS alarm_neg
+    FROM vals
+    ORDER BY symbol, day
+    """,
+)
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.cusum_changepoints(_events(spark, sf_dir))
+
+
+def _hurst_oracle_sql(scales: tuple = (16, 64, 256)) -> str:
+    scale_list = ", ".join(str(int(s)) for s in scales)
+    rs_cols = ",\n           ".join(
+        f"{_q(f'max(CASE WHEN scale = {int(s)} THEN avg_rs END)', 6)} AS rs_{int(s)}"
+        for s in scales
+    )
+    return f"""
+    WITH bars AS (
+        SELECT symbol, minute_window,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close
+        FROM (
+            SELECT event_type AS symbol, date_trunc('minute', ts) AS minute_window,
+                   value,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        GROUP BY 1, 2
+        HAVING max(CASE WHEN rn_d = 1 THEN value END) > 0
+    ),
+    rets AS (
+        SELECT symbol, minute_window,
+               ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY minute_window)) AS r
+        FROM bars
+    ),
+    idxd AS (
+        SELECT symbol, r,
+               row_number() OVER (PARTITION BY symbol ORDER BY minute_window) - 1 AS idx
+        FROM rets WHERE r IS NOT NULL
+    ),
+    blocks AS (
+        SELECT symbol, s.scale, r, idx, (idx // s.scale) AS blk
+        FROM idxd CROSS JOIN (SELECT unnest([{scale_list}]) AS scale) s
+    ),
+    bstats AS (
+        SELECT symbol, scale, blk, count(*) AS bn, avg(r) AS bmean,
+               stddev_pop(r) AS bsd
+        FROM blocks GROUP BY 1, 2, 3
+    ),
+    cums AS (
+        SELECT b.symbol, b.scale, b.blk, st.bsd,
+               sum(b.r - st.bmean) OVER (PARTITION BY b.symbol, b.scale, b.blk
+                                         ORDER BY b.idx
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+        FROM blocks b
+        JOIN bstats st USING (symbol, scale, blk)
+        WHERE st.bn = b.scale AND st.bsd > 0
+    ),
+    rs AS (
+        SELECT symbol, scale, avg(rs_b) AS avg_rs, count(*) AS n_blocks
+        FROM (
+            SELECT symbol, scale, blk,
+                   (max(cum) - min(cum)) / max(bsd) AS rs_b
+            FROM cums GROUP BY 1, 2, 3
+        )
+        GROUP BY 1, 2
+    ),
+    fit AS (
+        SELECT symbol, count(*) AS n_scales,
+               CASE WHEN count(*) >= 2 AND var_pop(ln(scale::DOUBLE)) > 0
+                    THEN covar_pop(ln(scale::DOUBLE), ln(avg_rs))
+                         / var_pop(ln(scale::DOUBLE))
+               END AS hurst_raw
+        FROM rs GROUP BY 1
+    )
+    SELECT f.symbol, f.n_scales::BIGINT AS n_scales,
+           {_q('max(f.hurst_raw)', 6)} AS hurst,
+           {rs_cols}
+    FROM fit f JOIN rs USING (symbol)
+    GROUP BY 1, 2
+    ORDER BY 1
+    """
+
+
+@register("hurst_exponent", _hurst_oracle_sql())
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.hurst_exponent(_events(spark, sf_dir))
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()
