@@ -658,3 +658,112 @@ def ts_monotonicity_report(events: DataFrame) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+def ri_orphans(tables: dict[str, DataFrame]) -> DataFrame:
+    """Referential-integrity audit over the star schema's FK edges: for
+    each child.fk -> parent.pk edge, the child row count, how many
+    non-NULL child keys have no parent (orphans), and the orphan rate.
+    This is the first gate a lakehouse runs before trusting a source's
+    joins -- orphaned facts silently vanish from inner-join gold tables.
+
+    Scale: each edge is one LEFT join of the child against the parent's
+    DISTINCT keys (dimension key sets broadcast; the one fact-to-fact
+    edge, lineitem->orders, shuffles keys only) folded into a count/sum
+    aggregate -- no orphan rows are ever materialized, just counted.
+    Edges evaluate independently, so the report parallelizes trivially."""
+    edges = [
+        ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+    reports = []
+    for edge, child_name, fk, parent_name, pk in edges:
+        child = tables[child_name]
+        parent_keys = tables[parent_name].select(
+            F.col(pk).alias("__pk")
+        ).distinct()
+        if parent_name != "orders":
+            parent_keys = F.broadcast(parent_keys)
+        joined = child.select(F.col(fk).alias("__fk")).join(
+            parent_keys, F.col("__fk") == F.col("__pk"), "left"
+        )
+        orphan = F.col("__fk").isNotNull() & F.col("__pk").isNull()
+        reports.append(
+            joined.agg(
+                F.lit(edge).alias("fk_edge"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(orphan.cast("long")).alias("n_orphans"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out.select(
+        "fk_edge",
+        "n_rows",
+        F.coalesce(F.col("n_orphans"), F.lit(0)).alias("n_orphans"),
+        # ANSI-safe: empty child tables report NULL rate, not DIVIDE_BY_ZERO
+        F.when(
+            F.col("n_rows") > 0,
+            F.floor(
+                F.coalesce(F.col("n_orphans"), F.lit(0)) / F.col("n_rows") * 1e6
+                + F.lit(0.5)
+            )
+            / F.lit(1e6),
+        ).alias("orphan_rate"),
+    ).orderBy("fk_edge")
+
+
+def fd_check(tables: dict[str, DataFrame]) -> DataFrame:
+    """Functional-dependency audit: for each candidate determinant ->
+    dependent rule, how many determinant groups exist and how many carry
+    MORE than one distinct dependent value (violations).  Key-uniqueness
+    checks are the special case where the determinant is a declared key
+    -- the profile a pipeline runs before trusting MERGE keys or
+    dimension lookups.
+
+    Scale: each rule is one partial-aggregable groupBy on the
+    determinant followed by a count at group cardinality; violating
+    groups are counted, never materialized."""
+    rules = [
+        ("customer.c_custkey->c_name", "customer", ["c_custkey"], "c_name"),
+        ("orders.o_orderkey->o_custkey", "orders", ["o_orderkey"], "o_custkey"),
+        ("lineitem.(l_orderkey,l_linenumber)->l_partkey", "lineitem",
+         ["l_orderkey", "l_linenumber"], "l_partkey"),
+        ("nation.n_nationkey->n_name", "nation", ["n_nationkey"], "n_name"),
+        ("events.event_id->user_id", "events", ["event_id"], "user_id"),
+        ("documents.doc_id->source", "documents", ["doc_id"], "source"),
+    ]
+    reports = []
+    for rule, table, det, dep in rules:
+        grouped = tables[table].groupBy(*det).agg(
+            F.countDistinct(dep).alias("__nd")
+        )
+        reports.append(
+            grouped.agg(
+                F.lit(rule).alias("dependency"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum((F.col("__nd") > 1).cast("long")).alias("n_violations"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out.select(
+        "dependency",
+        "n_groups",
+        F.coalesce(F.col("n_violations"), F.lit(0)).alias("n_violations"),
+        (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("holds"),
+    ).orderBy("dependency")

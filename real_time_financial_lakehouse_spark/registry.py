@@ -4993,6 +4993,118 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.hurst_exponent(_events(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Round-5 continuation: data-quality audits (referential integrity,
+# functional dependencies) + the binned interval join.
+# ---------------------------------------------------------------------------
+
+_RI_EDGES = [
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+]
+
+
+def _ri_orphans_oracle_sql() -> str:
+    parts = []
+    for edge, child, fk, parent, pk in _RI_EDGES:
+        orphans = (
+            f"coalesce(sum(CASE WHEN c.{fk} IS NOT NULL AND p.__pk IS NULL"
+            f" THEN 1 END), 0)"
+        )
+        parts.append(f"""
+        SELECT '{edge}' AS fk_edge,
+               count(*)::BIGINT AS n_rows,
+               {orphans}::BIGINT AS n_orphans,
+               CASE WHEN count(*) > 0
+                    THEN {_q(f'{orphans} / count(*)', 6)}
+               END AS orphan_rate
+        FROM {child} c
+        LEFT JOIN (SELECT DISTINCT {pk} AS __pk FROM {parent}) p
+          ON c.{fk} = p.__pk""")
+    return " UNION ALL ".join(parts) + " ORDER BY fk_edge"
+
+
+@register("ri_orphans", _ri_orphans_oracle_sql())
+def q_ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profiling import ri_orphans
+
+    names = {t for _, c, _, p, _ in _RI_EDGES for t in (c, p)}
+    return ri_orphans({n: load_table(spark, sf_dir, n) for n in names})
+
+
+_FD_RULES = [
+    ("customer.c_custkey->c_name", "customer", ["c_custkey"], "c_name"),
+    ("orders.o_orderkey->o_custkey", "orders", ["o_orderkey"], "o_custkey"),
+    ("lineitem.(l_orderkey,l_linenumber)->l_partkey", "lineitem",
+     ["l_orderkey", "l_linenumber"], "l_partkey"),
+    ("nation.n_nationkey->n_name", "nation", ["n_nationkey"], "n_name"),
+    ("events.event_id->user_id", "events", ["event_id"], "user_id"),
+    ("documents.doc_id->source", "documents", ["doc_id"], "source"),
+]
+
+
+def _fd_check_oracle_sql() -> str:
+    parts = []
+    for rule, table, det, dep in _FD_RULES:
+        viol = "coalesce(sum(CASE WHEN nd > 1 THEN 1 END), 0)"
+        parts.append(f"""
+        SELECT '{rule}' AS dependency,
+               count(*)::BIGINT AS n_groups,
+               {viol}::BIGINT AS n_violations,
+               {viol} = 0 AS holds
+        FROM (SELECT count(DISTINCT {dep}) AS nd
+              FROM {table} GROUP BY {", ".join(det)})""")
+    return " UNION ALL ".join(parts) + " ORDER BY dependency"
+
+
+@register("fd_check", _fd_check_oracle_sql())
+def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profiling import fd_check
+
+    names = {t for _, t, _, _ in _FD_RULES}
+    return fd_check({n: load_table(spark, sf_dir, n) for n in names})
+
+
+@register(
+    "order_window_activity",
+    f"""
+    WITH per_day AS (
+        SELECT date_trunc('day', l_shipdate) AS ship_day,
+               count(*)::BIGINT AS day_cnt,
+               sum(l_extendedprice * (1.0 - l_discount)) AS day_rev
+        FROM lineitem GROUP BY 1
+    )
+    SELECT o.o_orderkey, o.o_orderdate,
+           coalesce(sum(d.day_cnt), 0)::BIGINT AS n_shipped,
+           {_q('coalesce(sum(d.day_rev), 0.0)', 2)} AS window_revenue
+    FROM orders o
+    LEFT JOIN per_day d
+      ON d.ship_day >= date_trunc('day', o.o_orderdate)
+     AND d.ship_day < date_trunc('day', o.o_orderdate) + INTERVAL 7 DAY
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def q_order_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import order_window_activity
+
+    return order_window_activity(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

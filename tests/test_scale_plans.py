@@ -661,3 +661,38 @@ def test_bpe_encode_joins_vocab_broadcast_only(spark):
     plan = _plan(df)
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_order_window_activity_has_no_nested_loop(spark):
+    """The interval join must run as a day-binned equi-join (exploded
+    window days against a broadcast per-day rollup) -- a raw range
+    predicate would plan BroadcastNestedLoopJoin, quadratic at scale."""
+    from real_time_financial_lakehouse_spark.operators import joins as jn
+
+    df = jn.order_window_activity(
+        load_table(spark, SF_SMOKE, "orders"),
+        load_table(spark, SF_SMOKE, "lineitem"),
+    )
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ri_orphans_counts_without_materializing_orphans(spark):
+    """Every dimension-parent edge joins against a broadcast distinct key
+    set; orphans are folded into counts -- no sort on the fact side for
+    the dim edges."""
+    from real_time_financial_lakehouse_spark.operators.profiling import ri_orphans
+
+    tables = {
+        n: load_table(spark, SF_SMOKE, n)
+        for n in ("orders", "customer", "lineitem", "part", "supplier",
+                  "nation", "region")
+    }
+    df = ri_orphans(tables)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
