@@ -1075,3 +1075,194 @@ def embedding_outliers(embeddings: DataFrame, z_cut: float = 2.5) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def knn_label_vote(
+    embeddings: DataFrame, n_queries: int = 20, k: int = 5
+) -> DataFrame:
+    """k-NN classification over the embedding table: the first
+    ``n_queries`` vectors are held out as queries, each classified by
+    majority label vote among its k nearest cosine neighbors in the
+    REMAINING corpus (queries never vote for each other -- a true
+    held-out split), with ties broken toward the smaller label.  The
+    per-query report carries the true label so accuracy and the
+    confusion structure read straight off the output.
+
+    Scale: identical join shape to cosine_topk -- tiny query side
+    broadcast against one candidate scan, per-query ranking on the
+    quantized similarity; the vote is a |queries x k| groupBy, nothing
+    data-sized after the scan."""
+    emb = _spread(embeddings).select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    emb = emb.withColumn("nv", _norm("v"))
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("q"),
+        F.col("nv").alias("nq"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        "v",
+        "nv",
+    )
+    pairs = F.broadcast(queries).crossJoin(corpus)
+    denom = F.col("nq") * F.col("nv")
+    cos = F.when(denom != 0, _dot("q", "v") / denom).otherwise(F.lit(0.0))
+    scored = pairs.select(
+        "query_id",
+        "true_label",
+        "neighbor_id",
+        "n_label",
+        qround(cos, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    votes = topk.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("n_label")
+    )
+    return (
+        votes.withColumn("vrank", F.row_number().over(wv))
+        .filter(F.col("vrank") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("n_label").alias("pred_label"),
+            "n_votes",
+            (F.col("n_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def centroid_silhouette(embeddings: DataFrame) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: with a = each
+    vector's euclidean distance to its OWN label centroid and b = the
+    distance to the nearest OTHER centroid, s = (b - a) / max(a, b).
+    The per-label mean silhouette is the standard one-number answer to
+    "are these labels actually clusters?" -- the readout that gates an
+    IVF codebook or a label-quality audit.  Centroid components are
+    quantized before any distance math so both engines measure against
+    bit-identical centroids.
+
+    Scale: centroids via one posexplode + partial-aggregable groupBy at
+    |label x dim| cardinality; the distance pass is one broadcast of
+    |labels| centroid rows against the embedding scan -- the classic
+    centroid-assignment shape, linear in the corpus."""
+    emb = _spread(embeddings).select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    dims = emb.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(qround(F.avg("x"), 6).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+            .alias("c")
+        )
+        .select(F.col("label").alias("c_label"), "c")
+    )
+    pairs = emb.crossJoin(F.broadcast(cent))
+    d2 = F.expr(
+        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D,"
+        " (acc, t) -> acc + t)"
+    )
+    dists = pairs.select(
+        "vec_id", "label", "c_label", F.sqrt(d2).alias("dist")
+    )
+    per_vec = dists.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("c_label") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("c_label") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    sil = F.when(
+        F.greatest("a", "b") > 0,
+        (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+    ).otherwise(F.lit(0.0))
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            qround(F.avg("a"), 6).alias("avg_own_dist"),
+            qround(F.avg("b"), 6).alias("avg_other_dist"),
+            qround(F.avg(sil), 6).alias("avg_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+def kmeans_unrolled(
+    embeddings: DataFrame, k: int = 4, n_iters: int = 2
+) -> DataFrame:
+    """Lloyd's k-means, EXACTLY unrolled for ``n_iters`` iterations with
+    a deterministic seed (the first k vectors are the initial
+    centroids), reported per final cluster -- the fully oracle-checkable
+    twin of the recall-certified ``ann_ivf_kmeans_topk`` trainer (same
+    unrolling discipline as event_pagerank / bpe_train_merges).
+    Distances are quantized before the argmin and centroid components
+    before reuse, so the assignment decisions and the next iteration's
+    inputs are bit-identical on both engines; ties break toward the
+    smaller cluster id.
+
+    Scale: each iteration is one broadcast of k centroid rows against
+    the embedding scan (assignment) plus one |k x dim| partial-agg
+    groupBy (update) -- the canonical distributed KMeans step; nothing
+    ever collects to the driver."""
+    emb = _spread(embeddings).select("vec_id", _as_double("embedding").alias("v"))
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cluster_id"), F.col("v").alias("c")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D,"
+        " (acc, t) -> acc + t)"
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        pairs = emb.crossJoin(F.broadcast(centroids))
+        scored = pairs.select(
+            "vec_id", "v", "cluster_id", qround(d2, 6).alias("d2q")
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2q", "cluster_id")
+        return scored.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+
+    for _ in range(n_iters):
+        assigned = assign(cents)
+        cents = (
+            assigned.select("cluster_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(qround(F.avg("x"), 6).alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+                ).alias("c")
+            )
+        )
+    final = assign(cents)
+    return (
+        final.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            qround(F.sum("d2q"), 4).alias("inertia"),
+        )
+        .join(
+            F.broadcast(
+                cents.select(
+                    "cluster_id", qround(F.expr("c[0]"), 6).alias("centroid_dim0")
+                )
+            ),
+            "cluster_id",
+        )
+        .orderBy("cluster_id")
+    )

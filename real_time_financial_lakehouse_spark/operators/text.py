@@ -1086,3 +1086,108 @@ def zipf_fit(documents: DataFrame, min_freq: int = 2) -> DataFrame:
             "fit_corr"
         ),
     )
+
+
+def nb_lang_classifier(documents: DataFrame, train_pct: int = 80) -> DataFrame:
+    """Multinomial naive-Bayes language classifier, trained and evaluated
+    in one query: documents split train/test by the deterministic md5
+    bucket convention (``md5(doc_id) % 100 < train_pct``), per-(lang,
+    token) counts with add-one smoothing fit the model, every test doc
+    scores against every language, and the output is the confusion
+    matrix (true lang x predicted lang with row shares).  Scores are
+    quantized before the argmax so the prediction decision is
+    bit-identical on both engines; ties break toward the smaller lang.
+
+    Scale: training is one token explode + partial-aggregable groupBy at
+    vocabulary cardinality; scoring joins test tokens to the model on
+    the token key (broadcast while the vocab fits -- Zipf keeps it far
+    smaller than token volume) after a bounded |langs|-way expansion of
+    the token list; the confusion rollup runs at |langs|^2 cardinality."""
+    from ..functions.hashing import md5_long
+
+    docs = documents.select(
+        "doc_id",
+        "lang",
+        (md5_long(F.col("doc_id").cast("string")) % 100 < train_pct).alias(
+            "is_train"
+        ),
+    )
+    toks = (
+        documents.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") >= 1)
+        .join(docs, "doc_id")
+    )
+    train_counts = (
+        toks.filter("is_train")
+        .groupBy(F.col("lang").alias("m_lang"), "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lang_tot = train_counts.groupBy("m_lang").agg(F.sum("cnt").alias("tot"))
+    vocab_size = train_counts.select("term").distinct().agg(
+        F.count(F.lit(1)).alias("vsize")
+    )
+    train_docs = docs.filter("is_train")
+    priors = (
+        train_docs.groupBy(F.col("lang").alias("m_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs_l"))
+        .crossJoin(
+            F.broadcast(train_docs.agg(F.count(F.lit(1)).alias("n_train")))
+        )
+        .select(
+            "m_lang",
+            F.log(F.col("n_docs_l") / F.col("n_train")).alias("ln_prior"),
+        )
+    )
+    test_terms = (
+        toks.filter(~F.col("is_train"))
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "term")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    model = (
+        train_counts.join(lang_tot, "m_lang")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            "m_lang",
+            "term",
+            F.log((F.col("cnt") + 1) / (F.col("tot") + F.col("vsize"))).alias(
+                "ln_p"
+            ),
+        )
+    )
+    langs = lang_tot.crossJoin(F.broadcast(vocab_size)).select(
+        "m_lang", F.log(F.lit(1.0) / (F.col("tot") + F.col("vsize"))).alias("ln_unseen")
+    )
+    scored = (
+        test_terms.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(model), ["m_lang", "term"], "left")
+        .groupBy("doc_id", "true_lang", "m_lang")
+        .agg(
+            F.sum(
+                F.col("m") * F.coalesce(F.col("ln_p"), F.col("ln_unseen"))
+            ).alias("ll")
+        )
+        .join(F.broadcast(priors), "m_lang")
+        .select(
+            "doc_id",
+            "true_lang",
+            "m_lang",
+            qround(F.col("ll") + F.col("ln_prior"), 6).alias("score_q"),
+        )
+    )
+    wp = Window.partitionBy("doc_id").orderBy(F.col("score_q").desc(), "m_lang")
+    preds = scored.withColumn("prank", F.row_number().over(wp)).filter(
+        F.col("prank") == 1
+    )
+    conf = preds.groupBy("true_lang", F.col("m_lang").alias("pred_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wt = Window.partitionBy("true_lang")
+    return conf.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        qround(F.col("n_docs") / F.sum("n_docs").over(wt), 6).alias("share"),
+    ).orderBy("true_lang", "pred_lang")

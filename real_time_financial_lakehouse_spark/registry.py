@@ -5105,6 +5105,251 @@ def q_order_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-5 continuation: ML-flavored evaluation ops -- k-NN vote, centroid
+# silhouette, exactly-unrolled Lloyd k-means, naive-Bayes language
+# classifier with confusion matrix.  All decisions (argmin/argmax) happen
+# on quantized values with deterministic tiebreaks, so the discrete
+# choices are bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_EMB_CTE = (
+    "emb AS (SELECT vec_id, label,"
+    " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+)
+
+
+@register(
+    "knn_label_vote",
+    f"""
+    WITH {_EMB_CTE},
+    q AS (SELECT vec_id AS query_id, label AS true_label, v AS q
+          FROM emb WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, label AS n_label, v
+          FROM emb WHERE vec_id >= 20),
+    pairs AS (
+        SELECT q.query_id, q.true_label, e.neighbor_id, e.n_label,
+               CASE WHEN sqrt(list_sum(list_transform(q.q, x -> x * x)))
+                         * sqrt(list_sum(list_transform(e.v, x -> x * x))) != 0
+                    THEN list_sum(list_transform(generate_series(1, len(q.q)),
+                                                 i -> q.q[i] * e.v[i]))
+                         / (sqrt(list_sum(list_transform(q.q, x -> x * x)))
+                            * sqrt(list_sum(list_transform(e.v, x -> x * x))))
+                    ELSE 0.0 END AS cos_raw
+        FROM q CROSS JOIN c e
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT query_id, true_label, n_label,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY {_q('cos_raw', 6)} DESC,
+                                               neighbor_id) AS rank
+            FROM pairs
+        ) WHERE rank <= 5
+    ),
+    votes AS (
+        SELECT query_id, true_label, n_label, count(*)::BIGINT AS n_votes
+        FROM topk GROUP BY 1, 2, 3
+    )
+    SELECT query_id, true_label, n_label AS pred_label, n_votes,
+           n_label = true_label AS correct
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY n_votes DESC, n_label) AS vrank
+        FROM votes
+    )
+    WHERE vrank = 1
+    ORDER BY query_id
+    """,
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.knn_label_vote(
+        load_table(spark, sf_dir, "embeddings"), n_queries=20, k=5
+    )
+
+
+@register(
+    "centroid_silhouette",
+    f"""
+    WITH {_EMB_CTE},
+    dims AS (
+        SELECT label, i AS pos, v[i] AS x
+        FROM (SELECT label, v, unnest(generate_series(1, len(v))) AS i FROM emb)
+    ),
+    centd AS (SELECT label, pos, {_q('avg(x)', 6)} AS m FROM dims GROUP BY 1, 2),
+    cent AS (SELECT label AS c_label, list(m ORDER BY pos) AS c
+             FROM centd GROUP BY 1),
+    pairs AS (
+        SELECT e.vec_id, e.label, ct.c_label,
+               sqrt(list_sum(list_transform(generate_series(1, len(e.v)),
+                    i -> (e.v[i] - ct.c[i]) * (e.v[i] - ct.c[i])))) AS dist
+        FROM emb e CROSS JOIN cent ct
+    ),
+    per_vec AS (
+        SELECT vec_id, label,
+               max(CASE WHEN c_label = label THEN dist END) AS a,
+               min(CASE WHEN c_label != label THEN dist END) AS b
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT label, count(*)::BIGINT AS n_vecs,
+           {_q('avg(a)', 6)} AS avg_own_dist,
+           {_q('avg(b)', 6)} AS avg_other_dist,
+           {_q("avg(CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b) ELSE 0.0 END)", 6)} AS avg_silhouette
+    FROM per_vec
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.centroid_silhouette(load_table(spark, sf_dir, "embeddings"))
+
+
+def _kmeans_oracle_sql(k: int = 4, n_iters: int = 2) -> str:
+    def d2(v: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({v})),"
+            f" i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+        )
+
+    sql = f"""
+    WITH emb AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+    c0 AS (SELECT vec_id::INT AS cluster_id, v AS c FROM emb WHERE vec_id < {k})"""
+    prev = "c0"
+    for i in range(1, n_iters + 1):
+        sql += f""",
+    s{i} AS (
+        SELECT e.vec_id, e.v, ct.cluster_id, {_q(d2('e.v', 'ct.c'), 6)} AS d2q
+        FROM emb e CROSS JOIN {prev} ct
+    ),
+    a{i} AS (
+        SELECT vec_id, v, cluster_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2q, cluster_id) AS rn
+            FROM s{i}
+        ) WHERE rn = 1
+    ),
+    d{i} AS (
+        SELECT cluster_id, i AS pos, v[i] AS x
+        FROM (SELECT cluster_id, v,
+                     unnest(generate_series(1, len(v))) AS i FROM a{i})
+    ),
+    m{i} AS (SELECT cluster_id, pos, {_q('avg(x)', 6)} AS m
+             FROM d{i} GROUP BY 1, 2),
+    c{i} AS (SELECT cluster_id, list(m ORDER BY pos) AS c
+             FROM m{i} GROUP BY 1)"""
+        prev = f"c{i}"
+    sql += f""",
+    sf AS (
+        SELECT e.vec_id, ct.cluster_id, {_q(d2('e.v', 'ct.c'), 6)} AS d2q
+        FROM emb e CROSS JOIN {prev} ct
+    ),
+    af AS (
+        SELECT vec_id, cluster_id, d2q FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2q, cluster_id) AS rn
+            FROM sf
+        ) WHERE rn = 1
+    )
+    SELECT a.cluster_id, count(*)::BIGINT AS n_vecs,
+           {_q('sum(a.d2q)', 4)} AS inertia,
+           {_q('max(ct.c[1])', 6)} AS centroid_dim0
+    FROM af a JOIN {prev} ct USING (cluster_id)
+    GROUP BY 1
+    ORDER BY 1
+    """
+    return sql
+
+
+@register("kmeans_unrolled", _kmeans_oracle_sql())
+def q_kmeans_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.kmeans_unrolled(
+        load_table(spark, sf_dir, "embeddings"), k=4, n_iters=2
+    )
+
+
+@register(
+    "nb_lang_classifier",
+    f"""
+    WITH docs AS (
+        SELECT doc_id, lang,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT) % 100 < 80
+                   AS is_train
+        FROM documents
+    ),
+    toks AS (
+        SELECT t.doc_id, d.lang, d.is_train, t.term
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+              FROM documents) t
+        JOIN docs d USING (doc_id)
+        WHERE length(t.term) >= 1
+    ),
+    train_counts AS (
+        SELECT lang AS m_lang, term, count(*)::BIGINT AS cnt
+        FROM toks WHERE is_train GROUP BY 1, 2
+    ),
+    lang_tot AS (SELECT m_lang, sum(cnt)::BIGINT AS tot
+                 FROM train_counts GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT term)::BIGINT AS vsize FROM train_counts),
+    train_docs AS (SELECT * FROM docs WHERE is_train),
+    priors AS (
+        SELECT lang AS m_lang, ln(count(*) / nt.n) AS ln_prior
+        FROM train_docs, (SELECT count(*)::BIGINT AS n FROM train_docs) nt
+        GROUP BY 1, nt.n
+    ),
+    model AS (
+        SELECT m_lang, term, ln((cnt + 1) / (tot + vsize)) AS ln_p
+        FROM train_counts JOIN lang_tot USING (m_lang), vocab
+    ),
+    langs AS (
+        SELECT m_lang, ln(1.0::DOUBLE / (tot + vsize)) AS ln_unseen
+        FROM lang_tot, vocab
+    ),
+    test_terms AS (
+        SELECT doc_id, lang AS true_lang, term, count(*)::BIGINT AS m
+        FROM toks WHERE NOT is_train GROUP BY 1, 2, 3
+    ),
+    ll AS (
+        SELECT tt.doc_id, tt.true_lang, l.m_lang,
+               sum(tt.m * coalesce(mo.ln_p, l.ln_unseen)) AS ll
+        FROM test_terms tt
+        CROSS JOIN langs l
+        LEFT JOIN model mo ON mo.m_lang = l.m_lang AND mo.term = tt.term
+        GROUP BY 1, 2, 3
+    ),
+    scoredq AS (
+        SELECT doc_id, true_lang, m_lang, {_q('ll + ln_prior', 6)} AS score_q
+        FROM ll JOIN priors USING (m_lang)
+    ),
+    preds AS (
+        SELECT doc_id, true_lang, m_lang AS pred_lang FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score_q DESC, m_lang) AS prank
+            FROM scoredq
+        ) WHERE prank = 1
+    ),
+    conf AS (SELECT true_lang, pred_lang, count(*)::BIGINT AS n_docs
+             FROM preds GROUP BY 1, 2)
+    SELECT true_lang, pred_lang, n_docs,
+           {_q('n_docs / (sum(n_docs) OVER (PARTITION BY true_lang))::BIGINT', 6)} AS share
+    FROM conf
+    ORDER BY 1, 2
+    """,
+)
+def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text as text_ops
+
+    return text_ops.nb_lang_classifier(load_table(spark, sf_dir, "documents"))
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

@@ -696,3 +696,28 @@ def test_ri_orphans_counts_without_materializing_orphans(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_knn_vote_broadcasts_queries_no_smj(spark):
+    """The held-out query side must broadcast against the corpus scan;
+    a sort-merge join would shuffle the full embedding table per query
+    batch."""
+    from real_time_financial_lakehouse_spark.operators import similarity as sim
+
+    df = sim.knn_label_vote(load_table(spark, SF_SMOKE, "embeddings"))
+    df.collect()
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """Every Lloyd assignment pass joins the embedding scan against k
+    centroid rows -- all centroid joins must broadcast; the scan itself
+    is never shuffled for assignment."""
+    from real_time_financial_lakehouse_spark.operators import similarity as sim
+
+    df = sim.kmeans_unrolled(load_table(spark, SF_SMOKE, "embeddings"))
+    df.collect()
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
