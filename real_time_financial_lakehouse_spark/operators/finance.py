@@ -1810,3 +1810,99 @@ def hurst_exponent(
     for s in scales:
         cols.append(qround(F.col(str(int(s))), 6).alias(f"rs_{int(s)}"))
     return out.select(*cols).orderBy("symbol")
+
+
+def kama_adaptive_ma(events: DataFrame, n: int = 10) -> DataFrame:
+    """Kaufman adaptive moving average per symbol over minute-bar
+    closes, reported as the FINAL adapted level (the ema_per_symbol
+    shape): per bar, the efficiency ratio ER = |c_t - c_{t-n}| /
+    sum(|dc|) over the last n changes sets the smoothing constant
+    sc = (ER*(2/3 - 2/31) + 2/31)^2, and the level folds sequentially as
+    kama += sc * (c - kama), seeded with the first full-window close.
+
+    Determinism: the per-bar sc is plain window arithmetic; the level is
+    a LITERAL left fold over (close, sc) struct elements with a SCALAR
+    accumulator -- the same op order as DuckDB's list_reduce (struct
+    elements are safe; only struct ACCUMULATORS hit the DuckDB lateral-
+    shadowing quirk documented at holt_forecast's registration).
+
+    Scale: one (symbol, minute) sort shared by the lag/sum windows, then
+    one groupBy to |symbol| rows holding the bar-length array -- O(bars)
+    fold work, no quadratic step."""
+    bars = _minute_bars(events)
+    w = Window.partitionBy("symbol").orderBy("minute_window")
+    wn = w.rowsBetween(-(n - 1), 0)
+    dc = F.col("close") - F.lag("close").over(w)
+    staged = bars.select(
+        "symbol", "minute_window", "close", dc.alias("dc"),
+        F.lag("close", n).over(w).alias("c_back"),
+    )
+    vol = F.sum(F.abs(F.col("dc"))).over(wn)
+    er = F.when(vol != 0, F.abs(F.col("close") - F.col("c_back")) / vol).otherwise(
+        F.lit(0.0)
+    )
+    fast, slow = 2.0 / 3.0, 2.0 / 31.0
+    sc = (er * F.lit(fast - slow) + F.lit(slow)) ** 2
+    # sc must be evaluated over the UNFILTERED bar sequence (the warm-up
+    # rows participate in the 10-bar volatility frames even though they
+    # are dropped from the fold) -- filtering first would shift every
+    # early frame and the divergence survives short series.
+    scored = staged.select(
+        "symbol", "minute_window", "close", "c_back", sc.alias("sc")
+    )
+    ready = scored.filter(F.col("c_back").isNotNull()).select(
+        "symbol", "minute_window", "close", "sc"
+    )
+    series = ready.groupBy("symbol").agg(
+        F.expr(
+            "array_sort(collect_list(struct(minute_window as mw,"
+            " close as c, sc)))"
+        ).alias("ps")
+    )
+    fold = (
+        "aggregate(slice(ps, 2, size(ps) - 1), cast(ps[0].c as double),"
+        " (acc, e) -> acc + e.sc * (e.c - acc))"
+    )
+    return series.select(
+        "symbol",
+        F.size("ps").alias("n_bars"),
+        qround(F.expr("element_at(ps, size(ps)).c"), 6).alias("last_close"),
+        qround(F.expr(fold), 6).alias("kama"),
+    ).orderBy("symbol")
+
+
+def ulcer_index(events: DataFrame) -> DataFrame:
+    """Ulcer index per symbol over daily closes: the RMS of percentage
+    drawdowns from the running peak (Martin 1987) -- the pain-weighted
+    volatility measure that penalizes depth AND duration of declines,
+    alongside the worst drawdown percentage.
+
+    Scale: one day-granularity rollup, one running-max window over the
+    symbol partition (O(1) state), one symbol-cardinality aggregate."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    daily = events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    runmax = F.max("c").over(w)
+    dd = daily.select(
+        "symbol",
+        "day",
+        F.when(runmax != 0, F.lit(100.0) * (F.col("c") - runmax) / runmax)
+        .otherwise(F.lit(0.0))
+        .alias("dd_pct"),
+    )
+    return (
+        dd.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            qround(F.sqrt(F.avg(F.col("dd_pct") * F.col("dd_pct"))), 6).alias(
+                "ulcer_index"
+            ),
+            qround(F.min("dd_pct"), 6).alias("max_drawdown_pct"),
+        )
+        .orderBy("symbol")
+    )

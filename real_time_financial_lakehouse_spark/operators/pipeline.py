@@ -662,3 +662,46 @@ def weighted_sample_per_source(documents: DataFrame, n: int = 20) -> DataFrame:
         .filter(F.col("rank") <= n)
         .orderBy("source", "rank")
     )
+
+
+def domain_temperature_mixture(
+    documents: DataFrame, alpha: float = 0.7, budget_tokens: int = 100_000
+) -> DataFrame:
+    """Temperature-scaled domain mixing weights: given each source's
+    natural token share p_i, the sampling weight w_i = p_i^alpha /
+    sum(p_j^alpha) -- the standard upweighting of small high-quality
+    domains (alpha < 1 flattens the mixture, the GPT-3 / LLaMA
+    data-mixing recipe).  The report carries the natural share, the
+    tempered share, the token budget allotted to each source, and the
+    implied epoch count (budget_i / tokens_i -- epochs > 1 flag sources
+    the schedule would repeat).
+
+    Scale: one scan computing per-source token counts (partial-agg to
+    |sources| rows); the temperature math runs on the tiny source table
+    with a broadcast total."""
+    from ..functions.hashing import normalize_text
+
+    per_src = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.split(normalize_text(F.col("text")), " "))
+        ).alias("n_tokens"),
+    )
+    tot = per_src.agg(F.sum("n_tokens").cast("double").alias("t_total"))
+    shared = per_src.crossJoin(F.broadcast(tot)).withColumn(
+        "nat_share", F.col("n_tokens") / F.col("t_total")
+    ).withColumn("w_raw", F.pow(F.col("nat_share"), F.lit(alpha)))
+    wsum = shared.agg(F.sum("w_raw").alias("w_total"))
+    out = shared.crossJoin(F.broadcast(wsum)).withColumn(
+        "temp_share", F.col("w_raw") / F.col("w_total")
+    )
+    budget = F.col("temp_share") * F.lit(float(budget_tokens))
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        qround(F.col("nat_share"), 6).alias("nat_share"),
+        qround(F.col("temp_share"), 6).alias("temp_share"),
+        qround(budget, 2).alias("budget_tokens"),
+        qround(budget / F.col("n_tokens"), 6).alias("epochs"),
+    ).orderBy("source")

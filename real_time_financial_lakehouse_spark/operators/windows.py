@@ -536,3 +536,83 @@ def session_event_pmi(events: DataFrame, gap_min: int = 30) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def session_graph_triangles(events: DataFrame, gap_min: int = 30) -> DataFrame:
+    """Triangle census of the session co-occurrence graph: nodes are
+    event types, an (undirected) edge connects two types that co-occur
+    in at least one user session, and the report counts nodes, edges,
+    triangles, and the global clustering coefficient
+    (3 * triangles / wedges).  The structural readout behind
+    association-graph mining, computed with the canonical distributed
+    pattern: ordered edges (a < b) self-joined twice, so every triangle
+    is counted exactly once as a < b < c.
+
+    Scale: sessionization is the session_event_pmi window pass; the edge
+    list lives at |type-pair| cardinality (bounded by |types|^2, tiny
+    relative to the event volume), so the two triangle joins and the
+    wedge rollup never touch data-sized frames.  On a corpus where nodes
+    are unbounded (user graphs), the same shape holds with the heaviest
+    hubs degree-capped first -- the standard truncation."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(
+        gap.isNull() | (gap >= gap_min * 60 * 1_000_000), 1
+    ).otherwise(0)
+    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sess = events.select(
+        "user_id", "event_type", F.sum(new_sess).over(cum).alias("sess_no")
+    )
+    st = sess.select("user_id", "sess_no", "event_type").distinct()
+    pairs = (
+        st.alias("a")
+        .join(
+            st.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sess_no") == F.col("b.sess_no"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .select(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+        .distinct()
+    )
+    nodes = pairs.select(F.col("ta").alias("t")).unionAll(
+        pairs.select(F.col("tb").alias("t"))
+    )
+    degrees = nodes.groupBy("t").agg(F.count(F.lit(1)).alias("deg"))
+    tri = (
+        pairs.alias("e1")
+        .join(
+            pairs.alias("e2"), F.col("e1.tb") == F.col("e2.ta")
+        )
+        .join(
+            pairs.alias("e3"),
+            (F.col("e1.ta") == F.col("e3.ta"))
+            & (F.col("e2.tb") == F.col("e3.tb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    summary = degrees.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.coalesce(F.sum("deg"), F.lit(0)) / 2).cast("long").alias("n_edges"),
+        F.coalesce(F.sum(F.col("deg") * (F.col("deg") - 1) / 2), F.lit(0.0))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    return (
+        summary.crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                qround(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6),
+            ).alias("global_clustering"),
+        )
+    )

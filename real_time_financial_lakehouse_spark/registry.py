@@ -5350,6 +5350,181 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.nb_lang_classifier(load_table(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# Round-5 continuation: adaptive-fold KAMA, ulcer index, temperature
+# mixture weights, session-graph triangle census.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kama_adaptive_ma",
+    f"""
+    WITH bars AS (
+        SELECT symbol, minute_window,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close
+        FROM (
+            SELECT event_type AS symbol, date_trunc('minute', ts) AS minute_window,
+                   value,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        GROUP BY 1, 2
+    ),
+    staged AS (
+        SELECT symbol, minute_window, close,
+               close - lag(close) OVER w AS dc,
+               lag(close, 10) OVER w AS c_back
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY minute_window)
+    ),
+    scs AS (
+        SELECT symbol, minute_window, close,
+               CASE WHEN sum(abs(dc)) OVER wn != 0
+                    THEN abs(close - c_back) / sum(abs(dc)) OVER wn
+                    ELSE 0.0 END AS er,
+               c_back
+        FROM staged
+        WINDOW wn AS (PARTITION BY symbol ORDER BY minute_window
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    ),
+    ready AS (
+        SELECT symbol, minute_window, close,
+               pow(er * {2.0 / 3.0 - 2.0 / 31.0!r} + {2.0 / 31.0!r}, 2) AS sc
+        FROM scs WHERE c_back IS NOT NULL
+    ),
+    series AS (
+        SELECT symbol,
+               list({{'mw': minute_window, 'c': close, 'sc': sc}}
+                    ORDER BY minute_window) AS ps
+        FROM ready GROUP BY 1
+    )
+    SELECT symbol, len(ps)::INT AS n_bars,
+           {_q('ps[len(ps)].c', 6)} AS last_close,
+           {_q('''list_reduce(list_prepend({'mw': ps[1].mw, 'c': ps[1].c, 'sc': 0.0::DOUBLE}, ps[2:]),
+                 (acc, e) -> {'mw': e.mw, 'c': acc.c + e.sc * (e.c - acc.c), 'sc': e.sc}).c''', 6)} AS kama
+    FROM series
+    ORDER BY symbol
+    """,
+)
+def q_kama_adaptive_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.kama_adaptive_ma(_events(spark, sf_dir))
+
+
+@register(
+    "ulcer_index",
+    f"""
+    WITH {_DAILY_CLOSE_SQL.strip()},
+    dd AS (
+        SELECT symbol, day,
+               CASE WHEN max(c) OVER w != 0
+                    THEN 100.0 * (c - max(c) OVER w) / (max(c) OVER w)
+                    ELSE 0.0 END AS dd_pct
+        FROM dclose
+        WINDOW w AS (PARTITION BY symbol ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT symbol, count(*)::BIGINT AS n_days,
+           {_q('sqrt(avg(dd_pct * dd_pct))', 6)} AS ulcer_index,
+           {_q('min(dd_pct)', 6)} AS max_drawdown_pct
+    FROM dd
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.ulcer_index(_events(spark, sf_dir))
+
+
+@register(
+    "domain_temperature_mixture",
+    f"""
+    WITH per_src AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')))::BIGINT AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_tokens)::DOUBLE AS t_total FROM per_src),
+    shared AS (
+        SELECT p.*, p.n_tokens / t.t_total AS nat_share,
+               pow(p.n_tokens / t.t_total, 0.7::DOUBLE) AS w_raw
+        FROM per_src p, tot t
+    ),
+    wsum AS (SELECT sum(w_raw) AS w_total FROM shared)
+    SELECT source, n_docs, n_tokens,
+           {_q('nat_share', 6)} AS nat_share,
+           {_q('w_raw / w_total', 6)} AS temp_share,
+           {_q('w_raw / w_total * 100000.0', 2)} AS budget_tokens,
+           {_q('w_raw / w_total * 100000.0 / n_tokens', 6)} AS epochs
+    FROM shared, wsum
+    ORDER BY source
+    """,
+)
+def q_domain_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import domain_temperature_mixture
+
+    return domain_temperature_mixture(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "session_graph_triangles",
+    """
+    WITH s AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM s
+    ),
+    st AS (SELECT DISTINCT user_id, sess_no, event_type FROM sess),
+    pairs AS (
+        SELECT DISTINCT a.event_type AS ta, b.event_type AS tb
+        FROM st a
+        JOIN st b ON a.user_id = b.user_id AND a.sess_no = b.sess_no
+                 AND a.event_type < b.event_type
+    ),
+    degrees AS (
+        SELECT t, count(*)::BIGINT AS deg
+        FROM (SELECT ta AS t FROM pairs UNION ALL SELECT tb AS t FROM pairs)
+        GROUP BY 1
+    ),
+    tri AS (
+        SELECT count(*)::BIGINT AS n_triangles
+        FROM pairs e1
+        JOIN pairs e2 ON e2.ta = e1.tb
+        JOIN pairs e3 ON e3.ta = e1.ta AND e3.tb = e2.tb
+    ),
+    summary AS (
+        SELECT count(*)::BIGINT AS n_nodes,
+               (coalesce(sum(deg), 0) / 2)::BIGINT AS n_edges,
+               coalesce(sum(deg * (deg - 1) / 2), 0.0)::BIGINT AS n_wedges
+        FROM degrees
+    )
+    SELECT n_nodes, n_edges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN floor((3.0 * n_triangles / n_wedges) * 1000000.0 + 0.5)
+                     / 1000000.0
+           END AS global_clustering
+    FROM summary, tri
+    """,
+)
+def q_session_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import session_graph_triangles
+
+    return session_graph_triangles(_events(spark, sf_dir))
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()
