@@ -1166,3 +1166,310 @@ def media_feature_summary(documents: DataFrame) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Real GIF89a codec (pure stdlib).  Third image-codec class alongside the
+# filtered-deflate PNG and DCT JPEG above: an indexed-palette format with
+# variable-width LSB-first LZW entropy coding -- the full spec path for a
+# single-frame grayscale image (logical screen descriptor, 256-entry
+# global color table, image descriptor, sub-block-wrapped LZW stream,
+# trailer; extension blocks are parsed and skipped on decode).  The
+# encoder/decoder pair implements the standard GIF code-width schedule
+# (encoder widens at next_code == 2^width + 1, the decoder -- one table
+# entry behind by construction -- at next_code == 2^width, both capped at
+# 12 bits with CLEAR-code reset), so streams crossing the 512/1024-entry
+# boundaries round-trip exactly.
+# ---------------------------------------------------------------------------
+
+GIF_HEADER = b"GIF89a"
+_GIF_MAX_CODE_SIZE = 12
+
+
+class _LsbBitWriter:
+    """LSB-first bit packer (GIF's LZW bit order; JPEG's _BitWriter above
+    is MSB-first)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+class _LsbBitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("corrupt GIF: LZW stream truncated")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.acc & ((1 << width) - 1)
+        self.acc >>= width
+        self.nbits -= width
+        return v
+
+
+def _gif_lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bw = _LsbBitWriter()
+    code_size = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    bw.write(clear, code_size)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        bw.write(table[w], code_size)
+        if next_code < (1 << _GIF_MAX_CODE_SIZE):
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < _GIF_MAX_CODE_SIZE:
+                code_size += 1
+        w = bytes([byte])
+    if w:
+        bw.write(table[w], code_size)
+    bw.write(eoi, code_size)
+    return bw.finish()
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    br = _LsbBitReader(data)
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    w: bytes | None = None
+    while True:
+        code = br.read(code_size)
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = eoi + 1
+            w = None
+            continue
+        if code == eoi:
+            break
+        if w is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = w + w[:1]
+            else:
+                raise ValueError(f"corrupt GIF: LZW code {code} out of range")
+            if next_code < (1 << _GIF_MAX_CODE_SIZE):
+                table[next_code] = w + entry[:1]
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < _GIF_MAX_CODE_SIZE:
+                    code_size += 1
+        out += entry
+        w = entry
+    return bytes(out)
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, pixels: bytes) -> bytes:
+    """Single-frame grayscale GIF89a: 256-entry global color table with
+    palette index i mapping to gray (i, i, i), so pixel bytes ARE palette
+    indices -- lossless for 8-bit grayscale rasters."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match geometry")
+    out = bytearray(GIF_HEADER)
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append(0xF7)  # GCT present, 8-bit color resolution, 256 entries
+    out.append(0)  # background color index
+    out.append(0)  # pixel aspect ratio
+    for i in range(256):  # grayscale global color table
+        out += bytes((i, i, i))
+    out.append(0x2C)  # image descriptor
+    out += (0).to_bytes(2, "little") * 2
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append(0)  # no local color table, not interlaced
+    out.append(8)  # LZW minimum code size
+    out += _gif_subblocks(_gif_lzw_encode(pixels))
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Full GIF parse: header, logical screen descriptor, global color
+    table, extension-block skipping, image descriptor, sub-block
+    reassembly, LZW decode, palette lookup to grayscale intensities
+    (the luminance-rounded mean when the palette is not pure gray)."""
+    import zlib
+
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("corrupt GIF: bad signature")
+    pos = 6
+    pos += 4  # logical screen width/height (image descriptor repeats them)
+    packed = payload[pos]
+    pos += 3  # packed + background + aspect
+    gct = None
+    if packed & 0x80:
+        n_entries = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n_entries]
+        pos += 3 * n_entries
+    while True:
+        if pos >= len(payload):
+            raise ValueError("corrupt GIF: missing image descriptor")
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("corrupt GIF: trailer before image data")
+        else:
+            raise ValueError(f"corrupt GIF: unknown block 0x{block:02x}")
+    pos += 4  # image left/top
+    width = int.from_bytes(payload[pos : pos + 2], "little")
+    height = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+    pos += 4
+    img_packed = payload[pos]
+    pos += 1
+    if img_packed & 0x80:  # local color table overrides
+        n_entries = 2 << (img_packed & 0x07)
+        gct = payload[pos : pos + 3 * n_entries]
+        pos += 3 * n_entries
+    if gct is None:
+        raise ValueError("corrupt GIF: no color table")
+    min_code_size = payload[pos]
+    pos += 1
+    stream = bytearray()
+    while payload[pos] != 0:
+        ln = payload[pos]
+        stream += payload[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    indices = _gif_lzw_decode(bytes(stream), min_code_size)
+    if len(indices) != width * height:
+        raise ValueError("corrupt GIF: decoded pixel count mismatch")
+    # palette lookup; pure-gray palettes (r==g==b) come back verbatim
+    gray = bytes(
+        (gct[3 * i] + gct[3 * i + 1] + gct[3 * i + 2]) // 3 for i in indices
+    )
+    n = width * height
+    return {
+        "width": width,
+        "height": height,
+        "channels": 1,
+        "n_pixels": n,
+        "mean_value": (sum(gray) / n) if n else 0.0,
+        "pixel_crc": zlib.crc32(gray) & 0xFFFFFFFF,
+    }
+
+
+def attach_gif_media(documents: DataFrame) -> DataFrame:
+    """REAL GIF media table from the documents fixture: the shared
+    ``_tile_text_raster`` grayscale tiling, encoded through the real
+    LZW pipeline.  mapInPandas, Arrow-batched, (doc_id, text) only."""
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                w, h, tiled = _tile_text_raster(txt)
+                rows.append({"asset_id": did, "payload": encode_gif(w, h, tiled)})
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        process, schema="asset_id long, payload binary"
+    )
+
+
+def gif_features(media: DataFrame) -> DataFrame:
+    """Real-GIF feature extraction through ``decode_gif`` -- same
+    Python-boundary shape as png_features/jpeg_features."""
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, pl in zip(pdf["asset_id"], pdf["payload"]):
+                d = decode_gif(bytes(pl))
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "channels": d["channels"],
+                        "n_pixels": d["n_pixels"],
+                        "mean_value": d["mean_value"],
+                        "pixel_crc": d["pixel_crc"],
+                    }
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "channels",
+                    "n_pixels", "mean_value", "pixel_crc",
+                ],
+            )
+            for c in ("width", "height", "channels"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return media.select("asset_id", "payload").mapInPandas(
+        process, schema=PNG_FEATURE_SCHEMA
+    )
+
+
+def gif_media_features(documents: DataFrame) -> DataFrame:
+    """End-to-end REAL indexed-palette pipeline: docs -> real GIF encode
+    (LZW) -> real decode (block walk, LZW, palette) -- lossless, so the
+    decoded mean is EXACTLY recomputable from the text bytes (the same
+    oracle as the PNG gate)."""
+    feats = gif_features(attach_gif_media(documents))
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        "channels",
+        "n_pixels",
+        (F.floor(F.col("mean_value") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "mean_value"
+        ),
+        "pixel_crc",
+    ).orderBy("asset_id")

@@ -5525,6 +5525,57 @@ def q_session_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_graph_triangles(_events(spark, sf_dir))
 
 
+# Third real image codec: indexed-palette GIF89a with variable-width LZW.
+# Lossless like PNG, so the decoded mean is exactly recomputable from the
+# text bytes -- the oracle is the same tiling arithmetic as the PNG gate
+# (pixel_crc is pinned in pytest instead; ord() over chars == utf-8 bytes
+# here because the fixture corpus is ASCII, same caveat as the PNG twin).
+@register(
+    "gif_media_features",
+    """
+    WITH base AS (
+      SELECT doc_id AS asset_id,
+             coalesce(text, '') AS txt,
+             octet_length(encode(coalesce(text, ''))) AS n
+      FROM documents
+    ),
+    dims AS (
+      SELECT asset_id, txt, n,
+             (n % 13 + 1) AS w,
+             (n % 7 + 1) AS h
+      FROM base
+    ),
+    sums AS (
+      SELECT asset_id, w, h, n, w * h AS budget,
+             CASE WHEN n = 0 THEN 0
+                  ELSE (SELECT coalesce(sum(ord(c)), 0)
+                        FROM unnest(string_split(txt, '')) AS t(c)) END AS total,
+             CASE WHEN n = 0 THEN 0
+                  ELSE (SELECT coalesce(sum(ord(c)), 0)
+                        FROM unnest(string_split(substring(txt, 1, (w * h) % n), ''))
+                             AS t(c)) END AS rem_sum
+      FROM dims
+    )
+    SELECT asset_id,
+           w::INT AS width,
+           h::INT AS height,
+           1::INT AS channels,
+           budget::BIGINT AS n_pixels,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE floor(((budget // n) * total + rem_sum)::DOUBLE / budget
+                           * 1e6 + 0.5) / 1e6 END AS mean_value
+    FROM sums
+    ORDER BY asset_id
+    """,
+)
+def q_gif_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    return multimodal.gif_media_features(
+        load_table(spark, sf_dir, "documents")
+    ).drop("pixel_crc")
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

@@ -731,3 +731,76 @@ def test_embedding_outliers_flags_planted_stray(spark):
     assert all(out[i]["is_outlier"] is False for i in range(12))
     assert out[60]["z"] is None and out[60]["is_outlier"] is False
     assert out[60]["dist_to_centroid"] == 0.0
+
+
+def test_gif_lzw_roundtrip_across_code_width_boundaries():
+    """The LZW table crosses the 512- and 1024-entry code-width bumps on
+    a few-KB random stream; encoder (widens at 2^w + 1) and decoder
+    (one entry behind, widens at 2^w) must stay in lockstep, including
+    the KwKwK self-referential case."""
+    import random
+
+    rng = random.Random(7)
+    for size in (1, 10, 300, 2000, 9000):
+        data = bytes(rng.randrange(256) for _ in range(size))
+        enc = multimodal._gif_lzw_encode(data)
+        assert multimodal._gif_lzw_decode(enc, 8) == data
+    # KwKwK: a run of identical bytes forces code == next_code immediately
+    run = b"\x42" * 500
+    assert multimodal._gif_lzw_decode(multimodal._gif_lzw_encode(run), 8) == run
+
+
+def test_gif_roundtrip_exact():
+    """Full-container pin: header, LSD, 256-entry grayscale GCT, image
+    descriptor, sub-block reassembly, LZW, palette lookup -- lossless."""
+    import zlib
+
+    px = bytes((i * 7 + 13) % 256 for i in range(50 * 40))
+    gif = multimodal.encode_gif(50, 40, px)
+    assert gif[:6] == b"GIF89a" and gif[-1] == 0x3B
+    d = multimodal.decode_gif(gif)
+    assert (d["width"], d["height"], d["channels"], d["n_pixels"]) == (50, 40, 1, 2000)
+    assert d["mean_value"] == sum(px) / 2000
+    assert d["pixel_crc"] == zlib.crc32(px)
+
+
+def test_gif_decoder_skips_extension_blocks_and_rejects_corrupt():
+    """Real-world GIFs lead with extension blocks (GCE/comment); the
+    decoder must walk past them, and fail loudly on a bad signature or a
+    truncated stream."""
+    import pytest as _pytest
+
+    px = bytes(range(16))
+    gif = bytearray(multimodal.encode_gif(4, 4, px))
+    # splice a Graphic Control Extension right before the image descriptor
+    idx = gif.index(0x2C, 6 + 7 + 768)
+    gce = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    spliced = bytes(gif[:idx]) + gce + bytes(gif[idx:])
+    d = multimodal.decode_gif(spliced)
+    assert d["n_pixels"] == 16
+    with _pytest.raises(ValueError):
+        multimodal.decode_gif(b"NOTGIF" + bytes(gif[6:]))
+    with _pytest.raises(ValueError):
+        multimodal.decode_gif(bytes(gif[:20]))
+
+
+def test_gif_media_features_end_to_end(spark, docs):
+    """Spark-side pipeline: real GIFs encoded from doc text, really
+    decoded; lossless palette path must reproduce the tiled bytes
+    exactly (same contract as the PNG gate)."""
+    import zlib
+
+    out = {r["asset_id"]: r for r in multimodal.gif_media_features(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        data = (row["text"] or "").encode()
+        w, h = len(data) % 13 + 1, len(data) % 7 + 1
+        budget = w * h
+        tiled = (
+            (data * (budget // max(1, len(data)) + 1))[:budget]
+            if data
+            else b"\x00" * budget
+        )
+        r = out[row["doc_id"]]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 1)
+        assert r["n_pixels"] == budget
+        assert r["pixel_crc"] == zlib.crc32(tiled)
