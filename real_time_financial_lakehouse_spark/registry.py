@@ -5576,6 +5576,75 @@ def q_gif_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("pixel_crc")
 
 
+@register(
+    "versioned_vacuum",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               event_type AS symbol,
+               count(*) AS n_events,
+               floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT day, symbol, n_events, total_value,
+           TRUE AS vacuum_removed_files,
+           TRUE AS time_travel_pruned
+    FROM daily
+    ORDER BY day, symbol
+    """,
+)
+def q_versioned_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta VACUUM semantics on the manifest log: three commits build a
+    retention tail (v0/v1 partial snapshots, v2 the full month), then
+    ``vacuum(keep_last=1)`` drops the out-of-retention manifests AND
+    their unreferenced data directories.  The query returns the
+    surviving latest snapshot -- which must equal the oracle's
+    recomputation from raw events, proving the vacuum touched no live
+    file -- plus two observed certificates: files were actually removed,
+    and time travel to a vacuumed version now fails loudly (the Delta
+    retention contract; the oracle asserts both TRUE)."""
+    import os
+
+    from .operators import versioned
+    from .scratch import scratch_dir
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type").alias("symbol"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.floor(F.sum("value") * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0))
+            .alias("total_value"),
+        )
+    )
+    table_dir = os.path.join(scratch_dir("rtfl_vacuum_"), "gold_daily")
+    versioned.commit_version(daily.filter(F.col("day") < "2024-01-15"), table_dir)
+    versioned.commit_version(daily.filter(F.col("day") < "2024-01-22"), table_dir)
+    versioned.commit_version(daily, table_dir)
+    removed = versioned.vacuum(table_dir, keep_last=1)
+    try:
+        versioned.read_version(spark, table_dir, version=0)
+        pruned = False
+    except FileNotFoundError:
+        pruned = True
+    return (
+        versioned.read_version(spark, table_dir)
+        .select(
+            "day",
+            "symbol",
+            "n_events",
+            "total_value",
+            F.lit(len(removed) > 0).alias("vacuum_removed_files"),
+            F.lit(pruned).alias("time_travel_pruned"),
+        )
+        .orderBy("day", "symbol")
+    )
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()
