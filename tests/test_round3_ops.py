@@ -999,3 +999,75 @@ def test_retention_triangle_semantics(spark):
     assert ("2024-01-01", 1) not in out                      # nobody active day 1
     assert out[("2024-01-02", 1)]["n_users"] == 1
     assert len(out) == 4
+
+
+def test_round5_continuation_ops_tolerate_degenerates_and_empty(spark, tmp_path):
+    """Armor for the round-5 continuation batch: constant/NULL event
+    series through the new indicators (no ANSI DIVIDE_BY_ZERO anywhere),
+    and the full zero-row fixture sweep.  By-design spines on empty
+    input: ri_orphans always reports its 7 FK edges, fd_check its 6
+    rules, session_graph_triangles one all-zero census row."""
+    import shutil
+
+    from real_time_financial_lakehouse_spark import registry
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "A", 5.0, '{"k": 2}'),
+        (2, "2024-01-01 00:01:00", 1, "A", 5.0, '{"k": 0}'),
+        (3, "2024-01-02 00:02:00", 2, "A", 5.0, None),
+        (4, "2024-01-01 00:01:00", 2, "B", None, "{}"),
+        (5, "2024-01-02 00:02:00", None, "B", 0.0, '{"k": -1}'),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    from real_time_financial_lakehouse_spark.operators.windows import (
+        session_graph_triangles,
+    )
+
+    for fn in (
+        finance.amihud_illiquidity, finance.roll_spread,
+        finance.var_cvar_report, finance.black_scholes_pricer,
+        finance.holt_forecast, finance.heikin_ashi,
+        finance.cusum_changepoints, finance.hurst_exponent,
+        finance.kama_adaptive_ma, finance.ulcer_index,
+        session_graph_triangles,
+    ):
+        fn(ev).collect()  # constant prices / NULL values: must not raise
+    # Roll spread on a constant series: zero covariance -> NULL estimator
+    rs = {r["symbol"]: r for r in finance.roll_spread(ev).collect()}
+    if "A" in rs:
+        assert rs["A"]["roll_spread"] is None
+    # Black-Scholes with zero vol: NULL d1/prices, never a division error
+    for r in finance.black_scholes_pricer(ev).collect():
+        assert r["d1"] is None and r["call_price"] is None
+
+    src = SF_SMOKE
+    dst = str(tmp_path / "sf_empty5")
+    (tmp_path / "sf_empty5").mkdir()
+    for t in ["events", "documents", "orders", "lineitem", "customer",
+              "nation", "region", "embeddings", "part", "supplier"]:
+        df = spark.read.parquet(f"{src}/{t}.parquet").limit(0)
+        out_dir = str(tmp_path / f"{t}_w5")
+        df.coalesce(1).write.mode("overwrite").parquet(out_dir)
+        f = next(x for x in __import__("os").listdir(out_dir)
+                 if x.endswith(".parquet"))
+        shutil.move(f"{out_dir}/{f}", f"{dst}/{t}.parquet")
+    zero_rows = [
+        "amihud_illiquidity", "roll_spread", "var_cvar_report",
+        "black_scholes_pricer", "holt_forecast", "heikin_ashi",
+        "cusum_changepoints", "hurst_exponent", "order_window_activity",
+        "knn_label_vote", "centroid_silhouette", "kmeans_unrolled",
+        "nb_lang_classifier", "kama_adaptive_ma", "ulcer_index",
+        "domain_temperature_mixture", "gif_media_features",
+        "versioned_vacuum",
+    ]
+    for name in zero_rows:
+        assert registry.QUERIES[name](spark, dst).count() == 0, name
+    assert registry.QUERIES["ri_orphans"](spark, dst).count() == 7
+    assert registry.QUERIES["fd_check"](spark, dst).count() == 6
+    census = registry.QUERIES["session_graph_triangles"](spark, dst).collect()
+    assert len(census) == 1 and census[0]["n_edges"] == 0
