@@ -87,7 +87,8 @@ def main() -> None:
             return "dedup"
         if name.startswith(("ann_", "cosine_", "embedding_", "pca_",
                             "quantize_", "label_centroids", "cluster_",
-                            "retrieve_", "hybrid_")):
+                            "retrieve_", "hybrid_", "knn_", "centroid_",
+                            "kmeans_")):
             return "ann"
         if name.startswith(("bm25", "token_", "text_", "lang_", "bpe_",
                             "winnow", "doc_fingerprints", "top_terms",
@@ -95,7 +96,9 @@ def main() -> None:
                             "word_entropy", "unigram", "bigram", "ngram_",
                             "cross_entropy", "term_positions", "zipf",
                             "heavy_hitters", "chunk_", "boilerplate",
-                            "redact_", "media_", "png_", "corpus_")):
+                            "redact_", "media_", "png_", "gif_", "jpeg_",
+                            "wav_", "nb_lang", "corpus_",
+                            "domain_temperature")):
             return "text"
         return "batch"
 

@@ -1906,3 +1906,52 @@ def ulcer_index(events: DataFrame) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+def rolling_beta(events: DataFrame, n: int = 10) -> DataFrame:
+    """Rolling n-day beta of each symbol against the equal-weighted
+    market return: over the trailing n daily returns, beta =
+    cov(r_sym, r_mkt) / var(r_mkt) in moment form, emitted only where
+    the window is full (null-prefix convention).  The time-varying
+    refinement of beta_vs_market -- the number a risk desk actually
+    hedges with.  Numerator and denominator are quantized (12 dp) before
+    the ratio so the near-zero-variance decision cannot flip across
+    engines' accumulation order.
+
+    Scale: daily returns per symbol (one rollup + one lag window), a
+    broadcast join of the |days|-row market series, then one shared
+    (symbol, day) sort serving all four trailing-moment frames."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    daily = events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    rets = daily.select(
+        "symbol",
+        "day",
+        (F.col("c") / F.lag("c").over(w) - F.lit(1.0)).alias("rs"),
+    ).filter(F.col("rs").isNotNull())
+    mkt = rets.groupBy("day").agg(qround(F.avg("rs"), 9).alias("rm"))
+    joined = rets.join(F.broadcast(mkt), "day")
+    wn = Window.partitionBy("symbol").orderBy("day").rowsBetween(-(n - 1), 0)
+    cnt = F.count(F.lit(1)).over(wn)
+    num = F.avg(F.col("rs") * F.col("rm")).over(wn) - F.avg("rs").over(wn) * F.avg(
+        "rm"
+    ).over(wn)
+    den = F.avg(F.col("rm") * F.col("rm")).over(wn) - F.avg("rm").over(wn) * F.avg(
+        "rm"
+    ).over(wn)
+    num_q, den_q = qround(num, 12), qround(den, 12)
+    return (
+        joined.select(
+            "symbol",
+            "day",
+            cnt.alias("n_obs"),
+            F.when((cnt == n) & (den_q != 0), qround(num_q / den_q, 6)).alias(
+                "beta"
+            ),
+        )
+        .filter(F.col("n_obs") == n)
+        .orderBy("symbol", "day")
+    )

@@ -94,3 +94,53 @@ def zorder_write(
         .parquet(path)
     )
     return path
+
+
+def file_skipping_report(
+    spark, events, threshold: float = 450.0
+):
+    """Data-skipping audit: write the event table day-partitioned (one
+    file per day), read each file's parquet FOOTER min/max statistics
+    for the value column -- a pure metadata read, no data scan -- and
+    report, per file, whether the predicate ``value >= threshold`` could
+    skip it entirely (v_max < threshold).  This is the zone-map /
+    Delta-stats mechanic that lets a 100 TB scan touch only the files a
+    filter can hit; the oracle recomputes the per-day ranges from the
+    raw rows, proving the footer stats are exact.
+
+    Scale: the report is O(files) driver-side footer reads (the same
+    metadata path delete_where's pruning uses); the data writes once
+    through a day-repartition so each partition folder holds exactly one
+    file."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..scratch import scratch_dir
+    from .versioned import _file_column_range
+
+    out_dir = scratch_dir("rtfl_skip_")
+    (
+        events.withColumn("day", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+        .repartition("day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out_dir)
+    )
+    rows = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("day="):
+            continue
+        day = name.split("=", 1)[1]
+        pdir = os.path.join(out_dir, name)
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        assert len(files) == 1, f"expected one file per day partition, got {files}"
+        path = os.path.join(pdir, files[0])
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        rng = _file_column_range(path, "value")
+        rows.append((day, md.num_rows, rng[0], rng[1], rng[1] < threshold))
+    return spark.createDataFrame(
+        rows, "day string, n_rows long, v_min double, v_max double, can_skip boolean"
+    ).orderBy("day")

@@ -5645,6 +5645,109 @@ def q_versioned_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_cusum_monitor",
+    # The recursive s_t = max(0, s_{t-1} + y_t) via the prefix-sum
+    # identity s_t = S_t - min(0, min_j S_j): cumulative windows are
+    # incrementally evaluated in frame order on both engines, so the
+    # streaming GroupState fold (same identity, same op order) matches
+    # bit-for-bit.
+    f"""
+    WITH c1 AS (
+        SELECT event_type AS symbol, ts, event_id,
+               sum(value - 50.0 - 5.0) OVER w AS sp_sum,
+               sum(50.0 - value - 5.0) OVER w AS sn_sum
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    c2 AS (
+        SELECT symbol, sp_sum, sn_sum,
+               min(sp_sum) OVER w AS sp_min,
+               min(sn_sum) OVER w AS sn_min,
+               row_number() OVER (PARTITION BY symbol
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM c1
+        WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    c3 AS (
+        SELECT symbol, rn_d,
+               sp_sum - least(0.0, sp_min) AS sp,
+               sn_sum - least(0.0, sn_min) AS sn
+        FROM c2
+    )
+    SELECT symbol, count(*)::BIGINT AS n_events,
+           {_q('max(CASE WHEN rn_d = 1 THEN sp END)', 6)} AS cusum_pos,
+           {_q('max(CASE WHEN rn_d = 1 THEN sn END)', 6)} AS cusum_neg,
+           coalesce(sum(CASE WHEN floor(sp * 1000000.0 + 0.5) / 1000000.0 > 500.0
+                             THEN 1 END), 0)::BIGINT AS n_alarms_pos,
+           coalesce(sum(CASE WHEN floor(sn * 1000000.0 + 0.5) / 1000000.0 > 500.0
+                             THEN 1 END), 0)::BIGINT AS n_alarms_neg
+    FROM c3
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import streaming_cusum_roundtrip
+
+    return streaming_cusum_roundtrip(spark, sf_dir)
+
+
+@register(
+    "rolling_beta",
+    f"""
+    WITH {_DAILY_CLOSE_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               c / lag(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0 AS rs
+        FROM dclose
+    ),
+    nn AS (SELECT * FROM rets WHERE rs IS NOT NULL),
+    mkt AS (SELECT day, {_q('avg(rs)', 9)} AS rm FROM nn GROUP BY 1),
+    joined AS (SELECT n.symbol, n.day, n.rs, m.rm FROM nn n JOIN mkt m USING (day)),
+    mom AS (
+        SELECT symbol, day,
+               count(*) OVER wn AS n_obs,
+               {_q('avg(rs * rm) OVER wn - (avg(rs) OVER wn) * (avg(rm) OVER wn)', 12)} AS num_q,
+               {_q('avg(rm * rm) OVER wn - (avg(rm) OVER wn) * (avg(rm) OVER wn)', 12)} AS den_q
+        FROM joined
+        WINDOW wn AS (PARTITION BY symbol ORDER BY day
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, day, n_obs::BIGINT AS n_obs,
+           CASE WHEN n_obs = 10 AND den_q != 0 THEN {_q('num_q / den_q', 6)} END AS beta
+    FROM mom
+    WHERE n_obs = 10
+    ORDER BY symbol, day
+    """,
+)
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.rolling_beta(_events(spark, sf_dir))
+
+
+@register(
+    "file_skipping_report",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           count(*)::BIGINT AS n_rows,
+           min(value) AS v_min,
+           max(value) AS v_max,
+           max(value) < 450.0 AS can_skip
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_file_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.layout import file_skipping_report
+
+    return file_skipping_report(spark, _events(spark, sf_dir))
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

@@ -784,3 +784,125 @@ def streaming_expectation_gate_roundtrip(
         )
     )
     return passed.unionByName(failed).orderBy("status", "reason")
+
+
+# Streaming CUSUM monitor constants (fixed reference configuration: the
+# monitor watches drift against a DEPLOYED target, it does not re-estimate
+# it -- re-estimation is the batch cusum_changepoints query's job).
+CUSUM_MU = 50.0
+CUSUM_SLACK = 5.0
+CUSUM_H = 500.0
+
+CUSUM_OUTPUT_SCHEMA = (
+    "symbol string, n_events bigint, sp_raw double, sn_raw double,"
+    " n_alarms_pos bigint, n_alarms_neg bigint"
+)
+CUSUM_STATE_SCHEMA = (
+    "sp_sum double, sp_min double, sn_sum double, sn_min double,"
+    " n bigint, ap bigint, an bigint"
+)
+
+
+def _cusum_update(
+    key: tuple[str],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: Any,
+) -> Iterator[pd.DataFrame]:
+    """GroupState fold for the two-sided CUSUM.  The recursive statistic
+    s_t = max(0, s_{t-1} + y_t) is carried through the PREFIX-SUM
+    identity s_t = S_t - min(0, min_j S_j): state is (S, minS) per side
+    -- O(1), and the identical IEEE sequence as the oracle's window
+    formulation (a recursive max(0, .) fold would round differently)."""
+    if state.exists:
+        sp_sum, sp_min, sn_sum, sn_min, n, ap, an = state.get
+    else:
+        sp_sum = sp_min = sn_sum = sn_min = 0.0
+        n, ap, an = 0, 0, 0
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for x in pdf["value"]:
+            x = float(x)
+            sp_sum += x - CUSUM_MU - CUSUM_SLACK
+            sp_min = min(sp_min, sp_sum)
+            sn_sum += CUSUM_MU - x - CUSUM_SLACK
+            sn_min = min(sn_min, sn_sum)
+            n += 1
+            sp = sp_sum - min(0.0, sp_min)
+            sn = sn_sum - min(0.0, sn_min)
+            import math
+
+            if math.floor(sp * 1e6 + 0.5) / 1e6 > CUSUM_H:
+                ap += 1
+            if math.floor(sn * 1e6 + 0.5) / 1e6 > CUSUM_H:
+                an += 1
+    state.update((sp_sum, sp_min, sn_sum, sn_min, n, ap, an))
+    yield pd.DataFrame(
+        [
+            {
+                "symbol": key[0],
+                "n_events": n,
+                "sp_raw": sp_sum - min(0.0, sp_min),
+                "sn_raw": sn_sum - min(0.0, sn_min),
+                "n_alarms_pos": ap,
+                "n_alarms_neg": an,
+            }
+        ]
+    )
+
+
+def cusum_stream(events: DataFrame) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy(F.col("event_type")).applyInPandasWithState(
+        _cusum_update,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_cusum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided streaming CUSUM against a fixed deployed target: run the
+    stateful monitor over the events fixture as a genuine stream, append
+    update rows per micro-batch, return the latest row per symbol --
+    comparable bit-for-bit to the window-identity SQL oracle."""
+    from .silver import events_stream
+
+    out_dir = scratch_dir("rtfl_cusum_out_")
+    ckpt_dir = scratch_dir("rtfl_cusum_ckpt_")
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark) as ss:
+        q = (
+            cusum_stream(events_stream(ss, sf_dir))
+            .writeStream.foreachBatch(_append)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    raw = spark.read.parquet(out_dir)
+    w = Window.partitionBy("symbol").orderBy(F.col("n_events").desc())
+    return (
+        raw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "symbol",
+            "n_events",
+            (F.floor(F.col("sp_raw") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "cusum_pos"
+            ),
+            (F.floor(F.col("sn_raw") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "cusum_neg"
+            ),
+            "n_alarms_pos",
+            "n_alarms_neg",
+        )
+        .orderBy("symbol")
+    )
