@@ -1955,3 +1955,117 @@ def rolling_beta(events: DataFrame, n: int = 10) -> DataFrame:
         .filter(F.col("n_obs") == n)
         .orderBy("symbol", "day")
     )
+
+
+def drawdown_duration(events: DataFrame) -> DataFrame:
+    """Drawdown SPELL accounting per symbol (the duration complement of
+    ulcer_index/max_drawdown): a spell is a maximal run of days strictly
+    below the running peak close (gaps-and-islands over the underwater
+    flag).  Reports how many spells occurred, the longest one in trading
+    days, and whether the series ended underwater -- the
+    time-under-water numbers drawdown reports quote next to depth.
+
+    Scale: one day rollup, one shared (symbol, day) sort serving the
+    running-max, lag, and cumulative-spell windows (O(1) state each),
+    one symbol-cardinality aggregate."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    daily = events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = daily.select(
+        "symbol", "day", (F.col("c") < F.max("c").over(cum)).alias("uw")
+    )
+    new_spell = F.when(
+        F.col("uw") & ~F.coalesce(F.lag("uw").over(w), F.lit(False)), 1
+    ).otherwise(0)
+    spells = flagged.select(
+        "symbol",
+        "day",
+        "uw",
+        F.sum(new_spell).over(cum).alias("spell_id"),
+        F.row_number().over(Window.partitionBy("symbol").orderBy(F.col("day").desc()))
+        .alias("rn_d"),
+    )
+    lengths = (
+        spells.filter("uw")
+        .groupBy("symbol", "spell_id")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    per_sym = lengths.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_spells"),
+        F.max("len").alias("longest_drawdown_days"),
+    )
+    last = spells.filter(F.col("rn_d") == 1).select(
+        "symbol", F.col("uw").alias("currently_underwater")
+    )
+    base = daily.select("symbol").distinct()
+    return (
+        base.join(per_sym, "symbol", "left")
+        .join(last, "symbol")
+        .select(
+            "symbol",
+            F.coalesce(F.col("n_spells"), F.lit(0)).alias("n_spells"),
+            F.coalesce(F.col("longest_drawdown_days"), F.lit(0)).alias(
+                "longest_drawdown_days"
+            ),
+            "currently_underwater",
+        )
+        .orderBy("symbol")
+    )
+
+
+def cross_correlation_lags(events: DataFrame, max_lag: int = 3) -> DataFrame:
+    """Lead-lag cross-correlation between every symbol pair: for each
+    lag L in [-max_lag, +max_lag], the Pearson correlation of symbol A's
+    daily return on day d with symbol B's return on day d + L.  A peak
+    away from L = 0 is the classic lead-lag signature pairs-trading
+    screens hunt for.
+
+    Scale: daily returns once (rollup + lag window); the pair-lag frame
+    is |symbols|^2 x |lags| x |days| built by TWO broadcast joins (the
+    return table re-keyed by shifted day), aggregated in moment form at
+    pair-lag cardinality -- no per-pair passes, one shuffle."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    daily = events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    rets = daily.select(
+        "symbol",
+        "day",
+        (F.col("c") / F.lag("c").over(w) - F.lit(1.0)).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    lags = rets.sparkSession.createDataFrame(
+        [(int(l),) for l in range(-max_lag, max_lag + 1)], "lag int"
+    )
+    a = rets.select(
+        F.col("symbol").alias("symbol_a"), F.col("day").alias("day_a"),
+        F.col("r").alias("ra"),
+    ).crossJoin(F.broadcast(lags))
+    b = rets.select(
+        F.col("symbol").alias("symbol_b"), F.col("day").alias("day_b"),
+        F.col("r").alias("rb"),
+    )
+    paired = a.join(
+        F.broadcast(b),
+        (F.col("symbol_a") < F.col("symbol_b"))
+        & (
+            F.col("day_b")
+            == F.expr("day_a + make_interval(0, 0, 0, lag)")
+        ),
+    )
+    denom = F.stddev_pop("ra") * F.stddev_pop("rb")
+    return (
+        paired.groupBy("symbol_a", "symbol_b", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.when(denom != 0, qround(F.covar_pop("ra", "rb") / denom, 6)).alias(
+                "xcorr"
+            ),
+        )
+        .orderBy("symbol_a", "symbol_b", "lag")
+    )

@@ -767,3 +767,77 @@ def fd_check(tables: dict[str, DataFrame]) -> DataFrame:
         F.coalesce(F.col("n_violations"), F.lit(0)).alias("n_violations"),
         (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("holds"),
     ).orderBy("dependency")
+
+
+def kmv_set_ops(events: DataFrame, k: int = 64) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on KMV sketches, fully audited:
+    sketch the distinct clicking users (A) and purchasing users (B) as
+    their k smallest md5 hashes, estimate |A u B| from the union
+    sketch's k-th minimum, and |A n B| as rho * est_union where rho is
+    the fraction of union-sketch members present in BOTH sets -- the
+    standard mergeable-sketch algebra that answers audience-overlap
+    questions at 100 TB without ever materializing the sets.  md5 makes
+    every chosen hash engine-stable, so estimates AND exact values are
+    oracle-checkable side by side (the kmv_distinct_estimate template).
+
+    Scale: per-set dedup partial-aggregates map-side; bottom-k is a
+    WindowGroupLimit rank (O(k) per task before the exchange); the rho
+    membership join touches k rows against two hashed key sets."""
+    from ..functions.hashing import md5_long
+    from ..functions.numeric import qround
+
+    def _hashes(etype: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == etype)
+            .select(md5_long(F.col("user_id").cast("string")).alias("h"))
+            .distinct()
+        )
+
+    ha, hb = _hashes("click"), _hashes("purchase")
+    union_h = ha.unionAll(hb).distinct()
+    # global bottom-k via TakeOrdered (per-partition top-k then a k-row
+    # merge on the driver side of the exchange) -- NOT a global window,
+    # which would funnel every hash through one task
+    union_sketch = union_h.orderBy("h").limit(k)
+    in_a = union_sketch.join(ha.withColumnRenamed("h", "h_a"),
+                             F.col("h") == F.col("h_a"), "left")
+    in_ab = in_a.join(hb.withColumnRenamed("h", "h_b"),
+                      F.col("h") == F.col("h_b"), "left")
+    sk = in_ab.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("h_k"),
+        F.sum(
+            (F.col("h_a").isNotNull() & F.col("h_b").isNotNull()).cast("long")
+        ).alias("n_rho"),
+    )
+    exacts = (
+        union_h.agg(F.count(F.lit(1)).alias("exact_union"))
+        .crossJoin(
+            ha.join(hb, "h", "semi").agg(F.count(F.lit(1)).alias("exact_inter"))
+        )
+    )
+    est_union = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(1152921504606846976.0) / F.col("h_k")
+    )
+    est_inter = F.col("n_rho") / F.col("n_kept") * est_union
+    return (
+        sk.crossJoin(exacts)
+        .select(
+            F.lit(k).alias("k"),
+            "n_kept",
+            "n_rho",
+            qround(est_union, 4).alias("est_union"),
+            F.col("exact_union"),
+            qround(
+                F.when(
+                    F.col("exact_union") > 0,
+                    F.abs(est_union - F.col("exact_union")) / F.col("exact_union"),
+                ),
+                6,
+            ).alias("union_rel_error"),
+            qround(est_inter, 4).alias("est_intersection"),
+            F.col("exact_inter").alias("exact_intersection"),
+        )
+    )

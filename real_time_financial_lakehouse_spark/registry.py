@@ -5748,6 +5748,142 @@ def q_file_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_skipping_report(spark, _events(spark, sf_dir))
 
 
+@register(
+    "drawdown_duration",
+    f"""
+    WITH {_DAILY_CLOSE_SQL.strip()},
+    flagged AS (
+        SELECT symbol, day,
+               c < max(c) OVER (PARTITION BY symbol ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS uw
+        FROM dclose
+    ),
+    marked AS (
+        SELECT symbol, day, uw,
+               CASE WHEN uw AND NOT coalesce(lag(uw) OVER w, FALSE)
+                    THEN 1 ELSE 0 END AS new_spell
+        FROM flagged
+        WINDOW w AS (PARTITION BY symbol ORDER BY day)
+    ),
+    spells AS (
+        SELECT symbol, day, uw,
+               sum(new_spell) OVER (PARTITION BY symbol ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING) AS spell_id,
+               row_number() OVER (PARTITION BY symbol ORDER BY day DESC) AS rn_d
+        FROM marked
+    ),
+    lengths AS (
+        SELECT symbol, spell_id, count(*)::BIGINT AS len
+        FROM spells WHERE uw GROUP BY 1, 2
+    ),
+    per_sym AS (
+        SELECT symbol, count(*)::BIGINT AS n_spells,
+               max(len) AS longest_drawdown_days
+        FROM lengths GROUP BY 1
+    )
+    SELECT b.symbol,
+           coalesce(p.n_spells, 0)::BIGINT AS n_spells,
+           coalesce(p.longest_drawdown_days, 0)::BIGINT AS longest_drawdown_days,
+           l.uw AS currently_underwater
+    FROM (SELECT DISTINCT symbol FROM dclose) b
+    LEFT JOIN per_sym p USING (symbol)
+    JOIN (SELECT symbol, uw FROM spells WHERE rn_d = 1) l USING (symbol)
+    ORDER BY b.symbol
+    """,
+)
+def q_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.drawdown_duration(_events(spark, sf_dir))
+
+
+@register(
+    "cross_correlation_lags",
+    f"""
+    WITH {_DAILY_CLOSE_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               c / lag(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0 AS r
+        FROM dclose
+    ),
+    nn AS (SELECT * FROM rets WHERE r IS NOT NULL),
+    lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+    paired AS (
+        SELECT a.symbol AS symbol_a, b.symbol AS symbol_b, l.lag,
+               a.r AS ra, b.r AS rb
+        FROM nn a
+        CROSS JOIN lags l
+        JOIN nn b ON a.symbol < b.symbol
+                 AND b.day = a.day + l.lag * INTERVAL 1 DAY
+    )
+    SELECT symbol_a, symbol_b, lag::INT AS lag,
+           count(*)::BIGINT AS n_days,
+           CASE WHEN stddev_pop(ra) * stddev_pop(rb) != 0
+                THEN {_q('covar_pop(ra, rb) / (stddev_pop(ra) * stddev_pop(rb))', 6)}
+           END AS xcorr
+    FROM paired
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.cross_correlation_lags(_events(spark, sf_dir))
+
+
+@register(
+    "kmv_set_ops",
+    f"""
+    WITH ha AS (
+        SELECT DISTINCT (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT) AS h
+        FROM events WHERE event_type = 'click'
+    ),
+    hb AS (
+        SELECT DISTINCT (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT) AS h
+        FROM events WHERE event_type = 'purchase'
+    ),
+    uh AS (SELECT DISTINCT h FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)),
+    sk AS (SELECT h FROM uh ORDER BY h LIMIT 64),
+    flags AS (
+        SELECT s.h,
+               EXISTS (SELECT 1 FROM ha WHERE ha.h = s.h) AS in_a,
+               EXISTS (SELECT 1 FROM hb WHERE hb.h = s.h) AS in_b
+        FROM sk s
+    ),
+    agg AS (
+        SELECT count(*)::BIGINT AS n_kept, max(h) AS h_k,
+               coalesce(sum(CASE WHEN in_a AND in_b THEN 1 END), 0)::BIGINT AS n_rho
+        FROM flags
+    ),
+    ex AS (
+        SELECT (SELECT count(*) FROM uh)::BIGINT AS exact_union,
+               (SELECT count(*) FROM ha WHERE h IN (SELECT h FROM hb))::BIGINT
+                   AS exact_inter
+    ),
+    est AS (
+        SELECT a.*, e.*,
+               CASE WHEN a.n_kept < 64 THEN a.n_kept::DOUBLE
+                    ELSE 63.0 * 1152921504606846976.0 / a.h_k END AS est_union
+        FROM agg a, ex e
+    )
+    SELECT 64 AS k, n_kept, n_rho,
+           {_q('est_union', 4)} AS est_union,
+           exact_union,
+           CASE WHEN exact_union > 0
+                THEN {_q('abs(est_union - exact_union) / exact_union', 6)}
+           END AS union_rel_error,
+           {_q('n_rho / n_kept * est_union', 4)} AS est_intersection,
+           exact_inter AS exact_intersection
+    FROM est
+    """,
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profiling import kmv_set_ops
+
+    return kmv_set_ops(_events(spark, sf_dir), k=64)
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()
