@@ -2069,3 +2069,52 @@ def cross_correlation_lags(events: DataFrame, max_lag: int = 3) -> DataFrame:
         )
         .orderBy("symbol_a", "symbol_b", "lag")
     )
+
+
+def stl_weekly_decompose(events: DataFrame) -> DataFrame:
+    """STL-lite weekly decomposition of the daily value total per
+    symbol: trend = centered 7-day moving average (full windows only),
+    seasonal = day-of-week mean of the detrended series, residual = the
+    rest.  The additive decomposition an anomaly detector subtracts
+    before alerting on daily volumes.  Every component is quantized
+    before feeding the next step, so both engines derive the identical
+    decomposition.
+
+    Scale: one day rollup, one centered window over the (symbol, day)
+    sort, one |symbol x 7| seasonal aggregate broadcast back -- nothing
+    data-sized after the first shuffle."""
+    daily = events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.sum("value").alias("x"))
+    wc = Window.partitionBy("symbol").orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "symbol",
+        "day",
+        "x",
+        (F.dayofweek("day") - 1).alias("dow"),
+        F.when(
+            F.count(F.lit(1)).over(wc) == 7, qround(F.avg("x").over(wc), 6)
+        ).alias("trend"),
+    )
+    seasonal = (
+        trended.filter(F.col("trend").isNotNull())
+        .groupBy("symbol", "dow")
+        .agg(qround(F.avg(F.col("x") - F.col("trend")), 6).alias("seasonal"))
+    )
+    return (
+        trended.filter(F.col("trend").isNotNull())
+        .join(F.broadcast(seasonal), ["symbol", "dow"])
+        .select(
+            "symbol",
+            "day",
+            F.col("dow").cast("int").alias("dow"),
+            qround(F.col("x"), 6).alias("x"),
+            "trend",
+            "seasonal",
+            qround(
+                F.col("x") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+        .orderBy("symbol", "day")
+    )

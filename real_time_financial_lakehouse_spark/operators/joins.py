@@ -1171,3 +1171,31 @@ def order_window_activity(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+def shipping_delay_stats(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Fulfillment-latency profile per order priority: days from order
+    date to each lineitem's ship date, reduced to count / mean / p95 /
+    max -- the supply-chain SLA readout a TPC-H-shaped warehouse serves
+    daily.
+
+    Scale: one fact-to-fact equi-join on the order key (SMJ/AQE) with
+    only three columns projected from each side; the distribution then
+    collapses at |priorities| cardinality."""
+    joined = lineitem.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            qround(F.avg(delay), 4).alias("avg_delay_days"),
+            qround(F.expr(
+                "percentile(datediff(l_shipdate, o_orderdate), 0.95)"
+            ), 4).alias("p95_delay_days"),
+            F.max(delay).alias("max_delay_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

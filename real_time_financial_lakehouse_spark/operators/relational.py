@@ -341,3 +341,57 @@ def customer_rfm(orders: DataFrame, n_tiles: int = 4) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+def funnel_time_to_convert(events: DataFrame) -> DataFrame:
+    """Conversion-latency summary for the view -> purchase funnel: per
+    user, the time from the FIRST view to the FIRST purchase at or
+    after it; reported as one summary row -- viewers, converters,
+    conversion rate, and the median / p90 / max latency in minutes.
+    The product-analytics complement of funnel_counts (which counts
+    stages; this measures how long conversion takes).
+
+    Scale: two partial-aggregable per-user min-timestamp rollups and a
+    user-cardinality join; the latency distribution aggregates straight
+    to one row, so nothing beyond the first shuffle is data-sized."""
+    views = events.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t_p")
+    )
+    conv = (
+        views.join(purchases, "user_id")
+        .filter(F.col("t_p") >= F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("t_p").alias("t_purchase"))
+        .select(
+            "user_id",
+            (
+                (F.unix_micros("t_purchase") - F.unix_micros("t_view"))
+                / F.lit(60_000_000.0)
+            ).alias("latency_min"),
+        )
+    )
+    n_viewers = views.agg(F.count(F.lit(1)).alias("n_viewers"))
+    return (
+        conv.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.expr("percentile(latency_min, 0.5)").alias("med_raw"),
+            F.expr("percentile(latency_min, 0.9)").alias("p90_raw"),
+            F.max("latency_min").alias("max_raw"),
+        )
+        .crossJoin(F.broadcast(n_viewers))
+        .select(
+            "n_viewers",
+            "n_converted",
+            # ANSI-safe: zero viewers reports NULL rate, not DIVIDE_BY_ZERO
+            F.when(
+                F.col("n_viewers") > 0,
+                qround(F.col("n_converted") / F.col("n_viewers"), 6),
+            ).alias("conversion_rate"),
+            qround(F.col("med_raw"), 4).alias("median_minutes"),
+            qround(F.col("p90_raw"), 4).alias("p90_minutes"),
+            qround(F.col("max_raw"), 4).alias("max_minutes"),
+        )
+    )

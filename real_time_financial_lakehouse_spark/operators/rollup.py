@@ -17,7 +17,7 @@ partition count coalesces to fit the actual group count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import qround
@@ -379,4 +379,41 @@ def seasonal_baseline(events: DataFrame) -> DataFrame:
             ).alias("vs_symbol_mean"),
         )
         .orderBy("symbol", "hour_of_day")
+    )
+
+
+def revenue_gini(orders: DataFrame) -> DataFrame:
+    """Revenue-concentration report over customers: the Gini coefficient
+    of per-customer order revenue (rank-sum form,
+    G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x)) over the
+    ascending-sorted series) plus the share held by the top decile --
+    the Pareto readout behind every key-account analysis.
+
+    Scale: one partial-agg groupBy to customer cardinality, ONE global
+    sort for the rank (rank-sum needs a total order; at 100 TB the same
+    formula runs on range-partitioned rank offsets), then a single-row
+    aggregate."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    w = Window.orderBy("x", "o_custkey")
+    ranked = per_cust.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    k = F.floor(F.lit(0.1) * F.col("n"))
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        qround(F.sum("x"), 2).alias("total_revenue"),
+        qround(
+            (F.lit(2.0) * F.sum(F.col("i") * F.col("x"))
+             - (F.max("n") + 1) * F.sum("x"))
+            / (F.max("n") * F.sum("x")),
+            6,
+        ).alias("gini"),
+        qround(
+            F.sum(F.when(F.col("i") > F.col("n") - k, F.col("x"))) / F.sum("x"),
+            6,
+        ).alias("top_decile_share"),
     )

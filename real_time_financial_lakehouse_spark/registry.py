@@ -5884,6 +5884,122 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(_events(spark, sf_dir), k=64)
 
 
+@register(
+    "stl_weekly_decompose",
+    f"""
+    WITH daily AS (
+        SELECT event_type AS symbol, date_trunc('day', ts) AS day,
+               sum(value) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT symbol, day, x, dayofweek(day) AS dow,
+               CASE WHEN count(*) OVER wc = 7
+                    THEN {_q('avg(x) OVER wc', 6)} END AS trend
+        FROM daily
+        WINDOW wc AS (PARTITION BY symbol ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seasonal AS (
+        SELECT symbol, dow, {_q('avg(x - trend)', 6)} AS seasonal
+        FROM trended WHERE trend IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT t.symbol, t.day, t.dow::INT AS dow,
+           {_q('t.x', 6)} AS x, t.trend, s.seasonal,
+           {_q('t.x - t.trend - s.seasonal', 6)} AS residual
+    FROM trended t JOIN seasonal s USING (symbol, dow)
+    WHERE t.trend IS NOT NULL
+    ORDER BY 1, 2
+    """,
+)
+def q_stl_weekly_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.stl_weekly_decompose(_events(spark, sf_dir))
+
+
+@register(
+    "funnel_time_to_convert",
+    f"""
+    WITH views AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    conv AS (
+        SELECT v.user_id,
+               (epoch_us(min(e.ts)) - epoch_us(v.t_view)) / 60000000.0::DOUBLE
+                   AS latency_min
+        FROM views v
+        JOIN events e ON e.user_id = v.user_id
+                     AND e.event_type = 'purchase' AND e.ts >= v.t_view
+        GROUP BY v.user_id, v.t_view
+    ),
+    ca AS (
+        SELECT count(*)::BIGINT AS n_converted,
+               {_q('quantile_cont(latency_min, 0.5)', 4)} AS median_minutes,
+               {_q('quantile_cont(latency_min, 0.9)', 4)} AS p90_minutes,
+               {_q('max(latency_min)', 4)} AS max_minutes
+        FROM conv
+    ),
+    nv AS (SELECT count(*)::BIGINT AS n_viewers FROM views)
+    SELECT nv.n_viewers, ca.n_converted,
+           CASE WHEN nv.n_viewers > 0
+                THEN {_q('ca.n_converted / nv.n_viewers', 6)}
+           END AS conversion_rate,
+           ca.median_minutes, ca.p90_minutes, ca.max_minutes
+    FROM ca, nv
+    """,
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import funnel_time_to_convert
+
+    return funnel_time_to_convert(_events(spark, sf_dir))
+
+
+@register(
+    "shipping_delay_stats",
+    f"""
+    SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+           {_q("avg(date_diff('day', o_orderdate, l_shipdate))", 4)} AS avg_delay_days,
+           {_q("quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.95)", 4)} AS p95_delay_days,
+           max(date_diff('day', o_orderdate, l_shipdate))::INT AS max_delay_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_shipping_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import shipping_delay_stats
+
+    return shipping_delay_stats(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "revenue_gini",
+    f"""
+    WITH per_cust AS (
+        SELECT o_custkey, sum(o_totalprice) AS x FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i,
+               count(*) OVER () AS n
+        FROM per_cust
+    )
+    SELECT max(n)::BIGINT AS n_customers,
+           {_q('sum(x)', 2)} AS total_revenue,
+           {_q('(2.0 * sum(i * x) - (max(n) + 1) * sum(x)) / (max(n) * sum(x))', 6)} AS gini,
+           {_q('sum(CASE WHEN i > n - floor(0.1::DOUBLE * n) THEN x END) / sum(x)', 6)} AS top_decile_share
+    FROM ranked
+    """,
+)
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rollup import revenue_gini
+
+    return revenue_gini(load_table(spark, sf_dir, "orders"))
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()
