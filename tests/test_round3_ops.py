@@ -1063,7 +1063,10 @@ def test_round5_continuation_ops_tolerate_degenerates_and_empty(spark, tmp_path)
         "knn_label_vote", "centroid_silhouette", "kmeans_unrolled",
         "nb_lang_classifier", "kama_adaptive_ma", "ulcer_index",
         "domain_temperature_mixture", "gif_media_features",
-        "versioned_vacuum",
+        "versioned_vacuum", "streaming_cusum_monitor", "rolling_beta",
+        "file_skipping_report", "drawdown_duration",
+        "cross_correlation_lags", "stl_weekly_decompose",
+        "shipping_delay_stats",
     ]
     for name in zero_rows:
         assert registry.QUERIES[name](spark, dst).count() == 0, name
@@ -1071,3 +1074,9 @@ def test_round5_continuation_ops_tolerate_degenerates_and_empty(spark, tmp_path)
     assert registry.QUERIES["fd_check"](spark, dst).count() == 6
     census = registry.QUERIES["session_graph_triangles"](spark, dst).collect()
     assert len(census) == 1 and census[0]["n_edges"] == 0
+    # single-row summary ops keep their one-row shape on empty input
+    sk = registry.QUERIES["kmv_set_ops"](spark, dst).collect()
+    assert len(sk) == 1 and sk[0]["n_kept"] == 0
+    fc = registry.QUERIES["funnel_time_to_convert"](spark, dst).collect()
+    assert len(fc) == 1 and fc[0]["n_viewers"] == 0 and fc[0]["conversion_rate"] is None
+    assert registry.QUERIES["revenue_gini"](spark, dst).count() == 1
