@@ -40,13 +40,13 @@ _EXECUTES_ON_BUILD = (
     "bpe_train_merges", "bpe_encode_report", "dedup_clusters",
     "fuzzy_dedup_keep", "semantic_dedup_keep", "minhash_jaccard_estimate",
     "incremental_dedup", "bloom_incremental_dedup", "dedup_funnel",
-    "user_zscores", "pack_sequences",
+    "user_zscores", "pack_sequences", "file_skipping_report",
 )
 
 # the one named slow-path twin allowed to cross the Python boundary
 _PYTHON_ALLOWED = {"term_positions_udtf", "media_feature_summary",
                    "png_media_features", "jpeg_media_features",
-                   "wav_media_features"}
+                   "wav_media_features", "gif_media_features"}
 
 
 def main() -> int:
