@@ -1199,3 +1199,52 @@ def shipping_delay_stats(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def scd2_point_in_time_join(events: DataFrame) -> DataFrame:
+    """Point-in-time (SCD2) dimension join: rebuild each user's state
+    history from the non-purchase event stream (contiguous runs of the
+    same event_type = validity intervals, the user_state_history
+    build), then join every PURCHASE to the state interval it fell in
+    -- "what state was this user in at the moment they bought?", the
+    correctness-critical join a latest-state table silently gets wrong.
+    Purchases before a user's first state row are reported under the
+    NULL state (left join), so the output accounts for every purchase.
+
+    Scale: the interval build is the one-exchange user_state_history
+    shape; the PIT join is an equi-join on user_id with the interval
+    predicate as a residual filter -- per-user interval counts are
+    small (runs, not events), so the join never expands.  Output
+    collapses to |states| cardinality."""
+    from .windows import user_state_history
+
+    states = user_state_history(
+        events.filter(F.col("event_type") != "purchase")
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    joined = purchases.join(
+        states,
+        (purchases["user_id"] == states["user_id"])
+        & (F.col("valid_from") <= F.col("p_ts"))
+        & (F.col("valid_to").isNull() | (F.col("p_ts") < F.col("valid_to"))),
+        "left",
+    )
+    mins = (F.unix_micros("p_ts") - F.unix_micros("valid_from")) / F.lit(
+        60_000_000.0
+    )
+    return (
+        joined.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            qround(F.sum("p_value"), 2).alias("total_value"),
+            qround(F.avg(mins), 4).alias("avg_minutes_in_state"),
+        )
+        .orderBy("state")
+    )

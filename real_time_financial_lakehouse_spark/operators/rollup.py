@@ -417,3 +417,48 @@ def revenue_gini(orders: DataFrame) -> DataFrame:
             6,
         ).alias("top_decile_share"),
     )
+
+
+def cohort_ltv(orders: DataFrame) -> DataFrame:
+    """Customer-lifetime-value curve by acquisition cohort: customers
+    cohorted by first-order year, revenue accumulated by years since
+    acquisition, normalized per cohort member -- the LTV triangle a
+    finance team projects payback from (the orders-side complement of
+    the events-side retention_cohorts).
+
+    Scale: first-order year is one partial-agg rollup at customer
+    cardinality, joined back to orders on the customer key; the curve
+    itself lives at |cohort x offset| cardinality with one cumulative
+    window."""
+    first = orders.groupBy("o_custkey").agg(
+        F.year(F.min("o_orderdate")).alias("cohort_year")
+    )
+    sized = first.groupBy("cohort_year").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    placed = orders.join(first, "o_custkey").select(
+        "cohort_year",
+        (F.year("o_orderdate") - F.col("cohort_year")).alias("year_offset"),
+        "o_totalprice",
+    )
+    curve = placed.groupBy("cohort_year", "year_offset").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("rev_raw"),
+    )
+    wc = Window.partitionBy("cohort_year").orderBy("year_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        curve.join(F.broadcast(sized), "cohort_year")
+        .select(
+            "cohort_year",
+            "year_offset",
+            "n_customers",
+            "n_orders",
+            qround(F.col("rev_raw"), 2).alias("revenue"),
+            qround(
+                F.sum("rev_raw").over(wc) / F.col("n_customers"), 2
+            ).alias("cum_ltv_per_customer"),
+        )
+        .orderBy("cohort_year", "year_offset")
+    )

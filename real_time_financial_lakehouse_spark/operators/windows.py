@@ -616,3 +616,73 @@ def session_graph_triangles(events: DataFrame, gap_min: int = 30) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+def association_rules(events: DataFrame, gap_min: int = 30) -> DataFrame:
+    """Market-basket association rules over session type-sets: for every
+    ORDERED pair of event types co-occurring in a session, the standard
+    support / confidence / lift triple (lift > 1 = the pair attracts,
+    < 1 = repels) -- the directional complement of session_event_pmi's
+    symmetric score.
+
+    Scale: same sessionization + distinct-type-set collapse as the PMI
+    query (pair expansion inside the bounded per-session array, never a
+    row self-join); all metrics compute at type-pair cardinality."""
+    from pyspark.sql import Window as W
+
+    from ..functions.numeric import qround
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(
+        gap.isNull() | (gap >= gap_min * 60 * 1_000_000), 1
+    ).otherwise(0)
+    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sess = events.select(
+        "user_id", "event_type", F.sum(new_sess).over(cum).alias("sess_no")
+    )
+    st = sess.select("user_id", "sess_no", "event_type").distinct()
+    n_total = st.select("user_id", "sess_no").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    singles = st.groupBy(F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    pairs = (
+        st.alias("a")
+        .join(
+            st.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sess_no") == F.col("b.sess_no"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(singles.withColumnRenamed("t", "antecedent")
+                        .withColumnRenamed("n_t", "n_ante")),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(singles.withColumnRenamed("t", "consequent")
+                        .withColumnRenamed("n_t", "n_cons")),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    conf = F.col("n_both") / F.col("n_ante")
+    return enriched.select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        qround(F.col("n_both") / F.col("n_sessions"), 6).alias("support"),
+        qround(conf, 6).alias("confidence"),
+        qround(conf / (F.col("n_cons") / F.col("n_sessions")), 6).alias("lift"),
+    ).orderBy("antecedent", "consequent")

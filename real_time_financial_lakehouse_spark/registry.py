@@ -6000,6 +6000,136 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revenue_gini(load_table(spark, sf_dir, "orders"))
 
 
+@register(
+    "scd2_point_in_time_join",
+    f"""
+    WITH src AS (SELECT * FROM events WHERE event_type != 'purchase'),
+    runsrc AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w != event_type
+                    THEN 1 ELSE 0 END AS new_run
+        FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT *, sum(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM runsrc
+    ),
+    agg AS (
+        SELECT user_id, run_id, event_type, min(ts) AS valid_from
+        FROM runs GROUP BY 1, 2, 3
+    ),
+    states AS (
+        SELECT user_id, event_type AS state, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from, run_id) AS valid_to
+        FROM agg
+    ),
+    purch AS (SELECT user_id, ts AS p_ts, value AS p_value
+              FROM events WHERE event_type = 'purchase'),
+    joined AS (
+        SELECT s.state, p.p_value,
+               (epoch_us(p.p_ts) - epoch_us(s.valid_from)) / 60000000.0::DOUBLE
+                   AS mins
+        FROM purch p
+        LEFT JOIN states s ON s.user_id = p.user_id
+             AND s.valid_from <= p.p_ts
+             AND (s.valid_to IS NULL OR p.p_ts < s.valid_to)
+    )
+    SELECT state, count(*)::BIGINT AS n_purchases,
+           {_q('sum(p_value)', 2)} AS total_value,
+           {_q('avg(mins)', 4)} AS avg_minutes_in_state
+    FROM joined GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import scd2_point_in_time_join
+
+    return scd2_point_in_time_join(_events(spark, sf_dir))
+
+
+@register(
+    "association_rules",
+    f"""
+    WITH s AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM s
+    ),
+    st AS (SELECT DISTINCT user_id, sess_no, event_type FROM sess),
+    nt AS (SELECT count(*)::BIGINT AS n_sessions
+           FROM (SELECT DISTINCT user_id, sess_no FROM st)),
+    singles AS (SELECT event_type AS t, count(*)::BIGINT AS n_t
+                FROM st GROUP BY 1),
+    pairs AS (
+        SELECT a.event_type AS antecedent, b.event_type AS consequent,
+               count(*)::BIGINT AS n_both
+        FROM st a
+        JOIN st b ON a.user_id = b.user_id AND a.sess_no = b.sess_no
+                 AND a.event_type != b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.antecedent, p.consequent, p.n_both,
+           {_q('p.n_both / nt.n_sessions', 6)} AS support,
+           {_q('p.n_both / sa.n_t', 6)} AS confidence,
+           {_q('(p.n_both / sa.n_t) / (sc.n_t / nt.n_sessions)', 6)} AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.t = p.antecedent
+    JOIN singles sc ON sc.t = p.consequent
+    CROSS JOIN nt
+    ORDER BY 1, 2
+    """,
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import association_rules
+
+    return association_rules(_events(spark, sf_dir))
+
+
+@register(
+    "cohort_ltv",
+    f"""
+    WITH fo AS (
+        SELECT o_custkey, year(min(o_orderdate)) AS cohort_year
+        FROM orders GROUP BY 1
+    ),
+    sized AS (SELECT cohort_year, count(*)::BIGINT AS n_customers
+              FROM fo GROUP BY 1),
+    placed AS (
+        SELECT f.cohort_year,
+               year(o.o_orderdate) - f.cohort_year AS year_offset,
+               o.o_totalprice
+        FROM orders o JOIN fo f USING (o_custkey)
+    ),
+    curve AS (
+        SELECT cohort_year, year_offset, count(*)::BIGINT AS n_orders,
+               sum(o_totalprice) AS rev_raw
+        FROM placed GROUP BY 1, 2
+    )
+    SELECT c.cohort_year, c.year_offset, s.n_customers, c.n_orders,
+           {_q('c.rev_raw', 2)} AS revenue,
+           {_q('''sum(c.rev_raw) OVER (PARTITION BY c.cohort_year ORDER BY c.year_offset
+                                       ROWS UNBOUNDED PRECEDING) / s.n_customers''', 2)} AS cum_ltv_per_customer
+    FROM curve c JOIN sized s USING (cohort_year)
+    ORDER BY 1, 2
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rollup import cohort_ltv
+
+    return cohort_ltv(load_table(spark, sf_dir, "orders"))
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()
