@@ -2118,3 +2118,74 @@ def stl_weekly_decompose(events: DataFrame) -> DataFrame:
         )
         .orderBy("symbol", "day")
     )
+
+
+def bootstrap_mean_ci(events: DataFrame, n_boot: int = 200) -> DataFrame:
+    """Bootstrap confidence interval for each symbol's mean daily
+    return, with the resampling made DETERMINISTIC: resample b draws
+    its i-th observation by md5(symbol:b:i) mod n -- a frozen random
+    source both engines reproduce bit-for-bit, so even the Monte-Carlo
+    distribution is oracle-exact.  The CI bounds are rank-based order
+    statistics of the bootstrap means (2.5% / 97.5%), not interpolated.
+
+    Scale: the series collapses to one array row per symbol; the B
+    resample means are per-row array folds (B x n index hashes inside
+    codegen), and the rank selection runs at |symbol x B| cardinality."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    daily = events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    rets = daily.select(
+        "symbol",
+        "day",
+        (F.col("c") / F.lag("c").over(w) - F.lit(1.0)).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    series = rets.groupBy("symbol").agg(
+        F.expr("transform(array_sort(collect_list(struct(day, r))), s -> s.r)")
+        .alias("xs")
+    ).filter(F.size("xs") >= 2)
+    # conv() returns STRING -- cast to bigint BEFORE the mod, or Spark
+    # coerces through double and 60-bit hashes lose low bits (> 2^53)
+    idx = (
+        "cast(1 + pmod(cast(conv(substring(md5(concat_ws(':', symbol,"
+        " cast(b as string), cast(i as string))), 1, 15), 16, 10) as bigint),"
+        " cast(size(xs) as bigint)) as int)"
+    )
+    booted = series.select(
+        "symbol",
+        F.size("xs").alias("n_days"),
+        qround(
+            F.expr("aggregate(xs, 0D, (acc, x) -> acc + x) / size(xs)"), 6
+        ).alias("mean_return"),
+        "xs",
+        F.explode(F.expr(f"sequence(1, {n_boot})")).alias("b"),
+    )
+    bmean = (
+        "aggregate(transform(sequence(1, size(xs)),"
+        f" i -> element_at(xs, {idx})), 0D, (acc, x) -> acc + x) / size(xs)"
+    )
+    means = booted.select(
+        "symbol", "n_days", "mean_return", "b", F.expr(bmean).alias("bm")
+    )
+    lo_k = max(1, int(0.025 * n_boot))
+    hi_k = int(0.975 * n_boot)
+    ranked = means.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("symbol").orderBy(qround(F.col("bm"), 9), "b")
+        ),
+    )
+    return (
+        ranked.groupBy("symbol", "n_days", "mean_return")
+        .agg(
+            qround(F.max(F.when(F.col("rk") == lo_k, F.col("bm"))), 6).alias(
+                "ci_low"
+            ),
+            qround(F.max(F.when(F.col("rk") == hi_k, F.col("bm"))), 6).alias(
+                "ci_high"
+            ),
+        )
+        .orderBy("symbol")
+    )

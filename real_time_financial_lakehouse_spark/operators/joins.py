@@ -1248,3 +1248,52 @@ def scd2_point_in_time_join(events: DataFrame) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+def copurchase_pairs(
+    lineitem: DataFrame, part: DataFrame, topn: int = 20
+) -> DataFrame:
+    """Top co-purchased part pairs: parts appearing on the same order,
+    counted across orders -- the retail affinity query behind
+    bought-together recommendations.  Pair expansion happens INSIDE each
+    order's sorted distinct-part array (orders hold a handful of lines,
+    so the blowup is bounded per row -- the _pairs_within_bucket
+    discipline, never a row-level self-join of the fact table); the
+    global top-N is a TakeOrdered, not a global window.
+
+    Scale: one groupBy to order cardinality, bounded in-array expansion,
+    one partial-agg count at pair cardinality, a 20-row broadcast name
+    join at the end."""
+    sets = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.expr("array_sort(collect_set(l_partkey))").alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    pairs_expr = (
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2,"
+        " size(ps)), y -> named_struct('pa', x, 'pb', y))))"
+    )
+    counts = (
+        sets.select(F.explode(F.expr(pairs_expr)).alias("e"))
+        .select(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    top = counts.orderBy(F.col("n_orders").desc(), "pa", "pb").limit(topn)
+    w = Window.orderBy(F.col("n_orders").desc(), "pa", "pb")
+    names = part.select("p_partkey", "p_name")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .join(
+            F.broadcast(names.withColumnRenamed("p_partkey", "pa")
+                        .withColumnRenamed("p_name", "name_a")),
+            "pa",
+        )
+        .join(
+            F.broadcast(names.withColumnRenamed("p_partkey", "pb")
+                        .withColumnRenamed("p_name", "name_b")),
+            "pb",
+        )
+        .select("rank", "pa", "pb", "name_a", "name_b", "n_orders")
+        .orderBy("rank")
+    )

@@ -841,3 +841,60 @@ def kmv_set_ops(events: DataFrame, k: int = 64) -> DataFrame:
             F.col("exact_inter").alias("exact_intersection"),
         )
     )
+
+
+def ks_two_sample(events: DataFrame, split_ts: str = "2024-01-16") -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per symbol: the first
+    half of the month vs the second, KS statistic = max |ECDF1 - ECDF2|
+    evaluated at every distinct observed value from cumulative INTEGER
+    counts (exact on both engines -- no float accumulation anywhere
+    until the final ratios), with the alpha=0.05 decision against the
+    asymptotic critical value 1.36 * sqrt((n+m)/(n*m)).  The classic
+    distribution-shift gate next to psi_drift's binned score.
+
+    Scale: one groupBy to (symbol, value) cardinality with split counts,
+    one cumulative window over the per-symbol sorted values, one
+    symbol-cardinality max -- the ECDFs are never materialized row-wise."""
+    from ..functions.numeric import qround
+
+    from pyspark.sql import Window
+
+    split = F.lit(split_ts).cast("timestamp")
+    counted = events.groupBy(
+        F.col("event_type").alias("symbol"), "value"
+    ).agg(
+        F.sum((F.col("ts") < split).cast("long")).alias("c1"),
+        F.sum((F.col("ts") >= split).cast("long")).alias("c2"),
+    )
+    w = Window.partitionBy("symbol").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("symbol")
+    cum = counted.select(
+        "symbol",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+        F.sum("c1").over(tot).alias("n"),
+        F.sum("c2").over(tot).alias("m"),
+    )
+    diff = F.abs(
+        F.col("cum1") / F.col("n") - F.col("cum2") / F.col("m")
+    )
+    per_sym = cum.filter((F.col("n") > 0) & (F.col("m") > 0)).groupBy(
+        "symbol"
+    ).agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        qround(F.max(diff), 6).alias("ks_stat"),
+    )
+    crit = F.lit(1.36) * F.sqrt(
+        (F.col("n") + F.col("m")) / (F.col("n") * F.col("m"))
+    )
+    return per_sym.select(
+        "symbol",
+        "n",
+        "m",
+        "ks_stat",
+        qround(crit, 6).alias("critical_05"),
+        (F.col("ks_stat") > qround(crit, 6)).alias("drift_detected"),
+    ).orderBy("symbol")

@@ -6130,6 +6130,114 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_ltv(load_table(spark, sf_dir, "orders"))
 
 
+@register(
+    "ks_two_sample",
+    f"""
+    WITH counted AS (
+        SELECT event_type AS symbol, value,
+               count(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END)::BIGINT AS c1,
+               count(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END)::BIGINT AS c2
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT symbol,
+               sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2,
+               sum(c1) OVER t AS n, sum(c2) OVER t AS m
+        FROM counted
+        WINDOW w AS (PARTITION BY symbol ORDER BY value ROWS UNBOUNDED PRECEDING),
+               t AS (PARTITION BY symbol)
+    ),
+    per AS (
+        SELECT symbol, max(n)::BIGINT AS n, max(m)::BIGINT AS m,
+               {_q('max(abs(cum1 / n - cum2 / m))', 6)} AS ks_stat
+        FROM cum WHERE n > 0 AND m > 0
+        GROUP BY 1
+    )
+    SELECT symbol, n, m, ks_stat,
+           {_q('1.36 * sqrt((n + m) / (n * m))', 6)} AS critical_05,
+           ks_stat > {_q('1.36 * sqrt((n + m) / (n * m))', 6)} AS drift_detected
+    FROM per ORDER BY 1
+    """,
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profiling import ks_two_sample
+
+    return ks_two_sample(_events(spark, sf_dir))
+
+
+@register(
+    "bootstrap_mean_ci",
+    f"""
+    WITH {_DAILY_CLOSE_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               c / lag(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0 AS r
+        FROM dclose
+    ),
+    nn AS (SELECT * FROM rets WHERE r IS NOT NULL),
+    series AS (
+        SELECT symbol, list(r ORDER BY day) AS xs FROM nn GROUP BY 1
+        HAVING count(*) >= 2
+    ),
+    booted AS (
+        SELECT symbol, len(xs)::INT AS n_days,
+               {_q('list_reduce(list_prepend(0.0::DOUBLE, xs), (acc, x) -> acc + x) / len(xs)', 6)} AS mean_return,
+               xs, t.b
+        FROM series CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS b) t
+    ),
+    means AS (
+        SELECT symbol, n_days, mean_return, b,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(generate_series(1, len(xs)),
+                       i -> xs[1 + (('0x' || substr(md5(symbol || ':' || b::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % len(xs))])),
+                   (acc, x) -> acc + x) / len(xs) AS bm
+        FROM booted
+    ),
+    ranked AS (
+        SELECT symbol, n_days, mean_return, bm,
+               row_number() OVER (PARTITION BY symbol
+                                  ORDER BY {_q('bm', 9)}, b) AS rk
+        FROM means
+    )
+    SELECT symbol, n_days, mean_return,
+           {_q('max(CASE WHEN rk = 5 THEN bm END)', 6)} AS ci_low,
+           {_q('max(CASE WHEN rk = 195 THEN bm END)', 6)} AS ci_high
+    FROM ranked GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+)
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.bootstrap_mean_ci(_events(spark, sf_dir))
+
+
+@register(
+    "copurchase_pairs",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pc AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*)::BIGINT AS n_orders
+        FROM op a
+        JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    top AS (SELECT * FROM pc ORDER BY n_orders DESC, pa, pb LIMIT 20)
+    SELECT row_number() OVER (ORDER BY n_orders DESC, pa, pb) AS rank,
+           pa, pb, px.p_name AS name_a, py.p_name AS name_b, n_orders
+    FROM top
+    JOIN part px ON px.p_partkey = pa
+    JOIN part py ON py.p_partkey = pb
+    ORDER BY rank
+    """,
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import copurchase_pairs
+
+    return copurchase_pairs(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()
