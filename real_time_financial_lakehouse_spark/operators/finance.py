@@ -2189,3 +2189,34 @@ def bootstrap_mean_ci(events: DataFrame, n_boot: int = 200) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+def ichimoku_cloud(events: DataFrame) -> DataFrame:
+    """Ichimoku Kinko Hyo lines over minute bars: tenkan (9-bar
+    midpoint of high/low range), kijun (26-bar), senkou A (their mean)
+    and senkou B (52-bar midpoint) -- emitted only where each window is
+    full (null-prefix convention), which also makes the cloud columns
+    NULL-honest on short series.
+
+    Scale: all four range windows share ONE (symbol, minute) sort; each
+    frame is a bounded ROWS window (max/min, O(1) state)."""
+    bars = _minute_bars(events)
+    w = Window.partitionBy("symbol").orderBy("minute_window")
+
+    def midpoint(n: int):
+        fr = w.rowsBetween(-(n - 1), 0)
+        full = F.count(F.lit(1)).over(fr) == n
+        return F.when(
+            full, (F.max("high").over(fr) + F.min("low").over(fr)) / 2.0
+        )
+
+    tenkan, kijun, senkou_b = midpoint(9), midpoint(26), midpoint(52)
+    return bars.select(
+        "symbol",
+        "minute_window",
+        qround(F.col("close"), 6).alias("close"),
+        qround(tenkan, 6).alias("tenkan"),
+        qround(kijun, 6).alias("kijun"),
+        qround((tenkan + kijun) / 2.0, 6).alias("senkou_a"),
+        qround(senkou_b, 6).alias("senkou_b"),
+    ).orderBy("symbol", "minute_window")

@@ -1297,3 +1297,55 @@ def copurchase_pairs(
         .select("rank", "pa", "pb", "name_a", "name_b", "n_orders")
         .orderBy("rank")
     )
+
+
+def target_encoding_loo(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Leave-one-out mean target encoding of the customer market
+    segment: each customer's feature is the mean order revenue of the
+    OTHER customers in their segment ((segment_sum - own) /
+    (segment_n - 1)) -- the standard leakage-free categorical encoding
+    an ML feature pipeline computes before training; singleton segments
+    encode NULL rather than leaking the row's own target.
+
+    Scale: per-customer totals partial-aggregate once; segment
+    aggregates are |segments| rows broadcast back -- the encoding is a
+    pure projection after two bounded rollups."""
+    # Snap each customer's total to INTEGER cents first: every segment
+    # aggregate and the LOO subtraction then run on exact integers, so
+    # engine summation order cannot push a 1e8-magnitude difference
+    # across a half-cent rounding boundary (it did, at sf0.001).
+    cents = F.floor(F.sum("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(cents.alias("own_cents"))
+        .join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+    )
+    seg = per_cust.groupBy("c_mktsegment").agg(
+        F.sum("own_cents").alias("seg_cents"),
+        F.count(F.lit(1)).alias("seg_n"),
+    )
+    return (
+        per_cust.join(F.broadcast(seg), "c_mktsegment")
+        .select(
+            "o_custkey",
+            "c_mktsegment",
+            (F.col("own_cents") / F.lit(100.0)).alias("own_total"),
+            F.when(
+                F.col("seg_n") > 1,
+                qround(
+                    (F.col("seg_cents") - F.col("own_cents")).cast("double")
+                    / (F.col("seg_n") - 1)
+                    / F.lit(100.0),
+                    2,
+                ),
+            ).alias("loo_encoding"),
+        )
+        .orderBy("o_custkey")
+    )

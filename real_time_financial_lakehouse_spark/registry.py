@@ -6238,6 +6238,85 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ichimoku_cloud",
+    f"""
+    WITH bars AS (
+        SELECT symbol, minute_window,
+               max(value) AS high, min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close
+        FROM (
+            SELECT event_type AS symbol, date_trunc('minute', ts) AS minute_window,
+                   value,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        GROUP BY 1, 2
+    ),
+    lines AS (
+        SELECT symbol, minute_window, close,
+               CASE WHEN count(*) OVER w9 = 9
+                    THEN (max(high) OVER w9 + min(low) OVER w9) / 2.0 END AS tenkan,
+               CASE WHEN count(*) OVER w26 = 26
+                    THEN (max(high) OVER w26 + min(low) OVER w26) / 2.0 END AS kijun,
+               CASE WHEN count(*) OVER w52 = 52
+                    THEN (max(high) OVER w52 + min(low) OVER w52) / 2.0 END AS senkou_b
+        FROM bars
+        WINDOW w9 AS (PARTITION BY symbol ORDER BY minute_window
+                      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+               w26 AS (PARTITION BY symbol ORDER BY minute_window
+                       ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+               w52 AS (PARTITION BY symbol ORDER BY minute_window
+                       ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, minute_window,
+           {_q('close', 6)} AS close,
+           {_q('tenkan', 6)} AS tenkan,
+           {_q('kijun', 6)} AS kijun,
+           {_q('(tenkan + kijun) / 2.0', 6)} AS senkou_a,
+           {_q('senkou_b', 6)} AS senkou_b
+    FROM lines
+    ORDER BY symbol, minute_window
+    """,
+)
+def q_ichimoku_cloud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import finance
+
+    return finance.ichimoku_cloud(_events(spark, sf_dir))
+
+
+@register(
+    "target_encoding_loo",
+    f"""
+    WITH per_cust AS (
+        SELECT o.o_custkey, c.c_mktsegment,
+               floor(sum(o.o_totalprice) * 100.0 + 0.5)::BIGINT AS own_cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT c_mktsegment, sum(own_cents)::BIGINT AS seg_cents,
+               count(*)::BIGINT AS seg_n
+        FROM per_cust GROUP BY 1
+    )
+    SELECT p.o_custkey, p.c_mktsegment,
+           p.own_cents / 100.0::DOUBLE AS own_total,
+           CASE WHEN s.seg_n > 1
+                THEN {_q('(s.seg_cents - p.own_cents)::DOUBLE / (s.seg_n - 1) / 100.0::DOUBLE', 2)}
+           END AS loo_encoding
+    FROM per_cust p JOIN seg s USING (c_mktsegment)
+    ORDER BY p.o_custkey
+    """,
+)
+def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import target_encoding_loo
+
+    return target_encoding_loo(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

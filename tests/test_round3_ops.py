@@ -1068,7 +1068,8 @@ def test_round5_continuation_ops_tolerate_degenerates_and_empty(spark, tmp_path)
         "cross_correlation_lags", "stl_weekly_decompose",
         "shipping_delay_stats", "scd2_point_in_time_join",
         "association_rules", "cohort_ltv", "ks_two_sample",
-        "bootstrap_mean_ci", "copurchase_pairs",
+        "bootstrap_mean_ci", "copurchase_pairs", "ichimoku_cloud",
+        "target_encoding_loo",
     ]
     for name in zero_rows:
         assert registry.QUERIES[name](spark, dst).count() == 0, name
