@@ -2904,10 +2904,47 @@ _ROUND5_FRONT = _ROUND4_ERR + [
     "event_gap_stats", "anomaly_episodes", "user_transition_matrix",
 ]
 
+# Green in CORRECTNESS_r05: the entire round-5 front, 50/50 (rows +
+# schema + hash) -- including the four re-shaped r4 err rows.
+_DRIVER_VERIFIED_R5 = list(_ROUND5_FRONT)
+
+# Round-6 front: the 38-query r6 queue from VERIFICATION.md (the 12
+# indicator/window shapes deferred from r5, every round-5 addition, the
+# re-shaped ml_price_prediction re-check, and rows-only-no-more
+# bpe_train_merges under its exactly-unrolled oracle) plus the first 12
+# round-5-continuation queries = exactly 50.  The remaining 27
+# continuation queries queue for r7.
+_ROUND6_FRONT = [
+    # deferred indicator / window shapes (r5 deferral list)
+    "term_positions_udtf", "shared_window_pairs", "debounce_events",
+    "quality_deciles", "twap_daily", "engulfing_patterns",
+    "pivot_points", "williams_r_14", "range_volatility", "mad_outliers",
+    "skyline_days", "seasonal_baseline",
+    # round-5 additions
+    "jpeg_media_features", "wav_media_features", "expectation_report",
+    "psi_drift", "streaming_psi_drift", "streaming_expectation_gate",
+    "volatility_cones_approx", "bpe_encode_report",
+    "embedding_dim_profile", "ann_index_delta_report",
+    "bipower_jump_stats", "ts_monotonicity_report", "custom_source_gold",
+    "streaming_custom_source_gold", "custom_sink_roundtrip",
+    "versioned_compaction", "tpch_refresh_cycle", "pairs_spread_zscore",
+    "dedup_funnel", "ses_forecast", "event_pagerank", "customer_rfm",
+    "session_event_pmi", "embedding_outliers", "bpe_train_merges",
+    # re-check: rows-only in r1/r2 under its old shape; now emits the
+    # closed-form OLS prediction + mllib_close certificate
+    "ml_price_prediction",
+    # first 12 round-5-continuation queries (r7 takes the rest)
+    "amihud_illiquidity", "roll_spread", "var_cvar_report",
+    "black_scholes_pricer", "holt_forecast", "heikin_ashi",
+    "cusum_changepoints", "hurst_exponent", "ri_orphans", "fd_check",
+    "order_window_activity", "knn_label_vote",
+]
+
 def _rotate_for_driver() -> None:
-    front = [n for n in _ROUND5_FRONT if n in QUERIES]
+    front = [n for n in _ROUND6_FRONT if n in QUERIES]
     verified_names = (
         _DRIVER_VERIFIED_R1_R2 + _DRIVER_VERIFIED_R3 + _DRIVER_VERIFIED_R4
+        + _DRIVER_VERIFIED_R5
     )
     placed = set(front) | set(verified_names)
     rest_unverified = [n for n in QUERIES if n not in placed]
