@@ -762,28 +762,37 @@ def decode_payload(media_type: str, payload: bytes, fake: bool = True) -> dict:
     byte-level features, and ``fake=False`` raises for codecs genuinely
     absent from this container (audio, video).  A real build replaces
     only those bodies with torchaudio/pyav per media_type."""
-    if payload[:8] == PNG_SIGNATURE or payload[:2] == JPEG_SOI:
-        # real decode: byte stats over the DECODED raster, not the
-        # compressed container bytes
-        d = (
-            decode_png(payload)
-            if payload[:8] == PNG_SIGNATURE
-            else decode_jpeg(payload)
-        )
-        return {
-            "n_bytes": len(payload),
-            "byte_sum": d["sample_sum"],
-            "byte_mean": d["mean_value"],
-            "header_hex": payload[:4].hex(),
-        }
-    if payload[:4] == WAV_RIFF and payload[8:12] == b"WAVE":
-        d = decode_wav(payload)
-        return {
-            "n_bytes": len(payload),
-            "byte_sum": d["peak"],
-            "byte_mean": d["mean_abs"],
-            "header_hex": payload[:4].hex(),
-        }
+    try:
+        if payload[:8] == PNG_SIGNATURE or payload[:2] == JPEG_SOI:
+            # real decode: byte stats over the DECODED raster, not the
+            # compressed container bytes
+            d = (
+                decode_png(payload)
+                if payload[:8] == PNG_SIGNATURE
+                else decode_jpeg(payload)
+            )
+            return {
+                "n_bytes": len(payload),
+                "byte_sum": d["sample_sum"],
+                "byte_mean": d["mean_value"],
+                "header_hex": payload[:4].hex(),
+            }
+        if payload[:4] == WAV_RIFF and payload[8:12] == b"WAVE":
+            d = decode_wav(payload)
+            return {
+                "n_bytes": len(payload),
+                "byte_sum": d["peak"],
+                "byte_mean": d["mean_abs"],
+                "header_hex": payload[:4].hex(),
+            }
+    except Exception:
+        # An arbitrary payload can START with a decoder's magic bytes (the
+        # 2-byte JPEG SOI especially) without being that format.  Under
+        # fake=True the contract is "deterministic features for any
+        # bytes", so a parse failure falls through to the byte-stat fake;
+        # fake=False keeps strict decoding and re-raises.
+        if not fake:
+            raise
     if not fake:
         raise NotImplementedError(
             f"real {media_type} decode requires codec libraries not present in this environment"

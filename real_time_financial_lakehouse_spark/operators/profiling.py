@@ -860,7 +860,11 @@ def ks_two_sample(events: DataFrame, split_ts: str = "2024-01-16") -> DataFrame:
     from pyspark.sql import Window
 
     split = F.lit(split_ts).cast("timestamp")
-    counted = events.groupBy(
+    # NULL values must not enter the ECDF: they would form a rollup group
+    # that Spark window-orders NULLS FIRST but DuckDB NULLS LAST, and a
+    # NULL observation has no place in a distribution test anyway (same
+    # contract as psi_drift / expectation_report).
+    counted = events.filter(F.col("value").isNotNull()).groupBy(
         F.col("event_type").alias("symbol"), "value"
     ).agg(
         F.sum((F.col("ts") < split).cast("long")).alias("c1"),

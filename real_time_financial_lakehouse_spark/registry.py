@@ -6174,7 +6174,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type AS symbol, value,
                count(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END)::BIGINT AS c1,
                count(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END)::BIGINT AS c2
-        FROM events GROUP BY 1, 2
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     cum AS (
         SELECT symbol,

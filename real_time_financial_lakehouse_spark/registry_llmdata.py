@@ -259,7 +259,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT 5 AS n_queries,
            5 AS k,
-           (5 * least(5, (SELECT count(*) - 1 FROM embeddings)))::BIGINT
+           -- derived from the same brute-force construction as the Spark
+           -- side: one pair per (existing query id < n_queries) x (top-k
+           -- slot among the N-1 non-self candidates) -- no assumption that
+           -- vec_ids 0..4 all exist or that each top-k is full
+           ((SELECT count(*) FROM embeddings WHERE vec_id < 5)
+            * least(5, (SELECT count(*) - 1 FROM embeddings)))::BIGINT
                AS n_exact_pairs,
            TRUE AS recall_ok
     """,

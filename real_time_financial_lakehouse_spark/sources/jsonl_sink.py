@@ -78,6 +78,23 @@ class _JsonlWriter(DataSourceWriter):
                 n += 1
         return _ShardCommit(name, n)
 
+    def _sweep_orphans(self, keep: set[str]) -> None:
+        # Tasks that crashed mid-write (or speculative twins killed before
+        # returning a WriterCommitMessage) leave temp shards no message
+        # ever names.  Readers are manifest-gated so they never see them,
+        # but a naive glob reader or a disk audit would -- remove every
+        # part-* file the commit decision did not keep.
+        try:
+            entries = os.listdir(self.path)
+        except OSError:
+            return
+        for fname in entries:
+            if fname.startswith("part-") and fname.endswith(".jsonl") and fname not in keep:
+                try:
+                    os.remove(os.path.join(self.path, fname))
+                except OSError:
+                    pass
+
     def commit(self, messages) -> None:
         # a zero-partition write runs no tasks, so no task ever created
         # the directory -- the driver-side commit must not assume it
@@ -91,13 +108,12 @@ class _JsonlWriter(DataSourceWriter):
         }
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
             json.dump(manifest, f, indent=1)
+        self._sweep_orphans({m.filename for m in messages})
 
     def abort(self, messages) -> None:
-        for m in messages:
-            try:
-                os.remove(os.path.join(self.path, m.filename))
-            except OSError:
-                pass
+        # abort keeps nothing: drop named shards AND any orphan from a
+        # crashed / speculative task that never reported a message
+        self._sweep_orphans(set())
 
 
 class JsonlDataSource(DataSource):

@@ -43,8 +43,12 @@ def _ema_update(
 ) -> Iterator[pd.DataFrame]:
     """GroupState fold: carry (ema, n) across micro-batches."""
     ema, n = state.get if state.exists else (None, 0)
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # The EMA fold is order-sensitive and applyInPandasWithState gives no
+    # (ts, event_id) ordering ACROSS Arrow chunks of one group: gather the
+    # group's whole micro-batch (state spans it anyway) and sort once.
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         for x in pdf["value"]:
             ema = float(x) if ema is None else alpha * float(x) + (1.0 - alpha) * ema
             n += 1
@@ -818,8 +822,13 @@ def _cusum_update(
     else:
         sp_sum = sp_min = sn_sum = sn_min = 0.0
         n, ap, an = 0, 0, 0
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # The prefix-sum fold is order-sensitive and applyInPandasWithState
+    # gives no (ts, event_id) ordering ACROSS Arrow chunks of one group:
+    # gather the group's whole micro-batch (state spans it anyway) and
+    # sort once on the full sequence.
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         for x in pdf["value"]:
             x = float(x)
             sp_sum += x - CUSUM_MU - CUSUM_SLACK
