@@ -1266,3 +1266,94 @@ def kmeans_unrolled(
         )
         .orderBy("cluster_id")
     )
+
+
+def pca_power_iteration(embeddings: DataFrame, n_iters: int = 3) -> DataFrame:
+    """Top principal component by EXACTLY-unrolled power iteration, with
+    the per-vector projection values themselves oracle-checked -- the
+    fully hash-checkable twin of the certificate-gated ``pca_audit``
+    (same unrolling discipline as kmeans_unrolled / event_pagerank /
+    bpe_train_merges).  Semantics: center the vectors on the (quantized)
+    per-dimension mean, run ``n_iters`` steps of w <- normalize(C^T C w)
+    from the fixed uniform start w0 = 1/sqrt(d), quantizing every
+    cross-engine state hand-off (mean, per-row scores, the aggregated
+    Gramian-vector product, the normalized w) at 6 dp, then fix the sign
+    so sum(w) >= 0 and emit each vector's projection score.  Every
+    decision the fold makes is on quantized values with deterministic
+    tiebreaks, so Spark and DuckDB walk bit-identical sequences.
+
+    Scale: the d x d Gramian is never materialized -- each iteration is
+    one broadcast of the d-vector w against the centered scan (per-row
+    dot product) plus one |d|-group partial aggregation; per-iteration
+    driver state is d floats.  Same split as Spark ML's own PCA
+    (executors aggregate, driver holds the d-sized state), but expressed
+    as pure DataFrame ops with no collect."""
+    emb = _spread(embeddings).select("vec_id", _as_double("embedding").alias("v"))
+    mu = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(qround(F.avg("x"), 6).alias("m"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+            ).alias("mu")
+        )
+    )
+    centered = emb.crossJoin(F.broadcast(mu)).select(
+        "vec_id", F.expr("zip_with(v, mu, (x, m) -> x - m)").alias("c")
+    )
+    # fixed deterministic start: uniform 1/sqrt(d), quantized
+    wdf = mu.select(
+        F.expr(
+            "transform(mu, x -> cast(floor(1.0 / sqrt(cast(size(mu) as double))"
+            " * 1000000.0 + 0.5) / 1000000.0 as double))"
+        ).alias("w"),
+        F.lit(0.0).alias("lambda1"),
+    )
+    dot_cw = _dot("c", "w")
+    for _ in range(n_iters):
+        scored = centered.crossJoin(F.broadcast(wdf)).select(
+            "c", qround(dot_cw, 6).alias("s")
+        )
+        g = (
+            scored.select("s", F.posexplode("c").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(qround(F.sum(F.col("s") * F.col("x")), 6).alias("g"))
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, g))), s -> s.g)"
+                ).alias("g")
+            )
+        )
+        n = g.select(
+            "g",
+            F.sqrt(
+                F.expr("aggregate(transform(g, x -> x * x), 0D, (acc, t) -> acc + t)")
+            ).alias("nrm"),
+        )
+        wdf = n.select(
+            F.expr(
+                "CASE WHEN nrm = 0.0 THEN g ELSE transform(g, x ->"
+                " cast(floor(x / nrm * 1000000.0 + 0.5) / 1000000.0 as double)) END"
+            ).alias("w"),
+            qround(F.col("nrm"), 6).alias("lambda1"),
+        )
+    # deterministic sign: make sum(w) non-negative (decided on the
+    # quantized sum, per the roll_spread discipline)
+    wdf = wdf.select(
+        F.expr(
+            "CASE WHEN floor(aggregate(w, 0D, (acc, x) -> acc + x)"
+            " * 1000000.0 + 0.5) / 1000000.0 < 0"
+            " THEN transform(w, x -> -x) ELSE w END"
+        ).alias("w"),
+        "lambda1",
+    )
+    return (
+        centered.crossJoin(F.broadcast(wdf))
+        .select(
+            "vec_id",
+            qround(dot_cw, 6).alias("pc1_score"),
+            F.col("lambda1"),
+        )
+        .orderBy("vec_id")
+    )

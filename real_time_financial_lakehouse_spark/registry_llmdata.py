@@ -2522,3 +2522,72 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.crossJoin(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# PCA by exactly-unrolled power iteration (round-6: the oracle checks the
+# eigenvector path itself, not just the Bessel certificate of pca_embeddings)
+# ---------------------------------------------------------------------------
+
+def _pca_power_oracle_sql(n_iters: int = 3) -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({a})),"
+            f" i -> {a}[i] * {b}[i]))"
+        )
+
+    sql = f"""
+    WITH emb AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+    dmu AS (SELECT i AS pos, v[i] AS x
+            FROM (SELECT v, unnest(generate_series(1, len(v))) AS i FROM emb)),
+    mu1 AS (SELECT pos, {qround_sql('avg(x)', 6)} AS m FROM dmu GROUP BY 1),
+    mu AS (SELECT list(m ORDER BY pos) AS mu FROM mu1),
+    cent AS (SELECT e.vec_id,
+                    list_transform(generate_series(1, len(e.v)),
+                                   i -> e.v[i] - m.mu[i]) AS c
+             FROM emb e CROSS JOIN mu m),
+    w0 AS (SELECT list_transform(
+                      generate_series(1, len(mu)),
+                      i -> floor(1.0 / sqrt(len(mu)::DOUBLE) * 1000000.0 + 0.5)
+                           / 1000000.0) AS w,
+                  0.0 AS lambda1
+           FROM mu)"""
+    prev = "w0"
+    for i in range(1, n_iters + 1):
+        sql += f""",
+    s{i} AS (SELECT c.vec_id, c.c, {qround_sql(dot('c.c', 'w.w'), 6)} AS s
+             FROM cent c CROSS JOIN {prev} w),
+    d{i} AS (SELECT i AS pos, s * c[i] AS sx
+             FROM (SELECT s, c, unnest(generate_series(1, len(c))) AS i
+                   FROM s{i})),
+    gl{i} AS (SELECT pos, {qround_sql('sum(sx)', 6)} AS g
+              FROM d{i} GROUP BY 1),
+    g{i} AS (SELECT list(g ORDER BY pos) AS g FROM gl{i}),
+    n{i} AS (SELECT g, sqrt(list_sum(list_transform(g, x -> x * x))) AS nrm
+             FROM g{i}),
+    w{i} AS (SELECT CASE WHEN nrm = 0.0 THEN g
+                         ELSE list_transform(g, x -> floor(x / nrm * 1000000.0
+                                                           + 0.5) / 1000000.0)
+                    END AS w,
+                    {qround_sql('nrm', 6)} AS lambda1
+             FROM n{i})"""
+        prev = f"w{i}"
+    sql += f""",
+    wf AS (SELECT CASE WHEN floor(list_sum(w) * 1000000.0 + 0.5) / 1000000.0 < 0
+                       THEN list_transform(w, x -> -x) ELSE w END AS w,
+                  lambda1
+           FROM {prev})
+    SELECT c.vec_id,
+           {qround_sql(dot('c.c', 'w.w'), 6)} AS pc1_score,
+           w.lambda1 AS lambda1
+    FROM cent c CROSS JOIN wf w
+    ORDER BY 1
+    """
+    return sql
+
+
+@register("pca_power_iteration", _pca_power_oracle_sql())
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pca_power_iteration(_emb(spark, sf_dir), n_iters=3)

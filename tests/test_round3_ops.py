@@ -1083,3 +1083,39 @@ def test_round5_continuation_ops_tolerate_degenerates_and_empty(spark, tmp_path)
     fc = registry.QUERIES["funnel_time_to_convert"](spark, dst).collect()
     assert len(fc) == 1 and fc[0]["n_viewers"] == 0 and fc[0]["conversion_rate"] is None
     assert registry.QUERIES["revenue_gini"](spark, dst).count() == 1
+
+
+def test_pca_power_iteration_aligns_with_numpy_eigenvector(spark):
+    """The unrolled power iteration's direction must land close to the
+    TRUE top eigenvector of the centered covariance (numpy as referee):
+    the oracle pins exactness of the fold, this pins that three
+    iterations from the uniform start actually converge on the fixture
+    -- i.e. the query is PCA, not just a deterministic recurrence.
+    Scores are checked against the numpy projection up to the sign
+    convention and the 6-dp iteration quantization."""
+    np = pytest.importorskip("numpy")
+    from real_time_financial_lakehouse_spark.operators import similarity
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = similarity.pca_power_iteration(emb, n_iters=3).collect()
+    raw = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    X = np.stack([raw[k] for k in sorted(raw)])
+    mu = np.floor(X.mean(axis=0) * 1e6 + 0.5) / 1e6
+    C = X - mu
+    # numpy referee: exact top eigenvector of C^T C
+    evals, evecs = np.linalg.eigh(C.T @ C)
+    top = evecs[:, -1]
+    if top.sum() < 0:
+        top = -top
+    scores = {k: float(c @ top) for k, c in zip(sorted(raw), C)}
+    got = {r["vec_id"]: r["pc1_score"] for r in rows}
+    assert set(got) == set(raw)
+    # alignment: correlation of score vectors ~ cosine of the directions
+    a = np.array([got[k] for k in sorted(raw)])
+    b = np.array([scores[k] for k in sorted(raw)])
+    cos = abs(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.99, f"power iteration mis-converged: cos={cos:.4f}"
+    # lambda1 approximates the top eigenvalue of C^T C
+    lam = rows[0]["lambda1"]
+    assert abs(lam - evals[-1]) / evals[-1] < 0.05
