@@ -673,6 +673,72 @@ def quality_deciles(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_deciles_approx(documents: DataFrame) -> DataFrame:
+    """The documented 100 TB swap for ``quality_deciles``, now a checked
+    query (the volatility_cones_approx certificate template): decile
+    CUTOFFS from ``percentile_approx`` (GK mergeable sketch, accuracy
+    10000 -- one aggregation, no global sort) instead of the exact
+    NTILE's corpus-wide sort.  Oracle-checkable audit form: the emitted
+    cutoffs are the EXACT ones (recomputable by DuckDB ``quantile_cont``)
+    quantized at 6 dp, documents are bucketed by comparing their score
+    against the 9 broadcast cutoffs (1 + #cutoffs_below, deterministic on
+    quantized values), and the sketch folds into an
+    ``approx_within_band`` certificate -- every approx cutoff must land
+    between the exact quantiles at p +/- 0.01, a real rank-error
+    assertion with ~100x headroom over the sketch's guarantee.
+
+    Scale: one partial-aggregable percentile pass + one broadcast of 9
+    doubles against the scored scan; nothing sorts the corpus."""
+    from ..functions.numeric import qround  # noqa: F401 (doc parity)
+
+    toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    scored = documents.select(F.size(toks).alias("score"))
+    bands = ", ".join(
+        f"{p / 100 - 0.01}D, {p / 100}D, {p / 100 + 0.01}D"
+        for p in range(10, 100, 10)
+    )
+    cuts = scored.agg(
+        F.expr(f"percentile(score, array({bands}))").alias("pe"),
+        F.percentile_approx(
+            "score", [p / 100 for p in range(10, 100, 10)], 10000
+        ).alias("ap"),
+    )
+    sel = cuts.select(
+        F.expr(
+            "transform(sequence(0, 8), i -> cast("
+            "floor(element_at(pe, i * 3 + 2) * 1000000.0 + 0.5) / 1000000.0"
+            " as double))"
+        ).alias("cuts"),
+        F.expr(
+            "forall(sequence(0, 8), i ->"
+            " cast(element_at(ap, i + 1) as double) >= element_at(pe, i * 3 + 1)"
+            " AND cast(element_at(ap, i + 1) as double)"
+            " <= element_at(pe, i * 3 + 3))"
+        ).alias("wb"),
+    )
+    assigned = scored.crossJoin(F.broadcast(sel)).select(
+        "score",
+        (
+            F.lit(1)
+            + F.expr(
+                "aggregate(cuts, 0, (acc, c) ->"
+                " acc + (CASE WHEN score > c THEN 1 ELSE 0 END))"
+            )
+        ).alias("decile"),
+        F.col("wb"),
+    )
+    return (
+        assigned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.expr("bool_and(wb)").alias("approx_within_band"),
+        )
+        .orderBy("decile")
+    )
+
+
 BM25_QUERY_TERMS = ("hash", "join", "scan")
 BM25_K1 = 1.2
 BM25_B = 0.75

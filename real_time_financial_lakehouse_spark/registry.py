@@ -2940,11 +2940,43 @@ _ROUND6_FRONT = [
     "order_window_activity", "knn_label_vote",
 ]
 
+# Green in CORRECTNESS_r06 AND re-confirmed green by the (identical)
+# r07 window: the entire round-6 front, 50/50.
+_DRIVER_VERIFIED_R6_R7 = list(_ROUND6_FRONT)
+
+# Round-8 front: the 28 queries the driver has NEVER checked across
+# rounds 1-7 (the cumulative union of CORRECTNESS_r01..r07 is 244/272;
+# these are the missing 28, including the round-8-rebuilt
+# pca_power_iteration), plus the 22 oldest round-1 queries as
+# regression guards = exactly 50.  With this window green the
+# externally verified union reaches 272/272 for the first time.
+_ROUND8_FRONT = [
+    # never driver-checked (r6/r7 verdict item #2)
+    "pca_power_iteration", "centroid_silhouette", "kmeans_unrolled",
+    "nb_lang_classifier", "kama_adaptive_ma", "ulcer_index",
+    "domain_temperature_mixture", "session_graph_triangles",
+    "gif_media_features", "versioned_vacuum", "streaming_cusum_monitor",
+    "rolling_beta", "file_skipping_report", "drawdown_duration",
+    "cross_correlation_lags", "kmv_set_ops", "stl_weekly_decompose",
+    "funnel_time_to_convert", "shipping_delay_stats", "revenue_gini",
+    "scd2_point_in_time_join", "association_rules", "cohort_ltv",
+    "ks_two_sample", "bootstrap_mean_ci", "copurchase_pairs",
+    "ichimoku_cloud", "target_encoding_loo",
+    # round-1 regression guards (oldest driver-green queries)
+    "gold_market_summary", "minute_ohlc", "daily_rollup_totals",
+    "value_percentiles", "event_type_pivot", "gold_ctas",
+    "partitioned_day_rollup", "gold_csv_roundtrip", "parse_props_json",
+    "bronze_normalize", "fill_and_flag", "interval_shift",
+    "format_and_time", "json_roundtrip", "silver_sliding_window",
+    "training_filter", "union_all_buckets", "distinct_user_event_pairs",
+    "users_intersect", "users_except", "latest_20_events", "sma_5",
+]
+
 def _rotate_for_driver() -> None:
-    front = [n for n in _ROUND6_FRONT if n in QUERIES]
+    front = [n for n in _ROUND8_FRONT if n in QUERIES]
     verified_names = (
         _DRIVER_VERIFIED_R1_R2 + _DRIVER_VERIFIED_R3 + _DRIVER_VERIFIED_R4
-        + _DRIVER_VERIFIED_R5
+        + _DRIVER_VERIFIED_R5 + _DRIVER_VERIFIED_R6_R7
     )
     placed = set(front) | set(verified_names)
     rest_unverified = [n for n in QUERIES if n not in placed]
@@ -4564,6 +4596,73 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.relational import customer_rfm
 
     return customer_rfm(load_table(spark, sf_dir, "orders"))
+
+
+# The documented 100 TB swap for customer_rfm, registered as a checked
+# query (r7 verdict item #9; volatility_cones_approx certificate
+# template): cut points emitted are the EXACT quartiles (quantile_cont
+# twin), customers bucket by quantized metric vs quantized cuts, and
+# the GK-sketch accuracy folds into approx_within_band = TRUE.
+@register(
+    "customer_rfm_approx",
+    f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               count(*)::BIGINT AS frequency,
+               sum(o_totalprice) AS monetary
+        FROM orders GROUP BY 1
+    ),
+    ref AS (SELECT max(last_order) AS ref_date FROM per_cust),
+    base AS (
+        SELECT o_custkey,
+               date_diff('day', last_order, ref_date)::INT AS recency_days,
+               frequency,
+               {_q('monetary', 2)} AS monetary
+        FROM per_cust, ref
+    ),
+    cuts AS (
+        SELECT list_transform(quantile_cont(recency_days, [0.25, 0.5, 0.75]),
+                              x -> floor(x * 1000000.0 + 0.5) / 1000000.0) AS cr,
+               list_transform(quantile_cont(frequency, [0.25, 0.5, 0.75]),
+                              x -> floor(x * 1000000.0 + 0.5) / 1000000.0) AS cf,
+               list_transform(quantile_cont(monetary, [0.25, 0.5, 0.75]),
+                              x -> floor(x * 1000000.0 + 0.5) / 1000000.0) AS cm
+        FROM base
+    ),
+    stacked AS (
+        SELECT 'frequency' AS metric, frequency::DOUBLE AS v, cf AS cuts
+        FROM base CROSS JOIN cuts
+        UNION ALL
+        SELECT 'monetary', monetary, cm FROM base CROSS JOIN cuts
+        UNION ALL
+        SELECT 'recency', recency_days::DOUBLE, cr FROM base CROSS JOIN cuts
+    ),
+    tiled AS (
+        SELECT metric, v, cuts,
+               1 + list_sum(list_transform(cuts, c ->
+                       CASE WHEN v > c THEN 1 ELSE 0 END)) AS tile
+        FROM stacked
+    )
+    SELECT metric,
+           count(*) AS n_customers,
+           min(cuts[1]) AS c25,
+           min(cuts[2]) AS c50,
+           min(cuts[3]) AS c75,
+           sum(CASE WHEN tile = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t1,
+           sum(CASE WHEN tile = 2 THEN 1 ELSE 0 END)::BIGINT AS n_t2,
+           sum(CASE WHEN tile = 3 THEN 1 ELSE 0 END)::BIGINT AS n_t3,
+           sum(CASE WHEN tile = 4 THEN 1 ELSE 0 END)::BIGINT AS n_t4,
+           TRUE AS approx_within_band
+    FROM tiled
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_customer_rfm_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import customer_rfm_approx
+
+    return customer_rfm_approx(load_table(spark, sf_dir, "orders"))
 
 
 @register(

@@ -679,6 +679,60 @@ def q_jpeg_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_wav_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.wav_media_features(_docs(spark, sf_dir))
 
+
+# Real VIDEO path: docs -> real Y4M encode (YUV4MPEG2 stream header +
+# per-frame Y planes) -> real decode (header tokenize, FRAME walk).
+# Uncompressed planes are lossless, so geometry / frame count / duration
+# and the decoded luma mean are exactly recomputable from the text bytes
+# (same tiling CTEs as the PNG gate): frame k = tiled bytes + k, so
+# mean = tiled_mean + (n_frames - 1)/2; n_frames = n % 4 + 1; 25 fps =>
+# duration_ms = n_frames * 40.  pixel_crc is pinned in pytest (crc32 is
+# not SQL-expressible), exactly like the PNG gate's drop.
+@register(
+    "video_media_features",
+    """
+    WITH base AS (
+      SELECT doc_id AS asset_id,
+             coalesce(text, '') AS txt,
+             octet_length(encode(coalesce(text, ''))) AS n
+      FROM documents
+    ),
+    dims AS (
+      SELECT asset_id, txt, n,
+             (n % 13 + 1) AS w,
+             (n % 7 + 1) AS h,
+             (n % 4 + 1) AS nf
+      FROM base
+    ),
+    sums AS (
+      SELECT asset_id, w, h, nf, n, w * h AS budget,
+             CASE WHEN n = 0 THEN 0
+                  ELSE (SELECT coalesce(sum(ord(c)), 0)
+                        FROM unnest(string_split(txt, '')) AS t(c)) END AS total,
+             CASE WHEN n = 0 THEN 0
+                  ELSE (SELECT coalesce(sum(ord(c)), 0)
+                        FROM unnest(string_split(substring(txt, 1, (w * h) % n), ''))
+                             AS t(c)) END AS rem_sum
+      FROM dims
+    )
+    SELECT asset_id,
+           w::INT AS width,
+           h::INT AS height,
+           nf::INT AS n_frames,
+           (budget * nf)::BIGINT AS n_pixels,
+           (nf * 40)::BIGINT AS duration_ms,
+           floor((CASE WHEN n = 0 THEN (nf * (nf - 1) // 2)::DOUBLE / nf
+                       ELSE (nf * ((budget // n) * total + rem_sum)
+                             + budget * (nf * (nf - 1) // 2))::DOUBLE
+                            / (budget * nf)
+                  END) * 1e6 + 0.5) / 1e6 AS mean_value
+    FROM sums
+    ORDER BY asset_id
+    """,
+)
+def q_video_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.video_media_features(_docs(spark, sf_dir)).drop("pixel_crc")
+
 # ---------------------------------------------------------------------------
 # Corpus term frequencies (explode / UNNEST)
 # ---------------------------------------------------------------------------
@@ -1808,6 +1862,45 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_deciles(_docs(spark, sf_dir))
 
 
+# The documented 100 TB swap for quality_deciles, registered as a checked
+# query (r7 verdict item #9; volatility_cones_approx certificate
+# template): cutoffs emitted are the EXACT quantiles (quantile_cont
+# twin), bucketing compares quantized score vs quantized cutoffs, and
+# the GK-sketch accuracy folds into approx_within_band = TRUE.
+@register(
+    "quality_deciles_approx",
+    f"""
+    WITH scored AS (
+        SELECT {_WS_TOKS_SQL} AS score
+        FROM documents
+    ),
+    cuts AS (
+        SELECT list_transform(
+                   quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                         0.6, 0.7, 0.8, 0.9]),
+                   q -> floor(q * 1000000.0 + 0.5) / 1000000.0) AS cuts
+        FROM scored
+    ),
+    assigned AS (
+        SELECT score,
+               1 + list_sum(list_transform(cuts, c ->
+                       CASE WHEN score > c THEN 1 ELSE 0 END)) AS decile
+        FROM scored CROSS JOIN cuts
+    )
+    SELECT decile::INT AS decile,
+           count(*) AS n_docs,
+           min(score) AS min_score,
+           max(score) AS max_score,
+           TRUE AS approx_within_band
+    FROM assigned
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_quality_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_deciles_approx(_docs(spark, sf_dir))
+
+
 @register(
     "label_centroids",
     f"""
@@ -2529,11 +2622,25 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # eigenvector path itself, not just the Bessel certificate of pca_embeddings)
 # ---------------------------------------------------------------------------
 
-def _pca_power_oracle_sql(n_iters: int = 3) -> str:
+def _pca_power_oracle_sql(n_squarings: int = 7) -> str:
+    """Oracle twin of similarity.pca_power_iteration: one Gramian pass,
+    then ``n_squarings`` matrix squarings in exact BIGINT fixed-point
+    (codes = floor(x / max|x| * 1e6 + 0.5)), then row-sum start, one
+    Rayleigh polish with the quantized Gramian, sign fix, projection --
+    every hand-off quantized exactly as the Spark fold."""
+
     def dot(a: str, b: str) -> str:
         return (
             f"list_sum(list_transform(generate_series(1, len({a})),"
             f" i -> {a}[i] * {b}[i]))"
+        )
+
+    def to_codes(src: str) -> str:
+        return (
+            f"CASE WHEN m = 0.0 THEN list_transform({src},"
+            " x -> CAST(0 AS BIGINT))"
+            f" ELSE list_transform({src}, x ->"
+            " CAST(floor(x / m * 1000000.0 + 0.5) AS BIGINT)) END"
         )
 
     sql = f"""
@@ -2548,37 +2655,65 @@ def _pca_power_oracle_sql(n_iters: int = 3) -> str:
                     list_transform(generate_series(1, len(e.v)),
                                    i -> e.v[i] - m.mu[i]) AS c
              FROM emb e CROSS JOIN mu m),
-    w0 AS (SELECT list_transform(
-                      generate_series(1, len(mu)),
-                      i -> floor(1.0 / sqrt(len(mu)::DOUBLE) * 1000000.0 + 0.5)
-                           / 1000000.0) AS w,
-                  0.0 AS lambda1
-           FROM mu)"""
-    prev = "w0"
-    for i in range(1, n_iters + 1):
+    fp AS (SELECT flatten(list_transform(c, x ->
+                      list_transform(c, y -> x * y))) AS f
+           FROM cent),
+    gpv AS (SELECT i - 1 AS pos, f[i] AS val
+            FROM (SELECT f, unnest(generate_series(1, len(f))) AS i FROM fp)),
+    gl AS (SELECT pos, {qround_sql('sum(val)', 6)} AS g FROM gpv GROUP BY 1),
+    gfl AS (SELECT list(g ORDER BY pos) AS gf FROM gl),
+    gf AS (SELECT g.gf AS gf, len(m.mu) AS d FROM gfl g CROSS JOIN mu m),
+    am0 AS (SELECT gf, d,
+                   coalesce(list_max(list_transform(gf, x -> abs(x))), 0.0) AS m
+            FROM gf),
+    a0 AS (SELECT {to_codes('gf')} AS a, d, gf FROM am0)"""
+    prev = "a0"
+    for i in range(1, n_squarings + 1):
         sql += f""",
-    s{i} AS (SELECT c.vec_id, c.c, {qround_sql(dot('c.c', 'w.w'), 6)} AS s
-             FROM cent c CROSS JOIN {prev} w),
-    d{i} AS (SELECT i AS pos, s * c[i] AS sx
-             FROM (SELECT s, c, unnest(generate_series(1, len(c))) AS i
-                   FROM s{i})),
-    gl{i} AS (SELECT pos, {qround_sql('sum(sx)', 6)} AS g
-              FROM d{i} GROUP BY 1),
-    g{i} AS (SELECT list(g ORDER BY pos) AS g FROM gl{i}),
-    n{i} AS (SELECT g, sqrt(list_sum(list_transform(g, x -> x * x))) AS nrm
-             FROM g{i}),
-    w{i} AS (SELECT CASE WHEN nrm = 0.0 THEN g
-                         ELSE list_transform(g, x -> floor(x / nrm * 1000000.0
-                                                           + 0.5) / 1000000.0)
-                    END AS w,
-                    {qround_sql('nrm', 6)} AS lambda1
-             FROM n{i})"""
-        prev = f"w{i}"
+    s{i} AS (SELECT list_transform(generate_series(1, d * d), p ->
+                 CAST(list_sum(list_transform(generate_series(1, d), j ->
+                     a[((p - 1) // d) * d + j]
+                     * a[(j - 1) * d + ((p - 1) % d) + 1])) AS DOUBLE)) AS s,
+                 d, gf
+             FROM {prev}),
+    sm{i} AS (SELECT s, d, gf,
+                     coalesce(list_max(list_transform(s, x -> abs(x))), 0.0) AS m
+              FROM s{i}),
+    a{i} AS (SELECT {to_codes('s')} AS a, d, gf FROM sm{i})"""
+        prev = f"a{i}"
     sql += f""",
+    wr0 AS (SELECT list_transform(generate_series(1, d), i ->
+                CAST(list_sum(list_transform(generate_series(1, d), k ->
+                    a[(i - 1) * d + k])) AS DOUBLE)) AS wr, d, gf
+            FROM {prev}),
+    wrn AS (SELECT wr, d, gf,
+                   coalesce(sqrt(list_sum(list_transform(wr, x -> x * x))),
+                            0.0) AS nrm
+            FROM wr0),
+    wn AS (SELECT CASE WHEN nrm = 0.0 THEN wr
+                       ELSE list_transform(wr, x -> floor(x / nrm * 1000000.0
+                                                          + 0.5) / 1000000.0)
+                  END AS w, d, gf
+           FROM wrn),
+    u0 AS (SELECT list_transform(generate_series(1, d), i ->
+               floor(list_sum(list_transform(generate_series(1, d), k ->
+                   gf[(i - 1) * d + k] * w[k])) * 1000000.0 + 0.5)
+               / 1000000.0) AS u
+           FROM wn),
+    un AS (SELECT u,
+                  coalesce(sqrt(list_sum(list_transform(u, x -> x * x))),
+                           0.0) AS nv
+           FROM u0),
+    vv AS (SELECT CASE WHEN nv = 0.0 THEN u
+                       ELSE list_transform(u, x -> floor(x / nv * 1000000.0
+                                                         + 0.5) / 1000000.0)
+                  END AS w,
+                  {qround_sql('nv', 6)} AS lambda1
+           FROM un),
     wf AS (SELECT CASE WHEN floor(list_sum(w) * 1000000.0 + 0.5) / 1000000.0 < 0
                        THEN list_transform(w, x -> -x) ELSE w END AS w,
                   lambda1
-           FROM {prev})
+           FROM vv)
     SELECT c.vec_id,
            {qround_sql(dot('c.c', 'w.w'), 6)} AS pc1_score,
            w.lambda1 AS lambda1
@@ -2590,4 +2725,4 @@ def _pca_power_oracle_sql(n_iters: int = 3) -> str:
 
 @register("pca_power_iteration", _pca_power_oracle_sql())
 def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.pca_power_iteration(_emb(spark, sf_dir), n_iters=3)
+    return similarity.pca_power_iteration(_emb(spark, sf_dir))

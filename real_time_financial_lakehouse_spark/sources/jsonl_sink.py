@@ -95,6 +95,17 @@ class _JsonlWriter(DataSourceWriter):
                 except OSError:
                     pass
 
+    def _manifest_shards(self) -> set[str]:
+        # Shards published by the directory's LIVE manifest (a previous
+        # successful commit).  Task shard names embed the monotonically
+        # increasing taskAttemptId, so a later job in the same Spark
+        # application can never collide with them.
+        try:
+            with open(os.path.join(self.path, "_MANIFEST.json")) as f:
+                return {s["file"] for s in json.load(f)["shards"]}
+        except (OSError, ValueError, KeyError, TypeError):
+            return set()
+
     def commit(self, messages) -> None:
         # a zero-partition write runs no tasks, so no task ever created
         # the directory -- the driver-side commit must not assume it
@@ -111,9 +122,13 @@ class _JsonlWriter(DataSourceWriter):
         self._sweep_orphans({m.filename for m in messages})
 
     def abort(self, messages) -> None:
-        # abort keeps nothing: drop named shards AND any orphan from a
-        # crashed / speculative task that never reported a message
-        self._sweep_orphans(set())
+        # abort restores the PRE-JOB state: this job's shards -- whether
+        # named by a WriterCommitMessage or orphaned by a crashed /
+        # speculative task -- are dropped, but shards published by a
+        # previous successful commit (named by the live _MANIFEST.json)
+        # must survive, or an aborted re-write to an existing sink path
+        # would destroy committed data (round-6 advisory).
+        self._sweep_orphans(self._manifest_shards())
 
 
 class JsonlDataSource(DataSource):

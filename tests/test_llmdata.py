@@ -273,6 +273,18 @@ def test_png_decode_payload_dispatches_to_real_decoder():
     assert feats["header_hex"] == png[:4].hex()
 
 
+def test_decode_payload_surfaces_malformed_decoder_result(monkeypatch):
+    """The fake=True fallback only absorbs DECODE failures (magic-byte
+    collisions); a decoder returning a malformed dict is a programming
+    error and must surface, not be masked as byte-stat fake features
+    (round-6 advisory: the try wraps only the decode calls)."""
+    pixels = b"\x00\x80\xff\x40"
+    png = multimodal.encode_png(2, 2, pixels)
+    monkeypatch.setattr(multimodal, "decode_png", lambda payload: {})
+    with pytest.raises(KeyError):
+        multimodal.decode_payload("image", png, fake=True)
+
+
 def test_png_media_features_end_to_end(spark, docs):
     """Spark-side pipeline: real PNGs encoded from doc text, really
     decoded; geometry must follow the documented w/h derivation and the
@@ -804,3 +816,92 @@ def test_gif_media_features_end_to_end(spark, docs):
         assert (r["width"], r["height"], r["channels"]) == (w, h, 1)
         assert r["n_pixels"] == budget
         assert r["pixel_crc"] == zlib.crc32(tiled)
+
+
+def test_y4m_roundtrip_exact():
+    """Real Y4M round-trip: encode -> decode reproduces geometry, frame
+    count, fps-derived duration, luma stats and the exact-content crc."""
+    import zlib
+
+    frames = [bytes(range(12)), bytes((x * 7 + 3) % 256 for x in range(12))]
+    payload = multimodal.encode_y4m(4, 3, frames, fps=(30, 1))
+    d = multimodal.decode_y4m(payload)
+    assert (d["width"], d["height"], d["n_frames"]) == (4, 3, 2)
+    assert (d["fps_num"], d["fps_den"]) == (30, 1)
+    assert d["duration_ms"] == 2 * 1000 // 30
+    assert d["n_pixels"] == 24
+    assert d["mean_value"] == sum(frames[0] + frames[1]) / 24
+    assert d["pixel_crc"] == zlib.crc32(frames[0] + frames[1])
+
+
+def test_y4m_decoder_rejects_corrupt_and_unsupported():
+    import pytest as _pytest
+
+    frames = [bytes(range(6))]
+    payload = multimodal.encode_y4m(3, 2, frames)
+    with _pytest.raises(ValueError):
+        multimodal.decode_y4m(b"JUNK" + payload[4:])
+    with _pytest.raises(ValueError):
+        multimodal.decode_y4m(payload[:-2])  # truncated frame
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_y4m(payload.replace(b"Cmono", b"C422 "))
+    with _pytest.raises(ValueError):
+        multimodal.encode_y4m(3, 2, [b"\x00"])  # wrong frame length
+    # spec default colorspace (no C token) is 4:2:0: frame length 1.5x
+    y, u = bytes(range(4)), b"\x10"
+    chroma_payload = (
+        b"YUV4MPEG2 W2 H2 F25:1\n" + b"FRAME\n" + y + u + b"\x20"
+    )
+    d = multimodal.decode_y4m(chroma_payload)
+    assert (d["n_frames"], d["n_pixels"]) == (1, 4)
+    assert d["mean_value"] == sum(y) / 4  # stats over luma only
+
+
+def test_video_media_features_end_to_end(spark, docs):
+    """Spark-side pipeline: real Y4M clips encoded from doc text, really
+    decoded; the uncompressed-plane path must reproduce the tiled bytes
+    plus the per-frame +k ramp exactly (crc included -- the column the
+    SQL oracle drops)."""
+    import zlib
+
+    out = {r["asset_id"]: r for r in multimodal.video_media_features(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        data = (row["text"] or "").encode()
+        w, h = len(data) % 13 + 1, len(data) % 7 + 1
+        nf = len(data) % 4 + 1
+        budget = w * h
+        tiled = (
+            (data * (budget // max(1, len(data)) + 1))[:budget]
+            if data
+            else b"\x00" * budget
+        )
+        planes = b"".join(
+            bytes(min(b + k, 255) for b in tiled) for k in range(nf)
+        )
+        r = out[row["doc_id"]]
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+        assert r["n_pixels"] == budget * nf
+        assert r["duration_ms"] == nf * 40
+        assert abs(r["mean_value"] - sum(planes) / (budget * nf)) < 1e-6
+        assert r["pixel_crc"] == zlib.crc32(planes)
+
+
+def test_resize_payload_real_png_path():
+    """A PNG payload is REALLY resized: decode -> nearest-neighbor ->
+    re-encode; every target pixel must equal the source pixel at the
+    floor mapping, and the output is itself a valid PNG."""
+    src = bytes([10, 20, 30, 40, 50, 60])  # 3x2 grayscale
+    png = multimodal.encode_png(3, 2, src)
+    out = multimodal.decode_png(multimodal.resize_payload(png, 6, 4, fake=False))
+    assert (out["width"], out["height"], out["channels"]) == (6, 4, 1)
+    for ty in range(4):
+        for tx in range(6):
+            assert out["pixels"][ty * 6 + tx] == src[(ty * 2 // 4) * 3 + tx * 3 // 6]
+    # downscale picks the floor-mapped subset
+    down = multimodal.decode_png(multimodal.resize_payload(png, 1, 1, fake=False))
+    assert down["pixels"] == bytes([src[0]])
+    # non-PNG payloads: deterministic fake under fake=True, strict raise
+    fake = multimodal.resize_payload(b"opaque-bytes", 4, 4, fake=True)
+    assert len(fake) == 16
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_payload(b"opaque-bytes", 4, 4, fake=False)

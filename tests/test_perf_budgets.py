@@ -44,14 +44,22 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+def _run_benched_plan(fn, spark) -> None:
+    # Execute EXACTLY the plan bench.py times: the noop writer forces
+    # every projection/sort end-to-end, whereas .count() would let
+    # Catalyst prune unreferenced expressions and a real regression in a
+    # pruned column would stay green (round-6 advisory).
+    fn(spark, SF_BENCH).write.format("noop").mode("overwrite").save()
+
+
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_warm_budget(spark, name: str) -> None:
     fn = registry.QUERIES[name]
-    fn(spark, SF_BENCH).count()  # warm-up rep, untimed
+    _run_benched_plan(fn, spark)  # warm-up rep, untimed
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        fn(spark, SF_BENCH).count()
+        _run_benched_plan(fn, spark)
         best = min(best, time.time() - t0)
     assert best < BUDGETS[name], (
         f"{name}: best warm rep {best:.2f}s exceeds budget "

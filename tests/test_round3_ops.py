@@ -1086,18 +1086,18 @@ def test_round5_continuation_ops_tolerate_degenerates_and_empty(spark, tmp_path)
 
 
 def test_pca_power_iteration_aligns_with_numpy_eigenvector(spark):
-    """The unrolled power iteration's direction must land close to the
-    TRUE top eigenvector of the centered covariance (numpy as referee):
-    the oracle pins exactness of the fold, this pins that three
-    iterations from the uniform start actually converge on the fixture
+    """The Gramian-squaring power chain's direction must land close to
+    the TRUE top eigenvector of the centered covariance (numpy as
+    referee): the oracle pins exactness of the fold, this pins that
+    G^(2^7) from the one-pass Gramian actually converges on the fixture
     -- i.e. the query is PCA, not just a deterministic recurrence.
     Scores are checked against the numpy projection up to the sign
-    convention and the 6-dp iteration quantization."""
+    convention and the 6-dp fixed-point quantization."""
     np = pytest.importorskip("numpy")
     from real_time_financial_lakehouse_spark.operators import similarity
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
-    rows = similarity.pca_power_iteration(emb, n_iters=3).collect()
+    rows = similarity.pca_power_iteration(emb).collect()
     raw = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
            for r in emb.collect()}
     X = np.stack([raw[k] for k in sorted(raw)])

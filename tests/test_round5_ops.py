@@ -413,6 +413,45 @@ def test_jsonl_sink_commit_protocol_hides_uncommitted_shards(spark, tmp_path):
     assert {r["id"] for r in back.collect()} == set(range(100))
 
 
+def test_jsonl_sink_abort_preserves_previously_committed_write(spark, tmp_path):
+    """abort() restores the PRE-JOB state (round-6 advisory): an aborted
+    re-write to an existing sink path must drop only the aborted job's
+    shards -- the shards and manifest of a prior successful commit stay
+    intact and readable."""
+    import json
+    import os
+
+    from real_time_financial_lakehouse_spark.sources import (
+        read_manifested,
+        register_jsonl_sink,
+    )
+    from real_time_financial_lakehouse_spark.sources.jsonl_sink import (
+        _JsonlWriter,
+    )
+
+    register_jsonl_sink(spark)
+    df = spark.range(50).selectExpr("id", "id * 3 AS trp")
+    out = str(tmp_path / "sink_abort")
+    df.write.format("rtfl_jsonl").option("path", out).mode("append").save()
+    manifest_before = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    committed = {s["file"] for s in manifest_before["shards"]}
+    assert manifest_before["total_rows"] == 50 and committed
+    # a second job writes partial shards to the same path, then aborts
+    # (driver-side abort call, exactly what Spark issues on job failure)
+    orphan = "part-88888-777.jsonl"
+    with open(os.path.join(out, orphan), "w") as f:
+        f.write('{"id": 999, "trp": 2997}\n')
+    _JsonlWriter({"path": out}).abort([])
+    # the aborted job's shard is gone; the committed write is untouched
+    left = set(os.listdir(out))
+    assert orphan not in left
+    assert committed <= left and "_MANIFEST.json" in left
+    assert json.load(open(os.path.join(out, "_MANIFEST.json"))) == manifest_before
+    back = read_manifested(spark, out, "id long, trp long")
+    assert back.count() == 50
+    assert {r["id"] for r in back.collect()} == set(range(50))
+
+
 def test_streaming_expectation_gate_quarantines_planted_bad_rows(spark, tmp_path):
     """Planted contract violations must land in quarantine with their
     reasons; clean rows pass with conserved value totals."""
