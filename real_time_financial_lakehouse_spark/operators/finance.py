@@ -1497,20 +1497,13 @@ def _norm_cdf_sql(x: str) -> str:
     return f"(CASE WHEN ({x}) >= 0.0 THEN {cdf_abs} ELSE 1.0 - {cdf_abs} END)"
 
 
-def black_scholes_pricer(
+def _bs_priced(
     events: DataFrame, rate: float = 0.02, t_years: float = 30.0 / 365.0
 ) -> DataFrame:
-    """European call/put fair values per symbol under Black-Scholes:
-    spot = last daily close, strike = spot rounded to the nearest whole
-    dollar, sigma = annualized stddev of daily log returns (sqrt(252)),
-    N(.) = the Abramowitz-Stegun 26.2.17 polynomial (shared SQL text with
-    the oracle, see ``_norm_cdf_sql``).  Symbols with a degenerate series
-    (zero vol, a single day, or a non-positive close) price as NULL.
-
-    Scale: two symbol-cardinality aggregates (close series and return
-    moments) -- the whole query collapses to |symbols| rows after the
-    first partial-agg shuffle; the pricing itself is per-row projection
-    arithmetic in whole-stage codegen."""
+    """Shared Black-Scholes frame (pricer + greeks): per-symbol spot /
+    strike / annualized sigma from daily closes, then d1/d2/N(d1)/N(d2)
+    as projection columns -- the identical expression text the oracle
+    runs, so both consumers stay hash-exact."""
     key = F.struct(F.col("ts"), F.col("event_id"))
     daily = events.filter(F.col("value") > 0).groupBy(
         F.col("event_type").alias("symbol"),
@@ -1535,8 +1528,7 @@ def black_scholes_pricer(
         F.floor(F.col("spot") + F.lit(0.5)).cast("double").alias("strike"),
         (F.col("sd_daily") * F.lit(float(252.0**0.5))).alias("sigma"),
     ).filter((F.col("n_rets") >= 2) & (F.col("spot") > 0))
-    rt = rate * t_years
-    priced = (
+    return (
         base.withColumn("sqt", F.expr(f"sigma * sqrt({t_years!r})"))
         .withColumn(
             "d1",
@@ -1549,6 +1541,24 @@ def black_scholes_pricer(
         .withColumn("nd1", F.expr(_norm_cdf_sql("d1")))
         .withColumn("nd2", F.expr(_norm_cdf_sql("d2")))
     )
+
+
+def black_scholes_pricer(
+    events: DataFrame, rate: float = 0.02, t_years: float = 30.0 / 365.0
+) -> DataFrame:
+    """European call/put fair values per symbol under Black-Scholes:
+    spot = last daily close, strike = spot rounded to the nearest whole
+    dollar, sigma = annualized stddev of daily log returns (sqrt(252)),
+    N(.) = the Abramowitz-Stegun 26.2.17 polynomial (shared SQL text with
+    the oracle, see ``_norm_cdf_sql``).  Symbols with a degenerate series
+    (zero vol, a single day, or a non-positive close) price as NULL.
+
+    Scale: two symbol-cardinality aggregates (close series and return
+    moments) -- the whole query collapses to |symbols| rows after the
+    first partial-agg shuffle; the pricing itself is per-row projection
+    arithmetic in whole-stage codegen."""
+    rt = rate * t_years
+    priced = _bs_priced(events, rate, t_years)
     return priced.select(
         "symbol",
         qround(F.col("spot"), 6).alias("spot"),
@@ -2220,3 +2230,358 @@ def ichimoku_cloud(events: DataFrame) -> DataFrame:
         qround((tenkan + kijun) / 2.0, 6).alias("senkou_a"),
         qround(senkou_b, 6).alias("senkou_b"),
     ).orderBy("symbol", "minute_window")
+
+
+# ---------------------------------------------------------------------------
+# Round 8: money flow / trend-strength indicators, portfolio math,
+# Black-Scholes greeks, and the EWMA/Kalman recursive-state family.
+# ---------------------------------------------------------------------------
+
+
+def mfi(events: DataFrame, n: int = 14) -> DataFrame:
+    """Money Flow Index over minute bars: typical price
+    ``tp = (high + low + close) / 3`` weighted by bar volume, split into
+    positive/negative flow by the direction of tp vs the previous bar,
+    and ratioed over an n-bar window:
+
+        MFI = 100 * pos_flow / (pos_flow + neg_flow)
+
+    A symbol's first bar (no previous tp) contributes to neither flow
+    (the CASE's NULL comparison falls through to 0 in both engines), and
+    MFI is emitted only where the window is full and the window moved at
+    all (pos + neg != 0) -- volume-weighted RSI semantics, the classic
+    overbought/oversold gauge the plain RSI misses when volume diverges.
+
+    Scale: indicator passes run at BAR cardinality -- the windowless bar
+    rollup is the only trade-sized pass; the lag and the two frame sums
+    share one (symbol) exchange with O(n) rows of state per task."""
+    bars = _minute_bars(events)
+    w = Window.partitionBy("symbol").orderBy("minute_window")
+    staged = bars.select(
+        "symbol",
+        "minute_window",
+        ((F.col("high") + F.col("low") + F.col("close")) / 3.0).alias("tp"),
+        "vol",
+    )
+    prev_tp = F.lag("tp").over(w)
+    raw = F.col("tp") * F.col("vol")
+    flows = staged.select(
+        "symbol",
+        "minute_window",
+        "tp",
+        F.when(F.col("tp") > prev_tp, raw).otherwise(F.lit(0.0)).alias("pos_f"),
+        F.when(F.col("tp") < prev_tp, raw).otherwise(F.lit(0.0)).alias("neg_f"),
+    )
+    fr = w.rowsBetween(-(n - 1), 0)
+    pos_n = F.sum("pos_f").over(fr)
+    neg_n = F.sum("neg_f").over(fr)
+    cnt = F.count(F.lit(1)).over(fr)
+    mfi_val = F.when(
+        (cnt == n) & ((pos_n + neg_n) != 0),
+        F.lit(100.0) * pos_n / (pos_n + neg_n),
+    )
+    return flows.select(
+        "symbol",
+        "minute_window",
+        qround(F.col("tp"), 6).alias("typical_price"),
+        qround(mfi_val, 6).alias("mfi"),
+    ).orderBy("symbol", "minute_window")
+
+
+def aroon(events: DataFrame, n: int = 10) -> DataFrame:
+    """Aroon trend indicator over daily bars: with ``k`` = bars since the
+    (n+1)-bar window's highest high (most recent extreme on ties),
+
+        aroon_up   = 100 * (n - k) / n
+        aroon_down = 100 * (n - k_low) / n    (lowest low)
+
+    and the oscillator is their difference.  Emitted only where the
+    window is full.  The "bars since" lookup is a windowed
+    ``max(struct(extreme, rn))`` -- lexicographic struct ordering breaks
+    ties toward the most recent bar identically in Spark and DuckDB, and
+    the low side rides the exact negation ``-low``.
+
+    Scale: one day-granularity rollup (the only data-sized pass), one
+    (symbol, day) sort shared by row_number and the three frames; each
+    frame is ROWS-bounded, O(n) state per task."""
+    bars = _daily_bars(events)
+    w = Window.partitionBy("symbol").orderBy("day")
+    staged = bars.select(
+        "symbol", "day", "high", "low", F.row_number().over(w).alias("rn")
+    )
+    fr = (
+        Window.partitionBy("symbol").orderBy("day").rowsBetween(-n, 0)
+    )
+    hi_rn = F.max(F.struct(F.col("high").alias("v"), F.col("rn"))).over(fr)["rn"]
+    lo_rn = F.max(F.struct((-F.col("low")).alias("v"), F.col("rn"))).over(fr)["rn"]
+    cnt = F.count(F.lit(1)).over(fr)
+    scored = staged.select(
+        "symbol",
+        "day",
+        "rn",
+        F.when(cnt == n + 1, hi_rn).alias("hi_rn"),
+        F.when(cnt == n + 1, lo_rn).alias("lo_rn"),
+    )
+    up = F.expr(f"100.0 * ({n} - (rn - hi_rn)) / {n}")
+    down = F.expr(f"100.0 * ({n} - (rn - lo_rn)) / {n}")
+    return (
+        scored.select(
+            "symbol",
+            "day",
+            qround(up, 6).alias("aroon_up"),
+            qround(down, 6).alias("aroon_down"),
+            qround(up - down, 6).alias("aroon_osc"),
+        )
+        .filter(F.col("aroon_up").isNotNull())
+        .orderBy("symbol", "day")
+    )
+
+
+def min_variance_portfolio(events: DataFrame) -> DataFrame:
+    """Two-asset minimum-variance portfolio weights for every symbol
+    pair, from minute-bar log returns aligned on the shared minutes:
+
+        w1 = (var2 - cov) / (var1 + var2 - 2 cov),   w2 = 1 - w1
+
+    with the portfolio's annualized volatility
+    ``sqrt((w1^2 v1 + w2^2 v2 + 2 w1 w2 c) * 525600)`` and the pair
+    correlation.  Degenerate pairs (zero denominator) keep NULL weights.
+
+    Scale: returns are computed once at bar cardinality, then the
+    pair alignment is a self-equi-join on the minute key -- bar-sized,
+    never trade-sized, and co-partitioned by the join key; the final
+    aggregate collapses to |symbol pairs| rows with partial aggregation
+    before the shuffle."""
+    bars = _minute_bars(events).filter(F.col("close") > 0)
+    w = Window.partitionBy("symbol").orderBy("minute_window")
+    rets = bars.select(
+        "symbol",
+        "minute_window",
+        F.log(F.col("close") / F.lag("close").over(w)).alias("lr"),
+    ).filter(F.col("lr").isNotNull())
+    a = rets.select(
+        F.col("symbol").alias("sym1"),
+        F.col("minute_window").alias("m"),
+        F.col("lr").alias("lr1"),
+    )
+    b = rets.select(
+        F.col("symbol").alias("sym2"),
+        F.col("minute_window").alias("m"),
+        F.col("lr").alias("lr2"),
+    )
+    joined = a.join(b, "m").filter(F.col("sym1") < F.col("sym2"))
+    agg = joined.groupBy("sym1", "sym2").agg(
+        F.count(F.lit(1)).alias("n_minutes"),
+        F.var_pop("lr1").alias("v1"),
+        F.var_pop("lr2").alias("v2"),
+        F.covar_pop("lr1", "lr2").alias("c12"),
+    )
+    denom = F.col("v1") + F.col("v2") - 2.0 * F.col("c12")
+    w1 = F.when(denom != 0, (F.col("v2") - F.col("c12")) / denom)
+    w2 = F.lit(1.0) - w1
+    port_var = (
+        w1 * w1 * F.col("v1")
+        + w2 * w2 * F.col("v2")
+        + 2.0 * w1 * w2 * F.col("c12")
+    )
+    sd = F.sqrt(F.col("v1")) * F.sqrt(F.col("v2"))
+    corr = F.when(sd != 0, F.col("c12") / sd)
+    ann = 525600.0
+    return agg.select(
+        "sym1",
+        "sym2",
+        "n_minutes",
+        qround(F.sqrt(F.col("v1") * F.lit(ann)), 6).alias("vol1_annual"),
+        qround(F.sqrt(F.col("v2") * F.lit(ann)), 6).alias("vol2_annual"),
+        qround(corr, 6).alias("corr"),
+        qround(w1, 6).alias("w1"),
+        qround(w2, 6).alias("w2"),
+        # port_var is non-negative analytically; clamp float round-off
+        # on near-singular pairs (|corr| ~ 1) -- the range_volatility
+        # precedent, mirrored in the oracle.
+        qround(F.sqrt(F.greatest(port_var, F.lit(0.0)) * F.lit(ann)), 6).alias(
+            "port_vol_annual"
+        ),
+    ).orderBy("sym1", "sym2")
+
+
+def bs_greeks(
+    events: DataFrame, rate: float = 0.02, t_years: float = 30.0 / 365.0
+) -> DataFrame:
+    """Black-Scholes sensitivities per symbol on the same spot / strike /
+    sigma frame as ``black_scholes_pricer`` (shared ``_bs_priced``):
+
+        delta_call = N(d1)            delta_put = N(d1) - 1
+        gamma      = phi(d1) / (S sigma sqrt(T))
+        vega       = S phi(d1) sqrt(T)
+        theta_call = -S phi(d1) sigma / (2 sqrt(T)) - r K e^{-rT} N(d2)
+        rho_call   = K T e^{-rT} N(d2)
+
+    with ``phi`` the standard normal pdf.  A degenerate series
+    (sigma = 0) leaves d1 NULL and every greek NULL with it.
+
+    Scale: identical to the pricer -- two symbol-cardinality aggregates,
+    then pure projection arithmetic in whole-stage codegen."""
+    rt = rate * t_years
+    priced = _bs_priced(events, rate, t_years).withColumn(
+        "pdf1", F.expr(f"{_INV_SQRT_2PI!r} * exp(-(d1 * d1) / 2.0)")
+    )
+    sq_t = f"sqrt({t_years!r})"
+    return priced.select(
+        "symbol",
+        qround(F.col("spot"), 6).alias("spot"),
+        F.col("strike"),
+        qround(F.col("sigma"), 6).alias("sigma_annual"),
+        qround(F.col("nd1"), 6).alias("delta_call"),
+        qround(F.expr("nd1 - 1.0"), 6).alias("delta_put"),
+        qround(F.expr("pdf1 / (spot * sqt)"), 6).alias("gamma"),
+        qround(F.expr(f"spot * pdf1 * {sq_t}"), 6).alias("vega"),
+        qround(
+            F.expr(
+                f"-(spot * pdf1 * sigma) / (2.0 * {sq_t}) "
+                f"- {rate!r} * strike * exp(-{rt!r}) * nd2"
+            ),
+            6,
+        ).alias("theta_call"),
+        qround(
+            F.expr(f"strike * {t_years!r} * exp(-{rt!r}) * nd2"), 6
+        ).alias("rho_call"),
+    ).orderBy("symbol")
+
+
+def keltner_channels(events: DataFrame) -> DataFrame:
+    """Keltner channels over daily bars: an EMA (alpha = 0.2) of the
+    typical price ``(h + l + c) / 3`` banded at +/- 2 ATR(10), where the
+    true range stretches to the previous close and the first bar falls
+    back to ``h - l`` (the ``atr`` convention).  Channel rows are
+    emitted once the ATR window is full (day >= 10).
+
+    Both the per-bar EMA (a prefix fold seeded with the first typical
+    price) and the windowed ATR sum run as SEQUENTIAL left folds over
+    the sorted day array, the same op order as the oracle's list_reduce
+    -- the heikin_ashi discipline.
+
+    Scale: the day-granularity OHLC rollup is the only data-sized pass;
+    the folds run on |symbol| rows holding month-length arrays
+    (O(days^2) scalar work inside one row -- metadata-scale)."""
+    bars = _daily_bars(events)
+    series = bars.groupBy("symbol").agg(
+        F.expr(
+            "array_sort(collect_list(struct(day, open as o, high as h,"
+            " low as l, close as c)))"
+        ).alias("bs")
+    )
+    tps = "transform(bs, b -> (b.h + b.l + b.c) / 3.0)"
+    trs = (
+        "transform(sequence(1, size(bs)), i -> CASE WHEN i = 1 "
+        "THEN element_at(bs, 1).h - element_at(bs, 1).l "
+        "ELSE greatest(element_at(bs, i).h - element_at(bs, i).l, "
+        "abs(element_at(bs, i).h - element_at(bs, i - 1).c), "
+        "abs(element_at(bs, i).l - element_at(bs, i - 1).c)) END)"
+    )
+    per_day = (
+        f"transform(sequence(1, size(bs)), t -> named_struct("
+        f"'day', element_at(bs, t).day, "
+        f"'close', element_at(bs, t).c, "
+        f"'ema', aggregate(slice({tps}, 2, t - 1), "
+        f"cast(element_at({tps}, 1) as double), "
+        f"(acc, x) -> 0.2 * x + 0.8 * acc), "
+        f"'atr', CASE WHEN t >= 10 THEN aggregate(slice({trs}, t - 9, 10), "
+        f"cast(0.0 as double), (acc, x) -> acc + x) / 10.0 END))"
+    )
+    ex = series.select("symbol", F.explode(F.expr(per_day)).alias("e"))
+    return (
+        ex.select(
+            "symbol",
+            F.col("e.day").alias("day"),
+            qround(F.col("e.close"), 6).alias("close"),
+            qround(F.col("e.ema"), 6).alias("kc_mid"),
+            qround(F.expr("e.ema + 2.0 * e.atr"), 6).alias("kc_upper"),
+            qround(F.expr("e.ema - 2.0 * e.atr"), 6).alias("kc_lower"),
+        )
+        .filter(F.col("kc_upper").isNotNull())
+        .orderBy("symbol", "day")
+    )
+
+
+def ewma_riskmetrics_vol(events: DataFrame) -> DataFrame:
+    """RiskMetrics EWMA volatility per symbol (lambda = 0.94) over daily
+    log close returns:
+
+        var_t = 0.94 * var_{t-1} + 0.06 * r_t^2,   seeded var_1 = r_1^2
+
+    folded STRICTLY left-to-right over the sorted return series (the
+    ema_per_symbol discipline), emitting the final daily and annualized
+    (sqrt 252) volatility -- the J.P. Morgan RiskMetrics (1996) decay
+    standard.  Non-positive closes are excluded before the log.
+
+    Scale: one day-cardinality close rollup, one symbol-cardinality
+    groupBy holding the day array; the fold is scalar work inside a
+    |symbol|-row frame."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    daily = events.filter(F.col("value") > 0).groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    series = daily.groupBy("symbol").agg(
+        F.expr("transform(array_sort(collect_list(struct(day, c))), s -> s.c)")
+        .alias("xs")
+    ).filter(F.size("xs") >= 3)
+    rs = "transform(sequence(2, size(xs)), t -> ln(element_at(xs, t) / element_at(xs, t - 1)))"
+    var = (
+        f"aggregate(slice({rs}, 2, size({rs}) - 1), "
+        f"element_at({rs}, 1) * element_at({rs}, 1), "
+        f"(acc, r) -> 0.94 * acc + 0.06 * (r * r))"
+    )
+    return series.select(
+        "symbol",
+        (F.size("xs") - 1).cast("bigint").alias("n_rets"),
+        qround(F.expr(f"sqrt({var})"), 6).alias("ewma_vol_daily"),
+        qround(F.expr(f"sqrt({var} * 252.0)"), 6).alias("ewma_vol_annual"),
+    ).orderBy("symbol")
+
+
+def kalman_price_smooth(events: DataFrame) -> DataFrame:
+    """1-d Kalman filter (local-level / random-walk-plus-noise model)
+    over daily closes per symbol, with fixed process noise q = 0.001 and
+    observation noise r = 0.01:
+
+        p_pred = p + q
+        k      = p_pred / (p_pred + r)
+        x      = x + k * (z - x)
+        p      = (1 - k) * p_pred
+
+    seeded x_1 = close_1, p_1 = 1.0 and folded left-to-right with a
+    struct accumulator; emits the final filtered level, error
+    covariance, and steady-state gain.  Oracle twin: a recursive CTE
+    carrying (x, p, k) as plain columns (the holt_forecast discipline
+    -- DuckDB's struct-literal list_reduce shadows accumulator fields).
+
+    Scale: day-cardinality rollup then a |symbol|-row fold -- the
+    sequential recursion never touches trade cardinality."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    daily = events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    series = daily.groupBy("symbol").agg(
+        F.expr("transform(array_sort(collect_list(struct(day, c))), s -> s.c)")
+        .alias("xs")
+    ).filter(F.size("xs") >= 2)
+    st = (
+        "aggregate(slice(xs, 2, size(xs) - 1), "
+        "named_struct('x', cast(element_at(xs, 1) as double), "
+        "'p', cast(1.0 as double), 'k', cast(0.0 as double)), "
+        "(acc, z) -> named_struct("
+        "'x', acc.x + ((acc.p + 0.001) / (acc.p + 0.001 + 0.01)) * (z - acc.x), "
+        "'p', (1.0 - ((acc.p + 0.001) / (acc.p + 0.001 + 0.01))) * (acc.p + 0.001), "
+        "'k', (acc.p + 0.001) / (acc.p + 0.001 + 0.01)))"
+    )
+    return series.select(
+        "symbol",
+        F.size("xs").cast("bigint").alias("n_days"),
+        qround(F.expr("element_at(xs, size(xs))"), 6).alias("last_close"),
+        qround(F.expr(f"({st}).x"), 6).alias("kalman_level"),
+        qround(F.expr(f"({st}).p"), 6).alias("error_cov"),
+        qround(F.expr(f"({st}).k"), 6).alias("kalman_gain"),
+    ).orderBy("symbol")

@@ -4846,6 +4846,48 @@ def q_var_cvar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.var_cvar_report(_events(spark, sf_dir))
 
 
+def _bs_oracle_p3_cte() -> str:
+    """Black-Scholes oracle CTE chain (spot/strike/sigma ->
+    d1/d2/N(d1)/N(d2) as ``p3``) -- the SQL twin of
+    ``finance._bs_priced``, textually identical to the chain inside
+    ``_black_scholes_oracle_sql`` (kept verbatim there to leave the
+    long-green pricer oracle untouched)."""
+    from .operators.finance import _norm_cdf_sql
+
+    rate, t_years = 0.02, 30.0 / 365.0
+    sqrt252 = 252.0**0.5
+    return f"""src AS (SELECT * FROM events WHERE value > 0),
+    {_DAILY_CLOSE_SQL.strip().replace("FROM events", "FROM src")},
+    lr AS (
+        SELECT symbol, day, c,
+               ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day)) AS lr
+        FROM dclose
+    ),
+    per_sym AS (
+        SELECT symbol, arg_max(c, day) AS spot, stddev_pop(lr) AS sd_daily,
+               count(lr) AS n_rets
+        FROM lr GROUP BY 1
+    ),
+    base AS (
+        SELECT symbol, n_rets, spot, floor(spot + 0.5)::DOUBLE AS strike,
+               sd_daily * {sqrt252!r} AS sigma
+        FROM per_sym WHERE n_rets >= 2 AND spot > 0
+    ),
+    p1 AS (
+        SELECT *, sigma * sqrt({t_years!r}) AS sqt,
+               CASE WHEN sigma > 0
+                    THEN (ln(spot / strike) + ({rate!r} + sigma * sigma / 2.0)
+                          * {t_years!r}) / (sigma * sqrt({t_years!r}))
+               END AS d1
+        FROM base
+    ),
+    p2 AS (SELECT *, d1 - sqt AS d2 FROM p1),
+    p3 AS (
+        SELECT *, {_norm_cdf_sql("d1")} AS nd1, {_norm_cdf_sql("d2")} AS nd2
+        FROM p2
+    )"""
+
+
 def _black_scholes_oracle_sql() -> str:
     from .operators.finance import _norm_cdf_sql
 
@@ -6451,6 +6493,260 @@ def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target_encoding_loo(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Round 8: money-flow / trend-strength indicators, portfolio math,
+# Black-Scholes greeks, and the EWMA / Kalman recursive-state family.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mfi_14",
+    f"""
+    WITH {_BARS_SQL.strip()},
+    flows AS (
+        SELECT symbol, minute_window, tp,
+               CASE WHEN tp > prev_tp THEN tp * vol ELSE 0.0 END AS pos_f,
+               CASE WHEN tp < prev_tp THEN tp * vol ELSE 0.0 END AS neg_f
+        FROM (
+            SELECT symbol, minute_window,
+                   (high + low + close) / 3.0 AS tp, vol,
+                   lag((high + low + close) / 3.0)
+                       OVER (PARTITION BY symbol ORDER BY minute_window) AS prev_tp
+            FROM bars
+        )
+    )
+    SELECT symbol, minute_window,
+           {_q('tp', 6)} AS typical_price,
+           CASE WHEN count(*) OVER w = 14
+                     AND (sum(pos_f) OVER w + sum(neg_f) OVER w) != 0
+                THEN {_q('100.0 * (sum(pos_f) OVER w) / (sum(pos_f) OVER w + sum(neg_f) OVER w)', 6)}
+           END AS mfi
+    FROM flows
+    WINDOW w AS (PARTITION BY symbol ORDER BY minute_window
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ORDER BY symbol, minute_window
+    """,
+)
+def q_mfi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.mfi(_events(spark, sf_dir), n=14)
+
+
+@register(
+    "aroon_10",
+    f"""
+    WITH {_DAILY_BARS_SQL.strip()},
+    st AS (
+        SELECT symbol, day, h, l,
+               row_number() OVER (PARTITION BY symbol ORDER BY day) AS rn
+        FROM dbars
+    ),
+    wv AS (
+        SELECT symbol, day, rn,
+               CASE WHEN count(*) OVER w = 11
+                    THEN (max(struct_pack(v := h, rn := rn)) OVER w).rn END AS hi_rn,
+               CASE WHEN count(*) OVER w = 11
+                    THEN (max(struct_pack(v := -l, rn := rn)) OVER w).rn END AS lo_rn
+        FROM st
+        WINDOW w AS (PARTITION BY symbol ORDER BY day
+                     ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, day,
+           {_q('100.0 * (10 - (rn - hi_rn)) / 10', 6)} AS aroon_up,
+           {_q('100.0 * (10 - (rn - lo_rn)) / 10', 6)} AS aroon_down,
+           {_q('100.0 * (10 - (rn - hi_rn)) / 10 - 100.0 * (10 - (rn - lo_rn)) / 10', 6)} AS aroon_osc
+    FROM wv
+    WHERE hi_rn IS NOT NULL
+    ORDER BY symbol, day
+    """,
+)
+def q_aroon_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.aroon(_events(spark, sf_dir), n=10)
+
+
+@register(
+    "min_variance_portfolio",
+    f"""
+    WITH {_BARS_SQL.strip()},
+    rets AS (
+        SELECT symbol, minute_window, lr FROM (
+            SELECT symbol, minute_window,
+                   ln(close / lag(close) OVER (PARTITION BY symbol
+                                               ORDER BY minute_window)) AS lr
+            FROM bars WHERE close > 0
+        ) WHERE lr IS NOT NULL
+    ),
+    agg AS (
+        SELECT a.symbol AS sym1, b.symbol AS sym2,
+               count(*) AS n_minutes,
+               var_pop(a.lr) AS v1, var_pop(b.lr) AS v2,
+               covar_pop(a.lr, b.lr) AS c12
+        FROM rets a JOIN rets b
+          ON a.minute_window = b.minute_window AND a.symbol < b.symbol
+        GROUP BY 1, 2
+    ),
+    wts AS (
+        SELECT *, CASE WHEN (v1 + v2 - 2.0 * c12) != 0
+                       THEN (v2 - c12) / (v1 + v2 - 2.0 * c12) END AS w1
+        FROM agg
+    ),
+    w2s AS (SELECT *, 1.0 - w1 AS w2 FROM wts)
+    SELECT sym1, sym2, n_minutes,
+           {_q('sqrt(v1 * 525600.0)', 6)} AS vol1_annual,
+           {_q('sqrt(v2 * 525600.0)', 6)} AS vol2_annual,
+           CASE WHEN sqrt(v1) * sqrt(v2) != 0
+                THEN {_q('c12 / (sqrt(v1) * sqrt(v2))', 6)} END AS corr,
+           {_q('w1', 6)} AS w1,
+           {_q('w2', 6)} AS w2,
+           {_q('sqrt(greatest(w1 * w1 * v1 + w2 * w2 * v2 + 2.0 * w1 * w2 * c12, 0.0) * 525600.0)', 6)} AS port_vol_annual
+    FROM w2s
+    ORDER BY sym1, sym2
+    """,
+)
+def q_min_variance_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.min_variance_portfolio(_events(spark, sf_dir))
+
+
+def _bs_greeks_oracle_sql() -> str:
+    rate, t_years = 0.02, 30.0 / 365.0
+    rt = rate * t_years
+    inv_sqrt_2pi = 0.3989422804014327
+    sq_t = f"sqrt({t_years!r})"
+    return f"""
+    WITH {_bs_oracle_p3_cte()},
+    p4 AS (SELECT *, {inv_sqrt_2pi!r} * exp(-(d1 * d1) / 2.0) AS pdf1 FROM p3)
+    SELECT symbol,
+           {_q('spot', 6)} AS spot,
+           strike,
+           {_q('sigma', 6)} AS sigma_annual,
+           {_q('nd1', 6)} AS delta_call,
+           {_q('nd1 - 1.0', 6)} AS delta_put,
+           {_q('pdf1 / (spot * sqt)', 6)} AS gamma,
+           {_q(f'spot * pdf1 * {sq_t}', 6)} AS vega,
+           {_q(f'-(spot * pdf1 * sigma) / (2.0 * {sq_t}) - {rate!r} * strike * exp(-{rt!r}) * nd2', 6)} AS theta_call,
+           {_q(f'strike * {t_years!r} * exp(-{rt!r}) * nd2', 6)} AS rho_call
+    FROM p4
+    ORDER BY symbol
+    """
+
+
+@register("bs_greeks", _bs_greeks_oracle_sql())
+def q_bs_greeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.bs_greeks(_events(spark, sf_dir))
+
+
+_KC_TPS = "list_transform(bs, b -> (b.h + b.l + b.c) / 3.0)"
+_KC_TRS = (
+    "list_transform(generate_series(1, len(bs)), i -> "
+    "CASE WHEN i = 1 THEN bs[1].h - bs[1].l "
+    "ELSE greatest(bs[i].h - bs[i].l, abs(bs[i].h - bs[i - 1].c), "
+    "abs(bs[i].l - bs[i - 1].c)) END)"
+)
+
+
+@register(
+    "keltner_channels",
+    f"""
+    WITH {_DAILY_BARS_SQL.strip()},
+    series AS (
+        SELECT symbol,
+               list({{'day': day, 'o': o, 'h': h, 'l': l, 'c': c}} ORDER BY day) AS bs
+        FROM dbars GROUP BY 1
+    ),
+    ex AS (
+        SELECT symbol, bs,
+               unnest(generate_series(1, len(bs))) AS t
+        FROM series
+    ),
+    vals AS (
+        SELECT symbol, bs[t].day AS day, bs[t].c AS close,
+               list_reduce(
+                   list_prepend({_KC_TPS}[1], {_KC_TPS}[2:t]),
+                   (acc, x) -> 0.2 * x + 0.8 * acc) AS ema,
+               CASE WHEN t >= 10 THEN list_reduce(
+                   list_prepend(0.0, {_KC_TRS}[t - 9:t]),
+                   (acc, x) -> acc + x) / 10.0 END AS atr
+        FROM ex
+    )
+    SELECT symbol, day,
+           {_q('close', 6)} AS close,
+           {_q('ema', 6)} AS kc_mid,
+           {_q('ema + 2.0 * atr', 6)} AS kc_upper,
+           {_q('ema - 2.0 * atr', 6)} AS kc_lower
+    FROM vals
+    WHERE atr IS NOT NULL
+    ORDER BY symbol, day
+    """,
+)
+def q_keltner_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.keltner_channels(_events(spark, sf_dir))
+
+
+_EWMA_RS = "list_transform(generate_series(2, len(xs)), t -> ln(xs[t] / xs[t - 1]))"
+_EWMA_VAR = (
+    f"list_reduce(list_prepend({_EWMA_RS}[1] * {_EWMA_RS}[1], {_EWMA_RS}[2:]), "
+    "(acc, r) -> 0.94 * acc + 0.06 * (r * r))"
+)
+
+
+@register(
+    "ewma_riskmetrics_vol",
+    f"""
+    WITH src AS (SELECT * FROM events WHERE value > 0),
+    {_DAILY_CLOSE_SQL.strip().replace("FROM events", "FROM src")},
+    series AS (
+        SELECT symbol, list(c ORDER BY day) AS xs FROM dclose GROUP BY 1
+        HAVING count(*) >= 3
+    )
+    SELECT symbol,
+           (len(xs) - 1)::BIGINT AS n_rets,
+           {_q(f'sqrt({_EWMA_VAR})', 6)} AS ewma_vol_daily,
+           {_q(f'sqrt({_EWMA_VAR} * 252.0)', 6)} AS ewma_vol_annual
+    FROM series
+    ORDER BY symbol
+    """,
+)
+def q_ewma_riskmetrics_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.ewma_riskmetrics_vol(_events(spark, sf_dir))
+
+
+@register(
+    "kalman_price_smooth",
+    # Recursive CTE carrying (x, p, k) as plain columns -- the
+    # holt_forecast discipline (struct-literal list_reduce shadows
+    # accumulator fields in DuckDB 1.0).
+    f"""
+    WITH RECURSIVE {_DAILY_CLOSE_SQL.strip()},
+    series AS (
+        SELECT symbol, list(c ORDER BY day) AS xs FROM dclose GROUP BY 1
+        HAVING count(*) >= 2
+    ),
+    kf AS (
+        SELECT symbol, xs, len(xs) AS n, 1 AS t,
+               CAST(xs[1] AS DOUBLE) AS x, CAST(1.0 AS DOUBLE) AS p,
+               CAST(0.0 AS DOUBLE) AS k
+        FROM series
+        UNION ALL
+        SELECT symbol, xs, n, t + 1,
+               x + ((p + 0.001) / (p + 0.001 + 0.01)) * (xs[t + 1] - x),
+               (1.0 - ((p + 0.001) / (p + 0.001 + 0.01))) * (p + 0.001),
+               (p + 0.001) / (p + 0.001 + 0.01)
+        FROM kf WHERE t < n
+    )
+    SELECT symbol, n::BIGINT AS n_days,
+           {_q('xs[n]', 6)} AS last_close,
+           {_q('x', 6)} AS kalman_level,
+           {_q('p', 6)} AS error_cov,
+           {_q('k', 6)} AS kalman_gain
+    FROM kf
+    WHERE t = n
+    ORDER BY symbol
+    """,
+)
+def q_kalman_price_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.kalman_price_smooth(_events(spark, sf_dir))
 
 
 # All registrations (including registry_llmdata's and the late blocks
