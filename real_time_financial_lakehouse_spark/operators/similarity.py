@@ -1416,3 +1416,52 @@ def pca_power_iteration(embeddings: DataFrame, n_squarings: int = 7) -> DataFram
         )
         .orderBy("vec_id")
     )
+
+
+def matryoshka_truncation_report(
+    embeddings: DataFrame, dims: tuple[int, ...] = (8, 16, 32, 64)
+) -> DataFrame:
+    """Matryoshka-style truncation quality: for each prefix length d,
+    how much of the corpus survives cutting every embedding to its
+    first d dims -- (a) the average fraction of L2 energy retained and
+    (b) the average cosine between each truncated vector and its own
+    LABEL CENTROID at the same d (a label-separability proxy: if
+    truncation scrambles class structure, own-centroid alignment
+    drops).  The d = full-width row is the built-in sanity ceiling.
+
+    Scale: centroids are label x d x dim cardinality (metadata-sized,
+    built by one posexplode + partial-agg groupBy) and BROADCAST back;
+    the corpus is touched once per d with pure array expressions --
+    no pair expansion anywhere.  dims rides a broadcast literal frame."""
+    spark = embeddings.sparkSession
+    dims_df = spark.createDataFrame([(int(d),) for d in dims], "d int")
+    emb = _spread(embeddings).select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    ex = emb.crossJoin(F.broadcast(dims_df)).withColumn(
+        "vd", F.expr("slice(v, 1, d)")
+    )
+    un = ex.select("label", "d", F.posexplode("vd").alias("i0", "x")).select(
+        "label", "d", (F.col("i0") + 1).alias("i"), "x"
+    )
+    cent = un.groupBy("label", "d", "i").agg(F.avg("x").alias("c"))
+    cent_arr = cent.groupBy("label", "d").agg(
+        F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
+        .alias("cv")
+    )
+    j = ex.join(F.broadcast(cent_arr), ["label", "d"])
+    sq = "aggregate(transform({0}, x -> x * x), 0D, (acc, v) -> acc + v)"
+    e_num, e_den = sq.format("vd"), sq.format("v")
+    denom = F.sqrt(F.expr(sq.format("vd"))) * F.sqrt(F.expr(sq.format("cv")))
+    scored = j.select(
+        "d",
+        F.expr(
+            f"CASE WHEN {e_den} != 0 THEN {e_num} / {e_den} END"
+        ).alias("energy"),
+        F.when(denom != 0, _dot("vd", "cv") / denom).alias("cos"),
+    )
+    return scored.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        qround(F.avg("energy"), 6).alias("energy_retained"),
+        qround(F.avg("cos"), 6).alias("centroid_align"),
+    ).orderBy("d")

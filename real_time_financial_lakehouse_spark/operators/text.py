@@ -1257,3 +1257,56 @@ def nb_lang_classifier(documents: DataFrame, train_pct: int = 80) -> DataFrame:
         "n_docs",
         qround(F.col("n_docs") / F.sum("n_docs").over(wt), 6).alias("share"),
     ).orderBy("true_lang", "pred_lang")
+
+
+def readability_scores(documents: DataFrame) -> DataFrame:
+    """Per-source readability profile via Flesch Reading Ease and
+    Flesch-Kincaid grade (Kincaid et al. 1975), over the shared
+    heuristics: words = maximal ``[a-z]+`` runs of the lowercased text,
+    syllables = vowel-group (``[aeiouy]+``) runs per word floored at 1,
+    sentences = ``[.!?]+`` runs floored at 1:
+
+        flesch = 206.835 - 1.015 * (words / sentences)
+                 - 84.6 * (syllables / words)
+        fk     = 0.39 * (words / sentences)
+                 + 11.8 * (syllables / words) - 15.59
+
+    Empty documents (zero words) keep NULL scores and are skipped by the
+    averages; ``readable_share`` is the fraction of docs at
+    flesch >= 60 (the "plain English" bar), with NULL-score docs
+    counting as unreadable in both engines (NULL >= 60 falls through
+    the CASE).
+
+    Scale: one scan-side projection (regex + integer folds, all
+    codegen'd -- no UDF), one partial-aggregable groupBy at source
+    cardinality."""
+    words = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+    n_words = f"size({words})"
+    syls = (
+        f"aggregate(transform({words}, "
+        f"w -> greatest(1, size(regexp_extract_all(w, '[aeiouy]+', 0)))), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    n_sents = "greatest(1, size(regexp_extract_all(text, '[.!?]+', 0)))"
+    per_doc = documents.select(
+        "source",
+        F.expr(f"cast({n_words} as double) / {n_sents}").alias("wps"),
+        F.expr(
+            f"CASE WHEN {n_words} > 0 "
+            f"THEN cast({syls} as double) / {n_words} END"
+        ).alias("spw"),
+    ).withColumn(
+        "flesch", F.expr("206.835 - 1.015 * wps - 84.6 * spw")
+    ).withColumn(
+        "fk", F.expr("0.39 * wps + 11.8 * spw - 15.59")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        qround(F.avg("wps"), 6).alias("avg_words_per_sentence"),
+        qround(F.avg("spw"), 6).alias("avg_syllables_per_word"),
+        qround(F.avg("flesch"), 6).alias("avg_flesch"),
+        qround(F.avg("fk"), 6).alias("avg_fk_grade"),
+        qround(
+            F.avg(F.expr("CASE WHEN flesch >= 60.0 THEN 1.0 ELSE 0.0 END")), 6
+        ).alias("readable_share"),
+    ).orderBy("source")

@@ -2726,3 +2726,100 @@ def _pca_power_oracle_sql(n_squarings: int = 7) -> str:
 @register("pca_power_iteration", _pca_power_oracle_sql())
 def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pca_power_iteration(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round 8: readability profiling + matryoshka truncation quality
+# ---------------------------------------------------------------------------
+
+_RD_WORDS = "regexp_extract_all(lower(text), '[a-z]+')"
+_RD_SYLS = (
+    f"coalesce(list_sum(list_transform({_RD_WORDS}, "
+    "w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0)"
+)
+_RD_SENTS = "greatest(1, len(regexp_extract_all(text, '[.!?]+')))"
+
+
+@register(
+    "readability_scores",
+    f"""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len({_RD_WORDS}) AS DOUBLE) / {_RD_SENTS} AS wps,
+               CASE WHEN len({_RD_WORDS}) > 0
+                    THEN CAST({_RD_SYLS} AS DOUBLE) / len({_RD_WORDS}) END AS spw
+        FROM documents
+    ),
+    scored AS (
+        SELECT source, wps, spw,
+               206.835 - 1.015 * wps - 84.6 * spw AS flesch,
+               0.39 * wps + 11.8 * spw - 15.59 AS fk
+        FROM per_doc
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           {qround_sql('avg(wps)', 6)} AS avg_words_per_sentence,
+           {qround_sql('avg(spw)', 6)} AS avg_syllables_per_word,
+           {qround_sql('avg(flesch)', 6)} AS avg_flesch,
+           {qround_sql('avg(fk)', 6)} AS avg_fk_grade,
+           {qround_sql('avg(CASE WHEN flesch >= 60.0 THEN 1.0 ELSE 0.0 END)', 6)} AS readable_share
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.readability_scores(_docs(spark, sf_dir))
+
+
+_MTR_SQ_VD = "list_sum(list_transform(vd, x -> x * x))"
+_MTR_SQ_V = "list_sum(list_transform(v, x -> x * x))"
+_MTR_SQ_CV = "list_sum(list_transform(cv, x -> x * x))"
+_MTR_DOT = "list_sum(list_transform(generate_series(1, len(vd)), i -> vd[i] * cv[i]))"
+
+
+@register(
+    "matryoshka_truncation_report",
+    f"""
+    WITH emb AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    ds AS (SELECT unnest([8, 16, 32, 64]) AS d),
+    ex AS (
+        SELECT e.vec_id, e.label, ds.d, e.v[1:ds.d] AS vd, e.v AS v
+        FROM emb e CROSS JOIN ds
+    ),
+    un0 AS (
+        SELECT label, d, vd, unnest(generate_series(1, d)) AS i FROM ex
+    ),
+    cent AS (
+        SELECT label, d, i, avg(vd[i]) AS c FROM un0 GROUP BY 1, 2, 3
+    ),
+    cent_arr AS (
+        SELECT label, d, list(c ORDER BY i) AS cv FROM cent GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT ex.d, ex.vd, ex.v, ca.cv
+        FROM ex JOIN cent_arr ca USING (label, d)
+    ),
+    scored AS (
+        SELECT d,
+               CASE WHEN {_MTR_SQ_V} != 0
+                    THEN {_MTR_SQ_VD} / {_MTR_SQ_V} END AS energy,
+               CASE WHEN sqrt({_MTR_SQ_VD}) * sqrt({_MTR_SQ_CV}) != 0
+                    THEN {_MTR_DOT} / (sqrt({_MTR_SQ_VD}) * sqrt({_MTR_SQ_CV}))
+               END AS cos
+        FROM j
+    )
+    SELECT d, count(*) AS n_vectors,
+           {qround_sql('avg(energy)', 6)} AS energy_retained,
+           {qround_sql('avg(cos)', 6)} AS centroid_align
+    FROM scored
+    GROUP BY d
+    ORDER BY d
+    """,
+)
+def q_matryoshka_truncation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.matryoshka_truncation_report(_emb(spark, sf_dir))

@@ -206,3 +206,74 @@ def test_kalman_matches_numpy_and_converges(spark):
         # Riccati fixed point; with q=0.001, r=0.01 -> k* ~ 0.27
         assert 0.0 < r["kalman_gain"] < 1.0
         assert min(closes) - 1e-9 <= r["kalman_level"] <= max(closes) + 1e-9
+
+
+def test_readability_known_doc(spark):
+    """One planted doc: 'the cat sat. a dog ran!' -> 6 words, 6
+    syllables (every word 1 vowel group), 2 sentences -> wps = 3,
+    spw = 1 -> flesch = 206.835 - 3.045 - 84.6 = 119.19."""
+    from real_time_financial_lakehouse_spark.operators.text import readability_scores
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. a dog ran!", "en", "s1", 23)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = readability_scores(docs).collect()[0]
+    assert r["n_docs"] == 1
+    assert r["avg_words_per_sentence"] == pytest.approx(3.0, abs=1e-6)
+    assert r["avg_syllables_per_word"] == pytest.approx(1.0, abs=1e-6)
+    assert r["avg_flesch"] == pytest.approx(119.19, abs=1e-4)
+    assert r["avg_fk_grade"] == pytest.approx(0.39 * 3 + 11.8 - 15.59, abs=1e-4)
+    assert r["readable_share"] == 1.0
+
+
+def test_readability_empty_doc_is_null_safe(spark):
+    from real_time_financial_lakehouse_spark.operators.text import readability_scores
+
+    docs = spark.createDataFrame(
+        [(1, "!!! ???", "en", "s1", 7), (2, "one two three.", "en", "s1", 14)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = readability_scores(docs).collect()[0]
+    # wordless doc contributes to n_docs and counts as unreadable, but
+    # not to the syllable/flesch averages
+    assert r["n_docs"] == 2
+    assert r["avg_syllables_per_word"] is not None
+    assert r["readable_share"] == 0.5
+
+
+def test_matryoshka_monotone_and_full_width_ceiling(spark):
+    from real_time_financial_lakehouse_spark.operators.similarity import (
+        matryoshka_truncation_report,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = {r["d"]: r for r in matryoshka_truncation_report(emb).collect()}
+    assert set(rows) == {8, 16, 32, 64}
+    # energy retained grows with the prefix and hits exactly 1 at full width
+    es = [rows[d]["energy_retained"] for d in (8, 16, 32, 64)]
+    assert es == sorted(es)
+    assert es[-1] == pytest.approx(1.0, abs=1e-6)
+    for r in rows.values():
+        assert 0.0 <= r["energy_retained"] <= 1.0 + 1e-9
+        assert -1.0 - 1e-6 <= r["centroid_align"] <= 1.0 + 1e-6
+        assert r["n_vectors"] == emb.count()
+
+
+def test_matryoshka_plan_broadcasts_centroids(spark):
+    """The corpus side must never shuffle for the centroid join --
+    centroids are label x d cardinality and ride a broadcast."""
+    from real_time_financial_lakehouse_spark.operators.similarity import (
+        matryoshka_truncation_report,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = (
+        matryoshka_truncation_report(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
