@@ -1465,3 +1465,86 @@ def matryoshka_truncation_report(
         qround(F.avg("energy"), 6).alias("energy_retained"),
         qround(F.avg("cos"), 6).alias("centroid_align"),
     ).orderBy("d")
+
+
+# Unbiasing scale for the JL estimator: hyperplane_matrix entries are
+# uniform on the [-1, 1] 0.001 grid (variance ~ 1/3), so projecting to m
+# rows multiplies expected squared norms by m/3 -- sqrt(3/m) undoes it.
+# Emitted as SHARED SQL TEXT so both engines compute the identical
+# double.
+def _jl_scale_sql(m: int) -> str:
+    return f"sqrt(3.0 / {float(m)!r})"
+
+
+def jl_projection_proj_exprs(m: int = 16) -> list[str]:
+    """Spark SQL exprs: the m Johnson-Lindenstrauss coordinates of
+    column ``v`` against the deterministic md5 matrix."""
+    H = hyperplane_matrix(bits=m)
+    scale = _jl_scale_sql(m)
+    out = []
+    for j in range(m):
+        arr = ", ".join(f"{x}D" for x in H[j])
+        out.append(
+            f"aggregate(zip_with(v, array({arr}), (x, y) -> x * y),"
+            f" 0D, (acc, w) -> acc + w) * {scale}"
+        )
+    return out
+
+
+def jl_projection_proj_sql(m: int = 16) -> list[str]:
+    """DuckDB twins of jl_projection_proj_exprs (same literals, same
+    op order)."""
+    H = hyperplane_matrix(bits=m)
+    scale = _jl_scale_sql(m)
+    out = []
+    for j in range(m):
+        arr = ", ".join(str(x) for x in H[j])
+        out.append(
+            f"list_sum(list_transform(generate_series(1, len(v)),"
+            f" i -> v[i] * ([{arr}])[i])) * {scale}"
+        )
+    return out
+
+
+def jl_projection_distortion(
+    embeddings: DataFrame, m: int = 16, n_queries: int = 8
+) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit: project every embedding
+    64 -> m dims through a deterministic (md5-grid) dense matrix, then
+    for a fixed probe set report how pairwise L2 distances survive --
+    mean / min / max of ``dist_projected / dist_original`` per probe.
+    The JL lemma says the ratios concentrate near 1; this query is the
+    measured certificate a pipeline checks before swapping the full
+    vectors for the sketch.
+
+    Scale: the projection is scan-side JVM array math (one pass, no
+    shuffle); probes BROADCAST against the corpus, so the pair expansion
+    is n_queries x N -- bounded by the probe budget, never all-pairs;
+    the stats collapse to |probes| rows with partial aggregation."""
+    emb = _spread(embeddings).select("vec_id", _as_double("embedding").alias("v"))
+    proj = "array(" + ", ".join(jl_projection_proj_exprs(m)) + ")"
+    emb = emb.withColumn("pv", F.expr(proj))
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.col("pv").alias("pq"),
+    )
+    pairs = F.broadcast(queries).crossJoin(
+        emb.select(F.col("vec_id").alias("other_id"), "v", "pv")
+    ).filter(F.col("other_id") > F.col("query_id"))
+    sqdist = (
+        "aggregate(zip_with({0}, {1}, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (acc, w) -> acc + w)"
+    )
+    d_orig = F.sqrt(F.expr(sqdist.format("q", "v")))
+    d_proj = F.sqrt(F.expr(sqdist.format("pq", "pv")))
+    scored = pairs.select(
+        "query_id",
+        F.when(d_orig != 0, d_proj / d_orig).alias("ratio"),
+    )
+    return scored.groupBy("query_id").agg(
+        F.count("ratio").alias("n_pairs"),
+        qround(F.avg("ratio"), 6).alias("mean_distortion"),
+        qround(F.min("ratio"), 6).alias("min_distortion"),
+        qround(F.max("ratio"), 6).alias("max_distortion"),
+    ).orderBy("query_id")

@@ -518,3 +518,38 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, op string, n_files int, restored_from int"
     ).orderBy("version")
+
+
+def clone_table(
+    src_dir: str, dst_dir: str, version: int | None = None
+) -> int:
+    """Zero-copy SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW
+    CLONE``): the clone's v0 manifest references the SOURCE's data files
+    verbatim -- no bytes move, the clone costs one JSON write regardless
+    of table size.  Writes to either side stay isolated afterwards:
+    commits land in each table's own private ``data_v*`` directories, an
+    append to the clone merely re-references the shared files plus its
+    new ones, and ``vacuum`` only reaps orphans under its OWN table_dir,
+    so cloning never endangers source data.  Provenance (source path +
+    version) is recorded in the manifest's ``txn`` field, the same slot
+    the streaming writer uses.
+
+    ``version`` pins the clone to a historical snapshot (time-travel
+    clone); default is the source's latest."""
+    versions = table_versions(src_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions in {src_dir}")
+    pick = versions[-1] if version is None else version
+    if pick not in versions:
+        raise FileNotFoundError(f"version {pick} not in {versions}")
+    manifest = read_manifest(src_dir, pick)
+    if table_versions(dst_dir):
+        raise FileExistsError(f"clone target {dst_dir} already has versions")
+    os.makedirs(_log_path(dst_dir), exist_ok=True)
+    return _commit_manifest(
+        dst_dir,
+        0,
+        manifest["files"],
+        txn={"clone_of": os.path.abspath(src_dir), "source_version": pick},
+        own_data_dir=None,
+    )

@@ -6749,6 +6749,81 @@ def q_kalman_price_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.kalman_price_smooth(_events(spark, sf_dir))
 
 
+# Streaming twin: the SAME recursive-CTE oracle -- the stateful stream
+# (event-time bar finalization + provisional emission of the open day)
+# must land on the identical filtered level as the batch array fold.
+@register("streaming_kalman_level", ORACLE_SQL["kalman_price_smooth"])
+def q_streaming_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import streaming_kalman_roundtrip
+
+    return streaming_kalman_roundtrip(spark, sf_dir)
+
+
+
+@register(
+    "versioned_clone_divergence",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               event_type AS symbol,
+               count(*) AS n_events,
+               floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT 'source' AS side, day, symbol, n_events, total_value FROM daily
+    UNION ALL
+    SELECT 'clone' AS side, day, symbol, n_events, total_value FROM daily
+    UNION ALL
+    SELECT 'clone' AS side, day, symbol, n_events, total_value FROM daily
+    WHERE day >= TIMESTAMP '2024-01-25'
+    ORDER BY side, day, symbol
+    """,
+)
+def q_versioned_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE isolation: commit the gold rollup to a source table,
+    zero-copy clone it (one manifest write referencing the SAME parquet
+    files), APPEND a late-January correction to the CLONE ONLY, then read
+    both sides back.  The oracle expects the source untouched (exactly
+    the rollup) and the clone to carry the rollup PLUS the appended tail
+    -- if the clone's append leaked into the source, or the clone missed
+    the shared files, the side-tagged union hash-fails."""
+    import os
+
+    from .operators import versioned
+    from .scratch import scratch_dir
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type").alias("symbol"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.floor(F.sum("value") * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
+    )
+    base = scratch_dir("rtfl_clone_")
+    src_dir = os.path.join(base, "gold_src")
+    dst_dir = os.path.join(base, "gold_clone")
+    versioned.commit_version(daily, src_dir)
+    versioned.clone_table(src_dir, dst_dir)
+    versioned.commit_version(
+        daily.filter(F.col("day") >= "2024-01-25"), dst_dir, mode="append"
+    )
+    out = versioned.read_version(spark, src_dir).select(
+        F.lit("source").alias("side"), "day", "symbol", "n_events", "total_value"
+    ).unionAll(
+        versioned.read_version(spark, dst_dir).select(
+            F.lit("clone").alias("side"), "day", "symbol", "n_events", "total_value"
+        )
+    )
+    return out.orderBy("side", "day", "symbol")
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

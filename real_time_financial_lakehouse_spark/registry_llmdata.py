@@ -2823,3 +2823,43 @@ _MTR_DOT = "list_sum(list_transform(generate_series(1, len(vd)), i -> vd[i] * cv
 )
 def q_matryoshka_truncation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.matryoshka_truncation_report(_emb(spark, sf_dir))
+
+
+def _jl_oracle_sql(m: int = 16, n_queries: int = 8) -> str:
+    proj = "[" + ", ".join(similarity.jl_projection_proj_sql(m)) + "]"
+    sqd = (
+        "list_sum(list_transform(generate_series(1, len({0})),"
+        " i -> ({0}[i] - {1}[i]) * ({0}[i] - {1}[i])))"
+    )
+    d_orig = f"sqrt({sqd.format('q.q', 'e.v')})"
+    d_proj = f"sqrt({sqd.format('q.pq', 'e.pv')})"
+    return f"""
+    WITH emb0 AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    emb AS (SELECT vec_id, v, {proj} AS pv FROM emb0),
+    q AS (
+        SELECT vec_id AS query_id, v AS q, pv AS pq FROM emb
+        WHERE vec_id < {n_queries}
+    ),
+    scored AS (
+        SELECT q.query_id,
+               CASE WHEN {d_orig} != 0 THEN {d_proj} / {d_orig} END AS ratio
+        FROM q CROSS JOIN emb e
+        WHERE e.vec_id > q.query_id
+    )
+    SELECT query_id,
+           count(ratio) AS n_pairs,
+           {qround_sql('avg(ratio)', 6)} AS mean_distortion,
+           {qround_sql('min(ratio)', 6)} AS min_distortion,
+           {qround_sql('max(ratio)', 6)} AS max_distortion
+    FROM scored
+    GROUP BY query_id
+    ORDER BY query_id
+    """
+
+
+@register("jl_projection_distortion", _jl_oracle_sql())
+def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.jl_projection_distortion(_emb(spark, sf_dir))

@@ -915,3 +915,145 @@ def streaming_cusum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: streaming Kalman over daily closes with event-time bar
+# finalization + provisional emission.
+# ---------------------------------------------------------------------------
+
+KALMAN_Q = 0.001
+KALMAN_R = 0.01
+
+KALMAN_OUTPUT_SCHEMA = (
+    "symbol string, n_days bigint, last_close double, x_raw double,"
+    " p_raw double, k_raw double"
+)
+# committed filter state (excludes the still-open day) + the pending bar
+KALMAN_STATE_SCHEMA = (
+    "x double, p double, k double, n bigint, pend_day bigint, pend_close double"
+)
+
+
+def _kalman_fold(x, p, k, z):
+    """One local-level Kalman step -- the EXACT op order of the batch
+    operator's aggregate() lambda and the oracle's recursive CTE
+    (operators/finance.kalman_price_smooth), so CPython / JVM / DuckDB
+    produce bit-identical doubles."""
+    if x is None:
+        return float(z), 1.0, 0.0
+    pp = p + KALMAN_Q
+    k = pp / (pp + KALMAN_R)
+    x = x + k * (z - x)
+    p = (1.0 - k) * pp
+    return x, p, k
+
+
+def _kalman_update(
+    key: tuple[str],
+    pdf_iter: "Iterator[pd.DataFrame]",
+    state: Any,
+) -> "Iterator[pd.DataFrame]":
+    """GroupState fold over DAILY CLOSES with correct event-time bar
+    semantics under ANY micro-batch split: a day is folded into the
+    committed state only once a LATER day appears (its close is then
+    final); the newest day rides the state as a PENDING (day, close)
+    pair and is folded PROVISIONALLY at emission time only.  If the next
+    batch extends the same day, the provisional fold is simply
+    recomputed from the committed state -- nothing to retract."""
+    if state.exists:
+        x, p, k, n, pend_day, pend_close = state.get
+    else:
+        x, p, k, n, pend_day, pend_close = None, 1.0, 0.0, 0, None, None
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        days = pdf["ts"].dt.floor("D")
+        for day_val, grp in pdf.groupby(days, sort=True):
+            day_key = int(day_val.value)  # epoch ns of the day bucket
+            close = float(grp["value"].iloc[-1])
+            if pend_day is None:
+                pend_day, pend_close = day_key, close
+            elif day_key == pend_day:
+                pend_close = close  # same bar, fresher close
+            else:
+                # a later day arrived: the pending bar is final -- commit
+                x, p, k = _kalman_fold(x, p, k, pend_close)
+                n += 1
+                pend_day, pend_close = day_key, close
+    state.update((x, p, k, n, pend_day, pend_close))
+    if pend_day is None:
+        return iter(())
+    # provisional fold of the still-open day (NOT stored)
+    xe, pe, ke = _kalman_fold(x, p, k, pend_close)
+    yield pd.DataFrame(
+        [
+            {
+                "symbol": key[0],
+                "n_days": n + 1,
+                "last_close": pend_close,
+                "x_raw": xe,
+                "p_raw": pe,
+                "k_raw": ke,
+            }
+        ]
+    )
+
+
+def kalman_stream(events: DataFrame) -> DataFrame:
+    """Per-symbol streaming Kalman plan: groupBy(symbol) -> GroupState
+    fold over finalized daily closes.  State is O(1) per symbol
+    regardless of stream length -- the unbounded-scale path the batch
+    twin (full-array fold) is not."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy(F.col("event_type")).applyInPandasWithState(
+        _kalman_update,
+        outputStructType=KALMAN_OUTPUT_SCHEMA,
+        stateStructType=KALMAN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_kalman_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the streaming Kalman over the events fixture (availableNow),
+    append update rows per batch, return the LATEST row per symbol --
+    column-compatible with the batch twin's recursive-CTE oracle
+    (kalman_price_smooth)."""
+    from .silver import events_stream
+
+    out_dir = scratch_dir("rtfl_kalman_out_")
+    ckpt_dir = scratch_dir("rtfl_kalman_ckpt_")
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark) as ss:
+        q = (
+            kalman_stream(events_stream(ss, sf_dir))
+            .writeStream.foreachBatch(_append)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    raw = spark.read.parquet(out_dir)
+    w = Window.partitionBy("symbol").orderBy(F.col("n_days").desc())
+    q6 = lambda c: F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        raw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "symbol",
+            "n_days",
+            q6("last_close").alias("last_close"),
+            q6("x_raw").alias("kalman_level"),
+            q6("p_raw").alias("error_cov"),
+            q6("k_raw").alias("kalman_gain"),
+        )
+        .orderBy("symbol")
+    )

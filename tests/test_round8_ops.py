@@ -277,3 +277,161 @@ def test_matryoshka_plan_broadcasts_centroids(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_streaming_kalman_survives_mid_day_batch_split(spark, tmp_path):
+    """The hard case for event-time bar finalization: one calendar day's
+    ticks split across TWO micro-batches.  A fold that commits a day on
+    first sight would Kalman-step the interim close and corrupt every
+    later state; the pending-bar design must land exactly on the batch
+    twin's result."""
+    import os
+
+    from real_time_financial_lakehouse_spark.streaming.stateful import kalman_stream
+
+    def mk(eid, day, sec, sym, v):
+        return (eid, dt.datetime(2024, 1, day, 0, 0, sec), 1, sym, v, "{}")
+
+    # day 3 straddles the file boundary; its true close (99.0) only
+    # appears in the second file
+    f1 = [mk(0, 1, 0, "s", 100.0), mk(1, 2, 0, "s", 102.0), mk(2, 3, 0, "s", 95.0)]
+    f2 = [mk(3, 3, 30, "s", 99.0), mk(4, 4, 0, "s", 101.0)]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(str(src / "b"))
+    # file source orders by modification time: make 'a' strictly older
+    for sub, mt in (("a", 1_000_000_000), ("b", 2_000_000_000)):
+        for f in (src / sub).glob("*.parquet"):
+            os.utime(f, (mt, mt))
+
+    out_rows = []
+    batches = []
+
+    def _collect(batch_df, batch_id):
+        rows = batch_df.collect()
+        if rows:
+            batches.append(batch_id)
+            out_rows.extend(rows)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        kalman_stream(stream)
+        .writeStream.foreachBatch(_collect)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) >= 2, "expected one micro-batch per file"
+    final = max(out_rows, key=lambda r: r["n_days"])
+    ev = spark.createDataFrame(f1 + f2, schema)
+    batch = finance.kalman_price_smooth(ev).collect()[0]
+    assert final["n_days"] == batch["n_days"] == 4
+    assert final["last_close"] == 101.0
+    # the batch query quantizes at 1e-6; compare at that granularity
+    assert final["x_raw"] == pytest.approx(batch["kalman_level"], abs=1e-6)
+    assert final["p_raw"] == pytest.approx(batch["error_cov"], abs=1e-6)
+    assert final["k_raw"] == pytest.approx(batch["kalman_gain"], abs=1e-6)
+    # the provisional mid-day emission after batch 1 must use day 3's
+    # interim close without committing it
+    b1 = [r for r in out_rows if r["n_days"] == 3]
+    assert b1 and b1[0]["last_close"] == 95.0
+
+
+def test_jl_distortion_concentrates_near_one(spark):
+    """JL lemma referee: with m = 16 rows the per-pair distortion SD is
+    ~ sqrt(2/m) ~ 0.35, so the per-probe MEAN over hundreds of pairs
+    must sit well inside [0.8, 1.2] -- a mis-scaled projection (e.g. a
+    missing sqrt(3/m)) lands near 2.3 and fails loudly."""
+    from real_time_financial_lakehouse_spark.operators.similarity import (
+        jl_projection_distortion,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = jl_projection_distortion(emb).collect()
+    assert rows
+    for r in rows:
+        assert r["n_pairs"] > 0
+        assert 0.8 <= r["mean_distortion"] <= 1.2
+        assert r["min_distortion"] <= r["mean_distortion"] <= r["max_distortion"]
+        assert r["min_distortion"] > 0
+
+
+def test_jl_plan_broadcasts_probes(spark):
+    from real_time_financial_lakehouse_spark.operators.similarity import (
+        jl_projection_distortion,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = (
+        jl_projection_distortion(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_shallow_clone_is_zero_copy_and_isolated(spark, tmp_path):
+    """Clone manifest must reference the SOURCE's physical files (no
+    copy), later commits must not cross table boundaries, and vacuum on
+    the clone must never reap shared source data."""
+    import os
+
+    from real_time_financial_lakehouse_spark.operators import versioned
+
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    src = str(tmp_path / "src_tbl")
+    dst = str(tmp_path / "dst_tbl")
+    versioned.commit_version(df, src)
+    versioned.clone_table(src, dst)
+
+    src_files = set(versioned.read_manifest(src, 0)["files"])
+    clone_files = set(versioned.read_manifest(dst, 0)["files"])
+    assert clone_files == src_files, "shallow clone must share files verbatim"
+    m = versioned.read_manifest(dst, 0)
+    assert m["txn"]["clone_of"] == os.path.abspath(src)
+    assert m["txn"]["source_version"] == 0
+
+    # diverge the clone; the source's version chain must not move
+    versioned.commit_version(
+        spark.range(10, 15).selectExpr("id", "id * 2 AS v"), dst, mode="append"
+    )
+    assert versioned.table_versions(src) == [0]
+    assert versioned.table_versions(dst) == [0, 1]
+    assert versioned.read_version(spark, src).count() == 10
+    assert versioned.read_version(spark, dst).count() == 15
+
+    # vacuum the clone aggressively: shared source files must survive
+    versioned.vacuum(dst, orphan_grace_s=0.0)
+    for f in src_files:
+        assert os.path.exists(f), "clone vacuum deleted a shared source file"
+    assert versioned.read_version(spark, src).count() == 10
+
+    # cloning onto an existing table is refused
+    with pytest.raises(FileExistsError):
+        versioned.clone_table(src, dst)
+
+    # the harshest case: a clone that OVERWRITES (drops every shared
+    # reference) then vacuums -- the doomed v0 names source files, but
+    # vacuum only removes directories under its own table root, so the
+    # source is untouchable by construction
+    dst2 = str(tmp_path / "dst2_tbl")
+    versioned.clone_table(src, dst2)
+    versioned.commit_version(spark.range(3).selectExpr("id", "id AS v"), dst2)
+    versioned.vacuum(dst2, orphan_grace_s=0.0)
+    for f in src_files:
+        assert os.path.exists(f), "overwritten clone's vacuum reaped source data"
+    assert versioned.read_version(spark, src).count() == 10
