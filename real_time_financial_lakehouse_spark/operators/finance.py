@@ -2585,3 +2585,120 @@ def kalman_price_smooth(events: DataFrame) -> DataFrame:
         qround(F.expr(f"({st}).p"), 6).alias("error_cov"),
         qround(F.expr(f"({st}).k"), 6).alias("kalman_gain"),
     ).orderBy("symbol")
+
+
+def adx(events: DataFrame) -> DataFrame:
+    """Average Directional Index (Wilder 1978) over daily bars, the full
+    three-stage recursion:
+
+        +DM/-DM  directional moves (larger side wins, floored at 0)
+        TR       true range
+        Wilder smoothing s_t = s_{t-1} - s_{t-1}/14 + x_t, seeded with
+                 the first-14 sum
+        DI+/-    = 100 * smoothed DM / smoothed TR
+        DX       = 100 * |DI+ - DI-| / (DI+ + DI-)
+        ADX      = Wilder-averaged DX (seed = mean of first 14 DX)
+
+    All three recursions run as SEQUENTIAL prefix folds over the sorted
+    day array (the keltner/heikin discipline), staged as intermediate
+    ARRAY columns so each fold's text appears once -- the oracle mirrors
+    every stage with the identical op order.  DI rows emit from the
+    14th move, ADX from the 27th (needs 14 DX values).
+
+    Scale: the day-granularity OHLC rollup is the only data-sized pass;
+    the staged folds are O(days^2) scalar work inside |symbol| rows --
+    metadata-scale."""
+    bars = _daily_bars(events)
+    series = bars.groupBy("symbol").agg(
+        F.expr(
+            "array_sort(collect_list(struct(day, open as o, high as h,"
+            " low as l, close as c)))"
+        ).alias("bs")
+    ).filter(F.size("bs") >= 15)
+    el = "element_at(bs, {0})"
+    up = f"({el.format('i')}.h - {el.format('i - 1')}.h)"
+    dn = f"({el.format('i - 1')}.l - {el.format('i')}.l)"
+    stage1 = series.select(
+        "symbol",
+        "bs",
+        F.expr(
+            f"transform(sequence(2, size(bs)), i -> "
+            f"greatest({el.format('i')}.h - {el.format('i')}.l, "
+            f"abs({el.format('i')}.h - {el.format('i - 1')}.c), "
+            f"abs({el.format('i')}.l - {el.format('i - 1')}.c)))"
+        ).alias("trs"),
+        F.expr(
+            f"transform(sequence(2, size(bs)), i -> "
+            f"CASE WHEN {up} > {dn} AND {up} > 0 THEN {up} ELSE 0.0 END)"
+        ).alias("dps"),
+        F.expr(
+            f"transform(sequence(2, size(bs)), i -> "
+            f"CASE WHEN {dn} > {up} AND {dn} > 0 THEN {dn} ELSE 0.0 END)"
+        ).alias("dms"),
+    )
+    # Wilder smoothing of array column {0} at position t (t >= 14):
+    # seed = sum of elements 1..14, then fold s -> s - s/14 + x over 15..t
+    wil = (
+        "aggregate(slice({0}, 15, t - 14), "
+        "aggregate(slice({0}, 1, 14), cast(0.0 as double), (acc, x) -> acc + x), "
+        "(acc, x) -> acc - acc / 14.0 + x)"
+    )
+    m = "size(trs)"
+    stage2 = stage1.select(
+        "symbol",
+        "bs",
+        F.expr(
+            f"transform(sequence(14, {m}), t -> {wil.format('trs')})"
+        ).alias("str_"),
+        F.expr(
+            f"transform(sequence(14, {m}), t -> {wil.format('dps')})"
+        ).alias("sdp"),
+        F.expr(
+            f"transform(sequence(14, {m}), t -> {wil.format('dms')})"
+        ).alias("sdm"),
+    )
+    stage3 = stage2.select(
+        "symbol",
+        "bs",
+        F.expr(
+            "zip_with(sdp, str_, (p, tr) -> "
+            "CASE WHEN tr != 0 THEN 100.0 * p / tr END)"
+        ).alias("dips"),
+        F.expr(
+            "zip_with(sdm, str_, (p, tr) -> "
+            "CASE WHEN tr != 0 THEN 100.0 * p / tr END)"
+        ).alias("dims_"),
+    )
+    stage4 = stage3.select(
+        "symbol",
+        "bs",
+        "dips",
+        "dims_",
+        F.expr(
+            "zip_with(dips, dims_, (p, q) -> "
+            "CASE WHEN (p + q) != 0 THEN 100.0 * abs(p - q) / (p + q) END)"
+        ).alias("dxs"),
+    )
+    adx_fold = (
+        "aggregate(slice(dxs, 15, t - 27), "
+        "aggregate(slice(dxs, 1, 14), cast(0.0 as double), (acc, x) -> acc + x)"
+        " / 14.0, "
+        "(acc, x) -> (acc * 13.0 + x) / 14.0)"
+    )
+    per_day = (
+        f"transform(sequence(14, size(dxs) + 13), t -> named_struct("
+        f"'day', element_at(bs, t + 1).day, "
+        f"'di_plus', element_at(dips, t - 13), "
+        f"'di_minus', element_at(dims_, t - 13), "
+        f"'dx', element_at(dxs, t - 13), "
+        f"'adx', CASE WHEN t >= 27 THEN {adx_fold} END))"
+    )
+    ex = stage4.select("symbol", F.explode(F.expr(per_day)).alias("e"))
+    return ex.select(
+        "symbol",
+        F.col("e.day").alias("day"),
+        qround(F.col("e.di_plus"), 6).alias("di_plus"),
+        qround(F.col("e.di_minus"), 6).alias("di_minus"),
+        qround(F.col("e.dx"), 6).alias("dx"),
+        qround(F.col("e.adx"), 6).alias("adx"),
+    ).orderBy("symbol", "day")

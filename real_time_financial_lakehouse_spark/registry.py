@@ -6824,6 +6824,70 @@ def q_versioned_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("side", "day", "symbol")
 
 
+
+@register(
+    "adx_14",
+    f"""
+    WITH {_DAILY_BARS_SQL.strip()},
+    series AS (
+        SELECT symbol,
+               list({{'day': day, 'o': o, 'h': h, 'l': l, 'c': c}} ORDER BY day) AS bs
+        FROM dbars GROUP BY 1
+        HAVING count(*) >= 15
+    ),
+    s1 AS (
+        SELECT symbol, bs,
+               list_transform(generate_series(2, len(bs)), i ->
+                   greatest(bs[i].h - bs[i].l, abs(bs[i].h - bs[i - 1].c),
+                            abs(bs[i].l - bs[i - 1].c))) AS trs,
+               list_transform(generate_series(2, len(bs)), i ->
+                   CASE WHEN (bs[i].h - bs[i - 1].h) > (bs[i - 1].l - bs[i].l) AND (bs[i].h - bs[i - 1].h) > 0 THEN (bs[i].h - bs[i - 1].h) ELSE 0.0 END) AS dps,
+               list_transform(generate_series(2, len(bs)), i ->
+                   CASE WHEN (bs[i - 1].l - bs[i].l) > (bs[i].h - bs[i - 1].h) AND (bs[i - 1].l - bs[i].l) > 0 THEN (bs[i - 1].l - bs[i].l) ELSE 0.0 END) AS dms
+        FROM series
+    ),
+    s2 AS (
+        SELECT symbol, bs,
+               list_transform(generate_series(14, len(trs)), t -> list_reduce(list_prepend(list_reduce(list_prepend(0.0, trs[1:14]), (acc, x) -> acc + x), trs[15:t]), (acc, x) -> acc - acc / 14.0 + x)) AS str_,
+               list_transform(generate_series(14, len(dps)), t -> list_reduce(list_prepend(list_reduce(list_prepend(0.0, dps[1:14]), (acc, x) -> acc + x), dps[15:t]), (acc, x) -> acc - acc / 14.0 + x)) AS sdp,
+               list_transform(generate_series(14, len(dms)), t -> list_reduce(list_prepend(list_reduce(list_prepend(0.0, dms[1:14]), (acc, x) -> acc + x), dms[15:t]), (acc, x) -> acc - acc / 14.0 + x)) AS sdm
+        FROM s1
+    ),
+    s3 AS (
+        SELECT symbol, bs,
+               list_transform(generate_series(1, len(str_)), j ->
+                   CASE WHEN str_[j] != 0 THEN 100.0 * sdp[j] / str_[j] END) AS dips,
+               list_transform(generate_series(1, len(str_)), j ->
+                   CASE WHEN str_[j] != 0 THEN 100.0 * sdm[j] / str_[j] END) AS dims_
+        FROM s2
+    ),
+    s4 AS (
+        SELECT symbol, bs, dips, dims_,
+               list_transform(generate_series(1, len(dips)), j ->
+                   CASE WHEN (dips[j] + dims_[j]) != 0
+                        THEN 100.0 * abs(dips[j] - dims_[j]) / (dips[j] + dims_[j])
+                   END) AS dxs
+        FROM s3
+    ),
+    ex AS (
+        SELECT symbol, bs, dips, dims_, dxs,
+               unnest(generate_series(14, len(dxs) + 13)) AS t
+        FROM s4
+    )
+    SELECT symbol,
+           bs[t + 1].day AS day,
+           {_q('dips[t - 13]', 6)} AS di_plus,
+           {_q('dims_[t - 13]', 6)} AS di_minus,
+           {_q('dxs[t - 13]', 6)} AS dx,
+           CASE WHEN t >= 27 THEN {_q('list_reduce(list_prepend(list_reduce(list_prepend(0.0, dxs[1:14]), (acc, x) -> acc + x) / 14.0, dxs[15:t - 13]), (acc, x) -> (acc * 13.0 + x) / 14.0)', 6)} END AS adx
+    FROM ex
+    ORDER BY symbol, day
+    """,
+)
+def q_adx_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.adx(_events(spark, sf_dir))
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

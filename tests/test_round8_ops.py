@@ -435,3 +435,68 @@ def test_shallow_clone_is_zero_copy_and_isolated(spark, tmp_path):
     for f in src_files:
         assert os.path.exists(f), "overwritten clone's vacuum reaped source data"
     assert versioned.read_version(spark, src).count() == 10
+
+
+def test_adx_matches_numpy_wilder_recursion(spark):
+    """Full independent re-derivation of Wilder's ADX(14) in plain
+    Python from the fixture's daily bars -- +DM/-DM, TR, the
+    seed-then-decay smoothing, DI, DX, and the DX Wilder average --
+    compared row-for-row against the operator."""
+    ev = load_table(spark, SF_SMOKE, "events").toPandas()
+    out = {}
+    for r in finance.adx(_events(spark)).collect():
+        out[(r["symbol"], r["day"])] = r
+    assert out
+    syms = sorted(ev.event_type.unique())
+    checked_adx = 0
+    for sym in syms:
+        g = ev[ev.event_type == sym].copy().sort_values(["ts", "event_id"])
+        g["day"] = g.ts.dt.floor("D")
+        bars = g.groupby("day").agg(
+            h=("value", "max"), l=("value", "min"), c=("value", "last")
+        )
+        days = list(bars.index)
+        h, l, c = bars.h.values, bars.l.values, bars.c.values
+        n = len(days)
+        if n < 15:
+            continue
+        trs, dps, dms = [], [], []
+        for i in range(1, n):
+            trs.append(max(h[i] - l[i], abs(h[i] - c[i - 1]), abs(l[i] - c[i - 1])))
+            u, d = h[i] - h[i - 1], l[i - 1] - l[i]
+            dps.append(u if (u > d and u > 0) else 0.0)
+            dms.append(d if (d > u and d > 0) else 0.0)
+
+        def wil(xs, t):  # t is 1-based position, t >= 14
+            s = sum(xs[:14])
+            for u2 in range(14, t):
+                s = s - s / 14.0 + xs[u2]
+            return s
+
+        dxs = []
+        for t in range(14, len(trs) + 1):
+            st, sp, sm = wil(trs, t), wil(dps, t), wil(dms, t)
+            dip = 100.0 * sp / st if st != 0 else None
+            dim = 100.0 * sm / st if st != 0 else None
+            dx = (
+                100.0 * abs(dip - dim) / (dip + dim)
+                if dip is not None and (dip + dim) != 0
+                else None
+            )
+            dxs.append(dx)
+            r = out[(sym, days[t])]  # bar index = t + 1 (1-based) = days[t]
+            assert r["di_plus"] == pytest.approx(dip, abs=1e-5)
+            assert r["di_minus"] == pytest.approx(dim, abs=1e-5)
+            assert r["dx"] == pytest.approx(dx, abs=1e-5)
+            assert 0.0 <= r["di_plus"] <= 100.0 + 1e-9
+            assert 0.0 <= r["dx"] <= 100.0 + 1e-9
+            if t >= 27:
+                a = sum(dxs[:14]) / 14.0
+                for x in dxs[14 : t - 13]:
+                    a = (a * 13.0 + x) / 14.0
+                assert r["adx"] == pytest.approx(a, abs=1e-5)
+                assert 0.0 <= r["adx"] <= 100.0 + 1e-9
+                checked_adx += 1
+            else:
+                assert r["adx"] is None
+    assert checked_adx > 0, "fixture produced no full ADX windows"
