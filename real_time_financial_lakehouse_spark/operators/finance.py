@@ -2702,3 +2702,160 @@ def adx(events: DataFrame) -> DataFrame:
         qround(F.col("e.dx"), 6).alias("dx"),
         qround(F.col("e.adx"), 6).alias("adx"),
     ).orderBy("symbol", "day")
+
+
+def vpin_toxicity(events: DataFrame, bucket_qty: float = 2000.0) -> DataFrame:
+    """VPIN order-flow toxicity (Easley, Lopez de Prado, O'Hara 2012)
+    per symbol: ticks are signed by the TICK RULE (sign of the price
+    change, carried forward through zero-change ticks), volume is
+    grouped into equal-quantity buckets, and toxicity is the mean
+    absolute buy/sell imbalance per bucket:
+
+        VPIN = avg_buckets( |buy_vol - sell_vol| / bucket_vol )
+
+    Leading ticks with no sign yet contribute volume to the bucket but
+    to neither side; the trailing partial bucket is included (stated
+    convention, mirrored in the oracle).
+
+    Scale: one (symbol) sort shared by the lag, the ignore-nulls
+    sign carry, and the running quantity sum (all O(1)-state frames),
+    then two partial-aggregable groupBys collapsing to bucket and
+    symbol cardinality."""
+    w = Window.partitionBy("symbol").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    qty = F.get_json_object(F.col("props"), "$.k").cast("double")
+    ticks = events.select(
+        F.col("event_type").alias("symbol"),
+        "ts",
+        "event_id",
+        "value",
+        qty.alias("qty"),
+    )
+    d = F.col("value") - F.lag("value").over(w)
+    sign_raw = F.when(d > 0, F.lit(1.0)).when(d < 0, F.lit(-1.0))
+    signed = ticks.select(
+        "symbol",
+        "qty",
+        F.last(sign_raw, ignorenulls=True).over(wc).alias("sgn"),
+        F.sum("qty").over(wc).alias("cum_qty"),
+    )
+    staged = signed.select(
+        "symbol",
+        F.floor(F.col("cum_qty") / F.lit(bucket_qty)).cast("bigint").alias("bucket_id"),
+        "qty",
+        F.when(F.col("sgn") == 1.0, F.col("qty")).otherwise(F.lit(0.0)).alias("buy_v"),
+        F.when(F.col("sgn") == -1.0, F.col("qty")).otherwise(F.lit(0.0)).alias("sell_v"),
+    )
+    buckets = staged.groupBy("symbol", "bucket_id").agg(
+        F.sum("buy_v").alias("b"),
+        F.sum("sell_v").alias("s"),
+        F.sum("qty").alias("v"),
+    )
+    imb = F.when(F.col("v") > 0, F.abs(F.col("b") - F.col("s")) / F.col("v"))
+    return (
+        buckets.select("symbol", imb.alias("imb"), "v")
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            qround(F.avg("imb"), 6).alias("vpin"),
+            qround(F.max("imb"), 6).alias("max_imbalance"),
+            qround(F.sum("v"), 6).alias("total_qty"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def supertrend(events: DataFrame) -> DataFrame:
+    """SuperTrend(10, 3) over daily bars: ATR(10) bands around the bar
+    midpoint, ratcheted by the classic conditional recursion --
+
+        final_ub_t = bub_t if (bub_t < final_ub_{t-1}
+                               or close_{t-1} > final_ub_{t-1}) else carry
+        final_lb_t = blb_t if (blb_t > final_lb_{t-1}
+                               or close_{t-1} < final_lb_{t-1}) else carry
+        trend flips when the close crosses the ACTIVE band
+
+    seeded at the first full-ATR bar (t = 10) with direction = sign of
+    close vs midpoint.  The supertrend line is the active band.  The
+    fold recomputes per emission bar from the seed (the heikin/keltner
+    O(days^2) prefix discipline); the oracle is a recursive CTE carrying
+    (fub, flb, dirn) as plain columns -- struct-literal list_reduce
+    would shadow accumulator fields in DuckDB.
+
+    Scale: one day-granularity rollup, then |symbol|-row array work."""
+    bars = _daily_bars(events)
+    series = bars.groupBy("symbol").agg(
+        F.expr(
+            "array_sort(collect_list(struct(day, open as o, high as h,"
+            " low as l, close as c)))"
+        ).alias("bs")
+    ).filter(F.size("bs") >= 15)
+    trs = (
+        "transform(sequence(1, size(bs)), i -> CASE WHEN i = 1 "
+        "THEN element_at(bs, 1).h - element_at(bs, 1).l "
+        "ELSE greatest(element_at(bs, i).h - element_at(bs, i).l, "
+        "abs(element_at(bs, i).h - element_at(bs, i - 1).c), "
+        "abs(element_at(bs, i).l - element_at(bs, i - 1).c)) END)"
+    )
+    atr_t = "(aggregate(slice(trs, t - 9, 10), cast(0.0 as double), (acc, x) -> acc + x) / 10.0)"
+    stage = series.select(
+        "symbol",
+        "bs",
+        F.expr("transform(bs, b -> (b.h + b.l) / 2.0)").alias("mids"),
+        F.expr("transform(bs, b -> b.c)").alias("cs"),
+        F.expr(trs).alias("trs"),
+    ).select(
+        "symbol",
+        "bs",
+        "mids",
+        "cs",
+        F.expr(
+            f"transform(sequence(10, size(bs)), t -> element_at(mids, t) + 3.0 * {atr_t})"
+        ).alias("bubs"),
+        F.expr(
+            f"transform(sequence(10, size(bs)), t -> element_at(mids, t) - 3.0 * {atr_t})"
+        ).alias("blbs"),
+    )
+    fub_u = (
+        "CASE WHEN element_at(bubs, u - 9) < acc.fub "
+        "OR element_at(cs, u - 1) > acc.fub "
+        "THEN element_at(bubs, u - 9) ELSE acc.fub END"
+    )
+    flb_u = (
+        "CASE WHEN element_at(blbs, u - 9) > acc.flb "
+        "OR element_at(cs, u - 1) < acc.flb "
+        "THEN element_at(blbs, u - 9) ELSE acc.flb END"
+    )
+    seed = (
+        "named_struct('fub', element_at(bubs, 1), 'flb', element_at(blbs, 1), "
+        "'dirn', CASE WHEN element_at(cs, 10) >= element_at(mids, 10) "
+        "THEN 1.0D ELSE -1.0D END)"
+    )
+    fold_t = (
+        f"aggregate(slice(sequence(11, size(bs)), 1, t - 10), {seed}, "
+        f"(acc, u) -> named_struct("
+        f"'fub', {fub_u}, "
+        f"'flb', {flb_u}, "
+        f"'dirn', CASE WHEN acc.dirn = -1.0D "
+        f"THEN (CASE WHEN element_at(cs, u) > ({fub_u}) THEN 1.0D ELSE -1.0D END) "
+        f"ELSE (CASE WHEN element_at(cs, u) < ({flb_u}) THEN -1.0D ELSE 1.0D END) END))"
+    )
+    per_day = (
+        f"transform(sequence(10, size(bs)), t -> named_struct("
+        f"'day', element_at(bs, t).day, "
+        f"'close', element_at(cs, t), "
+        f"'st', {fold_t}))"
+    )
+    ex = stage.select("symbol", F.explode(F.expr(per_day)).alias("e"))
+    return ex.select(
+        "symbol",
+        F.col("e.day").alias("day"),
+        qround(F.col("e.close"), 6).alias("close"),
+        qround(F.col("e.st.fub"), 6).alias("final_upper"),
+        qround(F.col("e.st.flb"), 6).alias("final_lower"),
+        qround(
+            F.expr("CASE WHEN e.st.dirn = -1.0D THEN e.st.fub ELSE e.st.flb END"),
+            6,
+        ).alias("supertrend"),
+        F.col("e.st.dirn").alias("direction"),
+    ).orderBy("symbol", "day")

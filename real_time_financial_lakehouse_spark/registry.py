@@ -6888,6 +6888,112 @@ def q_adx_14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.adx(_events(spark, sf_dir))
 
 
+
+@register(
+    "vpin_toxicity",
+    f"""
+    WITH ticks AS (
+        SELECT event_type AS symbol, ts, event_id, value,
+               (json_extract_string(props, '$.k'))::DOUBLE AS qty
+        FROM events
+    ),
+    signed AS (
+        SELECT symbol, qty,
+               last_value(sgn_raw IGNORE NULLS) OVER w AS sgn,
+               sum(qty) OVER w AS cum_qty
+        FROM (
+            SELECT *,
+                   CASE WHEN value - lag(value) OVER (PARTITION BY symbol
+                                                      ORDER BY ts, event_id) > 0
+                        THEN 1.0
+                        WHEN value - lag(value) OVER (PARTITION BY symbol
+                                                      ORDER BY ts, event_id) < 0
+                        THEN -1.0 END AS sgn_raw
+            FROM ticks
+        )
+        WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    buckets AS (
+        SELECT symbol,
+               floor(cum_qty / 2000.0)::BIGINT AS bucket_id,
+               sum(CASE WHEN sgn = 1.0 THEN qty ELSE 0.0 END) AS b,
+               sum(CASE WHEN sgn = -1.0 THEN qty ELSE 0.0 END) AS s,
+               sum(qty) AS v
+        FROM signed
+        GROUP BY 1, 2
+    )
+    SELECT symbol,
+           count(*) AS n_buckets,
+           {_q('avg(CASE WHEN v > 0 THEN abs(b - s) / v END)', 6)} AS vpin,
+           {_q('max(CASE WHEN v > 0 THEN abs(b - s) / v END)', 6)} AS max_imbalance,
+           {_q('sum(v)', 6)} AS total_qty
+    FROM buckets
+    GROUP BY symbol
+    ORDER BY symbol
+    """,
+)
+def q_vpin_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.vpin_toxicity(_events(spark, sf_dir))
+
+
+
+@register(
+    "supertrend",
+    f"""
+    WITH RECURSIVE {_DAILY_BARS_SQL.strip()},
+    series AS (
+        SELECT symbol,
+               list({{'day': day, 'o': o, 'h': h, 'l': l, 'c': c}} ORDER BY day) AS bs
+        FROM dbars GROUP BY 1
+        HAVING count(*) >= 15
+    ),
+    arrays AS (
+        SELECT symbol, bs,
+               list_transform(bs, b -> (b.h + b.l) / 2.0) AS mids,
+               list_transform(bs, b -> b.c) AS cs,
+               list_transform(generate_series(1, len(bs)), i -> CASE WHEN i = 1 THEN bs[1].h - bs[1].l ELSE greatest(bs[i].h - bs[i].l, abs(bs[i].h - bs[i - 1].c), abs(bs[i].l - bs[i - 1].c)) END) AS trs
+        FROM series
+    ),
+    banded AS (
+        SELECT symbol, bs, mids, cs, len(bs) AS n,
+               list_transform(generate_series(10, len(bs)),
+                              t -> mids[t] + 3.0 * (list_reduce(list_prepend(0.0, trs[t - 9:t]), (acc, x) -> acc + x) / 10.0)) AS bubs,
+               list_transform(generate_series(10, len(bs)),
+                              t -> mids[t] - 3.0 * (list_reduce(list_prepend(0.0, trs[t - 9:t]), (acc, x) -> acc + x) / 10.0)) AS blbs
+        FROM arrays
+    ),
+    st AS (
+        SELECT symbol, bs, cs, bubs, blbs, n, 10 AS t,
+               bubs[1] AS fub, blbs[1] AS flb,
+               CASE WHEN cs[10] >= mids[10] THEN 1.0 ELSE -1.0 END AS dirn
+        FROM banded
+        UNION ALL
+        SELECT symbol, bs, cs, bubs, blbs, n, t + 1,
+               CASE WHEN bubs[t - 8] < fub OR cs[t] > fub THEN bubs[t - 8] ELSE fub END,
+               CASE WHEN blbs[t - 8] > flb OR cs[t] < flb THEN blbs[t - 8] ELSE flb END,
+               CASE WHEN dirn = -1.0
+                    THEN (CASE WHEN cs[t + 1] > (CASE WHEN bubs[t - 8] < fub OR cs[t] > fub THEN bubs[t - 8] ELSE fub END)
+                               THEN 1.0 ELSE -1.0 END)
+                    ELSE (CASE WHEN cs[t + 1] < (CASE WHEN blbs[t - 8] > flb OR cs[t] < flb THEN blbs[t - 8] ELSE flb END)
+                               THEN -1.0 ELSE 1.0 END) END
+        FROM st WHERE t < n
+    )
+    SELECT symbol,
+           bs[t].day AS day,
+           {_q('cs[t]', 6)} AS close,
+           {_q('fub', 6)} AS final_upper,
+           {_q('flb', 6)} AS final_lower,
+           {_q('CASE WHEN dirn = -1.0 THEN fub ELSE flb END', 6)} AS supertrend,
+           dirn AS direction
+    FROM st
+    ORDER BY symbol, day
+    """,
+)
+def q_supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.supertrend(_events(spark, sf_dir))
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

@@ -500,3 +500,77 @@ def test_adx_matches_numpy_wilder_recursion(spark):
             else:
                 assert r["adx"] is None
     assert checked_adx > 0, "fixture produced no full ADX windows"
+
+
+def test_vpin_bounds_and_planted_toxicity(spark):
+    """Fixture: VPIN in [0, 1].  Planted: a strictly rising tape is all
+    buy volume -> every bucket's imbalance is 1.0 -> VPIN = 1."""
+    rows = finance.vpin_toxicity(_events(spark)).collect()
+    assert rows
+    for r in rows:
+        assert r["n_buckets"] >= 1
+        assert 0.0 <= r["vpin"] <= 1.0
+        assert r["vpin"] <= r["max_imbalance"] <= 1.0
+
+    data = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "pump", 100.0 + i, '{"k": 500.0}')
+        for i in range(20)
+    ]
+    ev = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = finance.vpin_toxicity(ev).collect()[0]
+    # 10000 qty total at bucket 2000 -> >= 4 buckets; first tick has no
+    # sign (contributes to neither side), every other tick is a buy
+    assert r["n_buckets"] >= 4
+    assert r["max_imbalance"] == 1.0
+    assert r["vpin"] > 0.85  # only the seed bucket is diluted
+
+
+def test_supertrend_matches_python_recursion(spark):
+    """Re-derive SuperTrend(10, 3) in plain Python from the fixture's
+    daily bars (band ratchet + trend flips) and compare row-for-row;
+    also pins the line-equals-active-band identity."""
+    ev = load_table(spark, SF_SMOKE, "events").toPandas()
+    got = {}
+    for r in finance.supertrend(_events(spark)).collect():
+        got[(r["symbol"], r["day"])] = r
+    assert got
+    for sym in sorted(ev.event_type.unique()):
+        g = ev[ev.event_type == sym].copy().sort_values(["ts", "event_id"])
+        g["day"] = g.ts.dt.floor("D")
+        bars = g.groupby("day").agg(
+            h=("value", "max"), l=("value", "min"), c=("value", "last")
+        )
+        days, h, l, c = list(bars.index), bars.h.values, bars.l.values, bars.c.values
+        n = len(days)
+        if n < 15:
+            continue
+        trs = [h[0] - l[0]] + [
+            max(h[i] - l[i], abs(h[i] - c[i - 1]), abs(l[i] - c[i - 1]))
+            for i in range(1, n)
+        ]
+        mids = [(h[i] + l[i]) / 2.0 for i in range(n)]
+        fub = flb = dirn = None
+        for t in range(10, n + 1):  # 1-based bar index
+            atr = sum(trs[t - 10 : t]) / 10.0
+            bub, blb = mids[t - 1] + 3.0 * atr, mids[t - 1] - 3.0 * atr
+            if t == 10:
+                fub, flb = bub, blb
+                dirn = 1.0 if c[9] >= mids[9] else -1.0
+            else:
+                fub = bub if (bub < fub or c[t - 2] > fub) else fub
+                flb = blb if (blb > flb or c[t - 2] < flb) else flb
+                dirn = (
+                    (1.0 if c[t - 1] > fub else -1.0)
+                    if dirn == -1.0
+                    else (-1.0 if c[t - 1] < flb else 1.0)
+                )
+            r = got[(sym, days[t - 1])]
+            assert r["final_upper"] == pytest.approx(fub, abs=1e-5)
+            assert r["final_lower"] == pytest.approx(flb, abs=1e-5)
+            assert r["direction"] == dirn
+            want_line = fub if dirn == -1.0 else flb
+            assert r["supertrend"] == pytest.approx(want_line, abs=1e-5)
