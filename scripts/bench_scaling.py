@@ -91,17 +91,24 @@ def main() -> int:
     flagged = []
     for name in names:
         t0, t1, t2 = (times[name][k] for k in SF_KEYS)
-        floor = t0  # fixed job overhead estimate (data ~0 at sf0.001)
-        c1, c2 = max(t1 - floor, 1e-3), max(t2 - floor, 1e-3)
-        ratio_big = round(c2 / c1, 2)         # corrected sf0.01 -> sf0.1
+        # Compare INCREMENTAL step costs -- fixed job overhead cancels
+        # exactly, unlike subtracting the sf0.001 time as a floor (that
+        # denominator collapses to ~0 for any query whose sf0.01 data
+        # cost is within noise of sf0.001, flagging raw-2x sublinear
+        # queries as 1000x).  A linear query pays inc2 ~= 10 * inc1 for
+        # the 10x data step; the flag fires at > 15x with a material
+        # absolute cost, with inc1 floored at 15% of t1 (the observed
+        # per-rep jitter) so a noise-negative inc1 cannot divide to
+        # infinity.
+        inc1 = max(t1 - t0, 0.15 * t1, 1e-3)
+        inc2 = t2 - t1
+        step_ratio = round(inc2 / inc1, 2)
         ratio_raw = round(t2 / max(t1, 1e-3), 2)
-        # only meaningful when the data component is above the noise
-        # floor at the larger SF; sub-0.2 s corrected times are all jitter
-        measurable = c2 >= 0.2
-        superlinear = bool(measurable and ratio_big > 20.0)
+        measurable = inc2 >= 0.3
+        superlinear = bool(measurable and step_ratio > 15.0)
         report[name] = {
             **times[name],
-            "ratio_corrected_10x": ratio_big,
+            "step_cost_ratio_10x": step_ratio,
             "ratio_raw_10x": ratio_raw,
             "measurable": measurable,
             "superlinear": superlinear,
@@ -110,7 +117,9 @@ def main() -> int:
             flagged.append(name)
 
     worst = max(
-        (r["ratio_corrected_10x"], n_) for n_, r in report.items() if r["measurable"]
+        ((r["step_cost_ratio_10x"], n_) for n_, r in report.items()
+         if r["measurable"]),
+        default=(0.0, "none"),
     )
     payload = {
         "metric": "rtfl_scaling_curve",
@@ -119,14 +128,14 @@ def main() -> int:
         "reps": reps,
         "n_queries": len(names),
         "queries": report,
-        "worst_corrected_ratio": {"query": worst[1], "ratio": worst[0]},
+        "worst_step_cost_ratio": {"query": worst[1], "ratio": worst[0]},
         "superlinear_flagged": flagged,
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH_SCALING.json"), "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps({k: payload[k] for k in
-                      ("worst_corrected_ratio", "superlinear_flagged")}))
+                      ("worst_step_cost_ratio", "superlinear_flagged")}))
     spark.stop()
     return 0
 

@@ -721,3 +721,46 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     df.collect()
     plan = _plan(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_vpin_windows_share_one_symbol_exchange(spark):
+    """VPIN's lag, ignore-nulls sign carry, and running quantity sum are
+    three frames over the SAME (symbol | ts, event_id) sort -- exactly
+    one hash exchange on the symbol before the bucket rollup."""
+    from real_time_financial_lakehouse_spark.operators.finance import vpin_toxicity
+
+    plan = _plan(vpin_toxicity(load_table(spark, SF_SMOKE, "events")))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_indicator_array_folds_stay_day_cardinality(spark):
+    """The recursive-state indicators (keltner / ADX / supertrend /
+    EWMA vol / Kalman) do their O(days^2) fold work INSIDE |symbol| rows:
+    one day-granularity partial-agg rollup, one symbol-cardinality
+    collect -- no window pass over trade cardinality, no Python."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    for fn in (
+        finance.keltner_channels,
+        finance.adx,
+        finance.supertrend,
+        finance.ewma_riskmetrics_vol,
+        finance.kalman_price_smooth,
+    ):
+        plan = _plan(fn(ev))
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "Window" not in plan, f"{fn.__name__} windows trade cardinality"
+        # day rollup + symbol collect + output sort: <= 3 exchanges
+        assert plan.count("Exchange") <= 3, fn.__name__
+
+
+def test_bs_greeks_shares_pricer_plan_shape(spark):
+    """Greeks run on the same two symbol-cardinality aggregates as the
+    pricer; everything after is projection arithmetic in codegen."""
+    from real_time_financial_lakehouse_spark.operators.finance import bs_greeks
+
+    plan = _plan(bs_greeks(load_table(spark, SF_SMOKE, "events")))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") <= 4  # 2 aggs x partial+final
