@@ -1548,3 +1548,112 @@ def jl_projection_distortion(
         qround(F.min("ratio"), 6).alias("min_distortion"),
         qround(F.max("ratio"), 6).alias("max_distortion"),
     ).orderBy("query_id")
+
+
+def hard_negative_mining(
+    embeddings: DataFrame, n_anchors: int = 8, k: int = 3
+) -> DataFrame:
+    """Hard negatives for contrastive / retrieval training: for each
+    anchor vector, the top-k most-cosine-similar vectors with a
+    DIFFERENT label -- the near-miss impostors a trainer pairs with the
+    anchor to sharpen the decision boundary (easy negatives teach
+    nothing; these are the ones the model currently confuses).
+
+    Scale: the cosine_topk shape with a label-inequality gate -- anchors
+    BROADCAST against one candidate scan, norms precomputed before the
+    join, per-anchor ranking on the quantized score with neighbor-id
+    tiebreak.  Pair expansion is anchors x N, bounded by the anchor
+    budget."""
+    emb = _spread(embeddings).select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    emb = emb.withColumn("nv", _norm("v"))
+    anchors = emb.filter(F.col("vec_id") < n_anchors).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("q"),
+        F.col("nv").alias("nq"),
+    )
+    pairs = F.broadcast(anchors).crossJoin(
+        emb.select(
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            "v",
+            "nv",
+        )
+    ).filter(F.col("negative_label") != F.col("anchor_label"))
+    denom = F.col("nq") * F.col("nv")
+    cos = F.when(denom != 0, _dot("q", "v") / denom).otherwise(F.lit(0.0))
+    scored = pairs.select(
+        "anchor_id",
+        "anchor_label",
+        "negative_id",
+        "negative_label",
+        (F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("anchor_id", "rank")
+    )
+
+
+def split_leakage_embeddings(
+    embeddings: DataFrame, threshold: float = 0.95, train_pct: int = 80
+) -> DataFrame:
+    """Embedding-space split-leakage screen: assign vectors to
+    train/holdout by the SAME content-independent md5 bucket the
+    document pipeline uses (dataset_split_counts discipline), then for
+    every holdout vector find its maximum cosine to ANY train vector.
+    A holdout example whose nearest train neighbor exceeds the
+    threshold is a near-duplicate leak -- the n-gram contamination
+    check's semantic twin.  Emits one summary row per leak verdict
+    bucket (leaky / clean) with count and cosine profile.
+
+    Scale: the holdout side (~1/5 of vectors) BROADCASTS against one
+    train-side scan; the per-holdout max collapses by partial
+    aggregation, never materializing the pair set."""
+    from ..functions.hashing import md5_long
+
+    emb = _spread(embeddings).select("vec_id", _as_double("embedding").alias("v"))
+    emb = emb.withColumn("nv", _norm("v"))
+    bucket = md5_long(F.concat_ws(":", F.lit("split"), F.col("vec_id"))) % 100
+    tagged = emb.withColumn(
+        "split",
+        F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("holdout")),
+    )
+    train = tagged.filter(F.col("split") == "train").select(
+        F.col("v").alias("tv"), F.col("nv").alias("ntv")
+    )
+    probes = tagged.filter(F.col("split") == "holdout").select(
+        F.col("vec_id").alias("probe_id"), "v", "nv"
+    )
+    denom = F.col("nv") * F.col("ntv")
+    cos = F.when(denom != 0, _dot("v", "tv") / denom).otherwise(F.lit(0.0))
+    best = (
+        F.broadcast(probes)
+        .crossJoin(train)
+        .select(
+            "probe_id",
+            (F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("c"),
+        )
+        .groupBy("probe_id")
+        .agg(F.max("c").alias("max_cos"))
+    )
+    verdict = F.when(F.col("max_cos") >= threshold, F.lit("leaky")).otherwise(
+        F.lit("clean")
+    )
+    return (
+        best.select(verdict.alias("verdict"), "max_cos")
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_holdout"),
+            qround(F.avg("max_cos"), 6).alias("avg_max_cos"),
+            qround(F.min("max_cos"), 6).alias("min_max_cos"),
+            qround(F.max("max_cos"), 6).alias("max_max_cos"),
+        )
+        .orderBy("verdict")
+    )

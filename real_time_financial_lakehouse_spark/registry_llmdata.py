@@ -2863,3 +2863,88 @@ def _jl_oracle_sql(m: int = 16, n_queries: int = 8) -> str:
 @register("jl_projection_distortion", _jl_oracle_sql())
 def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.jl_projection_distortion(_emb(spark, sf_dir))
+
+
+_HN_DOT = "list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i] * e.v[i]))"
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH emb AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nv
+        FROM emb
+    ),
+    a AS (
+        SELECT vec_id AS anchor_id, label AS anchor_label, v AS q, nv AS nq
+        FROM n WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT a.anchor_id, a.anchor_label,
+               e.vec_id AS negative_id, e.label AS negative_label,
+               floor((CASE WHEN a.nq * e.nv != 0
+                           THEN {_HN_DOT} / (a.nq * e.nv)
+                           ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        FROM a CROSS JOIN n e
+        WHERE e.label != a.anchor_label
+    )
+    SELECT anchor_id, anchor_label, negative_id, negative_label, cosine, rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY cosine DESC, negative_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+    ORDER BY anchor_id, rank
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.hard_negative_mining(_emb(spark, sf_dir))
+
+
+_SL_DOT = "list_sum(list_transform(generate_series(1, len(p.v)), i -> p.v[i] * t.tv[i]))"
+
+
+@register(
+    "split_leakage_embeddings",
+    f"""
+    WITH emb AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nv,
+               CASE WHEN {md5_long_sql("concat_ws(':', 'split', vec_id)")} % 100 < 80
+                    THEN 'train' ELSE 'holdout' END AS split
+        FROM emb
+    ),
+    t AS (SELECT v AS tv, nv AS ntv FROM n WHERE split = 'train'),
+    p AS (SELECT vec_id AS probe_id, v, nv FROM n WHERE split = 'holdout'),
+    best AS (
+        SELECT p.probe_id,
+               max(floor((CASE WHEN p.nv * t.ntv != 0
+                               THEN {_SL_DOT} / (p.nv * t.ntv)
+                               ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0) AS max_cos
+        FROM p CROSS JOIN t
+        GROUP BY p.probe_id
+    )
+    SELECT CASE WHEN max_cos >= 0.95 THEN 'leaky' ELSE 'clean' END AS verdict,
+           count(*) AS n_holdout,
+           {qround_sql('avg(max_cos)', 6)} AS avg_max_cos,
+           {qround_sql('min(max_cos)', 6)} AS min_max_cos,
+           {qround_sql('max(max_cos)', 6)} AS max_max_cos
+    FROM best
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_split_leakage_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.split_leakage_embeddings(_emb(spark, sf_dir))

@@ -574,3 +574,90 @@ def test_supertrend_matches_python_recursion(spark):
             assert r["direction"] == dirn
             want_line = fub if dirn == -1.0 else flb
             assert r["supertrend"] == pytest.approx(want_line, abs=1e-5)
+
+
+def test_hard_negatives_are_cross_label_and_truly_hardest(spark):
+    """Brute-force the hardest cross-label impostor per anchor in numpy
+    and check the operator's rank-1 negative matches its cosine."""
+    import numpy as np
+
+    from real_time_financial_lakehouse_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = hard_negative_mining(emb, n_anchors=8, k=3).collect()
+    assert rows
+    pdf = emb.toPandas()
+    vecs = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label)
+            for r in pdf.itertuples()}
+    by_anchor: dict[int, list] = {}
+    for r in rows:
+        assert r["negative_label"] != r["anchor_label"]
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    for aid, rs in by_anchor.items():
+        rs.sort(key=lambda r: r["rank"])
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        q, qlab = vecs[aid]
+        best = max(
+            float(q @ v) / (np.linalg.norm(q) * np.linalg.norm(v))
+            for vid, (v, lab) in vecs.items()
+            if lab != qlab and np.linalg.norm(v) > 0
+        )
+        assert rs[0]["cosine"] == pytest.approx(best, abs=2e-6)
+
+
+def test_split_leakage_planted_duplicates_and_clean(spark):
+    from real_time_financial_lakehouse_spark.operators.similarity import (
+        split_leakage_embeddings,
+    )
+
+    # all-identical corpus: every holdout vector has an exact train twin
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0], 0) for i in range(100)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["verdict"]: r for r in split_leakage_embeddings(same).collect()}
+    assert set(out) == {"leaky"}
+    assert out["leaky"]["avg_max_cos"] == pytest.approx(1.0, abs=1e-6)
+
+    # disjoint-direction corpus: give train-assigned ids one axis and
+    # holdout-assigned ids an orthogonal one (using the operator's own
+    # md5 bucket), so every cross cosine is exactly 0 -> all clean
+    from pyspark.sql import functions as F
+
+    from real_time_financial_lakehouse_spark.functions.hashing import md5_long
+
+    tag = same.select(
+        "vec_id",
+        (md5_long(F.concat_ws(":", F.lit("split"), F.col("vec_id"))) % 100 < 80)
+        .alias("is_train"),
+    ).collect()
+    train_ids = {r["vec_id"] for r in tag if r["is_train"]}
+    disjoint = spark.createDataFrame(
+        [
+            (
+                i,
+                [1.0, 0.0, 0.0, 0.0] if i in train_ids else [0.0, 0.0, 0.0, 1.0],
+                0,
+            )
+            for i in range(100)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out2 = {r["verdict"]: r for r in split_leakage_embeddings(disjoint).collect()}
+    assert set(out2) == {"clean"}
+    assert out2["clean"]["max_max_cos"] == pytest.approx(0.0, abs=1e-9)
+    # the two verdict buckets always partition the full holdout set
+    fixture = load_table(spark, SF_SMOKE, "embeddings")
+    summary = split_leakage_embeddings(fixture).collect()
+    n_total = sum(r["n_holdout"] for r in summary)
+    tag2 = (
+        fixture.select(
+            (md5_long(F.concat_ws(":", F.lit("split"), F.col("vec_id"))) % 100 < 80)
+            .alias("is_train")
+        )
+        .collect()
+    )
+    assert n_total == len([r for r in tag2 if not r["is_train"]])
