@@ -6937,6 +6937,16 @@ def q_vpin_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.vpin_toxicity(_events(spark, sf_dir))
 
 
+# Streaming twin: SAME oracle -- the O(1) bucket-carry GroupState fold
+# (provisional close of the open bucket per emission) must land on the
+# identical bucket summary as the batch window/groupBy plan.
+@register("streaming_vpin", ORACLE_SQL["vpin_toxicity"])
+def q_streaming_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import streaming_vpin_roundtrip
+
+    return streaming_vpin_roundtrip(spark, sf_dir)
+
+
 
 @register(
     "supertrend",

@@ -1057,3 +1057,157 @@ def streaming_kalman_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: streaming VPIN -- O(1) bucket-carry state per symbol.
+# ---------------------------------------------------------------------------
+
+VPIN_BUCKET_QTY = 2000.0
+
+VPIN_OUTPUT_SCHEMA = (
+    "symbol string, n_buckets bigint, vpin_raw double,"
+    " max_imb_raw double, total_qty_raw double"
+)
+# closed-bucket accumulators + the OPEN bucket's partials + tick carry
+VPIN_STATE_SCHEMA = (
+    "n_closed bigint, sum_imb double, max_imb double, closed_qty double,"
+    " open_b double, open_s double, open_v double,"
+    " last_px double, last_sgn double, cum_qty double"
+)
+
+
+def _vpin_update(
+    key: tuple[str],
+    pdf_iter: "Iterator[pd.DataFrame]",
+    state: Any,
+) -> "Iterator[pd.DataFrame]":
+    """GroupState VPIN: ticks sign by the carried tick rule, volume
+    accumulates into floor(cum/V) buckets; a bucket's |b-s|/v folds into
+    the summary the moment the running quantity crosses its boundary.
+    State is O(1) per symbol no matter how long the stream runs -- the
+    batch twin's groupBy over all buckets is the bounded-backfill path.
+    The trailing OPEN bucket is folded provisionally at emission and
+    recomputed if the next batch extends it (the kalman pending-bar
+    discipline)."""
+    if state.exists:
+        (n_closed, sum_imb, max_imb, closed_qty,
+         open_b, open_s, open_v, last_px, last_sgn, cum_qty) = state.get
+    else:
+        n_closed, sum_imb, max_imb, closed_qty = 0, 0.0, 0.0, 0.0
+        open_b, open_s, open_v = 0.0, 0.0, 0.0
+        last_px, last_sgn, cum_qty = None, None, 0.0
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        open_id = int(cum_qty // VPIN_BUCKET_QTY) if cum_qty > 0 else 0
+        for px, q in zip(pdf["value"], pdf["qty"]):
+            px, q = float(px), float(q)
+            if last_px is not None:
+                if px > last_px:
+                    last_sgn = 1.0
+                elif px < last_px:
+                    last_sgn = -1.0
+            last_px = px
+            cum_qty += q
+            bucket_id = int(cum_qty // VPIN_BUCKET_QTY)
+            if bucket_id != open_id:
+                # the tick that crosses the boundary belongs to the NEW
+                # bucket (batch twin: bucket = floor(cum including self))
+                if open_v > 0:
+                    imb = abs(open_b - open_s) / open_v
+                    n_closed += 1
+                    sum_imb += imb
+                    max_imb = max(max_imb, imb)
+                closed_qty += open_v
+                open_b, open_s, open_v = 0.0, 0.0, 0.0
+                open_id = bucket_id
+            open_v += q
+            if last_sgn == 1.0:
+                open_b += q
+            elif last_sgn == -1.0:
+                open_s += q
+    state.update((n_closed, sum_imb, max_imb, closed_qty,
+                  open_b, open_s, open_v, last_px, last_sgn, cum_qty))
+    if cum_qty == 0.0 and last_px is None:
+        return iter(())
+    # provisional close of the open bucket (NOT stored)
+    n, s_i, m_i = n_closed, sum_imb, max_imb
+    if open_v > 0:
+        imb = abs(open_b - open_s) / open_v
+        n += 1
+        s_i += imb
+        m_i = max(m_i, imb)
+    yield pd.DataFrame(
+        [
+            {
+                "symbol": key[0],
+                "n_buckets": n,
+                "vpin_raw": (s_i / n) if n else None,
+                "max_imb_raw": m_i if n else None,
+                "total_qty_raw": closed_qty + open_v,
+            }
+        ]
+    )
+
+
+def vpin_stream(events: DataFrame) -> DataFrame:
+    """Per-symbol streaming VPIN plan: groupBy(symbol) -> GroupState
+    bucket fold over tick-rule-signed volume."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepped = events.select(
+        "ts",
+        "event_id",
+        F.col("event_type"),
+        "value",
+        F.get_json_object(F.col("props"), "$.k").cast("double").alias("qty"),
+    )
+    return prepped.groupBy(F.col("event_type")).applyInPandasWithState(
+        _vpin_update,
+        outputStructType=VPIN_OUTPUT_SCHEMA,
+        stateStructType=VPIN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_vpin_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the streaming VPIN over the events fixture (availableNow) and
+    return the LATEST row per symbol, column-compatible with the batch
+    twin's oracle (vpin_toxicity)."""
+    from .silver import events_stream
+
+    out_dir = scratch_dir("rtfl_vpin_out_")
+    ckpt_dir = scratch_dir("rtfl_vpin_ckpt_")
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark) as ss:
+        q = (
+            vpin_stream(events_stream(ss, sf_dir))
+            .writeStream.foreachBatch(_append)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    raw = spark.read.parquet(out_dir)
+    w = Window.partitionBy("symbol").orderBy(F.col("total_qty_raw").desc())
+    q6 = lambda c: F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        raw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "symbol",
+            "n_buckets",
+            q6("vpin_raw").alias("vpin"),
+            q6("max_imb_raw").alias("max_imbalance"),
+            q6("total_qty_raw").alias("total_qty"),
+        )
+        .orderBy("symbol")
+    )

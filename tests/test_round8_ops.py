@@ -661,3 +661,60 @@ def test_split_leakage_planted_duplicates_and_clean(spark):
         .collect()
     )
     assert n_total == len([r for r in tag2 if not r["is_train"]])
+
+
+def test_streaming_vpin_survives_mid_bucket_batch_split(spark, tmp_path):
+    """A volume bucket straddles two micro-batches: the open bucket's
+    partials must carry across the boundary and the final summary must
+    equal the batch twin exactly."""
+    import os
+
+    from real_time_financial_lakehouse_spark.streaming.stateful import vpin_stream
+
+    def mk(eid, sec, v, q):
+        return (eid, dt.datetime(2024, 1, 1, 0, 0, sec), 1, "s", v, f'{{"k": {q}}}')
+
+    # bucket qty = 2000: file A ends mid-bucket-1 (cum 2900), file B
+    # finishes it and opens bucket 2
+    f1 = [mk(0, 0, 100.0, 900.0), mk(1, 1, 101.0, 1100.0), mk(2, 2, 100.5, 900.0)]
+    f2 = [mk(3, 3, 102.0, 900.0), mk(4, 4, 101.5, 1200.0), mk(5, 5, 103.0, 500.0)]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(str(src / "b"))
+    for sub, mt in (("a", 1_000_000_000), ("b", 2_000_000_000)):
+        for f in (src / sub).glob("*.parquet"):
+            os.utime(f, (mt, mt))
+
+    out_rows, batches = [], []
+
+    def _collect(batch_df, batch_id):
+        rows = batch_df.collect()
+        if rows:
+            batches.append(batch_id)
+            out_rows.extend(rows)
+
+    prepped = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    q = (
+        vpin_stream(prepped)
+        .writeStream.foreachBatch(_collect)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) >= 2
+    final = max(out_rows, key=lambda r: r["total_qty_raw"])
+    ev = spark.createDataFrame(f1 + f2, schema)
+    batch = finance.vpin_toxicity(ev).collect()[0]
+    assert final["n_buckets"] == batch["n_buckets"]
+    assert final["total_qty_raw"] == pytest.approx(5500.0, abs=1e-9)
+    assert final["vpin_raw"] == pytest.approx(batch["vpin"], abs=1e-6)
+    assert final["max_imb_raw"] == pytest.approx(batch["max_imbalance"], abs=1e-6)
