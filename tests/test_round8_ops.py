@@ -718,3 +718,68 @@ def test_streaming_vpin_survives_mid_bucket_batch_split(spark, tmp_path):
     assert final["total_qty_raw"] == pytest.approx(5500.0, abs=1e-9)
     assert final["vpin_raw"] == pytest.approx(batch["vpin"], abs=1e-6)
     assert final["max_imb_raw"] == pytest.approx(batch["max_imbalance"], abs=1e-6)
+
+
+def test_round8_ops_degenerate_inputs(spark):
+    """Constant prices, too-short series, and empty frames must degrade
+    per each operator's stated convention -- not throw under ANSI mode."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    # constant-price tape: MFI window moves nothing -> NULL; VPIN never
+    # signs a tick -> imbalance 0; EWMA vol of zero returns -> 0
+    const = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1 + i // 2, 0, i % 2), 1, "c", 50.0, '{"k": 300.0}')
+            for i in range(40)
+        ],
+        schema,
+    )
+    mfi_rows = finance.mfi(const, n=14).collect()
+    assert mfi_rows and all(r["mfi"] is None for r in mfi_rows)
+    vpin_row = finance.vpin_toxicity(const).collect()[0]
+    assert vpin_row["vpin"] == 0.0  # all volume unsigned -> |0-0|/v
+    ewma = finance.ewma_riskmetrics_vol(const).collect()[0]
+    assert ewma["ewma_vol_daily"] == 0.0
+
+    # series shorter than the warm-up: ADX/supertrend (need >= 15 days),
+    # aroon (full 11-bar window) emit nothing; kalman needs >= 2 days
+    short = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1 + i), 1, "s", 10.0 + i, "{}") for i in range(5)],
+        schema,
+    )
+    assert finance.adx(short).count() == 0
+    assert finance.supertrend(short).count() == 0
+    assert finance.aroon(short, n=10).count() == 0
+    one_day = spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 1), 1, "o", 10.0, "{}")], schema
+    )
+    assert finance.kalman_price_smooth(one_day).count() == 0
+
+    # empty input: every round-8 operator returns an empty frame
+    empty = spark.createDataFrame([], schema)
+    for fn in (
+        lambda d: finance.mfi(d, n=14),
+        lambda d: finance.aroon(d, n=10),
+        finance.min_variance_portfolio,
+        finance.bs_greeks,
+        finance.keltner_channels,
+        finance.ewma_riskmetrics_vol,
+        finance.kalman_price_smooth,
+        finance.adx,
+        finance.supertrend,
+        finance.vpin_toxicity,
+    ):
+        assert fn(empty).count() == 0
+
+    # single-label embeddings: hard negatives have no cross-label pool
+    from real_time_financial_lakehouse_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    mono = spark.createDataFrame(
+        [(i, [1.0, float(i)], 0) for i in range(10)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert hard_negative_mining(mono).count() == 0
