@@ -2859,3 +2859,101 @@ def supertrend(events: DataFrame) -> DataFrame:
         ).alias("supertrend"),
         F.col("e.st.dirn").alias("direction"),
     ).orderBy("symbol", "day")
+
+
+def almgren_chriss_schedule(
+    events: DataFrame, total_shares: float = 1_000_000.0, n_slices: int = 10
+) -> DataFrame:
+    """Almgren-Chriss (2000) optimal-execution trajectory per symbol:
+    liquidate ``total_shares`` over one day in ``n_slices`` intervals,
+    with urgency kappa = sigma * sqrt(lambda / eta) (risk aversion
+    lambda = 0.01, temporary impact eta = 0.1) calibrated from the
+    symbol's daily log-return volatility.  The closed-form remaining
+    inventory is the sinh schedule
+
+        x_j = X * sinh(kappa * (T - t_j)) / sinh(kappa * T)
+
+    emitted with the per-slice trade size; a zero-vol symbol degrades
+    to the linear (TWAP) schedule explicitly.  sinh is spelled
+    ``(exp(z) - exp(-z)) / 2`` as shared SQL text, since the two
+    engines' builtin sinh availability differs.
+
+    Scale: volatility is one day-cardinality rollup + one
+    symbol-cardinality aggregate; the schedule explodes |symbol| rows
+    by a constant n_slices -- metadata-sized end to end."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    daily = events.filter(F.col("value") > 0).groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    lr = daily.select(
+        "symbol", F.log(F.col("c") / F.lag("c").over(w)).alias("lr")
+    )
+    per_sym = lr.groupBy("symbol").agg(
+        F.stddev_pop("lr").alias("sigma"), F.count("lr").alias("n_rets")
+    ).filter(F.col("n_rets") >= 2)
+    kappa = f"sigma * sqrt({0.01!r} / {0.1!r})"
+    sinh = "((exp({0}) - exp(-({0}))) / 2.0)"
+    tj = f"cast(j as double) / {float(n_slices)!r}"
+    x_j = (
+        f"CASE WHEN {kappa} > 0 THEN {total_shares!r} * "
+        f"{sinh.format(f'({kappa}) * (1.0 - {tj})')} / {sinh.format(f'({kappa}) * 1.0')} "
+        f"ELSE {total_shares!r} * (1.0 - {tj}) END"
+    )
+    sched = per_sym.select(
+        "symbol",
+        qround(F.expr(kappa), 6).alias("kappa"),
+        F.explode(F.expr(f"transform(sequence(0, {n_slices}), j -> "
+                         f"named_struct('slice_id', j, 'x', {x_j}))")).alias("e"),
+    )
+    ws = Window.partitionBy("symbol").orderBy(F.col("e.slice_id"))
+    return sched.select(
+        "symbol",
+        "kappa",
+        F.col("e.slice_id").cast("int").alias("slice_id"),
+        qround(F.col("e.x"), 6).alias("remaining_shares"),
+        qround(F.lag(F.col("e.x")).over(ws) - F.col("e.x"), 6).alias("slice_trade"),
+    ).orderBy("symbol", "slice_id")
+
+
+def spearman_ic_daily(events: DataFrame) -> DataFrame:
+    """Daily cross-sectional information coefficient: each day, rank
+    symbols by yesterday's return (the momentum signal) and by today's
+    return (the outcome), and report the Spearman correlation of the
+    two rank vectors -- the standard health metric for a cross-
+    sectional alpha.  Ranks tie-break on the symbol for engine
+    determinism; days missing either leg for any symbol drop that
+    symbol's pair (standard listwise handling).
+
+    Scale: returns are one day-cardinality rollup + a lag; ranking
+    shuffles at (day) granularity over |symbols| rows per group --
+    bar-sized, never tick-sized; the correlation is the covar/var
+    closed form at day cardinality."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    daily = events.filter(F.col("value") > 0).groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    staged = daily.select(
+        "symbol", "day", F.log(F.col("c") / F.lag("c").over(w)).alias("fwd")
+    )
+    rets = staged.select(
+        "symbol", "day", "fwd", F.lag("fwd").over(w).alias("sig")
+    ).filter(F.col("fwd").isNotNull() & F.col("sig").isNotNull())
+    wd_sig = Window.partitionBy("day").orderBy("sig", "symbol")
+    wd_fwd = Window.partitionBy("day").orderBy("fwd", "symbol")
+    ranked = rets.select(
+        "day",
+        F.row_number().over(wd_sig).cast("double").alias("r_sig"),
+        F.row_number().over(wd_fwd).cast("double").alias("r_fwd"),
+    )
+    denom = F.stddev_pop("r_sig") * F.stddev_pop("r_fwd")
+    ic = F.when(denom != 0, qround(F.covar_pop("r_sig", "r_fwd") / denom, 6))
+    return (
+        ranked.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_assets"), ic.alias("ic"))
+        .filter(F.col("n_assets") >= 3)
+        .orderBy("day")
+    )

@@ -902,3 +902,46 @@ def ks_two_sample(events: DataFrame, split_ts: str = "2024-01-16") -> DataFrame:
         qround(crit, 6).alias("critical_05"),
         (F.col("ks_stat") > qround(crit, 6)).alias("drift_detected"),
     ).orderBy("symbol")
+
+
+def dp_noise_counts(events: DataFrame, epsilon: float = 1.0) -> DataFrame:
+    """Laplace-mechanism count release per event type: the exact count
+    plus Laplace(1/epsilon) noise via the inverse-CDF transform
+
+        noise = -(1/eps) * sign(u - 0.5) * ln(1 - 2|u - 0.5|)
+
+    with the uniform u derived DETERMINISTICALLY from md5 of the group
+    key.  Stated honestly: a fixed seed is NOT differential privacy --
+    it makes the release auditable and the transform oracle-checkable;
+    a production deployment swaps the md5 uniform for a CSPRNG draw and
+    keeps everything else (sensitivity-1 counts, the inverse CDF, the
+    epsilon accounting) exactly as tested here.
+
+    Scale: one partial-aggregable groupBy; the noise is per-GROUP
+    projection arithmetic at output cardinality."""
+    from ..functions.hashing import md5_long
+    from ..functions.numeric import qround
+
+    counts = events.groupBy(F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    # u in (0, 1): 20-bit md5 bucket shifted off the endpoints
+    u = (
+        (md5_long(F.concat_ws(":", F.lit("dp"), F.col("event_type"))) % 1048576)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1048576.0)
+    b = 1.0 / epsilon
+    centered = u - F.lit(0.5)
+    noise = (
+        F.lit(-b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.select(
+        "event_type",
+        "true_count",
+        qround(noise, 6).alias("laplace_noise"),
+        qround(F.col("true_count") + noise, 6).alias("released_count"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    ).orderBy("event_type")

@@ -7004,6 +7004,105 @@ def q_supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.supertrend(_events(spark, sf_dir))
 
 
+
+@register(
+    "almgren_chriss_schedule",
+    f"""
+    WITH src AS (SELECT * FROM events WHERE value > 0),
+    {_DAILY_CLOSE_SQL.strip().replace("FROM events", "FROM src")},
+    lr AS (
+        SELECT symbol, ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day)) AS lr
+        FROM dclose
+    ),
+    per_sym AS (
+        SELECT symbol, stddev_pop(lr) AS sigma, count(lr) AS n_rets
+        FROM lr GROUP BY 1 HAVING count(lr) >= 2
+    ),
+    sched AS (
+        SELECT symbol, sigma,
+               unnest(generate_series(0, 10)) AS j
+        FROM per_sym
+    ),
+    xs AS (
+        SELECT symbol, sigma, j,
+               CASE WHEN sigma * sqrt(0.01 / 0.1) > 0 THEN 1000000.0 * ((exp((sigma * sqrt(0.01 / 0.1)) * (1.0 - cast(j as double) / 10.0)) - exp(-((sigma * sqrt(0.01 / 0.1)) * (1.0 - cast(j as double) / 10.0)))) / 2.0) / ((exp((sigma * sqrt(0.01 / 0.1)) * 1.0) - exp(-((sigma * sqrt(0.01 / 0.1)) * 1.0))) / 2.0) ELSE 1000000.0 * (1.0 - cast(j as double) / 10.0) END AS x
+        FROM sched
+    )
+    SELECT symbol,
+           {_q('sigma * sqrt(0.01 / 0.1)', 6)} AS kappa,
+           j::INT AS slice_id,
+           {_q('x', 6)} AS remaining_shares,
+           {_q('lag(x) OVER (PARTITION BY symbol ORDER BY j) - x', 6)} AS slice_trade
+    FROM xs
+    ORDER BY symbol, slice_id
+    """,
+)
+def q_almgren_chriss_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.almgren_chriss_schedule(_events(spark, sf_dir))
+
+
+@register(
+    "spearman_ic_daily",
+    f"""
+    WITH src AS (SELECT * FROM events WHERE value > 0),
+    {_DAILY_CLOSE_SQL.strip().replace("FROM events", "FROM src")},
+    rets0 AS (
+        SELECT symbol, day,
+               ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day)) AS fwd
+        FROM dclose
+    ),
+    rets AS (
+        SELECT symbol, day, fwd,
+               lag(fwd) OVER (PARTITION BY symbol ORDER BY day) AS sig
+        FROM rets0
+    ),
+    f AS (SELECT * FROM rets WHERE fwd IS NOT NULL AND sig IS NOT NULL),
+    ranked AS (
+        SELECT day,
+               (row_number() OVER (PARTITION BY day ORDER BY sig, symbol))::DOUBLE AS r_sig,
+               (row_number() OVER (PARTITION BY day ORDER BY fwd, symbol))::DOUBLE AS r_fwd
+        FROM f
+    )
+    SELECT day, count(*) AS n_assets,
+           CASE WHEN stddev_pop(r_sig) * stddev_pop(r_fwd) != 0
+                THEN {_q('covar_pop(r_sig, r_fwd) / (stddev_pop(r_sig) * stddev_pop(r_fwd))', 6)}
+           END AS ic
+    FROM ranked
+    GROUP BY day
+    HAVING count(*) >= 3
+    ORDER BY day
+    """,
+)
+def q_spearman_ic_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.spearman_ic_daily(_events(spark, sf_dir))
+
+
+def _dp_noise_oracle_sql() -> str:
+    from .functions.hashing import md5_long_sql
+
+    u = "(({MD5} % 1048576)::DOUBLE + 0.5) / 1048576.0".format(
+        MD5=md5_long_sql("concat_ws(':', 'dp', event_type)")
+    )
+    noise = f"(-1.0) * sign({u} - 0.5) * ln(1.0 - 2.0 * abs({u} - 0.5))"
+    return f"""
+    SELECT event_type,
+           count(*) AS true_count,
+           {_q(noise, 6)} AS laplace_noise,
+           {_q(f'count(*) + {noise}', 6)} AS released_count,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+@register("dp_noise_counts", _dp_noise_oracle_sql())
+def q_dp_noise_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profiling import dp_noise_counts
+
+    return dp_noise_counts(_events(spark, sf_dir))
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

@@ -783,3 +783,71 @@ def test_round8_ops_degenerate_inputs(spark):
         "vec_id long, embedding array<float>, label int",
     )
     assert hard_negative_mining(mono).count() == 0
+
+
+def test_almgren_chriss_boundary_and_frontloading(spark):
+    rows = finance.almgren_chriss_schedule(_events(spark)).collect()
+    assert rows
+    by_sym: dict[str, list] = {}
+    for r in rows:
+        by_sym.setdefault(r["symbol"], []).append(r)
+    for sym, rs in by_sym.items():
+        rs.sort(key=lambda r: r["slice_id"])
+        assert rs[0]["remaining_shares"] == pytest.approx(1_000_000.0, abs=1e-3)
+        assert rs[-1]["remaining_shares"] == pytest.approx(0.0, abs=1e-6)
+        rem = [r["remaining_shares"] for r in rs]
+        assert rem == sorted(rem, reverse=True)
+        trades = [r["slice_trade"] for r in rs[1:]]
+        assert sum(trades) == pytest.approx(1_000_000.0, abs=1e-2)
+        assert all(t >= -1e-9 for t in trades)
+        if rs[0]["kappa"] > 0:
+            # risk-averse schedules trade hardest first
+            assert trades[0] > trades[-1]
+
+
+def test_spearman_ic_perfect_momentum_is_one(spark):
+    """Planted: four symbols with distinct constant growth rates -- the
+    cross-sectional return ranking never changes, so yesterday's rank
+    predicts today's perfectly and IC = 1 every day."""
+    from real_time_financial_lakehouse_spark.operators.finance import spearman_ic_daily
+
+    data = []
+    eid = 0
+    for si, g in enumerate((1.01, 1.02, 1.03, 1.04)):
+        px = 100.0
+        for d in range(8):
+            px *= g
+            data.append((eid, dt.datetime(2024, 1, 1 + d), 1, f"s{si}", px, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    rows = spearman_ic_daily(ev).collect()
+    assert rows
+    for r in rows:
+        assert r["n_assets"] == 4
+        assert r["ic"] == pytest.approx(1.0, abs=1e-6)
+    # fixture sanity: IC stays in [-1, 1]
+    for r in finance.spearman_ic_daily(_events(spark)).collect():
+        if r["ic"] is not None:
+            assert -1.0 - 1e-6 <= r["ic"] <= 1.0 + 1e-6
+
+
+def test_dp_noise_matches_hashlib_inverse_cdf(spark):
+    import hashlib
+
+    from real_time_financial_lakehouse_spark.operators.profiling import dp_noise_counts
+
+    rows = dp_noise_counts(_events(spark)).collect()
+    assert rows
+    for r in rows:
+        hv = int(hashlib.md5(f"dp:{r['event_type']}".encode()).hexdigest()[:15], 16)
+        u = ((hv % 1048576) + 0.5) / 1048576.0
+        want = -1.0 * math.copysign(1.0, u - 0.5) * math.log(1.0 - 2.0 * abs(u - 0.5))
+        assert r["laplace_noise"] == pytest.approx(want, abs=2e-6)
+        assert r["released_count"] == pytest.approx(
+            r["true_count"] + want, abs=2e-6
+        )
+        assert r["epsilon"] == 1.0
