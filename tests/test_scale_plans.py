@@ -764,3 +764,46 @@ def test_bs_greeks_shares_pricer_plan_shape(spark):
     plan = _plan(bs_greeks(load_table(spark, SF_SMOKE, "events")))
     assert "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") <= 4  # 2 aggs x partial+final
+
+
+def test_late_round8_queries_stay_metadata_sized(spark):
+    """Almgren-Chriss, Spearman IC, and the DP release all collapse to
+    symbol/day/type cardinality after one data-sized rollup -- no
+    Python, no cartesian blowup, bounded exchanges."""
+    from real_time_financial_lakehouse_spark.operators.finance import (
+        almgren_chriss_schedule,
+        spearman_ic_daily,
+    )
+    from real_time_financial_lakehouse_spark.operators.profiling import (
+        dp_noise_counts,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    for fn, max_ex in (
+        (almgren_chriss_schedule, 4),
+        (spearman_ic_daily, 5),
+        (dp_noise_counts, 2),
+    ):
+        plan = _plan(fn(ev))
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert plan.count("Exchange") <= max_ex, (
+            f"{fn.__name__}: {plan.count('Exchange')} exchanges"
+        )
+
+
+def test_retrieval_training_queries_broadcast_probe_side(spark):
+    """hard_negative_mining and split_leakage_embeddings keep the
+    bounded probe side on a broadcast -- the corpus never shuffles for
+    the pair expansion."""
+    from real_time_financial_lakehouse_spark.operators.similarity import (
+        hard_negative_mining,
+        split_leakage_embeddings,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    for fn in (hard_negative_mining, split_leakage_embeddings):
+        plan = _plan(fn(emb))
+        assert "Broadcast" in plan, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
