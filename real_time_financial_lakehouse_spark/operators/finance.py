@@ -2370,11 +2370,17 @@ def min_variance_portfolio(events: DataFrame) -> DataFrame:
         F.col("lr").alias("lr2"),
     )
     joined = a.join(b, "m").filter(F.col("sym1") < F.col("sym2"))
+    # Quantize the aggregated moments at the aggregate boundary (12 dp,
+    # mirrored verbatim in the oracle): Spark's partial-aggregation float
+    # summation order varies with task scheduling, so downstream
+    # expressions that are analytically zero (port_var on corr = +/-1
+    # pairs) would otherwise flip sign run-to-run and the x525600 + sqrt
+    # amplifier turns the ~1e-15 residue into a hash-visible 1e-5.
     agg = joined.groupBy("sym1", "sym2").agg(
         F.count(F.lit(1)).alias("n_minutes"),
-        F.var_pop("lr1").alias("v1"),
-        F.var_pop("lr2").alias("v2"),
-        F.covar_pop("lr1", "lr2").alias("c12"),
+        qround(F.var_pop("lr1"), 12).alias("v1"),
+        qround(F.var_pop("lr2"), 12).alias("v2"),
+        qround(F.covar_pop("lr1", "lr2"), 12).alias("c12"),
     )
     denom = F.col("v1") + F.col("v2") - 2.0 * F.col("c12")
     w1 = F.when(denom != 0, (F.col("v2") - F.col("c12")) / denom)
@@ -2398,10 +2404,14 @@ def min_variance_portfolio(events: DataFrame) -> DataFrame:
         qround(w2, 6).alias("w2"),
         # port_var is non-negative analytically; clamp float round-off
         # on near-singular pairs (|corr| ~ 1) -- the range_volatility
-        # precedent, mirrored in the oracle.
-        qround(F.sqrt(F.greatest(port_var, F.lit(0.0)) * F.lit(ann)), 6).alias(
-            "port_vol_annual"
-        ),
+        # precedent, mirrored in the oracle.  Gate on w1 being defined:
+        # Spark's greatest() SKIPS nulls, so a degenerate pair (denom=0,
+        # NULL weights) would otherwise clamp NULL to 0.0 while DuckDB's
+        # greatest NULL handling is version-dependent.
+        F.when(
+            w1.isNotNull(),
+            qround(F.sqrt(F.greatest(port_var, F.lit(0.0)) * F.lit(ann)), 6),
+        ).alias("port_vol_annual"),
     ).orderBy("sym1", "sym2")
 
 

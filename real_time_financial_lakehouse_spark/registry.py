@@ -6581,8 +6581,9 @@ def q_aroon_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
         SELECT a.symbol AS sym1, b.symbol AS sym2,
                count(*) AS n_minutes,
-               var_pop(a.lr) AS v1, var_pop(b.lr) AS v2,
-               covar_pop(a.lr, b.lr) AS c12
+               {_q('var_pop(a.lr)', 12)} AS v1,
+               {_q('var_pop(b.lr)', 12)} AS v2,
+               {_q('covar_pop(a.lr, b.lr)', 12)} AS c12
         FROM rets a JOIN rets b
           ON a.minute_window = b.minute_window AND a.symbol < b.symbol
         GROUP BY 1, 2
@@ -6600,7 +6601,9 @@ def q_aroon_10(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN {_q('c12 / (sqrt(v1) * sqrt(v2))', 6)} END AS corr,
            {_q('w1', 6)} AS w1,
            {_q('w2', 6)} AS w2,
-           {_q('sqrt(greatest(w1 * w1 * v1 + w2 * w2 * v2 + 2.0 * w1 * w2 * c12, 0.0) * 525600.0)', 6)} AS port_vol_annual
+           CASE WHEN w1 IS NOT NULL THEN
+           {_q('sqrt(greatest(w1 * w1 * v1 + w2 * w2 * v2 + 2.0 * w1 * w2 * c12, 0.0) * 525600.0)', 6)}
+           END AS port_vol_annual
     FROM w2s
     ORDER BY sym1, sym2
     """,
