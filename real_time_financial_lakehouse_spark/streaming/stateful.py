@@ -22,6 +22,7 @@ and the DuckDB ``list_reduce`` oracle agree bit-for-bit.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -984,6 +985,12 @@ def _kalman_update(
     state.update((x, p, k, n, pend_day, pend_close))
     if pend_day is None:
         return iter(())
+    # Suppress single-day emissions: the batch twin and the shared
+    # recursive-CTE oracle both filter to count(*) >= 2 days, so a
+    # symbol whose stream has produced only one trading day so far must
+    # not surface a seeded provisional row (it would hash-fail parity).
+    if n + 1 < 2:
+        return iter(())
     # provisional fold of the still-open day (NOT stored)
     xe, pe, ke = _kalman_fold(x, p, k, pend_close)
     yield pd.DataFrame(
@@ -1026,8 +1033,14 @@ def streaming_kalman_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = scratch_dir("rtfl_kalman_out_")
     ckpt_dir = scratch_dir("rtfl_kalman_ckpt_")
 
-    def _append(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+    # Stamp each update-mode emission with its micro-batch id: if a
+    # later batch merely refreshes the still-open day (no NEW day), two
+    # emissions tie on n_days with different provisional x/p/k, and an
+    # n_days-only ordering would pick between them nondeterministically.
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
 
     from . import pinned_state_partitions
 
@@ -1042,7 +1055,9 @@ def streaming_kalman_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     raw = spark.read.parquet(out_dir)
-    w = Window.partitionBy("symbol").orderBy(F.col("n_days").desc())
+    w = Window.partitionBy("symbol").orderBy(
+        F.col("n_days").desc(), F.col("batch_id").desc()
+    )
     q6 = lambda c: F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     return (
         raw.withColumn("rn", F.row_number().over(w))
@@ -1103,6 +1118,12 @@ def _vpin_update(
         open_id = int(cum_qty // VPIN_BUCKET_QTY) if cum_qty > 0 else 0
         for px, q in zip(pdf["value"], pdf["qty"]):
             px, q = float(px), float(q)
+            # A tick missing props.$.k arrives as NaN; the batch twin
+            # and the DuckDB oracle both SKIP NULL qty in their sums, so
+            # treat it as zero quantity (the price still advances the
+            # tick-rule sign carry, exactly as in the batch lag).
+            if not math.isfinite(q):
+                q = 0.0
             if last_px is not None:
                 if px > last_px:
                     last_sgn = 1.0
@@ -1181,8 +1202,13 @@ def streaming_vpin_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = scratch_dir("rtfl_vpin_out_")
     ckpt_dir = scratch_dir("rtfl_vpin_ckpt_")
 
-    def _append(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+    # batch_id stamp: same tie-break discipline as the Kalman roundtrip
+    # (two emissions can tie on total_qty_raw when a batch refreshes
+    # only the sign carry / open-bucket split without adding quantity).
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
 
     from . import pinned_state_partitions
 
@@ -1197,7 +1223,9 @@ def streaming_vpin_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     raw = spark.read.parquet(out_dir)
-    w = Window.partitionBy("symbol").orderBy(F.col("total_qty_raw").desc())
+    w = Window.partitionBy("symbol").orderBy(
+        F.col("total_qty_raw").desc(), F.col("batch_id").desc()
+    )
     q6 = lambda c: F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     return (
         raw.withColumn("rn", F.row_number().over(w))
