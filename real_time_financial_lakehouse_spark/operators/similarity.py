@@ -1601,41 +1601,108 @@ def hard_negative_mining(
     )
 
 
+# Split-leakage LSH family: 64 sign bits in 8 bands of 8.  For a true
+# leak (cos >= 0.95, theta <= 18deg) the per-bit collision probability is
+# 1 - theta/pi ~ 0.90, so a band of 8 bits collides w.p. ~0.43 and at
+# least one of 8 bands w.p. ~0.989 -- a ~1% miss rate for the screen --
+# while unrelated vectors (theta ~ pi/2) share a band w.p. 8 * 0.5^8 ~ 3%,
+# so the candidate stream is ~3% of all-pairs on uncorrelated data and
+# band-bucket-bounded on clustered data.
+SL_BITS = 64
+SL_BANDS = 8
+# Hot-bucket cap (the dedup ladder's MAX_BUCKET discipline): a train-side
+# band bucket larger than this is dropped BEFORE pair expansion -- one
+# degenerate bucket (mass-duplicated embedding, zero vector) would do
+# O(bucket^2) work on a single task at 100 TB.  A capped bucket is not
+# lost signal: a >cap cluster of near-identical train vectors collides
+# with its leaked holdout twins in the OTHER seven bands too.  Mirrored
+# verbatim in the DuckDB oracle.  Fixture headroom: measured max
+# train-bucket size at sf0.1 is 25 (2021 buckets, mean 6.3), so the cap
+# never bites on fixture data; worst-case capped work is cap^2 = ~1M
+# pair evaluations on one task.
+SL_MAX_BUCKET = 1024
+
+
 def split_leakage_embeddings(
     embeddings: DataFrame, threshold: float = 0.95, train_pct: int = 80
 ) -> DataFrame:
     """Embedding-space split-leakage screen: assign vectors to
     train/holdout by the SAME content-independent md5 bucket the
     document pipeline uses (dataset_split_counts discipline), then for
-    every holdout vector find its maximum cosine to ANY train vector.
-    A holdout example whose nearest train neighbor exceeds the
-    threshold is a near-duplicate leak -- the n-gram contamination
-    check's semantic twin.  Emits one summary row per leak verdict
+    every holdout vector find its maximum cosine among train vectors
+    sharing at least one hyperplane-LSH band (sign random projection,
+    the ``ann_hyperplane_topk`` literal-hyperplane discipline -- both
+    engines embed the identical md5-derived matrix, so the whole
+    prefilter is exactly oracle-checkable).  A holdout example whose
+    nearest banded train neighbor exceeds the threshold is a
+    near-duplicate leak -- the n-gram contamination check's semantic
+    twin.  Holdout vectors sharing NO band with any train vector are
+    'clean' with NULL max_cos (excluded from the cosine profile,
+    counted in n_holdout).  Emits one summary row per leak verdict
     bucket (leaky / clean) with count and cosine profile.
 
-    Scale: the holdout side (~1/5 of vectors) BROADCASTS against one
-    train-side scan; the per-holdout max collapses by partial
-    aggregation, never materializing the pair set."""
+    Scale: signatures are a pure JVM projection; the candidate join is
+    an equi-join on (band_id, band_val) with a train-side hot-bucket
+    cap (SL_MAX_BUCKET), so there is no corpus-fraction broadcast and
+    no all-pairs expansion anywhere -- the former crossJoin shape
+    broadcast ~20% of the corpus, which fails at executor-memory scale.
+    The exact quantized cosine runs only on banding survivors and the
+    per-holdout max collapses by partial aggregation."""
     from ..functions.hashing import md5_long
 
+    rows = SL_BITS // SL_BANDS
+    H = hyperplane_matrix(SL_BITS)
     emb = _spread(embeddings).select("vec_id", _as_double("embedding").alias("v"))
     emb = emb.withColumn("nv", _norm("v"))
     bucket = md5_long(F.concat_ws(":", F.lit("split"), F.col("vec_id"))) % 100
-    tagged = emb.withColumn(
+    sigs = emb.select(
+        "vec_id",
+        "v",
+        "nv",
+        F.when(bucket < train_pct, F.lit("train"))
+        .otherwise(F.lit("holdout"))
+        .alias("split"),
+        *[
+            F.expr(_hp_band_spark(H, j, rows)).alias(f"band_{j}")
+            for j in range(SL_BANDS)
+        ],
+    )
+    bd = sigs.select(
+        "vec_id",
         "split",
-        F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("holdout")),
+        F.posexplode(
+            F.array(*[F.col(f"band_{j}") for j in range(SL_BANDS)])
+        ).alias("band_id", "band_val"),
     )
-    train = tagged.filter(F.col("split") == "train").select(
-        F.col("v").alias("tv"), F.col("nv").alias("ntv")
+    wcap = Window.partitionBy("band_id", "band_val")
+    tb = (
+        bd.filter(F.col("split") == "train")
+        .select(F.col("vec_id").alias("train_id"), "band_id", "band_val")
+        .withColumn("bsz", F.count(F.lit(1)).over(wcap))
+        .filter(F.col("bsz") <= SL_MAX_BUCKET)
+        .drop("bsz")
     )
-    probes = tagged.filter(F.col("split") == "holdout").select(
+    pb = bd.filter(F.col("split") == "holdout").select(
+        F.col("vec_id").alias("probe_id"), "band_id", "band_val"
+    )
+    cand = (
+        pb.join(tb, ["band_id", "band_val"])
+        .select("probe_id", "train_id")
+        .distinct()
+    )
+    probes = sigs.filter(F.col("split") == "holdout").select(
         F.col("vec_id").alias("probe_id"), "v", "nv"
+    )
+    train = sigs.filter(F.col("split") == "train").select(
+        F.col("vec_id").alias("train_id"),
+        F.col("v").alias("tv"),
+        F.col("nv").alias("ntv"),
     )
     denom = F.col("nv") * F.col("ntv")
     cos = F.when(denom != 0, _dot("v", "tv") / denom).otherwise(F.lit(0.0))
-    best = (
-        F.broadcast(probes)
-        .crossJoin(train)
+    cand_best = (
+        cand.join(probes, "probe_id")
+        .join(train, "train_id")
         .select(
             "probe_id",
             (F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("c"),
@@ -1643,6 +1710,7 @@ def split_leakage_embeddings(
         .groupBy("probe_id")
         .agg(F.max("c").alias("max_cos"))
     )
+    best = probes.select("probe_id").join(cand_best, "probe_id", "left")
     verdict = F.when(F.col("max_cos") >= threshold, F.lit("leaky")).otherwise(
         F.lit("clean")
     )

@@ -2910,6 +2910,14 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SL_DOT = "list_sum(list_transform(generate_series(1, len(p.v)), i -> p.v[i] * t.tv[i]))"
 
+_SL_HP = similarity.hyperplane_matrix(similarity.SL_BITS)
+_SL_ROWS = similarity.SL_BITS // similarity.SL_BANDS
+_SL_BAND_CASE = " ".join(
+    f"WHEN {j} THEN ({similarity.hp_band_sql(_SL_HP, j, _SL_ROWS)})"
+    for j in range(similarity.SL_BANDS)
+)
+_SL_BAND_IDS = ", ".join(str(j) for j in range(similarity.SL_BANDS))
+
 
 @register(
     "split_leakage_embeddings",
@@ -2926,15 +2934,39 @@ _SL_DOT = "list_sum(list_transform(generate_series(1, len(p.v)), i -> p.v[i] * t
                     THEN 'train' ELSE 'holdout' END AS split
         FROM emb
     ),
-    t AS (SELECT v AS tv, nv AS ntv FROM n WHERE split = 'train'),
+    bd AS (
+        SELECT vec_id, split, j AS band_id,
+               CASE j {_SL_BAND_CASE} END AS band_val
+        FROM n, (SELECT unnest([{_SL_BAND_IDS}]) AS j) js
+    ),
+    tb AS (
+        SELECT train_id, band_id, band_val FROM (
+            SELECT vec_id AS train_id, band_id, band_val,
+                   count(*) OVER (PARTITION BY band_id, band_val) AS bsz
+            FROM bd WHERE split = 'train'
+        ) WHERE bsz <= {similarity.SL_MAX_BUCKET}
+    ),
+    cand AS (
+        SELECT DISTINCT pb.vec_id AS probe_id, tb.train_id
+        FROM bd pb JOIN tb
+          ON pb.band_id = tb.band_id AND pb.band_val = tb.band_val
+        WHERE pb.split = 'holdout'
+    ),
+    t AS (SELECT vec_id AS train_id, v AS tv, nv AS ntv FROM n WHERE split = 'train'),
     p AS (SELECT vec_id AS probe_id, v, nv FROM n WHERE split = 'holdout'),
-    best AS (
-        SELECT p.probe_id,
+    cbest AS (
+        SELECT cand.probe_id,
                max(floor((CASE WHEN p.nv * t.ntv != 0
                                THEN {_SL_DOT} / (p.nv * t.ntv)
                                ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0) AS max_cos
-        FROM p CROSS JOIN t
-        GROUP BY p.probe_id
+        FROM cand
+        JOIN p ON p.probe_id = cand.probe_id
+        JOIN t ON t.train_id = cand.train_id
+        GROUP BY cand.probe_id
+    ),
+    best AS (
+        SELECT p.probe_id, cbest.max_cos
+        FROM p LEFT JOIN cbest ON p.probe_id = cbest.probe_id
     )
     SELECT CASE WHEN max_cos >= 0.95 THEN 'leaky' ELSE 'clean' END AS verdict,
            count(*) AS n_holdout,
