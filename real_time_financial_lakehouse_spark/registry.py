@@ -2972,11 +2972,50 @@ _ROUND8_FRONT = [
     "users_intersect", "users_except", "latest_20_events", "sma_5",
 ]
 
+# Green in CORRECTNESS_r08: the entire round-8 front, 50/50 -- the
+# externally verified union reached 272/272 pre-round-8 queries.
+_DRIVER_VERIFIED_R8 = list(_ROUND8_FRONT)
+
+# Round-9 front: the 24 round-8 additions the driver has NEVER checked
+# (parity-swept at sf0.001+sf0.01 but outside every driver window so
+# far; min_variance_portfolio fronted only after its moment-quantization
+# de-flake proved 20x-consecutive green at both sf points), plus the 26
+# oldest-verified round-1/2 queries that were NOT in the r8 guard half
+# (last externally checked in CORRECTNESS_r01/r02, 7+ rounds ago) = 50.
+# With this window green the verified union reaches 296/296 of the
+# pre-round-9 registry.  ml_price_prediction is excluded from the guard
+# half (re-verified r6) and priority_line_counts queues for r10.
+_ROUND9_FRONT = [
+    # never driver-checked round-8 additions
+    "adx_14", "almgren_chriss_schedule", "aroon_10", "bs_greeks",
+    "customer_rfm_approx", "dp_noise_counts", "ewma_riskmetrics_vol",
+    "hard_negative_mining", "jl_projection_distortion",
+    "kalman_price_smooth", "keltner_channels",
+    "matryoshka_truncation_report", "mfi_14", "min_variance_portfolio",
+    "quality_deciles_approx", "readability_scores", "spearman_ic_daily",
+    "split_leakage_embeddings", "streaming_kalman_level",
+    "streaming_vpin", "supertrend", "versioned_clone_divergence",
+    "video_media_features", "vpin_toxicity",
+    # oldest-verified regression guards (r1/r2 vintage, age rotation)
+    "price_diff", "rsi_14", "last_prev_delta", "pricing_summary",
+    "shipping_priority", "regional_revenue", "returned_item_report",
+    "promo_revenue_share", "order_priority_counts", "brand_margin",
+    "customers_with_orders", "customers_without_orders",
+    "latest_order_asof", "streaming_silver_roundtrip",
+    "sessionize_users", "trailing_range_avg", "distinct_user_counts",
+    "streaming_sessionize", "streaming_dedup", "ema_per_symbol",
+    "streaming_ema_stateful", "ols_volatility_price",
+    "top_orders_per_customer", "customer_order_distribution",
+    "small_order_revenue", "large_volume_customers",
+]
+
+
 def _rotate_for_driver() -> None:
-    front = [n for n in _ROUND8_FRONT if n in QUERIES]
+    front = [n for n in _ROUND9_FRONT if n in QUERIES]
     verified_names = (
         _DRIVER_VERIFIED_R1_R2 + _DRIVER_VERIFIED_R3 + _DRIVER_VERIFIED_R4
         + _DRIVER_VERIFIED_R5 + _DRIVER_VERIFIED_R6_R7
+        + _DRIVER_VERIFIED_R8
     )
     placed = set(front) | set(verified_names)
     rest_unverified = [n for n in QUERIES if n not in placed]

@@ -24,11 +24,12 @@ from real_time_financial_lakehouse_spark.oracle import check_query
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("names", nargs="+")
+    ap.add_argument("names", nargs="*", help="query names; empty = ALL registered")
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--sf", action="append", default=[])
     ap.add_argument("--shuffle-partitions", type=int, default=8)
     args = ap.parse_args()
+    names = args.names or sorted(registry.ORACLE_SQL)
     sfs = args.sf or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
     spark = (
@@ -41,7 +42,7 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     failures = 0
-    for name in args.names:
+    for name in names:
         for sf in sfs:
             for i in range(args.reps):
                 problems = check_query(
