@@ -1,14 +1,19 @@
-"""Full-registry oracle parity sweep at the driver's scale factor.
+"""Full-registry oracle parity sweep at BOTH gate scale factors.
 
 Replicates the external correctness gate (row count + schema +
 order-insensitive value hash vs DuckDB on the same parquet) for EVERY
-registered query — not just the first 50 the driver checks — at sf0.01
-by default.  Run before ending a round:
+registered query — not just the first 50 the driver checks — at
+sf0.001 AND sf0.01 by default.  The dual-sf rule exists because the
+round-8 min_variance_portfolio flake lived only in sf0.001's degenerate
+sparse-overlap pairs: an sf0.01-only sweep blessed a query that a
+fresh pytest run (which checks sf0.001) then failed.  Run before
+ending a round:
 
-    python scripts/parity_sweep.py [sf_dir]
+    python scripts/parity_sweep.py [sf_dir ...]
 
-Writes a JSON report to PARITY_SWEEP.json at the repo root and exits
-non-zero if any oracle-twinned query mismatches.
+Writes a JSON report to PARITY_SWEEP.json at the repo root (one result
+map per sf_dir) and exits non-zero if any oracle-twinned query
+mismatches at any swept sf.
 """
 
 from __future__ import annotations
@@ -24,12 +29,11 @@ from real_time_financial_lakehouse_spark import registry  # noqa: E402
 from real_time_financial_lakehouse_spark.oracle import check_query  # noqa: E402
 from real_time_financial_lakehouse_spark.session import get_spark  # noqa: E402
 
+DEFAULT_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark(app_name="parity-sweep")
+
+def sweep(spark, sf_dir: str) -> dict[str, object]:
     results: dict[str, object] = {}
-    t0 = time.time()
     for name, fn in registry.QUERIES.items():
         t = time.time()
         try:
@@ -41,13 +45,34 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001 - report, don't abort the sweep
             results[name] = f"EXC: {type(ex).__name__}: {ex}"[:500]
         status = results[name]
-        print(f"{name}: {'OK' if status == 'OK' else status} ({time.time() - t:.1f}s)", flush=True)
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PARITY_SWEEP.json")
-    json.dump({"sf_dir": sf_dir, "elapsed_s": round(time.time() - t0, 1), "results": results},
-              open(out, "w"), indent=1, default=str)
-    bad = {k: v for k, v in results.items()
-           if v != "OK" and not str(v).startswith("rows-only")}
-    print(f"TOTAL {time.time() - t0:.0f}s; {len(results)} queries; BAD: {len(bad)}")
+        print(
+            f"{name}: {'OK' if status == 'OK' else status} ({time.time() - t:.1f}s)",
+            flush=True,
+        )
+    return results
+
+
+def main() -> int:
+    sf_dirs = sys.argv[1:] or DEFAULT_SFS
+    spark = get_spark(app_name="parity-sweep")
+    t0 = time.time()
+    report: dict[str, object] = {"sf_dirs": sf_dirs, "sweeps": {}}
+    bad: dict[str, object] = {}
+    for sf_dir in sf_dirs:
+        print(f"=== sweeping {sf_dir} ===", flush=True)
+        results = sweep(spark, sf_dir)
+        report["sweeps"][sf_dir] = results
+        for k, v in results.items():
+            if v != "OK" and not str(v).startswith("rows-only"):
+                bad[f"{sf_dir}:{k}"] = v
+    report["elapsed_s"] = round(time.time() - t0, 1)
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PARITY_SWEEP.json",
+    )
+    json.dump(report, open(out, "w"), indent=1, default=str)
+    n = sum(len(r) for r in report["sweeps"].values())
+    print(f"TOTAL {time.time() - t0:.0f}s; {n} checks across {len(sf_dirs)} sfs; BAD: {len(bad)}")
     for k, v in bad.items():
         print(f"  {k} -> {v}")
     return 1 if bad else 0
