@@ -2967,3 +2967,612 @@ def spearman_ic_daily(events: DataFrame) -> DataFrame:
         .filter(F.col("n_assets") >= 3)
         .orderBy("day")
     )
+
+
+def corwin_schultz_spread(events: DataFrame) -> DataFrame:
+    """Corwin-Schultz (2012) high-low bid-ask spread estimator per
+    symbol: for each consecutive-day pair, beta is the sum of the two
+    squared daily log high/low ranges, gamma the squared log range of
+    the two-day high over the two-day low, and
+
+        alpha  = (sqrt(2 beta) - sqrt(beta)) / (3 - 2 sqrt(2))
+                 - sqrt(gamma / (3 - 2 sqrt(2)))
+        spread = 2 (e^alpha - 1) / (1 + e^alpha)
+
+    Negative pair estimates are set to 0 (the paper's own convention),
+    and the per-symbol report averages the pair spreads -- the standard
+    liquidity screen when only OHLC bars (no quotes) exist.  Extends the
+    reference's indicator set (dashboard.py:60-104) on the daily bars
+    the gold layer already builds.
+
+    Scale: one day-granularity OHLC rollup (partial-agg shuffle), ONE
+    lead window per symbol at day cardinality, then a symbol-cardinality
+    aggregate -- nothing tick-sized after the first exchange.
+    Determinism: every input is an exact min/max selection; the per-pair
+    arithmetic is identical IEEE ops on both engines."""
+    bars = _daily_bars(events, positive_only=True)
+    w = Window.partitionBy("symbol").orderBy("day")
+    hl2 = F.pow(F.log(F.col("high") / F.col("low")), 2)
+    beta = hl2 + F.lead(hl2).over(w)
+    gamma = F.pow(
+        F.log(
+            F.greatest(F.col("high"), F.lead("high").over(w))
+            / F.least(F.col("low"), F.lead("low").over(w))
+        ),
+        2,
+    )
+    k = 3.0 - 2.0 * 2.0**0.5
+    alpha = (F.sqrt(2.0 * beta) - F.sqrt(beta)) / F.lit(k) - F.sqrt(gamma / F.lit(k))
+    s = 2.0 * (F.exp(alpha) - 1.0) / (1.0 + F.exp(alpha))
+    pairs = bars.select(
+        "symbol", F.greatest(s, F.lit(0.0)).alias("s"), s.alias("s_raw")
+    ).filter(F.col("s_raw").isNotNull())
+    return (
+        pairs.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            qround(F.avg("s"), 6).alias("cs_spread"),
+            qround(F.avg(F.when(F.col("s_raw") > 0, 1.0).otherwise(0.0)), 4).alias(
+                "pct_positive"
+            ),
+        )
+        .orderBy("symbol")
+    )
+
+
+def triple_barrier_labels(
+    events: DataFrame, horizon: int = 5, barrier: float = 0.01
+) -> DataFrame:
+    """Triple-barrier labeling (Lopez de Prado 2018) over daily closes:
+    each day is labeled +1 if the forward return first touches the
+    +``barrier`` profit-take within ``horizon`` days, -1 if it first
+    touches the -``barrier`` stop, 0 if the vertical (time) barrier wins
+    -- the supervised-learning target construction for financial ML.
+    Only days with the full forward horizon available are labeled, and
+    the report aggregates per symbol (label mix, hit rate, mean
+    days-to-touch) -- the class-balance audit run before training.
+
+    Scale: the forward path is ``horizon`` lead() columns over ONE
+    (symbol, day) window sort at day cardinality -- no self-join, no
+    range explosion; the label cascade is a per-row CASE.  Determinism:
+    forward returns divide exact close selections -- identical IEEE ops
+    on both engines, no aggregate in the compare path."""
+    bars = _daily_bars(events).select("symbol", "day", "close")
+    w = Window.partitionBy("symbol").orderBy("day")
+    rets = [
+        (F.lead("close", i).over(w) / F.col("close") - 1.0).alias(f"r{i}")
+        for i in range(1, horizon + 1)
+    ]
+    forward = bars.select("symbol", "day", *rets).filter(
+        F.col(f"r{horizon}").isNotNull()
+    )
+    label: F.Column = F.lit(0)
+    days_to_hit: F.Column = F.lit(None).cast("int")
+    # build the cascade innermost-last so day 1 wins over day 2, etc.
+    for i in range(horizon, 0, -1):
+        r = F.col(f"r{i}")
+        label = (
+            F.when(r >= barrier, F.lit(1))
+            .when(r <= -barrier, F.lit(-1))
+            .otherwise(label)
+        )
+        days_to_hit = F.when(
+            (r >= barrier) | (r <= -barrier), F.lit(i)
+        ).otherwise(days_to_hit)
+    labeled = forward.select("symbol", label.alias("label"), days_to_hit.alias("d"))
+    n = F.count(F.lit(1))
+    return (
+        labeled.groupBy("symbol")
+        .agg(
+            n.alias("n_events"),
+            F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("n_up"),
+            F.sum(F.when(F.col("label") == -1, 1).otherwise(0)).alias("n_down"),
+            F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("n_timeout"),
+            qround(
+                (n - F.sum(F.when(F.col("label") == 0, 1).otherwise(0)))
+                / n.cast("double"),
+                4,
+            ).alias("hit_rate"),
+            qround(F.avg(F.col("d").cast("double")), 4).alias("avg_days_to_hit"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def sortino_ratio(events: DataFrame, periods: int = 252) -> DataFrame:
+    """Annualized Sortino ratio per symbol over daily close-to-close
+    returns: mean return over the downside deviation (root mean square
+    of the NEGATIVE returns only, zeros included -- the 'full' downside
+    convention), scaled by sqrt(``periods``).  The risk-adjusted ranking
+    a desk prefers over Sharpe when the return distribution is skewed.
+
+    Scale: day-granularity close rollup, one lag window, one
+    symbol-cardinality aggregate.  Determinism: the downside variance is
+    quantized at 12 dp at the aggregate boundary before the sqrt (the
+    repo's quantize-before-sqrt convention), so both engines compose the
+    ratio from identical doubles."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    daily = events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    r = (F.col("c") / F.lag("c").over(w) - 1.0).alias("r")
+    rets = daily.select("symbol", r).filter(F.col("r").isNotNull())
+    dvar_q = qround(F.avg(F.pow(F.least(F.col("r"), F.lit(0.0)), 2)), 12)
+    mean_q = qround(F.avg("r"), 12)
+    stats = rets.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        mean_q.alias("mean_r_q"),
+        dvar_q.alias("dvar_q"),
+    )
+    dd = F.sqrt(F.col("dvar_q"))
+    ann = float(periods) ** 0.5
+    return (
+        stats.filter(F.col("n_days") >= 2)
+        .select(
+            "symbol",
+            "n_days",
+            qround(F.col("mean_r_q"), 6).alias("mean_daily_ret"),
+            qround(dd * ann, 6).alias("downside_dev_annual"),
+            F.when(
+                dd > 0, qround(F.col("mean_r_q") / dd * ann, 6)
+            ).alias("sortino_annual"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def spread_half_life(events: DataFrame) -> DataFrame:
+    """Mean-reversion half-life of every pair's hedge spread: fit the
+    AR(1) step  ds_t = a + phi * s_{t-1} + e  by the OLS closed form on
+    the minute-bar spread (hedge ratio from ``pairs_spread_zscore``'s
+    covar/var construction), then  half_life = -ln 2 / ln(1 + phi)  when
+    the pair actually mean-reverts (0 < 1 + phi < 1) -- the holding-
+    period estimate that decides whether a stat-arb pair is tradeable.
+
+    Scale: shares the minute-bar aggregate + pair equi-join shape with
+    ``pairs_spread_zscore`` (bar cardinality, symbol<symbol halving);
+    both OLS passes are partial-aggregable groupBys at pair cardinality.
+    Determinism: the AR coefficient is a bounded covar/var ratio,
+    quantized at 6 dp BEFORE the log on both engines, so the log always
+    evaluates an identical grid point."""
+    from .rollup import minute_bars_unsorted
+
+    bars = minute_bars_unsorted(events).select("symbol", "minute_window", "close_price")
+    a = bars.select(
+        F.col("symbol").alias("sym_a"),
+        F.col("minute_window").alias("mw"),
+        F.col("close_price").alias("pa"),
+    )
+    b = bars.select(
+        F.col("symbol").alias("sym_b"),
+        F.col("minute_window").alias("mw_b"),
+        F.col("close_price").alias("pb"),
+    )
+    paired = a.join(
+        b, (F.col("mw") == F.col("mw_b")) & (F.col("sym_a") < F.col("sym_b"))
+    ).select("sym_a", "sym_b", "mw", "pa", "pb")
+    var_b = F.var_pop("pb")
+    stats = paired.groupBy("sym_a", "sym_b").agg(
+        qround(
+            F.when(var_b != 0, F.covar_pop("pa", "pb") / var_b), 6
+        ).alias("hedge_ratio")
+    )
+    spread = paired.join(F.broadcast(stats), ["sym_a", "sym_b"]).select(
+        "sym_a",
+        "sym_b",
+        "mw",
+        (F.col("pa") - F.col("hedge_ratio") * F.col("pb")).alias("s"),
+    )
+    w = Window.partitionBy("sym_a", "sym_b").orderBy("mw")
+    lagged = spread.select(
+        "sym_a",
+        "sym_b",
+        F.col("s"),
+        F.lag("s").over(w).alias("s_lag"),
+    ).filter(F.col("s_lag").isNotNull())
+    var_lag = F.var_pop("s_lag")
+    phi = F.when(var_lag != 0, F.covar_pop(F.col("s") - F.col("s_lag"), F.col("s_lag")) / var_lag)
+    fitted = lagged.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        qround(F.lit(1.0) + phi, 6).alias("ar_coef"),
+    )
+    ln2 = 0.6931471805599453
+    return (
+        fitted.join(stats, ["sym_a", "sym_b"])
+        .select(
+            "sym_a",
+            "sym_b",
+            "n_obs",
+            "hedge_ratio",
+            "ar_coef",
+            F.when(
+                (F.col("ar_coef") > 0) & (F.col("ar_coef") < 1),
+                qround(F.lit(-ln2) / F.log(F.col("ar_coef")), 4),
+            ).alias("half_life_minutes"),
+        )
+        .orderBy("sym_a", "sym_b")
+    )
+
+
+def har_rv_regression(events: DataFrame) -> DataFrame:
+    """Pooled HAR-RV regression (Corsi 2009, two-component form):
+    tomorrow's daily realized variance on today's daily RV and the
+    trailing 5-day mean RV,
+
+        rv_{t+1} = b0 + b_d rv_t + b_w avg(rv_{t-4..t}) + e
+
+    fit by the centered OLS closed form (2x2 Cramer on the pooled
+    moment matrix) across all symbols, in natural log-return^2 units
+    (the fixture's minute moves are O(1), so a bps scaling would push
+    the pooled moments past the 2^53 quantization range).  Reports
+    the betas and in-sample R^2 -- the standard volatility-forecasting
+    benchmark every RV paper starts from.  RV is the sum of squared
+    intraday minute log-returns per (symbol, day).
+
+    Scale: minute-bar rollup -> day-cardinality RV aggregate -> one
+    5-row window + lead per symbol -> ONE global moment aggregate
+    (partial-aggregable, final exchange carries a single moment row).
+    Determinism: per-day RV and every pooled moment are quantized at
+    the aggregate boundary, so the Cramer solve composes identical
+    doubles on both engines."""
+    from .rollup import minute_bars_unsorted
+
+    bars = minute_bars_unsorted(events).select(
+        "symbol",
+        "minute_window",
+        F.date_trunc("day", F.col("minute_window")).alias("day"),
+        "close_price",
+    )
+    wm = Window.partitionBy("symbol", "day").orderBy("minute_window")
+    lr = F.log(F.col("close_price") / F.lag("close_price").over(wm))
+    intraday = bars.select("symbol", "day", lr.alias("lr")).filter(
+        F.col("lr").isNotNull()
+    )
+    rv = intraday.groupBy("symbol", "day").agg(
+        qround(F.sum(F.col("lr") * F.col("lr")), 6).alias("rv")
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    w5 = wd.rowsBetween(-4, 0)
+    feats = rv.select(
+        "symbol",
+        "day",
+        F.col("rv").alias("x_d"),
+        F.avg("rv").over(w5).alias("x_w"),
+        F.count(F.lit(1)).over(w5).alias("n_win"),
+        F.lead("rv").over(wd).alias("y"),
+    ).filter((F.col("n_win") == 5) & F.col("y").isNotNull())
+    m = feats.agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        qround(F.avg("x_d"), 6).alias("mx_d"),
+        qround(F.avg("x_w"), 6).alias("mx_w"),
+        qround(F.avg("y"), 6).alias("my"),
+        qround(F.var_pop("x_d"), 6).alias("v_d"),
+        qround(F.var_pop("x_w"), 6).alias("v_w"),
+        qround(F.var_pop("y"), 6).alias("v_y"),
+        qround(F.covar_pop("x_d", "x_w"), 6).alias("c_dw"),
+        qround(F.covar_pop("x_d", "y"), 6).alias("c_dy"),
+        qround(F.covar_pop("x_w", "y"), 6).alias("c_wy"),
+    )
+    det = F.col("v_d") * F.col("v_w") - F.col("c_dw") * F.col("c_dw")
+    b_d = (F.col("c_dy") * F.col("v_w") - F.col("c_wy") * F.col("c_dw")) / det
+    b_w = (F.col("c_wy") * F.col("v_d") - F.col("c_dy") * F.col("c_dw")) / det
+    ok = F.abs(det) > 1e-9
+    r2 = F.when(
+        ok & (F.col("v_y") > 0),
+        qround((b_d * F.col("c_dy") + b_w * F.col("c_wy")) / F.col("v_y"), 6),
+    )
+    return m.select(
+        "n_obs",
+        F.when(ok, qround(b_d, 6)).alias("beta_daily"),
+        F.when(ok, qround(b_w, 6)).alias("beta_weekly"),
+        F.when(
+            ok, qround(F.col("my") - b_d * F.col("mx_d") - b_w * F.col("mx_w"), 6)
+        ).alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def volume_profile(events: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Volume profile per symbol: traded quantity binned into
+    ``n_bins`` equal price slices of the symbol's [min, max] value
+    range, with each bin's volume share and the point-of-control flag
+    (the bin holding the most volume, lowest bin on ties) -- the
+    support/resistance map an execution desk reads before slicing a
+    large order.  Quantity is the props ``k`` field (vwap convention);
+    ticks without it count toward n_ticks but add no volume, matching
+    SQL NULL-sum semantics.
+
+    Scale: one symbol-cardinality min/max aggregate broadcast back over
+    the scan (bounded dim), one (symbol, bin) groupBy (partial-agg
+    shuffle), one window at |symbol x n_bins| cardinality.  Determinism:
+    bin edges derive from exact min/max; bin volume is quantized BEFORE
+    the point-of-control ranking so ties resolve identically on both
+    engines."""
+    qty = F.get_json_object(F.col("props"), "$.k").cast("double")
+    bounds = events.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    src = events.select(
+        F.col("event_type").alias("symbol"), "value", qty.alias("qty")
+    ).join(F.broadcast(bounds), "symbol")
+    bin_col = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * n_bins),
+            F.lit(n_bins - 1),
+        ),
+    ).otherwise(F.lit(0))
+    binned = src.select("symbol", "lo", "hi", bin_col.alias("bin"), "qty")
+    per_bin = binned.groupBy("symbol", "bin").agg(
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        qround(F.coalesce(F.sum("qty"), F.lit(0.0)), 6).alias("volume"),
+    )
+    ws = Window.partitionBy("symbol")
+    rank = F.row_number().over(
+        Window.partitionBy("symbol").orderBy(F.col("volume").desc(), F.col("bin"))
+    )
+    total = F.sum("volume").over(ws)
+    width = (F.col("hi") - F.col("lo")) / n_bins
+    return (
+        per_bin.select(
+            "symbol",
+            F.col("bin").cast("int").alias("bin"),
+            qround(F.col("lo") + F.col("bin") * width, 6).alias("bin_low"),
+            qround(F.col("lo") + (F.col("bin") + 1) * width, 6).alias("bin_high"),
+            "n_ticks",
+            "volume",
+            F.when(total > 0, qround(F.col("volume") / total, 6)).alias("vol_share"),
+            (rank == 1).alias("is_poc"),
+        )
+        .orderBy("symbol", "bin")
+    )
+
+
+def turnover_hhi(events: DataFrame) -> DataFrame:
+    """Daily turnover concentration: the Herfindahl-Hirschman index of
+    dollar-volume shares across symbols each day, its reciprocal (the
+    'effective number of names' trading), and the single largest share
+    -- the market-breadth gauge that distinguishes a broad session from
+    one name dominating the tape.  Dollar volume is value * props.k.
+
+    Scale: two stacked partial-aggregable groupBys ((day, symbol) then
+    day) -- the share pass re-joins day totals at day-symbol
+    cardinality, never tick cardinality.  Determinism: shares are
+    bounded ratios; the HHI is quantized before its reciprocal so both
+    engines invert the same grid point."""
+    qty = F.get_json_object(F.col("props"), "$.k").cast("double")
+    dv = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("event_type").alias("symbol"),
+    ).agg(F.sum(F.col("value") * qty).alias("dv"))
+    wd = Window.partitionBy("day")
+    shares = dv.select(
+        "day",
+        (F.col("dv") / F.sum("dv").over(wd)).alias("s"),
+    )
+    hhi_q = qround(F.sum(F.col("s") * F.col("s")), 6)
+    return (
+        shares.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_symbols"),
+            hhi_q.alias("hhi"),
+            qround(F.max("s"), 6).alias("top_share"),
+        )
+        .select(
+            "day",
+            "n_symbols",
+            "hhi",
+            F.when(F.col("hhi") > 0, qround(F.lit(1.0) / F.col("hhi"), 4)).alias(
+                "effective_names"
+            ),
+            "top_share",
+        )
+        .orderBy("day")
+    )
+
+
+def omega_ratio(events: DataFrame) -> DataFrame:
+    """Omega ratio per symbol at a zero threshold: expected gain over
+    expected loss (both as means over ALL daily returns, the standard
+    partial-moment form Omega(0) = E[r+] / E[r-]) -- the gain/loss
+    asymmetry ranking that, unlike Sharpe/Sortino, uses the whole
+    return distribution rather than two moments.
+
+    Scale: day-granularity close rollup + one lag window + one
+    symbol-cardinality aggregate (same ladder as ``sortino_ratio``).
+    Determinism: both partial moments are quantized at the aggregate
+    boundary before the ratio."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    daily = events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    r = (F.col("c") / F.lag("c").over(w) - 1.0).alias("r")
+    rets = daily.select("symbol", r).filter(F.col("r").isNotNull())
+    gain_q = qround(F.avg(F.greatest(F.col("r"), F.lit(0.0))), 12)
+    loss_q = qround(F.avg(F.greatest(-F.col("r"), F.lit(0.0))), 12)
+    stats = rets.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        gain_q.alias("gain_q"),
+        loss_q.alias("loss_q"),
+    )
+    return (
+        stats.select(
+            "symbol",
+            "n_days",
+            qround(F.col("gain_q"), 6).alias("avg_gain"),
+            qround(F.col("loss_q"), 6).alias("avg_loss"),
+            F.when(
+                F.col("loss_q") > 0, qround(F.col("gain_q") / F.col("loss_q"), 6)
+            ).alias("omega"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def calmar_ratio(events: DataFrame) -> DataFrame:
+    """Calmar ratio per symbol in the log-return domain: annualized log
+    return (252/n * ln(last/first)) over the maximum close-to-close
+    drawdown -- the recovery-speed metric CTA factsheets lead with.
+    Log (not compounded-percentage) annualization on purpose: the
+    fixture's daily "closes" are not a smooth price path, and a
+    compounded (x^(252/n)) return explodes past the quantizer's 2^53
+    range, while the log form is bounded and order-preserving (the
+    ranking a Calmar screen actually uses).  Non-positive ticks are
+    excluded (log domain), as in ``range_volatility``.
+
+    Scale: day-granularity close rollup, ONE running-max window, one
+    symbol-cardinality aggregate carrying (first, last, maxdd) -- the
+    ``max_drawdown`` ladder with the ratio fused in.  Determinism: the
+    drawdown is exact selections; the annualized log return is
+    quantized at 12 dp before the ratio on both engines."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    daily = events.filter(F.col("value") > 0).groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dd = 1.0 - F.col("c") / F.max("c").over(w)
+    framed = daily.select("symbol", "day", "c", dd.alias("dd"))
+    stats = framed.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min_by(F.col("c"), F.col("day")).alias("first_c"),
+        F.max_by(F.col("c"), F.col("day")).alias("last_c"),
+        qround(F.max("dd"), 6).alias("max_drawdown"),
+    )
+    ann_q = qround(
+        (F.lit(252.0) / F.col("n_days"))
+        * F.log(F.col("last_c") / F.col("first_c")),
+        12,
+    )
+    return (
+        stats.select(
+            "symbol",
+            "n_days",
+            "max_drawdown",
+            qround(ann_q, 6).alias("annual_log_return"),
+            F.when(
+                F.col("max_drawdown") > 0, qround(ann_q / F.col("max_drawdown"), 6)
+            ).alias("calmar_log"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def updown_capture(events: DataFrame) -> DataFrame:
+    """Up/down capture ratios per symbol against the corpus's own
+    equal-weight daily market index: the symbol's mean return on
+    up-market days over the market's mean on those days, and the same
+    on down-market days -- the asymmetry screen manager due-diligence
+    reports lead with (capture > 1 up and < 1 down is the ideal).
+
+    Scale: the ``beta_vs_market`` shape at day granularity -- returns at
+    day cardinality, the market frame a day-keyed aggregate of the same
+    frame broadcast back, one symbol-cardinality conditional aggregate.
+    Determinism: each conditional mean is quantized at the aggregate
+    boundary before the capture ratios."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    daily = events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    rets = daily.select(
+        "symbol",
+        "day",
+        (F.col("c") / F.lag("c").over(w) - 1.0).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    market = rets.groupBy("day").agg(F.avg("r").alias("m"))
+    joined = rets.join(F.broadcast(market), "day")
+    up_r = qround(F.avg(F.when(F.col("m") > 0, F.col("r"))), 12)
+    up_m = qround(F.avg(F.when(F.col("m") > 0, F.col("m"))), 12)
+    dn_r = qround(F.avg(F.when(F.col("m") < 0, F.col("r"))), 12)
+    dn_m = qround(F.avg(F.when(F.col("m") < 0, F.col("m"))), 12)
+    stats = joined.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).alias("n_up_days"),
+        F.sum(F.when(F.col("m") < 0, 1).otherwise(0)).alias("n_down_days"),
+        up_r.alias("up_r"),
+        up_m.alias("up_m"),
+        dn_r.alias("dn_r"),
+        dn_m.alias("dn_m"),
+    )
+    return (
+        stats.select(
+            "symbol",
+            "n_days",
+            "n_up_days",
+            "n_down_days",
+            F.when(
+                F.col("up_m") != 0, qround(F.col("up_r") / F.col("up_m"), 6)
+            ).alias("up_capture"),
+            F.when(
+                F.col("dn_m") != 0, qround(F.col("dn_r") / F.col("dn_m"), 6)
+            ).alias("down_capture"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def gap_fill_probability(events: DataFrame) -> DataFrame:
+    """Overnight-gap fill statistics per symbol: a day gaps up when it
+    opens above the previous close (down symmetrically), and the gap
+    'fills' if the same day's range re-touches that previous close
+    (low <= prev close for gap-ups, high >= for gap-downs) -- the
+    empirical base rate behind every gap-fade strategy note.
+
+    Scale: one day-granularity OHLC rollup, ONE lag window, one
+    symbol-cardinality conditional aggregate.  Determinism: every
+    comparison is between exact open/high/low/close selections -- no
+    float composition enters the compare path before the final
+    quantized shares."""
+    bars = _daily_bars(events)
+    w = Window.partitionBy("symbol").orderBy("day")
+    prev_c = F.lag("close").over(w)
+    framed = bars.select(
+        "symbol",
+        "open",
+        "high",
+        "low",
+        prev_c.alias("prev_c"),
+    ).filter(F.col("prev_c").isNotNull())
+    gap = F.col("open") / F.col("prev_c") - 1.0
+    is_up = F.col("open") > F.col("prev_c")
+    is_dn = F.col("open") < F.col("prev_c")
+    up_fill = is_up & (F.col("low") <= F.col("prev_c"))
+    dn_fill = is_dn & (F.col("high") >= F.col("prev_c"))
+    n_up = F.sum(is_up.cast("int"))
+    n_dn = F.sum(is_dn.cast("int"))
+    stats = framed.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        n_up.alias("n_gap_up"),
+        n_dn.alias("n_gap_down"),
+        F.sum(up_fill.cast("int")).alias("n_up_filled"),
+        F.sum(dn_fill.cast("int")).alias("n_down_filled"),
+        qround(F.avg(F.abs(gap)), 6).alias("avg_abs_gap"),
+    )
+    return (
+        stats.select(
+            "symbol",
+            "n_days",
+            "n_gap_up",
+            F.when(
+                F.col("n_gap_up") > 0,
+                qround(F.col("n_up_filled") / F.col("n_gap_up"), 4),
+            ).alias("pct_up_filled"),
+            "n_gap_down",
+            F.when(
+                F.col("n_gap_down") > 0,
+                qround(F.col("n_down_filled") / F.col("n_gap_down"), 4),
+            ).alias("pct_down_filled"),
+            "avg_abs_gap",
+        )
+        .orderBy("symbol")
+    )

@@ -1725,3 +1725,161 @@ def split_leakage_embeddings(
         )
         .orderBy("verdict")
     )
+
+
+# Per-rank DCG gains 1/log2(rank+1) and ideal-DCG prefix sums, embedded
+# as literals on BOTH engines (Spark expression and oracle SQL) so the
+# eval never depends on engine log2 ulp agreement.
+DCG_GAINS = (
+    1.0, 0.6309297535714575, 0.5, 0.43067655807339306, 0.38685280723454163,
+    0.3562071871080222, 0.3333333333333333, 0.31546487678572877,
+    0.3010299956639812, 0.2890648263178879,
+)
+IDCG_PREFIX = (
+    0.0, 1.0, 1.6309297535714575, 2.1309297535714578, 2.5616063116448506,
+    2.9484591188793923, 3.3046663059874146, 3.637999639320748,
+    3.953464516106477, 4.254494511770458, 4.543559338088346,
+)
+
+
+def retrieval_mrr_ndcg(
+    embeddings: DataFrame, n_queries: int = 20, k: int = 10
+) -> DataFrame:
+    """Retrieval-quality evaluation over the embedding corpus: for each
+    of the first ``n_queries`` vectors, rank the rest of the corpus by
+    exact cosine and score the top-``k`` list against binary relevance
+    (same ``label`` as the probe) -- MRR, precision@k, recall@k and
+    nDCG@k per probe, the metric card every retrieval/RAG pipeline
+    publishes before an index change ships.  The ideal DCG truncates at
+    min(#relevant-in-corpus, k), the standard nDCG convention.
+
+    Scale: the probe side is bounded (``n_queries`` rows) and broadcast
+    against one corpus scan (the ``cosine_topk`` discipline) -- O(Q x N)
+    with Q fixed, one scan; label totals come from a label-cardinality
+    aggregate broadcast the same way.  Determinism: cosine is quantized
+    before ranking with a neighbor-id tiebreak; DCG gains and ideal-DCG
+    prefix sums are shared Python literals on both engines, so no
+    engine-side log enters the compare path."""
+    emb = _spread(embeddings).select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    emb = emb.withColumn("nv", _norm("v"))
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("q"),
+        F.col("nv").alias("nq"),
+    )
+    pairs = F.broadcast(queries).crossJoin(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+            "v",
+            "nv",
+        )
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    denom = F.col("nq") * F.col("nv")
+    cos = F.when(denom != 0, _dot("q", "v") / denom).otherwise(F.lit(0.0))
+    scored = pairs.select(
+        "query_id",
+        "q_label",
+        "n_label",
+        "neighbor_id",
+        (F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    rel = (F.col("n_label") == F.col("q_label")).cast("int")
+    gain = F.lit(0.0)
+    for i in range(k, 0, -1):
+        gain = F.when(F.col("rank") == i, F.lit(DCG_GAINS[i - 1])).otherwise(gain)
+    per_probe = topk.select(
+        "query_id", "q_label", "rank", rel.alias("rel"), gain.alias("gain")
+    ).groupBy("query_id", "q_label").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel_rank"),
+        F.sum("rel").alias("n_rel_topk"),
+        F.sum(F.col("rel") * F.col("gain")).alias("dcg"),
+    )
+    label_totals = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_label_total"))
+    joined = per_probe.join(
+        F.broadcast(label_totals),
+        per_probe["q_label"] == label_totals["label"],
+    ).select(
+        "query_id",
+        F.col("q_label").alias("label"),
+        "first_rel_rank",
+        "n_rel_topk",
+        "dcg",
+        (F.col("n_label_total") - 1).alias("n_relevant"),
+    )
+    ideal_m = F.least(F.col("n_relevant"), F.lit(k))
+    idcg = F.lit(0.0)
+    for m in range(k, 0, -1):
+        idcg = F.when(ideal_m == m, F.lit(IDCG_PREFIX[m])).otherwise(idcg)
+    return (
+        joined.select(
+            "query_id",
+            "label",
+            F.col("first_rel_rank").cast("int").alias("first_rel_rank"),
+            qround(
+                F.coalesce(F.lit(1.0) / F.col("first_rel_rank"), F.lit(0.0)), 6
+            ).alias("reciprocal_rank"),
+            qround(F.col("n_rel_topk") / F.lit(float(k)), 6).alias("precision_at_k"),
+            F.when(
+                F.col("n_relevant") > 0,
+                qround(F.col("n_rel_topk") / F.col("n_relevant"), 6),
+            ).alias("recall_at_k"),
+            F.when(idcg > 0, qround(F.col("dcg") / idcg, 6)).otherwise(
+                F.lit(0.0)
+            ).alias("ndcg_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def semdedup_threshold_sweep(
+    embeddings: DataFrame,
+    thresholds: tuple = (0.25, 0.30, 0.35, 0.40),
+) -> DataFrame:
+    """Semantic-dedup tuning sweep: for each candidate cosine threshold,
+    how many near-dup pairs fire and what fraction of the corpus a
+    keep-lowest-id dedup would remove -- the calibration table a
+    training-data curator reads BEFORE committing to a SemDeDup
+    threshold, computed from ONE pair pass at the loosest threshold.
+
+    Scale: inherits ``embedding_near_dup``'s cell-restricted pair bound
+    (never all-pairs); the sweep explodes each surviving pair into at
+    most len(thresholds) rows (a constant fan-out on an already-pruned
+    stream) and aggregates at threshold cardinality.  The corpus total
+    rides in as a broadcast scalar.  Thresholds with zero surviving
+    pairs emit no row (mirrored exactly by the oracle's join-then-group
+    semantics)."""
+    pairs = embedding_near_dup(embeddings, threshold=min(thresholds))
+    total = embeddings.agg(F.count(F.lit(1)).alias("n_corpus"))
+    swept = pairs.select(
+        "vec_b",
+        "cosine",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in sorted(thresholds)])
+        ).alias("threshold"),
+    ).filter(F.col("cosine") >= F.col("threshold"))
+    agg = swept.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("vec_b").alias("n_docs_removed"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_docs_removed",
+            qround(F.col("n_docs_removed") / F.col("n_corpus"), 6).alias(
+                "pct_corpus_removed"
+            ),
+        )
+        .orderBy("threshold")
+    )

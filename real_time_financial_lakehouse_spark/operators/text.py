@@ -1310,3 +1310,33 @@ def readability_scores(documents: DataFrame) -> DataFrame:
             F.avg(F.expr("CASE WHEN flesch >= 60.0 THEN 1.0 ELSE 0.0 END")), 6
         ).alias("readable_share"),
     ).orderBy("source")
+
+
+def tokenizer_fertility(documents: DataFrame) -> DataFrame:
+    """Tokenizer fertility matrix by (lang, source): mean tokens per
+    document, mean characters per token, and mean type-token ratio --
+    the per-slice compression profile that decides whether a tokenizer
+    (here the whitespace baseline) is fair across languages before a
+    token budget is split (high chars/token = under-segmented slice,
+    low type-token ratio = repetitive slice).
+
+    Scale: every metric is a row-local array expression (one tokenize
+    per doc, zero shuffle before the final (lang, source)-cardinality
+    groupBy -- partial-aggregable)."""
+    toks = _tokens()
+    n_tok = F.size(toks)
+    ttr = F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok)
+    cpt = F.when(n_tok > 0, F.col("n_chars") / n_tok)
+    per_doc = documents.select(
+        "lang", "source", n_tok.alias("n_tok"), ttr.alias("ttr"), cpt.alias("cpt")
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            qround(F.avg("n_tok"), 4).alias("avg_tokens_per_doc"),
+            qround(F.avg("cpt"), 6).alias("avg_chars_per_token"),
+            qround(F.avg("ttr"), 6).alias("avg_type_token_ratio"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -7145,6 +7145,437 @@ def q_dp_noise_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_noise_counts(_events(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Round-9 additions: microstructure / labeling / risk / market-breadth
+# ---------------------------------------------------------------------------
+
+_CS_K = 3.0 - 2.0 * 2.0**0.5  # Corwin-Schultz 3 - 2*sqrt(2), shared literal
+_ANN252 = 252.0**0.5  # annualization sqrt, shared literal
+_NEG_LN2 = -0.6931471805599453
+
+
+@register(
+    "corwin_schultz_spread",
+    f"""
+    WITH bars AS (
+        SELECT event_type AS symbol, date_trunc('day', ts) AS day,
+               max(value) AS high, min(value) AS low
+        FROM events WHERE value > 0 GROUP BY 1, 2
+    ),
+    leads AS (
+        SELECT symbol,
+               pow(ln(high / low), 2) AS hl2,
+               lead(pow(ln(high / low), 2)) OVER (PARTITION BY symbol ORDER BY day) AS hl2n,
+               greatest(high, lead(high) OVER (PARTITION BY symbol ORDER BY day)) AS h2,
+               least(low, lead(low) OVER (PARTITION BY symbol ORDER BY day)) AS l2
+        FROM bars
+    ),
+    est AS (
+        SELECT symbol,
+               (sqrt(2.0 * (hl2 + hl2n)) - sqrt(hl2 + hl2n)) / {_CS_K!r}
+               - sqrt(pow(ln(h2 / l2), 2) / {_CS_K!r}) AS alpha
+        FROM leads WHERE hl2n IS NOT NULL
+    ),
+    s AS (
+        SELECT symbol,
+               2.0 * (exp(alpha) - 1.0) / (1.0 + exp(alpha)) AS s_raw
+        FROM est
+    )
+    SELECT symbol, count(*)::BIGINT AS n_pairs,
+           {_q('avg(greatest(s_raw, 0.0))', 6)} AS cs_spread,
+           {_q('avg(CASE WHEN s_raw > 0 THEN 1.0 ELSE 0.0 END)', 4)} AS pct_positive
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_corwin_schultz_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.corwin_schultz_spread(_events(spark, sf_dir))
+
+
+def _tbl_oracle_sql(horizon: int = 5, barrier: float = 0.01) -> str:
+    leads = ",\n               ".join(
+        f"lead(c, {i}) OVER (PARTITION BY symbol ORDER BY day) / c - 1.0 AS r{i}"
+        for i in range(1, horizon + 1)
+    )
+    label_arms = " ".join(
+        f"WHEN r{i} >= {barrier!r} THEN 1 WHEN r{i} <= {-barrier!r} THEN -1"
+        for i in range(1, horizon + 1)
+    )
+    day_arms = " ".join(
+        f"WHEN r{i} >= {barrier!r} OR r{i} <= {-barrier!r} THEN {i}"
+        for i in range(1, horizon + 1)
+    )
+    return f"""
+    WITH {_DAILY_CLOSE_SQL.strip()},
+    fwd AS (
+        SELECT symbol,
+               {leads}
+        FROM dclose
+    ),
+    lab AS (
+        SELECT symbol,
+               CASE {label_arms} ELSE 0 END AS label,
+               CASE {day_arms} END AS d
+        FROM fwd WHERE r{horizon} IS NOT NULL
+    )
+    SELECT symbol, count(*)::BIGINT AS n_events,
+           sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)::BIGINT AS n_up,
+           sum(CASE WHEN label = -1 THEN 1 ELSE 0 END)::BIGINT AS n_down,
+           sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS n_timeout,
+           {_q('(count(*) - sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)) / count(*)::DOUBLE', 4)} AS hit_rate,
+           {_q('avg(d::DOUBLE)', 4)} AS avg_days_to_hit
+    FROM lab GROUP BY 1 ORDER BY 1
+    """
+
+
+@register("triple_barrier_labels", _tbl_oracle_sql())
+def q_triple_barrier_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.triple_barrier_labels(_events(spark, sf_dir))
+
+
+@register(
+    "sortino_ratio",
+    f"""
+    WITH {_DAILY_CLOSE_SQL.strip()},
+    rets AS (
+        SELECT symbol,
+               c / lag(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0 AS r
+        FROM dclose
+    ),
+    st AS (
+        SELECT symbol, count(*)::BIGINT AS n_days,
+               {_q('avg(r)', 12)} AS mean_r_q,
+               {_q('avg(pow(least(r, 0.0), 2))', 12)} AS dvar_q
+        FROM rets WHERE r IS NOT NULL
+        GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT symbol, n_days,
+           {_q('mean_r_q', 6)} AS mean_daily_ret,
+           {_q(f'sqrt(dvar_q) * {_ANN252!r}', 6)} AS downside_dev_annual,
+           CASE WHEN sqrt(dvar_q) > 0
+                THEN {_q(f'mean_r_q / sqrt(dvar_q) * {_ANN252!r}', 6)}
+           END AS sortino_annual
+    FROM st ORDER BY 1
+    """,
+)
+def q_sortino_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.sortino_ratio(_events(spark, sf_dir))
+
+
+@register(
+    "spread_half_life",
+    f"""
+    WITH bars AS ({_OHLC_CLOSE_SQL}),
+    paired AS (
+        SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.minute_window AS mw,
+               a.close_price AS pa, b.close_price AS pb
+        FROM bars a
+        JOIN bars b ON a.minute_window = b.minute_window AND a.symbol < b.symbol
+    ),
+    st AS (
+        SELECT sym_a, sym_b,
+               {_q('CASE WHEN var_pop(pb) != 0 THEN covar_pop(pa, pb) / var_pop(pb) END', 6)} AS hedge_ratio
+        FROM paired GROUP BY 1, 2
+    ),
+    sp AS (
+        SELECT p.sym_a, p.sym_b, p.mw,
+               p.pa - s.hedge_ratio * p.pb AS s
+        FROM paired p JOIN st s USING (sym_a, sym_b)
+    ),
+    lagged AS (
+        SELECT sym_a, sym_b, s,
+               lag(s) OVER (PARTITION BY sym_a, sym_b ORDER BY mw) AS s_lag
+        FROM sp
+    ),
+    fit AS (
+        SELECT sym_a, sym_b, count(*)::BIGINT AS n_obs,
+               {_q('1.0 + CASE WHEN var_pop(s_lag) != 0 THEN covar_pop(s - s_lag, s_lag) / var_pop(s_lag) END', 6)} AS ar_coef
+        FROM lagged WHERE s_lag IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT f.sym_a, f.sym_b, f.n_obs, s.hedge_ratio, f.ar_coef,
+           CASE WHEN f.ar_coef > 0 AND f.ar_coef < 1
+                THEN {_q(f'{_NEG_LN2!r} / ln(f.ar_coef)', 4)}
+           END AS half_life_minutes
+    FROM fit f JOIN st s USING (sym_a, sym_b)
+    ORDER BY 1, 2
+    """,
+)
+def q_spread_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.spread_half_life(_events(spark, sf_dir))
+
+
+_HAR_DET = "(v_d * v_w - c_dw * c_dw)"
+_HAR_BD = f"((c_dy * v_w - c_wy * c_dw) / {_HAR_DET})"
+_HAR_BW = f"((c_wy * v_d - c_dy * c_dw) / {_HAR_DET})"
+
+
+@register(
+    "har_rv_regression",
+    f"""
+    WITH bars AS ({_OHLC_CLOSE_SQL}),
+    lr AS (
+        SELECT symbol, date_trunc('day', minute_window) AS day,
+               ln(close_price / lag(close_price) OVER (
+                   PARTITION BY symbol, date_trunc('day', minute_window)
+                   ORDER BY minute_window)) AS lr
+        FROM bars
+    ),
+    rv AS (
+        SELECT symbol, day, {_q('sum(lr * lr)', 6)} AS rv
+        FROM lr WHERE lr IS NOT NULL GROUP BY 1, 2
+    ),
+    feats AS (
+        SELECT rv AS x_d,
+               avg(rv) OVER w5 AS x_w,
+               count(*) OVER w5 AS n_win,
+               lead(rv) OVER (PARTITION BY symbol ORDER BY day) AS y
+        FROM rv
+        WINDOW w5 AS (PARTITION BY symbol ORDER BY day
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ),
+    m AS (
+        SELECT count(*)::BIGINT AS n_obs,
+               {_q('avg(x_d)', 6)} AS mx_d,
+               {_q('avg(x_w)', 6)} AS mx_w,
+               {_q('avg(y)', 6)} AS my,
+               {_q('var_pop(x_d)', 6)} AS v_d,
+               {_q('var_pop(x_w)', 6)} AS v_w,
+               {_q('var_pop(y)', 6)} AS v_y,
+               {_q('covar_pop(x_d, x_w)', 6)} AS c_dw,
+               {_q('covar_pop(x_d, y)', 6)} AS c_dy,
+               {_q('covar_pop(x_w, y)', 6)} AS c_wy
+        FROM feats WHERE n_win = 5 AND y IS NOT NULL
+    )
+    SELECT n_obs,
+           CASE WHEN abs({_HAR_DET}) > 1e-9
+                THEN {_q(_HAR_BD, 6)} END AS beta_daily,
+           CASE WHEN abs({_HAR_DET}) > 1e-9
+                THEN {_q(_HAR_BW, 6)} END AS beta_weekly,
+           CASE WHEN abs({_HAR_DET}) > 1e-9
+                THEN {_q(f'my - {_HAR_BD} * mx_d - {_HAR_BW} * mx_w', 6)}
+           END AS intercept,
+           CASE WHEN abs({_HAR_DET}) > 1e-9 AND v_y > 0
+                THEN {_q(f'({_HAR_BD} * c_dy + {_HAR_BW} * c_wy) / v_y', 6)}
+           END AS r2
+    FROM m
+    """,
+)
+def q_har_rv_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.har_rv_regression(_events(spark, sf_dir))
+
+
+@register(
+    "volume_profile",
+    f"""
+    WITH bounds AS (
+        SELECT event_type AS symbol, min(value) AS lo, max(value) AS hi
+        FROM events GROUP BY 1
+    ),
+    src AS (
+        SELECT e.event_type AS symbol, e.value,
+               (json_extract_string(e.props, '$.k'))::DOUBLE AS qty,
+               b.lo, b.hi
+        FROM events e JOIN bounds b ON e.event_type = b.symbol
+    ),
+    binned AS (
+        SELECT symbol, lo, hi,
+               CASE WHEN hi > lo
+                    THEN least(floor((value - lo) / (hi - lo) * 10), 9)
+                    ELSE 0 END AS bin,
+               qty
+        FROM src
+    ),
+    per_bin AS (
+        SELECT symbol, bin, max(lo) AS lo, max(hi) AS hi,
+               count(*)::BIGINT AS n_ticks,
+               {_q('coalesce(sum(qty), 0.0)', 6)} AS volume
+        FROM binned GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY symbol
+                                  ORDER BY volume DESC, bin) AS rnk,
+               sum(volume) OVER (PARTITION BY symbol) AS total
+        FROM per_bin
+    )
+    SELECT symbol, bin::INT AS bin,
+           {_q('lo + bin * ((hi - lo) / 10)', 6)} AS bin_low,
+           {_q('lo + (bin + 1) * ((hi - lo) / 10)', 6)} AS bin_high,
+           n_ticks, volume,
+           CASE WHEN total > 0 THEN {_q('volume / total', 6)} END AS vol_share,
+           (rnk = 1) AS is_poc
+    FROM ranked ORDER BY symbol, bin
+    """,
+)
+def q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.volume_profile(_events(spark, sf_dir))
+
+
+@register(
+    "turnover_hhi",
+    f"""
+    WITH dv AS (
+        SELECT date_trunc('day', ts) AS day, event_type AS symbol,
+               sum(value * (json_extract_string(props, '$.k'))::DOUBLE) AS dv
+        FROM events GROUP BY 1, 2
+    ),
+    shares AS (
+        SELECT day, dv / sum(dv) OVER (PARTITION BY day) AS s
+        FROM dv
+    ),
+    agg AS (
+        SELECT day, count(*)::BIGINT AS n_symbols,
+               {_q('sum(s * s)', 6)} AS hhi,
+               {_q('max(s)', 6)} AS top_share
+        FROM shares GROUP BY 1
+    )
+    SELECT day, n_symbols, hhi,
+           CASE WHEN hhi > 0 THEN {_q('1.0 / hhi', 4)} END AS effective_names,
+           top_share
+    FROM agg ORDER BY day
+    """,
+)
+def q_turnover_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.turnover_hhi(_events(spark, sf_dir))
+
+
+@register(
+    "omega_ratio",
+    f"""
+    WITH {_DAILY_CLOSE_SQL.strip()},
+    rets AS (
+        SELECT symbol,
+               c / lag(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0 AS r
+        FROM dclose
+    ),
+    st AS (
+        SELECT symbol, count(*)::BIGINT AS n_days,
+               {_q('avg(greatest(r, 0.0))', 12)} AS gain_q,
+               {_q('avg(greatest(-r, 0.0))', 12)} AS loss_q
+        FROM rets WHERE r IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT symbol, n_days,
+           {_q('gain_q', 6)} AS avg_gain,
+           {_q('loss_q', 6)} AS avg_loss,
+           CASE WHEN loss_q > 0 THEN {_q('gain_q / loss_q', 6)} END AS omega
+    FROM st ORDER BY 1
+    """,
+)
+def q_omega_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.omega_ratio(_events(spark, sf_dir))
+
+
+@register(
+    "calmar_ratio",
+    f"""
+    WITH dclose AS (
+        SELECT event_type AS symbol, date_trunc('day', ts) AS day,
+               max(CASE WHEN rn_d = 1 THEN value END) AS c
+        FROM (
+            SELECT event_type, ts, value,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events WHERE value > 0
+        )
+        GROUP BY 1, 2
+    ),
+    framed AS (
+        SELECT symbol, day, c,
+               1.0 - c / max(c) OVER (PARTITION BY symbol ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING) AS dd
+        FROM dclose
+    ),
+    st AS (
+        SELECT symbol, count(*)::BIGINT AS n_days,
+               min_by(c, day) AS first_c,
+               max_by(c, day) AS last_c,
+               {_q('max(dd)', 6)} AS max_drawdown
+        FROM framed GROUP BY 1
+    ),
+    ann AS (
+        SELECT symbol, n_days, max_drawdown,
+               {_q('(252.0 / n_days) * ln(last_c / first_c)', 12)} AS ann_q
+        FROM st
+    )
+    SELECT symbol, n_days, max_drawdown,
+           {_q('ann_q', 6)} AS annual_log_return,
+           CASE WHEN max_drawdown > 0
+                THEN {_q('ann_q / max_drawdown', 6)} END AS calmar_log
+    FROM ann ORDER BY 1
+    """,
+)
+def q_calmar_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.calmar_ratio(_events(spark, sf_dir))
+
+
+@register(
+    "updown_capture",
+    f"""
+    WITH {_DAILY_CLOSE_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               c / lag(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0 AS r
+        FROM dclose
+    ),
+    valid AS (SELECT * FROM rets WHERE r IS NOT NULL),
+    market AS (SELECT day, avg(r) AS m FROM valid GROUP BY 1),
+    joined AS (
+        SELECT v.symbol, v.r, mk.m
+        FROM valid v JOIN market mk ON v.day = mk.day
+    ),
+    st AS (
+        SELECT symbol, count(*)::BIGINT AS n_days,
+               sum(CASE WHEN m > 0 THEN 1 ELSE 0 END)::BIGINT AS n_up_days,
+               sum(CASE WHEN m < 0 THEN 1 ELSE 0 END)::BIGINT AS n_down_days,
+               {_q('avg(CASE WHEN m > 0 THEN r END)', 12)} AS up_r,
+               {_q('avg(CASE WHEN m > 0 THEN m END)', 12)} AS up_m,
+               {_q('avg(CASE WHEN m < 0 THEN r END)', 12)} AS dn_r,
+               {_q('avg(CASE WHEN m < 0 THEN m END)', 12)} AS dn_m
+        FROM joined GROUP BY 1
+    )
+    SELECT symbol, n_days, n_up_days, n_down_days,
+           CASE WHEN up_m != 0 THEN {_q('up_r / up_m', 6)} END AS up_capture,
+           CASE WHEN dn_m != 0 THEN {_q('dn_r / dn_m', 6)} END AS down_capture
+    FROM st ORDER BY 1
+    """,
+)
+def q_updown_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.updown_capture(_events(spark, sf_dir))
+
+
+@register(
+    "gap_fill_probability",
+    f"""
+    WITH {_DAILY_BARS_SQL.strip()},
+    framed AS (
+        SELECT symbol, o, h, l,
+               lag(c) OVER (PARTITION BY symbol ORDER BY day) AS prev_c
+        FROM dbars
+    ),
+    st AS (
+        SELECT symbol, count(*)::BIGINT AS n_days,
+               sum(CASE WHEN o > prev_c THEN 1 ELSE 0 END)::BIGINT AS n_gap_up,
+               sum(CASE WHEN o < prev_c THEN 1 ELSE 0 END)::BIGINT AS n_gap_down,
+               sum(CASE WHEN o > prev_c AND l <= prev_c THEN 1 ELSE 0 END)::BIGINT AS n_up_filled,
+               sum(CASE WHEN o < prev_c AND h >= prev_c THEN 1 ELSE 0 END)::BIGINT AS n_down_filled,
+               {_q('avg(abs(o / prev_c - 1.0))', 6)} AS avg_abs_gap
+        FROM framed WHERE prev_c IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT symbol, n_days, n_gap_up,
+           CASE WHEN n_gap_up > 0
+                THEN {_q('n_up_filled / n_gap_up', 4)} END AS pct_up_filled,
+           n_gap_down,
+           CASE WHEN n_gap_down > 0
+                THEN {_q('n_down_filled / n_gap_down', 4)} END AS pct_down_filled,
+           avg_abs_gap
+    FROM st ORDER BY 1
+    """,
+)
+def q_gap_fill_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.gap_fill_probability(_events(spark, sf_dir))
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

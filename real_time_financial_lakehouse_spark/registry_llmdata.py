@@ -2980,3 +2980,137 @@ _SL_BAND_IDS = ", ".join(str(j) for j in range(similarity.SL_BANDS))
 )
 def q_split_leakage_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.split_leakage_embeddings(_emb(spark, sf_dir))
+
+
+def _retrieval_eval_oracle_sql(n_queries: int = 20, k: int = 10) -> str:
+    """DCG gains and ideal-DCG prefix sums are the SAME Python literals
+    the Spark expression embeds (similarity.DCG_GAINS / IDCG_PREFIX), so
+    no engine-side log2 enters the compare path."""
+    gain_case = (
+        "CASE rank "
+        + " ".join(
+            f"WHEN {i + 1} THEN {similarity.DCG_GAINS[i]!r}" for i in range(k)
+        )
+        + " ELSE 0.0 END"
+    )
+    idcg_case = (
+        "CASE least(t.n_label_total - 1, 10) "
+        + " ".join(
+            f"WHEN {m} THEN {similarity.IDCG_PREFIX[m]!r}" for m in range(1, k + 1)
+        )
+        + " ELSE 0.0 END"
+    )
+    dot = "list_sum(list_transform(generate_series(1, len(q.q)), i -> q.q[i] * e.v[i]))"
+    nq = "sqrt(list_sum(list_transform(q.q, x -> x * x)))"
+    nv = "sqrt(list_sum(list_transform(e.v, x -> x * x)))"
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS q_label, v AS q
+          FROM emb WHERE vec_id < {n_queries}),
+    pairs AS (
+        SELECT q.query_id, q.q_label, e.label AS n_label, e.vec_id AS neighbor_id,
+               CASE WHEN {nq} * {nv} != 0
+                    THEN {dot} / ({nq} * {nv})
+                    ELSE 0.0 END AS cos_raw
+        FROM q CROSS JOIN emb e
+        WHERE e.vec_id != q.query_id
+    ),
+    scored AS (
+        SELECT query_id, q_label, n_label, neighbor_id,
+               floor(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        FROM pairs
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    ),
+    per_probe AS (
+        SELECT query_id, q_label,
+               min(CASE WHEN n_label = q_label THEN rank END) AS first_rel_rank,
+               sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS n_rel_topk,
+               sum(CASE WHEN n_label = q_label THEN {gain_case} ELSE 0.0 END) AS dcg
+        FROM topk GROUP BY 1, 2
+    ),
+    totals AS (SELECT label, count(*) AS n_label_total FROM emb GROUP BY 1)
+    SELECT p.query_id, p.q_label AS label,
+           p.first_rel_rank::INT AS first_rel_rank,
+           {qround_sql('coalesce(1.0 / p.first_rel_rank, 0.0)', 6)} AS reciprocal_rank,
+           {qround_sql(f'p.n_rel_topk / {float(k)!r}', 6)} AS precision_at_k,
+           CASE WHEN t.n_label_total - 1 > 0
+                THEN {qround_sql('p.n_rel_topk / (t.n_label_total - 1)', 6)}
+           END AS recall_at_k,
+           CASE WHEN {idcg_case} > 0
+                THEN {qround_sql(f'p.dcg / ({idcg_case})', 6)}
+                ELSE 0.0 END AS ndcg_at_k
+    FROM per_probe p JOIN totals t ON p.q_label = t.label
+    ORDER BY p.query_id
+    """
+
+
+@register("retrieval_mrr_ndcg", _retrieval_eval_oracle_sql())
+def q_retrieval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.retrieval_mrr_ndcg(_emb(spark, sf_dir))
+
+
+_SWEEP_THRESHOLDS = (0.25, 0.30, 0.35, 0.40)
+
+
+@register(
+    "semdedup_threshold_sweep",
+    f"""
+    WITH emb AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (SELECT vec_id, label, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM emb),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               floor(({_COS_PAIR}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    swept AS (
+        SELECT t.threshold, p.vec_b
+        FROM pairs p
+        CROSS JOIN (SELECT unnest([{', '.join(repr(float(t)) for t in _SWEEP_THRESHOLDS)}]) AS threshold) t
+        WHERE p.cosine >= t.threshold
+    )
+    SELECT threshold, count(*)::BIGINT AS n_pairs,
+           count(DISTINCT vec_b)::BIGINT AS n_docs_removed,
+           {qround_sql('count(DISTINCT vec_b) / (SELECT count(*) FROM embeddings)', 6)} AS pct_corpus_removed
+    FROM swept GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semdedup_threshold_sweep(
+        _emb(spark, sf_dir), thresholds=_SWEEP_THRESHOLDS
+    )
+
+
+@register(
+    "tokenizer_fertility",
+    f"""
+    WITH per_doc AS (
+        SELECT lang, source,
+               len(toks) AS n_tok,
+               CASE WHEN len(toks) > 0
+                    THEN len(list_distinct(toks)) / len(toks) END AS ttr,
+               CASE WHEN len(toks) > 0 THEN n_chars / len(toks) END AS cpt
+        FROM (SELECT lang, source, n_chars, {_TOKS} AS toks FROM documents)
+    )
+    SELECT lang, source, count(*)::BIGINT AS n_docs,
+           {qround_sql('avg(n_tok)', 4)} AS avg_tokens_per_doc,
+           {qround_sql('avg(cpt)', 6)} AS avg_chars_per_token,
+           {qround_sql('avg(ttr)', 6)} AS avg_type_token_ratio
+    FROM per_doc GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tokenizer_fertility(_docs(spark, sf_dir))

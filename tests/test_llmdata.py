@@ -396,17 +396,20 @@ def test_ivf_learned_plan_stays_lean(spark):
 
     emb = _emb(spark, SF_SMOKE)
     model = similarity.fit_codebook(emb, cache_key=SF_SMOKE)
-    # Best of two constructions: the first in a fresh JVM pays one-time
-    # py4j/analysis warmup (observed ~1.4s cold vs ~0.1s steady); the
-    # regression this pins was a SYSTEMATIC ~2s per construction, which
-    # the min still catches.
+    # Best of three constructions: the first in a fresh JVM pays one-time
+    # py4j/analysis warmup (observed ~1.4s cold vs ~0.1s steady), and a
+    # loaded full-suite JVM (GC pauses from 600+ prior tests) can double
+    # any single build; the regression this pins was a SYSTEMATIC ~2s per
+    # construction, which min-of-3 under a 1.5s bar still catches while
+    # absorbing suite-load jitter (r9: best-of-2 at 1.0s flaked once in
+    # the full suite, green in isolation).
     builds = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         df = similarity.ivf_topk_learned(emb, model, n_queries=5, k=5, nprobe=6)
         builds.append(time.time() - t0)
     build_s = min(builds)
-    assert build_s < 1.0, f"plan construction took {build_s:.2f}s (best of 2)"
+    assert build_s < 1.5, f"plan construction took {build_s:.2f}s (best of 3)"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "UDF" not in plan
     assert len(re.findall(r"Exchange", plan)) <= 5

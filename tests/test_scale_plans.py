@@ -828,3 +828,110 @@ def test_split_leakage_is_band_bucketed_not_all_pairs(spark):
     # corpus (Spark may still broadcast at sf0.001 under AQE thresholds,
     # so assert the pair sources, not the physical join pick)
     assert "posexplode" in plan or "Generate" in plan
+
+
+def test_round9_queries_stay_bounded(spark):
+    """Round-9 additions: the bar-cardinality rollup ladder (Corwin-
+    Schultz, triple-barrier, Sortino, HAR-RV, turnover HHI) stays
+    window+groupBy shaped -- no Python stage, no cartesian, bounded
+    exchanges; volume_profile's per-symbol bounds come back as a
+    broadcast, never a shuffle join."""
+    from real_time_financial_lakehouse_spark.operators.finance import (
+        corwin_schultz_spread,
+        har_rv_regression,
+        sortino_ratio,
+        triple_barrier_labels,
+        turnover_hhi,
+        volume_profile,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    for fn, max_ex in (
+        (corwin_schultz_spread, 4),
+        (triple_barrier_labels, 4),
+        (sortino_ratio, 4),
+        (har_rv_regression, 5),
+        (turnover_hhi, 4),
+        (volume_profile, 6),
+    ):
+        plan = _plan(fn(ev))
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert plan.count("Exchange") <= max_ex, (
+            f"{fn.__name__}: {plan.count('Exchange')} exchanges"
+        )
+    assert "BroadcastExchange" in _plan(volume_profile(ev))
+
+
+def test_spread_half_life_pairs_equijoin_no_cartesian(spark):
+    """The pair expansion is an equi-join on the minute bar (the
+    pairs_spread_zscore discipline): SMJ/shuffle on minute_window is
+    fine (bar cardinality), a cartesian or Python stage is not."""
+    from real_time_financial_lakehouse_spark.operators.finance import (
+        spread_half_life,
+    )
+
+    plan = _plan(spread_half_life(load_table(spark, SF_SMOKE, "events")))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 16
+
+
+def test_retrieval_eval_broadcasts_probe_side(spark):
+    """retrieval_mrr_ndcg keeps the bounded (n_queries = 20) probe side
+    and the label-cardinality totals on broadcasts -- the corpus scan
+    never shuffles for the pair expansion."""
+    from real_time_financial_lakehouse_spark.operators.similarity import (
+        retrieval_mrr_ndcg,
+    )
+
+    plan = _plan(retrieval_mrr_ndcg(load_table(spark, SF_SMOKE, "embeddings")))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_round9_batch2_queries_stay_bounded(spark):
+    """Omega/Calmar/capture/gap-fill ride the day-cardinality rollup
+    ladder; tokenizer fertility is row-local work into one slice-
+    cardinality groupBy; the semdedup sweep inherits the cell-restricted
+    pair join (equi-join on the label cell, constant threshold fan-out,
+    broadcast corpus total) -- no Python, no cartesian anywhere."""
+    from real_time_financial_lakehouse_spark.operators.finance import (
+        calmar_ratio,
+        gap_fill_probability,
+        omega_ratio,
+        updown_capture,
+    )
+    from real_time_financial_lakehouse_spark.operators.similarity import (
+        semdedup_threshold_sweep,
+    )
+    from real_time_financial_lakehouse_spark.operators.text import (
+        tokenizer_fertility,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    for fn, max_ex in (
+        (omega_ratio, 4),
+        (calmar_ratio, 4),
+        # two scans of the rets frame (symbol leg + market leg) + the
+        # day-keyed re-join: one more exchange than the single-leg ladders
+        (updown_capture, 7),
+        (gap_fill_probability, 4),
+    ):
+        plan = _plan(fn(ev))
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert plan.count("Exchange") <= max_ex, (
+            f"{fn.__name__}: {plan.count('Exchange')} exchanges"
+        )
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(tokenizer_fertility(docs))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 3
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _plan(semdedup_threshold_sweep(emb))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
