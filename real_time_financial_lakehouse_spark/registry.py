@@ -7576,6 +7576,34 @@ def q_gap_fill_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.gap_fill_probability(_events(spark, sf_dir))
 
 
+@register(
+    "streaming_turnover_hhi",
+    f"""
+    WITH dv AS (
+        SELECT date_trunc('day', ts) AS day, event_type AS symbol,
+               sum(value * (json_extract_string(props, '$.k'))::DOUBLE) AS dv
+        FROM events GROUP BY 1, 2
+    ),
+    shares AS (
+        SELECT day, dv / sum(dv) OVER (PARTITION BY day) AS s
+        FROM dv
+    ),
+    agg AS (
+        SELECT day, count(*)::BIGINT AS n_symbols,
+               {_q('sum(s * s)', 6)} AS hhi,
+               {_q('max(s)', 6)} AS top_share
+        FROM shares GROUP BY 1
+    )
+    SELECT day, n_symbols, hhi,
+           CASE WHEN hhi > 0 THEN {_q('1.0 / hhi', 4)} END AS effective_names,
+           top_share
+    FROM agg ORDER BY day
+    """,
+)
+def q_streaming_turnover_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_silver.streaming_turnover_hhi(spark, sf_dir)
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

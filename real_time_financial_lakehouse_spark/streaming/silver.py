@@ -545,3 +545,97 @@ def streaming_user_cms(
         .orderBy(F.col("est_count").desc(), F.col("user_id"))
         .limit(topn)
     )
+
+
+def streaming_turnover_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the daily turnover-concentration report
+    (operators/finance.turnover_hhi): the events stream drains in
+    multiple micro-batches (event-time-quartile shards,
+    maxFilesPerTrigger=1) and each batch MERGES its (day, symbol)
+    dollar-volume partials into a manifest-logged state table via the
+    idempotent-commit contract -- the ``streaming_incremental_gold``
+    cadence with a second-level derived metric (HHI / effective names)
+    computed from the final state at read time.
+
+    Determinism: the per-key dollar volume is ADDITIVE, so micro-batch
+    boundaries only reorder the float summation (absorbed by the same
+    1e-6 quantization the batch twin applies to shares); NULL-qty ticks
+    contribute no partial on either engine (SQL NULL-sum semantics).
+
+    Scale: every merge joins symbol-x-day-cardinality partials against
+    same-cardinality state -- aggregate granularity, never ticks; the
+    HHI pass runs once, after the drain, at state cardinality."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import qround
+    from ..operators import versioned
+
+    src_dir = scratch_dir("rtfl_hhi_src_")
+    table_dir = os.path.join(scratch_dir("rtfl_hhi_tbl_"), "dv_state")
+    ckpt_dir = scratch_dir("rtfl_hhi_ckpt_")
+
+    events = _catalog_load(spark, sf_dir)
+    events.withColumn(
+        "part", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    ).write.partitionBy("part").mode("overwrite").parquet(src_dir)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        qty = F.get_json_object(F.col("props"), "$.k").cast("double")
+        part = batch_df.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type").alias("symbol"),
+        ).agg(F.sum(F.col("value") * qty).alias("dv"))
+        if versioned.table_versions(table_dir):
+            prev = versioned.read_version(batch_df.sparkSession, table_dir)
+            merged = (
+                prev.unionByName(part)
+                .groupBy("day", "symbol")
+                .agg(F.sum("dv").alias("dv"))
+            )
+        else:
+            merged = part
+        versioned.idempotent_commit(
+            merged, table_dir, app_id="rtfl_streaming_hhi", batch_id=batch_id
+        )
+
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark) as ss:
+        stream = (
+            ss.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if not versioned.table_versions(table_dir):
+        return spark.createDataFrame(
+            [],
+            "day timestamp, n_symbols long, hhi double,"
+            " effective_names double, top_share double",
+        )
+    state = versioned.read_version(spark, table_dir)
+    wd = Window.partitionBy("day")
+    shares = state.select(
+        "day", (F.col("dv") / F.sum("dv").over(wd)).alias("s")
+    )
+    agg = shares.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_symbols"),
+        qround(F.sum(F.col("s") * F.col("s")), 6).alias("hhi"),
+        qround(F.max("s"), 6).alias("top_share"),
+    )
+    return agg.select(
+        "day",
+        "n_symbols",
+        "hhi",
+        F.when(F.col("hhi") > 0, qround(F.lit(1.0) / F.col("hhi"), 4)).alias(
+            "effective_names"
+        ),
+        "top_share",
+    ).orderBy("day")

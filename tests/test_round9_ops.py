@@ -678,3 +678,29 @@ def test_tokenizer_fertility_referee(spark):
             assert r["avg_chars_per_token"] == pytest.approx(
                 sum(cpts) / len(cpts), abs=2e-6
             )
+
+
+# ---------------------------------------------------------------------------
+# Streaming turnover HHI
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_turnover_hhi_matches_batch(spark):
+    """The micro-batched merge must reproduce the batch report exactly:
+    dollar volume is additive, so batch boundaries only reorder float
+    sums, which the shared 1e-6 quantization absorbs."""
+    from real_time_financial_lakehouse_spark.streaming.silver import (
+        streaming_turnover_hhi,
+    )
+
+    batch = {
+        r["day"]: r for r in finance.turnover_hhi(_events(spark)).collect()
+    }
+    stream = streaming_turnover_hhi(spark, SF_SMOKE).collect()
+    assert len(stream) == len(batch)
+    for r in stream:
+        b = batch[r["day"]]
+        assert r["n_symbols"] == b["n_symbols"]
+        assert r["hhi"] == b["hhi"]
+        assert r["effective_names"] == b["effective_names"]
+        assert r["top_share"] == b["top_share"]
