@@ -945,3 +945,129 @@ def dp_noise_counts(events: DataFrame, epsilon: float = 1.0) -> DataFrame:
         qround(F.col("true_count") + noise, 6).alias("released_count"),
         F.lit(float(epsilon)).alias("epsilon"),
     ).orderBy("event_type")
+
+
+def mutual_information_profile(events: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Dependency audit between the event type and the value
+    distribution: the mutual information (nats), normalized MI, and the
+    chi-square statistic of the (event_type x value-bin) contingency
+    table -- the feature-selection screen that says whether a
+    categorical column actually carries signal about a numeric one
+    before anyone trains on it.  Value bins are ``n_bins`` equal-width
+    slices of the global [min, max] (broadcast bounds, the
+    ``volume_profile`` discipline) -- NOT ntile, whose global sort is a
+    single-partition bottleneck at 100 TB.
+
+    Scale: bounds are a 1-row broadcast; the contingency is one
+    partial-aggregable (type, bin) groupBy; margins and the MI/chi2
+    sums run at cell cardinality (|types| x n_bins).  Determinism:
+    every cell term is exact-integer arithmetic composed identically on
+    both engines; only the final cell-sum order differs, absorbed by
+    the 1e-6 quantization."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import qround
+
+    bounds = events.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    src = events.select(F.col("event_type").alias("t"), "value").crossJoin(
+        F.broadcast(bounds)
+    )
+    bin_col = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * n_bins
+            ),
+            F.lit(n_bins - 1),
+        ),
+    ).otherwise(F.lit(0))
+    cells = src.select("t", bin_col.alias("b")).groupBy("t", "b").agg(
+        F.count(F.lit(1)).alias("n_ij")
+    )
+    w_all = Window.partitionBy()
+    w_t = Window.partitionBy("t")
+    w_b = Window.partitionBy("b")
+    framed = cells.select(
+        "t",
+        "b",
+        F.col("n_ij").cast("double").alias("n_ij"),
+        F.sum("n_ij").over(w_t).cast("double").alias("n_i"),
+        F.sum("n_ij").over(w_b).cast("double").alias("n_j"),
+        F.sum("n_ij").over(w_all).cast("double").alias("n"),
+    )
+    p = F.col("n_ij") / F.col("n")
+    mi_term = p * F.log(F.col("n_ij") * F.col("n") / (F.col("n_i") * F.col("n_j")))
+    # chi2 via the identity N (sum n_ij^2 / (n_i n_j) - 1): zero cells
+    # (absent from the sparse contingency) contribute nothing to the sum
+    # but ARE accounted for, unlike the naive (O-E)^2/E over present
+    # cells only, which understates the statistic.
+    chi_term = F.col("n_ij") * F.col("n_ij") / (F.col("n_i") * F.col("n_j"))
+    # Entropies come from the margins: summing a margin term per cell
+    # would repeat it across cells -- aggregate the distinct margins.
+    rows_h = framed.select("t", "n_i", "n").distinct().agg(
+        qround(
+            F.sum(-(F.col("n_i") / F.col("n")) * F.log(F.col("n_i") / F.col("n"))), 12
+        ).alias("h_rows")
+    )
+    cols_h = framed.select("b", "n_j", "n").distinct().agg(
+        qround(
+            F.sum(-(F.col("n_j") / F.col("n")) * F.log(F.col("n_j") / F.col("n"))), 12
+        ).alias("h_cols")
+    )
+    stats = framed.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n").cast("long").alias("n_rows"),
+        F.countDistinct("t").alias("n_types"),
+        F.countDistinct("b").alias("n_bins_used"),
+        qround(F.sum(mi_term), 12).alias("mi_q"),
+        qround(F.max("n") * (F.sum(chi_term) - 1.0), 6).alias("chi2"),
+    )
+    joined = stats.crossJoin(F.broadcast(rows_h)).crossJoin(F.broadcast(cols_h))
+    denom = F.sqrt(F.col("h_rows") * F.col("h_cols"))
+    return joined.select(
+        "n_rows",
+        "n_types",
+        "n_bins_used",
+        "n_cells",
+        qround(F.col("mi_q"), 6).alias("mi_nats"),
+        F.when(denom > 0, qround(F.col("mi_q") / denom, 6)).alias("nmi"),
+        "chi2",
+        ((F.col("n_types") - 1) * (F.col("n_bins_used") - 1)).alias("dof"),
+    )
+
+
+def k_anonymity_report(events: DataFrame) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (event_type, day, value-hundreds-bucket): the group-size
+    distribution a privacy review reads before releasing event-level
+    training data -- the minimum k, and the fraction of rows sitting in
+    groups smaller than 2 / 5 / 10 (rows that would re-identify under
+    the respective k-anonymity bar).
+
+    Scale: one partial-aggregable groupBy to QI-group cardinality, then
+    ONE single-row aggregate -- group sizes are exact integers, shares
+    quantized.  The QI bucketing is scan-side arithmetic (floor of
+    value/100), no sort, no window at row cardinality."""
+    from ..functions.numeric import qround
+
+    qi = events.groupBy(
+        F.col("event_type").alias("qi_type"),
+        F.date_trunc("day", F.col("ts")).alias("qi_day"),
+        F.floor(F.col("value") / 100.0).alias("qi_band"),
+    ).agg(F.count(F.lit(1)).alias("g"))
+    total = F.sum("g")
+    return qi.agg(
+        total.cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("g").alias("min_k"),
+        qround(F.avg(F.col("g").cast("double")), 4).alias("avg_group_size"),
+        qround(F.sum(F.when(F.col("g") < 2, F.col("g")).otherwise(0)) / total, 6).alias(
+            "pct_rows_k_lt_2"
+        ),
+        qround(F.sum(F.when(F.col("g") < 5, F.col("g")).otherwise(0)) / total, 6).alias(
+            "pct_rows_k_lt_5"
+        ),
+        qround(
+            F.sum(F.when(F.col("g") < 10, F.col("g")).otherwise(0)) / total, 6
+        ).alias("pct_rows_k_lt_10"),
+    )

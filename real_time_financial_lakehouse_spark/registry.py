@@ -7604,6 +7604,81 @@ def q_streaming_turnover_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_silver.streaming_turnover_hhi(spark, sf_dir)
 
 
+@register(
+    "mutual_information_profile",
+    f"""
+    WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    src AS (SELECT e.event_type AS t, e.value, b.lo, b.hi
+            FROM events e CROSS JOIN bounds b),
+    binned AS (
+        SELECT t,
+               CASE WHEN hi > lo
+                    THEN least(floor((value - lo) / (hi - lo) * 10), 9)
+                    ELSE 0 END AS b
+        FROM src
+    ),
+    cells AS (SELECT t, b, count(*) AS n_ij FROM binned GROUP BY 1, 2),
+    framed AS (
+        SELECT t, b, n_ij::DOUBLE AS n_ij,
+               (sum(n_ij) OVER (PARTITION BY t))::DOUBLE AS n_i,
+               (sum(n_ij) OVER (PARTITION BY b))::DOUBLE AS n_j,
+               (sum(n_ij) OVER ())::DOUBLE AS n
+        FROM cells
+    ),
+    rows_h AS (
+        SELECT {_q('sum(-(n_i / n) * ln(n_i / n))', 12)} AS h_rows
+        FROM (SELECT DISTINCT t, n_i, n FROM framed)
+    ),
+    cols_h AS (
+        SELECT {_q('sum(-(n_j / n) * ln(n_j / n))', 12)} AS h_cols
+        FROM (SELECT DISTINCT b, n_j, n FROM framed)
+    ),
+    stats AS (
+        SELECT count(*)::BIGINT AS n_cells, max(n)::BIGINT AS n_rows,
+               count(DISTINCT t)::BIGINT AS n_types,
+               count(DISTINCT b)::BIGINT AS n_bins_used,
+               {_q('sum((n_ij / n) * ln(n_ij * n / (n_i * n_j)))', 12)} AS mi_q,
+               {_q('max(n) * (sum(n_ij * n_ij / (n_i * n_j)) - 1.0)', 6)} AS chi2
+        FROM framed
+    )
+    SELECT n_rows, n_types, n_bins_used, n_cells,
+           {_q('mi_q', 6)} AS mi_nats,
+           CASE WHEN sqrt(h_rows * h_cols) > 0
+                THEN {_q('mi_q / sqrt(h_rows * h_cols)', 6)} END AS nmi,
+           chi2,
+           (n_types - 1) * (n_bins_used - 1) AS dof
+    FROM stats, rows_h, cols_h
+    """,
+)
+def q_mutual_information_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profiling import mutual_information_profile
+
+    return mutual_information_profile(_events(spark, sf_dir))
+
+
+@register(
+    "k_anonymity_report",
+    f"""
+    WITH qi AS (
+        SELECT event_type AS qi_type, date_trunc('day', ts) AS qi_day,
+               floor(value / 100.0) AS qi_band, count(*) AS g
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT sum(g)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+           min(g)::BIGINT AS min_k,
+           {_q('avg(g::DOUBLE)', 4)} AS avg_group_size,
+           {_q('sum(CASE WHEN g < 2 THEN g ELSE 0 END) / sum(g)', 6)} AS pct_rows_k_lt_2,
+           {_q('sum(CASE WHEN g < 5 THEN g ELSE 0 END) / sum(g)', 6)} AS pct_rows_k_lt_5,
+           {_q('sum(CASE WHEN g < 10 THEN g ELSE 0 END) / sum(g)', 6)} AS pct_rows_k_lt_10
+    FROM qi
+    """,
+)
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profiling import k_anonymity_report
+
+    return k_anonymity_report(_events(spark, sf_dir))
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

@@ -704,3 +704,106 @@ def test_streaming_turnover_hhi_matches_batch(spark):
         assert r["hhi"] == b["hhi"]
         assert r["effective_names"] == b["effective_names"]
         assert r["top_share"] == b["top_share"]
+
+
+# ---------------------------------------------------------------------------
+# Mutual information / k-anonymity (profiling batch)
+# ---------------------------------------------------------------------------
+
+
+def test_mutual_information_planted_perfect_dependence(spark):
+    """Two types with disjoint value ranges and equal counts: MI = ln 2,
+    NMI = 1, chi2 = N (the 2x2 perfect-association case)."""
+    from real_time_financial_lakehouse_spark.operators.profiling import (
+        mutual_information_profile,
+    )
+
+    data = [
+        (0, dt.datetime(2024, 1, 1, 10), 1, "a", 0.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 11), 1, "a", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 12), 1, "b", 99.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 13), 1, "b", 100.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    [row] = mutual_information_profile(ev).collect()
+    assert row["n_rows"] == 4 and row["n_types"] == 2 and row["n_bins_used"] == 2
+    assert row["mi_nats"] == pytest.approx(math.log(2), abs=2e-6)
+    assert row["nmi"] == pytest.approx(1.0, abs=2e-6)
+    assert row["chi2"] == pytest.approx(4.0, abs=2e-6)
+    assert row["dof"] == 1
+
+
+def test_mutual_information_referee(spark):
+    """numpy re-derivation of MI / NMI / chi2 from the contingency
+    table built with the same equal-width binning."""
+    import numpy as np
+
+    from real_time_financial_lakehouse_spark.operators.profiling import (
+        mutual_information_profile,
+    )
+
+    df = _duck_df("SELECT event_type AS t, value FROM events")
+    lo, hi = df["value"].min(), df["value"].max()
+    bins = np.minimum(
+        np.floor((df["value"] - lo) / (hi - lo) * 10).astype(int), 9
+    )
+    types = sorted(df["t"].unique())
+    cont = np.zeros((len(types), 10))
+    for t, b in zip(df["t"], bins):
+        cont[types.index(t), b] += 1
+    n = cont.sum()
+    pi, pj = cont.sum(axis=1) / n, cont.sum(axis=0) / n
+    mi = sum(
+        cont[i, j] / n * math.log(cont[i, j] * n / (cont[i].sum() * cont[:, j].sum()))
+        for i in range(len(types))
+        for j in range(10)
+        if cont[i, j] > 0
+    )
+    h_rows = -sum(p * math.log(p) for p in pi if p > 0)
+    h_cols = -sum(p * math.log(p) for p in pj if p > 0)
+    chi2 = n * (
+        sum(
+            cont[i, j] ** 2 / (cont[i].sum() * cont[:, j].sum())
+            for i in range(len(types))
+            for j in range(10)
+            if cont[i, j] > 0
+        )
+        - 1.0
+    )
+    [row] = mutual_information_profile(_events(spark)).collect()
+    assert row["n_rows"] == int(n)
+    assert row["mi_nats"] == pytest.approx(mi, abs=2e-6)
+    assert row["nmi"] == pytest.approx(mi / math.sqrt(h_rows * h_cols), abs=2e-6)
+    assert row["chi2"] == pytest.approx(chi2, abs=1e-3)
+    assert 0.0 - 1e-9 <= row["nmi"] <= 1.0 + 1e-9
+
+
+def test_k_anonymity_planted(spark):
+    """Groups of size 1 / 4 / 10 (split by type, one day, one band):
+    min_k = 1, pct below the 2/5/10 bars = 1/15, 5/15, 5/15."""
+    from real_time_financial_lakehouse_spark.operators.profiling import (
+        k_anonymity_report,
+    )
+
+    data, eid = [], 0
+    for sym, cnt in (("a", 1), ("b", 4), ("c", 10)):
+        for i in range(cnt):
+            data.append(
+                (eid, dt.datetime(2024, 1, 1, 0, eid), 1, sym, 50.0 + i, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    [row] = k_anonymity_report(ev).collect()
+    assert row["n_rows"] == 15 and row["n_groups"] == 3 and row["min_k"] == 1
+    assert row["avg_group_size"] == pytest.approx(5.0, abs=1e-9)
+    assert row["pct_rows_k_lt_2"] == pytest.approx(1 / 15, abs=2e-6)
+    assert row["pct_rows_k_lt_5"] == pytest.approx(5 / 15, abs=2e-6)
+    assert row["pct_rows_k_lt_10"] == pytest.approx(5 / 15, abs=2e-6)

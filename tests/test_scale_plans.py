@@ -935,3 +935,23 @@ def test_round9_batch2_queries_stay_bounded(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_profiling_round9_queries_stay_bounded(spark):
+    """MI profile: broadcast bounds, (type, bin) contingency groupBy,
+    cell-cardinality windows; k-anonymity: one QI groupBy into a
+    single-row aggregate -- no Python, no unbounded cartesian (the only
+    cross joins are 1-row broadcast scalars)."""
+    from real_time_financial_lakehouse_spark.operators.profiling import (
+        k_anonymity_report,
+        mutual_information_profile,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    plan = _plan(mutual_information_profile(ev))
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    plan2 = _plan(k_anonymity_report(ev))
+    assert "BatchEvalPython" not in plan2
+    assert "CartesianProduct" not in plan2
+    assert plan2.count("Exchange") <= 3
