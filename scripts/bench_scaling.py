@@ -115,7 +115,15 @@ def main() -> int:
         step_ratio = round(inc2 / inc1, 2)
         ratio_raw = round(t2 / max(t1, 1e-3), 2)
         measurable = inc2 >= 0.3
-        superlinear = bool(measurable and step_ratio > 15.0)
+        # Two conditions, both required: the incremental step cost grew
+        # faster than the data (step_ratio), AND total wall actually grew
+        # faster than the data too (ratio_raw > data ratio).  The second
+        # guard kills the overhead-to-data transition false positive: a
+        # query whose sf0.01 data cost is ~0 (t1 <= t0, inc1 floored to
+        # the 15% jitter term) divides a real sf0.1 cost by noise and
+        # reads as "19x" even when its total wall grew only ~4x against
+        # 10x data -- sublinear by definition, not superlinear.
+        superlinear = bool(measurable and step_ratio > 15.0 and ratio_raw > 10.0)
         report[name] = {
             **times[name],
             "step_cost_ratio_10x": step_ratio,
