@@ -3040,7 +3040,10 @@ def triple_barrier_labels(
     bars = _daily_bars(events).select("symbol", "day", "close")
     w = Window.partitionBy("symbol").orderBy("day")
     rets = [
-        (F.lead("close", i).over(w) / F.col("close") - 1.0).alias(f"r{i}")
+        F.when(
+            F.col("close") != 0,
+            F.lead("close", i).over(w) / F.col("close") - 1.0,
+        ).alias(f"r{i}")
         for i in range(1, horizon + 1)
     ]
     forward = bars.select("symbol", "day", *rets).filter(
@@ -3097,7 +3100,8 @@ def sortino_ratio(events: DataFrame, periods: int = 252) -> DataFrame:
         F.date_trunc("day", F.col("ts")).alias("day"),
     ).agg(F.max_by(F.col("value"), key).alias("c"))
     w = Window.partitionBy("symbol").orderBy("day")
-    r = (F.col("c") / F.lag("c").over(w) - 1.0).alias("r")
+    prev = F.lag("c").over(w)
+    r = F.when(prev != 0, F.col("c") / prev - 1.0).alias("r")
     rets = daily.select("symbol", r).filter(F.col("r").isNotNull())
     dvar_q = qround(F.avg(F.pow(F.least(F.col("r"), F.lit(0.0)), 2)), 12)
     mean_q = qround(F.avg("r"), 12)
@@ -3226,7 +3230,13 @@ def har_rv_regression(events: DataFrame) -> DataFrame:
         "close_price",
     )
     wm = Window.partitionBy("symbol", "day").orderBy("minute_window")
-    lr = F.log(F.col("close_price") / F.lag("close_price").over(wm))
+    prev = F.lag("close_price").over(wm)
+    # sf0.1 carries exact-0.0 ticks: guard the ratio (ANSI division) and
+    # the log domain on BOTH engines (beta_vs_market convention)
+    lr = F.when(
+        (prev > 0) & (F.col("close_price") > 0),
+        F.log(F.col("close_price") / prev),
+    )
     intraday = bars.select("symbol", "day", lr.alias("lr")).filter(
         F.col("lr").isNotNull()
     )
@@ -3350,9 +3360,10 @@ def turnover_hhi(events: DataFrame) -> DataFrame:
         F.col("event_type").alias("symbol"),
     ).agg(F.sum(F.col("value") * qty).alias("dv"))
     wd = Window.partitionBy("day")
+    total_day = F.sum("dv").over(wd)
     shares = dv.select(
         "day",
-        (F.col("dv") / F.sum("dv").over(wd)).alias("s"),
+        F.when(total_day != 0, F.col("dv") / total_day).alias("s"),
     )
     hhi_q = qround(F.sum(F.col("s") * F.col("s")), 6)
     return (
@@ -3392,7 +3403,8 @@ def omega_ratio(events: DataFrame) -> DataFrame:
         F.date_trunc("day", F.col("ts")).alias("day"),
     ).agg(F.max_by(F.col("value"), key).alias("c"))
     w = Window.partitionBy("symbol").orderBy("day")
-    r = (F.col("c") / F.lag("c").over(w) - 1.0).alias("r")
+    prev = F.lag("c").over(w)
+    r = F.when(prev != 0, F.col("c") / prev - 1.0).alias("r")
     rets = daily.select("symbol", r).filter(F.col("r").isNotNull())
     gain_q = qround(F.avg(F.greatest(F.col("r"), F.lit(0.0))), 12)
     loss_q = qround(F.avg(F.greatest(-F.col("r"), F.lit(0.0))), 12)
@@ -3484,10 +3496,11 @@ def updown_capture(events: DataFrame) -> DataFrame:
         F.date_trunc("day", F.col("ts")).alias("day"),
     ).agg(F.max_by(F.col("value"), key).alias("c"))
     w = Window.partitionBy("symbol").orderBy("day")
+    prev = F.lag("c").over(w)
     rets = daily.select(
         "symbol",
         "day",
-        (F.col("c") / F.lag("c").over(w) - 1.0).alias("r"),
+        F.when(prev != 0, F.col("c") / prev - 1.0).alias("r"),
     ).filter(F.col("r").isNotNull())
     market = rets.groupBy("day").agg(F.avg("r").alias("m"))
     joined = rets.join(F.broadcast(market), "day")
@@ -3542,7 +3555,7 @@ def gap_fill_probability(events: DataFrame) -> DataFrame:
         "high",
         "low",
         prev_c.alias("prev_c"),
-    ).filter(F.col("prev_c").isNotNull())
+    ).filter(F.col("prev_c").isNotNull() & (F.col("prev_c") != 0))
     gap = F.col("open") / F.col("prev_c") - 1.0
     is_up = F.col("open") > F.col("prev_c")
     is_dn = F.col("open") < F.col("prev_c")

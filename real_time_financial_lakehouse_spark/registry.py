@@ -7193,7 +7193,8 @@ def q_corwin_schultz_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tbl_oracle_sql(horizon: int = 5, barrier: float = 0.01) -> str:
     leads = ",\n               ".join(
-        f"lead(c, {i}) OVER (PARTITION BY symbol ORDER BY day) / c - 1.0 AS r{i}"
+        f"CASE WHEN c != 0 THEN lead(c, {i}) OVER (PARTITION BY symbol"
+        f" ORDER BY day) / c - 1.0 END AS r{i}"
         for i in range(1, horizon + 1)
     )
     label_arms = " ".join(
@@ -7238,7 +7239,9 @@ def q_triple_barrier_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_DAILY_CLOSE_SQL.strip()},
     rets AS (
         SELECT symbol,
-               c / lag(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0 AS r
+               CASE WHEN lag(c) OVER (PARTITION BY symbol ORDER BY day) != 0
+                    THEN c / lag(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0
+               END AS r
         FROM dclose
     ),
     st AS (
@@ -7314,9 +7317,14 @@ _HAR_BW = f"((c_wy * v_d - c_dy * c_dw) / {_HAR_DET})"
     WITH bars AS ({_OHLC_CLOSE_SQL}),
     lr AS (
         SELECT symbol, date_trunc('day', minute_window) AS day,
-               ln(close_price / lag(close_price) OVER (
-                   PARTITION BY symbol, date_trunc('day', minute_window)
-                   ORDER BY minute_window)) AS lr
+               CASE WHEN lag(close_price) OVER (
+                        PARTITION BY symbol, date_trunc('day', minute_window)
+                        ORDER BY minute_window) > 0
+                     AND close_price > 0
+                    THEN ln(close_price / lag(close_price) OVER (
+                        PARTITION BY symbol, date_trunc('day', minute_window)
+                        ORDER BY minute_window))
+               END AS lr
         FROM bars
     ),
     rv AS (
@@ -7419,7 +7427,9 @@ def q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     ),
     shares AS (
-        SELECT day, dv / sum(dv) OVER (PARTITION BY day) AS s
+        SELECT day,
+               CASE WHEN sum(dv) OVER (PARTITION BY day) != 0
+                    THEN dv / sum(dv) OVER (PARTITION BY day) END AS s
         FROM dv
     ),
     agg AS (
@@ -7444,7 +7454,9 @@ def q_turnover_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_DAILY_CLOSE_SQL.strip()},
     rets AS (
         SELECT symbol,
-               c / lag(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0 AS r
+               CASE WHEN lag(c) OVER (PARTITION BY symbol ORDER BY day) != 0
+                    THEN c / lag(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0
+               END AS r
         FROM dclose
     ),
     st AS (
@@ -7514,7 +7526,9 @@ def q_calmar_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_DAILY_CLOSE_SQL.strip()},
     rets AS (
         SELECT symbol, day,
-               c / lag(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0 AS r
+               CASE WHEN lag(c) OVER (PARTITION BY symbol ORDER BY day) != 0
+                    THEN c / lag(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0
+               END AS r
         FROM dclose
     ),
     valid AS (SELECT * FROM rets WHERE r IS NOT NULL),
@@ -7559,7 +7573,7 @@ def q_updown_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(CASE WHEN o > prev_c AND l <= prev_c THEN 1 ELSE 0 END)::BIGINT AS n_up_filled,
                sum(CASE WHEN o < prev_c AND h >= prev_c THEN 1 ELSE 0 END)::BIGINT AS n_down_filled,
                {_q('avg(abs(o / prev_c - 1.0))', 6)} AS avg_abs_gap
-        FROM framed WHERE prev_c IS NOT NULL
+        FROM framed WHERE prev_c IS NOT NULL AND prev_c != 0
         GROUP BY 1
     )
     SELECT symbol, n_days, n_gap_up,
@@ -7585,7 +7599,9 @@ def q_gap_fill_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     ),
     shares AS (
-        SELECT day, dv / sum(dv) OVER (PARTITION BY day) AS s
+        SELECT day,
+               CASE WHEN sum(dv) OVER (PARTITION BY day) != 0
+                    THEN dv / sum(dv) OVER (PARTITION BY day) END AS s
         FROM dv
     ),
     agg AS (

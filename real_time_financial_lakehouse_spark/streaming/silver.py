@@ -622,8 +622,9 @@ def streaming_turnover_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     state = versioned.read_version(spark, table_dir)
     wd = Window.partitionBy("day")
+    total_day = F.sum("dv").over(wd)
     shares = state.select(
-        "day", (F.col("dv") / F.sum("dv").over(wd)).alias("s")
+        "day", F.when(total_day != 0, F.col("dv") / total_day).alias("s")
     )
     agg = shares.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_symbols"),
