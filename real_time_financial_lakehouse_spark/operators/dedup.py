@@ -456,6 +456,8 @@ def fuzzy_dedup_keep(documents: DataFrame, k: int = 8, bands: int = 4) -> DataFr
     / cluster_id -- sort-merge under AQE, no new quadratic step.  The
     representative filter (doc_id == cluster_id) is exact because labels
     converge to min(reachable id)."""
+    from ..functions.numeric import qround
+
     clusters = dedup_clusters(documents, k=k, bands=bands)
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members")
@@ -862,4 +864,42 @@ def source_overlap_matrix(documents: DataFrame) -> DataFrame:
             ).alias("overlap_coeff"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+def dedup_cluster_histogram(
+    documents: DataFrame, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate cluster-size distribution: how many clusters of
+    each size the LSH/connected-components dedup found and what corpus
+    fraction each size class holds -- the readout a curator checks
+    before committing to a dedup threshold (a heavy tail of large
+    clusters means boilerplate families dominating the corpus; a
+    singleton rate near 1 means the dedup barely bites).
+
+    Scale: inherits ``dedup_clusters``' banded pair bound and lineage-
+    cut component loop; everything after is cluster- then size-
+    cardinality aggregation (two partial-aggregable groupBys), with the
+    corpus total as a broadcast scalar."""
+    from ..functions.numeric import qround
+
+    clusters = dedup_clusters(documents, k=k, bands=bands)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    total = clusters.agg(F.count(F.lit(1)).alias("n_total"))
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            qround(
+                (F.col("cluster_size") * F.col("n_clusters")) / F.col("n_total"), 6
+            ).alias("pct_corpus"),
+        )
+        .orderBy("cluster_size")
     )

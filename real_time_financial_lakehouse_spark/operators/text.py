@@ -1340,3 +1340,47 @@ def tokenizer_fertility(documents: DataFrame) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+def ngram_coverage_curve(
+    documents: DataFrame, cutoffs: tuple = (10, 100, 1000)
+) -> DataFrame:
+    """Vocabulary-compression curve: the fraction of all corpus token
+    occurrences covered by the top-k most frequent tokens, at each
+    cutoff -- the concentration readout (Zipf in cumulative form) that
+    sizes stopword lists and predicts how far a small vocabulary goes.
+    Ranking tie-breaks on the token string for engine determinism.
+
+    Scale: the explode + frequency groupBy runs at corpus scale
+    (partial-aggregable); the ranking window is GLOBAL but over
+    VOCABULARY cardinality (distinct tokens -- the zipf_fit precedent),
+    orders of magnitude below corpus cardinality; the cutoff fan-out is
+    a constant 3x on vocab rows."""
+    toks = _spread(documents.select("text")).select(
+        F.explode(_tokens()).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    ranked = freq.select("n", F.row_number().over(w).alias("rnk"))
+    total = freq.agg(F.sum("n").alias("n_total"))
+    swept = ranked.select(
+        "n",
+        "rnk",
+        F.explode(F.array(*[F.lit(int(c)) for c in sorted(cutoffs)])).alias("top_k"),
+    ).filter(F.col("rnk") <= F.col("top_k"))
+    agg = swept.groupBy("top_k").agg(
+        F.max("rnk").alias("n_tokens_used"),
+        F.sum("n").alias("covered_occurrences"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "top_k",
+            "n_tokens_used",
+            "covered_occurrences",
+            qround(F.col("covered_occurrences") / F.col("n_total"), 6).alias(
+                "coverage_pct"
+            ),
+        )
+        .orderBy("top_k")
+    )

@@ -3114,3 +3114,52 @@ def q_semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tokenizer_fertility(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_cluster_histogram",
+    _CLUSTERS_CTE
+    + f"""
+    , sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1),
+    hist AS (SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM sizes GROUP BY 1),
+    tot AS (SELECT count(*) AS n_total FROM labels)
+    SELECT h.cluster_size::BIGINT AS cluster_size, h.n_clusters,
+           (h.cluster_size * h.n_clusters)::BIGINT AS n_docs,
+           {qround_sql('(h.cluster_size * h.n_clusters) / t.n_total', 6)} AS pct_corpus
+    FROM hist h, tot t ORDER BY 1
+    """,
+)
+def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_cluster_histogram(_docs(spark, sf_dir), k=_K, bands=_BANDS)
+
+
+_COVERAGE_CUTOFFS = (10, 100, 1000)
+
+
+@register(
+    "ngram_coverage_curve",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rnk FROM freq
+    ),
+    tot AS (SELECT sum(n) AS n_total FROM freq),
+    swept AS (
+        SELECT r.n, r.rnk, c.top_k
+        FROM ranked r
+        CROSS JOIN (SELECT unnest([{', '.join(str(c) for c in _COVERAGE_CUTOFFS)}]) AS top_k) c
+        WHERE r.rnk <= c.top_k
+    ),
+    agg AS (
+        SELECT top_k, max(rnk)::BIGINT AS n_tokens_used,
+               sum(n)::BIGINT AS covered_occurrences
+        FROM swept GROUP BY 1
+    )
+    SELECT a.top_k::INT AS top_k, a.n_tokens_used, a.covered_occurrences,
+           {qround_sql('a.covered_occurrences / t.n_total', 6)} AS coverage_pct
+    FROM agg a, tot t ORDER BY 1
+    """,
+)
+def q_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ngram_coverage_curve(_docs(spark, sf_dir), cutoffs=_COVERAGE_CUTOFFS)

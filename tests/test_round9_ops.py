@@ -807,3 +807,59 @@ def test_k_anonymity_planted(spark):
     assert row["pct_rows_k_lt_2"] == pytest.approx(1 / 15, abs=2e-6)
     assert row["pct_rows_k_lt_5"] == pytest.approx(5 / 15, abs=2e-6)
     assert row["pct_rows_k_lt_10"] == pytest.approx(5 / 15, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster histogram / n-gram coverage curve (batch 4)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_cluster_histogram_consistency(spark):
+    """The histogram must tile the corpus exactly: sum(n_docs) = corpus
+    size, sum(pct) ~ 1, and it must agree with a direct recount of the
+    dedup_clusters output."""
+    import collections
+
+    from real_time_financial_lakehouse_spark.catalog import load_table as lt
+    from real_time_financial_lakehouse_spark.operators import dedup
+
+    docs = lt(spark, SF_SMOKE, "documents")
+    clusters = dedup.dedup_clusters(docs).collect()
+    sizes = collections.Counter(
+        collections.Counter(r["cluster_id"] for r in clusters).values()
+    )
+    rows = dedup.dedup_cluster_histogram(docs).collect()
+    total = len(clusters)
+    assert {(r["cluster_size"], r["n_clusters"]) for r in rows} == set(sizes.items())
+    assert sum(r["n_docs"] for r in rows) == total
+    assert sum(r["pct_corpus"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_ngram_coverage_curve_referee(spark):
+    """Pure-Python recount of the cumulative top-k coverage with the
+    same (freq desc, token) ranking."""
+    import collections
+    import re
+
+    from real_time_financial_lakehouse_spark.catalog import load_table as lt
+    from real_time_financial_lakehouse_spark.operators import text as text_ops
+
+    docs = _duck_df(f"SELECT text FROM '{SF_SMOKE}/documents.parquet'")
+    freq = collections.Counter()
+    for t in docs["text"]:
+        freq.update(re.split(r"\s+", t.strip()))
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(freq.values())
+    rows = {
+        r["top_k"]: r
+        for r in text_ops.ngram_coverage_curve(lt(spark, SF_SMOKE, "documents")).collect()
+    }
+    prev = 0.0
+    for k in (10, 100, 1000):
+        covered = sum(n for _, n in ranked[:k])
+        r = rows[k]
+        assert r["n_tokens_used"] == min(k, len(ranked))
+        assert r["covered_occurrences"] == covered
+        assert r["coverage_pct"] == pytest.approx(covered / total, abs=2e-6)
+        assert r["coverage_pct"] >= prev  # monotone in k
+        prev = r["coverage_pct"]
