@@ -2985,6 +2985,19 @@ _DRIVER_VERIFIED_R8 = list(_ROUND8_FRONT)
 # With this window green the verified union reaches 296/296 of the
 # pre-round-9 registry.  ml_price_prediction is excluded from the guard
 # half (re-verified r6) and priority_line_counts queues for r10.
+#
+# ROUND-10 ROTATION (do NOT activate before CORRECTNESS_r09.json lands;
+# the driver checks THIS front at the r9 gate): front the 19 round-9
+# in-round additions (corwin_schultz_spread, triple_barrier_labels,
+# sortino_ratio, spread_half_life, har_rv_regression, volume_profile,
+# turnover_hhi, omega_ratio, calmar_ratio, updown_capture,
+# gap_fill_probability, retrieval_mrr_ndcg, semdedup_threshold_sweep,
+# tokenizer_fertility, streaming_turnover_hhi,
+# mutual_information_profile, k_anonymity_report,
+# dedup_cluster_histogram, ngram_coverage_curve -- all dual-sf
+# parity-verified at creation, r9 freeze sweep 630/630) plus the 31
+# oldest-verified queries by the VERIFICATION.md age policy, starting
+# with priority_line_counts and the r3-vintage block.
 _ROUND9_FRONT = [
     # never driver-checked round-8 additions
     "adx_14", "almgren_chriss_schedule", "aroon_10", "bs_greeks",
