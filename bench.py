@@ -10,7 +10,17 @@ even when the stdout tail is truncated by the capture harness.
 Each query is forced end-to-end with the ``noop`` writer (full execution,
 no driver collect, no sink cost) so the number reflects the distributed
 plan, not result transfer.  Reps per query via $SPARK_GRAFT_BENCH_REPS
-(default 3, min of reps reported).
+(default 3, MEDIAN of reps reported -- the round-9 verdict showed a
+~25% uniform host-drift round that min-of-3 single numbers could not
+separate from a real regression; the median plus the canary ratio below
+make that separation mechanical).
+
+Host-drift canary: five pinned sub-second data-bound queries whose
+round-9 medians had the lowest rep spread in the whole inventory.  At
+sf0.1 the payload carries ``canary_ratio`` = median over the five of
+(this run's median / pinned round-9 median).  A cross-round movers
+table divides per-query times by this ratio first; what survives is
+plan change, not VM weather.
 """
 
 from __future__ import annotations
@@ -18,8 +28,21 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
+
+# Pinned at the round-9 freeze (BENCH_FULL.json medians, sf0.1,
+# local[32]).  Do NOT update these casually -- they are the fixed ruler
+# every later round is measured against; re-pin only with a dated note
+# in SCALE.md if a canary query's plan itself is deliberately changed.
+CANARY_PINS_SF01 = {
+    "text_quality": 0.834,
+    "wav_media_features": 0.985,
+    "event_type_unpivot": 0.466,
+    "term_positions": 0.723,
+    "minhash_signatures": 0.513,
+}
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,14 +68,15 @@ def main() -> None:
     small = spark.range(100).withColumnRenamed("id", "k")
     spark.range(10_000).join(F.broadcast(small), F.col("id") == F.col("k")).count()
 
-    # N runs per query (default 3), report the min: the first run pays
+    # N runs per query (default 3), report the MEDIAN: the first run pays
     # one-time whole-stage-codegen (Janino) compilation for that plan
-    # shape, a cost any long-running cluster amortizes; the min reflects
-    # the steady-state distributed execution the engine is designed
-    # around, and with n>=3 a regression next round is attributable to
-    # the plan rather than to one noisy rep.
+    # shape (a cost any long-running cluster amortizes), so rep 1 is
+    # usually the max and the median tracks steady state; unlike the min
+    # it is also robust to one lucky rep, so a cross-round delta beyond
+    # the canary ratio is attributable to the plan.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
@@ -62,7 +86,8 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
         rep_times[name] = runs
-        timings[name] = min(runs)
+        timings[name] = round(statistics.median(runs), 3)
+        timings_min[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
 
@@ -131,22 +156,43 @@ def main() -> None:
         "dollar_bars", "volatility_cones", "png_media_features",
         "jpeg_media_features", "benford_check", "profile_events",
     ]
+    # Canary ratio (sf0.1 only -- the pins were measured there): median
+    # over the five pinned queries of this-run-median / pinned-median.
+    # >1 means this host/round is slower than the round-9 pin for
+    # reasons unrelated to any plan; divide cross-round deltas by it.
+    canary: dict[str, object] | None = None
+    if sf == 0.1:
+        ratios = {
+            n: round(timings[n] / pin, 4)
+            for n, pin in CANARY_PINS_SF01.items()
+            if n in timings and pin > 0
+        }
+        if ratios:
+            canary = {
+                "pins": CANARY_PINS_SF01,
+                "observed": {n: timings[n] for n in ratios},
+                "per_query_ratio": ratios,
+                "ratio": round(statistics.median(ratios.values()), 4),
+            }
     payload = {
         "metric": "rtfl_query_inventory_total_wall",
         "value": total,
         "unit": "sec",
+        "stat": f"median_of_{reps}",
         "queries": {n: timings[n] for n in headline if n in timings},
         "families": fam_totals,
         "machinery_total": machinery,
         "data_total": round(total - machinery, 3),
         "n_queries": len(timings),
+        "canary_ratio": canary["ratio"] if canary else None,
         "sf": sf,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     try:
         with open(full_path, "w") as f:
-            json.dump({**payload, "queries": timings, "reps": reps,
-                       "rep_times": rep_times}, f, indent=1)
+            json.dump({**payload, "queries": timings, "queries_min": timings_min,
+                       "reps": reps, "rep_times": rep_times,
+                       "canary": canary}, f, indent=1)
     except OSError:
         pass  # stdout line is still the contract; the file is best-effort
     print(json.dumps(payload))

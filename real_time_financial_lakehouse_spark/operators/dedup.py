@@ -325,7 +325,13 @@ def simhash_fingerprints(documents: DataFrame, bits: int = 16) -> DataFrame:
         fingerprint = term if fingerprint is None else fingerprint + term
     return summed.select("doc_id", fingerprint.cast("long").alias("simhash")).orderBy("doc_id")
 
-def dedup_clusters(documents: DataFrame, k: int = 8, bands: int = 4, max_iter: int = 20) -> DataFrame:
+def dedup_clusters(
+    documents: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    max_iter: int = 20,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
     """Connected components over the LSH candidate-pair graph: every doc
     labeled with the smallest doc_id reachable through near-duplicate
     edges -- the cluster table a dedup pipeline keeps one representative
@@ -361,7 +367,9 @@ def dedup_clusters(documents: DataFrame, k: int = 8, bands: int = 4, max_iter: i
     blocks are freed by GC); on a multi-executor cluster prefer a
     reliable ``checkpoint()`` dir so the labels survive executor loss.
     """
-    edges = lsh_candidate_pairs(documents, k=k, bands=bands).select("doc_a", "doc_b")
+    if pairs is None:
+        pairs = lsh_candidate_pairs(documents, k=k, bands=bands)
+    edges = pairs.select("doc_a", "doc_b")
     return min_label_components(edges, documents.select("doc_id"), max_iter=max_iter)
 
 
@@ -443,7 +451,12 @@ def min_label_components(
     )
     return labels.unionByName(isolated).orderBy("doc_id").localCheckpoint(eager=True)
 
-def fuzzy_dedup_keep(documents: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:
+def fuzzy_dedup_keep(
+    documents: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
     """End-to-end fuzzy dedup: run the LSH ladder + connected components
     (``dedup_clusters``) and return the SURVIVING corpus -- one
     representative (smallest doc_id) per near-duplicate cluster, with the
@@ -455,10 +468,13 @@ def fuzzy_dedup_keep(documents: DataFrame, k: int = 8, bands: int = 4) -> DataFr
     iteration); the final joins are doc-cardinality equi-joins on doc_id
     / cluster_id -- sort-merge under AQE, no new quadratic step.  The
     representative filter (doc_id == cluster_id) is exact because labels
-    converge to min(reachable id)."""
-    from ..functions.numeric import qround
+    converge to min(reachable id).
 
-    clusters = dedup_clusters(documents, k=k, bands=bands)
+    ``clusters`` lets a caller that already materialized the component
+    labels (``dedup_funnel``, which counts every ladder stage) share the
+    checkpointed frame instead of re-running the LSH ladder + loop."""
+    if clusters is None:
+        clusters = dedup_clusters(documents, k=k, bands=bands)
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )

@@ -2596,18 +2596,25 @@ from .registry import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
 )
 def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
+    # Share one checkpointed base per ladder tier instead of re-running
+    # the ladder per stage count: pairs feeds both its own count and the
+    # component loop; clusters feeds both its count and the keep-list.
+    # Stage semantics are unchanged -- each count is the SAME stage
+    # function the standalone queries register, handed the frame its
+    # upstream stage just produced (deterministic, so the nested oracle
+    # still matches verbatim).
+    pairs = dedup.lsh_candidate_pairs(docs, k=_K, bands=_BANDS).localCheckpoint(
+        eager=True
+    )
+    clusters = dedup.dedup_clusters(docs, k=_K, bands=_BANDS, pairs=pairs)
     parts = [
         docs.agg(F.count(F.lit(1)).alias("n_docs")),
         dedup.exact_dedup(docs).agg(
             F.count(F.lit(1)).alias("n_distinct_contents")
         ),
-        dedup.lsh_candidate_pairs(docs, k=_K, bands=_BANDS).agg(
-            F.count(F.lit(1)).alias("n_candidate_pairs")
-        ),
-        dedup.dedup_clusters(docs, k=_K, bands=_BANDS).agg(
-            F.count(F.lit(1)).alias("n_clustered_docs")
-        ),
-        dedup.fuzzy_dedup_keep(docs, k=_K, bands=_BANDS).agg(
+        pairs.agg(F.count(F.lit(1)).alias("n_candidate_pairs")),
+        clusters.agg(F.count(F.lit(1)).alias("n_clustered_docs")),
+        dedup.fuzzy_dedup_keep(docs, k=_K, bands=_BANDS, clusters=clusters).agg(
             F.count(F.lit(1)).alias("n_survivors")
         ),
     ]
@@ -2994,7 +3001,7 @@ def _retrieval_eval_oracle_sql(n_queries: int = 20, k: int = 10) -> str:
         + " ELSE 0.0 END"
     )
     idcg_case = (
-        "CASE least(t.n_label_total - 1, 10) "
+        f"CASE least(t.n_label_total - 1, {k}) "
         + " ".join(
             f"WHEN {m} THEN {similarity.IDCG_PREFIX[m]!r}" for m in range(1, k + 1)
         )
