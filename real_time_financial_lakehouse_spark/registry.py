@@ -2986,18 +2986,6 @@ _DRIVER_VERIFIED_R8 = list(_ROUND8_FRONT)
 # pre-round-9 registry.  ml_price_prediction is excluded from the guard
 # half (re-verified r6) and priority_line_counts queues for r10.
 #
-# ROUND-10 ROTATION (do NOT activate before CORRECTNESS_r09.json lands;
-# the driver checks THIS front at the r9 gate): front the 19 round-9
-# in-round additions (corwin_schultz_spread, triple_barrier_labels,
-# sortino_ratio, spread_half_life, har_rv_regression, volume_profile,
-# turnover_hhi, omega_ratio, calmar_ratio, updown_capture,
-# gap_fill_probability, retrieval_mrr_ndcg, semdedup_threshold_sweep,
-# tokenizer_fertility, streaming_turnover_hhi,
-# mutual_information_profile, k_anonymity_report,
-# dedup_cluster_histogram, ngram_coverage_curve -- all dual-sf
-# parity-verified at creation, r9 freeze sweep 630/630) plus the 31
-# oldest-verified queries by the VERIFICATION.md age policy, starting
-# with priority_line_counts and the r3-vintage block.
 _ROUND9_FRONT = [
     # never driver-checked round-8 additions
     "adx_14", "almgren_chriss_schedule", "aroon_10", "bs_greeks",
@@ -3022,13 +3010,60 @@ _ROUND9_FRONT = [
     "small_order_revenue", "large_volume_customers",
 ]
 
+# CORRECTNESS_r09.json came back 50/50 green on exactly _ROUND9_FRONT,
+# so all of it is externally verified as of round 9.
+_DRIVER_VERIFIED_R9 = list(_ROUND9_FRONT)
+
+# ROUND-10 FRONT (active): the 19 round-9 in-round additions -- all
+# dual-sf parity-verified at creation, r9 freeze sweep 630/630, and
+# flake-shaken 20x at BOTH sf points before fronting per the
+# VERIFICATION.md rule (760/760 green, 2026-08-15, see VERIFICATION.md
+# round-10 section) -- plus the 31 stalest external checks by the age
+# policy: priority_line_counts (r1-vintage, last externally checked in
+# CORRECTNESS_r01) and the first 30 of the r3-vintage block in
+# _DRIVER_VERIFIED_R3 order.  With this window green the externally
+# verified union reaches 315/315 -- every query registered before
+# round 10 driver-checked at least once.
+#
+# ROUND-11 QUEUE (per the age policy, do not activate early): any
+# round-10 in-round additions first, then the r3-vintage remainder in
+# _DRIVER_VERIFIED_R3 order (pack_sequences, mixture_sample,
+# cluster_assign, user_zscores, nation_activity, cube_totals,
+# grouping_sets_activity, merge_upsert, value_band_summary, ...)
+# filling the 50 slots.
+_ROUND10_FRONT = [
+    # never driver-checked round-9 additions (flake-shaken 20x dual-sf)
+    "corwin_schultz_spread", "triple_barrier_labels", "sortino_ratio",
+    "spread_half_life", "har_rv_regression", "volume_profile",
+    "turnover_hhi", "omega_ratio", "calmar_ratio", "updown_capture",
+    "gap_fill_probability", "retrieval_mrr_ndcg",
+    "semdedup_threshold_sweep", "tokenizer_fertility",
+    "streaming_turnover_hhi", "mutual_information_profile",
+    "k_anonymity_report", "dedup_cluster_histogram",
+    "ngram_coverage_curve",
+    # stalest external checks: the lone r1-vintage straggler ...
+    "priority_line_counts",
+    # ... and the first 30 of the r3-vintage block (last checked
+    # CORRECTNESS_r03, 7 rounds ago), in r3-front order
+    "dedup_exact", "minhash_signatures", "lsh_candidate_pairs",
+    "ngram_jaccard_pairs", "simhash_fingerprints", "dedup_clusters",
+    "fuzzy_dedup_keep", "cosine_topk", "ann_ivf_topk",
+    "dedup_embedding_cosine", "embedding_norms", "incremental_dedup",
+    "token_stats", "text_quality", "lang_id", "bpe_token_stats",
+    "winnow_fingerprints", "doc_fingerprints", "top_terms",
+    "media_feature_summary", "repetition_stats", "quality_gate",
+    "vocab_coverage", "token_length_histogram", "word_entropy",
+    "tf_idf_terms", "stratified_sample", "grouped_head_sample",
+    "normalize_corpus", "contamination_check",
+]
+
 
 def _rotate_for_driver() -> None:
-    front = [n for n in _ROUND9_FRONT if n in QUERIES]
+    front = [n for n in _ROUND10_FRONT if n in QUERIES]
     verified_names = (
         _DRIVER_VERIFIED_R1_R2 + _DRIVER_VERIFIED_R3 + _DRIVER_VERIFIED_R4
         + _DRIVER_VERIFIED_R5 + _DRIVER_VERIFIED_R6_R7
-        + _DRIVER_VERIFIED_R8
+        + _DRIVER_VERIFIED_R8 + _DRIVER_VERIFIED_R9
     )
     placed = set(front) | set(verified_names)
     rest_unverified = [n for n in QUERIES if n not in placed]
