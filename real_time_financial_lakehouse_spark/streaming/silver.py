@@ -338,8 +338,8 @@ def streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end incremental lakehouse loop: the events stream drains in
-    MULTIPLE micro-batches (the fixture is re-sharded by event-time
-    quartile and read with maxFilesPerTrigger=1), and each batch MERGES
+    MULTIPLE micro-batches (the fixture is re-sharded by md5 bucket
+    and read with maxFilesPerTrigger=1), and each batch MERGES
     its partial per-symbol aggregate into a manifest-logged gold table --
     one committed table version per micro-batch, retry-safe via the
     (app_id, batch_id) idempotent-commit contract (the Delta
@@ -364,11 +364,7 @@ def streaming_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_dir = scratch_dir("rtfl_incgold_ckpt_")
 
     events = _catalog_load(spark, sf_dir)
-    from pyspark.sql import Window
-
-    events.withColumn(
-        "part", F.ntile(4).over(Window.orderBy("ts", "event_id"))
-    ).write.partitionBy("part").mode("overwrite").parquet(src_dir)
+    _shard_fixture(events, src_dir)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         part = batch_df.groupBy(F.col("event_type").alias("symbol")).agg(
@@ -426,6 +422,25 @@ def _catalog_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return load_table(spark, sf_dir, "events")
 
+
+def _shard_fixture(events: DataFrame, src_dir: str, n: int = 4) -> None:
+    """Re-shard the batch fixture into ``n`` deterministic parquet parts
+    so ``maxFilesPerTrigger=1`` drains it as n micro-batches.
+
+    The shard key is the repo's md5 split discipline (``md5(event_id) %
+    n`` -- row-local, shuffle-free, reproducible), NOT a global-window
+    ``ntile``: every consumer of these shards folds a COMMUTATIVE
+    per-key aggregate (CMS cell sums, gold merge sums, dollar-volume
+    partials), so batch composition cannot affect the drained result,
+    and an empty-partition-spec WindowExec here would single-partition
+    the fixture write for no semantic gain (the exact anti-pattern
+    scripts/plan_audit.py flags in query plans)."""
+    from ..functions.hashing import md5_long
+
+    events.withColumn(
+        "part", md5_long(F.col("event_id").cast("string")) % n
+    ).write.partitionBy("part").mode("overwrite").parquet(src_dir)
+
 def streaming_user_cms(
     spark: SparkSession,
     sf_dir: str,
@@ -435,7 +450,7 @@ def streaming_user_cms(
 ) -> DataFrame:
     """Streaming heavy hitters via a count-min sketch folded across
     micro-batches: the events stream drains in multiple batches (fixture
-    re-sharded by event-time quartile, maxFilesPerTrigger=1), each batch
+    re-sharded into md5 buckets, maxFilesPerTrigger=1), each batch
     computes its LOCAL depth x width sketch and writes it to a
     deterministic per-batch path (overwrite => a retried batch rewrites,
     never double-counts), and the final sketch is the CELL-WISE SUM of
@@ -462,11 +477,7 @@ def streaming_user_cms(
     ckpt_dir = scratch_dir("rtfl_cms_ckpt_")
 
     events = _catalog_load(spark, sf_dir)
-    from pyspark.sql import Window
-
-    events.withColumn(
-        "part", F.ntile(4).over(Window.orderBy("ts", "event_id"))
-    ).write.partitionBy("part").mode("overwrite").parquet(src_dir)
+    _shard_fixture(events, src_dir)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         cells = (
@@ -550,7 +561,7 @@ def streaming_user_cms(
 def streaming_turnover_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the daily turnover-concentration report
     (operators/finance.turnover_hhi): the events stream drains in
-    multiple micro-batches (event-time-quartile shards,
+    multiple micro-batches (md5-bucket shards,
     maxFilesPerTrigger=1) and each batch MERGES its (day, symbol)
     dollar-volume partials into a manifest-logged state table via the
     idempotent-commit contract -- the ``streaming_incremental_gold``
@@ -575,9 +586,7 @@ def streaming_turnover_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_dir = scratch_dir("rtfl_hhi_ckpt_")
 
     events = _catalog_load(spark, sf_dir)
-    events.withColumn(
-        "part", F.ntile(4).over(Window.orderBy("ts", "event_id"))
-    ).write.partitionBy("part").mode("overwrite").parquet(src_dir)
+    _shard_fixture(events, src_dir)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         qty = F.get_json_object(F.col("props"), "$.k").cast("double")

@@ -10,7 +10,13 @@ the optimized + physical plan strings for the shapes that do not survive
   only the explicitly-named slow-path twin is allowed;
 * ``CartesianProduct`` (a non-broadcast cross join -- every intended
   cross join in the engine is a broadcast of a scalar/tiny frame);
-* scans that read every column (no ReadSchema pruning at all).
+* scans that read every column (no ReadSchema pruning at all);
+* GLOBAL window functions (``windowspecdefinition`` with an empty
+  partition spec -- WindowExec moves every row to ONE partition, the
+  classic corpus-cardinality scale-killer).  Queries whose global
+  window provably runs at bounded cardinality (vocabulary / cell /
+  state / group-count frames, never per-row) are whitelisted by name
+  with the justification inline.
 
 Writes PLAN_AUDIT.json; exits non-zero on any flagged query.
 
@@ -48,6 +54,69 @@ _PYTHON_ALLOWED = {"term_positions_udtf", "media_feature_summary",
                    "png_media_features", "jpeg_media_features",
                    "wav_media_features", "gif_media_features"}
 
+# queries whose empty-partition-spec window is justified: the frame
+# under the window is bounded (vocabulary / sketch-cell / group-count
+# cardinality), never the corpus -- or the query is the documented
+# exact small-sf referee of a registered sketch twin.  Every entry
+# carries the reason; anything NOT listed that grows a global window
+# is a regression this audit fails.
+_GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
+    "vocab_coverage": "running share window runs AFTER the top-N cut (topn rows)",
+    "token_length_histogram": "cumulative window at length-bucket cardinality",
+    "zipf_fit": "rank at min_freq-truncated vocabulary cardinality (documented precedent)",
+    "ngram_coverage_curve": "coverage curve at vocabulary cardinality (zipf_fit precedent)",
+    "mutual_information_profile": "windows at contingency-cell cardinality (r9 design note)",
+    "mixture_sample": "audit-sheet windows at stratum(lang) cardinality (~5 rows)",
+    "token_budget_mixture": "ordering window over per-lang strata (handful of rows)",
+    "funnel_counts": "lag over the per-stage union (len(stages) rows)",
+    "hybrid_rrf_search": "rank windows over per-retriever top-k lists (tens of rows)",
+    "copurchase_pairs": "rank stamp over the topn-row TakeOrdered output",
+    "quality_deciles": "exact NTILE referee of quality_deciles_approx; docstring "
+                       "documents the corpus-sort cost, 100 TB path is the approx twin",
+    "customer_rfm": "exact-tile referee of customer_rfm_approx over the aggregated "
+                    "customer frame; 100 TB path is the approx twin",
+    "revenue_gini": "rank-sum needs a total order (documented); runs at "
+                    "customer cardinality after partial agg",
+}
+
+
+def _global_window_specs(plan: str) -> int:
+    """Count windowspecdefinition(...) occurrences whose partition spec
+    is EMPTY: every top-level argument before the trailing
+    specifiedwindowframe(...) is an order key (`expr ASC|DESC ...`).
+    Balanced-paren parse, so expression-valued keys are classified
+    correctly."""
+    n_global = 0
+    i = 0
+    marker = "windowspecdefinition("
+    while True:
+        j = plan.find(marker, i)
+        if j < 0:
+            return n_global
+        k = j + len(marker)
+        depth = 1
+        args, cur = [], []
+        while k < len(plan) and depth > 0:
+            c = plan[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif c == "," and depth == 1:
+                args.append("".join(cur).strip())
+                cur = []
+                k += 1
+                continue
+            cur.append(c)
+            k += 1
+        args.append("".join(cur).strip())
+        i = k
+        keys = [a for a in args if not a.startswith("specifiedwindowframe")]
+        if all(" ASC" in a or " DESC" in a for a in keys):
+            n_global += 1
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -73,6 +142,10 @@ def main() -> int:
         # vectorized boundaries; BatchEvalPython is row-at-a-time
         if "BatchEvalPython" in plan and name not in _PYTHON_ALLOWED:
             flags.append("row-at-a-time-python")
+        if name not in _GLOBAL_WINDOW_ALLOWED:
+            n_glob = _global_window_specs(qe.optimizedPlan().toString())
+            if n_glob:
+                flags.append(f"global-window:{n_glob}")
         n_exchanges = plan.count("Exchange ")
         report[name] = {"exchanges": n_exchanges, "flags": flags}
         if flags:

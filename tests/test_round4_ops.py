@@ -413,7 +413,7 @@ def test_streaming_cms_merges_batches_and_never_undercounts(spark):
     for r in rows:
         assert r["est_count"] >= r["exact_count"]
         assert r["overcount"] == r["est_count"] - r["exact_count"]
-    # multiple micro-batches actually happened (ntile(4) resharding)
+    # multiple micro-batches actually happened (md5-bucket resharding)
     batch_dirs = glob.glob("/dev/shm/rtfl_cms_sketch_*/batch=*")
     assert any(
         len(glob.glob(d.rsplit("/batch=", 1)[0] + "/batch=*")) >= 2
