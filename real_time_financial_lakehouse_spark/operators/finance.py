@@ -3589,3 +3589,408 @@ def gap_fill_probability(events: DataFrame) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: liquidity, jump decomposition, random-walk diagnostics,
+# intraday seasonality, drawdown episodes, tail risk
+# ---------------------------------------------------------------------------
+
+_HALF_PI = 1.5707963267948966  # pi/2 as a shared literal (both engines
+# compose the bipower scaling from this exact double, no engine pi())
+
+
+def _daily_close_dv(events: DataFrame) -> DataFrame:
+    """Internal (symbol, day) frame with the deterministic last-tick
+    close (max_by over the (ts, event_id) key -- exact selection, no
+    float aggregation) and the day's dollar volume sum(value * qty),
+    qty from ``props.$.k`` (NULL qty contributes nothing, SQL sum
+    semantics).  Positive ticks only -- every consumer takes a log or a
+    ratio of the close.  One partial-aggregable shuffle at day
+    granularity."""
+    src = events.filter(F.col("value") > 0)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    qty = F.get_json_object(F.col("props"), "$.k").cast("double")
+    return src.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(
+        F.max_by(F.col("value"), key).alias("c"),
+        F.sum(F.col("value") * qty).alias("dv_raw"),
+    )
+
+
+def amihud_illiquidity(events: DataFrame) -> DataFrame:
+    """Amihud (2002) illiquidity per symbol: the mean over days of
+    |daily return| / daily dollar volume, scaled by 1e6 -- the standard
+    price-impact-per-dollar proxy a desk ranks venues and names by when
+    order-book depth is not observable.
+
+    Scale: one day-granularity rollup (partial agg), one lag window at
+    |symbol x day| cardinality, one symbol-cardinality aggregate.
+    Determinism: the dollar-volume float sum is quantized at 6 dp at
+    the aggregate boundary (absolute noise ~1e-10 at fixture
+    magnitudes, orders below the grid); the return comes from exact
+    close selections; the day ratio is bounded-derivative in both
+    arguments, so the final mean is composed from identical doubles on
+    both engines."""
+    daily = _daily_close_dv(events).select(
+        "symbol", "day", "c", qround(F.col("dv_raw"), 6).alias("dv")
+    )
+    w = Window.partitionBy("symbol").orderBy("day")
+    prev = F.lag("c").over(w)
+    framed = daily.select(
+        "symbol",
+        "dv",
+        F.when(prev != 0, F.col("c") / prev - 1.0).alias("r"),
+    ).filter(F.col("r").isNotNull() & (F.col("dv") > 0))
+    return (
+        framed.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            qround(F.avg(F.abs(F.col("r")) / F.col("dv") * F.lit(1e6)), 6).alias(
+                "amihud_x1e6"
+            ),
+            qround(F.avg("dv"), 2).alias("avg_daily_dv"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def bipower_variation_jumps(events: DataFrame) -> DataFrame:
+    """Jump decomposition of realized variance per symbol
+    (Barndorff-Nielsen & Shephard 2004): per (symbol, day) over
+    intraday tick log returns, realized variance RV = sum(r_t^2) and
+    bipower variation BV = (pi/2) * sum(|r_t| |r_{t-1}|); BV is robust
+    to jumps, so the positive part of RV - BV is the jump contribution.
+    Reports the per-symbol totals, the jump share, and how many days
+    had a jump share above 25% -- the diagnostic that decides whether a
+    vol model needs a jump term.
+
+    Scale: two intra-day lag windows partitioned by (symbol, day), one
+    day-granularity partial agg, one symbol-cardinality rollup.
+    Determinism: RV and BV are snapped to exact integer pico-units
+    (1e-12 grid as BIGINT) at the (symbol, day) aggregate boundary;
+    symbol totals are order-independent integer sums, so every double
+    reaching a division or requantization is bit-identical on both
+    engines -- including the cancellation-prone RV - BV difference."""
+    src = events.filter(F.col("value") > 0)
+    wd = Window.partitionBy("symbol", "day").orderBy("ts", "event_id")
+    ticks = src.select(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    prev_v = F.lag("value").over(wd)
+    lr = ticks.select(
+        "symbol",
+        "day",
+        "ts",
+        "event_id",
+        F.when(prev_v.isNotNull(), F.log(F.col("value") / prev_v)).alias("lr"),
+    ).filter(F.col("lr").isNotNull())
+    prev_lr = F.lag("lr").over(wd)
+    terms = lr.select(
+        "symbol",
+        "day",
+        F.col("lr"),
+        (F.abs(F.col("lr")) * F.abs(prev_lr)).alias("bp_term"),
+    )
+    # Day-level RV/BV in exact integer pico-units (1e-12 grid as BIGINT):
+    # symbol totals are then order-independent integer sums, so the
+    # jump-share divisions and the 1e-8 requantization see bit-identical
+    # doubles on both engines (the drawdown_episodes lesson applied
+    # preemptively to sums of grid values).
+    rv_u = F.floor(
+        F.sum(F.col("lr") * F.col("lr")) * F.lit(1e12) + F.lit(0.5)
+    ).cast("long")
+    bv_u = F.floor(
+        F.sum("bp_term") * F.lit(_HALF_PI) * F.lit(1e12) + F.lit(0.5)
+    ).cast("long")
+    per_day = terms.groupBy("symbol", "day").agg(
+        rv_u.alias("rv_u"),
+        bv_u.alias("bv_u"),
+        F.count(F.lit(1)).alias("n_rets"),
+    ).filter(F.col("n_rets") >= 3)
+    jump_day = F.when(
+        F.col("rv_u") > 0,
+        (
+            F.greatest(F.col("rv_u") - F.col("bv_u"), F.lit(0).cast("long"))
+            .cast("double")
+            / F.col("rv_u").cast("double")
+            > 0.25
+        ).cast("long"),
+    )
+    framed = per_day.select("symbol", "rv_u", "bv_u", jump_day.alias("is_jump"))
+    return (
+        framed.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("rv_u").alias("rv_su"),
+            F.sum("bv_u").alias("bv_su"),
+            F.coalesce(F.sum("is_jump"), F.lit(0).cast("long")).alias(
+                "n_jump_days"
+            ),
+        )
+        .select(
+            "symbol",
+            "n_days",
+            qround(F.col("rv_su").cast("double") / F.lit(1e12), 8).alias(
+                "rv_total"
+            ),
+            qround(F.col("bv_su").cast("double") / F.lit(1e12), 8).alias(
+                "bv_total"
+            ),
+            F.when(
+                F.col("rv_su") > 0,
+                qround(
+                    F.greatest(
+                        F.col("rv_su") - F.col("bv_su"), F.lit(0).cast("long")
+                    ).cast("double")
+                    / F.col("rv_su").cast("double"),
+                    6,
+                ),
+            ).alias("jump_share"),
+            "n_jump_days",
+        )
+        .orderBy("symbol")
+    )
+
+
+def variance_ratio(events: DataFrame) -> DataFrame:
+    """Lo-MacKinlay variance-ratio diagnostic per symbol on daily log
+    returns: VR(q) = var_pop(q-day overlapping return) / (q *
+    var_pop(1-day return)) for q in {2, 5}.  VR near 1 is a random
+    walk; below 1 mean reversion; above 1 momentum -- the first test a
+    quant runs before fitting anything autoregressive.
+
+    Scale: day-granularity rollup, two bounded window sums (ROWS q-1
+    PRECEDING) at |symbol x day| cardinality, one symbol-cardinality
+    aggregate.  Determinism: all four var_pop moments are quantized at
+    12 dp at the aggregate boundary; each VR is a bounded-derivative
+    ratio of quantized moments (the safe class in the VERIFICATION.md
+    float audit)."""
+    src = events.filter(F.col("value") > 0)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    dclose = src.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    prev = F.lag("c").over(w)
+    lr = dclose.select(
+        "symbol",
+        "day",
+        F.when(prev.isNotNull(), F.log(F.col("c") / prev)).alias("lr"),
+    ).filter(F.col("lr").isNotNull())
+
+    def qret(q: int):
+        wq = (
+            Window.partitionBy("symbol")
+            .orderBy("day")
+            .rowsBetween(-(q - 1), 0)
+        )
+        return (
+            F.when(F.count("lr").over(wq) == q, F.sum("lr").over(wq)),
+            f"r{q}",
+        )
+
+    r2, n2 = qret(2)
+    r5, n5 = qret(5)
+    framed = lr.select("symbol", "lr", r2.alias(n2), r5.alias(n5))
+    stats = framed.groupBy("symbol").agg(
+        F.count("lr").alias("n_days"),
+        qround(F.var_pop("lr"), 12).alias("v1"),
+        qround(F.var_pop("r2"), 12).alias("v2"),
+        qround(F.var_pop("r5"), 12).alias("v5"),
+    )
+    return (
+        stats.filter(F.col("n_days") >= 10)
+        .select(
+            "symbol",
+            "n_days",
+            F.when(
+                F.col("v1") > 0, qround(F.col("v2") / (F.lit(2.0) * F.col("v1")), 6)
+            ).alias("vr_2"),
+            F.when(
+                F.col("v1") > 0, qround(F.col("v5") / (F.lit(5.0) * F.col("v1")), 6)
+            ).alias("vr_5"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def intraday_seasonality(events: DataFrame) -> DataFrame:
+    """Intraday activity profile per (symbol, hour-of-day): tick count,
+    mean absolute intraday log return, dollar volume, and each hour's
+    share of the symbol's total dollar volume -- the U-shape curve that
+    calibrates execution schedules (VWAP slippage is an hour-of-day
+    function before it is anything else).
+
+    Scale: one intra-day lag window, one partial-aggregable groupBy at
+    |symbol x 24| cardinality, and a symbol-partitioned share window
+    over that aggregated frame (bounded fan-in, never per-row).
+    Determinism: dollar volume quantized at the aggregate boundary;
+    the share is a bounded ratio of quantized sums."""
+    src = events.filter(F.col("value") > 0)
+    wd = Window.partitionBy("symbol", "day").orderBy("ts", "event_id")
+    qty = F.get_json_object(F.col("props"), "$.k").cast("double")
+    ticks = src.select(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.hour("ts").alias("hour"),
+        "ts",
+        "event_id",
+        "value",
+        (F.col("value") * qty).alias("dollar"),
+    )
+    prev_v = F.lag("value").over(wd)
+    framed = ticks.select(
+        "symbol",
+        "hour",
+        F.when(prev_v.isNotNull(), F.abs(F.log(F.col("value") / prev_v))).alias(
+            "abs_lr"
+        ),
+        "dollar",
+    )
+    per_hour = framed.groupBy("symbol", "hour").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        qround(F.avg("abs_lr"), 8).alias("avg_abs_ret"),
+        qround(F.sum("dollar"), 6).alias("dv_q"),
+    )
+    ws = Window.partitionBy("symbol")
+    total = F.sum("dv_q").over(ws)
+    return (
+        per_hour.select(
+            "symbol",
+            "hour",
+            "n_ticks",
+            "avg_abs_ret",
+            qround(F.col("dv_q"), 2).alias("dollar_volume"),
+            F.when(total > 0, qround(F.col("dv_q") / total, 6)).alias("dv_share"),
+        )
+        .orderBy("symbol", "hour")
+    )
+
+
+def drawdown_episodes(events: DataFrame) -> DataFrame:
+    """Drawdown episode statistics per symbol on the daily close path:
+    episodes are delimited by new running highs; for each symbol report
+    how many distinct drawdowns occurred, the deepest trough (1 -
+    close/peak), the longest spell of days below the prior peak, and
+    the mean episode depth -- the recovery-profile summary
+    ``max_drawdown`` alone hides.
+
+    Scale: day-granularity rollup, two cumulative windows partitioned
+    by symbol (running max + episode counter), then two bounded
+    aggregates (episode-, then symbol-cardinality).  Determinism: the
+    running max is an exact selection over exact close doubles; the
+    depth ratio divides identical doubles on both engines before the
+    output quantization."""
+    src = events.filter(F.col("value") > 0)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    dclose = src.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    wcum = (
+        Window.partitionBy("symbol")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    framed = dclose.select(
+        "symbol",
+        "day",
+        "c",
+        F.max("c").over(wcum).alias("peak"),
+    ).withColumn(
+        "epi",
+        F.sum((F.col("c") >= F.col("peak")).cast("long")).over(wcum),
+    )
+    below = framed.filter(F.col("c") < F.col("peak"))
+    # Episode depth in exact integer micro-units: the per-symbol mean of
+    # several 1e-6-grid doubles lands EXACTLY on the next qround's .5
+    # boundary with non-trivial probability, and Spark's partial-sum
+    # order vs DuckDB's sequential sum then splits the floor (observed
+    # at sf0.001).  BIGINT sums are order-independent, so every double
+    # that reaches a qround is bit-identical on both engines.
+    depth_u = F.floor(
+        F.max(F.lit(1.0) - F.col("c") / F.col("peak")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    per_epi = below.groupBy("symbol", "epi").agg(
+        F.count(F.lit(1)).alias("dur_days"),
+        depth_u.alias("depth_u"),
+    )
+    return (
+        per_epi.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_drawdowns"),
+            qround(F.max("depth_u") / F.lit(1e6), 6).alias("max_depth"),
+            F.max("dur_days").alias("max_duration_days"),
+            qround(
+                F.sum("depth_u").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e6),
+                6,
+            ).alias("avg_depth"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def historical_var_cvar(events: DataFrame) -> DataFrame:
+    """Historical 95% VaR and CVaR (expected shortfall) per symbol on
+    daily log returns: VaR is the exact 5th-percentile return
+    (interpolated), CVaR the mean of the returns at or below it -- the
+    tail-risk pair every risk report leads with.  The exact percentile
+    is the small-sf referee; at 100 TB swap ``percentile_approx``
+    (mergeable KLL sketch, same query shape, the
+    ``value_percentiles_approx`` precedent).
+
+    Scale: day-granularity rollup, one symbol-cardinality percentile
+    aggregate broadcast back onto the |symbol x day| return frame for
+    the tail mean -- no corpus-sized sort.  Determinism: the log
+    returns are quantized at 12 dp BEFORE the percentile (collapsing
+    any cross-engine libm ulp in ln onto a shared grid) and the
+    interpolated quantile is quantized again before it becomes the
+    tail threshold, so both engines cut the identical tail set."""
+    src = events.filter(F.col("value") > 0)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    dclose = src.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    prev = F.lag("c").over(w)
+    rets = dclose.select(
+        "symbol",
+        F.when(prev.isNotNull(), qround(F.log(F.col("c") / prev), 12)).alias(
+            "lr"
+        ),
+    ).filter(F.col("lr").isNotNull())
+    stats = rets.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        qround(F.expr("percentile(lr, 0.05D)"), 12).alias("q05"),
+    ).filter(F.col("n_days") >= 10)
+    tail = (
+        rets.join(F.broadcast(stats), "symbol")
+        .filter(F.col("lr") <= F.col("q05"))
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_tail"),
+            qround(F.avg("lr"), 6).alias("cvar_95"),
+        )
+    )
+    return (
+        stats.join(tail, "symbol")
+        .select(
+            "symbol",
+            "n_days",
+            qround(F.col("q05"), 6).alias("var_95"),
+            "cvar_95",
+            "n_tail",
+        )
+        .orderBy("symbol")
+    )

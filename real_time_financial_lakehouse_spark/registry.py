@@ -7743,6 +7743,256 @@ def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_report(_events(spark, sf_dir))
 
 
+
+# ---------------------------------------------------------------------------
+# round 10: liquidity / jump / random-walk / seasonality / drawdown / tail
+# ---------------------------------------------------------------------------
+
+_HALF_PI_SQL = repr(1.5707963267948966)
+
+_DCLOSE_POS_SQL = """
+src AS (SELECT * FROM events WHERE value > 0),
+dclose AS (
+    SELECT event_type AS symbol, date_trunc('day', ts) AS day,
+           max(CASE WHEN rn_d = 1 THEN value END) AS c
+    FROM (
+        SELECT event_type, ts, value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM src
+    )
+    GROUP BY 1, 2
+)
+"""
+
+
+@register(
+    "amihud_illiquidity",
+    f"""
+    WITH src AS (SELECT * FROM events WHERE value > 0),
+    daily AS (
+        SELECT event_type AS symbol, date_trunc('day', ts) AS day,
+               max(CASE WHEN rn_d = 1 THEN value END) AS c,
+               {_q("sum(value * (json_extract_string(props, '$.k'))::DOUBLE)", 6)} AS dv
+        FROM (
+            SELECT event_type, ts, value, props,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM src
+        )
+        GROUP BY 1, 2
+    ),
+    rets AS (
+        SELECT symbol, dv,
+               CASE WHEN lag(c) OVER (PARTITION BY symbol ORDER BY day) != 0
+                    THEN c / lag(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0
+               END AS r
+        FROM daily
+    )
+    SELECT symbol, count(*)::BIGINT AS n_days,
+           {_q('avg(abs(r) / dv * 1000000.0)', 6)} AS amihud_x1e6,
+           {_q('avg(dv)', 2)} AS avg_daily_dv
+    FROM rets WHERE r IS NOT NULL AND dv > 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.amihud_illiquidity(_events(spark, sf_dir))
+
+
+@register(
+    "bipower_variation_jumps",
+    f"""
+    WITH src AS (SELECT * FROM events WHERE value > 0),
+    t AS (
+        SELECT event_type AS symbol, date_trunc('day', ts) AS day, ts, event_id, value,
+               lag(value) OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS pv
+        FROM src
+    ),
+    lr AS (
+        SELECT symbol, day, ts, event_id, ln(value / pv) AS lr
+        FROM t WHERE pv IS NOT NULL
+    ),
+    lr2 AS (
+        SELECT symbol, day, lr,
+               abs(lr) * abs(lag(lr) OVER (PARTITION BY symbol, day
+                                           ORDER BY ts, event_id)) AS bp_term
+        FROM lr
+    ),
+    pd AS (
+        SELECT symbol, day,
+               CAST(floor(sum(lr * lr) * 1000000000000.0 + 0.5) AS BIGINT) AS rv_u,
+               CAST(floor(sum(bp_term) * 1.5707963267948966 * 1000000000000.0 + 0.5) AS BIGINT) AS bv_u
+        FROM lr2 GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    js AS (
+        SELECT symbol, rv_u, bv_u,
+               CASE WHEN rv_u > 0 THEN
+                    CASE WHEN greatest(rv_u - bv_u, 0)::DOUBLE / rv_u::DOUBLE > 0.25
+                         THEN 1 ELSE 0 END
+               END AS is_jump
+        FROM pd
+    ),
+    st AS (
+        SELECT symbol, count(*)::BIGINT AS n_days,
+               sum(rv_u)::BIGINT AS rv_su,
+               sum(bv_u)::BIGINT AS bv_su,
+               coalesce(sum(is_jump), 0)::BIGINT AS n_jump_days
+        FROM js GROUP BY 1
+    )
+    SELECT symbol, n_days,
+           floor((rv_su::DOUBLE / 1000000000000.0) * 100000000.0 + 0.5) / 100000000.0 AS rv_total,
+           floor((bv_su::DOUBLE / 1000000000000.0) * 100000000.0 + 0.5) / 100000000.0 AS bv_total,
+           CASE WHEN rv_su > 0
+                THEN floor((greatest(rv_su - bv_su, 0)::DOUBLE / rv_su::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+           END AS jump_share,
+           n_jump_days
+    FROM st ORDER BY 1
+    """,
+)
+def q_bipower_variation_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.bipower_variation_jumps(_events(spark, sf_dir))
+
+
+@register(
+    "variance_ratio",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    lr AS (
+        SELECT symbol, day,
+               ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day)) AS lr
+        FROM dclose
+    ),
+    lrf AS (SELECT symbol, day, lr FROM lr WHERE lr IS NOT NULL),
+    f AS (
+        SELECT symbol, lr,
+               CASE WHEN count(lr) OVER w2 = 2 THEN sum(lr) OVER w2 END AS r2,
+               CASE WHEN count(lr) OVER w5 = 5 THEN sum(lr) OVER w5 END AS r5
+        FROM lrf
+        WINDOW w2 AS (PARTITION BY symbol ORDER BY day
+                      ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
+               w5 AS (PARTITION BY symbol ORDER BY day
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ),
+    st AS (
+        SELECT symbol, count(lr)::BIGINT AS n_days,
+               {_q('var_pop(lr)', 12)} AS v1,
+               {_q('var_pop(r2)', 12)} AS v2,
+               {_q('var_pop(r5)', 12)} AS v5
+        FROM f GROUP BY 1 HAVING count(lr) >= 10
+    )
+    SELECT symbol, n_days,
+           CASE WHEN v1 > 0 THEN {_q('v2 / (2.0 * v1)', 6)} END AS vr_2,
+           CASE WHEN v1 > 0 THEN {_q('v5 / (5.0 * v1)', 6)} END AS vr_5
+    FROM st ORDER BY 1
+    """,
+)
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.variance_ratio(_events(spark, sf_dir))
+
+
+@register(
+    "intraday_seasonality",
+    f"""
+    WITH src AS (SELECT * FROM events WHERE value > 0),
+    t AS (
+        SELECT event_type AS symbol, date_trunc('day', ts) AS day,
+               hour(ts) AS hour, ts, event_id, value,
+               value * (json_extract_string(props, '$.k'))::DOUBLE AS dollar,
+               lag(value) OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS pv
+        FROM src
+    ),
+    f AS (
+        SELECT symbol, hour,
+               CASE WHEN pv IS NOT NULL THEN abs(ln(value / pv)) END AS abs_lr,
+               dollar
+        FROM t
+    ),
+    ph AS (
+        SELECT symbol, hour, count(*)::BIGINT AS n_ticks,
+               {_q('avg(abs_lr)', 8)} AS avg_abs_ret,
+               {_q('sum(dollar)', 6)} AS dv_q
+        FROM f GROUP BY 1, 2
+    )
+    SELECT symbol, hour, n_ticks, avg_abs_ret,
+           {_q('dv_q', 2)} AS dollar_volume,
+           CASE WHEN sum(dv_q) OVER (PARTITION BY symbol) > 0
+                THEN {_q('dv_q / sum(dv_q) OVER (PARTITION BY symbol)', 6)}
+           END AS dv_share
+    FROM ph ORDER BY 1, 2
+    """,
+)
+def q_intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.intraday_seasonality(_events(spark, sf_dir))
+
+
+@register(
+    "drawdown_episodes",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    p1 AS (
+        SELECT symbol, day, c,
+               max(c) OVER (PARTITION BY symbol ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM dclose
+    ),
+    p2 AS (
+        SELECT symbol, day, c, peak,
+               sum(CASE WHEN c >= peak THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY symbol ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epi
+        FROM p1
+    ),
+    per_epi AS (
+        SELECT symbol, epi, count(*)::BIGINT AS dur_days,
+               CAST(floor(max(1.0 - c / peak) * 1000000.0 + 0.5) AS BIGINT) AS depth_u
+        FROM p2 WHERE c < peak
+        GROUP BY 1, 2
+    )
+    SELECT symbol, count(*)::BIGINT AS n_drawdowns,
+           floor((max(depth_u) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS max_depth,
+           max(dur_days)::BIGINT AS max_duration_days,
+           floor((sum(depth_u)::DOUBLE / count(*) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS avg_depth
+    FROM per_epi GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.drawdown_episodes(_events(spark, sf_dir))
+
+
+@register(
+    "historical_var_cvar",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    rets AS (
+        SELECT symbol,
+               {_q('ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))', 12)} AS lr
+        FROM dclose
+    ),
+    r2 AS (SELECT symbol, lr FROM rets WHERE lr IS NOT NULL),
+    st AS (
+        SELECT symbol, count(*)::BIGINT AS n_days,
+               {_q('quantile_cont(lr, 0.05)', 12)} AS q05
+        FROM r2 GROUP BY 1 HAVING count(*) >= 10
+    ),
+    tail AS (
+        SELECT r.symbol, count(*)::BIGINT AS n_tail,
+               {_q('avg(r.lr)', 6)} AS cvar_95
+        FROM r2 r JOIN st ON st.symbol = r.symbol AND r.lr <= st.q05
+        GROUP BY 1
+    )
+    SELECT st.symbol, st.n_days, {_q('st.q05', 6)} AS var_95,
+           t.cvar_95, t.n_tail
+    FROM st JOIN tail t ON t.symbol = st.symbol
+    ORDER BY 1
+    """,
+)
+def q_historical_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.historical_var_cvar(_events(spark, sf_dir))
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()
