@@ -705,3 +705,97 @@ def domain_temperature_mixture(
         qround(budget, 2).alias("budget_tokens"),
         qround(budget / F.col("n_tokens"), 6).alias("epochs"),
     ).orderBy("source")
+
+
+def pii_density_by_source(documents: DataFrame) -> DataFrame:
+    """Per-source PII leak profile: total match counts for every
+    ``PII_PATTERNS`` category (the same shared pattern list
+    ``redact_pii`` scrubs with) plus each category's density per 10k
+    characters -- the monitoring view that decides which ingestion
+    source needs scrubbing attention before its documents enter a
+    training mix.
+
+    Scale: pure row-local regexp counting fused into the scan (JVM
+    codegen, no Python), one partial-aggregable groupBy at source
+    cardinality.  Densities are ratios of exact integer counts."""
+    from ..functions.numeric import qround
+
+    text = F.coalesce(F.col("text"), F.lit(""))
+    per_doc = documents.select(
+        "source",
+        F.length(text).alias("n_chars_text"),
+        *[
+            F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ],
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars_text").alias("n_chars")]
+    for name, _, _ in PII_PATTERNS:
+        aggs.append(F.sum(f"n_{name}").alias(f"n_{name}"))
+    out = per_doc.groupBy("source").agg(*aggs)
+    dens = [
+        F.when(
+            F.col("n_chars") > 0,
+            qround(F.col(f"n_{name}") * F.lit(10000.0) / F.col("n_chars"), 6),
+        ).alias(f"{name}_per_10k_chars")
+        for name, _, _ in PII_PATTERNS
+    ]
+    return out.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        *[F.col(f"n_{name}") for name, _, _ in PII_PATTERNS],
+        *dens,
+    ).orderBy("source")
+
+
+def shard_skew_report(documents: DataFrame, n_shards: int = 16) -> DataFrame:
+    """One-row acceptance check for the ``shard_manifest`` hash
+    placement: per-shard doc and char totals reduced to skew ratios
+    (max/mean, min/mean) and a chi-square uniformity statistic over doc
+    counts -- the number a pipeline asserts on before committing a
+    shard layout (a skew ratio near 1 means every trainer data-loader
+    rank gets the same bytes; chi2 far above the shard count means the
+    hash or the key is broken).
+
+    Scale: one partial-aggregable groupBy at ``n_shards`` cardinality,
+    then a single-row aggregate over ``n_shards`` rows.  Counts are
+    exact integers; every ratio divides exact integers, and the chi2
+    sums ``n_shards`` identical doubles."""
+    from ..functions.hashing import md5_long
+    from ..functions.numeric import qround
+
+    shard = (
+        md5_long(F.concat_ws(":", F.lit("shard"), F.col("doc_id")), 7) % n_shards
+    ).alias("shard_id")
+    per = documents.select(shard, "n_chars").groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("ch"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("nt"),
+        F.sum("ch").alias("cht"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    expect = F.col("nt") / F.col("k")
+    dev = F.col("n") - expect
+    return j.agg(
+        F.max("k").alias("n_shards"),
+        F.max("nt").cast("long").alias("n_docs"),
+        qround(F.max(F.col("n") * F.col("k") / F.col("nt")), 6).alias(
+            "max_doc_skew"
+        ),
+        qround(F.min(F.col("n") * F.col("k") / F.col("nt")), 6).alias(
+            "min_doc_skew"
+        ),
+        qround(F.max(F.col("ch") * F.col("k") / F.col("cht")), 6).alias(
+            "max_char_skew"
+        ),
+        qround(F.min(F.col("ch") * F.col("k") / F.col("cht")), 6).alias(
+            "min_char_skew"
+        ),
+        qround(F.sum(dev * dev / expect), 6).alias("chi2_docs"),
+    )

@@ -1071,3 +1071,46 @@ def k_anonymity_report(events: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("g") < 10, F.col("g")).otherwise(0)) / total, 6
         ).alias("pct_rows_k_lt_10"),
     )
+
+
+def l_diversity_report(events: DataFrame) -> DataFrame:
+    """l-diversity audit over the same quasi-identifier tuple as
+    ``k_anonymity_report`` (event_type, day, value-hundreds-bucket),
+    with ``user_id`` as the sensitive attribute: per QI group, l =
+    distinct sensitive values; report the minimum l, the mean, and the
+    share of groups / rows where every record maps to fewer than 2 or 3
+    distinct users -- the attribute-disclosure check k-anonymity alone
+    misses (a group of 50 rows all belonging to ONE user is 50-anonymous
+    and still fully identifying).
+
+    Scale: one partial-aggregable groupBy to QI-group cardinality (the
+    distinct-count is per-group exact; swap approx_count_distinct at
+    100 TB), then ONE single-row aggregate.  Every reported share is a
+    ratio of exact integers."""
+    from ..functions.numeric import qround
+
+    qi = events.groupBy(
+        F.col("event_type").alias("qi_type"),
+        F.date_trunc("day", F.col("ts")).alias("qi_day"),
+        F.floor(F.col("value") / 100.0).alias("qi_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("g"),
+        F.countDistinct("user_id").alias("l"),
+    )
+    total = F.sum("g")
+    n_groups = F.count(F.lit(1))
+    return qi.agg(
+        total.cast("long").alias("n_rows"),
+        n_groups.alias("n_groups"),
+        F.min("l").alias("min_l"),
+        qround(F.avg(F.col("l").cast("double")), 4).alias("avg_l"),
+        qround(
+            F.sum(F.when(F.col("l") < 2, 1).otherwise(0)) / n_groups, 6
+        ).alias("pct_groups_l_lt_2"),
+        qround(
+            F.sum(F.when(F.col("l") < 2, F.col("g")).otherwise(0)) / total, 6
+        ).alias("pct_rows_l_lt_2"),
+        qround(
+            F.sum(F.when(F.col("l") < 3, F.col("g")).otherwise(0)) / total, 6
+        ).alias("pct_rows_l_lt_3"),
+    )

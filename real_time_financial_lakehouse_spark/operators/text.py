@@ -1384,3 +1384,57 @@ def ngram_coverage_curve(
         )
         .orderBy("top_k")
     )
+
+
+def ngram_novelty_rate(
+    documents: DataFrame, shingle_n: int = 3, holdout_mod: int = 5
+) -> DataFrame:
+    """Train/holdout n-gram novelty per language: split the corpus
+    deterministically (md5(doc_id) % ``holdout_mod`` == 0 plays the
+    holdout), and report what fraction of the holdout's DISTINCT word
+    n-grams never occur in the training split -- the generalization-gap
+    readout that tells a pretraining curator whether a holdout actually
+    exercises unseen text or just re-samples the training distribution
+    (novelty near 0 = memorization-friendly eval; near 1 = distribution
+    shift).
+
+    Scale: the shingling projection runs once; distinct (lang, 60-bit
+    shingle hash, split) collapses to vocabulary cardinality BEFORE the
+    anti-join, so the join shuffles vocab-sized sides, never the token
+    stream.  All counts are exact integers; the rate is a ratio of
+    exact integers."""
+    from ..functions.hashing import md5_long, shingles_expr
+    from ..functions.numeric import qround
+
+    sh = F.expr(shingles_expr("coalesce(text, '')", shingle_n))
+    holdout = (
+        md5_long(F.concat_ws(":", F.lit("nov"), F.col("doc_id"))) % holdout_mod
+        == 0
+    )
+    base = documents.select(
+        "lang", holdout.alias("is_holdout"), F.explode(sh).alias("s")
+    )
+    hashed = base.select(
+        "lang", "is_holdout", md5_long(F.col("s")).alias("h")
+    ).distinct()
+    train = hashed.filter(~F.col("is_holdout")).select("lang", "h")
+    test = hashed.filter(F.col("is_holdout")).select("lang", "h")
+    novel = test.join(train, ["lang", "h"], "left_anti")
+    n_test = test.groupBy("lang").agg(F.count(F.lit(1)).alias("n_holdout_ngrams"))
+    n_novel = novel.groupBy("lang").agg(F.count(F.lit(1)).alias("n_novel_ngrams"))
+    return (
+        n_test.join(n_novel, "lang", "left")
+        .select(
+            "lang",
+            "n_holdout_ngrams",
+            F.coalesce(F.col("n_novel_ngrams"), F.lit(0).cast("long")).alias(
+                "n_novel_ngrams"
+            ),
+            qround(
+                F.coalesce(F.col("n_novel_ngrams"), F.lit(0).cast("long"))
+                / F.col("n_holdout_ngrams"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -7993,6 +7993,30 @@ def q_historical_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.historical_var_cvar(_events(spark, sf_dir))
 
 
+@register(
+    "l_diversity_report",
+    f"""
+    WITH qi AS (
+        SELECT event_type AS qi_type, date_trunc('day', ts) AS qi_day,
+               floor(value / 100.0) AS qi_band,
+               count(*) AS g, count(DISTINCT user_id) AS l
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT sum(g)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+           min(l)::BIGINT AS min_l,
+           {_q('avg(l::DOUBLE)', 4)} AS avg_l,
+           {_q('sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) / count(*)', 6)} AS pct_groups_l_lt_2,
+           {_q('sum(CASE WHEN l < 2 THEN g ELSE 0 END) / sum(g)', 6)} AS pct_rows_l_lt_2,
+           {_q('sum(CASE WHEN l < 3 THEN g ELSE 0 END) / sum(g)', 6)} AS pct_rows_l_lt_3
+    FROM qi
+    """,
+)
+def q_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profiling import l_diversity_report
+
+    return l_diversity_report(_events(spark, sf_dir))
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

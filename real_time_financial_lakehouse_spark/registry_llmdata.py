@@ -3170,3 +3170,94 @@ _COVERAGE_CUTOFFS = (10, 100, 1000)
 )
 def q_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_coverage_curve(_docs(spark, sf_dir), cutoffs=_COVERAGE_CUTOFFS)
+
+
+# ---------------------------------------------------------------------------
+# round 10: novelty, PII density, shard skew
+# ---------------------------------------------------------------------------
+
+_NOV_SHINGLES = shingles_sql("coalesce(text, '')", 3)
+_PII_DENS_COLS = ",\n           ".join(
+    f"sum(len(regexp_extract_all(coalesce(text, ''), '{pat}')))::BIGINT AS n_{name}"
+    for name, pat, _ in pipeline.PII_PATTERNS
+)
+_PII_DENS_RATES = ",\n           ".join(
+    "CASE WHEN sum(length(coalesce(text, ''))) > 0 THEN "
+    + qround_sql(
+        f"sum(len(regexp_extract_all(coalesce(text, ''), '{pat}')))"
+        " * 10000.0 / sum(length(coalesce(text, '')))",
+        6,
+    )
+    + f" END AS {name}_per_10k_chars"
+    for name, pat, _ in pipeline.PII_PATTERNS
+)
+
+
+@register(
+    "ngram_novelty_rate",
+    f"""
+    WITH base AS (
+        SELECT lang,
+               ({md5_long_sql("concat_ws(':', 'nov', doc_id)")}) % 5 = 0 AS is_holdout,
+               unnest({_NOV_SHINGLES}) AS s
+        FROM documents
+    ),
+    hashed AS (
+        SELECT DISTINCT lang, is_holdout, {md5_long_sql('s')} AS h FROM base
+    ),
+    train AS (SELECT lang, h FROM hashed WHERE NOT is_holdout),
+    test AS (SELECT lang, h FROM hashed WHERE is_holdout),
+    novel AS (
+        SELECT t.lang, count(*) AS n_novel
+        FROM test t ANTI JOIN train tr USING (lang, h)
+        GROUP BY 1
+    ),
+    nt AS (SELECT lang, count(*)::BIGINT AS n_holdout_ngrams FROM test GROUP BY 1)
+    SELECT nt.lang, nt.n_holdout_ngrams,
+           coalesce(nv.n_novel, 0)::BIGINT AS n_novel_ngrams,
+           {qround_sql('coalesce(nv.n_novel, 0) / nt.n_holdout_ngrams', 6)}
+               AS novelty_rate
+    FROM nt LEFT JOIN novel nv ON nv.lang = nt.lang
+    ORDER BY 1
+    """,
+)
+def q_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ngram_novelty_rate(_docs(spark, sf_dir))
+
+
+@register(
+    "pii_density_by_source",
+    f"""
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(length(coalesce(text, '')))::BIGINT AS n_chars,
+           {_PII_DENS_COLS},
+           {_PII_DENS_RATES}
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.pii_density_by_source(_docs(spark, sf_dir))
+
+
+@register(
+    "shard_skew_report",
+    f"""
+    WITH per AS (
+        SELECT ({md5_long_sql("concat_ws(':', 'shard', doc_id)", 7)}) % 16 AS shard_id,
+               count(*) AS n, sum(n_chars) AS ch
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS nt, sum(ch) AS cht, count(*) AS k FROM per)
+    SELECT max(k)::BIGINT AS n_shards,
+           max(nt)::BIGINT AS n_docs,
+           {qround_sql('max(n * k / nt)', 6)} AS max_doc_skew,
+           {qround_sql('min(n * k / nt)', 6)} AS min_doc_skew,
+           {qround_sql('max(ch * k / cht)', 6)} AS max_char_skew,
+           {qround_sql('min(ch * k / cht)', 6)} AS min_char_skew,
+           {qround_sql('sum((n - nt / k) * (n - nt / k) / (nt / k))', 6)} AS chi2_docs
+    FROM per, tot
+    """,
+)
+def q_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.shard_skew_report(_docs(spark, sf_dir), n_shards=16)
