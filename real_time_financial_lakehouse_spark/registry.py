@@ -8017,6 +8017,17 @@ def q_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(_events(spark, sf_dir))
 
 
+# Streaming OHLC twin: the drained state table is row-identical to the
+# batch minute_ohlc (commutative per-key folds, exact-key open/close
+# selection), so it shares the batch query's exact oracle verbatim --
+# the streaming_silver_roundtrip precedent.
+@register("streaming_minute_ohlc", ORACLE_SQL["minute_ohlc"])
+def q_streaming_minute_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.silver import streaming_minute_ohlc
+
+    return streaming_minute_ohlc(spark, sf_dir)
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

@@ -649,3 +649,117 @@ def streaming_turnover_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "top_share",
     ).orderBy("day")
+
+
+def streaming_minute_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch ``minute_ohlc`` bars: the events
+    stream drains in multiple micro-batches (md5-bucket shards,
+    maxFilesPerTrigger=1) and each batch MERGES its per-(minute, symbol)
+    partial bars into a manifest-logged state table via the
+    idempotent-commit contract -- the candle-builder every market-data
+    pipeline runs as its first stateful stage.
+
+    Mergeability: every OHLC component is a commutative per-key fold --
+    open/close carry their (ts, event_id) key through the merge and are
+    re-picked with min_by/max_by over the struct (exact selections, so
+    batch composition cannot change them); high/low are min/max; count
+    and value total are additive (the float total absorbed by the same
+    1e-6 quantization the batch twin applies).  The drained table is
+    therefore row-identical to the batch query and shares its exact SQL
+    oracle.
+
+    Scale: each merge joins bar-cardinality partials against
+    same-cardinality state -- aggregate granularity, never ticks; state
+    is (minutes x symbols), the table a real deployment would shard by
+    minute range."""
+    from ..functions.numeric import qround
+    from ..operators import versioned
+
+    src_dir = scratch_dir("rtfl_sohlc_src_")
+    table_dir = os.path.join(scratch_dir("rtfl_sohlc_tbl_"), "bars")
+    ckpt_dir = scratch_dir("rtfl_sohlc_ckpt_")
+
+    events = _catalog_load(spark, sf_dir)
+    _shard_fixture(events, src_dir)
+
+    okey = F.struct(F.col("open_ts"), F.col("open_eid"))
+    ckey = F.struct(F.col("close_ts"), F.col("close_eid"))
+
+    def _partial(df: DataFrame) -> DataFrame:
+        key = F.struct(F.col("ts"), F.col("event_id"))
+        return df.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("minute", F.col("ts")).alias("minute_window"),
+        ).agg(
+            F.min_by(key, key).getField("ts").alias("open_ts"),
+            F.min_by(F.col("event_id"), key).alias("open_eid"),
+            F.min_by(F.col("value"), key).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by(key, key).getField("ts").alias("close_ts"),
+            F.max_by(F.col("event_id"), key).alias("close_eid"),
+            F.max_by(F.col("value"), key).alias("close_v"),
+            F.sum("value").alias("sum_v"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = _partial(batch_df)
+        if versioned.table_versions(table_dir):
+            prev = versioned.read_version(batch_df.sparkSession, table_dir)
+            merged = (
+                prev.unionByName(part)
+                .groupBy("symbol", "minute_window")
+                .agg(
+                    F.min_by(F.col("open_ts"), okey).alias("open_ts"),
+                    F.min_by(F.col("open_eid"), okey).alias("open_eid"),
+                    F.min_by(F.col("open_v"), okey).alias("open_v"),
+                    F.max("high_v").alias("high_v"),
+                    F.min("low_v").alias("low_v"),
+                    F.max_by(F.col("close_ts"), ckey).alias("close_ts"),
+                    F.max_by(F.col("close_eid"), ckey).alias("close_eid"),
+                    F.max_by(F.col("close_v"), ckey).alias("close_v"),
+                    F.sum("sum_v").alias("sum_v"),
+                    F.sum("n_trades").alias("n_trades"),
+                )
+            )
+        else:
+            merged = part
+        versioned.idempotent_commit(
+            merged, table_dir, app_id="rtfl_streaming_ohlc", batch_id=batch_id
+        )
+
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark) as ss:
+        stream = (
+            ss.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if not versioned.table_versions(table_dir):
+        return spark.createDataFrame(
+            [],
+            "symbol string, minute_window timestamp, open_price double,"
+            " high_price double, low_price double, close_price double,"
+            " total_value double, n_trades bigint",
+        )
+    state = versioned.read_version(spark, table_dir)
+    return state.select(
+        "symbol",
+        "minute_window",
+        F.col("open_v").alias("open_price"),
+        qround(F.col("high_v"), 6).alias("high_price"),
+        qround(F.col("low_v"), 6).alias("low_price"),
+        F.col("close_v").alias("close_price"),
+        qround(F.col("sum_v"), 6).alias("total_value"),
+        "n_trades",
+    ).orderBy("minute_window", "symbol")
