@@ -919,3 +919,71 @@ def dedup_cluster_histogram(
         )
         .orderBy("cluster_size")
     )
+
+
+def lsh_banding_efficiency(
+    documents: DataFrame, k: int = 8, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """LSH banding parameter sweep WITHOUT pair materialization: for
+    every (bands, rows-per-band) factorization of the ``k``-permutation
+    MinHash signature, report bucket counts, hot buckets (the ones the
+    ladder's ``max_bucket`` cap would drop) and the candidate-pair
+    workload sum(s*(s-1)/2) over kept buckets -- the S-curve
+    cost/recall trade a curator reads to pick the production banding
+    before running any expensive pair expansion.
+
+    Scale: the signature projection runs ONCE (eager localCheckpoint,
+    reused by all configs); per config the only shuffle is the
+    (band_id, band_hash) groupBy, and the sweep's outputs come from the
+    bucket-size HISTOGRAM alone -- estimating quadratic pair workload
+    in linear time is the whole point.  All outputs are exact integers
+    (integer sums in double are exact below 2^53) except the mean
+    bucket size, a ratio of exact integers."""
+    from ..functions.numeric import qround
+
+    sigs = minhash_signatures(documents, k=k).localCheckpoint(eager=True)
+    frames = []
+    b = 1
+    while b <= k:
+        rows = k // b
+        band_cols = []
+        for band in range(b):
+            parts = [
+                F.col(f"mh_{band * rows + r}").cast("string")
+                for r in range(rows)
+            ]
+            band_cols.append(
+                F.struct(
+                    F.lit(band).alias("band_id"),
+                    F.md5(F.concat_ws(",", *parts)).alias("band_hash"),
+                )
+            )
+        banded = sigs.select(
+            F.explode(F.array(*band_cols)).alias("band")
+        ).select("band.band_id", "band.band_hash")
+        sizes = banded.groupBy("band_id", "band_hash").agg(
+            F.count(F.lit(1)).alias("s")
+        )
+        pair_est = F.when(
+            F.col("s") <= max_bucket,
+            (F.col("s") * (F.col("s") - 1) / 2).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        frames.append(
+            sizes.agg(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(rows).cast("long").alias("rows_per_band"),
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.sum((F.col("s") > max_bucket).cast("long")).alias(
+                    "n_hot_buckets"
+                ),
+                F.sum(pair_est).alias("est_candidate_pairs"),
+                qround(
+                    F.sum("s").cast("double") / F.count(F.lit(1)), 4
+                ).alias("avg_bucket_size"),
+            )
+        )
+        b *= 2
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("bands")

@@ -3994,3 +3994,126 @@ def historical_var_cvar(events: DataFrame) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+def return_moments_profile(events: DataFrame) -> DataFrame:
+    """Higher-moment profile of daily log returns per symbol: skewness,
+    excess kurtosis, and the Jarque-Bera normality statistic
+    n * (S^2/6 + K^2/24) -- the distribution-shape card a risk model
+    reads before assuming Gaussian anything (fat tails inflate VaR,
+    negative skew breaks vol targeting).
+
+    Central moments are computed in two explicit phases -- a quantized
+    per-symbol mean broadcast back onto the return frame, then quantized
+    averages of (r - mean)^k -- NOT from raw-moment expansions (E[x^4] -
+    4E[x^3]E[x] + ... is the catastrophic-cancellation shape the
+    VERIFICATION.md float audit bans).
+
+    Scale: day-granularity rollup, one symbol-cardinality broadcast
+    join, one partial-aggregable moment pass.  Determinism: returns and
+    the mean are quantized at 12 dp, so every central-moment input is
+    an identical double on both engines; skew/kurtosis are bounded
+    ratios of quantized moments; JB composes from the already-quantized
+    outputs."""
+    src = events.filter(F.col("value") > 0)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    dclose = src.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    prev = F.lag("c").over(w)
+    rets = dclose.select(
+        "symbol",
+        F.when(prev.isNotNull(), qround(F.log(F.col("c") / prev), 12)).alias(
+            "lr"
+        ),
+    ).filter(F.col("lr").isNotNull())
+    means = rets.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        qround(F.avg("lr"), 12).alias("mean_q"),
+    ).filter(F.col("n_days") >= 10)
+    d = F.col("lr") - F.col("mean_q")
+    moments = (
+        rets.join(F.broadcast(means), "symbol")
+        .groupBy("symbol")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.max("mean_q").alias("mean_q"),
+            qround(F.avg(d * d), 12).alias("m2"),
+            qround(F.avg(d * d * d), 12).alias("m3"),
+            qround(F.avg(d * d * d * d), 12).alias("m4"),
+        )
+    )
+    skew = F.when(
+        F.col("m2") > 0,
+        qround(F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2"))), 6),
+    )
+    exk = F.when(
+        F.col("m2") > 0,
+        qround(F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0), 6),
+    )
+    out = moments.select(
+        "symbol",
+        "n_days",
+        qround(F.col("mean_q"), 6).alias("mean_daily_ret"),
+        skew.alias("skewness"),
+        exk.alias("excess_kurtosis"),
+    )
+    jb = F.when(
+        F.col("skewness").isNotNull() & F.col("excess_kurtosis").isNotNull(),
+        qround(
+            F.col("n_days")
+            * (
+                F.col("skewness") * F.col("skewness") / F.lit(6.0)
+                + F.col("excess_kurtosis")
+                * F.col("excess_kurtosis")
+                / F.lit(24.0)
+            ),
+            4,
+        ),
+    )
+    return out.withColumn("jarque_bera", jb).orderBy("symbol")
+
+
+def cross_sectional_momentum(events: DataFrame, lookback: int = 5) -> DataFrame:
+    """Cross-sectional momentum backtest card: each day, rank symbols by
+    their trailing ``lookback``-day return and sort them into terciles;
+    report each tercile's mean NEXT-day return and hit rate -- the
+    winner-minus-loser readout that decides whether momentum or
+    reversal dominates this universe at the daily horizon.
+
+    Scale: day-granularity rollup; the trailing and forward returns are
+    per-symbol lag/lead windows, the tercile is an ntile over the DAY
+    partition (cross-sectional fan-in = symbol universe cardinality,
+    never row counts), and the final aggregate is 3 rows.  Determinism:
+    returns divide exact close selections; ntile ordering tie-breaks on
+    symbol; tercile means quantize last."""
+    src = events.filter(F.col("value") > 0)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    dclose = src.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    lagn = F.lag("c", lookback).over(w)
+    nxt = F.lead("c").over(w)
+    framed = dclose.select(
+        "symbol",
+        "day",
+        F.when(lagn != 0, F.col("c") / lagn - 1.0).alias("mom"),
+        F.when(F.col("c") != 0, nxt / F.col("c") - 1.0).alias("fwd"),
+    ).filter(F.col("mom").isNotNull() & F.col("fwd").isNotNull())
+    wd = Window.partitionBy("day").orderBy(F.col("mom").desc(), "symbol")
+    terciled = framed.withColumn("tercile", F.ntile(3).over(wd))
+    return (
+        terciled.groupBy("tercile")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            qround(F.avg("fwd"), 6).alias("avg_fwd_ret"),
+            qround(
+                F.sum((F.col("fwd") > 0).cast("long")) / F.count(F.lit(1)), 4
+            ).alias("hit_rate"),
+        )
+        .orderBy("tercile")
+    )

@@ -8028,6 +8028,71 @@ def q_streaming_minute_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_minute_ohlc(spark, sf_dir)
 
 
+@register(
+    "return_moments_profile",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    rets AS (
+        SELECT symbol,
+               {_q('ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))', 12)} AS lr
+        FROM dclose
+    ),
+    r2 AS (SELECT symbol, lr FROM rets WHERE lr IS NOT NULL),
+    means AS (
+        SELECT symbol, count(*)::BIGINT AS n_days, {_q('avg(lr)', 12)} AS mean_q
+        FROM r2 GROUP BY 1 HAVING count(*) >= 10
+    ),
+    mom AS (
+        SELECT r.symbol, max(m.n_days) AS n_days, max(m.mean_q) AS mean_q,
+               {_q('avg((r.lr - m.mean_q) * (r.lr - m.mean_q))', 12)} AS m2,
+               {_q('avg((r.lr - m.mean_q) * (r.lr - m.mean_q) * (r.lr - m.mean_q))', 12)} AS m3,
+               {_q('avg((r.lr - m.mean_q) * (r.lr - m.mean_q) * (r.lr - m.mean_q) * (r.lr - m.mean_q))', 12)} AS m4
+        FROM r2 r JOIN means m USING (symbol) GROUP BY 1
+    ),
+    shaped AS (
+        SELECT symbol, n_days, {_q('mean_q', 6)} AS mean_daily_ret,
+               CASE WHEN m2 > 0 THEN {_q('m3 / (m2 * sqrt(m2))', 6)} END AS skewness,
+               CASE WHEN m2 > 0 THEN {_q('m4 / (m2 * m2) - 3.0', 6)} END AS excess_kurtosis
+        FROM mom
+    )
+    SELECT symbol, n_days, mean_daily_ret, skewness, excess_kurtosis,
+           CASE WHEN skewness IS NOT NULL AND excess_kurtosis IS NOT NULL
+                THEN {_q('n_days * (skewness * skewness / 6.0 + excess_kurtosis * excess_kurtosis / 24.0)', 4)}
+           END AS jarque_bera
+    FROM shaped ORDER BY 1
+    """,
+)
+def q_return_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.return_moments_profile(_events(spark, sf_dir))
+
+
+@register(
+    "cross_sectional_momentum",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    f AS (
+        SELECT symbol, day,
+               CASE WHEN lag(c, 5) OVER w != 0
+                    THEN c / lag(c, 5) OVER w - 1.0 END AS mom,
+               CASE WHEN c != 0 THEN lead(c) OVER w / c - 1.0 END AS fwd
+        FROM dclose WINDOW w AS (PARTITION BY symbol ORDER BY day)
+    ),
+    g AS (SELECT * FROM f WHERE mom IS NOT NULL AND fwd IS NOT NULL),
+    t AS (
+        SELECT fwd,
+               ntile(3) OVER (PARTITION BY day ORDER BY mom DESC, symbol) AS tercile
+        FROM g
+    )
+    SELECT tercile::BIGINT AS tercile, count(*)::BIGINT AS n_obs,
+           {_q('avg(fwd)', 6)} AS avg_fwd_ret,
+           {_q('sum(CASE WHEN fwd > 0 THEN 1 ELSE 0 END) / count(*)', 4)} AS hit_rate
+    FROM t GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_cross_sectional_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.cross_sectional_momentum(_events(spark, sf_dir))
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

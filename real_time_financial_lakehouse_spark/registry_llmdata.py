@@ -3261,3 +3261,50 @@ def q_pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.shard_skew_report(_docs(spark, sf_dir), n_shards=16)
+
+
+def _banding_eff_sql(k: int = _K, max_bucket: int = MAX_BUCKET) -> str:
+    """Oracle twin of dedup.lsh_banding_efficiency: one bucket-size
+    histogram per (bands, rows) factorization over the SAME signature
+    SQL, candidate workload summed as C(s, 2) over kept buckets."""
+    blocks = []
+    b = 1
+    while b <= k:
+        rows = k // b
+        cases = " ".join(
+            "WHEN {band} THEN md5(concat_ws(',', {parts}))".format(
+                band=band,
+                parts=", ".join(
+                    f"mh_{band * rows + r}::VARCHAR" for r in range(rows)
+                ),
+            )
+            for band in range(b)
+        )
+        blocks.append(
+            f"""
+    SELECT {b}::BIGINT AS bands, {rows}::BIGINT AS rows_per_band,
+           count(*)::BIGINT AS n_buckets,
+           sum(CASE WHEN s > {max_bucket} THEN 1 ELSE 0 END)::BIGINT AS n_hot_buckets,
+           sum(CASE WHEN s <= {max_bucket}
+                    THEN CAST(s * (s - 1) / 2 AS BIGINT) ELSE 0 END)::BIGINT
+               AS est_candidate_pairs,
+           {qround_sql('sum(s)::DOUBLE / count(*)', 4)} AS avg_bucket_size
+    FROM (
+        SELECT band_id, band_hash, count(*) AS s
+        FROM (
+            SELECT j AS band_id, CASE j {cases} END AS band_hash
+            FROM sigs, (SELECT unnest(generate_series(0, {b - 1})) AS j) js
+        ) GROUP BY 1, 2
+    )"""
+        )
+        b *= 2
+    return (
+        f"WITH sigs AS (SELECT doc_id,\n           {_MH_COLS_SQL}\n    FROM documents)\n"
+        + "\n    UNION ALL\n".join(blocks)
+        + "\n    ORDER BY 1"
+    )
+
+
+@register("lsh_banding_efficiency", _banding_eff_sql())
+def q_lsh_banding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_banding_efficiency(_docs(spark, sf_dir), k=_K)

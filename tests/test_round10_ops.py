@@ -428,3 +428,132 @@ def test_streaming_minute_ohlc_equals_batch(spark):
         assert s["low_price"] == b["low_price"]
         assert s["n_trades"] == b["n_trades"]
         assert s["total_value"] == pytest.approx(b["total_value"], abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# return_moments_profile
+# ---------------------------------------------------------------------------
+
+
+def test_moments_symmetric_tape_zero_skew(spark):
+    # closes alternate up/down by the same log step => lr alternates +/-a,
+    # mean ~ 0, odd central moment ~ 0 => skewness 0; kurtosis of a
+    # two-point symmetric distribution is 1 => excess -2
+    closes = [100.0, 110.0] * 10 + [100.0]  # 20 returns, 10 up / 10 down
+    ev = _tick_frame(spark, closes)
+    row = finance.return_moments_profile(ev).collect()[0]
+    assert row["skewness"] == pytest.approx(0.0, abs=1e-6)
+    assert row["excess_kurtosis"] == pytest.approx(-2.0, abs=1e-6)
+    assert row["jarque_bera"] == pytest.approx(
+        _qr(row["n_days"] * (4.0 / 24.0), 4), abs=1e-4
+    )
+
+
+def test_moments_match_numpy_on_fixture(spark):
+    import numpy as np
+
+    rows = finance.return_moments_profile(_events(spark)).collect()
+    assert rows
+    pdf = (
+        _events(spark)
+        .toPandas()
+        .query("value > 0")
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    pdf["day"] = pdf["ts"].dt.floor("D")
+    for r in rows:
+        closes = (
+            pdf[pdf.event_type == r["symbol"]]
+            .groupby("day")["value"]
+            .last()
+            .sort_index()
+        )
+        lr = np.array([_qr(x, 12) for x in np.diff(np.log(closes.values))])
+        mean_q = _qr(float(lr.mean()), 12)
+        d = lr - mean_q
+        m2 = _qr(float((d * d).mean()), 12)
+        m3 = _qr(float((d * d * d).mean()), 12)
+        m4 = _qr(float((d * d * d * d).mean()), 12)
+        assert r["skewness"] == pytest.approx(
+            _qr(m3 / (m2 * math.sqrt(m2)), 6), abs=2e-6
+        )
+        assert r["excess_kurtosis"] == pytest.approx(
+            _qr(m4 / (m2 * m2) - 3.0, 6), abs=2e-6
+        )
+
+
+# ---------------------------------------------------------------------------
+# cross_sectional_momentum
+# ---------------------------------------------------------------------------
+
+
+def test_momentum_planted_winner_loser(spark):
+    import itertools
+
+    rows = []
+    eid = itertools.count(1)
+    for i in range(12):
+        day = dt.datetime(2024, 1, 1, 12) + dt.timedelta(days=i)
+        for sym, mult in (("up", 1.05), ("flat", 1.0), ("down", 0.95)):
+            rows.append(
+                (next(eid), day, 1, sym, 100.0 * mult**i, '{"k": "1.0"}')
+            )
+    ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out = {r["tercile"]: r for r in finance.cross_sectional_momentum(ev).collect()}
+    assert set(out) == {1, 2, 3}
+    # the winner tercile keeps winning (+5%/day), the loser keeps losing
+    assert out[1]["avg_fwd_ret"] == pytest.approx(0.05, abs=1e-6)
+    assert out[3]["avg_fwd_ret"] == pytest.approx(-0.05, abs=1e-6)
+    assert out[1]["hit_rate"] == 1.0 and out[3]["hit_rate"] == 0.0
+
+
+def test_momentum_obs_partition_on_fixture(spark):
+    rows = finance.cross_sectional_momentum(_events(spark)).collect()
+    assert rows and {r["tercile"] for r in rows} <= {1, 2, 3}
+    for r in rows:
+        assert 0.0 <= r["hit_rate"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# lsh_banding_efficiency
+# ---------------------------------------------------------------------------
+
+
+def test_banding_efficiency_planted_identical_pair(spark):
+    from real_time_financial_lakehouse_spark.operators.dedup import (
+        lsh_banding_efficiency,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+            (2, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+            (3, "completely unrelated text about spark plans here", "en", "s", 48),
+        ],
+        DOC_SCHEMA,
+    )
+    rows = {r["bands"]: r for r in lsh_banding_efficiency(docs).collect()}
+    assert set(rows) == {1, 2, 4, 8}
+    for b, r in rows.items():
+        assert r["rows_per_band"] == 8 // b
+        # the identical pair collides in EVERY band of every config
+        assert r["est_candidate_pairs"] >= b
+        assert r["n_buckets"] <= 3 * b
+        assert r["n_hot_buckets"] == 0
+
+
+def test_banding_efficiency_bounds_real_ladder(spark):
+    from real_time_financial_lakehouse_spark.operators.dedup import (
+        lsh_banding_efficiency,
+        lsh_candidate_pairs,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = {r["bands"]: r for r in lsh_banding_efficiency(docs).collect()}
+    # the production config's histogram estimate upper-bounds the
+    # DISTINCT pair count the real ladder materializes (multiplicity
+    # across bands only inflates the estimate)
+    actual = lsh_candidate_pairs(docs).count()
+    assert rows[4]["est_candidate_pairs"] >= actual
+    for r in rows.values():
+        assert r["avg_bucket_size"] >= 1.0
