@@ -3620,43 +3620,6 @@ def _daily_close_dv(events: DataFrame) -> DataFrame:
     )
 
 
-def amihud_illiquidity(events: DataFrame) -> DataFrame:
-    """Amihud (2002) illiquidity per symbol: the mean over days of
-    |daily return| / daily dollar volume, scaled by 1e6 -- the standard
-    price-impact-per-dollar proxy a desk ranks venues and names by when
-    order-book depth is not observable.
-
-    Scale: one day-granularity rollup (partial agg), one lag window at
-    |symbol x day| cardinality, one symbol-cardinality aggregate.
-    Determinism: the dollar-volume float sum is quantized at 6 dp at
-    the aggregate boundary (absolute noise ~1e-10 at fixture
-    magnitudes, orders below the grid); the return comes from exact
-    close selections; the day ratio is bounded-derivative in both
-    arguments, so the final mean is composed from identical doubles on
-    both engines."""
-    daily = _daily_close_dv(events).select(
-        "symbol", "day", "c", qround(F.col("dv_raw"), 6).alias("dv")
-    )
-    w = Window.partitionBy("symbol").orderBy("day")
-    prev = F.lag("c").over(w)
-    framed = daily.select(
-        "symbol",
-        "dv",
-        F.when(prev != 0, F.col("c") / prev - 1.0).alias("r"),
-    ).filter(F.col("r").isNotNull() & (F.col("dv") > 0))
-    return (
-        framed.groupBy("symbol")
-        .agg(
-            F.count(F.lit(1)).alias("n_days"),
-            qround(F.avg(F.abs(F.col("r")) / F.col("dv") * F.lit(1e6)), 6).alias(
-                "amihud_x1e6"
-            ),
-            qround(F.avg("dv"), 2).alias("avg_daily_dv"),
-        )
-        .orderBy("symbol")
-    )
-
-
 def bipower_variation_jumps(events: DataFrame) -> DataFrame:
     """Jump decomposition of realized variance per symbol
     (Barndorff-Nielsen & Shephard 2004): per (symbol, day) over
@@ -3942,12 +3905,15 @@ def drawdown_episodes(events: DataFrame) -> DataFrame:
 
 def historical_var_cvar(events: DataFrame) -> DataFrame:
     """Historical 95% VaR and CVaR (expected shortfall) per symbol on
-    daily log returns: VaR is the exact 5th-percentile return
-    (interpolated), CVaR the mean of the returns at or below it -- the
-    tail-risk pair every risk report leads with.  The exact percentile
-    is the small-sf referee; at 100 TB swap ``percentile_approx``
-    (mergeable KLL sketch, same query shape, the
-    ``value_percentiles_approx`` precedent).
+    daily LOG returns under the INTERPOLATED-quantile estimator: VaR is
+    the exact linear-interpolation 5th percentile, CVaR the mean of the
+    returns at or below it.  Sibling of ``var_cvar_report`` (simple
+    returns, k-th-worst ORDER-STATISTIC definition): the two estimators
+    bracket the methodology choices real risk systems argue about, and
+    only this one has a sketch migration path -- at 100 TB swap
+    ``percentile_approx`` (mergeable KLL, same query shape, the
+    ``value_percentiles_approx`` precedent), which approximates the
+    interpolated quantile, not the order statistic.
 
     Scale: day-granularity rollup, one symbol-cardinality percentile
     aggregate broadcast back onto the |symbol x day| return frame for

@@ -54,6 +54,14 @@ ORACLE_SQL: dict[str, str] = {}
 
 def register(name: str, sql: str | None = None):
     def deco(fn):
+        # A duplicate registration silently REPLACES a (possibly
+        # driver-verified) query with different semantics -- the
+        # round-10 amihud_illiquidity collision.  Fail loudly instead.
+        if name in QUERIES:
+            raise ValueError(
+                f"query {name!r} is already registered -- pick a new name "
+                "or remove the old registration explicitly"
+            )
         QUERIES[name] = fn
         if sql is not None:
             ORACLE_SQL[name] = sql
@@ -7764,40 +7772,6 @@ dclose AS (
     GROUP BY 1, 2
 )
 """
-
-
-@register(
-    "amihud_illiquidity",
-    f"""
-    WITH src AS (SELECT * FROM events WHERE value > 0),
-    daily AS (
-        SELECT event_type AS symbol, date_trunc('day', ts) AS day,
-               max(CASE WHEN rn_d = 1 THEN value END) AS c,
-               {_q("sum(value * (json_extract_string(props, '$.k'))::DOUBLE)", 6)} AS dv
-        FROM (
-            SELECT event_type, ts, value, props,
-                   row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
-                                      ORDER BY ts DESC, event_id DESC) AS rn_d
-            FROM src
-        )
-        GROUP BY 1, 2
-    ),
-    rets AS (
-        SELECT symbol, dv,
-               CASE WHEN lag(c) OVER (PARTITION BY symbol ORDER BY day) != 0
-                    THEN c / lag(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0
-               END AS r
-        FROM daily
-    )
-    SELECT symbol, count(*)::BIGINT AS n_days,
-           {_q('avg(abs(r) / dv * 1000000.0)', 6)} AS amihud_x1e6,
-           {_q('avg(dv)', 2)} AS avg_daily_dv
-    FROM rets WHERE r IS NOT NULL AND dv > 0
-    GROUP BY 1 ORDER BY 1
-    """,
-)
-def q_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return finance.amihud_illiquidity(_events(spark, sf_dir))
 
 
 @register(

@@ -82,6 +82,7 @@ def test_amihud_planted_two_days(spark):
     assert row["amihud_x1e6"] == pytest.approx(
         _qr(abs(0.1) / 110.0 * 1e6), abs=1e-6
     )
+    assert row["avg_dollar_volume"] == pytest.approx(110.0, abs=1e-2)
 
 
 def test_amihud_matches_numpy_on_fixture(spark):
@@ -90,26 +91,19 @@ def test_amihud_matches_numpy_on_fixture(spark):
 
     rows = finance.amihud_illiquidity(_events(spark)).collect()
     assert rows
-    pdf = (
-        _events(spark)
-        .toPandas()
-        .query("value > 0")
-        .sort_values(["event_type", "ts", "event_id"])
-    )
+    # the original operator takes ALL ticks (no positivity filter)
+    pdf = _events(spark).toPandas().sort_values(["event_type", "ts", "event_id"])
     pdf["day"] = pdf["ts"].dt.floor("D")
     pdf["qty"] = pd.to_numeric(
         pdf["props"].str.extract(r'"k":\s*"?([0-9.eE+-]+)"?')[0], errors="coerce"
     )
     sym = rows[0]["symbol"]
     g = pdf[pdf.event_type == sym]
-    daily = g.groupby("day").agg(
-        c=("value", "last"), dv=("value", lambda s: np.nan)
-    )
-    dv = g.assign(d=g.value * g.qty).groupby("day")["d"].sum(min_count=1)
-    daily["dv"] = [_qr(x, 6) if not math.isnan(x) else math.nan for x in dv]
+    daily = g.groupby("day").agg(c=("value", "last"))
+    daily["dv"] = g.assign(d=g.value * g.qty).groupby("day")["d"].sum(min_count=1)
     r = daily["c"].pct_change()
     ok = (~r.isna()) & (daily["dv"] > 0)
-    expect = _qr((r[ok].abs() / daily["dv"][ok] * 1e6).mean(), 6)
+    expect = _qr((r[ok].abs() / daily["dv"][ok]).mean() * 1e6, 6)
     assert rows[0]["amihud_x1e6"] == pytest.approx(expect, abs=2e-6)
 
 
