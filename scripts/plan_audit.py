@@ -47,6 +47,7 @@ _EXECUTES_ON_BUILD = (
     "fuzzy_dedup_keep", "semantic_dedup_keep", "minhash_jaccard_estimate",
     "incremental_dedup", "bloom_incremental_dedup", "dedup_funnel",
     "user_zscores", "pack_sequences", "file_skipping_report",
+    "lsh_banding_efficiency",  # eager signature checkpoint shared by configs
 )
 
 # the one named slow-path twin allowed to cross the Python boundary

@@ -955,3 +955,56 @@ def test_profiling_round9_queries_stay_bounded(spark):
     assert "BatchEvalPython" not in plan2
     assert "CartesianProduct" not in plan2
     assert plan2.count("Exchange") <= 3
+
+
+def test_round10_queries_stay_bounded(spark):
+    """Round-10 additions: the daily-close rollup family (bipower,
+    variance ratio, moments, momentum, drawdowns, seasonality) stays
+    window+groupBy shaped -- no Python stage, no cartesian; the VaR
+    tail cut joins a broadcast symbol-cardinality threshold frame."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    for fn in (
+        finance.bipower_variation_jumps,
+        finance.variance_ratio,
+        finance.intraday_seasonality,
+        finance.drawdown_episodes,
+        finance.return_moments_profile,
+        finance.cross_sectional_momentum,
+    ):
+        plan = _plan(fn(ev))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
+    var_plan = _plan(finance.historical_var_cvar(ev))
+    assert "CartesianProduct" not in var_plan
+    assert "BroadcastHashJoin" in var_plan or "BroadcastExchange" in var_plan
+
+
+def test_round10_governance_queries_stay_bounded(spark):
+    """ngram_novelty's anti-join must shuffle vocab-cardinality distinct
+    sides (never the token stream) with no cartesian; l-diversity, PII
+    density and shard skew are pure groupBy ladders with no Python."""
+    from real_time_financial_lakehouse_spark.operators import pipeline, text
+    from real_time_financial_lakehouse_spark.operators.profiling import (
+        l_diversity_report,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    ev = load_table(spark, SF_SMOKE, "events")
+    nov = _plan(text.ngram_novelty_rate(docs))
+    assert "CartesianProduct" not in nov
+    assert "BatchEvalPython" not in nov
+    assert "LeftAnti" in nov
+    assert "HashAggregate" in nov  # the distinct collapse before the join
+    for df in (
+        pipeline.pii_density_by_source(docs),
+        l_diversity_report(ev),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+    skew = _plan(pipeline.shard_skew_report(docs))
+    # the one cross join is the broadcast of the 1-row totals frame
+    assert "BroadcastNestedLoopJoin" in skew or "BroadcastExchange" in skew
+    assert "BatchEvalPython" not in skew
