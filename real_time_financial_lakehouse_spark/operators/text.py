@@ -1396,26 +1396,33 @@ def ngram_novelty_rate(
     readout that tells a pretraining curator whether a holdout actually
     exercises unseen text or just re-samples the training distribution
     (novelty near 0 = memorization-friendly eval; near 1 = distribution
-    shift).
+    shift).  Distinct from ``ngram_novelty`` (per-document originality:
+    the fraction of a doc's shingles with corpus df = 1) -- this one is
+    a SPLIT property, that one a document property.
 
-    Scale: the shingling projection runs once; distinct (lang, 60-bit
-    shingle hash, split) collapses to vocabulary cardinality BEFORE the
-    anti-join, so the join shuffles vocab-sized sides, never the token
-    stream.  All counts are exact integers; the rate is a ratio of
-    exact integers."""
+    Scale: the shingling projection runs once; shingles are md5-hashed
+    to 60-bit longs INSIDE the array and per-doc-deduped
+    (array_distinct) BEFORE the explode, so the explode emits 8-byte
+    longs instead of shingle strings and the global distinct starts
+    from within-doc-unique rows; distinct (lang, hash, split) then
+    collapses to vocabulary cardinality BEFORE the anti-join, so the
+    join shuffles vocab-sized sides, never the token stream.  All
+    counts are exact integers; the rate is a ratio of exact
+    integers."""
     from ..functions.hashing import md5_long, shingles_expr
     from ..functions.numeric import qround
 
-    sh = F.expr(shingles_expr("coalesce(text, '')", shingle_n))
+    hs = F.expr(
+        "array_distinct(transform("
+        + shingles_expr("coalesce(text, '')", shingle_n)
+        + ", s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)))"
+    )
     holdout = (
         md5_long(F.concat_ws(":", F.lit("nov"), F.col("doc_id"))) % holdout_mod
         == 0
     )
-    base = documents.select(
-        "lang", holdout.alias("is_holdout"), F.explode(sh).alias("s")
-    )
-    hashed = base.select(
-        "lang", "is_holdout", md5_long(F.col("s")).alias("h")
+    hashed = documents.select(
+        "lang", holdout.alias("is_holdout"), F.explode(hs).alias("h")
     ).distinct()
     train = hashed.filter(~F.col("is_holdout")).select("lang", "h")
     test = hashed.filter(F.col("is_holdout")).select("lang", "h")
