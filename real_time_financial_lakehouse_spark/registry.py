@@ -3033,18 +3033,19 @@ _DRIVER_VERIFIED_R9 = list(_ROUND9_FRONT)
 # verified union reaches 315/315 -- every query registered before
 # round 10 driver-checked at least once.
 #
-# ROUND-11 QUEUE (per the age policy, do not activate early): the 13
+# ROUND-11 QUEUE (per the age policy, do not activate early): the 15
 # round-10 in-round additions first (bipower_variation_jumps,
 # variance_ratio, intraday_seasonality, drawdown_episodes,
 # historical_var_cvar, ngram_novelty_rate, l_diversity_report,
 # pii_density_by_source, shard_skew_report, streaming_minute_ohlc,
 # return_moments_profile, cross_sectional_momentum,
-# lsh_banding_efficiency -- all dual-sf parity-verified and
+# lsh_banding_efficiency, implied_vol_newton, streaming_kmv_distinct --
+# all dual-sf parity-verified and
 # 20x-flake-shaken at creation), then the r3-vintage remainder in
 # _DRIVER_VERIFIED_R3 order (pack_sequences, mixture_sample,
 # cluster_assign, user_zscores, nation_activity, cube_totals,
 # grouping_sets_activity, merge_upsert, value_band_summary, ...)
-# filling the remaining 37 slots.
+# filling the remaining 35 slots.
 _ROUND10_FRONT = [
     # never driver-checked round-9 additions (flake-shaken 20x dual-sf)
     "corwin_schultz_spread", "triple_barrier_labels", "sortino_ratio",
@@ -8071,6 +8072,97 @@ def q_return_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cross_sectional_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.cross_sectional_momentum(_events(spark, sf_dir))
+
+
+def _implied_vol_oracle_sql(n_iter: int = 12) -> str:
+    from .functions.hashing import md5_long_sql
+    from .operators.finance import _iv_price_sql, _iv_step_sql
+
+    rate, t_years = 0.02, 30.0 / 365.0
+    iters = ",\n    ".join(
+        f"i{j} AS (SELECT *, {_iv_step_sql(f's{j - 1}', 'target_px', rate, t_years)}"
+        f" AS s{j} FROM " + ("seeded" if j == 1 else f"i{j - 1}") + ")"
+        for j in range(1, n_iter + 1)
+    )
+    return f"""
+    WITH src AS (SELECT * FROM events WHERE value > 0),
+    per_sym AS (
+        SELECT event_type AS symbol,
+               max(CASE WHEN rn = 1 THEN value END) AS spot
+        FROM (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM src
+        )
+        GROUP BY 1
+    ),
+    quoted0 AS (
+        SELECT symbol, spot, floor(spot + 0.5)::DOUBLE AS strike,
+               {_q(f"0.15 + (({md5_long_sql('symbol')}) % 8)::DOUBLE * 0.05", 6)}
+                   AS sigma_true
+        FROM per_sym WHERE spot > 0
+    ),
+    quoted AS (
+        SELECT symbol, spot, strike, sigma_true,
+               {_q(_iv_price_sql('sigma_true', rate, t_years), 6)} AS target_px
+        FROM quoted0
+    ),
+    seeded AS (SELECT *, 0.5 AS s0 FROM quoted WHERE target_px > 0),
+    {iters},
+    final AS (
+        SELECT *, {_iv_price_sql(f's{n_iter}', rate, t_years)} AS repriced
+        FROM i{n_iter}
+    )
+    SELECT symbol, target_px, sigma_true,
+           {_q(f's{n_iter}', 6)} AS implied_vol,
+           {_q(f'abs(s{n_iter} - sigma_true)', 6)} AS abs_vol_err,
+           {_q('abs(repriced - target_px)', 6)} AS reprice_err,
+           abs(repriced - target_px) < 1e-4 AS converged
+    FROM final
+    ORDER BY symbol
+    """
+
+
+@register("implied_vol_newton", _implied_vol_oracle_sql())
+def q_implied_vol_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.implied_vol_newton(_events(spark, sf_dir))
+
+
+# Streaming KMV twin: bottom-k commutes with batching, so the drained
+# sketch equals the one-pass batch sketch bit-for-bit -- exact batch SQL
+# oracle over the same md5 user hashes.
+from .functions.hashing import md5_long_sql as _md5_sql  # noqa: E402
+
+
+@register(
+    "streaming_kmv_distinct",
+    f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type AS grp,
+               {_md5_sql("user_id::VARCHAR")} AS h
+        FROM events
+    ),
+    bottom AS (
+        SELECT grp, h,
+               row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM hashed
+    ),
+    sketch AS (
+        SELECT grp, count(*) AS n_kept, max(h) AS h_k
+        FROM bottom WHERE rn <= 32 GROUP BY grp
+    )
+    SELECT grp AS event_type, n_kept::BIGINT AS n_kept,
+           {_q("CASE WHEN n_kept < 32 THEN n_kept::DOUBLE ELSE 31.0 * 1152921504606846976.0 / h_k END", 4)}
+               AS kmv_estimate
+    FROM sketch
+    ORDER BY 1
+    """,
+)
+def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.silver import streaming_kmv_distinct
+
+    return streaming_kmv_distinct(spark, sf_dir)
 
 
 # All registrations (including registry_llmdata's and the late blocks

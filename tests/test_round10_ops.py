@@ -551,3 +551,76 @@ def test_banding_efficiency_bounds_real_ladder(spark):
     assert rows[4]["est_candidate_pairs"] >= actual
     for r in rows.values():
         assert r["avg_bucket_size"] >= 1.0
+
+
+# ---------------------------------------------------------------------------
+# implied_vol_newton
+# ---------------------------------------------------------------------------
+
+
+def test_implied_vol_recovers_planted_sigma(spark):
+    rows = finance.implied_vol_newton(_events(spark)).collect()
+    assert rows
+    for r in rows:
+        assert r["converged"] is True, r
+        assert r["abs_vol_err"] == 0.0, r
+        assert r["reprice_err"] == 0.0, r
+        assert 0.15 <= r["sigma_true"] <= 0.5
+
+
+def test_implied_vol_quote_matches_erf_pricer(spark):
+    # independent referee: exact-normal (math.erf) Black-Scholes at the
+    # planted vol must match the A-S-polynomial quote to the polynomial's
+    # published 7.5e-8 CDF error (price error ~ spot * 1.5e-7)
+    rows = finance.implied_vol_newton(_events(spark)).collect()
+    pdf = (
+        _events(spark)
+        .toPandas()
+        .query("value > 0")
+        .sort_values(["ts", "event_id"])
+    )
+    rate, t = 0.02, 30.0 / 365.0
+    for r in rows:
+        g = pdf[pdf.event_type == r["symbol"]]
+        spot = float(g.iloc[-1]["value"])
+        strike = math.floor(spot + 0.5)
+        sig = r["sigma_true"]
+        d1 = (math.log(spot / strike) + (rate + sig * sig / 2) * t) / (
+            sig * math.sqrt(t)
+        )
+        d2 = d1 - sig * math.sqrt(t)
+        nd = lambda x: 0.5 * (1 + math.erf(x / math.sqrt(2)))  # noqa: E731
+        px = spot * nd(d1) - strike * math.exp(-rate * t) * nd(d2)
+        assert r["target_px"] == pytest.approx(px, abs=max(1e-5, spot * 5e-7))
+
+
+# ---------------------------------------------------------------------------
+# streaming_kmv_distinct
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_kmv_equals_python_bottom_k(spark):
+    from real_time_financial_lakehouse_spark.streaming.silver import (
+        streaming_kmv_distinct,
+    )
+
+    rows = {
+        r["event_type"]: r
+        for r in streaming_kmv_distinct(spark, SF_SMOKE).collect()
+    }
+    pdf = _events(spark).toPandas()
+    for grp, g in pdf.groupby("event_type"):
+        hs = sorted(
+            {
+                int(hashlib.md5(str(int(u)).encode()).hexdigest()[:15], 16)
+                for u in g["user_id"]
+            }
+        )
+        kept = hs[:32]
+        r = rows[grp]
+        assert r["n_kept"] == len(kept)
+        if len(kept) < 32:
+            assert r["kmv_estimate"] == float(len(kept))
+        else:
+            est = 31.0 * 1152921504606846976.0 / kept[-1]
+            assert r["kmv_estimate"] == pytest.approx(_qr(est, 4), abs=1e-3)
