@@ -799,3 +799,50 @@ def shard_skew_report(documents: DataFrame, n_shards: int = 16) -> DataFrame:
         ),
         qround(F.sum(dev * dev / expect), 6).alias("chi2_docs"),
     )
+
+
+def packing_efficiency_sweep(
+    documents: DataFrame, budgets: tuple[int, ...] = (128, 256, 512, 1024)
+) -> DataFrame:
+    """Context-length sweep for the greedy packer: run ``pack_sequences``
+    at several token budgets and report, per budget, how many training
+    sequences the corpus packs into and what fraction of the context
+    window would be padding -- the table that decides a pre-training
+    context length (doubling the window only helps if the packer can
+    fill it).
+
+    Padding for a sequence is max(budget - fill, 0): an over-budget solo
+    document overflows its window (truncated in training) and
+    contributes no padding.  Scale: each budget is one bucketed
+    applyInPandas pass over (doc_id, n_tokens) int pairs plus a
+    seq-cardinality aggregate; the sweep is |budgets| passes, all
+    bounded.  Every reported number is exact-integer arithmetic."""
+    from ..functions.numeric import qround
+
+    frames = []
+    for b in budgets:
+        packed = pack_sequences(documents, budget=b)
+        fills = packed.groupBy("bucket", "seq_id").agg(
+            F.sum("n_tokens").alias("fill")
+        )
+        pad = F.greatest(F.lit(b).cast("long") - F.col("fill"), F.lit(0).cast("long"))
+        frames.append(
+            fills.agg(
+                F.lit(b).cast("long").alias("budget"),
+                F.count(F.lit(1)).alias("n_sequences"),
+                F.sum("fill").alias("total_tokens"),
+                F.sum(pad).alias("total_pad_tokens"),
+                qround(
+                    F.sum(pad).cast("double")
+                    / (F.count(F.lit(1)) * F.lit(float(b))),
+                    6,
+                ).alias("pad_fraction"),
+                qround(
+                    F.sum("fill").cast("double") / F.count(F.lit(1)), 4
+                ).alias("avg_fill"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("budget")

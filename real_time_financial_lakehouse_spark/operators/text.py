@@ -1445,3 +1445,62 @@ def ngram_novelty_rate(
         )
         .orderBy("lang")
     )
+
+
+GATE_RULES = ("min_chars", "min_words", "dup_words", "top_word")
+
+
+def quality_filter_funnel(documents: DataFrame) -> DataFrame:
+    """Sequential attrition card for the ``quality_gate`` rule chain:
+    how many documents survive after each rule is applied IN ORDER
+    (corpus -> min_chars -> min_words -> dup_words -> top_word) -- the
+    per-stage removal attribution a curator reads before shipping a
+    filter config (a rule that drops 40% of what survived the previous
+    rules is doing real work; one that drops 0.1% is dead weight).
+
+    Built ON the gate's own output (the per-doc ``reasons`` audit
+    column), so the funnel can never drift from the gate it summarizes
+    -- the ``dedup_funnel`` nested-oracle discipline.  Scale: the gate
+    is row-local; the funnel adds ONE aggregate over boolean chains and
+    a 5-row explode.  All counts exact integers."""
+    gate = quality_gate(documents)
+    fails = [
+        F.array_contains(F.split(F.col("reasons"), ","), rule)
+        for rule in GATE_RULES
+    ]
+    surv = []
+    cond = F.lit(True)
+    for f in fails:
+        cond = cond & ~f
+        surv.append(F.sum(cond.cast("long")))
+    agg = gate.agg(
+        F.count(F.lit(1)).alias("n0"),
+        *[s.alias(f"n{i + 1}") for i, s in enumerate(surv)],
+    )
+    stages = [
+        F.struct(
+            F.lit(i).cast("long").alias("stage"),
+            F.lit(name).alias("rule"),
+            F.col(f"n{i}").alias("n_surviving"),
+            (
+                (F.col(f"n{i - 1}") if i else F.col("n0"))
+                - F.col(f"n{i}")
+            ).alias("n_dropped_here"),
+        )
+        for i, name in enumerate(("corpus",) + GATE_RULES)
+    ]
+    from ..functions.numeric import qround
+
+    return (
+        agg.select(F.explode(F.array(*stages)).alias("s"), F.col("n0"))
+        .select(
+            "s.stage",
+            "s.rule",
+            "s.n_surviving",
+            "s.n_dropped_here",
+            qround(F.col("s.n_surviving") / F.col("n0"), 6).alias(
+                "pct_of_corpus"
+            ),
+        )
+        .orderBy("stage")
+    )

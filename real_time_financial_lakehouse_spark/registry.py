@@ -3033,19 +3033,20 @@ _DRIVER_VERIFIED_R9 = list(_ROUND9_FRONT)
 # verified union reaches 315/315 -- every query registered before
 # round 10 driver-checked at least once.
 #
-# ROUND-11 QUEUE (per the age policy, do not activate early): the 15
+# ROUND-11 QUEUE (per the age policy, do not activate early): the 17
 # round-10 in-round additions first (bipower_variation_jumps,
 # variance_ratio, intraday_seasonality, drawdown_episodes,
 # historical_var_cvar, ngram_novelty_rate, l_diversity_report,
 # pii_density_by_source, shard_skew_report, streaming_minute_ohlc,
 # return_moments_profile, cross_sectional_momentum,
-# lsh_banding_efficiency, implied_vol_newton, streaming_kmv_distinct --
+# lsh_banding_efficiency, implied_vol_newton, streaming_kmv_distinct,
+# quality_filter_funnel, packing_efficiency_sweep --
 # all dual-sf parity-verified and
 # 20x-flake-shaken at creation), then the r3-vintage remainder in
 # _DRIVER_VERIFIED_R3 order (pack_sequences, mixture_sample,
 # cluster_assign, user_zscores, nation_activity, cube_totals,
 # grouping_sets_activity, merge_upsert, value_band_summary, ...)
-# filling the remaining 35 slots.
+# filling the remaining 33 slots.
 _ROUND10_FRONT = [
     # never driver-checked round-9 additions (flake-shaken 20x dual-sf)
     "corwin_schultz_spread", "triple_barrier_labels", "sortino_ratio",

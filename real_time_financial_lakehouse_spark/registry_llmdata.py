@@ -3308,3 +3308,89 @@ def _banding_eff_sql(k: int = _K, max_bucket: int = MAX_BUCKET) -> str:
 @register("lsh_banding_efficiency", _banding_eff_sql())
 def q_lsh_banding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_banding_efficiency(_docs(spark, sf_dir), k=_K)
+
+
+# Quality-funnel oracle: nests the registered quality_gate oracle
+# verbatim (the dedup_funnel discipline), so the funnel cannot drift
+# from the gate it summarizes.
+_GATE_RULE_SURVIVORS = []
+_GATE_COND = "TRUE"
+for _rule in text.GATE_RULES:
+    _GATE_COND += (
+        f" AND NOT list_contains(string_split(reasons, ','), '{_rule}')"
+    )
+    _GATE_RULE_SURVIVORS.append(_GATE_COND)
+
+
+@register(
+    "quality_filter_funnel",
+    f"""
+    WITH gate AS ({_ORACLE_SQL['quality_gate']}),
+    agg AS (
+        SELECT count(*) AS n0,
+               {", ".join(f"sum(CASE WHEN {c} THEN 1 ELSE 0 END) AS n{i + 1}" for i, c in enumerate(_GATE_RULE_SURVIVORS))}
+        FROM gate
+    )
+    {" UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS stage, '{name}' AS rule,"
+        f" n{i}::BIGINT AS n_surviving,"
+        f" (n{max(i - 1, 0)} - n{i})::BIGINT AS n_dropped_here,"
+        + qround_sql(f"n{i}::DOUBLE / n0", 6) + " AS pct_of_corpus FROM agg"
+        for i, name in enumerate(("corpus",) + text.GATE_RULES)
+    )}
+    ORDER BY stage
+    """,
+)
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_filter_funnel(_docs(spark, sf_dir))
+
+
+def _pack_sweep_oracle_sql(budgets: tuple[int, ...] = (128, 256, 512, 1024)) -> str:
+    """Oracle twin of packing_efficiency_sweep: ONE shared token/bucket
+    base, one recursive greedy replay per budget, per-budget padding
+    summaries unioned."""
+    blocks, summaries = [], []
+    for b in budgets:
+        blocks.append(f"""rec{b} AS (
+        SELECT doc_id, bucket, n_tokens, rn, 0 AS seq_id, n_tokens AS fill
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT x.doc_id, x.bucket, x.n_tokens, x.rn,
+               CASE WHEN r.fill + x.n_tokens <= {b}
+                    THEN r.seq_id ELSE r.seq_id + 1 END,
+               CASE WHEN r.fill + x.n_tokens <= {b}
+                    THEN r.fill + x.n_tokens ELSE x.n_tokens END
+        FROM rec{b} r JOIN base x ON x.bucket = r.bucket AND x.rn = r.rn + 1
+    )""")
+        summaries.append(f"""
+    SELECT {b}::BIGINT AS budget,
+           count(*)::BIGINT AS n_sequences,
+           sum(fill)::BIGINT AS total_tokens,
+           sum(greatest({b} - fill, 0))::BIGINT AS total_pad_tokens,
+           {qround_sql(f'sum(greatest({b} - fill, 0))::DOUBLE / (count(*) * {float(b)!r})', 6)}
+               AS pad_fraction,
+           {qround_sql('sum(fill)::DOUBLE / count(*)', 4)} AS avg_fill
+    FROM (SELECT bucket, seq_id, sum(n_tokens) AS fill
+          FROM rec{b} GROUP BY 1, 2)""")
+    return (
+        """
+    WITH RECURSIVE base AS (
+        SELECT doc_id, bucket, n_tokens,
+               row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        FROM (SELECT doc_id, """
+        + _PACK_BUCKET
+        + f""" AS bucket,
+                     len({_TOKS}) AS n_tokens
+              FROM documents)
+    ),
+    """
+        + ",\n    ".join(blocks)
+        + "\n"
+        + "\n    UNION ALL\n".join(summaries)
+        + "\n    ORDER BY budget"
+    )
+
+
+@register("packing_efficiency_sweep", _pack_sweep_oracle_sql())
+def q_packing_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.packing_efficiency_sweep(_docs(spark, sf_dir))

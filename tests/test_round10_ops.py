@@ -624,3 +624,48 @@ def test_streaming_kmv_equals_python_bottom_k(spark):
         else:
             est = 31.0 * 1152921504606846976.0 / kept[-1]
             assert r["kmv_estimate"] == pytest.approx(_qr(est, 4), abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# quality_filter_funnel
+# ---------------------------------------------------------------------------
+
+
+def test_quality_funnel_consistent_with_gate(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = {r["stage"]: r for r in text.quality_filter_funnel(docs).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    # survivors monotone nonincreasing, drops account exactly
+    for i in range(1, 5):
+        assert rows[i]["n_surviving"] <= rows[i - 1]["n_surviving"]
+        assert (
+            rows[i]["n_dropped_here"]
+            == rows[i - 1]["n_surviving"] - rows[i]["n_surviving"]
+        )
+    gate = text.quality_gate(docs).collect()
+    assert rows[0]["n_surviving"] == len(gate)
+    assert rows[4]["n_surviving"] == sum(1 for g in gate if g["keep"])
+    assert rows[0]["pct_of_corpus"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# packing_efficiency_sweep
+# ---------------------------------------------------------------------------
+
+
+def test_packing_sweep_invariants(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = {r["budget"]: r for r in pipeline.packing_efficiency_sweep(docs).collect()}
+    assert set(rows) == {128, 256, 512, 1024}
+    tokens = {r["total_tokens"] for r in rows.values()}
+    assert len(tokens) == 1  # same corpus token mass at every budget
+    budgets = sorted(rows)
+    for lo, hi in zip(budgets, budgets[1:]):
+        assert rows[hi]["n_sequences"] <= rows[lo]["n_sequences"]
+    # consistency with the registered packer at its default budget
+    packed = pipeline.pack_sequences(docs, budget=256)
+    n_seq = packed.select("bucket", "seq_id").distinct().count()
+    assert rows[256]["n_sequences"] == n_seq
+    for r in rows.values():
+        assert 0.0 <= r["pad_fraction"] <= 1.0
+        assert r["avg_fill"] > 0
