@@ -4131,7 +4131,7 @@ def implied_vol_newton(
     events: DataFrame,
     rate: float = 0.02,
     t_years: float = 30.0 / 365.0,
-    n_iter: int = 12,
+    n_iter: int = 8,
 ) -> DataFrame:
     """Black-Scholes implied volatility by an exactly-unrolled Newton
     solve: for each symbol, price an at-the-money call at a PLANTED

@@ -8075,7 +8075,7 @@ def q_cross_sectional_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.cross_sectional_momentum(_events(spark, sf_dir))
 
 
-def _implied_vol_oracle_sql(n_iter: int = 12) -> str:
+def _implied_vol_oracle_sql(n_iter: int = 8) -> str:
     from .functions.hashing import md5_long_sql
     from .operators.finance import _iv_price_sql, _iv_step_sql
 
