@@ -53,6 +53,11 @@ def main() -> None:
     from real_time_financial_lakehouse_spark.session import get_spark
 
     spark = get_spark(app_name="rtfl-bench")
+    # Keep the stdout tail parseable: the only interesting output is the
+    # single JSON line, and the residual whitelisted-referee WindowExec
+    # notices (bounded-cardinality global sorts, documented in
+    # scripts/plan_audit.py) otherwise land in the captured tail.
+    spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM paths the queries exercise (codegen, vectorized parquet
     # reader + footer cache, broadcast machinery) so per-query numbers
@@ -61,12 +66,14 @@ def main() -> None:
 
     from real_time_financial_lakehouse_spark.catalog import load_tables
 
+    t_warm = time.perf_counter()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     tables = load_tables(spark, sf_dir)
     for df in tables.values():
         df.count()
     small = spark.range(100).withColumnRenamed("id", "k")
     spark.range(10_000).join(F.broadcast(small), F.col("id") == F.col("k")).count()
+    warmup_sec = round(time.perf_counter() - t_warm, 3)
 
     # N runs per query (default 3), report the MEDIAN: the first run pays
     # one-time whole-stage-codegen (Janino) compilation for that plan
@@ -133,6 +140,26 @@ def main() -> None:
     machinery = round(
         fam_totals.get("streaming", 0.0) + fam_totals.get("table_io", 0.0), 3
     )
+    # Itemized machinery attribution (round-10 verdict ask): per
+    # machinery family, the query count, total, mean, and the five
+    # slowest members -- so a cross-round machinery_total movement is
+    # attributable to a specific family/query (protocol cost), not read
+    # as unexplained harness creep.  Fixture prep (shard writes, scratch
+    # dirs, checkpoint fsync, micro-batch drains) happens INSIDE each
+    # streaming/table_io query call, so per-query medians ARE the
+    # per-fixture attribution.
+    machinery_breakdown: dict[str, object] = {"warmup_sec": warmup_sec}
+    for fam in ("streaming", "table_io"):
+        members = {n: t for n, t in timings.items() if family(n) == fam}
+        if members:
+            machinery_breakdown[fam] = {
+                "n_queries": len(members),
+                "total": round(sum(members.values()), 3),
+                "mean_per_query": round(sum(members.values()) / len(members), 3),
+                "top5": dict(
+                    sorted(members.items(), key=lambda kv: -kv[1])[:5]
+                ),
+            }
     # The stdout contract is ONE parseable JSON line.  The r4 driver
     # record shows the full 208-query map overflows the driver's stdout
     # capture ("parsed": null, tail only) -- so stdout carries a compact
@@ -161,7 +188,23 @@ def main() -> None:
     # >1 means this host/round is slower than the round-9 pin for
     # reasons unrelated to any plan; divide cross-round deltas by it.
     canary: dict[str, object] | None = None
+    canary_missing: list[str] = []
     if sf == 0.1:
+        # A renamed/removed pin would silently shrink the canary sample
+        # and weaken the host-drift correction (round-10 advisor
+        # finding) -- record the missing names in the payload AND warn
+        # on stderr so the degradation is visible, never silent.
+        canary_missing = sorted(
+            n for n in CANARY_PINS_SF01 if n not in timings
+        )
+        if canary_missing:
+            print(
+                f"WARNING: canary pins missing from timings: {canary_missing}"
+                f" -- canary_ratio uses only {len(CANARY_PINS_SF01) - len(canary_missing)}"
+                f"/{len(CANARY_PINS_SF01)} samples; re-pin in bench.py with a"
+                " dated SCALE.md note",
+                file=sys.stderr,
+            )
         ratios = {
             n: round(timings[n] / pin, 4)
             for n, pin in CANARY_PINS_SF01.items()
@@ -173,6 +216,7 @@ def main() -> None:
                 "observed": {n: timings[n] for n in ratios},
                 "per_query_ratio": ratios,
                 "ratio": round(statistics.median(ratios.values()), 4),
+                "missing_pins": canary_missing,
             }
     payload = {
         "metric": "rtfl_query_inventory_total_wall",
@@ -182,6 +226,7 @@ def main() -> None:
         "queries": {n: timings[n] for n in headline if n in timings},
         "families": fam_totals,
         "machinery_total": machinery,
+        "machinery": machinery_breakdown,
         "data_total": round(total - machinery, 3),
         "n_queries": len(timings),
         "canary_ratio": canary["ratio"] if canary else None,

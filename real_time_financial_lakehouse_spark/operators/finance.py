@@ -4173,7 +4173,14 @@ def implied_vol_newton(
     quoted = per_sym.select(
         "symbol",
         "spot",
-        F.floor(F.col("spot") + F.lit(0.5)).cast("double").alias("strike"),
+        # Clamp the rounded ATM strike away from 0: a sub-0.5 spot would
+        # otherwise floor to strike=0, making ln(spot/strike) infinite --
+        # the price collapses to spot for EVERY sigma, vega pins at the
+        # 1e-8 guard, and the Newton step becomes a converged-looking
+        # no-op at the 0.5 seed (round-10 advisor finding).
+        F.greatest(
+            F.floor(F.col("spot") + F.lit(0.5)).cast("double"), F.lit(1.0)
+        ).alias("strike"),
         qround(sigma_true, 6).alias("sigma_true"),
     )
     base = quoted.select(

@@ -8099,7 +8099,8 @@ def _implied_vol_oracle_sql(n_iter: int = 8) -> str:
         GROUP BY 1
     ),
     quoted0 AS (
-        SELECT symbol, spot, floor(spot + 0.5)::DOUBLE AS strike,
+        SELECT symbol, spot,
+               greatest(floor(spot + 0.5), 1.0)::DOUBLE AS strike,
                {_q(f"0.15 + (({md5_long_sql('symbol')}) % 8)::DOUBLE * 0.05", 6)}
                    AS sigma_true
         FROM per_sym WHERE spot > 0

@@ -663,10 +663,12 @@ def streaming_minute_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     open/close carry their (ts, event_id) key through the merge and are
     re-picked with min_by/max_by over the struct (exact selections, so
     batch composition cannot change them); high/low are min/max; count
-    and value total are additive (the float total absorbed by the same
-    1e-6 quantization the batch twin applies).  The drained table is
-    therefore row-identical to the batch query and shares its exact SQL
-    oracle.
+    is additive; the value total is accumulated as exact BIGINT
+    micro-units (value sits on a fixed decimal grid), so the merged sum
+    is order-independent and the final 1e-6 quantization sees the same
+    double as the batch twin regardless of shard composition.  The
+    drained table is therefore row-identical to the batch query and
+    shares its exact SQL oracle.
 
     Scale: each merge joins bar-cardinality partials against
     same-cardinality state -- aggregate granularity, never ticks; state
@@ -699,7 +701,16 @@ def streaming_minute_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by(key, key).getField("ts").alias("close_ts"),
             F.max_by(F.col("event_id"), key).alias("close_eid"),
             F.max_by(F.col("value"), key).alias("close_v"),
-            F.sum("value").alias("sum_v"),
+            # Value total in exact integer micro-units (the
+            # drawdown_episodes depth_u pattern): float partial sums
+            # would merge in batch-composition-dependent order, and a
+            # .5-grid-boundary total then splits the final qround vs
+            # the batch oracle.  BIGINT sums are order-independent, so
+            # the double reaching qround is bit-identical however the
+            # stream is sharded.
+            F.sum(
+                F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+            ).alias("sum_v_u"),
             F.count(F.lit(1)).alias("n_trades"),
         )
 
@@ -719,7 +730,7 @@ def streaming_minute_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.max_by(F.col("close_ts"), ckey).alias("close_ts"),
                     F.max_by(F.col("close_eid"), ckey).alias("close_eid"),
                     F.max_by(F.col("close_v"), ckey).alias("close_v"),
-                    F.sum("sum_v").alias("sum_v"),
+                    F.sum("sum_v_u").alias("sum_v_u"),
                     F.sum("n_trades").alias("n_trades"),
                 )
             )
@@ -760,7 +771,9 @@ def streaming_minute_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.col("high_v"), 6).alias("high_price"),
         qround(F.col("low_v"), 6).alias("low_price"),
         F.col("close_v").alias("close_price"),
-        qround(F.col("sum_v"), 6).alias("total_value"),
+        qround(F.col("sum_v_u").cast("double") / F.lit(1e6), 6).alias(
+            "total_value"
+        ),
         "n_trades",
     ).orderBy("minute_window", "symbol")
 

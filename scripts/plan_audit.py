@@ -59,25 +59,30 @@ _PYTHON_ALLOWED = {"term_positions_udtf", "media_feature_summary",
 # under the window is bounded (vocabulary / sketch-cell / group-count
 # cardinality), never the corpus -- or the query is the documented
 # exact small-sf referee of a registered sketch twin.  Every entry
-# carries the reason; anything NOT listed that grows a global window
-# is a regression this audit fails.
-_GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
-    "vocab_coverage": "running share window runs AFTER the top-N cut (topn rows)",
-    "token_length_histogram": "cumulative window at length-bucket cardinality",
-    "zipf_fit": "rank at min_freq-truncated vocabulary cardinality (documented precedent)",
-    "ngram_coverage_curve": "coverage curve at vocabulary cardinality (zipf_fit precedent)",
-    "mutual_information_profile": "windows at contingency-cell cardinality (r9 design note)",
-    "mixture_sample": "audit-sheet windows at stratum(lang) cardinality (~5 rows)",
-    "token_budget_mixture": "ordering window over per-lang strata (handful of rows)",
-    "funnel_counts": "lag over the per-stage union (len(stages) rows)",
-    "hybrid_rrf_search": "rank windows over per-retriever top-k lists (tens of rows)",
-    "copurchase_pairs": "rank stamp over the topn-row TakeOrdered output",
-    "quality_deciles": "exact NTILE referee of quality_deciles_approx; docstring "
-                       "documents the corpus-sort cost, 100 TB path is the approx twin",
-    "customer_rfm": "exact-tile referee of customer_rfm_approx over the aggregated "
-                    "customer frame; 100 TB path is the approx twin",
-    "revenue_gini": "rank-sum needs a total order (documented); runs at "
-                    "customer cardinality after partial agg",
+# carries (expected_global_window_count, reason): the count is the
+# number of empty-partition-spec windowspecdefinitions in the
+# optimized plan as of the round-11 pin, so a regression INSIDE a
+# whitelisted query (a new corpus-cardinality global window sneaking
+# in next to the justified one) still trips the audit instead of
+# hiding behind the name (round-10 advisor finding).  Anything NOT
+# listed that grows a global window fails outright.
+_GLOBAL_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
+    "vocab_coverage": (2, "running share window runs AFTER the top-N cut (topn rows)"),
+    "token_length_histogram": (2, "cumulative window at length-bucket cardinality"),
+    "zipf_fit": (1, "rank at min_freq-truncated vocabulary cardinality (documented precedent)"),
+    "ngram_coverage_curve": (1, "coverage curve at vocabulary cardinality (zipf_fit precedent)"),
+    "mutual_information_profile": (3, "windows at contingency-cell cardinality (r9 design note)"),
+    "mixture_sample": (1, "audit-sheet windows at stratum(lang) cardinality (~5 rows)"),
+    "token_budget_mixture": (2, "ordering window over per-lang strata (handful of rows)"),
+    "funnel_counts": (2, "lag over the per-stage union (len(stages) rows)"),
+    "hybrid_rrf_search": (2, "rank windows over per-retriever top-k lists (tens of rows)"),
+    "copurchase_pairs": (1, "rank stamp over the topn-row TakeOrdered output"),
+    "quality_deciles": (1, "exact NTILE referee of quality_deciles_approx; docstring "
+                           "documents the corpus-sort cost, 100 TB path is the approx twin"),
+    "customer_rfm": (3, "exact-tile referee of customer_rfm_approx over the aggregated "
+                        "customer frame; 100 TB path is the approx twin"),
+    "revenue_gini": (2, "rank-sum needs a total order (documented); runs at "
+                        "customer cardinality after partial agg"),
 }
 
 
@@ -143,10 +148,16 @@ def main() -> int:
         # vectorized boundaries; BatchEvalPython is row-at-a-time
         if "BatchEvalPython" in plan and name not in _PYTHON_ALLOWED:
             flags.append("row-at-a-time-python")
+        n_glob = _global_window_specs(qe.optimizedPlan().toString())
         if name not in _GLOBAL_WINDOW_ALLOWED:
-            n_glob = _global_window_specs(qe.optimizedPlan().toString())
             if n_glob:
                 flags.append(f"global-window:{n_glob}")
+        else:
+            max_n = _GLOBAL_WINDOW_ALLOWED[name][0]
+            if n_glob > max_n:
+                flags.append(
+                    f"global-window-exceeds-whitelist:{n_glob}>{max_n}"
+                )
         n_exchanges = plan.count("Exchange ")
         report[name] = {"exchanges": n_exchanges, "flags": flags}
         if flags:

@@ -421,7 +421,9 @@ def test_streaming_minute_ohlc_equals_batch(spark):
         assert s["high_price"] == b["high_price"]
         assert s["low_price"] == b["low_price"]
         assert s["n_trades"] == b["n_trades"]
-        assert s["total_value"] == pytest.approx(b["total_value"], abs=2e-6)
+        # Exact: the streaming side accumulates BIGINT micro-units, so
+        # the quantized total is identical however the stream shards.
+        assert s["total_value"] == b["total_value"]
 
 
 # ---------------------------------------------------------------------------
@@ -583,7 +585,7 @@ def test_implied_vol_quote_matches_erf_pricer(spark):
     for r in rows:
         g = pdf[pdf.event_type == r["symbol"]]
         spot = float(g.iloc[-1]["value"])
-        strike = math.floor(spot + 0.5)
+        strike = max(math.floor(spot + 0.5), 1.0)
         sig = r["sigma_true"]
         d1 = (math.log(spot / strike) + (rate + sig * sig / 2) * t) / (
             sig * math.sqrt(t)
@@ -592,6 +594,28 @@ def test_implied_vol_quote_matches_erf_pricer(spark):
         nd = lambda x: 0.5 * (1 + math.erf(x / math.sqrt(2)))  # noqa: E731
         px = spot * nd(d1) - strike * math.exp(-rate * t) * nd(d2)
         assert r["target_px"] == pytest.approx(px, abs=max(1e-5, spot * 5e-7))
+
+
+def test_implied_vol_sub_half_spot_never_fakes_convergence(spark):
+    # r10 advisor finding: spot < 0.5 used to floor to strike=0, making
+    # ln(spot/strike) infinite -- price collapsed to spot for EVERY
+    # sigma, vega pinned at the 1e-8 guard, and the no-op Newton chain
+    # reported converged=True at the 0.5 seed.  With the strike clamped
+    # to >= 1, a sub-0.5 spot is a deep-OTM call whose quantized quote
+    # is 0 and the row is filtered out; at-the-money symbols still solve.
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 12), 1, "penny", 0.3, None),
+        (2, dt.datetime(2024, 1, 2, 12), 1, "penny", 0.2, None),
+        (3, dt.datetime(2024, 1, 1, 12), 1, "liquid", 50.0, None),
+        (4, dt.datetime(2024, 1, 2, 12), 1, "liquid", 52.0, None),
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    got = {r["symbol"]: r for r in finance.implied_vol_newton(df).collect()}
+    assert "penny" not in got  # dropped, not faked
+    r = got["liquid"]
+    assert r["converged"] is True
+    assert r["abs_vol_err"] == 0.0
+    assert math.isfinite(r["implied_vol"]) and 0.15 <= r["implied_vol"] <= 0.5
 
 
 # ---------------------------------------------------------------------------
