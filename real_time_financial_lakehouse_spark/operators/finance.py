@@ -4215,3 +4215,199 @@ def implied_vol_newton(
             F.abs(F.col("repriced") - F.col("target_px")) < F.lit(1e-4)
         ).alias("converged"),
     ).orderBy("symbol")
+
+
+def ljung_box_autocorr(events: DataFrame, max_lag: int = 5) -> DataFrame:
+    """Multi-lag autocorrelation function (lags 1..``max_lag``) of daily
+    log returns per symbol plus the Ljung-Box portmanteau statistic
+    Q = n(n+2) * sum_k rho_k^2 / (n-k) -- the serial-dependence test a
+    risk desk runs before treating returns as i.i.d. (a significant Q
+    invalidates sqrt-time vol scaling and plain historical VaR).
+    Extends ``return_autocorr`` (lag-1 Pearson) to the full ACF with a
+    joint test; rejection is against the chi-square(5) 5% critical
+    value 11.0705.
+
+    Reference scope: the engine-side indicator ladder the reference
+    computes in pandas (dashboard.py:42-48) stops at SMA/RSI; this is
+    the same daily-bar ladder carried to the diagnostics a real desk
+    layers on top.
+
+    Scale: day-granularity rollup, one symbol-cardinality mean
+    broadcast back, then ONE window pass producing all ``max_lag``
+    lagged-product columns (a single sort per symbol serves every lag)
+    and one partial-aggregable groupBy.  Determinism: returns and the
+    mean are quantized at 12 dp; every lagged product and the squared
+    deviation snap to exact integer pico-units (BIGINT), so the
+    groupBy sums are order-independent and the ACF ratios reaching the
+    final qround are bit-identical on both engines (the
+    drawdown_episodes integer-grid discipline, applied at creation)."""
+    src = events.filter(F.col("value") > 0)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    dclose = src.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    prev = F.lag("c").over(w)
+    rets = dclose.select(
+        "symbol",
+        "day",
+        F.when(prev.isNotNull(), qround(F.log(F.col("c") / prev), 12)).alias(
+            "lr"
+        ),
+    ).filter(F.col("lr").isNotNull())
+    means = (
+        rets.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            qround(F.avg("lr"), 12).alias("mean_q"),
+        )
+        .filter(F.col("n_days") >= 4 * max_lag)
+    )
+    dev_src = (
+        rets.join(F.broadcast(means), "symbol")
+        .withColumn("dev", F.col("lr") - F.col("mean_q"))
+    )
+    grid = F.lit(1e12)
+    prod_cols = [
+        F.floor(F.col("dev") * F.col("dev") * grid + F.lit(0.5))
+        .cast("long")
+        .alias("d0_u")
+    ]
+    for k in range(1, max_lag + 1):
+        lagdev = F.lag("dev", k).over(w)
+        prod_cols.append(
+            F.when(
+                lagdev.isNotNull(),
+                F.floor(F.col("dev") * lagdev * grid + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).alias(f"d{k}_u")
+        )
+    framed = dev_src.select("symbol", "n_days", "day", *prod_cols)
+    agg = (
+        framed.groupBy("symbol")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.sum("d0_u").alias("den_u"),
+            *[
+                F.sum(f"d{k}_u").alias(f"num{k}_u")
+                for k in range(1, max_lag + 1)
+            ],
+        )
+        .filter(F.col("den_u") > 0)
+    )
+    shaped = agg.select(
+        "symbol",
+        "n_days",
+        *[
+            qround(
+                F.col(f"num{k}_u").cast("double") / F.col("den_u").cast("double"), 6
+            ).alias(f"acf_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    nd = F.col("n_days").cast("double")
+    qsum = None
+    for k in range(1, max_lag + 1):
+        term = (
+            F.col(f"acf_{k}") * F.col(f"acf_{k}")
+            / (nd - F.lit(float(k)))
+        )
+        qsum = term if qsum is None else qsum + term
+    final = shaped.withColumn(
+        "ljung_box_q", qround(nd * (nd + F.lit(2.0)) * qsum, 4)
+    )
+    return final.select(
+        "symbol",
+        "n_days",
+        *[f"acf_{k}" for k in range(1, max_lag + 1)],
+        "ljung_box_q",
+        (F.col("ljung_box_q") > F.lit(11.0705)).alias("reject_5pct"),
+    ).orderBy("symbol")
+
+
+def kupiec_var_backtest(events: DataFrame, p: float = 0.05) -> DataFrame:
+    """Kupiec proportion-of-failures (POF) backtest of the historical
+    95% VaR: per symbol, count days whose log return breaches the
+    interpolated 5th-percentile threshold, then test whether the
+    observed breach frequency is consistent with the model's coverage
+    via the likelihood ratio LR_pof = 2 * [ln L(pi_hat) - ln L(p)],
+    chi-square(1) under the null; rejection at the 5% critical value
+    3.8415.  The regulatory-style answer to "is the VaR number from
+    ``historical_var_cvar`` actually calibrated?" -- the governance
+    layer ON TOP of the risk metric (the quality_filter_funnel
+    nested-discipline precedent: this query re-derives the exact same
+    threshold the VaR query reports, so the two stay consistent by
+    construction).
+
+    Scale: day-granularity rollup, one symbol-cardinality percentile
+    aggregate broadcast back onto the |symbol x day| return frame for
+    the breach count -- no corpus sort, one extra partial-aggregable
+    pass over daily bars.  Determinism: returns and the threshold are
+    quantized at 12 dp so both engines cut the identical breach set;
+    every ln() the LR consumes is quantized at 12 dp before the
+    products (libm-ulp isolation); breach counts are exact BIGINTs so
+    pi_hat is the identical double on both engines."""
+    src = events.filter(F.col("value") > 0)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    dclose = src.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    prev = F.lag("c").over(w)
+    rets = dclose.select(
+        "symbol",
+        F.when(prev.isNotNull(), qround(F.log(F.col("c") / prev), 12)).alias(
+            "lr"
+        ),
+    ).filter(F.col("lr").isNotNull())
+    stats = (
+        rets.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            qround(F.expr(f"percentile(lr, {p}D)"), 12).alias("q05"),
+        )
+        .filter(F.col("n_days") >= 10)
+    )
+    breaches = (
+        rets.join(F.broadcast(stats), "symbol")
+        .groupBy("symbol")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.max("q05").alias("q05"),
+            F.sum((F.col("lr") <= F.col("q05")).cast("long")).alias(
+                "n_breach"
+            ),
+        )
+    )
+    nd = F.col("n_days").cast("double")
+    n1 = F.col("n_breach").cast("double")
+    pi_hat = n1 / nd
+    ln_p = qround(F.log(F.lit(float(p))), 12)
+    ln_1p = qround(F.log(F.lit(1.0 - float(p))), 12)
+    # log-likelihood under the model's coverage p and under the
+    # observed rate pi_hat; the 0*ln(0) = 0 convention handles the
+    # all-breach / no-breach corners exactly on both engines
+    ll_null = (nd - n1) * ln_1p + n1 * ln_p
+    ll_alt = (
+        F.when(
+            (F.col("n_breach") > 0) & (F.col("n_breach") < F.col("n_days")),
+            (nd - n1) * qround(F.log(F.lit(1.0) - pi_hat), 12)
+            + n1 * qround(F.log(pi_hat), 12),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    final = breaches.withColumn(
+        "lr_pof", qround(F.lit(2.0) * (ll_alt - ll_null), 4)
+    )
+    return final.select(
+        "symbol",
+        "n_days",
+        qround(F.col("q05"), 6).alias("var_95"),
+        "n_breach",
+        qround(pi_hat, 6).alias("breach_rate"),
+        "lr_pof",
+        (F.col("lr_pof") > F.lit(3.8415)).alias("reject_5pct"),
+    ).orderBy("symbol")

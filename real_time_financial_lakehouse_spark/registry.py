@@ -3022,7 +3022,7 @@ _ROUND9_FRONT = [
 # so all of it is externally verified as of round 9.
 _DRIVER_VERIFIED_R9 = list(_ROUND9_FRONT)
 
-# ROUND-10 FRONT (active): the 19 round-9 in-round additions -- all
+# ROUND-10 FRONT (retired; green 50/50 in CORRECTNESS_r10): the 19
 # dual-sf parity-verified at creation, r9 freeze sweep 630/630, and
 # flake-shaken 20x at BOTH sf points before fronting per the
 # VERIFICATION.md rule (760/760 green, 2026-08-15, see VERIFICATION.md
@@ -3073,13 +3073,77 @@ _ROUND10_FRONT = [
     "normalize_corpus", "contamination_check",
 ]
 
+# CORRECTNESS_r10.json came back 50/50 green on exactly _ROUND10_FRONT,
+# so all of it is externally verified as of round 10; the cumulative
+# union covers every query registered before round 10.
+_DRIVER_VERIFIED_R10 = list(_ROUND10_FRONT)
+
+# ROUND-11 FRONT (active): the 17 round-10 in-round additions -- all
+# dual-sf parity-verified and 20x flake-shaken at creation, re-shaken
+# 20x dual-sf this round after the advisor fixes (implied_vol_newton
+# strike clamp, streaming_minute_ohlc BIGINT micro-unit totals; see
+# VERIFICATION.md round-11 section) -- plus the 33 stalest external
+# checks by the age policy: the 19-query r3-vintage remainder (last
+# checked CORRECTNESS_r03, 8 rounds ago) in _DRIVER_VERIFIED_R3 order,
+# then the first 14 of the r4-vintage block (last checked
+# CORRECTNESS_r04, 7 rounds ago) in _ROUND4_FRONT order.  With this
+# window green the externally verified union reaches 332/332 -- every
+# query registered before round 11 driver-checked at least once.
+#
+# ROUND-12 QUEUE (per the age policy, do not activate early): any
+# round-11 in-round additions first (after their standard 20x dual-sf
+# shake), then the r4-vintage remainder in _ROUND4_FRONT order
+# (dominant_part_suppliers, waiting_order_suppliers, vwap_daily,
+# bollinger_bands, max_drawdown, bar_gaps, symbol_correlations,
+# daily_return_volatility, atr_14, stochastic_oscillator, obv,
+# beta_vs_market, macd_summary, donchian_channels,
+# order_rank_percentiles, sorted_export_events, weighted_symbol_price,
+# rolling_median, winsorize_values, resample_ffill,
+# hourly_from_minute_rollup, latest_order_asof_tolerant,
+# versioned_gold_changes, versioned_gold_time_travel,
+# zorder_events_layout, funnel_counts, retention_cohorts,
+# chunk_documents, edit_distance_pairs, term_positions,
+# simhash_near_pairs, unigram_logprob -- 32 names), then the
+# r5-vintage block in _ROUND5_FRONT order (pca_embeddings,
+# distinct_user_counts_approx, value_percentiles_approx,
+# ann_ivf_kmeans_topk, bm25_search, hybrid_rrf_search, ...) filling
+# the remaining slots.
+_ROUND11_FRONT = [
+    # never driver-checked round-10 additions (re-shaken 20x dual-sf
+    # this round, post-advisor-fix)
+    "bipower_variation_jumps", "variance_ratio", "intraday_seasonality",
+    "drawdown_episodes", "historical_var_cvar", "return_moments_profile",
+    "cross_sectional_momentum", "implied_vol_newton",
+    "ngram_novelty_rate", "l_diversity_report", "pii_density_by_source",
+    "shard_skew_report", "quality_filter_funnel",
+    "packing_efficiency_sweep", "lsh_banding_efficiency",
+    "streaming_minute_ohlc", "streaming_kmv_distinct",
+    # stalest external checks: the r3-vintage remainder (last checked
+    # CORRECTNESS_r03), in r3-front order
+    "pack_sequences", "mixture_sample", "cluster_assign", "user_zscores",
+    "nation_activity", "cube_totals", "grouping_sets_activity",
+    "merge_upsert", "value_band_summary", "segment_activity_salted",
+    "disjunctive_predicate_revenue", "supplier_part_counts",
+    "idle_rich_customers", "symbol_bounds", "event_type_unpivot",
+    "user_state_history", "streaming_enriched_segments",
+    "streaming_click_purchase", "streaming_click_purchase_outer",
+    # ... and the first 14 of the r4-vintage block (last checked
+    # CORRECTNESS_r04), in r4-front order
+    "user_histories", "streaming_dedup_watermarked",
+    "streaming_tumbling_counts", "streaming_windowed_rollup",
+    "streaming_symbol_stats", "streaming_incremental_gold",
+    "streaming_table_changes", "forecast_revenue",
+    "min_cost_part_supplier", "volume_shipping", "market_share",
+    "product_profit", "important_parts", "top_supplier_revenue",
+]
+
 
 def _rotate_for_driver() -> None:
-    front = [n for n in _ROUND10_FRONT if n in QUERIES]
+    front = [n for n in _ROUND11_FRONT if n in QUERIES]
     verified_names = (
         _DRIVER_VERIFIED_R1_R2 + _DRIVER_VERIFIED_R3 + _DRIVER_VERIFIED_R4
         + _DRIVER_VERIFIED_R5 + _DRIVER_VERIFIED_R6_R7
-        + _DRIVER_VERIFIED_R8 + _DRIVER_VERIFIED_R9
+        + _DRIVER_VERIFIED_R8 + _DRIVER_VERIFIED_R9 + _DRIVER_VERIFIED_R10
     )
     placed = set(front) | set(verified_names)
     rest_unverified = [n for n in QUERIES if n not in placed]
@@ -8165,6 +8229,115 @@ def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.silver import streaming_kmv_distinct
 
     return streaming_kmv_distinct(spark, sf_dir)
+
+
+_LB_GRID = "1000000000000.0"
+_LB_ACF_TERMS = " + ".join(
+    f"acf_{k} * acf_{k} / (n_days::DOUBLE - {float(k)!r})" for k in range(1, 6)
+)
+_LB_LAG_COLS = ",\n           ".join(
+    f"CASE WHEN lag(dev, {k}) OVER w IS NOT NULL"
+    f" THEN floor(dev * lag(dev, {k}) OVER w * {_LB_GRID} + 0.5)::BIGINT"
+    f" END AS d{k}_u"
+    for k in range(1, 6)
+)
+
+
+@register(
+    "ljung_box_autocorr",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               {_q('ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))', 12)} AS lr
+        FROM dclose
+    ),
+    r2 AS (SELECT symbol, day, lr FROM rets WHERE lr IS NOT NULL),
+    means AS (
+        SELECT symbol, count(*)::BIGINT AS n_days, {_q('avg(lr)', 12)} AS mean_q
+        FROM r2 GROUP BY 1 HAVING count(*) >= 20
+    ),
+    dev AS (
+        SELECT r.symbol, m.n_days, r.day, r.lr - m.mean_q AS dev
+        FROM r2 r JOIN means m USING (symbol)
+    ),
+    lagged AS (
+        SELECT symbol, n_days,
+           floor(dev * dev * {_LB_GRID} + 0.5)::BIGINT AS d0_u,
+           {_LB_LAG_COLS}
+        FROM dev WINDOW w AS (PARTITION BY symbol ORDER BY day)
+    ),
+    agg AS (
+        SELECT symbol, max(n_days) AS n_days, sum(d0_u) AS den_u,
+               {', '.join(f'sum(d{k}_u) AS num{k}_u' for k in range(1, 6))}
+        FROM lagged GROUP BY 1 HAVING sum(d0_u) > 0
+    ),
+    shaped AS (
+        SELECT symbol, n_days,
+               {', '.join(_q(f'num{k}_u::DOUBLE / den_u::DOUBLE', 6) + f' AS acf_{k}' for k in range(1, 6))}
+        FROM agg
+    ),
+    final AS (
+        SELECT symbol, n_days, acf_1, acf_2, acf_3, acf_4, acf_5,
+               {_q(f'n_days::DOUBLE * (n_days::DOUBLE + 2.0) * ({_LB_ACF_TERMS})', 4)} AS ljung_box_q
+        FROM shaped
+    )
+    SELECT symbol, n_days, acf_1, acf_2, acf_3, acf_4, acf_5, ljung_box_q,
+           ljung_box_q > 11.0705 AS reject_5pct
+    FROM final ORDER BY 1
+    """,
+)
+def q_ljung_box_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.ljung_box_autocorr(_events(spark, sf_dir))
+
+
+@register(
+    "kupiec_var_backtest",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    rets AS (
+        SELECT symbol,
+               {_q('ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))', 12)} AS lr
+        FROM dclose
+    ),
+    r2 AS (SELECT symbol, lr FROM rets WHERE lr IS NOT NULL),
+    st AS (
+        SELECT symbol, count(*)::BIGINT AS n_days,
+               {_q('quantile_cont(lr, 0.05)', 12)} AS q05
+        FROM r2 GROUP BY 1 HAVING count(*) >= 10
+    ),
+    br AS (
+        SELECT r.symbol, max(st.n_days) AS n_days, max(st.q05) AS q05,
+               sum(CASE WHEN r.lr <= st.q05 THEN 1 ELSE 0 END)::BIGINT AS n_breach
+        FROM r2 r JOIN st USING (symbol)
+        GROUP BY 1
+    ),
+    calc AS (
+        SELECT symbol, n_days, q05, n_breach,
+               n_breach::DOUBLE / n_days::DOUBLE AS pi_hat,
+               (n_days::DOUBLE - n_breach::DOUBLE) * {_q('ln(0.95)', 12)}
+                   + n_breach::DOUBLE * {_q('ln(0.05)', 12)} AS ll_null,
+               CASE WHEN n_breach > 0 AND n_breach < n_days
+                    THEN (n_days::DOUBLE - n_breach::DOUBLE)
+                             * {_q('ln(1.0 - n_breach::DOUBLE / n_days::DOUBLE)', 12)}
+                         + n_breach::DOUBLE
+                             * {_q('ln(n_breach::DOUBLE / n_days::DOUBLE)', 12)}
+                    ELSE 0.0 END AS ll_alt
+        FROM br
+    ),
+    final AS (
+        SELECT symbol, n_days, {_q('q05', 6)} AS var_95, n_breach,
+               {_q('pi_hat', 6)} AS breach_rate,
+               {_q('2.0 * (ll_alt - ll_null)', 4)} AS lr_pof
+        FROM calc
+    )
+    SELECT symbol, n_days, var_95, n_breach, breach_rate, lr_pof,
+           lr_pof > 3.8415 AS reject_5pct
+    FROM final ORDER BY 1
+    """,
+)
+def q_kupiec_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.kupiec_var_backtest(_events(spark, sf_dir))
 
 
 # All registrations (including registry_llmdata's and the late blocks

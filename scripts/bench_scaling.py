@@ -70,6 +70,16 @@ def pick_queries(n: int) -> list[str]:
     forced = [
         "streaming_vpin", "almgren_chriss_schedule",
         "split_leakage_embeddings", "hard_negative_mining",
+        # r10 verdict ask #5: streaming family on the curve.  Their wall
+        # is micro-batch machinery (4 fixed shards x checkpoint/merge
+        # commit) plus a data-proportional partial-agg inside each
+        # batch; state is aggregate-cardinality for all three
+        # (bars = minutes x symbols for ohlc, groups x k = 5 x 32 rows
+        # for kmv, symbol x day for turnover_hhi), so the curve should
+        # show near-flat step costs -- a superlinear reading here means
+        # per-batch state started scaling with ticks, not aggregates.
+        "streaming_minute_ohlc", "streaming_kmv_distinct",
+        "streaming_turnover_hhi",
     ]
     picked.extend(q for q in forced if q not in picked)
     return picked
@@ -148,6 +158,17 @@ def main() -> int:
         "queries": report,
         "worst_step_cost_ratio": {"query": worst[1], "ratio": worst[0]},
         "superlinear_flagged": flagged,
+        "streaming_state_note": (
+            "streaming_* state is aggregate-cardinality, never "
+            "tick-cardinality: minute_ohlc keeps one row per bar "
+            "(minutes x symbols), kmv_distinct keeps groups x k "
+            "(5 x 32) hash rows, turnover_hhi keeps symbol x day "
+            "dollar-volume cells, vpin keeps volume buckets; each "
+            "micro-batch merges same-cardinality partials into that "
+            "state, so per-SF wall on this curve = fixed micro-batch "
+            "machinery + the per-batch partial aggregation, and step "
+            "costs should stay near-flat as data scales"
+        ),
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH_SCALING.json"), "w") as f:
