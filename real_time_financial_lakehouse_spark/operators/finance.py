@@ -4411,3 +4411,97 @@ def kupiec_var_backtest(events: DataFrame, p: float = 0.05) -> DataFrame:
         "lr_pof",
         (F.col("lr_pof") > F.lit(3.8415)).alias("reject_5pct"),
     ).orderBy("symbol")
+
+
+def tail_dependence_matrix(events: DataFrame, q: float = 0.2) -> DataFrame:
+    """Empirical lower-tail co-exceedance matrix: for every symbol pair,
+    how often BOTH daily log returns land in their own worst-``q`` tail
+    on the same day -- the copula-style systemic-risk readout that
+    ordinary correlation misses (two symbols can be mildly correlated
+    overall yet crash together; it is the joint tail that kills a
+    portfolio).  Reports the conditional exceedance lambda_L =
+    P(a in tail | b in tail) and the lift over independence
+    n_both * n_days / (n_a_tail * n_b_tail); lift >> 1 = contagion.
+    Complements ``symbol_correlations`` (full-sample Pearson): same
+    pair grid, opposite end of the distribution.
+
+    Scale: day-granularity rollup, one symbol-cardinality quantile
+    broadcast back to flag tail days, then a self equi-join ON day --
+    |days| x |symbols|^2 fan-out with symbols bounded, never an
+    all-pairs row join -- and a partial-aggregable pair groupBy.
+    Determinism: returns and thresholds quantized at 12 dp so both
+    engines flag identical tail sets; every reported ratio is a ratio
+    of exact BIGINT counts."""
+    src = events.filter(F.col("value") > 0)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    dclose = src.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    prev = F.lag("c").over(w)
+    rets = dclose.select(
+        "symbol",
+        "day",
+        F.when(prev.isNotNull(), qround(F.log(F.col("c") / prev), 12)).alias(
+            "lr"
+        ),
+    ).filter(F.col("lr").isNotNull())
+    th = (
+        rets.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days_sym"),
+            qround(F.expr(f"percentile(lr, {q}D)"), 12).alias("qtail"),
+        )
+        .filter(F.col("n_days_sym") >= 10)
+    )
+    flags = rets.join(F.broadcast(th), "symbol").select(
+        "symbol", "day", (F.col("lr") <= F.col("qtail")).alias("in_tail")
+    )
+    a = flags.select(
+        F.col("symbol").alias("sym_a"),
+        "day",
+        F.col("in_tail").alias("tail_a"),
+    )
+    b = flags.select(
+        F.col("symbol").alias("sym_b"),
+        "day",
+        F.col("in_tail").alias("tail_b"),
+    )
+    pairs = a.join(b, "day").filter(F.col("sym_a") < F.col("sym_b"))
+    agg = pairs.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("tail_a").cast("long")).alias("n_a_tail"),
+        F.sum(F.col("tail_b").cast("long")).alias("n_b_tail"),
+        F.sum((F.col("tail_a") & F.col("tail_b")).cast("long")).alias(
+            "n_both"
+        ),
+    )
+    return agg.select(
+        "sym_a",
+        "sym_b",
+        "n_days",
+        "n_a_tail",
+        "n_b_tail",
+        "n_both",
+        F.when(
+            F.col("n_b_tail") > 0,
+            qround(
+                F.col("n_both").cast("double")
+                / F.col("n_b_tail").cast("double"),
+                6,
+            ),
+        ).alias("lambda_lower"),
+        F.when(
+            (F.col("n_a_tail") > 0) & (F.col("n_b_tail") > 0),
+            qround(
+                F.col("n_both").cast("double")
+                * F.col("n_days").cast("double")
+                / (
+                    F.col("n_a_tail").cast("double")
+                    * F.col("n_b_tail").cast("double")
+                ),
+                4,
+            ),
+        ).alias("tail_lift"),
+    ).orderBy("sym_a", "sym_b")

@@ -492,3 +492,79 @@ def funnel_time_to_convert(events: DataFrame) -> DataFrame:
             qround(F.col("max_raw"), 4).alias("max_minutes"),
         )
     )
+
+
+def window_funnel_stages(
+    events: DataFrame, timeout_hours: int = 6
+) -> DataFrame:
+    """Strict-order window funnel (the ClickHouse ``windowFunnel``
+    shape): per user, how far the view -> click -> purchase chain gets
+    when every later stage must happen STRICTLY AFTER the previous one
+    and INSIDE a fixed window anchored at the first view -- reported as
+    the max-stage histogram with each cohort's share of entrants.
+    Complements ``funnel_counts`` (unordered stage reach) and
+    ``funnel_time_to_convert`` (2-stage latency): this is the ordered,
+    timeout-bounded sequence-match those two don't express.
+
+    Semantics pinned for the oracle: stage 1 = first 'view'; stage 2 =
+    earliest 'click' with t1 < t <= t1 + timeout; stage 3 = earliest
+    'purchase' with t2 < t <= t1 + timeout (window anchored at t1, the
+    ClickHouse convention, NOT re-anchored per step).
+
+    Scale: ONE hash exchange on user_id serves the whole chain -- the
+    three stage timestamps are conditional whole-partition window
+    minima layered over the SAME partitioning (t2's predicate reads t1,
+    t3's reads both, so they stack as three Window ops with zero extra
+    shuffles), and the per-user collapse reuses that partitioning too;
+    the histogram is <= 3 rows and the entrant share joins a broadcast
+    1-row total.  The naive formulation (three filtered aggregates
+    chained by joins) re-expands the anchor subtree into every
+    consumer -- 14 scans at plan time; this shape scans events once."""
+    wu = Window.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(wu)
+    step1 = events.select("user_id", "event_type", "ts", t1.alias("t1"))
+    deadline = F.col("t1") + F.expr(f"INTERVAL {timeout_hours} HOURS")
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= deadline),
+            F.col("ts"),
+        )
+    ).over(wu)
+    step2 = step1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= deadline),
+            F.col("ts"),
+        )
+    ).over(wu)
+    step3 = step2.withColumn("t3", t3).filter(F.col("t1").isNotNull())
+    per_user = step3.groupBy("user_id").agg(
+        F.max(
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).cast("long")
+        ).alias("max_stage")
+    )
+    hist = per_user.groupBy("max_stage").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    total = hist.agg(F.sum("n_users").alias("total"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "max_stage",
+            "n_users",
+            qround(
+                F.col("n_users").cast("double") / F.col("total").cast("double"), 6
+            ).alias("pct_of_entrants"),
+        )
+        .orderBy("max_stage")
+    )

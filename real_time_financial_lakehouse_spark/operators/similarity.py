@@ -1883,3 +1883,89 @@ def semdedup_threshold_sweep(
         )
         .orderBy("threshold")
     )
+
+
+def embedding_centroid_drift(embeddings: DataFrame) -> DataFrame:
+    """Split-half centroid stability per label: partition each label's
+    vectors into two deterministic md5 halves, compute both half
+    centroids, and report their cosine and L2 distance -- the
+    embedding-space drift monitor a retrieval/clustering pipeline runs
+    to tell whether a label is a coherent region (cosine ~ 1, halves
+    agree) or an incoherent grab-bag whose centroid is sampling noise
+    (low cosine, large L2).  The same check, run across ingest batches
+    instead of md5 halves, is how a 100 TB pipeline detects upstream
+    encoder drift before it poisons an IVF codebook.
+
+    Scale: positions explode to (label, half, dim) granularity -- the
+    |dim| constant fan-out every matrix op pays -- then ONE
+    partial-aggregable groupBy per phase; the half-vs-half join runs at
+    |labels| x |dim| cardinality.  Determinism: per-dimension means are
+    quantized at 12 dp, every cross-half product snaps to exact integer
+    pico-units (BIGINT) before the per-label sums, so dim-order and
+    partial-agg order cannot move the final cosine (the
+    drawdown_episodes integer-grid discipline)."""
+    from ..functions.hashing import md5_long
+
+    half = (
+        md5_long(F.concat_ws(":", F.lit("drift"), F.col("vec_id"))) % 2
+    ).alias("half")
+    dims = _spread(embeddings).select(
+        "label", half, F.posexplode(_as_double("embedding")).alias("pos", "x")
+    )
+    cent = dims.groupBy("label", "half", "pos").agg(
+        qround(F.avg("x"), 12).alias("m"),
+        F.count(F.lit(1)).alias("n_vec"),
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("m").alias("ma"), F.col("n_vec").alias("n_a")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("m").alias("mb"), F.col("n_vec").alias("n_b")
+    )
+    grid = F.lit(1e12)
+    joined = a.join(b, ["label", "pos"]).select(
+        "label",
+        "n_a",
+        "n_b",
+        F.floor(F.col("ma") * F.col("mb") * grid + F.lit(0.5))
+        .cast("long")
+        .alias("dot_u"),
+        F.floor(F.col("ma") * F.col("ma") * grid + F.lit(0.5))
+        .cast("long")
+        .alias("na_u"),
+        F.floor(F.col("mb") * F.col("mb") * grid + F.lit(0.5))
+        .cast("long")
+        .alias("nb_u"),
+        F.floor(
+            (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")) * grid
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("d2_u"),
+    )
+    agg = joined.groupBy("label").agg(
+        F.max("n_a").alias("n_vec_a"),
+        F.max("n_b").alias("n_vec_b"),
+        F.sum("dot_u").alias("dot_u"),
+        F.sum("na_u").alias("na_u"),
+        F.sum("nb_u").alias("nb_u"),
+        F.sum("d2_u").alias("d2_u"),
+    )
+    return agg.select(
+        "label",
+        "n_vec_a",
+        "n_vec_b",
+        F.when(
+            (F.col("na_u") > 0) & (F.col("nb_u") > 0),
+            qround(
+                F.col("dot_u").cast("double")
+                / F.sqrt(
+                    F.col("na_u").cast("double") * F.col("nb_u").cast("double")
+                ),
+                6,
+            ),
+        ).alias("centroid_cosine"),
+        qround(
+            F.sqrt(F.col("d2_u").cast("double") / F.lit(1e12)), 6
+        ).alias("centroid_l2"),
+    ).orderBy("label")

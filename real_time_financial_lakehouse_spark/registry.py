@@ -8340,6 +8340,105 @@ def q_kupiec_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.kupiec_var_backtest(_events(spark, sf_dir))
 
 
+@register(
+    "window_funnel_stages",
+    f"""
+    WITH anchor AS (
+        SELECT user_id, min(ts) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN anchor v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 6 HOUR
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e
+        JOIN anchor v ON v.user_id = e.user_id
+        JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > s2.t2 AND e.ts <= v.t1 + INTERVAL 6 HOUR
+        GROUP BY 1
+    ),
+    stages AS (
+        SELECT (1 + (CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END)
+               )::BIGINT AS max_stage
+        FROM anchor v
+        LEFT JOIN s2 ON s2.user_id = v.user_id
+        LEFT JOIN s3 ON s3.user_id = v.user_id
+    ),
+    hist AS (SELECT max_stage, count(*)::BIGINT AS n_users FROM stages GROUP BY 1),
+    tot AS (SELECT sum(n_users) AS total FROM hist)
+    SELECT h.max_stage, h.n_users,
+           {_q('h.n_users::DOUBLE / t.total::DOUBLE', 6)} AS pct_of_entrants
+    FROM hist h CROSS JOIN tot t
+    ORDER BY 1
+    """,
+)
+def q_window_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.window_funnel_stages(_events(spark, sf_dir))
+
+
+@register(
+    "tail_dependence_matrix",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               {_q('ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))', 12)} AS lr
+        FROM dclose
+    ),
+    r2 AS (SELECT symbol, day, lr FROM rets WHERE lr IS NOT NULL),
+    th AS (
+        SELECT symbol, count(*)::BIGINT AS n_days_sym,
+               {_q('quantile_cont(lr, 0.2)', 12)} AS qtail
+        FROM r2 GROUP BY 1 HAVING count(*) >= 10
+    ),
+    flags AS (
+        SELECT r.symbol, r.day, r.lr <= th.qtail AS in_tail
+        FROM r2 r JOIN th USING (symbol)
+    ),
+    pairs AS (
+        SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+               a.in_tail AS tail_a, b.in_tail AS tail_b
+        FROM flags a JOIN flags b ON a.day = b.day AND a.symbol < b.symbol
+    ),
+    agg AS (
+        SELECT sym_a, sym_b, count(*)::BIGINT AS n_days,
+               sum(CASE WHEN tail_a THEN 1 ELSE 0 END)::BIGINT AS n_a_tail,
+               sum(CASE WHEN tail_b THEN 1 ELSE 0 END)::BIGINT AS n_b_tail,
+               sum(CASE WHEN tail_a AND tail_b THEN 1 ELSE 0 END)::BIGINT AS n_both
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT sym_a, sym_b, n_days, n_a_tail, n_b_tail, n_both,
+           CASE WHEN n_b_tail > 0
+                THEN {_q('n_both::DOUBLE / n_b_tail::DOUBLE', 6)} END AS lambda_lower,
+           CASE WHEN n_a_tail > 0 AND n_b_tail > 0
+                THEN {_q('n_both::DOUBLE * n_days::DOUBLE / (n_a_tail::DOUBLE * n_b_tail::DOUBLE)', 4)}
+           END AS tail_lift
+    FROM agg
+    ORDER BY 1, 2
+    """,
+)
+def q_tail_dependence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.tail_dependence_matrix(_events(spark, sf_dir))
+
+
+# Shares the batch value_percentiles oracle VERBATIM: the gridded-domain
+# histogram state is lossless, so the drained stream reconstructs the
+# exact interpolated quantiles (the streaming_minute_ohlc shared-oracle
+# precedent).
+@register("streaming_value_quantiles", ORACLE_SQL["value_percentiles"])
+def q_streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.silver import streaming_value_quantiles
+
+    return streaming_value_quantiles(spark, sf_dir)
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

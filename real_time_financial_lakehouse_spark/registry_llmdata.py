@@ -3394,3 +3394,47 @@ def _pack_sweep_oracle_sql(budgets: tuple[int, ...] = (128, 256, 512, 1024)) -> 
 @register("packing_efficiency_sweep", _pack_sweep_oracle_sql())
 def q_packing_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.packing_efficiency_sweep(_docs(spark, sf_dir))
+
+
+@register(
+    "embedding_centroid_drift",
+    f"""
+    WITH dims AS (
+        SELECT label,
+               ({md5_long_sql("concat_ws(':', 'drift', vec_id)")}) % 2 AS half,
+               i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+    ),
+    cent AS (
+        SELECT label, half, pos, {qround_sql('avg(x)', 12)} AS m,
+               count(*)::BIGINT AS n_vec
+        FROM dims GROUP BY 1, 2, 3
+    ),
+    joined AS (
+        SELECT a.label, a.n_vec AS n_a, b.n_vec AS n_b,
+               floor(a.m * b.m * 1000000000000.0 + 0.5)::BIGINT AS dot_u,
+               floor(a.m * a.m * 1000000000000.0 + 0.5)::BIGINT AS na_u,
+               floor(b.m * b.m * 1000000000000.0 + 0.5)::BIGINT AS nb_u,
+               floor((a.m - b.m) * (a.m - b.m) * 1000000000000.0 + 0.5)::BIGINT AS d2_u
+        FROM cent a JOIN cent b
+          ON a.label = b.label AND a.pos = b.pos
+         AND a.half = 0 AND b.half = 1
+    ),
+    agg AS (
+        SELECT label, max(n_a)::BIGINT AS n_vec_a, max(n_b)::BIGINT AS n_vec_b,
+               sum(dot_u) AS dot_u, sum(na_u) AS na_u, sum(nb_u) AS nb_u,
+               sum(d2_u) AS d2_u
+        FROM joined GROUP BY 1
+    )
+    SELECT label, n_vec_a, n_vec_b,
+           CASE WHEN na_u > 0 AND nb_u > 0
+                THEN {qround_sql('dot_u::DOUBLE / sqrt(na_u::DOUBLE * nb_u::DOUBLE)', 6)}
+           END AS centroid_cosine,
+           {qround_sql('sqrt(d2_u::DOUBLE / 1000000000000.0)', 6)} AS centroid_l2
+    FROM agg
+    ORDER BY 1
+    """,
+)
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_centroid_drift(_emb(spark, sf_dir))

@@ -872,3 +872,138 @@ def streaming_kmv_distinct(
         "n_kept",
         qround(est, 4).alias("kmv_estimate"),
     ).orderBy("event_type")
+
+
+def streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT percentiles (p50/p90/p99 per event type) via a
+    mergeable value-grid histogram: the events stream drains in
+    micro-batches (md5-bucket shards, maxFilesPerTrigger=1), each batch
+    counts its values per (event_type, value) grid cell, and the counts
+    MERGE additively into a manifest-logged state table via the
+    idempotent-commit contract.  The fixture's ``value`` column sits on
+    a fixed decimal grid (every real-world fixed-precision metric --
+    prices in ticks, latencies in ms, sizes in bytes -- does), so the
+    histogram is lossless: the drained state reconstructs the exact
+    interpolated quantile, bit-identical to the batch
+    ``value_percentiles`` query, whose SQL oracle it shares verbatim.
+    The streaming counterpoint to ``value_percentiles_approx`` (KLL
+    sketch, approximate): when the domain is gridded you don't have to
+    pay the approximation.
+
+    Exactness: cell counts are BIGINTs, so the merge commutes with any
+    batch composition; the final reconstruction computes the same
+    pos = (n-1)*q / linear-interpolation formula both engines' exact
+    quantile functions use, on the same doubles.
+
+    Scale: per batch the partial is one partial-aggregable groupBy at
+    cell cardinality; state is |event_types| x |distinct grid values|
+    rows (bounded by the value domain, NOT by row count -- the whole
+    point); the final cumulative window runs per-symbol over that
+    bounded cell frame, never over ticks."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import qround
+    from ..operators import versioned
+
+    src_dir = scratch_dir("rtfl_svq_src_")
+    table_dir = os.path.join(scratch_dir("rtfl_svq_tbl_"), "hist")
+    ckpt_dir = scratch_dir("rtfl_svq_ckpt_")
+
+    events = _catalog_load(spark, sf_dir)
+    _shard_fixture(events, src_dir)
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("event_type").alias("symbol"), F.col("value")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = _partial(batch_df)
+        if versioned.table_versions(table_dir):
+            prev = versioned.read_version(batch_df.sparkSession, table_dir)
+            merged = (
+                prev.unionByName(part)
+                .groupBy("symbol", "value")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = part
+        versioned.idempotent_commit(
+            merged, table_dir, app_id="rtfl_streaming_svq", batch_id=batch_id
+        )
+
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark) as ss:
+        stream = (
+            ss.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if not versioned.table_versions(table_dir):
+        return spark.createDataFrame(
+            [], "symbol string, p50 double, p90 double, p99 double"
+        )
+    state = versioned.read_version(spark, table_dir)
+    wq = Window.partitionBy("symbol").orderBy("value")
+    hist = state.withColumn("cum", F.sum("cnt").over(wq)).withColumn(
+        "prev_cum", F.col("cum") - F.col("cnt")
+    )
+    totals = state.groupBy("symbol").agg(F.sum("cnt").alias("n"))
+    q_structs = [
+        F.struct(F.lit(nm).alias("qn"), F.lit(qq).alias("q"))
+        for nm, qq in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+    ]
+    qdf = (
+        totals.select("symbol", "n", F.explode(F.array(*q_structs)).alias("s"))
+        .select("symbol", "n", F.col("s.qn").alias("qn"), F.col("s.q").alias("q"))
+        .withColumn("pos", (F.col("n").cast("double") - F.lit(1.0)) * F.col("q"))
+        .withColumn("rlo", F.floor(F.col("pos")).cast("long"))
+        .withColumn("frac", F.col("pos") - F.col("rlo").cast("double"))
+    )
+    picked = (
+        qdf.join(hist, "symbol")
+        .groupBy("symbol", "qn")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("prev_cum") <= F.col("rlo"))
+                    & (F.col("rlo") < F.col("cum")),
+                    F.col("value"),
+                )
+            ).alias("vlo"),
+            F.max(
+                F.when(
+                    (F.col("prev_cum") <= F.col("rlo") + 1)
+                    & (F.col("rlo") + 1 < F.col("cum")),
+                    F.col("value"),
+                )
+            ).alias("vhi"),
+            F.max("frac").alias("frac"),
+        )
+    )
+    res = picked.select(
+        "symbol",
+        "qn",
+        (
+            F.col("vlo")
+            + F.col("frac") * (F.coalesce(F.col("vhi"), F.col("vlo")) - F.col("vlo"))
+        ).alias("res"),
+    )
+    return (
+        res.groupBy("symbol")
+        .agg(
+            qround(F.max(F.when(F.col("qn") == "p50", F.col("res"))), 6).alias("p50"),
+            qround(F.max(F.when(F.col("qn") == "p90", F.col("res"))), 6).alias("p90"),
+            qround(F.max(F.when(F.col("qn") == "p99", F.col("res"))), 6).alias("p99"),
+        )
+        .orderBy("symbol")
+    )

@@ -1008,3 +1008,45 @@ def test_round10_governance_queries_stay_bounded(spark):
     # the one cross join is the broadcast of the 1-row totals frame
     assert "BroadcastNestedLoopJoin" in skew or "BroadcastExchange" in skew
     assert "BatchEvalPython" not in skew
+
+
+def test_round11_queries_stay_bounded(spark):
+    """Round-11 additions: Ljung-Box and Kupiec ride the daily-close
+    rollup ladder with a broadcast symbol-cardinality stats join (one
+    window sort per symbol serves every ACF lag); the tail-dependence
+    pair expansion is an equi-join ON day (bounded |symbols|^2 fan-out,
+    never a row cartesian); the window funnel is ONE user_id exchange
+    serving three stacked conditional windows plus the per-user
+    collapse -- no Python stage anywhere."""
+    from real_time_financial_lakehouse_spark.operators import finance
+    from real_time_financial_lakehouse_spark.operators.relational import (
+        window_funnel_stages,
+    )
+    from real_time_financial_lakehouse_spark.operators.similarity import (
+        embedding_centroid_drift,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    for fn, max_ex in (
+        (finance.ljung_box_autocorr, 7),
+        (finance.kupiec_var_backtest, 7),
+        (finance.tail_dependence_matrix, 13),
+    ):
+        plan = _plan(fn(ev))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "BroadcastExchange" in plan, fn.__name__
+        assert plan.count("Exchange") <= max_ex, (
+            f"{fn.__name__}: {plan.count('Exchange')} exchanges"
+        )
+    funnel = _plan(window_funnel_stages(ev))
+    assert "CartesianProduct" not in funnel
+    assert "BatchEvalPython" not in funnel
+    # the one-exchange-serves-the-chain claim: a regression back to the
+    # join formulation re-expands the anchor subtree into every
+    # consumer (14 scans observed); pin the single-scan shape
+    assert funnel.count("Scan parquet") <= 2
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    drift = _plan(embedding_centroid_drift(emb))
+    assert "CartesianProduct" not in drift
+    assert "BatchEvalPython" not in drift
