@@ -4505,3 +4505,241 @@ def tail_dependence_matrix(events: DataFrame, q: float = 0.2) -> DataFrame:
             ),
         ).alias("tail_lift"),
     ).orderBy("sym_a", "sym_b")
+
+
+# ---------------------------------------------------------------------------
+# round 11 (continued): randomness diagnostics, noise-robust volatility,
+# tail-averaged drawdown risk
+# ---------------------------------------------------------------------------
+
+
+def _daily_log_returns(events: DataFrame) -> DataFrame:
+    """Internal (symbol, day, lr) frame: deterministic last-tick daily
+    closes (max_by over the (ts, event_id) key) on positive ticks, then
+    the 12-dp-quantized log return -- the shared first stage of every
+    daily-bar risk diagnostic in this module.  One day-granularity
+    partial agg + one symbol-partitioned window pass."""
+    src = events.filter(F.col("value") > 0)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    dclose = src.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    prev = F.lag("c").over(w)
+    return dclose.select(
+        "symbol",
+        "day",
+        F.when(prev.isNotNull(), qround(F.log(F.col("c") / prev), 12)).alias(
+            "lr"
+        ),
+    ).filter(F.col("lr").isNotNull())
+
+
+def runs_test_randomness(events: DataFrame) -> DataFrame:
+    """Wald-Wolfowitz runs test on the SIGNS of daily log returns per
+    symbol: count maximal runs of consecutive same-sign returns, compare
+    to the count expected under exchangeability (E[R] = 2*n1*n2/n + 1),
+    and report the normal-approximation z statistic.  Too FEW runs =
+    trend persistence, too MANY = mean reversion -- the
+    distribution-free cousin of ``ljung_box_autocorr`` (which tests
+    linear autocorrelation; the runs test also catches sign dependence
+    with no moment assumptions).  Zero returns (possible after 12-dp
+    quantization of a flat day) carry no sign information and are
+    dropped, per the classical construction.
+
+    Scale: day-granularity rollup, one symbol-partitioned window pass
+    for the sign-change indicator, one partial-aggregable groupBy.
+    Determinism: n1/n2/runs are exact BIGINTs; E[R] and Var[R] are
+    rational functions of those integers evaluated identically in
+    double on both engines; sqrt is IEEE-correctly-rounded, so the z
+    reaching the final qround is bit-identical."""
+    rets = _daily_log_returns(events).filter(F.col("lr") != 0)
+    sign = F.when(F.col("lr") > 0, F.lit(1)).otherwise(F.lit(-1))
+    w = Window.partitionBy("symbol").orderBy("day")
+    signed = rets.select("symbol", "day", sign.alias("s"))
+    prev_s = F.lag("s").over(w)
+    flagged = signed.select(
+        "symbol",
+        "s",
+        F.when(prev_s.isNull() | (prev_s != F.col("s")), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_run"),
+    )
+    agg = (
+        flagged.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum((F.col("s") == 1).cast("long")).alias("n_pos"),
+            F.sum((F.col("s") == -1).cast("long")).alias("n_neg"),
+            F.sum("new_run").alias("n_runs"),
+        )
+        .filter(
+            (F.col("n_days") >= 20) & (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+        )
+    )
+    n = F.col("n_days").cast("double")
+    n1 = F.col("n_pos").cast("double")
+    n2 = F.col("n_neg").cast("double")
+    two_n1n2 = F.lit(2.0) * n1 * n2
+    mu = two_n1n2 / n + F.lit(1.0)
+    var = two_n1n2 * (two_n1n2 - n) / (n * n * (n - F.lit(1.0)))
+    z = F.when(
+        var > 0,
+        qround((F.col("n_runs").cast("double") - mu) / F.sqrt(var), 6),
+    )
+    return agg.select(
+        "symbol",
+        "n_days",
+        "n_pos",
+        "n_neg",
+        "n_runs",
+        qround(mu, 6).alias("expected_runs"),
+        z.alias("z_stat"),
+        (F.abs(z) > F.lit(1.96)).alias("reject_5pct"),
+    ).orderBy("symbol")
+
+
+def _parzen_weights(bandwidth: int) -> list[float]:
+    """Parzen kernel weights k(h/(H+1)), h = 1..H -- computed once in
+    Python and embedded as identical double literals in BOTH the Spark
+    plan and the DuckDB oracle, so neither engine evaluates the cubic."""
+    out = []
+    for h in range(1, bandwidth + 1):
+        x = h / (bandwidth + 1)
+        if x <= 0.5:
+            out.append(1.0 - 6.0 * x * x + 6.0 * x * x * x)
+        else:
+            out.append(2.0 * (1.0 - x) ** 3)
+    return out
+
+
+def realized_kernel_vol(events: DataFrame, bandwidth: int = 5) -> DataFrame:
+    """Parzen realized-kernel variance per symbol (Barndorff-Nielsen,
+    Hansen, Lunde & Shephard 2008): RK = gamma_0 + sum_{h=1..H}
+    2*k(h/(H+1))*gamma_h over daily log returns, where gamma_h is the
+    h-lag autocovariance sum.  The kernel folds serial dependence back
+    into the variance estimate, making it robust to the bid-ask-bounce
+    noise that biases plain realized variance upward; kernel_ratio
+    RK/RV below 1 quantifies exactly that microstructure inflation.
+    Completes the vol ladder: ``daily_return_volatility`` (naive),
+    ``bipower_variation_jumps`` (jump-robust), this (noise-robust).
+
+    Scale: day-granularity rollup, ONE symbol-partitioned window pass
+    emitting all H lagged-product columns (a single sort serves every
+    lag), one partial-aggregable groupBy to symbol cardinality.
+    Determinism: the ljung_box integer-grid discipline -- every lagged
+    product snaps to exact pico-unit BIGINTs, the kernel weights are
+    shared Python double literals, and the weighted combination is
+    written in fixed h order on both engines."""
+    rets = _daily_log_returns(events)
+    w = Window.partitionBy("symbol").orderBy("day")
+    grid = F.lit(1e12)
+    cols = [
+        F.floor(F.col("lr") * F.col("lr") * grid + F.lit(0.5))
+        .cast("long")
+        .alias("g0_u")
+    ]
+    for h in range(1, bandwidth + 1):
+        lagr = F.lag("lr", h).over(w)
+        cols.append(
+            F.when(
+                lagr.isNotNull(),
+                F.floor(F.col("lr") * lagr * grid + F.lit(0.5)).cast("long"),
+            ).alias(f"g{h}_u")
+        )
+    framed = rets.select("symbol", "day", *cols)
+    agg = (
+        framed.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            *[
+                F.sum(f"g{h}_u").alias(f"g{h}_u")
+                for h in range(0, bandwidth + 1)
+            ],
+        )
+        .filter(F.col("n_days") >= 4 * bandwidth)
+    )
+    weights = _parzen_weights(bandwidth)
+    rv = F.col("g0_u").cast("double") / F.lit(1e12)
+    rk = F.col("g0_u").cast("double")
+    for h in range(1, bandwidth + 1):
+        rk = rk + F.lit(2.0 * weights[h - 1]) * F.col(f"g{h}_u").cast(
+            "double"
+        )
+    rk = qround(rk / F.lit(1e12), 12)
+    nd = F.col("n_days").cast("double")
+    ann = F.sqrt(qround(F.greatest(rk, F.lit(0.0)) * F.lit(252.0) / nd, 12))
+    return agg.select(
+        "symbol",
+        "n_days",
+        qround(rv, 10).alias("rv"),
+        qround(rk, 10).alias("rk_variance"),
+        F.when(rv > 0, qround(rk / rv, 6)).alias("kernel_ratio"),
+        qround(ann, 6).alias("rk_vol_annualized"),
+    ).orderBy("symbol")
+
+
+def cdar_conditional_drawdown(events: DataFrame, tail: float = 0.05) -> DataFrame:
+    """Conditional drawdown at risk (CDaR, Chekhlov-Uryasev-Zabarankin):
+    per symbol, the running-peak drawdown series over daily closes, then
+    the average of the worst ceil(n * tail) drawdown depths -- the
+    tail-averaged cousin of ``max_drawdown`` (a single worst point) and
+    the drawdown analogue of CVaR (``historical_var_cvar``).  A
+    portfolio mandate written against CDaR penalizes REPEATED deep
+    underwater spells that a lone max-drawdown number hides.
+
+    Scale: day-granularity rollup, one symbol-partitioned window pass
+    (running max + depth), a row_number cut to the k worst rows, one
+    partial-aggregable groupBy.  Determinism: depths snap to pico-unit
+    BIGINTs BEFORE ranking, the desc sort tie-breaks on day, and the
+    tail mean is a ratio of an exact integer sum over an exact integer
+    count; k = ceil(n/ (1/tail)) is evaluated as ceil(n * tail) on the
+    same doubles by both engines."""
+    src = events.filter(F.col("value") > 0)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    dclose = src.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    runmax = F.max("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    dd = qround(F.lit(1.0) - F.col("c") / runmax, 12)
+    depth = dclose.select(
+        "symbol",
+        "day",
+        F.floor(dd * F.lit(1e12) + F.lit(0.5)).cast("long").alias("dd_u"),
+    )
+    n_per = Window.partitionBy("symbol")
+    ranked = depth.select(
+        "symbol",
+        "dd_u",
+        F.count(F.lit(1)).over(n_per).alias("n_days"),
+        F.row_number()
+        .over(Window.partitionBy("symbol").orderBy(F.desc("dd_u"), "day"))
+        .alias("rk"),
+    ).filter(F.col("n_days") >= 20)
+    k = F.ceil(F.col("n_days").cast("double") * F.lit(float(tail))).cast(
+        "long"
+    )
+    tail_rows = ranked.filter(F.col("rk") <= k)
+    agg = tail_rows.groupBy("symbol").agg(
+        F.max("n_days").alias("n_days"),
+        F.count(F.lit(1)).alias("k_tail"),
+        F.max("dd_u").alias("max_u"),
+        F.sum("dd_u").alias("sum_u"),
+    )
+    return agg.select(
+        "symbol",
+        "n_days",
+        "k_tail",
+        qround(F.col("max_u").cast("double") / F.lit(1e12), 6).alias(
+            "max_drawdown"
+        ),
+        qround(
+            F.col("sum_u").cast("double")
+            / F.col("k_tail").cast("double")
+            / F.lit(1e12),
+            6,
+        ).alias("cdar"),
+    ).orderBy("symbol")

@@ -846,3 +846,104 @@ def packing_efficiency_sweep(
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.orderBy("budget")
+
+
+def t_closeness_report(
+    documents: DataFrame, n_bins: int = 10, t_threshold: float = 0.2
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007), completing
+    the anonymity ladder after ``k_anonymity_report`` (group sizes) and
+    ``l_diversity_report`` (sensitive-value variety): per
+    quasi-identifier group (lang, source), the EARTH-MOVER distance
+    between the group's distribution of the ordered sensitive attribute
+    (document length, on a fixed global 10-bucket grid) and the
+    corpus-wide distribution.  For an ordered attribute EMD reduces to
+    mean absolute cumulative-share difference, sum_i |cumP_i - cumQ_i| /
+    (B-1); a group whose EMD exceeds t leaks length information about
+    its members even when k and l look healthy.
+
+    Scale: ONE documents scan -- the per-group bucket histogram is
+    n_bins conditional sums in a single partial-aggregable groupBy
+    (empty buckets materialize as zero columns, no spine join, no plan
+    re-expansion), posexploded to a (groups x n_bins) frame on which
+    every cumulative -- per-group AND global -- is a window.  The two
+    empty-partition-spec windows (global cum, global total) run over
+    that provably bounded frame (|lang x source| x n_bins rows),
+    whitelisted in the plan audit with that justification.
+    Determinism: pure integer-count arithmetic end to end --
+    |cn*T - gcn*t_g| is an exact BIGINT before the single final
+    division; no libm anywhere."""
+    from ..functions.numeric import qround
+
+    docs = documents.filter(F.col("n_chars").isNotNull())
+    bounds = docs.agg(
+        F.min("n_chars").alias("cmin"), F.max("n_chars").alias("cmax")
+    )
+    binned = docs.crossJoin(F.broadcast(bounds)).select(
+        "lang",
+        "source",
+        F.when(
+            F.col("cmax") != F.col("cmin"),
+            F.least(
+                F.floor(
+                    (F.col("n_chars") - F.col("cmin"))
+                    / (F.col("cmax") - F.col("cmin"))
+                    * n_bins
+                ),
+                F.lit(n_bins - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("bucket"),
+    )
+    per_group = binned.groupBy("lang", "source").agg(
+        *[
+            F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(f"b{b}")
+            for b in range(n_bins)
+        ]
+    )
+    full = per_group.select(
+        "lang",
+        "source",
+        F.posexplode(
+            F.array(*[F.col(f"b{b}") for b in range(n_bins)])
+        ).alias("bucket", "n"),
+    )
+    wgrp = Window.partitionBy("lang", "source").orderBy("bucket")
+    wglob = Window.orderBy("bucket").rangeBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = full.select(
+        "lang",
+        "source",
+        F.sum("n").over(wgrp.rowsBetween(Window.unboundedPreceding, 0)).alias("cn"),
+        F.sum("n").over(Window.partitionBy("lang", "source")).alias("t_g"),
+        F.sum("n").over(wglob).alias("gcn"),
+        F.sum("n").over(wall).alias("t_all"),
+    )
+    terms = cum.select(
+        "lang",
+        "source",
+        "t_g",
+        "t_all",
+        F.abs(
+            F.col("cn") * F.col("t_all") - F.col("gcn") * F.col("t_g")
+        ).alias("term_u"),
+    )
+    agg = terms.groupBy("lang", "source").agg(
+        F.max("t_g").alias("n_docs"),
+        F.max("t_all").alias("t_all"),
+        F.sum("term_u").alias("sum_u"),
+    )
+    emd = (
+        F.col("sum_u").cast("double")
+        / (F.col("n_docs").cast("double") * F.col("t_all").cast("double"))
+        / F.lit(float(n_bins - 1))
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        qround(emd, 6).alias("emd"),
+        (emd > F.lit(float(t_threshold))).alias("t_violation"),
+    ).orderBy("lang", "source")

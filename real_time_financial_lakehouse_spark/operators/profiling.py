@@ -1114,3 +1114,99 @@ def l_diversity_report(events: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("l") < 3, F.col("g")).otherwise(0)) / total, 6
         ).alias("pct_rows_l_lt_3"),
     )
+
+
+def js_divergence_drift(
+    events: DataFrame, n_bins: int = 10, jsd_alert: float = 0.1
+) -> DataFrame:
+    """Jensen-Shannon drift monitor: the same midpoint time split and
+    fixed global value grid as ``psi_drift``, but scored with the
+    symmetric, BOUNDED Jensen-Shannon divergence JSD = 0.5*KL(P||M) +
+    0.5*KL(Q||M), M = (P+Q)/2 -- always in [0, ln 2], so one saturated
+    bin cannot blow the statistic up the way it inflates PSI, and the
+    normalized score is comparable ACROSS symbols with very different
+    bin occupancies.  Laplace smoothing keeps every share strictly
+    positive; alert at ``jsd_alert`` on the raw (nats) value.
+
+    Scale: identical to psi_drift -- one broadcast bounds row, one
+    groupBy at (symbol x bin) cardinality, one symbol rollup.
+    Determinism: shares are rationals of exact integers, each ln() is
+    quantized at 12 dp (libm-ulp isolation, the kupiec discipline), and
+    per-cell contributions snap to pico-unit BIGINTs so the symbol sum
+    is order-independent."""
+    from ..functions.numeric import qround
+
+    vals = events.filter(F.col("value").isNotNull())
+    bounds = vals.agg(
+        F.floor((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("mid_us"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    binned = vals.crossJoin(F.broadcast(bounds)).select(
+        F.col("event_type").alias("symbol"),
+        (F.unix_micros("ts") > F.col("mid_us")).alias("is_cur"),
+        F.when(
+            F.col("vmax") != F.col("vmin"),
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * n_bins
+                ),
+                F.lit(n_bins - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("bin"),
+    )
+    cells = binned.groupBy("symbol", "bin").agg(
+        F.sum(F.when(~F.col("is_cur"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).alias("n_cur"),
+    )
+    totals = cells.groupBy("symbol").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    half_b = F.lit(0.5 * n_bins)
+    joined = cells.join(totals, "symbol").select(
+        "symbol",
+        "n_ref",
+        "n_cur",
+        ((F.col("n_ref") + F.lit(0.5)) / (F.col("t_ref") + half_b)).alias("p"),
+        ((F.col("n_cur") + F.lit(0.5)) / (F.col("t_cur") + half_b)).alias("q"),
+    )
+    with_m = joined.select(
+        "symbol",
+        "n_ref",
+        "n_cur",
+        "p",
+        "q",
+        ((F.col("p") + F.col("q")) / F.lit(2.0)).alias("m"),
+    )
+    lp = qround(F.log(F.col("p") / F.col("m")), 12)
+    lq = qround(F.log(F.col("q") / F.col("m")), 12)
+    contrib_u = F.floor(
+        F.lit(0.5) * (F.col("p") * lp + F.col("q") * lq) * F.lit(1e12)
+        + F.lit(0.5)
+    ).cast("long")
+    per_symbol = (
+        with_m.select("symbol", "n_ref", "n_cur", contrib_u.alias("c_u"))
+        .groupBy("symbol")
+        .agg(
+            F.sum("n_ref").alias("n_ref"),
+            F.sum("n_cur").alias("n_cur"),
+            F.sum("c_u").alias("sum_u"),
+        )
+    )
+    jsd_raw = F.col("sum_u").cast("double") / F.lit(1e12)
+    ln2 = F.lit(0.6931471805599453)
+    return per_symbol.select(
+        "symbol",
+        "n_ref",
+        "n_cur",
+        qround(jsd_raw, 6).alias("jsd"),
+        qround(jsd_raw / ln2, 6).alias("jsd_normalized"),
+        (jsd_raw > F.lit(float(jsd_alert))).alias("drift_alert"),
+    ).orderBy("symbol")

@@ -8439,6 +8439,214 @@ def q_streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_value_quantiles(spark, sf_dir)
 
 
+@register(
+    "js_divergence_drift",
+    f"""
+    WITH vals AS (
+        SELECT event_type AS symbol, epoch_us(ts) AS us, value
+        FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (
+        SELECT ((min(us) + max(us)) // 2)::BIGINT AS mid_us,
+               min(value) AS vmin, max(value) AS vmax
+        FROM vals
+    ),
+    binned AS (
+        SELECT symbol, (us > mid_us) AS is_cur,
+               (CASE WHEN vmax != vmin
+                     THEN least(floor((value - vmin) / (vmax - vmin) * 10), 9)
+                     ELSE 0 END)::INT AS bin
+        FROM vals, bounds
+    ),
+    cells AS (
+        SELECT symbol, bin,
+               coalesce(sum(CASE WHEN NOT is_cur THEN 1 ELSE 0 END), 0)::BIGINT AS n_ref,
+               coalesce(sum(CASE WHEN is_cur THEN 1 ELSE 0 END), 0)::BIGINT AS n_cur
+        FROM binned GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT symbol, sum(n_ref)::BIGINT AS t_ref, sum(n_cur)::BIGINT AS t_cur
+        FROM cells GROUP BY 1
+    ),
+    probs AS (
+        SELECT c.symbol, c.n_ref, c.n_cur,
+               (c.n_ref + 0.5) / (t.t_ref + 5.0) AS p,
+               (c.n_cur + 0.5) / (t.t_cur + 5.0) AS q
+        FROM cells c JOIN totals t USING (symbol)
+    ),
+    withm AS (SELECT symbol, n_ref, n_cur, p, q, (p + q) / 2.0 AS m FROM probs),
+    contrib AS (
+        SELECT symbol, n_ref, n_cur,
+               floor(0.5 * (p * {_q('ln(p / m)', 12)} + q * {_q('ln(q / m)', 12)})
+                     * 1000000000000.0 + 0.5)::BIGINT AS c_u
+        FROM withm
+    ),
+    agg AS (
+        SELECT symbol, sum(n_ref)::BIGINT AS n_ref, sum(n_cur)::BIGINT AS n_cur,
+               sum(c_u) AS sum_u
+        FROM contrib GROUP BY 1
+    )
+    SELECT symbol, n_ref, n_cur,
+           {_q('sum_u::DOUBLE / 1000000000000.0', 6)} AS jsd,
+           {_q('sum_u::DOUBLE / 1000000000000.0 / 0.6931471805599453', 6)}
+               AS jsd_normalized,
+           sum_u::DOUBLE / 1000000000000.0 > 0.1 AS drift_alert
+    FROM agg ORDER BY 1
+    """,
+)
+def q_js_divergence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import profiling
+
+    return profiling.js_divergence_drift(_events(spark, sf_dir))
+
+
+@register(
+    "runs_test_randomness",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               {_q('ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))', 12)} AS lr
+        FROM dclose
+    ),
+    r2 AS (SELECT symbol, day, lr FROM rets WHERE lr IS NOT NULL AND lr <> 0),
+    signed AS (
+        SELECT symbol, day, CASE WHEN lr > 0 THEN 1 ELSE -1 END AS s
+        FROM r2
+    ),
+    flagged AS (
+        SELECT symbol, s,
+               CASE WHEN lag(s) OVER w IS NULL OR lag(s) OVER w <> s
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signed WINDOW w AS (PARTITION BY symbol ORDER BY day)
+    ),
+    agg AS (
+        SELECT symbol, count(*)::BIGINT AS n_days,
+               sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+               sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+               sum(new_run)::BIGINT AS n_runs
+        FROM flagged GROUP BY 1
+        HAVING count(*) >= 20
+           AND sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) > 0
+           AND sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) > 0
+    ),
+    shaped AS (
+        SELECT symbol, n_days, n_pos, n_neg, n_runs,
+               2.0 * n_pos::DOUBLE * n_neg::DOUBLE / n_days::DOUBLE + 1.0 AS mu,
+               2.0 * n_pos::DOUBLE * n_neg::DOUBLE
+                 * (2.0 * n_pos::DOUBLE * n_neg::DOUBLE - n_days::DOUBLE)
+                 / (n_days::DOUBLE * n_days::DOUBLE * (n_days::DOUBLE - 1.0))
+                 AS var
+        FROM agg
+    ),
+    final AS (
+        SELECT symbol, n_days, n_pos, n_neg, n_runs,
+               {_q('mu', 6)} AS expected_runs,
+               CASE WHEN var > 0
+                    THEN {_q('(n_runs::DOUBLE - mu) / sqrt(var)', 6)}
+               END AS z_stat
+        FROM shaped
+    )
+    SELECT symbol, n_days, n_pos, n_neg, n_runs, expected_runs, z_stat,
+           abs(z_stat) > 1.96 AS reject_5pct
+    FROM final ORDER BY 1
+    """,
+)
+def q_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.runs_test_randomness(_events(spark, sf_dir))
+
+
+def _realized_kernel_oracle_sql(bandwidth: int = 5) -> str:
+    weights = finance._parzen_weights(bandwidth)
+    lag_cols = ",\n           ".join(
+        f"CASE WHEN lag(lr, {h}) OVER w IS NOT NULL"
+        f" THEN floor(lr * lag(lr, {h}) OVER w * 1000000000000.0 + 0.5)::BIGINT"
+        f" END AS g{h}_u"
+        for h in range(1, bandwidth + 1)
+    )
+    sums = ", ".join(
+        f"sum(g{h}_u) AS g{h}_u" for h in range(0, bandwidth + 1)
+    )
+    rk_expr = "g0_u::DOUBLE" + "".join(
+        f" + {2.0 * weights[h - 1]!r} * g{h}_u::DOUBLE"
+        for h in range(1, bandwidth + 1)
+    )
+    return f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               {_q('ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))', 12)} AS lr
+        FROM dclose
+    ),
+    r2 AS (SELECT symbol, day, lr FROM rets WHERE lr IS NOT NULL),
+    framed AS (
+        SELECT symbol,
+           floor(lr * lr * 1000000000000.0 + 0.5)::BIGINT AS g0_u,
+           {lag_cols}
+        FROM r2 WINDOW w AS (PARTITION BY symbol ORDER BY day)
+    ),
+    agg AS (
+        SELECT symbol, count(*)::BIGINT AS n_days, {sums}
+        FROM framed GROUP BY 1 HAVING count(*) >= {4 * bandwidth}
+    ),
+    shaped AS (
+        SELECT symbol, n_days,
+               g0_u::DOUBLE / 1000000000000.0 AS rv_raw,
+               {_q(f'({rk_expr}) / 1000000000000.0', 12)} AS rk_q
+        FROM agg
+    )
+    SELECT symbol, n_days,
+           {_q('rv_raw', 10)} AS rv,
+           {_q('rk_q', 10)} AS rk_variance,
+           CASE WHEN rv_raw > 0 THEN {_q('rk_q / rv_raw', 6)} END AS kernel_ratio,
+           {_q(f"sqrt({_q('greatest(rk_q, 0.0) * 252.0 / n_days::DOUBLE', 12)})", 6)}
+               AS rk_vol_annualized
+    FROM shaped ORDER BY 1
+    """
+
+
+@register("realized_kernel_vol", _realized_kernel_oracle_sql())
+def q_realized_kernel_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.realized_kernel_vol(_events(spark, sf_dir))
+
+
+@register(
+    "cdar_conditional_drawdown",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    depth AS (
+        SELECT symbol, day,
+               floor(({_q('1.0 - c / max(c) OVER (PARTITION BY symbol ORDER BY day ROWS UNBOUNDED PRECEDING)', 12)})
+                     * 1000000000000.0 + 0.5)::BIGINT AS dd_u
+        FROM dclose
+    ),
+    ranked AS (
+        SELECT symbol, dd_u,
+               count(*) OVER (PARTITION BY symbol) AS n_days,
+               row_number() OVER (PARTITION BY symbol ORDER BY dd_u DESC, day) AS rk
+        FROM depth
+    ),
+    eligible AS (SELECT * FROM ranked WHERE n_days >= 20),
+    tail_rows AS (
+        SELECT * FROM eligible
+        WHERE rk <= ceil(n_days::DOUBLE * 0.05)::BIGINT
+    ),
+    agg AS (
+        SELECT symbol, max(n_days)::BIGINT AS n_days,
+               count(*)::BIGINT AS k_tail,
+               max(dd_u) AS max_u, sum(dd_u) AS sum_u
+        FROM tail_rows GROUP BY 1
+    )
+    SELECT symbol, n_days, k_tail,
+           {_q('max_u::DOUBLE / 1000000000000.0', 6)} AS max_drawdown,
+           {_q('sum_u::DOUBLE / k_tail::DOUBLE / 1000000000000.0', 6)} AS cdar
+    FROM agg ORDER BY 1
+    """,
+)
+def q_cdar_conditional_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.cdar_conditional_drawdown(_events(spark, sf_dir))
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

@@ -3438,3 +3438,64 @@ def q_packing_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_centroid_drift(_emb(spark, sf_dir))
+
+
+@register(
+    "t_closeness_report",
+    f"""
+    WITH docs AS (
+        SELECT lang, source, n_chars FROM documents WHERE n_chars IS NOT NULL
+    ),
+    bounds AS (SELECT min(n_chars) AS cmin, max(n_chars) AS cmax FROM docs),
+    binned AS (
+        SELECT lang, source,
+               (CASE WHEN cmax != cmin
+                     THEN least(floor((n_chars - cmin) / (cmax - cmin) * 10), 9)
+                     ELSE 0 END)::INT AS bucket
+        FROM docs, bounds
+    ),
+    cells AS (
+        SELECT lang, source, bucket, count(*)::BIGINT AS n
+        FROM binned GROUP BY 1, 2, 3
+    ),
+    spine AS (
+        SELECT g.lang, g.source, b.bucket
+        FROM (SELECT DISTINCT lang, source FROM cells) g,
+             (SELECT unnest(range(10))::INT AS bucket) b
+    ),
+    fullc AS (
+        SELECT s.lang, s.source, s.bucket, coalesce(c.n, 0)::BIGINT AS n
+        FROM spine s LEFT JOIN cells c USING (lang, source, bucket)
+    ),
+    gb AS (SELECT bucket, sum(n)::BIGINT AS gn FROM fullc GROUP BY 1),
+    gcum AS (
+        SELECT bucket,
+               (sum(gn) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))::BIGINT AS gcn
+        FROM gb
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS t_all FROM fullc),
+    cum AS (
+        SELECT lang, source, bucket,
+               (sum(n) OVER (PARTITION BY lang, source ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING))::BIGINT AS cn,
+               (sum(n) OVER (PARTITION BY lang, source))::BIGINT AS t_g
+        FROM fullc
+    ),
+    terms AS (
+        SELECT c.lang, c.source, c.t_g, t.t_all,
+               abs(c.cn * t.t_all - g.gcn * c.t_g) AS term_u
+        FROM cum c JOIN gcum g USING (bucket), tot t
+    ),
+    agg AS (
+        SELECT lang, source, max(t_g)::BIGINT AS n_docs,
+               max(t_all)::BIGINT AS t_all, sum(term_u)::BIGINT AS sum_u
+        FROM terms GROUP BY 1, 2
+    )
+    SELECT lang, source, n_docs,
+           {qround_sql('sum_u::DOUBLE / (n_docs::DOUBLE * t_all::DOUBLE) / 9.0', 6)} AS emd,
+           sum_u::DOUBLE / (n_docs::DOUBLE * t_all::DOUBLE) / 9.0 > 0.2 AS t_violation
+    FROM agg ORDER BY 1, 2
+    """,
+)
+def q_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.t_closeness_report(_docs(spark, sf_dir))

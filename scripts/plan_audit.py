@@ -83,6 +83,8 @@ _GLOBAL_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
                         "customer frame; 100 TB path is the approx twin"),
     "revenue_gini": (2, "rank-sum needs a total order (documented); runs at "
                         "customer cardinality after partial agg"),
+    "t_closeness_report": (2, "global cum + global total over the posexploded "
+                              "(|lang x source| x n_bins)-row histogram frame"),
 }
 
 

@@ -1,0 +1,390 @@
+"""Semantics referees for the round-11 batch-2 additions (runs test,
+realized kernel, CDaR): planted analytic cases with hand-computable
+answers plus numpy/pandas re-derivations on the fixture."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from conftest import SF_SMOKE
+from real_time_financial_lakehouse_spark.catalog import load_table
+from real_time_financial_lakehouse_spark.operators import finance
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _events(spark):
+    return load_table(spark, SF_SMOKE, "events")
+
+
+def _qr(x: float, d: int = 6) -> float:
+    return math.floor(x * 10**d + 0.5) / 10**d
+
+
+def _tick_frame(spark, closes, symbol="sym"):
+    rows = [
+        (
+            i + 1,
+            dt.datetime(2024, 1, 1) + dt.timedelta(days=i, hours=12),
+            1,
+            symbol,
+            float(c),
+            None,
+        )
+        for i, c in enumerate(closes)
+    ]
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def _daily_lr(pdf, symbol):
+    import numpy as np
+
+    g = pdf[pdf.event_type == symbol]
+    closes = g.groupby("day").last()["value"].sort_index()
+    lr = np.log(closes / closes.shift(1)).dropna().to_numpy()
+    return np.floor(lr * 1e12 + 0.5) / 1e12
+
+
+def _fixture_pdf(spark):
+    return (
+        _events(spark)
+        .toPandas()
+        .query("value > 0")
+        .sort_values(["ts", "event_id"])
+        .assign(day=lambda d: d["ts"].dt.floor("D"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# runs_test_randomness
+# ---------------------------------------------------------------------------
+
+
+def test_runs_test_alternating_signs_maximal_runs(spark):
+    # +1%/-1% alternation over 41 closes: 40 returns, signs alternate,
+    # so every return starts a new run: R = 40, n1 = n2 = 20.
+    closes, c = [100.0], 100.0
+    for i in range(40):
+        c *= 1.01 if i % 2 == 0 else 1 / 1.01
+        closes.append(c)
+    rows = finance.runs_test_randomness(_tick_frame(spark, closes)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_days"], r["n_pos"], r["n_neg"], r["n_runs"]) == (40, 20, 20, 40)
+    mu = 2.0 * 20 * 20 / 40 + 1.0  # 21
+    var = 2.0 * 20 * 20 * (2.0 * 20 * 20 - 40) / (40.0 * 40.0 * 39.0)
+    assert r["expected_runs"] == pytest.approx(mu, abs=1e-9)
+    assert r["z_stat"] == pytest.approx(_qr((40 - mu) / math.sqrt(var), 6), abs=1e-9)
+    assert r["z_stat"] > 1.96 and r["reject_5pct"] is True
+
+
+def test_runs_test_single_trend_reversal_two_runs(spark):
+    # 20 up-days then 20 down-days: exactly 2 runs -> far too few.
+    closes = [100.0 * (1.01**i) for i in range(21)]
+    closes += [closes[-1] * (0.99 ** (i + 1)) for i in range(20)]
+    rows = finance.runs_test_randomness(_tick_frame(spark, closes)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_pos"], r["n_neg"], r["n_runs"]) == (20, 20, 2)
+    assert r["z_stat"] < -1.96 and r["reject_5pct"] is True
+
+
+def test_runs_test_matches_numpy_on_fixture(spark):
+    import numpy as np
+
+    rows = finance.runs_test_randomness(_events(spark)).collect()
+    assert rows
+    pdf = _fixture_pdf(spark)
+    for r in rows:
+        lr = _daily_lr(pdf, r["symbol"])
+        s = np.sign(lr[lr != 0]).astype(int)
+        n1, n2 = int((s == 1).sum()), int((s == -1).sum())
+        runs = int(1 + (s[1:] != s[:-1]).sum())
+        n = n1 + n2
+        assert (r["n_days"], r["n_pos"], r["n_neg"], r["n_runs"]) == (
+            n,
+            n1,
+            n2,
+            runs,
+        )
+        mu = 2.0 * n1 * n2 / n + 1.0
+        var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+        assert r["expected_runs"] == pytest.approx(_qr(mu, 6), abs=1e-9)
+        assert r["z_stat"] == pytest.approx(
+            _qr((runs - mu) / math.sqrt(var), 6), abs=1e-9
+        )
+
+
+# ---------------------------------------------------------------------------
+# realized_kernel_vol
+# ---------------------------------------------------------------------------
+
+
+def test_parzen_weights_closed_form():
+    w = finance._parzen_weights(5)
+    # k(x) = 1 - 6x^2 + 6x^3 for x <= 1/2, 2(1-x)^3 above; x = h/6
+    assert w[0] == pytest.approx(1 - 6 / 36 + 6 / 216)
+    assert w[2] == pytest.approx(0.25)
+    assert w[4] == pytest.approx(2 * (1 / 6) ** 3)
+    assert all(w[i] > w[i + 1] for i in range(4))  # monotone decay
+
+
+def test_realized_kernel_alternating_noise_shrinks_variance(spark):
+    # bid-ask-bounce caricature: alternating +-1% returns have strongly
+    # negative lag-1 autocovariance, so RK << RV (kernel_ratio near 0).
+    closes, c = [100.0], 100.0
+    for i in range(60):
+        c *= 1.01 if i % 2 == 0 else 1 / 1.01
+        closes.append(c)
+    rows = finance.realized_kernel_vol(_tick_frame(spark, closes)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["rv"] > 0
+    assert r["kernel_ratio"] < 0.5
+    assert r["rk_variance"] < r["rv"]
+
+
+def test_realized_kernel_matches_numpy_on_fixture(spark):
+    import numpy as np
+
+    rows = finance.realized_kernel_vol(_events(spark)).collect()
+    assert rows
+    pdf = _fixture_pdf(spark)
+    weights = finance._parzen_weights(5)
+    for r in rows:
+        lr = _daily_lr(pdf, r["symbol"])
+        n = len(lr)
+        assert r["n_days"] == n
+        g0 = float(np.sum(np.floor(lr * lr * 1e12 + 0.5)))
+        rk = g0
+        for h in range(1, 6):
+            gh = float(np.sum(np.floor(lr[h:] * lr[:-h] * 1e12 + 0.5)))
+            rk += 2.0 * weights[h - 1] * gh
+        rv_raw = g0 / 1e12
+        rk_q = _qr(rk / 1e12, 12)
+        assert r["rv"] == pytest.approx(_qr(rv_raw, 10), abs=1e-12)
+        assert r["rk_variance"] == pytest.approx(_qr(rk_q, 10), abs=1e-12)
+        assert r["kernel_ratio"] == pytest.approx(_qr(rk_q / rv_raw, 6), abs=1e-9)
+        ann = math.sqrt(_qr(max(rk_q, 0.0) * 252.0 / n, 12))
+        assert r["rk_vol_annualized"] == pytest.approx(_qr(ann, 6), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# cdar_conditional_drawdown
+# ---------------------------------------------------------------------------
+
+
+def test_cdar_planted_two_dips(spark):
+    # 30 days at 100 except day 10 (80 -> depth 0.2) and day 11
+    # (90 -> depth 0.1); k = ceil(30 * 0.05) = 2 worst depths.
+    closes = [100.0] * 30
+    closes[10], closes[11] = 80.0, 90.0
+    rows = finance.cdar_conditional_drawdown(
+        _tick_frame(spark, closes)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_days"], r["k_tail"]) == (30, 2)
+    assert r["max_drawdown"] == pytest.approx(0.2, abs=1e-9)
+    assert r["cdar"] == pytest.approx(0.15, abs=1e-9)
+
+
+def test_cdar_monotone_rally_is_zero(spark):
+    closes = [100.0 * (1.005**i) for i in range(25)]
+    rows = finance.cdar_conditional_drawdown(
+        _tick_frame(spark, closes)
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["max_drawdown"] == 0.0
+    assert rows[0]["cdar"] == 0.0
+
+
+def test_cdar_matches_numpy_on_fixture(spark):
+    import numpy as np
+
+    rows = finance.cdar_conditional_drawdown(_events(spark)).collect()
+    assert rows
+    pdf = _fixture_pdf(spark)
+    for r in rows:
+        g = pdf[pdf.event_type == r["symbol"]]
+        closes = g.groupby("day").last()["value"].sort_index().to_numpy()
+        runmax = np.maximum.accumulate(closes)
+        dd = np.floor((1.0 - closes / runmax) * 1e12 + 0.5) / 1e12
+        dd_u = np.floor(dd * 1e12 + 0.5).astype(np.int64)
+        n = len(dd_u)
+        k = math.ceil(n * 0.05)
+        worst = np.sort(dd_u)[::-1][:k]
+        assert (r["n_days"], r["k_tail"]) == (n, k)
+        assert r["max_drawdown"] == pytest.approx(
+            _qr(float(worst.max()) / 1e12, 6), abs=1e-12
+        )
+        assert r["cdar"] == pytest.approx(
+            _qr(float(worst.sum()) / k / 1e12, 6), abs=1e-12
+        )
+        # CDaR dominates no statistic it shouldn't: max >= cdar >= 0
+        assert r["max_drawdown"] >= r["cdar"] >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# js_divergence_drift
+# ---------------------------------------------------------------------------
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _half_split_frame(spark, first_vals, second_vals, symbol="sym"):
+    rows = []
+    for i, v in enumerate(first_vals):
+        rows.append(
+            (i + 1, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), 1, symbol, float(v), None)
+        )
+    base = dt.datetime(2024, 3, 1)
+    for i, v in enumerate(second_vals):
+        rows.append(
+            (1000 + i, base + dt.timedelta(hours=i), 1, symbol, float(v), None)
+        )
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def test_jsd_identical_halves_is_zero(spark):
+    from real_time_financial_lakehouse_spark.operators.profiling import (
+        js_divergence_drift,
+    )
+
+    vals = [float(i) for i in range(20)]
+    rows = js_divergence_drift(_half_split_frame(spark, vals, vals)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # equal per-bin counts -> p == q exactly -> every contribution 0
+    assert r["jsd"] == 0.0
+    assert r["jsd_normalized"] == 0.0
+    assert r["drift_alert"] is False
+
+
+def test_jsd_disjoint_halves_near_ln2(spark):
+    from real_time_financial_lakehouse_spark.operators.profiling import (
+        js_divergence_drift,
+    )
+
+    rows = js_divergence_drift(
+        _half_split_frame(spark, [0.0] * 30, [100.0] * 30)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["jsd_normalized"] > 0.5
+    assert r["drift_alert"] is True
+    # bounded: JSD can never exceed ln 2
+    assert r["jsd"] <= math.log(2.0) + 1e-9
+
+
+def test_jsd_matches_numpy_on_fixture(spark):
+    import numpy as np
+
+    from real_time_financial_lakehouse_spark.operators.profiling import (
+        js_divergence_drift,
+    )
+
+    rows = js_divergence_drift(_events(spark)).collect()
+    assert rows
+    pdf = _events(spark).toPandas().dropna(subset=["value"])
+    us = pdf["ts"].astype("int64") // 1000
+    mid = (us.min() + us.max()) // 2
+    vmin, vmax = pdf["value"].min(), pdf["value"].max()
+    bins = np.minimum(
+        np.floor((pdf["value"] - vmin) / (vmax - vmin) * 10), 9
+    ).astype(int)
+    for r in rows:
+        mask = (pdf["event_type"] == r["symbol"]).to_numpy()
+        cur = (us > mid).to_numpy()[mask]
+        b = bins.to_numpy()[mask]
+        total = 0.0
+        n_ref_t = int((~cur).sum())
+        n_cur_t = int(cur.sum())
+        for bin_id in np.unique(b):
+            n_ref = int(((b == bin_id) & ~cur).sum())
+            n_cur = int(((b == bin_id) & cur).sum())
+            p = (n_ref + 0.5) / (n_ref_t + 5.0)
+            q = (n_cur + 0.5) / (n_cur_t + 5.0)
+            m = (p + q) / 2.0
+            lp = _qr(math.log(p / m), 12)
+            lq = _qr(math.log(q / m), 12)
+            total += math.floor(0.5 * (p * lp + q * lq) * 1e12 + 0.5)
+        assert (r["n_ref"], r["n_cur"]) == (n_ref_t, n_cur_t)
+        assert r["jsd"] == pytest.approx(_qr(total / 1e12, 6), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# t_closeness_report
+# ---------------------------------------------------------------------------
+
+
+def test_t_closeness_identical_groups_zero_emd(spark):
+    from real_time_financial_lakehouse_spark.operators.pipeline import (
+        t_closeness_report,
+    )
+
+    rows = []
+    for g, (lang, src) in enumerate([("en", "web"), ("en", "books")]):
+        for i in range(10):
+            rows.append((g * 100 + i, "x", lang, src, 10 * i))
+    out = t_closeness_report(
+        spark.createDataFrame(rows, DOC_SCHEMA)
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["emd"] == 0.0
+        assert r["t_violation"] is False
+
+
+def test_t_closeness_polarized_groups_emd_half(spark):
+    from real_time_financial_lakehouse_spark.operators.pipeline import (
+        t_closeness_report,
+    )
+
+    # group A all at the min bucket, group B all at the max: each group's
+    # cumulative share differs from the global by 0.5 in 9 of 10 buckets
+    rows = [(i, "x", "en", "short", 0) for i in range(10)]
+    rows += [(100 + i, "x", "en", "long", 99) for i in range(10)]
+    out = t_closeness_report(
+        spark.createDataFrame(rows, DOC_SCHEMA)
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["emd"] == pytest.approx(0.5, abs=1e-9)
+        assert r["t_violation"] is True
+
+
+def test_t_closeness_matches_pandas_on_fixture(spark):
+    import numpy as np
+
+    from real_time_financial_lakehouse_spark.catalog import load_table
+    from real_time_financial_lakehouse_spark.operators.pipeline import (
+        t_closeness_report,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = t_closeness_report(docs).collect()
+    assert rows
+    pdf = docs.toPandas().dropna(subset=["n_chars"])
+    cmin, cmax = pdf["n_chars"].min(), pdf["n_chars"].max()
+    pdf["bucket"] = np.minimum(
+        np.floor((pdf["n_chars"] - cmin) / (cmax - cmin) * 10), 9
+    ).astype(int)
+    t_all = len(pdf)
+    gcounts = pdf["bucket"].value_counts().reindex(range(10), fill_value=0)
+    gcum = gcounts.sort_index().cumsum().to_numpy()
+    for r in rows:
+        g = pdf[(pdf["lang"] == r["lang"]) & (pdf["source"] == r["source"])]
+        counts = g["bucket"].value_counts().reindex(range(10), fill_value=0)
+        cum = counts.sort_index().cumsum().to_numpy()
+        t_g = len(g)
+        term = np.abs(cum * t_all - gcum * t_g).sum()
+        emd = float(term) / (t_g * t_all) / 9.0
+        assert r["n_docs"] == t_g
+        assert r["emd"] == pytest.approx(_qr(emd, 6), abs=1e-9)

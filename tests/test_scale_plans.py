@@ -1050,3 +1050,59 @@ def test_round11_queries_stay_bounded(spark):
     drift = _plan(embedding_centroid_drift(emb))
     assert "CartesianProduct" not in drift
     assert "BatchEvalPython" not in drift
+
+
+def test_round11_batch2_queries_stay_bounded(spark):
+    """Runs test / realized kernel / CDaR all ride the daily-close
+    rollup ladder: day-granularity partial agg, one symbol-partitioned
+    window sort (serving every lag / the running max), one
+    symbol-cardinality groupBy -- no cartesian, no Python stage, and a
+    bounded exchange count that a regression to a self-join or a
+    global window would break."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    for fn, max_ex in (
+        (finance.runs_test_randomness, 7),
+        (finance.realized_kernel_vol, 7),
+        (finance.cdar_conditional_drawdown, 7),
+    ):
+        plan = _plan(fn(ev))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert plan.count("Exchange") <= max_ex, (
+            f"{fn.__name__}: {plan.count('Exchange')} exchanges"
+        )
+        # exactly one parquet scan each: the ladder is linear
+        assert plan.count("Scan parquet") == 1, fn.__name__
+
+
+def test_round11_governance_queries_stay_bounded(spark):
+    """js_divergence_drift shares psi_drift's shape (one broadcast
+    bounds row, (symbol x bin) cells, symbol rollup); t_closeness's
+    only non-equi join is the 10x10 bucket triangle for the global
+    cumulative counts plus two broadcast 1-row frames -- deliberately
+    no empty-partition window, so neither query global-sorts at any
+    scale."""
+    from real_time_financial_lakehouse_spark.operators.pipeline import (
+        t_closeness_report,
+    )
+    from real_time_financial_lakehouse_spark.operators.profiling import (
+        js_divergence_drift,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    jsd = _plan(js_divergence_drift(ev))
+    assert "CartesianProduct" not in jsd
+    assert "BatchEvalPython" not in jsd
+    assert "BroadcastExchange" in jsd
+    assert "windowspecdefinition()" not in jsd.replace(" ", "")
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tcl = _plan(t_closeness_report(docs))
+    assert "CartesianProduct" not in tcl
+    assert "BatchEvalPython" not in tcl
+    # the two-scan shape: one column-pruned bounds scan + ONE data pass
+    # (conditional-sum histogram + posexplode -- no spine join, no plan
+    # re-expansion; the window_funnel lesson)
+    assert tcl.count("Scan parquet") == 2
