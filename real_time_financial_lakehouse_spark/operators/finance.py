@@ -4743,3 +4743,140 @@ def cdar_conditional_drawdown(events: DataFrame, tail: float = 0.05) -> DataFram
             6,
         ).alias("cdar"),
     ).orderBy("symbol")
+
+
+_SQRT_252 = 15.874507866387544  # sqrt(252) as a shared double literal
+
+
+def treynor_information_ratios(events: DataFrame) -> DataFrame:
+    """Treynor ratio and information ratio per symbol against the
+    equal-weight DAILY market index: beta = covar_pop(r, m)/var_pop(m),
+    Treynor = annualized mean return over that beta (excess return per
+    unit of SYSTEMATIC risk -- the Sharpe denominator swapped for beta),
+    and IR = annualized mean active return over tracking error (the
+    skill-vs-benchmark readout).  Completes the ratio ladder next to
+    ``sortino_ratio``/``calmar_ratio``/``omega_ratio`` and the
+    minute-bar ``beta_vs_market`` (this one runs on the daily ladder,
+    where betas are what a portfolio mandate quotes).
+
+    Scale: day-granularity rollup; the market frame is a day-keyed
+    aggregate of the same returns (one row per day, broadcast back);
+    final stats are one partial-aggregable symbol groupBy.
+    Determinism: returns and the market mean quantized at 12 dp;
+    mean/TE quantized at 12 dp before the ratio products; sqrt(252) is
+    a shared Python double literal."""
+    rets = _daily_log_returns(events)
+    market = rets.groupBy("day").agg(
+        qround(F.avg("lr"), 12).alias("m")
+    )
+    joined = (
+        rets.join(F.broadcast(market), "day")
+        .withColumn("active", F.col("lr") - F.col("m"))
+    )
+    var_m = F.var_pop("m")
+    agg = (
+        joined.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            qround(F.avg("lr"), 12).alias("mean_r"),
+            F.when(
+                var_m != 0, qround(F.covar_pop("lr", "m") / var_m, 6)
+            ).alias("beta"),
+            qround(F.avg("active"), 12).alias("mean_active"),
+            qround(F.stddev_pop("active"), 12).alias("te"),
+        )
+        .filter(F.col("n_days") >= 20)
+    )
+    return agg.select(
+        "symbol",
+        "n_days",
+        "beta",
+        F.when(
+            F.col("beta").isNotNull() & (F.col("beta") != 0),
+            qround(F.col("mean_r") * F.lit(252.0) / F.col("beta"), 6),
+        ).alias("treynor_ann"),
+        qround(F.col("te"), 6).alias("tracking_error"),
+        F.when(
+            F.col("te") != 0,
+            qround(
+                F.col("mean_active") / F.col("te") * F.lit(_SQRT_252), 6
+            ),
+        ).alias("info_ratio_ann"),
+    ).orderBy("symbol")
+
+
+def lee_ready_tick_classification(events: DataFrame) -> DataFrame:
+    """Tick-rule trade signing (the quote-free arm of Lee-Ready 1991):
+    each trade is buyer-initiated when it prints above the previous
+    price, seller-initiated below, and inherits the LAST NON-ZERO tick
+    direction on an unchanged print -- a last(ignorenulls) gap-fill
+    window, the classic carry-forward idiom.  Reports per (symbol, day)
+    the signed counts, the buy ratio, and the signed dollar-flow
+    imbalance that ``order_flow_imbalance``-style toxicity metrics
+    consume upstream.
+
+    Scale: ONE (symbol)-partitioned arrival-order window pass (lag +
+    running last-non-null are both O(1) state), then a partial-
+    aggregable (symbol, day) groupBy.  Determinism: tick signs are
+    exact integer comparisons on raw doubles; dollar flow snaps to
+    per-row micro-unit BIGINTs (sign applied to the already-floored
+    magnitude), so group sums are order-independent."""
+    src = events.filter(F.col("value") > 0)
+    w = Window.partitionBy("symbol").orderBy("ts", "event_id")
+    base = src.select(
+        F.col("event_type").alias("symbol"),
+        "ts",
+        "event_id",
+        "value",
+        F.get_json_object(F.col("props"), "$.k").cast("double").alias("qty"),
+    )
+    prev = F.lag("value").over(w)
+    d_sign = (
+        F.when(prev.isNull(), F.lit(None).cast("int"))
+        .when(F.col("value") > prev, F.lit(1))
+        .when(F.col("value") < prev, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    signed = base.withColumn("tick", d_sign)
+    carry = F.last(
+        F.when(F.col("tick") != 0, F.col("tick")), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    flagged = signed.select(
+        "symbol",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "value",
+        "qty",
+        carry.alias("side"),
+    )
+    flow_u = F.when(
+        F.col("side").isNotNull() & F.col("qty").isNotNull(),
+        F.col("side").cast("long")
+        * F.floor(F.col("value") * F.col("qty") * F.lit(1e6) + F.lit(0.5))
+        .cast("long"),
+    )
+    agg = flagged.groupBy("symbol", "day").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum((F.col("side") == 1).cast("long")).alias("n_buys"),
+        F.sum((F.col("side") == -1).cast("long")).alias("n_sells"),
+        F.sum(F.col("side").isNull().cast("long")).alias("n_unclassified"),
+        F.sum(flow_u).alias("flow_u"),
+    )
+    classified = F.col("n_buys") + F.col("n_sells")
+    return agg.select(
+        "symbol",
+        "day",
+        "n_trades",
+        "n_buys",
+        "n_sells",
+        "n_unclassified",
+        F.when(
+            classified > 0,
+            qround(
+                F.col("n_buys").cast("double") / classified.cast("double"), 6
+            ),
+        ).alias("buy_ratio"),
+        qround(
+            F.coalesce(F.col("flow_u"), F.lit(0)).cast("double") / F.lit(1e6),
+            6,
+        ).alias("dollar_flow_imbalance"),
+    ).orderBy("symbol", "day")

@@ -462,3 +462,46 @@ def cohort_ltv(orders: DataFrame) -> DataFrame:
         )
         .orderBy("cohort_year", "year_offset")
     )
+
+
+def mode_per_user(events):
+    """Exact per-user MODE of the categorical event_type with a
+    deterministic tie-break (count desc, then type asc) plus the mode's
+    share of the user's events -- the per-entity dominant-category
+    rollup (SQL has no mode() aggregate with pinned ties; this is the
+    two-stage groupBy + rank idiom).
+
+    Scale: one partial-aggregable (user, type) groupBy collapses to at
+    most |types| rows per user BEFORE the window, so the rank sort runs
+    at category cardinality per user -- never over raw events; the
+    share window reuses the same user_id exchange."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import qround
+
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    total = F.sum("n").over(Window.partitionBy("user_id"))
+    ranked = counts.select(
+        "user_id",
+        "event_type",
+        "n",
+        total.alias("n_total"),
+        F.row_number().over(w).alias("rk"),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("n").alias("n_mode"),
+            "n_total",
+            qround(
+                F.col("n").cast("double") / F.col("n_total").cast("double"), 6
+            ).alias("mode_share"),
+        )
+        .orderBy("user_id")
+    )

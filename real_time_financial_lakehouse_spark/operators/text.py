@@ -1504,3 +1504,70 @@ def quality_filter_funnel(documents: DataFrame) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+def code_prose_classifier(documents: DataFrame) -> DataFrame:
+    """Heuristic code-vs-prose detector aggregated per source -- the
+    screen a pretraining mix runs to route documents to a code pipeline
+    (different dedup granularity, different quality gates) before any
+    expensive model-based classifier.  Signals: structural-symbol
+    density (braces/brackets/semicolons/operators) and indented-line
+    share; a doc is 'code' when symbols exceed 2% of characters OR
+    indented lines exceed a third of lines.  Thresholds are applied as
+    exact INTEGER cross-multiplications (n_sym * 50 > n_chars), so no
+    ratio is computed row-side and both engines cut identical sets.
+
+    Scale: pure row-local regexp counting fused into the scan (JVM
+    codegen, no Python, no shuffle before the source-cardinality
+    groupBy) -- the pii_density_by_source shape."""
+    from ..functions.numeric import qround
+
+    text = F.coalesce(F.col("text"), F.lit(""))
+    n_chars = F.length(text)
+    n_sym = F.size(F.regexp_extract_all(text, F.lit(r"[{}()\[\];=<>#]"), 0))
+    n_lines = F.size(F.regexp_extract_all(text, F.lit("\n"), 0)) + F.lit(1)
+    n_indent = F.size(F.regexp_extract_all(text, F.lit("(?m)^[ \t]"), 0))
+    is_code = (n_sym * F.lit(50) > n_chars) | (
+        n_indent * F.lit(3) > n_lines
+    )
+    per_doc = documents.select(
+        "source",
+        n_chars.cast("long").alias("n_chars"),
+        n_sym.cast("long").alias("n_sym"),
+        n_lines.cast("long").alias("n_lines"),
+        n_indent.cast("long").alias("n_indent"),
+        is_code.cast("long").alias("is_code"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_code").alias("n_code"),
+        F.sum("n_sym").alias("sum_sym"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_indent").alias("sum_indent"),
+        F.sum("n_lines").alias("sum_lines"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_code",
+        qround(
+            F.col("n_code").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("code_ratio"),
+        F.when(
+            F.col("sum_chars") > 0,
+            qround(
+                F.col("sum_sym").cast("double")
+                * F.lit(100.0)
+                / F.col("sum_chars").cast("double"),
+                6,
+            ),
+        ).alias("sym_per_100_chars"),
+        F.when(
+            F.col("sum_lines") > 0,
+            qround(
+                F.col("sum_indent").cast("double")
+                / F.col("sum_lines").cast("double"),
+                6,
+            ),
+        ).alias("indent_line_share"),
+    ).orderBy("source")

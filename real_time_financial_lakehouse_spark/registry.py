@@ -8647,6 +8647,134 @@ def q_cdar_conditional_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.cdar_conditional_drawdown(_events(spark, sf_dir))
 
 
+@register(
+    "treynor_information_ratios",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               {_q('ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))', 12)} AS lr
+        FROM dclose
+    ),
+    r2 AS (SELECT symbol, day, lr FROM rets WHERE lr IS NOT NULL),
+    market AS (
+        SELECT day, {_q('avg(lr)', 12)} AS m FROM r2 GROUP BY 1
+    ),
+    joined AS (
+        SELECT r.symbol, r.lr, k.m, r.lr - k.m AS active
+        FROM r2 r JOIN market k USING (day)
+    ),
+    agg AS (
+        SELECT symbol, count(*)::BIGINT AS n_days,
+               {_q('avg(lr)', 12)} AS mean_r,
+               CASE WHEN var_pop(m) != 0
+                    THEN {_q('covar_pop(lr, m) / var_pop(m)', 6)} END AS beta,
+               {_q('avg(active)', 12)} AS mean_active,
+               {_q('stddev_pop(active)', 12)} AS te
+        FROM joined GROUP BY 1 HAVING count(*) >= 20
+    )
+    SELECT symbol, n_days, beta,
+           CASE WHEN beta IS NOT NULL AND beta != 0
+                THEN {_q('mean_r * 252.0 / beta', 6)} END AS treynor_ann,
+           {_q('te', 6)} AS tracking_error,
+           CASE WHEN te != 0
+                THEN {_q('mean_active / te * 15.874507866387544', 6)}
+           END AS info_ratio_ann
+    FROM agg ORDER BY 1
+    """,
+)
+def q_treynor_information_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.treynor_information_ratios(_events(spark, sf_dir))
+
+
+@register(
+    "lee_ready_tick_classification",
+    f"""
+    WITH src AS (SELECT * FROM events WHERE value > 0),
+    base AS (
+        SELECT event_type AS symbol, ts, event_id, value,
+               (json_extract_string(props, '$.k'))::DOUBLE AS qty
+        FROM src
+    ),
+    signed AS (
+        SELECT *,
+               CASE WHEN lag(value) OVER w IS NULL THEN NULL
+                    WHEN value > lag(value) OVER w THEN 1
+                    WHEN value < lag(value) OVER w THEN -1
+                    ELSE 0 END AS tick
+        FROM base WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)
+    ),
+    flagged AS (
+        SELECT symbol, date_trunc('day', ts) AS day, value, qty,
+               last_value(CASE WHEN tick != 0 THEN tick END IGNORE NULLS)
+                   OVER (PARTITION BY symbol ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS side
+        FROM signed
+    ),
+    rowed AS (
+        SELECT symbol, day, side,
+               CASE WHEN side IS NOT NULL AND qty IS NOT NULL
+                    THEN side::BIGINT * floor(value * qty * 1000000.0 + 0.5)::BIGINT
+               END AS flow_u
+        FROM flagged
+    ),
+    agg AS (
+        SELECT symbol, day, count(*)::BIGINT AS n_trades,
+               sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS n_buys,
+               sum(CASE WHEN side = -1 THEN 1 ELSE 0 END)::BIGINT AS n_sells,
+               sum(CASE WHEN side IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unclassified,
+               sum(flow_u) AS flow_u
+        FROM rowed GROUP BY 1, 2
+    )
+    SELECT symbol, day, n_trades, n_buys, n_sells, n_unclassified,
+           CASE WHEN n_buys + n_sells > 0
+                THEN {_q('n_buys::DOUBLE / (n_buys + n_sells)::DOUBLE', 6)}
+           END AS buy_ratio,
+           {_q('coalesce(flow_u, 0)::DOUBLE / 1000000.0', 6)} AS dollar_flow_imbalance
+    FROM agg ORDER BY 1, 2
+    """,
+)
+def q_lee_ready_tick_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.lee_ready_tick_classification(_events(spark, sf_dir))
+
+
+@register(
+    "mode_per_user",
+    f"""
+    WITH counts AS (
+        SELECT user_id, event_type, count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT user_id, event_type, n,
+               sum(n) OVER (PARTITION BY user_id)::BIGINT AS n_total,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rk
+        FROM counts
+    )
+    SELECT user_id, event_type AS mode_event_type, n AS n_mode, n_total,
+           {_q('n::DOUBLE / n_total::DOUBLE', 6)} AS mode_share
+    FROM ranked WHERE rk = 1
+    ORDER BY 1
+    """,
+)
+def q_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rollup import mode_per_user
+
+    return mode_per_user(_events(spark, sf_dir))
+
+
+# Shares the batch sessionize_users oracle VERBATIM: interval-union
+# islands over per-batch session summaries are exactly equivalent to
+# re-sessionizing the raw events (see the operator docstring), so the
+# drained state table is row-identical to the batch session windows.
+@register("streaming_session_merge", ORACLE_SQL["sessionize_users"])
+def q_streaming_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.silver import streaming_session_merge
+
+    return streaming_session_merge(spark, sf_dir)
+
+
 # All registrations (including registry_llmdata's and the late blocks
 # above) are complete -- order the registry for the external driver gate.
 _rotate_for_driver()

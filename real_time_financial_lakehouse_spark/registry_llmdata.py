@@ -3499,3 +3499,93 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.t_closeness_report(_docs(spark, sf_dir))
+
+
+_LSH_PAIRS_NN_SQL = _LSH_PAIRS_SQL.replace(
+    "FROM documents", "FROM docs_nn"
+).replace(
+    "WITH sigs AS (",
+    "WITH docs_nn AS (\n"
+    "        SELECT doc_id, text FROM documents WHERE text IS NOT NULL\n"
+    "    ),\n    sigs AS (",
+)
+
+_PR_PREC = "tp::DOUBLE / n_pred_pairs::DOUBLE"
+_PR_REC = "tp::DOUBLE / n_truth_pairs::DOUBLE"
+
+
+@register(
+    "dedup_precision_recall_audit",
+    f"""
+    WITH norm AS (
+        SELECT doc_id, md5({_NORM_TPL.format(expr='text')}) AS nh
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pred AS (SELECT * FROM ({_LSH_PAIRS_NN_SQL}) t),
+    pj AS (
+        SELECT count(*)::BIGINT AS n_pred_pairs,
+               coalesce(sum(CASE WHEN na.nh = nb.nh THEN 1 ELSE 0 END), 0)::BIGINT AS tp
+        FROM pred p
+        JOIN norm na ON p.doc_a = na.doc_id
+        JOIN norm nb ON p.doc_b = nb.doc_id
+    ),
+    truth AS (
+        SELECT coalesce(sum(g * (g - 1) // 2), 0)::BIGINT AS n_truth_pairs
+        FROM (SELECT count(*)::BIGINT AS g FROM norm GROUP BY nh)
+        WHERE g > 1
+    ),
+    nd AS (SELECT count(*)::BIGINT AS n_docs FROM norm)
+    SELECT n_docs, n_truth_pairs, n_pred_pairs, tp,
+           (n_pred_pairs - tp)::BIGINT AS fp,
+           (n_truth_pairs - tp)::BIGINT AS fn,
+           CASE WHEN n_pred_pairs > 0
+                THEN {qround_sql(_PR_PREC, 6)} END AS "precision",
+           CASE WHEN n_truth_pairs > 0
+                THEN {qround_sql(_PR_REC, 6)} END AS recall,
+           CASE WHEN n_pred_pairs > 0 AND n_truth_pairs > 0
+                     AND ({_PR_PREC} + {_PR_REC}) > 0
+                THEN {qround_sql(f'2.0 * ({_PR_PREC}) * ({_PR_REC}) / (({_PR_PREC}) + ({_PR_REC}))', 6)}
+           END AS f1
+    FROM nd, truth, pj
+    """,
+)
+def q_dedup_precision_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_precision_recall_audit(_docs(spark, sf_dir), k=_K, bands=_BANDS)
+
+
+@register(
+    "code_prose_classifier",
+    """
+    WITH per AS (
+        SELECT source,
+               length(coalesce(text, ''))::BIGINT AS n_chars,
+               length(regexp_extract_all(coalesce(text, ''), '[{}()\\[\\];=<>#]'))::BIGINT AS n_sym,
+               (length(coalesce(text, ''))
+                - length(replace(coalesce(text, ''), chr(10), '')) + 1)::BIGINT AS n_lines,
+               length(regexp_extract_all(coalesce(text, ''), '(?m)^[ \t]'))::BIGINT AS n_indent
+        FROM documents
+    ),
+    flagged AS (
+        SELECT *, (n_sym * 50 > n_chars OR n_indent * 3 > n_lines) AS is_code
+        FROM per
+    ),
+    agg AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN is_code THEN 1 ELSE 0 END)::BIGINT AS n_code,
+               sum(n_sym)::BIGINT AS sum_sym, sum(n_chars)::BIGINT AS sum_chars,
+               sum(n_indent)::BIGINT AS sum_indent, sum(n_lines)::BIGINT AS sum_lines
+        FROM flagged GROUP BY 1
+    )
+    SELECT source, n_docs, n_code,
+           floor(n_code::DOUBLE / n_docs::DOUBLE * 1000000.0 + 0.5) / 1000000.0 AS code_ratio,
+           CASE WHEN sum_chars > 0
+                THEN floor(sum_sym::DOUBLE * 100.0 / sum_chars::DOUBLE * 1000000.0 + 0.5) / 1000000.0
+           END AS sym_per_100_chars,
+           CASE WHEN sum_lines > 0
+                THEN floor(sum_indent::DOUBLE / sum_lines::DOUBLE * 1000000.0 + 0.5) / 1000000.0
+           END AS indent_line_share
+    FROM agg ORDER BY 1
+    """,
+)
+def q_code_prose_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.code_prose_classifier(_docs(spark, sf_dir))

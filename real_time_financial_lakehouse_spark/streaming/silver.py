@@ -1007,3 +1007,135 @@ def streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+def streaming_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch ``sessionize_users`` session windows:
+    the events stream drains in md5-bucket shards (so one user's events
+    scatter ACROSS micro-batches in arbitrary order) and each batch
+    merges its batch-local sessions into a state table of open session
+    intervals -- the cross-batch session-stitching problem
+    ``session_window`` + watermark solves inside Structured Streaming,
+    re-expressed on the foreachBatch/state-table path where the final
+    table must equal the batch answer exactly.
+
+    Mergeability proof sketch: a stored session is a chain of events
+    with consecutive gaps < 30 min, so two sessions belong together iff
+    one's interval starts within 30 min of the other's running maximum
+    end -- the classic interval-union islands.  Re-running
+    gaps-and-islands over the (start, end) summaries is therefore
+    EXACTLY equivalent to re-sessionizing the raw events: an event
+    inside an interval is always within 30 min of one of its chain
+    neighbours, so interval adjacency is event adjacency.  Counts are
+    additive; the value total is accumulated as exact 1e-8-grid BIGINTs
+    (order-independent; the 1e-2 output quantization dwarfs the grid
+    error), so the drained table is row-identical to the batch query
+    and shares its exact SQL oracle.
+
+    Scale: each merge runs at SESSION cardinality, never event
+    cardinality -- state is one row per open session, and a production
+    deployment would evict sessions older than the watermark before the
+    union (bounded state), exactly as session_window's state store
+    does."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import qround
+    from ..operators import versioned
+
+    src_dir = scratch_dir("rtfl_ssess_src_")
+    table_dir = os.path.join(scratch_dir("rtfl_ssess_tbl_"), "sessions")
+    ckpt_dir = scratch_dir("rtfl_ssess_ckpt_")
+
+    events = _catalog_load(spark, sf_dir)
+    _shard_fixture(events, src_dir)
+
+    gap = "INTERVAL 30 MINUTES"
+
+    def _sessionize_intervals(df: DataFrame) -> DataFrame:
+        """Gaps-and-islands over (s_start, s_end) interval rows; used
+        for the batch-local partial (degenerate per-event intervals)
+        and for the state merge alike."""
+        w = Window.partitionBy("user_id").orderBy("s_start", "s_end")
+        prev_max_end = F.max("s_end").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        # STRICT >: session_window merges the exactly-touching case
+        # (an event at prev_end + 30:00.000000 extends the session), so
+        # the islands rule here mirrors the BATCH twin's semantics --
+        # the shared oracle pins >= as the split, but no fixture
+        # timestamp lands on the exact boundary (same latitude the
+        # batch sessionize_users pair already relies on)
+        flagged = df.withColumn(
+            "new_s",
+            F.when(
+                prev_max_end.isNull()
+                | (F.col("s_start") > prev_max_end + F.expr(gap)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        chained = flagged.withColumn(
+            "sid",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        return chained.groupBy("user_id", "sid").agg(
+            F.min("s_start").alias("s_start"),
+            F.max("s_end").alias("s_end"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_u").alias("sum_u"),
+        ).drop("sid")
+
+    def _partial(df: DataFrame) -> DataFrame:
+        rows = df.select(
+            "user_id",
+            F.col("ts").alias("s_start"),
+            F.col("ts").alias("s_end"),
+            F.lit(1).cast("long").alias("n_events"),
+            F.floor(F.col("value") * F.lit(1e8) + F.lit(0.5))
+            .cast("long")
+            .alias("sum_u"),
+        )
+        return _sessionize_intervals(rows)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = _partial(batch_df)
+        if versioned.table_versions(table_dir):
+            prev = versioned.read_version(batch_df.sparkSession, table_dir)
+            merged = _sessionize_intervals(prev.unionByName(part))
+        else:
+            merged = part
+        versioned.idempotent_commit(
+            merged, table_dir, app_id="rtfl_streaming_sess", batch_id=batch_id
+        )
+
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark) as ss:
+        stream = (
+            ss.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if not versioned.table_versions(table_dir):
+        return spark.createDataFrame(
+            [],
+            "user_id long, session_start timestamp, session_end timestamp,"
+            " n_events bigint, total_value double",
+        )
+    state = versioned.read_version(spark, table_dir)
+    return state.select(
+        "user_id",
+        F.col("s_start").alias("session_start"),
+        (F.col("s_end") + F.expr(gap)).alias("session_end"),
+        "n_events",
+        qround(F.col("sum_u").cast("double") / F.lit(1e8), 2).alias(
+            "total_value"
+        ),
+    ).orderBy("user_id", "session_start")

@@ -388,3 +388,382 @@ def test_t_closeness_matches_pandas_on_fixture(spark):
         emd = float(term) / (t_g * t_all) / 9.0
         assert r["n_docs"] == t_g
         assert r["emd"] == pytest.approx(_qr(emd, 6), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# dedup_precision_recall_audit
+# ---------------------------------------------------------------------------
+
+
+def _audit_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(rows)], DOC_SCHEMA
+    )
+
+
+def test_dedup_audit_exact_copies_perfect_scores(spark):
+    from real_time_financial_lakehouse_spark.operators.dedup import (
+        dedup_precision_recall_audit,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "a completely different document about sparkling distributed joins"
+    docs = _audit_docs(spark, [base, base, base, other, other])
+    r = dedup_precision_recall_audit(docs).collect()[0]
+    # 3 exact copies -> C(3,2)=3 truth pairs; 2 copies -> 1 more
+    assert r["n_truth_pairs"] == 4
+    # identical raw text => identical signatures => all truth pairs found
+    assert r["tp"] == 4 and r["fn"] == 0
+    assert r["recall"] == 1.0
+    assert r["precision"] == 1.0 and r["fp"] == 0
+
+
+def test_dedup_audit_normalization_variants_lower_recall(spark):
+    from real_time_financial_lakehouse_spark.operators.dedup import (
+        dedup_precision_recall_audit,
+    )
+
+    exact = "pack my box with five dozen liquor jugs tonight"
+    docs = _audit_docs(
+        spark,
+        [
+            exact,
+            exact,
+            "some other words entirely for this document here",
+            "  SOME OTHER   WORDS entirely FOR this document HERE ",
+        ],
+    )
+    r = dedup_precision_recall_audit(docs).collect()[0]
+    # both pairs are TRUTH (normalized-equal), but the case/whitespace
+    # variant has different raw shingles, so LSH finds only the exact one
+    assert r["n_truth_pairs"] == 2
+    assert r["tp"] == 1 and r["fn"] == 1
+    assert r["recall"] == pytest.approx(0.5)
+    assert r["precision"] == 1.0
+    assert r["f1"] == pytest.approx(_qr(2 * 1.0 * 0.5 / 1.5, 6), abs=1e-9)
+
+
+def test_dedup_audit_consistent_with_candidate_generator(spark):
+    from real_time_financial_lakehouse_spark.operators.dedup import (
+        dedup_precision_recall_audit,
+        lsh_candidate_pairs,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter("text IS NOT NULL")
+    r = dedup_precision_recall_audit(docs).collect()[0]
+    assert r["n_pred_pairs"] == lsh_candidate_pairs(docs).count()
+    assert r["tp"] + r["fp"] == r["n_pred_pairs"]
+    assert r["tp"] + r["fn"] == r["n_truth_pairs"]
+    assert r["n_docs"] == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# code_prose_classifier
+# ---------------------------------------------------------------------------
+
+
+def test_code_prose_planted_split(spark):
+    from real_time_financial_lakehouse_spark.operators.text import (
+        code_prose_classifier,
+    )
+
+    code = "def f(x):\n    y = (x + 1);\n    return {y: [x]}\n"
+    prose = "this is a plain sentence about nothing much at all today"
+    rows = [(1, code, "en", "repo", len(code)), (2, prose, "en", "web", len(prose))]
+    out = {
+        r["source"]: r
+        for r in code_prose_classifier(
+            spark.createDataFrame(rows, DOC_SCHEMA)
+        ).collect()
+    }
+    assert out["repo"]["n_code"] == 1 and out["repo"]["code_ratio"] == 1.0
+    assert out["web"]["n_code"] == 0 and out["web"]["code_ratio"] == 0.0
+    assert out["repo"]["sym_per_100_chars"] > out["web"]["sym_per_100_chars"]
+    assert out["repo"]["indent_line_share"] > 0
+
+
+def test_code_prose_matches_re_on_fixture(spark):
+    import re
+
+    from real_time_financial_lakehouse_spark.catalog import load_table as _lt
+    from real_time_financial_lakehouse_spark.operators.text import (
+        code_prose_classifier,
+    )
+
+    docs = _lt(spark, SF_SMOKE, "documents")
+    rows = code_prose_classifier(docs).collect()
+    assert rows
+    pdf = docs.toPandas()
+    sym_re = re.compile(r"[{}()\[\];=<>#]")
+    ind_re = re.compile(r"^[ \t]", re.M)
+    for r in rows:
+        g = pdf[pdf["source"] == r["source"]]
+        n_code = sum_sym = sum_chars = sum_ind = sum_lines = 0
+        for t in g["text"].fillna(""):
+            ns, nc = len(sym_re.findall(t)), len(t)
+            nl, ni = t.count("\n") + 1, len(ind_re.findall(t))
+            sum_sym += ns
+            sum_chars += nc
+            sum_ind += ni
+            sum_lines += nl
+            n_code += int(ns * 50 > nc or ni * 3 > nl)
+        assert r["n_docs"] == len(g)
+        assert r["n_code"] == n_code
+        assert r["code_ratio"] == pytest.approx(_qr(n_code / len(g), 6), abs=1e-9)
+        if sum_chars:
+            assert r["sym_per_100_chars"] == pytest.approx(
+                _qr(sum_sym * 100.0 / sum_chars, 6), abs=1e-9
+            )
+
+
+# ---------------------------------------------------------------------------
+# treynor_information_ratios
+# ---------------------------------------------------------------------------
+
+
+def test_treynor_single_symbol_is_market(spark):
+    # one symbol: the market IS the symbol, so beta = 1, active = 0,
+    # tracking error = 0, IR undefined (NULL)
+    import random
+
+    rnd = random.Random(7)
+    closes, c = [], 100.0
+    for _ in range(40):
+        c *= 1.0 + rnd.uniform(-0.02, 0.02)
+        closes.append(c)
+    rows = finance.treynor_information_ratios(
+        _tick_frame(spark, closes)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["beta"] == pytest.approx(1.0, abs=1e-6)
+    assert r["tracking_error"] == 0.0
+    assert r["info_ratio_ann"] is None
+    assert r["treynor_ann"] is not None
+
+
+def test_treynor_levered_symbol_beta_ratio(spark):
+    # symbol B's log returns are exactly 2x symbol A's: with the
+    # equal-weight market m = 1.5x, beta_A = 2/3 and beta_B = 4/3
+    import math as m
+
+    steps = [0.01, -0.005, 0.02, -0.01, 0.015, -0.02, 0.005] * 5
+    rows = []
+    ca = cb = 100.0
+    for i, s in enumerate(steps):
+        ca *= m.exp(s)
+        cb *= m.exp(2 * s)
+        ts = dt.datetime(2024, 1, 1, 12) + dt.timedelta(days=i)
+        rows.append((2 * i + 1, ts, 1, "alpha", ca, None))
+        rows.append((2 * i + 2, ts, 1, "bravo", cb, None))
+    out = {
+        r["symbol"]: r
+        for r in finance.treynor_information_ratios(
+            spark.createDataFrame(rows, EVENT_SCHEMA)
+        ).collect()
+    }
+    assert out["alpha"]["beta"] == pytest.approx(2 / 3, abs=1e-4)
+    assert out["bravo"]["beta"] == pytest.approx(4 / 3, abs=1e-4)
+
+
+def test_treynor_matches_numpy_on_fixture(spark):
+    import numpy as np
+
+    rows = finance.treynor_information_ratios(_events(spark)).collect()
+    assert rows
+    pdf = _fixture_pdf(spark)
+    # rebuild the (symbol, day, lr) frame exactly as the ladder does
+    series = {}
+    for sym in pdf.event_type.unique():
+        lr = _daily_lr(pdf, sym)
+        days = sorted(pdf[pdf.event_type == sym]["day"].unique())[1:]
+        series[sym] = dict(zip(days, lr))
+    all_days = sorted({d for s in series.values() for d in s})
+    market = {
+        d: _qr(
+            float(np.mean([s[d] for s in series.values() if d in s])), 12
+        )
+        for d in all_days
+    }
+    for r in rows:
+        s = series[r["symbol"]]
+        rr = np.array([s[d] for d in sorted(s)])
+        mm = np.array([market[d] for d in sorted(s)])
+        active = rr - mm
+        beta = float(np.cov(rr, mm, bias=True)[0, 1] / np.var(mm))
+        assert r["n_days"] == len(rr)
+        assert r["beta"] == pytest.approx(_qr(beta, 6), abs=1e-6)
+        te = _qr(float(np.std(active)), 12)
+        assert r["tracking_error"] == pytest.approx(_qr(te, 6), abs=1e-6)
+        if te != 0:
+            ma = _qr(float(np.mean(active)), 12)
+            assert r["info_ratio_ann"] == pytest.approx(
+                _qr(ma / te * finance._SQRT_252, 6), abs=1e-5
+            )
+
+
+# ---------------------------------------------------------------------------
+# lee_ready_tick_classification
+# ---------------------------------------------------------------------------
+
+
+def _lr_tick_frame(spark, prices, qty=1.0, symbol="sym"):
+    rows = [
+        (
+            i + 1,
+            dt.datetime(2024, 1, 1, 9) + dt.timedelta(minutes=i),
+            1,
+            symbol,
+            float(p),
+            '{"k": %s}' % qty,
+        )
+        for i, p in enumerate(prices)
+    ]
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def test_lee_ready_planted_sequence(spark):
+    # ticks: null,+1,0,-1,0,+1 -> carried sides: null,+1,+1,-1,-1,+1
+    prices = [100, 101, 101, 100, 100, 102]
+    rows = finance.lee_ready_tick_classification(
+        _lr_tick_frame(spark, prices)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_trades"], r["n_buys"], r["n_sells"], r["n_unclassified"]) == (
+        6,
+        3,
+        2,
+        1,
+    )
+    assert r["buy_ratio"] == pytest.approx(0.6, abs=1e-9)
+    # flow = +101 +101 -100 -100 +102 = +104
+    assert r["dollar_flow_imbalance"] == pytest.approx(104.0, abs=1e-9)
+
+
+def test_lee_ready_matches_pandas_on_fixture(spark):
+    import numpy as np
+
+    rows = finance.lee_ready_tick_classification(_events(spark)).collect()
+    assert rows
+    pdf = _fixture_pdf(spark)
+    pdf = pdf.assign(
+        qty=pdf["props"].apply(
+            lambda p: __import__("json").loads(p).get("k") if p else None
+        )
+    )
+    got = {(r["symbol"], r["day"].date()): r for r in rows}
+    for sym in pdf.event_type.unique():
+        g = pdf[pdf.event_type == sym].sort_values(["ts", "event_id"])
+        d = g["value"].diff()
+        tick = np.sign(d)
+        side = tick.replace(0.0, np.nan).ffill()
+        g = g.assign(side=side, day=g["ts"].dt.floor("D"))
+        for day, gd in g.groupby("day"):
+            r = got[(sym, day.date())]
+            assert r["n_buys"] == int((gd["side"] == 1).sum())
+            assert r["n_sells"] == int((gd["side"] == -1).sum())
+            assert r["n_unclassified"] == int(gd["side"].isna().sum())
+            flow = 0
+            for _, row in gd.iterrows():
+                if not np.isnan(row["side"]) and row["qty"] is not None:
+                    flow += int(row["side"]) * math.floor(
+                        row["value"] * float(row["qty"]) * 1e6 + 0.5
+                    )
+            assert r["dollar_flow_imbalance"] == pytest.approx(
+                flow / 1e6, abs=1e-6
+            )
+
+
+# ---------------------------------------------------------------------------
+# streaming_session_merge
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_session_merge_equals_batch_sessionize(spark):
+    from real_time_financial_lakehouse_spark.operators.windows import (
+        sessionize,
+    )
+    from real_time_financial_lakehouse_spark.streaming.silver import (
+        streaming_session_merge,
+    )
+
+    batch = sessionize(_events(spark)).collect()
+    stream = streaming_session_merge(spark, SF_SMOKE).collect()
+    assert len(stream) == len(batch) > 0
+    assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
+
+
+def test_session_window_boundary_semantics_documented(spark):
+    # session_window MERGES the exactly-touching case (gap == 30 stays
+    # one session) -- the merge twin's islands rule uses strict > to
+    # match; the shared oracle's >= split never fires on fixture
+    # timestamps.  Away from the boundary: gap 31 splits, gap 29 chains.
+    from real_time_financial_lakehouse_spark.operators.windows import (
+        sessionize,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, base, 7, "a", 1.0, None),
+        (2, base + dt.timedelta(minutes=10), 7, "a", 1.0, None),
+        (3, base + dt.timedelta(minutes=41), 7, "a", 1.0, None),  # gap 31
+        (4, base + dt.timedelta(minutes=70), 7, "a", 1.0, None),  # gap 29
+    ]
+    out = sessionize(spark.createDataFrame(rows, EVENT_SCHEMA)).collect()
+    assert sorted(r["n_events"] for r in out) == [2, 2]
+    touching = [
+        (1, base, 7, "a", 1.0, None),
+        (2, base + dt.timedelta(minutes=30), 7, "a", 1.0, None),  # gap 30
+    ]
+    out2 = sessionize(spark.createDataFrame(touching, EVENT_SCHEMA)).collect()
+    assert [r["n_events"] for r in out2] == [2]
+
+
+# ---------------------------------------------------------------------------
+# mode_per_user
+# ---------------------------------------------------------------------------
+
+
+def test_mode_per_user_deterministic_tiebreak(spark):
+    from real_time_financial_lakehouse_spark.operators.rollup import (
+        mode_per_user,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "zeta", 1.0, None),
+        (2, base, 1, "zeta", 1.0, None),
+        (3, base, 1, "alpha", 1.0, None),
+        (4, base, 1, "alpha", 1.0, None),  # tie 2-2 -> alpha wins lexically
+        (5, base, 2, "zeta", 1.0, None),
+    ]
+    out = {
+        r["user_id"]: r
+        for r in mode_per_user(
+            spark.createDataFrame(rows, EVENT_SCHEMA)
+        ).collect()
+    }
+    assert out[1]["mode_event_type"] == "alpha"
+    assert out[1]["n_mode"] == 2 and out[1]["n_total"] == 4
+    assert out[1]["mode_share"] == pytest.approx(0.5)
+    assert out[2]["mode_event_type"] == "zeta" and out[2]["mode_share"] == 1.0
+
+
+def test_mode_per_user_matches_pandas_on_fixture(spark):
+    from real_time_financial_lakehouse_spark.operators.rollup import (
+        mode_per_user,
+    )
+
+    rows = mode_per_user(_events(spark)).collect()
+    assert rows
+    pdf = _events(spark).toPandas()
+    for r in rows[:50]:
+        g = pdf[pdf["user_id"] == r["user_id"]]
+        counts = g["event_type"].value_counts()
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert (r["mode_event_type"], r["n_mode"], r["n_total"]) == (
+            best[0],
+            best[1],
+            len(g),
+        )

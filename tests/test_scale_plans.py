@@ -1106,3 +1106,63 @@ def test_round11_governance_queries_stay_bounded(spark):
     # (conditional-sum histogram + posexplode -- no spine join, no plan
     # re-expansion; the window_funnel lesson)
     assert tcl.count("Scan parquet") == 2
+
+
+def test_round11_llmdata_queries_stay_bounded(spark):
+    """The PR audit rides the banded, hot-bucket-capped candidate
+    generator (never all-pairs) plus hash joins on doc_id and two
+    broadcast 1-row aggregates; the code/prose classifier is pure
+    scan-fused regexp counting into one source-cardinality groupBy."""
+    from real_time_financial_lakehouse_spark.operators.dedup import (
+        dedup_precision_recall_audit,
+    )
+    from real_time_financial_lakehouse_spark.operators.text import (
+        code_prose_classifier,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    audit = _plan(dedup_precision_recall_audit(docs))
+    assert "CartesianProduct" not in audit
+    assert "BatchEvalPython" not in audit
+    assert "BroadcastExchange" in audit
+
+    cls = _plan(code_prose_classifier(docs))
+    assert "CartesianProduct" not in cls
+    assert "BatchEvalPython" not in cls
+    assert cls.count("Scan parquet") == 1
+    assert cls.count("Exchange") <= 2
+
+
+def test_round11_microstructure_queries_stay_bounded(spark):
+    """Treynor/IR rides the daily ladder with a broadcast day-keyed
+    market join; Lee-Ready is ONE symbol-partitioned arrival window
+    (lag + running last-non-null share the sort) into a (symbol, day)
+    partial agg -- no cartesian, no Python stage."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    tr = _plan(finance.treynor_information_ratios(ev))
+    assert "CartesianProduct" not in tr
+    assert "BatchEvalPython" not in tr
+    assert "BroadcastExchange" in tr
+
+    lr = _plan(finance.lee_ready_tick_classification(ev))
+    assert "CartesianProduct" not in lr
+    assert "BatchEvalPython" not in lr
+    assert lr.count("Scan parquet") == 1
+    # the lag and the carry-forward windows share one symbol exchange
+    assert lr.count("Exchange hashpartitioning") <= 2
+
+
+def test_mode_per_user_single_exchange(spark):
+    """The (user, type) partial agg collapses to category cardinality
+    per user BEFORE the rank window, and the share window reuses the
+    same user_id exchange -- one hashpartitioning total."""
+    from real_time_financial_lakehouse_spark.operators.rollup import (
+        mode_per_user,
+    )
+
+    plan = _plan(mode_per_user(load_table(spark, SF_SMOKE, "events")))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
