@@ -4880,3 +4880,87 @@ def lee_ready_tick_classification(events: DataFrame) -> DataFrame:
             6,
         ).alias("dollar_flow_imbalance"),
     ).orderBy("symbol", "day")
+
+
+# GARCH(1,1) filter parameters as shared literal TEXT (the MACD
+# precedent): omega is expressed as a fixed share of the unconditional
+# variance so the filter is mean-reverting to the sample level by
+# construction; both engines compose the identical IEEE sequence.
+GARCH_ALPHA = "0.08"
+GARCH_BETA = "0.9"
+GARCH_OMEGA_SHARE = "0.02"  # 1 - alpha - beta, as its own literal
+
+
+def garch_filter_vol(events: DataFrame) -> DataFrame:
+    """GARCH(1,1) conditional-variance FILTER per symbol over daily log
+    returns: sigma2_t = omega + alpha*r^2_{t-1} + beta*sigma2_{t-1}
+    with fixed textbook parameters (alpha 0.08, beta 0.90) and omega
+    anchored to the sample unconditional variance -- the vol-clustering
+    state every risk engine carries between days (estimation of the
+    parameters is an offline MLE; the FILTER is the per-day production
+    pass, same split as ses/holt forecasting).  Reports the terminal
+    conditional vol vs the unconditional level and how many days the
+    filter spent above 2x the unconditional variance -- the
+    high-vol-regime occupancy.
+
+    Scale: the recurrence is ONE linear ``aggregate`` fold per symbol
+    over the ordered daily-return array (the macd_summary idiom) -- a
+    day-cardinality buffer per symbol, zero extra shuffles past the
+    daily rollup.  Determinism: the seed variance is an exact
+    pico-grid rational (BIGINT sum of squared-return units / n), the
+    fold expression text is shared verbatim with the oracle so both
+    engines execute the identical IEEE sequence, and the regime counter
+    increments by exact 1.0 steps."""
+    rets = _daily_log_returns(events)
+    grid = F.lit(1e12)
+    per = rets.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(
+            F.floor(F.col("lr") * F.col("lr") * grid + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("sum_u"),
+        F.expr("transform(array_sort(collect_list(struct(day, lr))), s -> s.lr)").alias(
+            "vals"
+        ),
+    ).filter(F.col("n_days") >= 20)
+    nd = F.col("n_days").cast("double")
+    staged = per.select(
+        "symbol",
+        "n_days",
+        (F.col("sum_u").cast("double") / nd / F.lit(1e12)).alias("vhat"),
+        "vals",
+    )
+    a, b, w = GARCH_ALPHA, GARCH_BETA, GARCH_OMEGA_SHARE
+    s2_next = f"{w}D * acc.vh + {a}D * x * x + {b}D * acc.s2"
+    fold = (
+        "aggregate(vals, "
+        "named_struct('s2', vhat, 'hi', 0.0D, 'vh', vhat), "
+        f"(acc, x) -> named_struct('s2', {s2_next}, "
+        f"'hi', acc.hi + (CASE WHEN ({s2_next}) > 2.0D * acc.vh "
+        "THEN 1.0D ELSE 0.0D END), "
+        "'vh', acc.vh))"
+    )
+    folded = staged.select(
+        "symbol",
+        "n_days",
+        "vhat",
+        F.expr(fold).alias("st"),
+    )
+    s2 = F.col("st.s2")
+    vhat = F.col("vhat")
+    return folded.select(
+        "symbol",
+        "n_days",
+        qround(F.sqrt(qround(vhat * F.lit(252.0), 12)), 6).alias(
+            "uncond_vol_ann"
+        ),
+        qround(
+            F.sqrt(qround(F.greatest(s2, F.lit(0.0)) * F.lit(252.0), 12)), 6
+        ).alias("garch_vol_ann"),
+        F.when(
+            vhat > 0, qround(F.sqrt(qround(s2 / vhat, 12)), 6)
+        ).alias("terminal_vol_ratio"),
+        F.col("st.hi").cast("long").alias("n_high_vol_days"),
+        qround(F.col("st.hi") / nd, 6).alias("high_vol_share"),
+    ).orderBy("symbol")

@@ -1571,3 +1571,130 @@ def code_prose_classifier(documents: DataFrame) -> DataFrame:
             ),
         ).alias("indent_line_share"),
     ).orderBy("source")
+
+
+def trigram_interpolated_logprob(
+    documents: DataFrame, train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """Jelinek-Mercer interpolated TRIGRAM language model evaluated per
+    split: fit ML trigram/bigram tables plus an add-one unigram on the
+    TRAIN split (the same deterministic md5 split as
+    ``cross_entropy_eval``), score every split's trigrams under
+    P = 0.6*P3 + 0.3*P2 + 0.1*P1, and report cross-entropy, perplexity,
+    and the trigram/bigram evidence hit rates.  The top of the n-gram
+    ladder (unigram_logprob -> bigram_logprob -> this): interpolation
+    is what production KenLM-style filters actually run, because pure
+    ML trigrams assign zero to every unseen context while pure unigrams
+    ignore order -- and the hit rates show exactly how often each tier
+    carries the estimate (the val-vs-train gap is the sharpest
+    memorization probe this side of a real LM).
+
+    Scale: trigram/bigram expansion is row-local explode fan-out; all
+    count tables partial-aggregate and are Zipf-small next to token
+    volume, so every probability join is broadcast-until-large; model
+    scalars cross in as one broadcast row; the final groupBy has three
+    groups.  Determinism: probabilities are rationals of exact counts
+    with shared lambda literals; the avg(ln) at split granularity is
+    the cross_entropy_eval precedent (absorbed by the 6 dp quantize)."""
+    from ..functions.hashing import md5_long
+    from ..functions.numeric import qround
+
+    bucket = (
+        md5_long(F.concat_ws(":", F.lit("split"), F.col("doc_id"))) % 100
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    toks = F.expr(
+        "filter(split(lower(text), '[^a-z]+'), x -> length(x) >= 1)"
+    )
+    base = _spread(documents.select("doc_id", "text")).select(
+        split.alias("split"), toks.alias("w")
+    )
+    tris = base.select(
+        "split",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 3 THEN transform(sequence(0, size(w)-3),"
+                " i -> struct(w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3))"
+                " ELSE array() END"
+            )
+        ).alias("t"),
+    ).select("split", "t.w1", "t.w2", "t.w3")
+    train_tris = tris.filter(F.col("split") == "train")
+    c3 = train_tris.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    c2ctx = train_tris.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2ctx")
+    )
+    train_pairs = (
+        base.filter(F.col("split") == "train")
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w)-2),"
+                    " i -> struct(w[i] AS v1, w[i+1] AS v2)) ELSE array() END"
+                )
+            ).alias("b")
+        )
+        .select("b.v1", "b.v2")
+    )
+    c2 = train_pairs.groupBy("v1", "v2").agg(F.count(F.lit(1)).alias("c2"))
+    c1ctx = train_pairs.groupBy("v1").agg(F.count(F.lit(1)).alias("c1ctx"))
+    vocab = (
+        base.filter(F.col("split") == "train")
+        .select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    model = vocab.agg(
+        F.sum("cf").cast("double").alias("n_train"),
+        F.count(F.lit(1)).cast("double").alias("v_train"),
+    )
+    scored = (
+        tris.join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2ctx, ["w1", "w2"], "left")
+        .join(
+            c2.select(
+                F.col("v1").alias("w2"), F.col("v2").alias("w3"), "c2"
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(c1ctx.select(F.col("v1").alias("w2"), "c1ctx"), "w2", "left")
+        .join(vocab.select(F.col("t").alias("w3"), "cf"), "w3", "left")
+        .crossJoin(F.broadcast(model))
+    )
+    p3 = F.coalesce(
+        F.col("c3").cast("double") / F.col("c2ctx").cast("double"), F.lit(0.0)
+    )
+    p2 = F.coalesce(
+        F.col("c2").cast("double") / F.col("c1ctx").cast("double"), F.lit(0.0)
+    )
+    p1 = (F.coalesce(F.col("cf"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("n_train") + F.col("v_train") + F.lit(1.0)
+    )
+    p = F.lit(0.6) * p3 + F.lit(0.3) * p2 + F.lit(0.1) * p1
+    rows = scored.select(
+        "split",
+        F.log(p).alias("logp"),
+        F.col("c3").isNotNull().cast("long").alias("hit3"),
+        F.col("c2").isNotNull().cast("long").alias("hit2"),
+    )
+    agg = rows.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        qround(-F.avg("logp"), 6).alias("cross_entropy"),
+        qround(F.avg(F.col("hit3").cast("double")), 6).alias("hit3_rate"),
+        qround(F.avg(F.col("hit2").cast("double")), 6).alias("hit2_rate"),
+    )
+    return agg.select(
+        "split",
+        "n_trigrams",
+        "cross_entropy",
+        qround(F.exp(F.col("cross_entropy")), 4).alias("perplexity"),
+        "hit3_rate",
+        "hit2_rate",
+    ).orderBy("split")

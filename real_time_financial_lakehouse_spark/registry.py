@@ -8738,6 +8738,59 @@ def q_lee_ready_tick_classification(spark: SparkSession, sf_dir: str) -> DataFra
     return finance.lee_ready_tick_classification(_events(spark, sf_dir))
 
 
+_GARCH_S2 = "0.02 * acc[3] + 0.08 * x[1] * x[1] + 0.9 * acc[1]"
+_GARCH_FOLD = f"""
+    list_reduce(
+        list_concat([[vhat, 0.0::DOUBLE, vhat]],
+                    list_transform(vals, r -> [r, 0.0::DOUBLE, 0.0::DOUBLE])),
+        (acc, x) -> [{_GARCH_S2},
+                     acc[2] + (CASE WHEN ({_GARCH_S2}) > 2.0 * acc[3]
+                               THEN 1.0 ELSE 0.0 END),
+                     acc[3]])
+"""
+
+
+@register(
+    "garch_filter_vol",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               {_q('ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))', 12)} AS lr
+        FROM dclose
+    ),
+    r2 AS (SELECT symbol, day, lr FROM rets WHERE lr IS NOT NULL),
+    per AS (
+        SELECT symbol, count(*)::BIGINT AS n_days,
+               sum(floor(lr * lr * 1000000000000.0 + 0.5)::BIGINT) AS sum_u,
+               list(lr ORDER BY day) AS vals
+        FROM r2 GROUP BY 1 HAVING count(*) >= 20
+    ),
+    staged AS (
+        SELECT symbol, n_days,
+               sum_u::DOUBLE / n_days::DOUBLE / 1000000000000.0 AS vhat,
+               vals
+        FROM per
+    ),
+    folded AS (
+        SELECT symbol, n_days, vhat, {_GARCH_FOLD} AS st
+        FROM staged
+    )
+    SELECT symbol, n_days,
+           {_q(f"sqrt({_q('vhat * 252.0', 12)})", 6)} AS uncond_vol_ann,
+           {_q(f"sqrt({_q('greatest(st[1], 0.0) * 252.0', 12)})", 6)} AS garch_vol_ann,
+           CASE WHEN vhat > 0
+                THEN {_q(f"sqrt({_q('st[1] / vhat', 12)})", 6)}
+           END AS terminal_vol_ratio,
+           st[2]::BIGINT AS n_high_vol_days,
+           {_q('st[2] / n_days::DOUBLE', 6)} AS high_vol_share
+    FROM folded ORDER BY 1
+    """,
+)
+def q_garch_filter_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.garch_filter_vol(_events(spark, sf_dir))
+
+
 @register(
     "mode_per_user",
     f"""

@@ -3589,3 +3589,69 @@ def q_dedup_precision_recall_audit(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def q_code_prose_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.code_prose_classifier(_docs(spark, sf_dir))
+
+
+@register(
+    "trigram_interpolated_logprob",
+    f"""
+    WITH base AS (
+        SELECT CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               w
+        FROM (
+            SELECT {md5_long_sql("concat_ws(':', 'split', doc_id)")} % 100 AS b,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> length(x) >= 1) AS w
+            FROM documents
+        )
+    ),
+    tris AS (
+        SELECT split, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+        FROM base,
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) g
+    ),
+    c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tris WHERE split = 'train' GROUP BY 1, 2, 3),
+    c2ctx AS (SELECT w1, w2, count(*) AS c2ctx FROM tris WHERE split = 'train' GROUP BY 1, 2),
+    pairs AS (
+        SELECT w[i] AS v1, w[i+1] AS v2
+        FROM (SELECT w FROM base WHERE split = 'train') b,
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i) g
+    ),
+    c2 AS (SELECT v1, v2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+    c1ctx AS (SELECT v1, count(*) AS c1ctx FROM pairs GROUP BY 1),
+    vocab AS (
+        SELECT t, count(*) AS cf
+        FROM (SELECT unnest(w) AS t FROM base WHERE split = 'train')
+        GROUP BY 1
+    ),
+    model AS (SELECT sum(cf)::DOUBLE AS n_train, count(*)::DOUBLE AS v_train FROM vocab),
+    scored AS (
+        SELECT t.split,
+               ln(0.6 * coalesce(c3.c3::DOUBLE / c2ctx.c2ctx::DOUBLE, 0.0)
+                  + 0.3 * coalesce(c2.c2::DOUBLE / c1ctx.c1ctx::DOUBLE, 0.0)
+                  + 0.1 * ((coalesce(v.cf, 0) + 1.0) / (m.n_train + m.v_train + 1.0))) AS logp,
+               (c3.c3 IS NOT NULL)::BIGINT AS hit3,
+               (c2.c2 IS NOT NULL)::BIGINT AS hit2
+        FROM tris t
+        LEFT JOIN c3 USING (w1, w2, w3)
+        LEFT JOIN c2ctx USING (w1, w2)
+        LEFT JOIN c2 ON c2.v1 = t.w2 AND c2.v2 = t.w3
+        LEFT JOIN c1ctx ON c1ctx.v1 = t.w2
+        LEFT JOIN vocab v ON v.t = t.w3, model m
+    ),
+    agg AS (
+        SELECT split, count(*)::BIGINT AS n_trigrams,
+               {qround_sql('-avg(logp)', 6)} AS cross_entropy,
+               {qround_sql('avg(hit3::DOUBLE)', 6)} AS hit3_rate,
+               {qround_sql('avg(hit2::DOUBLE)', 6)} AS hit2_rate
+        FROM scored GROUP BY 1
+    )
+    SELECT split, n_trigrams, cross_entropy,
+           {qround_sql('exp(cross_entropy)', 4)} AS perplexity,
+           hit3_rate, hit2_rate
+    FROM agg ORDER BY 1
+    """,
+)
+def q_trigram_interpolated_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.trigram_interpolated_logprob(_docs(spark, sf_dir))

@@ -767,3 +767,160 @@ def test_mode_per_user_matches_pandas_on_fixture(spark):
             best[1],
             len(g),
         )
+
+
+# ---------------------------------------------------------------------------
+# trigram_interpolated_logprob
+# ---------------------------------------------------------------------------
+
+
+def _split_of(doc_id: int) -> str:
+    import hashlib
+
+    b = int(hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:15], 16) % 100
+    return "train" if b < 80 else ("val" if b < 90 else "test")
+
+
+def test_trigram_lm_planted_micro_corpus(spark):
+    from real_time_financial_lakehouse_spark.operators.text import (
+        trigram_interpolated_logprob,
+    )
+
+    # pick concrete ids per split so the md5 split is under our control
+    train_ids = [i for i in range(200) if _split_of(i) == "train"][:2]
+    test_id = next(i for i in range(200) if _split_of(i) == "test")
+    docs = [
+        (train_ids[0], "a b c a b c a b c", "en", "s", 17),
+        (train_ids[1], "a b d", "en", "s", 5),
+        (test_id, "a b c x y z", "en", "s", 11),
+    ]
+    out = {
+        r["split"]: r
+        for r in trigram_interpolated_logprob(
+            spark.createDataFrame(docs, DOC_SCHEMA)
+        ).collect()
+    }
+    # python re-derivation with the same counts and lambdas
+    train_tris = (
+        [("a", "b", "c")] * 3
+        + [("b", "c", "a"), ("c", "a", "b")] * 2
+        + [("a", "b", "d")]  # the 3-token doc contributes one trigram
+    )
+    c3: dict = {}
+    for t in train_tris:
+        c3[t] = c3.get(t, 0) + 1
+    c2ctx: dict = {}
+    for t in train_tris:
+        c2ctx[t[:2]] = c2ctx.get(t[:2], 0) + 1
+    train_pairs = (
+        [("a", "b")] * 3
+        + [("b", "c")] * 3
+        + [("c", "a")] * 2
+        + [("a", "b")],
+    )[0] + [("b", "d")]
+    cp: dict = {}
+    c1: dict = {}
+    for p in train_pairs:
+        cp[p] = cp.get(p, 0) + 1
+        c1[p[0]] = c1.get(p[0], 0) + 1
+    uni = {"a": 4, "b": 4, "c": 3, "d": 1}
+    n_train, v_train = 12.0, 4.0
+
+    def prob(w1, w2, w3):
+        p3 = c3.get((w1, w2, w3), 0) / c2ctx[(w1, w2)] if (w1, w2) in c2ctx else 0.0
+        p2 = cp.get((w2, w3), 0) / c1[w2] if w2 in c1 else 0.0
+        p1 = (uni.get(w3, 0) + 1.0) / (n_train + v_train + 1.0)
+        return 0.6 * p3 + 0.3 * p2 + 0.1 * p1
+
+    test_tris = [("a", "b", "c"), ("b", "c", "x"), ("c", "x", "y"), ("x", "y", "z")]
+    ce = -sum(math.log(prob(*t)) for t in test_tris) / len(test_tris)
+    assert out["test"]["n_trigrams"] == 4
+    assert out["test"]["cross_entropy"] == pytest.approx(_qr(ce, 6), abs=1e-6)
+    assert out["test"]["hit3_rate"] == pytest.approx(0.25)
+    assert out["test"]["hit2_rate"] == pytest.approx(0.25)
+    assert out["train"]["hit3_rate"] == 1.0
+
+
+def test_trigram_lm_fixture_invariants(spark):
+    from real_time_financial_lakehouse_spark.catalog import load_table as _lt
+    from real_time_financial_lakehouse_spark.operators.text import (
+        trigram_interpolated_logprob,
+    )
+
+    out = {
+        r["split"]: r
+        for r in trigram_interpolated_logprob(
+            _lt(spark, SF_SMOKE, "documents")
+        ).collect()
+    }
+    assert set(out) == {"train", "val", "test"}
+    # the model saw every train trigram: hit3 == 1 and train CE is lowest
+    assert out["train"]["hit3_rate"] == 1.0
+    assert out["train"]["cross_entropy"] < out["val"]["cross_entropy"]
+    assert out["train"]["cross_entropy"] < out["test"]["cross_entropy"]
+    for r in out.values():
+        assert r["perplexity"] == pytest.approx(
+            _qr(math.exp(r["cross_entropy"]), 4), abs=1e-4
+        )
+
+
+# ---------------------------------------------------------------------------
+# garch_filter_vol
+# ---------------------------------------------------------------------------
+
+
+def test_garch_constant_magnitude_returns_ratio_one(spark):
+    # alternating +-1%: every squared return equals the unconditional
+    # variance, so the filter never leaves the long-run level
+    closes, c = [100.0], 100.0
+    for i in range(40):
+        c *= 1.01 if i % 2 == 0 else 1 / 1.01
+        closes.append(c)
+    rows = finance.garch_filter_vol(_tick_frame(spark, closes)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["terminal_vol_ratio"] == pytest.approx(1.0, abs=0.02)
+    assert r["n_high_vol_days"] == 0
+
+
+def test_garch_terminal_spike_detected(spark):
+    import random
+
+    rnd = random.Random(3)
+    closes, c = [], 100.0
+    for _ in range(40):
+        c *= 1.0 + rnd.uniform(-0.001, 0.001)
+        closes.append(c)
+    for i in range(8):
+        c *= 1.06 if i % 2 == 0 else 1 / 1.06
+        closes.append(c)
+    rows = finance.garch_filter_vol(_tick_frame(spark, closes)).collect()
+    r = rows[0]
+    assert r["terminal_vol_ratio"] > 1.5
+    assert r["n_high_vol_days"] >= 4
+
+
+def test_garch_matches_python_fold_on_fixture(spark):
+    import numpy as np
+
+    rows = finance.garch_filter_vol(_events(spark)).collect()
+    assert rows
+    pdf = _fixture_pdf(spark)
+    for r in rows:
+        lr = _daily_lr(pdf, r["symbol"])
+        n = len(lr)
+        sum_u = float(np.sum(np.floor(lr * lr * 1e12 + 0.5)))
+        vhat = sum_u / n / 1e12
+        s2, hi = vhat, 0
+        for x in lr:
+            s2 = 0.02 * vhat + 0.08 * x * x + 0.9 * s2
+            if s2 > 2.0 * vhat:
+                hi += 1
+        assert r["n_days"] == n
+        assert r["uncond_vol_ann"] == pytest.approx(
+            _qr(math.sqrt(_qr(vhat * 252.0, 12)), 6), abs=1e-9
+        )
+        assert r["garch_vol_ann"] == pytest.approx(
+            _qr(math.sqrt(_qr(max(s2, 0.0) * 252.0, 12)), 6), abs=1e-9
+        )
+        assert r["n_high_vol_days"] == hi

@@ -1166,3 +1166,27 @@ def test_mode_per_user_single_exchange(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_round11_lm_and_garch_stay_bounded(spark):
+    """The trigram LM's probability joins are broadcast-until-large
+    against Zipf-small count tables (no cartesian, no Python); the
+    GARCH filter is one aggregate fold per symbol over the
+    day-cardinality array -- a single window-free rollup ladder."""
+    from real_time_financial_lakehouse_spark.operators import finance
+    from real_time_financial_lakehouse_spark.operators.text import (
+        trigram_interpolated_logprob,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    lm = _plan(trigram_interpolated_logprob(docs))
+    assert "CartesianProduct" not in lm
+    assert "BatchEvalPython" not in lm
+    assert "BroadcastExchange" in lm
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    ga = _plan(finance.garch_filter_vol(ev))
+    assert "CartesianProduct" not in ga
+    assert "BatchEvalPython" not in ga
+    assert ga.count("Scan parquet") == 1
+    assert ga.count("Exchange") <= 5
