@@ -8738,6 +8738,64 @@ def q_lee_ready_tick_classification(spark: SparkSession, sf_dir: str) -> DataFra
     return finance.lee_ready_tick_classification(_events(spark, sf_dir))
 
 
+@register(
+    "hayashi_yoshida_covariance",
+    f"""
+    WITH src AS (SELECT * FROM events WHERE value > 0),
+    ticks AS (
+        SELECT event_type AS symbol, event_id,
+               epoch_us(lag(ts) OVER w) AS p_us,
+               epoch_us(ts) AS t_us,
+               {_q('ln(value / lag(value) OVER w)', 12)} AS r
+        FROM src WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    spans AS (
+        SELECT symbol, event_id, p_us, t_us, r,
+               (p_us // 60000000)::BIGINT AS b0,
+               (t_us // 60000000)::BIGINT AS b1
+        FROM ticks WHERE r IS NOT NULL
+    ),
+    exploded AS (
+        SELECT symbol, event_id, p_us, t_us, r, b0,
+               unnest(generate_series(b0, b1)) AS bucket
+        FROM spans
+    ),
+    rv AS (
+        SELECT symbol,
+               sum(floor(r * r * 1000000000000.0 + 0.5)::BIGINT) AS rv_u,
+               count(*)::BIGINT AS n_returns
+        FROM spans GROUP BY 1
+    ),
+    prods AS (
+        SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+               count(*)::BIGINT AS n_overlap_pairs,
+               sum(floor(a.r * b.r * 1000000000000.0 + 0.5)::BIGINT) AS cov_u
+        FROM exploded a
+        JOIN exploded b
+          ON a.bucket = b.bucket
+         AND a.symbol < b.symbol
+         AND a.p_us < b.t_us
+         AND b.p_us < a.t_us
+         AND a.bucket = greatest(a.b0, b.b0)
+        GROUP BY 1, 2
+    )
+    SELECT sym_a, sym_b,
+           ra.n_returns AS n_a, rb.n_returns AS n_b,
+           n_overlap_pairs,
+           {_q('cov_u::DOUBLE / 1000000000000.0', 10)} AS hy_cov,
+           CASE WHEN sqrt(ra.rv_u::DOUBLE * rb.rv_u::DOUBLE) > 0
+                THEN {_q('cov_u::DOUBLE / sqrt(ra.rv_u::DOUBLE * rb.rv_u::DOUBLE)', 6)}
+           END AS hy_corr
+    FROM prods
+    JOIN rv ra ON ra.symbol = sym_a
+    JOIN rv rb ON rb.symbol = sym_b
+    ORDER BY 1, 2
+    """,
+)
+def q_hayashi_yoshida_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.hayashi_yoshida_covariance(_events(spark, sf_dir))
+
+
 _GARCH_S2 = "0.02 * acc[3] + 0.08 * x[1] * x[1] + 0.9 * acc[1]"
 _GARCH_FOLD = f"""
     list_reduce(

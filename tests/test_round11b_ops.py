@@ -924,3 +924,96 @@ def test_garch_matches_python_fold_on_fixture(spark):
             _qr(math.sqrt(_qr(max(s2, 0.0) * 252.0, 12)), 6), abs=1e-9
         )
         assert r["n_high_vol_days"] == hi
+
+
+# ---------------------------------------------------------------------------
+# hayashi_yoshida_covariance
+# ---------------------------------------------------------------------------
+
+
+def test_hy_synchronous_identical_returns_corr_one(spark):
+    # both symbols tick at the same instants with identical returns:
+    # every interval pair overlaps itself only -> corr == 1 exactly
+    rows = []
+    c = 100.0
+    for i in range(50):
+        c *= 1.01 if i % 3 else 1 / 1.005
+        ts = dt.datetime(2024, 1, 1, 9) + dt.timedelta(minutes=2 * i)
+        rows.append((2 * i + 1, ts, 1, "aaa", c, None))
+        rows.append((2 * i + 2, ts, 1, "bbb", 2 * c, None))
+    out = finance.hayashi_yoshida_covariance(
+        spark.createDataFrame(rows, EVENT_SCHEMA)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["hy_corr"] == 1.0
+    assert r["n_overlap_pairs"] == 49
+
+
+def test_hy_disjoint_sessions_have_no_pairs(spark):
+    # all of B's return intervals start after A's last tick: no overlap
+    rows = []
+    for i in range(10):
+        rows.append(
+            (i + 1, dt.datetime(2024, 1, 1, 9) + dt.timedelta(minutes=i), 1, "aaa", 100.0 + i, None)
+        )
+    for i in range(10):
+        rows.append(
+            (100 + i, dt.datetime(2024, 1, 1, 15) + dt.timedelta(minutes=i), 1, "bbb", 50.0 + i, None)
+        )
+    out = finance.hayashi_yoshida_covariance(
+        spark.createDataFrame(rows, EVENT_SCHEMA)
+    ).collect()
+    assert out == []
+
+
+def test_hy_matches_bruteforce_on_planted_async_ticks(spark):
+    import random
+
+    import numpy as np
+
+    rnd = random.Random(11)
+    rows, ticks = [], {"aaa": [], "bbb": []}
+    eid = 0
+    t = dt.datetime(2024, 1, 1, 9)
+    va, vb = 100.0, 200.0
+    for _ in range(120):
+        t += dt.timedelta(seconds=rnd.randint(5, 600))
+        sym = "aaa" if rnd.random() < 0.5 else "bbb"
+        if sym == "aaa":
+            va *= 1.0 + rnd.uniform(-0.01, 0.01)
+            v = va
+        else:
+            vb *= 1.0 + rnd.uniform(-0.01, 0.01)
+            v = vb
+        eid += 1
+        rows.append((eid, t, 1, sym, v, None))
+        ticks[sym].append((t, v))
+    out = finance.hayashi_yoshida_covariance(
+        spark.createDataFrame(rows, EVENT_SCHEMA)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    def _rets(seq):
+        res = []
+        for i in range(1, len(seq)):
+            lr = _qr(math.log(seq[i][1] / seq[i - 1][1]), 12)
+            res.append((seq[i - 1][0], seq[i][0], lr))
+        return res
+
+    ra, rb = _rets(ticks["aaa"]), _rets(ticks["bbb"])
+    cov_u = n_pairs = 0
+    for pa, ta, xa in ra:
+        for pb, tb, xb in rb:
+            if pa < tb and pb < ta:
+                n_pairs += 1
+                cov_u += math.floor(xa * xb * 1e12 + 0.5)
+    rva = sum(math.floor(x * x * 1e12 + 0.5) for _, _, x in ra)
+    rvb = sum(math.floor(x * x * 1e12 + 0.5) for _, _, x in rb)
+    assert r["n_overlap_pairs"] == n_pairs
+    assert (r["n_a"], r["n_b"]) == (len(ra), len(rb))
+    assert r["hy_cov"] == pytest.approx(_qr(cov_u / 1e12, 10), abs=1e-10)
+    assert r["hy_corr"] == pytest.approx(
+        _qr(cov_u / math.sqrt(rva * rvb), 6), abs=1e-9
+    )

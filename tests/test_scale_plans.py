@@ -1190,3 +1190,23 @@ def test_round11_lm_and_garch_stay_bounded(spark):
     assert "BatchEvalPython" not in ga
     assert ga.count("Scan parquet") == 1
     assert ga.count("Exchange") <= 5
+
+
+def test_hayashi_yoshida_banded_join_no_cartesian(spark):
+    """The interval join must be bucket-EQUI-keyed (overlap + claim
+    rule as residual filters), never a cartesian: a regression that
+    drops the bucket key re-enumerates every cross-symbol return pair."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    plan = _plan(
+        finance.hayashi_yoshida_covariance(load_table(spark, SF_SMOKE, "events"))
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # the pair join carries bucket as an EQUI key (hash-joinable at any
+    # scale; at smoke SF Catalyst broadcasts the small side, at 100 TB
+    # the same key shuffles) -- the overlap + claim rule ride as the
+    # residual condition
+    join_lines = [ln for ln in plan.splitlines() if "HashJoin [bucket" in ln]
+    assert join_lines, plan
