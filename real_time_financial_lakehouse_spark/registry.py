@@ -3090,9 +3090,18 @@ _DRIVER_VERIFIED_R10 = list(_ROUND10_FRONT)
 # window green the externally verified union reaches 332/332 -- every
 # query registered before round 11 driver-checked at least once.
 #
-# ROUND-12 QUEUE (per the age policy, do not activate early): any
-# round-11 in-round additions first (after their standard 20x dual-sf
-# shake), then the r4-vintage remainder in _ROUND4_FRONT order
+# ROUND-12 QUEUE (per the age policy, do not activate early): the 20
+# round-11 in-round additions first (all 20x dual-sf shaken at
+# creation/freeze): ljung_box_autocorr, kupiec_var_backtest,
+# tail_dependence_matrix, window_funnel_stages,
+# embedding_centroid_drift, streaming_value_quantiles,
+# runs_test_randomness, realized_kernel_vol, cdar_conditional_drawdown,
+# js_divergence_drift, t_closeness_report, dedup_precision_recall_audit,
+# code_prose_classifier, treynor_information_ratios,
+# lee_ready_tick_classification, streaming_session_merge, mode_per_user,
+# trigram_interpolated_logprob, garch_filter_vol,
+# hayashi_yoshida_covariance (plus any later in-round adds);
+# then the r4-vintage remainder in _ROUND4_FRONT order
 # (dominant_part_suppliers, waiting_order_suppliers, vwap_daily,
 # bollinger_bands, max_drawdown, bar_gaps, symbol_correlations,
 # daily_return_volatility, atr_14, stochastic_oscillator, obv,

@@ -80,6 +80,13 @@ def pick_queries(n: int) -> list[str]:
         # per-batch state started scaling with ticks, not aggregates.
         "streaming_minute_ohlc", "streaming_kmv_distinct",
         "streaming_turnover_hhi",
+        # round-11 heavy additions: the banded interval join (pair
+        # fan-out bounded by per-minute tick counts -- superlinear here
+        # means the bucket band stopped bounding the join), the trigram
+        # LM (count tables Zipf-sublinear in tokens), and the session
+        # merge twin (state at session cardinality per micro-batch)
+        "hayashi_yoshida_covariance", "trigram_interpolated_logprob",
+        "streaming_session_merge",
     ]
     picked.extend(q for q in forced if q not in picked)
     return picked
