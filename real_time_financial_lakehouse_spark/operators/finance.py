@@ -5082,3 +5082,185 @@ def hayashi_yoshida_covariance(events: DataFrame) -> DataFrame:
             qround(F.col("cov_u").cast("double") / denom, 6),
         ).alias("hy_corr"),
     ).orderBy("sym_a", "sym_b")
+
+
+def kendall_tau_matrix(events: DataFrame) -> DataFrame:
+    """Exact Kendall tau-b rank correlation between every symbol pair's
+    daily log returns -- the outlier-robust companion to the Pearson
+    ``symbol_correlations`` (one fat-finger day can dominate a Pearson
+    estimate; tau counts concordant day pairs, so it cannot): tau_b =
+    (C - D) / sqrt((n0 - t_a)(n0 - t_b)) with full tie accounting.
+
+    Scale: the day-pair expansion is |days|^2 per symbol pair -- and
+    days are TIME-bounded, not data-bounded (more rows per day never
+    widen it), so the quadratic term is a constant of the calendar
+    window, exactly like ``tail_dependence_matrix``'s |symbols|^2.  The
+    pair frame equi-joins on the symbol pair with day < day as the
+    residual.  Determinism: concordance is sign arithmetic on 12 dp
+    quantized returns; every count is an exact BIGINT."""
+    rets = _daily_log_returns(events)
+    a, b = rets.alias("a"), rets.alias("b")
+    paired = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.symbol") < F.col("b.symbol")),
+    ).select(
+        F.col("a.symbol").alias("sym_a"),
+        F.col("b.symbol").alias("sym_b"),
+        F.col("a.day").alias("day"),
+        F.col("a.lr").alias("ra"),
+        F.col("b.lr").alias("rb"),
+    )
+    p1, p2 = paired.alias("p1"), paired.alias("p2")
+    dp = p1.join(
+        p2,
+        (F.col("p1.sym_a") == F.col("p2.sym_a"))
+        & (F.col("p1.sym_b") == F.col("p2.sym_b"))
+        & (F.col("p1.day") < F.col("p2.day")),
+    ).select(
+        F.col("p1.sym_a").alias("sym_a"),
+        F.col("p1.sym_b").alias("sym_b"),
+        (F.col("p1.ra") - F.col("p2.ra")).alias("da"),
+        (F.col("p1.rb") - F.col("p2.rb")).alias("db"),
+    )
+    prod = F.col("da") * F.col("db")
+    agg = dp.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum((prod > 0).cast("long")).alias("concordant"),
+        F.sum((prod < 0).cast("long")).alias("discordant"),
+        F.sum((F.col("da") == 0).cast("long")).alias("ties_a"),
+        F.sum((F.col("db") == 0).cast("long")).alias("ties_b"),
+    )
+    denom = F.sqrt(
+        (F.col("n0") - F.col("ties_a")).cast("double")
+        * (F.col("n0") - F.col("ties_b")).cast("double")
+    )
+    return agg.select(
+        "sym_a",
+        "sym_b",
+        "n0",
+        "concordant",
+        "discordant",
+        "ties_a",
+        "ties_b",
+        F.when(
+            denom > 0,
+            qround(
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / denom,
+                6,
+            ),
+        ).alias("kendall_tau_b"),
+    ).orderBy("sym_a", "sym_b")
+
+
+def calendar_anomaly_report(events: DataFrame) -> DataFrame:
+    """Day-of-week calendar-anomaly screen per symbol: mean daily log
+    return and its t statistic for each ISO weekday -- the Monday-
+    effect / turn-of-week seasonality test a systematic desk runs
+    before believing any dow-conditioned signal.  |t| > 2 flags a
+    candidate anomaly (to be re-tested out of sample; with 5 symbols x
+    7 slots some flags are expected by chance, which is the point of
+    reporting the t rather than a verdict).
+
+    Scale: the daily-ladder rollup then ONE partial-aggregable
+    (symbol, dow) groupBy.  Determinism: mean and stddev quantized at
+    12 dp before the ratio; sqrt is IEEE-exact."""
+    rets = _daily_log_returns(events)
+    dow = (F.weekday(F.col("day")) + F.lit(1)).alias("iso_dow")
+    agg = (
+        rets.groupBy("symbol", dow)
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            qround(F.avg("lr"), 12).alias("mean_q"),
+            qround(F.stddev_samp("lr"), 12).alias("sd_q"),
+        )
+        .filter(F.col("n_days") >= 2)
+    )
+    t = F.when(
+        F.col("sd_q") > 0,
+        qround(
+            F.col("mean_q")
+            / (F.col("sd_q") / F.sqrt(F.col("n_days").cast("double"))),
+            6,
+        ),
+    )
+    return agg.select(
+        "symbol",
+        "iso_dow",
+        "n_days",
+        qround(F.col("mean_q"), 6).alias("mean_lr"),
+        t.alias("t_stat"),
+        (F.abs(t) > F.lit(2.0)).alias("candidate_anomaly"),
+    ).orderBy("symbol", "iso_dow")
+
+
+def newey_west_tstat(events: DataFrame, max_lag: int = 5) -> DataFrame:
+    """Newey-West (HAC) t statistic of the mean daily log return per
+    symbol: the long-run variance S = gamma_0 + 2*sum w_h*gamma_h with
+    Bartlett weights w_h = 1 - h/(L+1) replaces the naive variance in
+    the t ratio, so serial correlation (which ``ljung_box_autocorr``
+    detects) no longer fakes significance -- the standard drift test a
+    desk trusts.  Reports both the naive and the HAC t side by side;
+    their gap IS the autocorrelation correction.
+
+    Scale: the ljung_box/realized_kernel shape -- one symbol-partitioned
+    window pass emits all L lagged demeaned products, one partial
+    groupBy.  Determinism: the integer pico-grid discipline on every
+    product; Bartlett weights are shared Python double literals; the
+    weighted combination is written in fixed h order on both engines."""
+    rets = _daily_log_returns(events)
+    means = (
+        rets.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            qround(F.avg("lr"), 12).alias("mean_q"),
+        )
+        .filter(F.col("n_days") >= 4 * max_lag)
+    )
+    dev_src = rets.join(F.broadcast(means), "symbol").withColumn(
+        "dev", F.col("lr") - F.col("mean_q")
+    )
+    w = Window.partitionBy("symbol").orderBy("day")
+    grid = F.lit(1e12)
+    cols = [
+        F.floor(F.col("dev") * F.col("dev") * grid + F.lit(0.5))
+        .cast("long")
+        .alias("g0_u")
+    ]
+    for h in range(1, max_lag + 1):
+        lagdev = F.lag("dev", h).over(w)
+        cols.append(
+            F.when(
+                lagdev.isNotNull(),
+                F.floor(F.col("dev") * lagdev * grid + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).alias(f"g{h}_u")
+        )
+    framed = dev_src.select("symbol", "n_days", "mean_q", "day", *cols)
+    agg = framed.groupBy("symbol").agg(
+        F.max("n_days").alias("n_days"),
+        F.max("mean_q").alias("mean_q"),
+        *[F.sum(f"g{h}_u").alias(f"g{h}_u") for h in range(0, max_lag + 1)],
+    )
+    nd = F.col("n_days").cast("double")
+    s_expr = F.col("g0_u").cast("double")
+    for h in range(1, max_lag + 1):
+        s_expr = s_expr + F.lit(2.0 * (1.0 - h / (max_lag + 1))) * F.col(
+            f"g{h}_u"
+        ).cast("double")
+    s_hac = qround(s_expr / F.lit(1e12) / nd, 12)
+    s_naive = qround(F.col("g0_u").cast("double") / F.lit(1e12) / nd, 12)
+    se_hac = F.sqrt(qround(s_hac / nd, 12))
+    se_naive = F.sqrt(qround(s_naive / nd, 12))
+    t_hac = F.when(se_hac > 0, qround(F.col("mean_q") / se_hac, 6))
+    t_naive = F.when(se_naive > 0, qround(F.col("mean_q") / se_naive, 6))
+    return agg.select(
+        "symbol",
+        "n_days",
+        qround(F.col("mean_q"), 6).alias("mean_lr"),
+        t_naive.alias("t_naive"),
+        t_hac.alias("t_newey_west"),
+        (F.abs(t_hac) > F.lit(1.96)).alias("reject_5pct"),
+    ).orderBy("symbol")

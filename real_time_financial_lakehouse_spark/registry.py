@@ -3090,7 +3090,7 @@ _DRIVER_VERIFIED_R10 = list(_ROUND10_FRONT)
 # window green the externally verified union reaches 332/332 -- every
 # query registered before round 11 driver-checked at least once.
 #
-# ROUND-12 QUEUE (per the age policy, do not activate early): the 20
+# ROUND-12 QUEUE (per the age policy, do not activate early): the 23
 # round-11 in-round additions first (all 20x dual-sf shaken at
 # creation/freeze): ljung_box_autocorr, kupiec_var_backtest,
 # tail_dependence_matrix, window_funnel_stages,
@@ -3100,7 +3100,8 @@ _DRIVER_VERIFIED_R10 = list(_ROUND10_FRONT)
 # code_prose_classifier, treynor_information_ratios,
 # lee_ready_tick_classification, streaming_session_merge, mode_per_user,
 # trigram_interpolated_logprob, garch_filter_vol,
-# hayashi_yoshida_covariance (plus any later in-round adds);
+# hayashi_yoshida_covariance, kendall_tau_matrix,
+# calendar_anomaly_report, newey_west_tstat;
 # then the r4-vintage remainder in _ROUND4_FRONT order
 # (dominant_part_suppliers, waiting_order_suppliers, vwap_daily,
 # bollinger_bands, max_drawdown, bar_gaps, symbol_correlations,
@@ -8745,6 +8746,143 @@ def q_treynor_information_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lee_ready_tick_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.lee_ready_tick_classification(_events(spark, sf_dir))
+
+
+@register(
+    "kendall_tau_matrix",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               {_q('ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))', 12)} AS lr
+        FROM dclose
+    ),
+    r2 AS (SELECT symbol, day, lr FROM rets WHERE lr IS NOT NULL),
+    paired AS (
+        SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.day AS day,
+               a.lr AS ra, b.lr AS rb
+        FROM r2 a JOIN r2 b ON a.day = b.day AND a.symbol < b.symbol
+    ),
+    dp AS (
+        SELECT p1.sym_a, p1.sym_b,
+               p1.ra - p2.ra AS da, p1.rb - p2.rb AS db
+        FROM paired p1
+        JOIN paired p2
+          ON p1.sym_a = p2.sym_a AND p1.sym_b = p2.sym_b
+         AND p1.day < p2.day
+    ),
+    agg AS (
+        SELECT sym_a, sym_b, count(*)::BIGINT AS n0,
+               sum(CASE WHEN da * db > 0 THEN 1 ELSE 0 END)::BIGINT AS concordant,
+               sum(CASE WHEN da * db < 0 THEN 1 ELSE 0 END)::BIGINT AS discordant,
+               sum(CASE WHEN da = 0 THEN 1 ELSE 0 END)::BIGINT AS ties_a,
+               sum(CASE WHEN db = 0 THEN 1 ELSE 0 END)::BIGINT AS ties_b
+        FROM dp GROUP BY 1, 2
+    )
+    SELECT sym_a, sym_b, n0, concordant, discordant, ties_a, ties_b,
+           CASE WHEN sqrt((n0 - ties_a)::DOUBLE * (n0 - ties_b)::DOUBLE) > 0
+                THEN {_q('(concordant - discordant)::DOUBLE / sqrt((n0 - ties_a)::DOUBLE * (n0 - ties_b)::DOUBLE)', 6)}
+           END AS kendall_tau_b
+    FROM agg ORDER BY 1, 2
+    """,
+)
+def q_kendall_tau_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.kendall_tau_matrix(_events(spark, sf_dir))
+
+
+@register(
+    "calendar_anomaly_report",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               {_q('ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))', 12)} AS lr
+        FROM dclose
+    ),
+    r2 AS (SELECT symbol, day, lr FROM rets WHERE lr IS NOT NULL),
+    agg AS (
+        SELECT symbol, isodow(day)::INT AS iso_dow, count(*)::BIGINT AS n_days,
+               {_q('avg(lr)', 12)} AS mean_q,
+               {_q('stddev_samp(lr)', 12)} AS sd_q
+        FROM r2 GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    shaped AS (
+        SELECT symbol, iso_dow, n_days, mean_q,
+               CASE WHEN sd_q > 0
+                    THEN {_q('mean_q / (sd_q / sqrt(n_days::DOUBLE))', 6)}
+               END AS t_stat
+        FROM agg
+    )
+    SELECT symbol, iso_dow, n_days,
+           {_q('mean_q', 6)} AS mean_lr, t_stat,
+           abs(t_stat) > 2.0 AS candidate_anomaly
+    FROM shaped ORDER BY 1, 2
+    """,
+)
+def q_calendar_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.calendar_anomaly_report(_events(spark, sf_dir))
+
+
+_NW_LAG_COLS = ",\n           ".join(
+    f"CASE WHEN lag(dev, {h}) OVER w IS NOT NULL"
+    f" THEN floor(dev * lag(dev, {h}) OVER w * 1000000000000.0 + 0.5)::BIGINT"
+    f" END AS g{h}_u"
+    for h in range(1, 6)
+)
+_NW_S_EXPR = "g0_u::DOUBLE" + "".join(
+    f" + {2.0 * (1.0 - h / 6.0)!r} * g{h}_u::DOUBLE" for h in range(1, 6)
+)
+
+
+@register(
+    "newey_west_tstat",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               {_q('ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))', 12)} AS lr
+        FROM dclose
+    ),
+    r2 AS (SELECT symbol, day, lr FROM rets WHERE lr IS NOT NULL),
+    means AS (
+        SELECT symbol, count(*)::BIGINT AS n_days, {_q('avg(lr)', 12)} AS mean_q
+        FROM r2 GROUP BY 1 HAVING count(*) >= 20
+    ),
+    dev AS (
+        SELECT r.symbol, m.n_days, m.mean_q, r.day, r.lr - m.mean_q AS dev
+        FROM r2 r JOIN means m USING (symbol)
+    ),
+    lagged AS (
+        SELECT symbol, n_days, mean_q,
+           floor(dev * dev * 1000000000000.0 + 0.5)::BIGINT AS g0_u,
+           {_NW_LAG_COLS}
+        FROM dev WINDOW w AS (PARTITION BY symbol ORDER BY day)
+    ),
+    agg AS (
+        SELECT symbol, max(n_days) AS n_days, max(mean_q) AS mean_q,
+               {', '.join(f'sum(g{h}_u) AS g{h}_u' for h in range(0, 6))}
+        FROM lagged GROUP BY 1
+    ),
+    shaped AS (
+        SELECT symbol, n_days, mean_q,
+               sqrt({_q(f'{_q(f"({_NW_S_EXPR}) / 1000000000000.0 / n_days::DOUBLE", 12)} / n_days::DOUBLE', 12)}) AS se_hac,
+               sqrt({_q(f'{_q("g0_u::DOUBLE / 1000000000000.0 / n_days::DOUBLE", 12)} / n_days::DOUBLE', 12)}) AS se_naive
+        FROM agg
+    ),
+    final AS (
+        SELECT symbol, n_days, mean_q,
+               CASE WHEN se_naive > 0 THEN {_q('mean_q / se_naive', 6)} END AS t_naive,
+               CASE WHEN se_hac > 0 THEN {_q('mean_q / se_hac', 6)} END AS t_newey_west
+        FROM shaped
+    )
+    SELECT symbol, n_days, {_q('mean_q', 6)} AS mean_lr,
+           t_naive, t_newey_west,
+           abs(t_newey_west) > 1.96 AS reject_5pct
+    FROM final ORDER BY 1
+    """,
+)
+def q_newey_west_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.newey_west_tstat(_events(spark, sf_dir))
 
 
 @register(

@@ -1017,3 +1017,180 @@ def test_hy_matches_bruteforce_on_planted_async_ticks(spark):
     assert r["hy_corr"] == pytest.approx(
         _qr(cov_u / math.sqrt(rva * rvb), 6), abs=1e-9
     )
+
+
+# ---------------------------------------------------------------------------
+# kendall_tau_matrix
+# ---------------------------------------------------------------------------
+
+
+def _two_symbol_frame(spark, rets_a, rets_b):
+    import math as m
+
+    rows, ca, cb = [], 100.0, 200.0
+    rows.append((1, dt.datetime(2024, 1, 1, 12), 1, "aaa", ca, None))
+    rows.append((2, dt.datetime(2024, 1, 1, 12), 1, "bbb", cb, None))
+    for i, (xa, xb) in enumerate(zip(rets_a, rets_b)):
+        ca *= m.exp(xa)
+        cb *= m.exp(xb)
+        ts = dt.datetime(2024, 1, 2, 12) + dt.timedelta(days=i)
+        rows.append((2 * i + 3, ts, 1, "aaa", ca, None))
+        rows.append((2 * i + 4, ts, 1, "bbb", cb, None))
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def test_kendall_perfect_agreement_and_disagreement(spark):
+    steps = [0.01, -0.02, 0.03, -0.005, 0.015, -0.01, 0.02, 0.004]
+    up = finance.kendall_tau_matrix(
+        _two_symbol_frame(spark, steps, [2 * s for s in steps])
+    ).collect()
+    assert len(up) == 1 and up[0]["kendall_tau_b"] == 1.0
+    down = finance.kendall_tau_matrix(
+        _two_symbol_frame(spark, steps, [-s for s in steps])
+    ).collect()
+    assert len(down) == 1 and down[0]["kendall_tau_b"] == -1.0
+    n = len(steps)
+    assert up[0]["n0"] == n * (n - 1) // 2
+
+
+def test_kendall_matches_python_on_fixture(spark):
+    rows = finance.kendall_tau_matrix(_events(spark)).collect()
+    assert rows
+    pdf = _fixture_pdf(spark)
+    series = {}
+    for sym in pdf.event_type.unique():
+        lr = _daily_lr(pdf, sym)
+        days = sorted(pdf[pdf.event_type == sym]["day"].unique())[1:]
+        series[sym] = dict(zip(days, lr))
+    for r in rows[:4]:
+        sa, sb = series[r["sym_a"]], series[r["sym_b"]]
+        days = sorted(set(sa) & set(sb))
+        pairs = [(sa[d], sb[d]) for d in days]
+        C = D = ta = tb = 0
+        for i in range(len(pairs)):
+            for j in range(i + 1, len(pairs)):
+                da = pairs[i][0] - pairs[j][0]
+                db = pairs[i][1] - pairs[j][1]
+                if da * db > 0:
+                    C += 1
+                elif da * db < 0:
+                    D += 1
+                if da == 0:
+                    ta += 1
+                if db == 0:
+                    tb += 1
+        n0 = len(pairs) * (len(pairs) - 1) // 2
+        assert (r["n0"], r["concordant"], r["discordant"]) == (n0, C, D)
+        denom = math.sqrt((n0 - ta) * (n0 - tb))
+        assert r["kendall_tau_b"] == pytest.approx(
+            _qr((C - D) / denom, 6), abs=1e-9
+        )
+
+
+# ---------------------------------------------------------------------------
+# calendar_anomaly_report
+# ---------------------------------------------------------------------------
+
+
+def test_calendar_planted_monday_effect(spark):
+    import math as m
+
+    rows, c = [], 100.0
+    d = dt.date(2024, 1, 1)  # a Monday
+    eid = 0
+    for i in range(70):
+        day = d + dt.timedelta(days=i)
+        if day.isoweekday() == 1:
+            step = 0.02 if (i // 7) % 2 == 0 else 0.021
+        else:
+            step = 0.0005 if i % 2 == 0 else -0.0005
+        c *= m.exp(step)
+        eid += 1
+        rows.append(
+            (eid, dt.datetime.combine(day, dt.time(12)), 1, "sym", c, None)
+        )
+    out = {
+        r["iso_dow"]: r
+        for r in finance.calendar_anomaly_report(
+            spark.createDataFrame(rows, EVENT_SCHEMA)
+        ).collect()
+    }
+    assert out[1]["t_stat"] > 2.0 and out[1]["candidate_anomaly"] is True
+    assert out[1]["mean_lr"] > 0.019
+    for dow in (2, 3, 4, 5):
+        assert abs(out[dow]["mean_lr"]) < 0.001
+
+
+def test_calendar_matches_pandas_on_fixture(spark):
+    import numpy as np
+
+    rows = finance.calendar_anomaly_report(_events(spark)).collect()
+    assert rows
+    pdf = _fixture_pdf(spark)
+    for r in rows[:10]:
+        lr = _daily_lr(pdf, r["symbol"])
+        days = sorted(pdf[pdf.event_type == r["symbol"]]["day"].unique())[1:]
+        sel = [x for d, x in zip(days, lr) if d.isoweekday() == r["iso_dow"]]
+        assert r["n_days"] == len(sel)
+        mean_q = _qr(float(np.mean(sel)), 12)
+        sd_q = _qr(float(np.std(sel, ddof=1)), 12)
+        assert r["mean_lr"] == pytest.approx(_qr(mean_q, 6), abs=1e-9)
+        if sd_q > 0:
+            t = _qr(mean_q / (sd_q / math.sqrt(len(sel))), 6)
+            assert r["t_stat"] == pytest.approx(t, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# newey_west_tstat
+# ---------------------------------------------------------------------------
+
+
+def test_newey_west_shrinks_t_under_positive_autocorr(spark):
+    # strongly persistent returns (10-day blocks of the same sign with a
+    # positive drift): the HAC variance absorbs the serial correlation,
+    # so |t_nw| must come in well under |t_naive|
+    import math as m
+
+    steps = []
+    for block in range(6):
+        s = 0.012 if block % 2 == 0 else -0.008
+        steps += [s] * 10
+    closes, c = [], 100.0
+    for s in steps:
+        c *= m.exp(s)
+        closes.append(c)
+    rows = finance.newey_west_tstat(_tick_frame(spark, closes)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["t_naive"] is not None and r["t_newey_west"] is not None
+    assert abs(r["t_newey_west"]) < abs(r["t_naive"])
+
+
+def test_newey_west_matches_numpy_on_fixture(spark):
+    import numpy as np
+
+    rows = finance.newey_west_tstat(_events(spark)).collect()
+    assert rows
+    pdf = _fixture_pdf(spark)
+    for r in rows:
+        lr = _daily_lr(pdf, r["symbol"])
+        n = len(lr)
+        mean_q = _qr(float(np.mean(lr)), 12)
+        dev = lr - mean_q
+        g = [float(np.sum(np.floor(dev * dev * 1e12 + 0.5)))]
+        for h in range(1, 6):
+            g.append(float(np.sum(np.floor(dev[h:] * dev[:-h] * 1e12 + 0.5))))
+        s_hac = g[0]
+        for h in range(1, 6):
+            s_hac += 2.0 * (1.0 - h / 6.0) * g[h]
+        se_hac = math.sqrt(_qr(_qr(s_hac / 1e12 / n, 12) / n, 12))
+        se_naive = math.sqrt(_qr(_qr(g[0] / 1e12 / n, 12) / n, 12))
+        assert r["n_days"] == n
+        if se_hac > 0:
+            assert r["t_newey_west"] == pytest.approx(
+                _qr(mean_q / se_hac, 6), abs=1e-6
+            )
+        if se_naive > 0:
+            assert r["t_naive"] == pytest.approx(
+                _qr(mean_q / se_naive, 6), abs=1e-6
+            )

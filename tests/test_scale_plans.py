@@ -1210,3 +1210,26 @@ def test_hayashi_yoshida_banded_join_no_cartesian(spark):
     # residual condition
     join_lines = [ln for ln in plan.splitlines() if "HashJoin [bucket" in ln]
     assert join_lines, plan
+
+
+def test_round11_stats_queries_stay_bounded(spark):
+    """Kendall's day-pair expansion is bounded by the CALENDAR, not the
+    data (|days|^2 per symbol pair; more rows per day never widen it);
+    the calendar screen and the Newey-West ladder are single-window
+    daily rollups."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    kt = _plan(finance.kendall_tau_matrix(ev))
+    assert "CartesianProduct" not in kt
+    assert "BatchEvalPython" not in kt
+    for fn, max_scans in (
+        (finance.calendar_anomaly_report, 1),
+        # the broadcast symbol-means join re-expands the daily ladder
+        # once (the ljung_box shape): bounded at two scans
+        (finance.newey_west_tstat, 2),
+    ):
+        plan = _plan(fn(ev))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert plan.count("Scan parquet") <= max_scans, fn.__name__
