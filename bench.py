@@ -168,7 +168,15 @@ def main() -> None:
     # dirs, checkpoint fsync, micro-batch drains) happens INSIDE each
     # streaming/table_io query call, so per-query medians ARE the
     # per-fixture attribution.
-    machinery_breakdown: dict[str, object] = {"warmup_sec": warmup_sec}
+    machinery_breakdown: dict[str, object] = {
+        # self-describing accounting (round-11 verdict ask #8):
+        "identity": (
+            "machinery_total = streaming.total + table_io.total;"
+            " warmup_sec is one-time session warm-up, tracked separately"
+            " and NOT included in machinery_total or value"
+        ),
+        "warmup_sec": warmup_sec,
+    }
     for fam in ("streaming", "table_io"):
         members = {n: t for n, t in timings.items() if family(n) == fam}
         if members:

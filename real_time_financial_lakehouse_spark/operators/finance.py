@@ -5096,8 +5096,13 @@ def kendall_tau_matrix(events: DataFrame) -> DataFrame:
     widen it), so the quadratic term is a constant of the calendar
     window, exactly like ``tail_dependence_matrix``'s |symbols|^2.  The
     pair frame equi-joins on the symbol pair with day < day as the
-    residual.  Determinism: concordance is sign arithmetic on 12 dp
-    quantized returns; every count is an exact BIGINT."""
+    residual.  For LONG calendars (a multi-year backfill at ~2,500
+    trading days is ~3M day pairs per symbol pair) use the
+    ``kendall_tau_windowed`` twin, whose pair expansion is bounded per
+    calendar month -- linear in calendar length (the
+    volatility_cones exact/approx discipline).  Determinism:
+    concordance is sign arithmetic on 12 dp quantized returns; every
+    count is an exact BIGINT."""
     rets = _daily_log_returns(events)
     a, b = rets.alias("a"), rets.alias("b")
     paired = a.join(
@@ -5151,6 +5156,99 @@ def kendall_tau_matrix(events: DataFrame) -> DataFrame:
                 6,
             ),
         ).alias("kendall_tau_b"),
+    ).orderBy("sym_a", "sym_b")
+
+
+def kendall_tau_windowed(events: DataFrame) -> DataFrame:
+    """Calendar-windowed Kendall tau-b: the LONG-CALENDAR scale path for
+    ``kendall_tau_matrix`` (round-11 verdict ask #3).  Day pairs form
+    only WITHIN a calendar month, so the expansion is
+    |days_in_month|^2 per (pair, month) -- at ~21 trading days that is
+    ~210 pairs/month, and a 10-year backfill costs ~25k day pairs per
+    symbol pair instead of the full matrix's ~3M: LINEAR in calendar
+    length, quadratic only in the fixed window width.  Reported per
+    symbol pair as the n0-weighted average of the per-month tau-b's --
+    the standard rolling-tau stability diagnostic (a regime change shows
+    up as window dispersion the full-history tau averages away).
+
+    Exactness: each month's tau-b is full tie-accounted on exact BIGINT
+    counts, snapped to the 1e-12 grid; the weighted rollup sums
+    tau_u * n0 as exact BIGINTs (max |sum| ~ 1e12 * total day pairs,
+    well inside int64), so the cross-window aggregation is
+    order-independent and the only float ops are the final two IEEE
+    divisions, identical in both engines.
+
+    Plan shape: same two equi-joins as the full matrix with the month
+    added to the pair join's equi-key (no inequality residual widens
+    across months); two partial-aggregable groupBys after."""
+    rets = _daily_log_returns(events)
+    rw = rets.select(
+        "symbol", "day", "lr", F.date_trunc("month", F.col("day")).alias("w")
+    )
+    a, b = rw.alias("a"), rw.alias("b")
+    paired = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.symbol") < F.col("b.symbol")),
+    ).select(
+        F.col("a.symbol").alias("sym_a"),
+        F.col("b.symbol").alias("sym_b"),
+        F.col("a.w").alias("w"),
+        F.col("a.day").alias("day"),
+        F.col("a.lr").alias("ra"),
+        F.col("b.lr").alias("rb"),
+    )
+    p1, p2 = paired.alias("p1"), paired.alias("p2")
+    dp = p1.join(
+        p2,
+        (F.col("p1.sym_a") == F.col("p2.sym_a"))
+        & (F.col("p1.sym_b") == F.col("p2.sym_b"))
+        & (F.col("p1.w") == F.col("p2.w"))
+        & (F.col("p1.day") < F.col("p2.day")),
+    ).select(
+        F.col("p1.sym_a").alias("sym_a"),
+        F.col("p1.sym_b").alias("sym_b"),
+        F.col("p1.w").alias("w"),
+        (F.col("p1.ra") - F.col("p2.ra")).alias("da"),
+        (F.col("p1.rb") - F.col("p2.rb")).alias("db"),
+    )
+    prod = F.col("da") * F.col("db")
+    per_win = dp.groupBy("sym_a", "sym_b", "w").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum((prod > 0).cast("long")).alias("c"),
+        F.sum((prod < 0).cast("long")).alias("d"),
+        F.sum((F.col("da") == 0).cast("long")).alias("ta"),
+        F.sum((F.col("db") == 0).cast("long")).alias("tb"),
+    )
+    denom = F.sqrt(
+        (F.col("n0") - F.col("ta")).cast("double")
+        * (F.col("n0") - F.col("tb")).cast("double")
+    )
+    tau_u = F.when(
+        denom > 0,
+        F.floor(
+            (F.col("c") - F.col("d")).cast("double") / denom * F.lit(1e12)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    wtau = per_win.select("sym_a", "sym_b", "n0", tau_u.alias("tau_u")).filter(
+        F.col("tau_u").isNotNull()
+    )
+    roll = wtau.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n0").alias("n0_total"),
+        F.sum(F.col("tau_u") * F.col("n0")).alias("wsum_u"),
+    )
+    return roll.select(
+        "sym_a",
+        "sym_b",
+        "n_windows",
+        "n0_total",
+        qround(
+            (F.col("wsum_u").cast("double") / F.lit(1e12))
+            / F.col("n0_total").cast("double"),
+            6,
+        ).alias("kendall_tau_b_wavg"),
     ).orderBy("sym_a", "sym_b")
 
 
@@ -5264,3 +5362,401 @@ def newey_west_tstat(events: DataFrame, max_lag: int = 5) -> DataFrame:
         t_hac.alias("t_newey_west"),
         (F.abs(t_hac) > F.lit(1.96)).alias("reject_5pct"),
     ).orderBy("symbol")
+
+
+# ---------------------------------------------------------------------------
+# Round-12 additions: range-based volatility, Cornish-Fisher VaR, sign
+# Markov chain, downside beta, trade-duration microstructure, and price
+# clustering -- each a daily/tick rollup with the module's exactness
+# discipline (12-dp ln quantization, integer counts, one final 6-dp cut).
+# ---------------------------------------------------------------------------
+
+
+def _daily_ohlc(events: DataFrame) -> DataFrame:
+    """Internal (symbol, day, o, h, l, c) frame from positive ticks:
+    deterministic first/last by the (ts, event_id) key, exact min/max.
+    One day-granularity partial agg -- the shared first stage of the
+    range-based volatility estimators."""
+    src = events.filter(F.col("value") > 0)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return src.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(
+        F.min_by(F.col("value"), key).alias("o"),
+        F.max("value").alias("h"),
+        F.min("value").alias("l"),
+        F.max_by(F.col("value"), key).alias("c"),
+    )
+
+
+def range_vol_estimators(events: DataFrame) -> DataFrame:
+    """Range-based daily volatility per symbol: Parkinson (1980),
+    Garman-Klass (1980), and Rogers-Satchell (1991) estimators from the
+    daily OHLC bars -- the high/low range carries ~5x more information
+    per day than close-to-close, so these converge with far fewer days
+    than ``daily_return_volatility`` (and Rogers-Satchell stays unbiased
+    under drift, which Parkinson/GK are not):
+
+        park = sqrt(avg(ln(h/l)^2) / (4 ln 2))
+        gk   = sqrt(avg(0.5 ln(h/l)^2 - (2 ln 2 - 1) ln(c/o)^2))
+        rs   = sqrt(avg(ln(h/o) ln(h/c) + ln(l/o) ln(l/c)))
+
+    GK can go negative on adversarial bars (huge close-to-open against
+    a narrow range); a negative mean term reports NULL rather than a
+    NaN sqrt.
+
+    Scale: ONE day-granularity partial agg (the OHLC bars) then one
+    symbol-cardinality rollup -- no window, no join, never tick-wide
+    after the first groupBy.  Determinism: every ln is quantized at
+    12 dp (libm-ulp isolation) before the pure-arithmetic terms; the
+    ln-2 constants are fixed 17-digit literals shared with the oracle;
+    per-day terms re-quantize at 12 dp before the avg."""
+    bars = _daily_ohlc(events)
+    lhl = qround(F.log(F.col("h") / F.col("l")), 12)
+    lco = qround(F.log(F.col("c") / F.col("o")), 12)
+    lho = qround(F.log(F.col("h") / F.col("o")), 12)
+    lhc = qround(F.log(F.col("h") / F.col("c")), 12)
+    llo = qround(F.log(F.col("l") / F.col("o")), 12)
+    llc = qround(F.log(F.col("l") / F.col("c")), 12)
+    terms = bars.select(
+        "symbol",
+        qround(lhl * lhl, 12).alias("park_t"),
+        qround(
+            F.lit(0.5) * lhl * lhl - F.lit(0.3862943611198906) * lco * lco, 12
+        ).alias("gk_t"),
+        qround(lho * lhc + llo * llc, 12).alias("rs_t"),
+    )
+    agg = terms.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        qround(F.avg("park_t"), 12).alias("m_park"),
+        qround(F.avg("gk_t"), 12).alias("m_gk"),
+        qround(F.avg("rs_t"), 12).alias("m_rs"),
+    )
+    return agg.select(
+        "symbol",
+        "n_days",
+        qround(F.sqrt(F.col("m_park") / F.lit(2.772588722239781)), 6).alias(
+            "parkinson_vol"
+        ),
+        F.when(F.col("m_gk") >= 0, qround(F.sqrt(F.col("m_gk")), 6)).alias(
+            "garman_klass_vol"
+        ),
+        F.when(F.col("m_rs") >= 0, qround(F.sqrt(F.col("m_rs")), 6)).alias(
+            "rogers_satchell_vol"
+        ),
+    ).orderBy("symbol")
+
+
+def cornish_fisher_var(events: DataFrame) -> DataFrame:
+    """Cornish-Fisher (1938) modified VaR per symbol: adjust the normal
+    95% quantile for the OBSERVED skewness and excess kurtosis of daily
+    log returns --
+
+        z_cf = z + (z^2-1) g1/6 + (z^3-3z) g2/24 - (2z^3-5z) g1^2/36
+
+    with z = Phi^-1(0.05) -- then VaR = -(mean + sd * z_cf).  The
+    side-by-side normal VaR shows exactly how much the fat tails and
+    asymmetry move the risk number: the first correction every
+    parametric-VaR desk applies before trusting ``historical_var_cvar``
+    at small samples.
+
+    Central moments use the two-phase broadcast-mean shape of
+    ``return_moments_profile`` (no raw-moment cancellation); sd is the
+    population sqrt(m2), documented and mirrored in the oracle.  z is a
+    fixed 17-digit literal.  Scale: day rollup + one symbol-cardinality
+    broadcast + one moment pass."""
+    rets = _daily_log_returns(events)
+    means = (
+        rets.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            qround(F.avg("lr"), 12).alias("mean_q"),
+        )
+        .filter(F.col("n_days") >= 10)
+    )
+    d = F.col("lr") - F.col("mean_q")
+    moments = (
+        rets.join(F.broadcast(means), "symbol")
+        .groupBy("symbol")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.max("mean_q").alias("mean_q"),
+            qround(F.avg(d * d), 12).alias("m2"),
+            qround(F.avg(d * d * d), 12).alias("m3"),
+            qround(F.avg(d * d * d * d), 12).alias("m4"),
+        )
+        .filter(F.col("m2") > 0)
+    )
+    sd = qround(F.sqrt(F.col("m2")), 12)
+    g1 = qround(F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2"))), 12)
+    g2 = qround(F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0), 12)
+    z = F.lit(-1.6448536269514722)
+    z_cf = qround(
+        z
+        + (z * z - F.lit(1.0)) * g1 / F.lit(6.0)
+        + (z * z * z - F.lit(3.0) * z) * g2 / F.lit(24.0)
+        - (F.lit(2.0) * z * z * z - F.lit(5.0) * z) * g1 * g1 / F.lit(36.0),
+        12,
+    )
+    shaped = moments.select(
+        "symbol",
+        "n_days",
+        F.col("mean_q"),
+        sd.alias("sd_q"),
+        g1.alias("g1"),
+        g2.alias("g2"),
+        z_cf.alias("z_cf"),
+    )
+    return shaped.select(
+        "symbol",
+        "n_days",
+        qround(F.col("mean_q"), 6).alias("mean_lr"),
+        qround(F.col("sd_q"), 6).alias("sd_lr"),
+        qround(F.col("g1"), 6).alias("skew"),
+        qround(F.col("g2"), 6).alias("excess_kurtosis"),
+        qround(
+            -(F.col("mean_q") + F.col("sd_q") * F.lit(-1.6448536269514722)), 6
+        ).alias("var95_normal"),
+        qround(-(F.col("mean_q") + F.col("sd_q") * F.col("z_cf")), 6).alias(
+            "var95_cornish_fisher"
+        ),
+    ).orderBy("symbol")
+
+
+def return_sign_markov(events: DataFrame) -> DataFrame:
+    """Two-state Markov chain on the SIGNS of daily log returns per
+    symbol: transition counts (up->up, up->down, down->up, down->down),
+    the conditional continuation probabilities, and the persistence
+    score p_uu + p_dd - 1 (Christoffersen's independence diagnostic:
+    0 under an i.i.d. sign sequence, positive = momentum, negative =
+    mean reversion) -- the conditional companion to the unconditional
+    ``runs_test_randomness``.  Zero returns (flat quantized days) carry
+    no sign and are dropped, as in the runs test.
+
+    Scale: day rollup, one symbol-partitioned lag, one exact integer
+    groupBy at symbol cardinality.  The only floats are three final
+    6-dp ratios of exact BIGINTs."""
+    rets = _daily_log_returns(events).filter(F.col("lr") != 0)
+    w = Window.partitionBy("symbol").orderBy("day")
+    s = (F.col("lr") > 0).cast("int")
+    trans = rets.select(
+        "symbol", s.alias("s"), F.lag(s).over(w).alias("prev_s")
+    ).filter(F.col("prev_s").isNotNull())
+    agg = trans.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_trans"),
+        F.sum(((F.col("prev_s") == 1) & (F.col("s") == 1)).cast("long")).alias("n_uu"),
+        F.sum(((F.col("prev_s") == 1) & (F.col("s") == 0)).cast("long")).alias("n_ud"),
+        F.sum(((F.col("prev_s") == 0) & (F.col("s") == 1)).cast("long")).alias("n_du"),
+        F.sum(((F.col("prev_s") == 0) & (F.col("s") == 0)).cast("long")).alias("n_dd"),
+    )
+    p_uu = F.when(
+        F.col("n_uu") + F.col("n_ud") > 0,
+        qround(
+            F.col("n_uu").cast("double")
+            / (F.col("n_uu") + F.col("n_ud")).cast("double"),
+            6,
+        ),
+    )
+    p_dd = F.when(
+        F.col("n_du") + F.col("n_dd") > 0,
+        qround(
+            F.col("n_dd").cast("double")
+            / (F.col("n_du") + F.col("n_dd")).cast("double"),
+            6,
+        ),
+    )
+    return agg.select(
+        "symbol",
+        "n_trans",
+        "n_uu",
+        "n_ud",
+        "n_du",
+        "n_dd",
+        p_uu.alias("p_up_given_up"),
+        p_dd.alias("p_down_given_down"),
+        F.when(
+            ((F.col("n_uu") + F.col("n_ud")) > 0)
+            & ((F.col("n_du") + F.col("n_dd")) > 0),
+            qround(
+                F.col("n_uu").cast("double")
+                / (F.col("n_uu") + F.col("n_ud")).cast("double")
+                + F.col("n_dd").cast("double")
+                / (F.col("n_du") + F.col("n_dd")).cast("double")
+                - F.lit(1.0),
+                6,
+            ),
+        ).alias("persistence"),
+    ).orderBy("symbol")
+
+
+def downside_beta(events: DataFrame) -> DataFrame:
+    """Downside beta (Bawa-Lindenberg / Ang-Chen-Xing): the CAPM slope
+    estimated ONLY over days when the equal-weight market return is
+    negative -- cov(r, m | m < 0) / var(m | m < 0).  Assets whose
+    downside beta exceeds their full-sample ``beta_vs_market`` lose
+    more in crashes than the unconditional slope promises; the spread
+    (downside - full) is the semibeta premium every risk-parity
+    allocator prices.
+
+    Scale: day rollup; the market frame is a day-keyed aggregate of
+    the SAME returns (one row per day, broadcast back); the conditional
+    covariance is one symbol-cardinality groupBy over the down-day
+    subset.  Determinism: returns and the market mean are 12-dp
+    quantized; covar_pop/var_pop on identical doubles, one 6-dp cut."""
+    rets = _daily_log_returns(events)
+    market = rets.groupBy("day").agg(
+        qround(F.avg("lr"), 12).alias("m"),
+        F.count(F.lit(1)).alias("n_syms"),
+    )
+    joined = rets.join(F.broadcast(market), "day")
+    full = joined.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.when(
+            F.var_pop("m") != 0, qround(F.covar_pop("lr", "m") / F.var_pop("m"), 6)
+        ).alias("beta_full"),
+    )
+    down = (
+        joined.filter(F.col("m") < 0)
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_down_days"),
+            F.when(
+                F.var_pop("m") != 0,
+                qround(F.covar_pop("lr", "m") / F.var_pop("m"), 6),
+            ).alias("beta_down"),
+        )
+        .filter(F.col("n_down_days") >= 5)
+    )
+    return (
+        full.join(down, "symbol")
+        .select(
+            "symbol",
+            "n_days",
+            "n_down_days",
+            "beta_full",
+            "beta_down",
+            F.when(
+                F.col("beta_full").isNotNull() & F.col("beta_down").isNotNull(),
+                qround(F.col("beta_down") - F.col("beta_full"), 6),
+            ).alias("semibeta_spread"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def trade_duration_profile(events: DataFrame) -> DataFrame:
+    """Inter-trade duration microstructure per symbol: the distribution
+    of arrival gaps (mean, exact interpolated p50/p95, max), the
+    coefficient of variation, and the lag-1 autocorrelation of the
+    duration sequence -- CV > 1 plus positive duration autocorrelation
+    is the activity-clustering signature the ACD (Engle-Russell 1998)
+    family models; it decides whether time-bars or event-bars are the
+    right sampling clock for a feed.
+
+    Scale: one (symbol, arrival-order) window pass for the lag (gaps
+    are exact integer micro-second diffs), then one symbol-cardinality
+    agg; the exact percentile is the value_percentiles discipline.
+    Determinism: gaps are exact integers scaled by one IEEE division;
+    corr/stddev run on identical doubles; 6-dp final cut."""
+    src = events.filter(F.col("value") > 0)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = src.select(
+        F.col("event_type").alias("symbol"),
+        "ts",
+        "event_id",
+        ((us - F.lag(us).over(w)) / F.lit(1000000.0)).alias("gap_s"),
+    )
+    pair_w = Window.partitionBy("symbol").orderBy("ts", "event_id")
+    pairs = seq.select(
+        "symbol", "gap_s", F.lag("gap_s").over(pair_w).alias("prev_gap")
+    ).filter(F.col("gap_s").isNotNull())
+    stats = pairs.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        qround(F.avg("gap_s"), 6).alias("mean_gap_s"),
+        qround(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_gap_s"),
+        qround(F.expr("percentile(gap_s, 0.95)"), 6).alias("p95_gap_s"),
+        qround(F.max("gap_s"), 6).alias("max_gap_s"),
+        F.when(
+            F.avg("gap_s") != 0,
+            qround(F.stddev_pop("gap_s") / F.avg("gap_s"), 6),
+        ).alias("cv"),
+    )
+    # the autocorr runs on COMPLETE (gap, prev_gap) pairs only --
+    # _safe_corr mixes pop-stddev over all rows with pairwise covar, so
+    # feeding it a frame where prev_gap can be NULL would silently skew
+    # the denominator
+    auto = (
+        pairs.filter(F.col("prev_gap").isNotNull())
+        .groupBy("symbol")
+        .agg(_safe_corr("gap_s", "prev_gap").alias("lag1_autocorr"))
+    )
+    return stats.join(auto, "symbol", "left").orderBy("symbol")
+
+
+def round_number_clustering(events: DataFrame) -> DataFrame:
+    """Price-clustering report per symbol: the share of ticks printing
+    at integer and half-unit prices, and the chi-square statistic of
+    the final cent digit against uniformity -- humans cluster limit
+    orders at round numbers (Harris 1991), so a uniform final digit
+    means algorithmic flow while a fat 0/5 digit means human flow; the
+    trailing-digit cousin of ``benford_check``'s leading-digit screen.
+
+    Scale: pure row-local integer arithmetic fused into the scan, one
+    partial-aggregable (symbol, digit) groupBy re-aggregated to symbol
+    rows.  Determinism: the cent grid is floor(value*100+0.5) -- one
+    identical double op -- and everything after is exact integers until
+    the final 6-dp shares."""
+    src = events.filter(F.col("value") > 0)
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    binned = src.select(
+        F.col("event_type").alias("symbol"),
+        cents.alias("cents"),
+        (cents % 10).alias("last_digit"),
+    )
+    per_digit = binned.groupBy("symbol", "last_digit").agg(
+        F.count(F.lit(1)).alias("n_d")
+    )
+    totals = binned.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum((F.col("cents") % 100 == 0).cast("long")).alias("n_integer"),
+        F.sum((F.col("cents") % 50 == 0).cast("long")).alias("n_half"),
+    )
+    expected = F.col("n_ticks").cast("double") / F.lit(10.0)
+    # per-digit contributions snap to micro-unit BIGINTs before the sum
+    # (order-independent cross-digit aggregation, the c_u discipline)
+    term_u = F.floor(
+        (F.col("n_d").cast("double") - expected)
+        * (F.col("n_d").cast("double") - expected)
+        / expected
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    chi2 = (
+        per_digit.join(totals.select("symbol", "n_ticks"), "symbol")
+        .groupBy("symbol")
+        .agg(
+            qround(F.sum(term_u).cast("double") / F.lit(1e6), 6).alias(
+                "digit_chi2"
+            ),
+        )
+    )
+    return (
+        totals.join(chi2, "symbol")
+        .select(
+            "symbol",
+            "n_ticks",
+            "n_integer",
+            "n_half",
+            qround(
+                F.col("n_integer").cast("double") / F.col("n_ticks").cast("double"), 6
+            ).alias("integer_share"),
+            qround(
+                F.col("n_half").cast("double") / F.col("n_ticks").cast("double"), 6
+            ).alias("half_share"),
+            F.col("digit_chi2"),
+            (F.col("digit_chi2") > F.lit(16.919)).alias("clustered"),
+        )
+        .orderBy("symbol")
+    )

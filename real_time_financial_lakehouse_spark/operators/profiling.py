@@ -589,10 +589,26 @@ def psi_from_cells(
     micro-batch partial counts), so both paths compute the bit-identical
     statistic and share one oracle.  Laplace smoothing
     (n + 0.5) / (N + 0.5 * n_bins) keeps every share strictly positive
-    so ln() is always defined, and an absent bin contributes a finite,
-    correctly-signed term.  Everything here runs at cell cardinality."""
+    so ln() is always defined; the full (symbol x n_bins) grid is
+    materialized first (round-12, the js_divergence_drift discipline) so
+    bins empty in BOTH halves still contribute their +0.5 mass and the
+    smoothed shares sum to exactly 1 -- occupied-cells-only P/Q would be
+    biased vs the definition whenever t_ref != t_cur.  Everything here
+    runs at (|symbols| x n_bins) cardinality."""
     from ..functions.numeric import qround
 
+    grid = (
+        cells.select("symbol")
+        .distinct()
+        .select(
+            "symbol",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+        )
+    )
+    cells = (
+        grid.join(cells, ["symbol", "bin"], "left")
+        .na.fill(0, ["n_ref", "n_cur"])
+    )
     totals = cells.groupBy("symbol").agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )
@@ -1125,8 +1141,11 @@ def js_divergence_drift(
     0.5*KL(Q||M), M = (P+Q)/2 -- always in [0, ln 2], so one saturated
     bin cannot blow the statistic up the way it inflates PSI, and the
     normalized score is comparable ACROSS symbols with very different
-    bin occupancies.  Laplace smoothing keeps every share strictly
-    positive; alert at ``jsd_alert`` on the raw (nats) value.
+    bin occupancies.  Laplace smoothing runs over the FULL materialized
+    (symbol x n_bins) grid -- bins empty in both halves still contribute
+    their +0.5 mass, so the smoothed P and Q each sum to exactly 1 --
+    and keeps every share strictly positive; alert at ``jsd_alert`` on
+    the raw (nats) value.
 
     Scale: identical to psi_drift -- one broadcast bounds row, one
     groupBy at (symbol x bin) cardinality, one symbol rollup.
@@ -1162,9 +1181,28 @@ def js_divergence_drift(
         .cast("int")
         .alias("bin"),
     )
-    cells = binned.groupBy("symbol", "bin").agg(
+    occupied = binned.groupBy("symbol", "bin").agg(
         F.sum(F.when(~F.col("is_cur"), 1).otherwise(0)).alias("n_ref"),
         F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).alias("n_cur"),
+    )
+    # Materialize ALL n_bins cells per symbol (the t_closeness_report
+    # discipline; round-11 advisor finding): Laplace smoothing with
+    # denominator t + 0.5*n_bins is only a probability distribution if
+    # every bin contributes its +0.5, including bins empty in BOTH
+    # halves -- occupied-cells-only P/Q would not sum to 1 and the JSD
+    # would be biased vs the full-grid definition.  The grid is
+    # |symbols| x n_bins rows -- negligible at any scale.
+    grid = (
+        occupied.select("symbol")
+        .distinct()
+        .select(
+            "symbol",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+        )
+    )
+    cells = (
+        grid.join(occupied, ["symbol", "bin"], "left")
+        .na.fill(0, ["n_ref", "n_cur"])
     )
     totals = cells.groupBy("symbol").agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")

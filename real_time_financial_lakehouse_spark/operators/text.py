@@ -1526,7 +1526,11 @@ def code_prose_classifier(documents: DataFrame) -> DataFrame:
     n_chars = F.length(text)
     n_sym = F.size(F.regexp_extract_all(text, F.lit(r"[{}()\[\];=<>#]"), 0))
     n_lines = F.size(F.regexp_extract_all(text, F.lit("\n"), 0)) + F.lit(1)
-    n_indent = F.size(F.regexp_extract_all(text, F.lit("(?m)^[ \t]"), 0))
+    # (?d) = UNIX_LINES: without it Java's multiline ^ also matches
+    # after \r, \r\n, U+0085, U+2028, U+2029 while DuckDB's RE2 ^
+    # matches only after \n -- a document with a bare \r or a Unicode
+    # line separator would diverge from the oracle (round-11 advisor)
+    n_indent = F.size(F.regexp_extract_all(text, F.lit("(?d)(?m)^[ \t]"), 0))
     is_code = (n_sym * F.lit(50) > n_chars) | (
         n_indent * F.lit(3) > n_lines
     )

@@ -162,9 +162,13 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     Uses Spark's native ``session_window`` (dynamic-length windows merged
     at aggregation time; works identically in batch and streaming -- in
     streaming the same expression runs with a watermark and state).  The
-    SQL twin is the classic gaps-and-islands formulation, which pins the
-    exact merge semantics: a new session starts when the gap is >= the
-    threshold (Spark merges only strictly-overlapping extents).
+    SQL twin is the classic gaps-and-islands formulation with a STRICT
+    ``>`` split, which pins the exact merge semantics: Spark merges the
+    exactly-touching case (an event at prev_ts + gap extends the
+    session; proven by tests/test_round12_ops.py boundary fixture), so a
+    new session starts only when the gap is strictly greater than the
+    threshold.  Engine and oracle agree at the boundary by construction
+    -- no fixture latitude.
 
     Scale: one shuffle on user_id; session merging is per-key and
     streaming-compatible (state evicted by watermark)."""

@@ -735,7 +735,7 @@ def q_streaming_silver_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -803,7 +803,7 @@ def q_distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -3090,8 +3090,8 @@ _DRIVER_VERIFIED_R10 = list(_ROUND10_FRONT)
 # window green the externally verified union reaches 332/332 -- every
 # query registered before round 11 driver-checked at least once.
 #
-# ROUND-12 QUEUE (per the age policy, do not activate early): the 23
-# round-11 in-round additions first (all 20x dual-sf shaken at
+# ROUND-12 QUEUE (ACTIVATED below as _ROUND12_FRONT in round 12): the
+# 23 round-11 in-round additions first (all 20x dual-sf shaken at
 # creation/freeze): ljung_box_autocorr, kupiec_var_backtest,
 # tail_dependence_matrix, window_funnel_stages,
 # embedding_centroid_drift, streaming_value_quantiles,
@@ -3147,13 +3147,65 @@ _ROUND11_FRONT = [
     "product_profit", "important_parts", "top_supplier_revenue",
 ]
 
+# CORRECTNESS_r11.json came back 50/50 green on exactly _ROUND11_FRONT
+# (rows + schema + hash vs the DuckDB oracle), so all of it is
+# externally verified as of round 11; the cumulative union covers every
+# query registered before round 11 (332/332 per the round-11 verdict).
+_DRIVER_VERIFIED_R11 = list(_ROUND11_FRONT)
+
+# ROUND-12 FRONT (active): the 23 round-11 in-round additions -- the
+# only registry names never driver-checked, all dual-sf parity-verified
+# and 20x flake-shaken at creation/freeze -- plus the 27 stalest
+# external checks by the age policy: the head of the r4-vintage
+# remainder (last checked CORRECTNESS_r04, 8 rounds ago) in
+# _ROUND4_FRONT order.  With this window green the externally verified
+# union reaches 355/355 -- every query registered before round 12
+# driver-checked at least once.
+#
+# ROUND-13 QUEUE (per the age policy, do not activate early): any
+# round-12 in-round additions first, then the r4-vintage remainder
+# tail (chunk_documents, edit_distance_pairs, term_positions,
+# simhash_near_pairs, unigram_logprob -- 5 names), then the r5-vintage
+# block in _ROUND5_FRONT order (pca_embeddings,
+# distinct_user_counts_approx, value_percentiles_approx,
+# ann_ivf_kmeans_topk, bm25_search, hybrid_rrf_search, ...) filling
+# the remaining slots.
+_ROUND12_FRONT = [
+    # never driver-checked round-11 additions (dual-sf shaken 20x at
+    # creation; re-verified in the round-11 judge's own oracle run)
+    "ljung_box_autocorr", "kupiec_var_backtest", "tail_dependence_matrix",
+    "window_funnel_stages", "embedding_centroid_drift",
+    "streaming_value_quantiles", "runs_test_randomness",
+    "realized_kernel_vol", "cdar_conditional_drawdown",
+    "js_divergence_drift", "t_closeness_report",
+    "dedup_precision_recall_audit", "code_prose_classifier",
+    "treynor_information_ratios", "lee_ready_tick_classification",
+    "streaming_session_merge", "mode_per_user",
+    "trigram_interpolated_logprob", "garch_filter_vol",
+    "hayashi_yoshida_covariance", "kendall_tau_matrix",
+    "calendar_anomaly_report", "newey_west_tstat",
+    # stalest external checks: the first 27 of the r4-vintage remainder
+    # (last checked CORRECTNESS_r04), in r4-front order
+    "dominant_part_suppliers", "waiting_order_suppliers", "vwap_daily",
+    "bollinger_bands", "max_drawdown", "bar_gaps", "symbol_correlations",
+    "daily_return_volatility", "atr_14", "stochastic_oscillator", "obv",
+    "beta_vs_market", "macd_summary", "donchian_channels",
+    "order_rank_percentiles", "sorted_export_events",
+    "weighted_symbol_price", "rolling_median", "winsorize_values",
+    "resample_ffill", "hourly_from_minute_rollup",
+    "latest_order_asof_tolerant", "versioned_gold_changes",
+    "versioned_gold_time_travel", "zorder_events_layout",
+    "funnel_counts", "retention_cohorts",
+]
+
 
 def _rotate_for_driver() -> None:
-    front = [n for n in _ROUND11_FRONT if n in QUERIES]
+    front = [n for n in _ROUND12_FRONT if n in QUERIES]
     verified_names = (
         _DRIVER_VERIFIED_R1_R2 + _DRIVER_VERIFIED_R3 + _DRIVER_VERIFIED_R4
         + _DRIVER_VERIFIED_R5 + _DRIVER_VERIFIED_R6_R7
         + _DRIVER_VERIFIED_R8 + _DRIVER_VERIFIED_R9 + _DRIVER_VERIFIED_R10
+        + _DRIVER_VERIFIED_R11
     )
     placed = set(front) | set(verified_names)
     rest_unverified = [n for n in QUERIES if n not in placed]
@@ -4365,11 +4417,22 @@ def q_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE 0 END)::INT AS bin
         FROM vals, bounds
     ),
-    cells AS (
+    occupied AS (
         SELECT symbol, bin,
                coalesce(sum(CASE WHEN NOT is_cur THEN 1 ELSE 0 END), 0)::BIGINT AS n_ref,
                coalesce(sum(CASE WHEN is_cur THEN 1 ELSE 0 END), 0)::BIGINT AS n_cur
         FROM binned GROUP BY 1, 2
+    ),
+    -- full (symbol x n_bins) grid (round-12): bins empty in BOTH halves
+    -- still carry their +0.5 Laplace mass so shares sum to exactly 1
+    cells AS (
+        SELECT g.symbol, g.bin,
+               coalesce(o.n_ref, 0)::BIGINT AS n_ref,
+               coalesce(o.n_cur, 0)::BIGINT AS n_cur
+        FROM (SELECT s.symbol, r.range::INT AS bin
+              FROM (SELECT DISTINCT symbol FROM vals) s
+              CROSS JOIN range(10) r) g
+        LEFT JOIN occupied o ON g.symbol = o.symbol AND g.bin = o.bin
     ),
     totals AS (
         SELECT symbol, sum(n_ref)::BIGINT AS t_ref, sum(n_cur)::BIGINT AS t_cur
@@ -8468,11 +8531,23 @@ def q_streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE 0 END)::INT AS bin
         FROM vals, bounds
     ),
-    cells AS (
+    occupied AS (
         SELECT symbol, bin,
                coalesce(sum(CASE WHEN NOT is_cur THEN 1 ELSE 0 END), 0)::BIGINT AS n_ref,
                coalesce(sum(CASE WHEN is_cur THEN 1 ELSE 0 END), 0)::BIGINT AS n_cur
         FROM binned GROUP BY 1, 2
+    ),
+    -- full (symbol x n_bins) grid: bins empty in BOTH halves still
+    -- carry their +0.5 Laplace mass so the smoothed P and Q each sum
+    -- to exactly 1 (mirrors the round-12 engine fix)
+    cells AS (
+        SELECT g.symbol, g.bin,
+               coalesce(o.n_ref, 0)::BIGINT AS n_ref,
+               coalesce(o.n_cur, 0)::BIGINT AS n_cur
+        FROM (SELECT s.symbol, r.range::INT AS bin
+              FROM (SELECT DISTINCT symbol FROM vals) s
+              CROSS JOIN range(10) r) g
+        LEFT JOIN occupied o ON g.symbol = o.symbol AND g.bin = o.bin
     ),
     totals AS (
         SELECT symbol, sum(n_ref)::BIGINT AS t_ref, sum(n_cur)::BIGINT AS t_cur
@@ -8790,6 +8865,68 @@ def q_kendall_tau_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.kendall_tau_matrix(_events(spark, sf_dir))
 
 
+# Long-calendar scale twin of kendall_tau_matrix (round-12; the
+# volatility_cones exact/approx discipline): day pairs form only within
+# a calendar month, so cost is linear in calendar length; per-month
+# tau-b's roll up as an n0-weighted average on an exact 1e-12 BIGINT
+# grid (order-independent -- the only floats are the final divisions).
+@register(
+    "kendall_tau_windowed",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               {_q('ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))', 12)} AS lr
+        FROM dclose
+    ),
+    r2 AS (SELECT symbol, day, date_trunc('month', day) AS w, lr
+           FROM rets WHERE lr IS NOT NULL),
+    paired AS (
+        SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.w AS w,
+               a.day AS day, a.lr AS ra, b.lr AS rb
+        FROM r2 a JOIN r2 b ON a.day = b.day AND a.symbol < b.symbol
+    ),
+    dp AS (
+        SELECT p1.sym_a, p1.sym_b, p1.w,
+               p1.ra - p2.ra AS da, p1.rb - p2.rb AS db
+        FROM paired p1
+        JOIN paired p2
+          ON p1.sym_a = p2.sym_a AND p1.sym_b = p2.sym_b
+         AND p1.w = p2.w AND p1.day < p2.day
+    ),
+    perwin AS (
+        SELECT sym_a, sym_b, w, count(*)::BIGINT AS n0,
+               sum(CASE WHEN da * db > 0 THEN 1 ELSE 0 END)::BIGINT AS c,
+               sum(CASE WHEN da * db < 0 THEN 1 ELSE 0 END)::BIGINT AS d,
+               sum(CASE WHEN da = 0 THEN 1 ELSE 0 END)::BIGINT AS ta,
+               sum(CASE WHEN db = 0 THEN 1 ELSE 0 END)::BIGINT AS tb
+        FROM dp GROUP BY 1, 2, 3
+    ),
+    wtau AS (
+        SELECT sym_a, sym_b, n0,
+               CASE WHEN sqrt((n0 - ta)::DOUBLE * (n0 - tb)::DOUBLE) > 0
+                    THEN floor((c - d)::DOUBLE
+                               / sqrt((n0 - ta)::DOUBLE * (n0 - tb)::DOUBLE)
+                               * 1000000000000.0 + 0.5)::BIGINT
+               END AS tau_u
+        FROM perwin
+    ),
+    roll AS (
+        SELECT sym_a, sym_b, count(*)::BIGINT AS n_windows,
+               sum(n0)::BIGINT AS n0_total,
+               sum(tau_u * n0)::BIGINT AS wsum_u
+        FROM wtau WHERE tau_u IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT sym_a, sym_b, n_windows, n0_total,
+           {_q('(wsum_u::DOUBLE / 1000000000000.0) / n0_total::DOUBLE', 6)}
+               AS kendall_tau_b_wavg
+    FROM roll ORDER BY 1, 2
+    """,
+)
+def q_kendall_tau_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.kendall_tau_windowed(_events(spark, sf_dir))
+
+
 @register(
     "calendar_anomaly_report",
     f"""
@@ -9022,15 +9159,322 @@ def q_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mode_per_user(_events(spark, sf_dir))
 
 
-# Shares the batch sessionize_users oracle VERBATIM: interval-union
-# islands over per-batch session summaries are exactly equivalent to
-# re-sessionizing the raw events (see the operator docstring), so the
-# drained state table is row-identical to the batch session windows.
-@register("streaming_session_merge", ORACLE_SQL["sessionize_users"])
+# Same gaps-and-islands spine as the batch sessionize_users oracle
+# (strict-> split, matching session_window's merge-at-boundary), but
+# the value total accumulates on the engine's own 1e-8 BIGINT grid:
+# per-event u = floor(value*1e8+0.5) summed as BIGINT, rounded to 2 dp
+# only at the end.  BIGINT accumulation is order-independent and exact,
+# so row-identity with the oracle holds by construction for ANY event
+# sum -- the raw-double-sum oracle the query previously shared could in
+# principle flip the 0.005 rounding boundary on adversarial sums
+# (per-event grid error up to n_events * 0.5e-8; round-11 advisor
+# finding).  The batch sessionize_users twin keeps the raw-double
+# oracle because its engine (session_window + F.sum(double)) sums raw
+# doubles too -- each pair is grid-consistent within itself.
+@register(
+    "streaming_session_merge",
+    """
+    WITH s AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 100000000.0 + 0.5) AS BIGINT) AS u,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           floor((sum(u) / 100000000.0) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM g
+    GROUP BY user_id, sid
+    ORDER BY 1, 2
+    """,
+)
 def q_streaming_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.silver import streaming_session_merge
 
     return streaming_session_merge(spark, sf_dir)
+
+
+
+# ---------------------------------------------------------------------------
+# Round-12 additions (batch 1): range-based volatility, Cornish-Fisher
+# VaR, sign Markov chain, downside beta, trade durations, price
+# clustering.  Shared daily-OHLC / daily-return CTEs mirror the engine's
+# _daily_ohlc / _daily_log_returns stages exactly.
+# ---------------------------------------------------------------------------
+
+_DOHLC_SQL = """
+src AS (SELECT * FROM events WHERE value > 0),
+dohlc AS (
+    SELECT event_type AS symbol, date_trunc('day', ts) AS day,
+           max(CASE WHEN rn_a = 1 THEN value END) AS o,
+           max(value) AS h,
+           min(value) AS l,
+           max(CASE WHEN rn_d = 1 THEN value END) AS c
+    FROM (
+        SELECT event_type, ts, event_id, value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM src
+    )
+    GROUP BY 1, 2
+)
+"""
+
+
+@register(
+    "range_vol_estimators",
+    f"""
+    WITH {_DOHLC_SQL.strip()},
+    terms AS (
+        SELECT symbol,
+               {_q("floor((ln(h / l)) * 1000000000000.0 + 0.5) / 1000000000000.0 * floor((ln(h / l)) * 1000000000000.0 + 0.5) / 1000000000000.0", 12)} AS park_t,
+               {_q("0.5 * floor((ln(h / l)) * 1000000000000.0 + 0.5) / 1000000000000.0 * floor((ln(h / l)) * 1000000000000.0 + 0.5) / 1000000000000.0 - 0.3862943611198906 * floor((ln(c / o)) * 1000000000000.0 + 0.5) / 1000000000000.0 * floor((ln(c / o)) * 1000000000000.0 + 0.5) / 1000000000000.0", 12)} AS gk_t,
+               {_q("floor((ln(h / o)) * 1000000000000.0 + 0.5) / 1000000000000.0 * floor((ln(h / c)) * 1000000000000.0 + 0.5) / 1000000000000.0 + floor((ln(l / o)) * 1000000000000.0 + 0.5) / 1000000000000.0 * floor((ln(l / c)) * 1000000000000.0 + 0.5) / 1000000000000.0", 12)} AS rs_t
+        FROM dohlc
+    ),
+    agg AS (
+        SELECT symbol, count(*)::BIGINT AS n_days,
+               {_q('avg(park_t)', 12)} AS m_park,
+               {_q('avg(gk_t)', 12)} AS m_gk,
+               {_q('avg(rs_t)', 12)} AS m_rs
+        FROM terms GROUP BY 1
+    )
+    SELECT symbol, n_days,
+           {_q('sqrt(m_park / 2.772588722239781)', 6)} AS parkinson_vol,
+           CASE WHEN m_gk >= 0 THEN {_q('sqrt(m_gk)', 6)} END AS garman_klass_vol,
+           CASE WHEN m_rs >= 0 THEN {_q('sqrt(m_rs)', 6)} END AS rogers_satchell_vol
+    FROM agg ORDER BY 1
+    """,
+)
+def q_range_vol_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.range_vol_estimators(_events(spark, sf_dir))
+
+
+
+
+
+@register(
+    "cornish_fisher_var",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               {_q('ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))', 12)} AS lr
+        FROM dclose
+    ),
+    r2 AS (SELECT symbol, lr FROM rets WHERE lr IS NOT NULL),
+    means AS (
+        SELECT symbol, count(*)::BIGINT AS n_days, {_q('avg(lr)', 12)} AS mean_q
+        FROM r2 GROUP BY 1 HAVING count(*) >= 10
+    ),
+    mom AS (
+        SELECT r.symbol, m.n_days, m.mean_q,
+               {_q('avg((lr - mean_q) * (lr - mean_q))', 12)} AS m2,
+               {_q('avg((lr - mean_q) * (lr - mean_q) * (lr - mean_q))', 12)} AS m3,
+               {_q('avg((lr - mean_q) * (lr - mean_q) * (lr - mean_q) * (lr - mean_q))', 12)} AS m4
+        FROM r2 r JOIN means m ON r.symbol = m.symbol
+        GROUP BY 1, 2, 3
+    ),
+    shaped AS (
+        SELECT symbol, n_days, mean_q,
+               {_q('sqrt(m2)', 12)} AS sd_q,
+               {_q('m3 / (m2 * sqrt(m2))', 12)} AS g1,
+               {_q('m4 / (m2 * m2) - 3.0', 12)} AS g2
+        FROM mom WHERE m2 > 0
+    ),
+    consts AS (SELECT (-1.6448536269514722)::DOUBLE AS z),
+    zadj AS (
+        SELECT shaped.*, z,
+               floor((z + (z * z - 1.0) * g1 / 6.0 + (z * z * z - 3.0 * z) * g2 / 24.0 - (2.0 * z * z * z - 5.0 * z) * g1 * g1 / 36.0) * 1000000000000.0 + 0.5) / 1000000000000.0 AS z_cf
+        FROM shaped, consts
+    )
+    SELECT symbol, n_days,
+           {_q('mean_q', 6)} AS mean_lr,
+           {_q('sd_q', 6)} AS sd_lr,
+           {_q('g1', 6)} AS skew,
+           {_q('g2', 6)} AS excess_kurtosis,
+           {_q('-(mean_q + sd_q * z)', 6)} AS var95_normal,
+           {_q('-(mean_q + sd_q * z_cf)', 6)} AS var95_cornish_fisher
+    FROM zadj ORDER BY 1
+    """,
+)
+def q_cornish_fisher_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.cornish_fisher_var(_events(spark, sf_dir))
+
+
+@register(
+    "return_sign_markov",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               {_q('ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))', 12)} AS lr
+        FROM dclose
+    ),
+    r2 AS (SELECT symbol, day, lr FROM rets WHERE lr IS NOT NULL AND lr != 0),
+    trans AS (
+        SELECT symbol, (lr > 0)::INT AS s,
+               lag((lr > 0)::INT) OVER (PARTITION BY symbol ORDER BY day) AS prev_s
+        FROM r2
+    ),
+    agg AS (
+        SELECT symbol, count(*)::BIGINT AS n_trans,
+               sum(CASE WHEN prev_s = 1 AND s = 1 THEN 1 ELSE 0 END)::BIGINT AS n_uu,
+               sum(CASE WHEN prev_s = 1 AND s = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ud,
+               sum(CASE WHEN prev_s = 0 AND s = 1 THEN 1 ELSE 0 END)::BIGINT AS n_du,
+               sum(CASE WHEN prev_s = 0 AND s = 0 THEN 1 ELSE 0 END)::BIGINT AS n_dd
+        FROM trans WHERE prev_s IS NOT NULL GROUP BY 1
+    )
+    SELECT symbol, n_trans, n_uu, n_ud, n_du, n_dd,
+           CASE WHEN n_uu + n_ud > 0
+                THEN {_q('n_uu::DOUBLE / (n_uu + n_ud)::DOUBLE', 6)}
+           END AS p_up_given_up,
+           CASE WHEN n_du + n_dd > 0
+                THEN {_q('n_dd::DOUBLE / (n_du + n_dd)::DOUBLE', 6)}
+           END AS p_down_given_down,
+           CASE WHEN n_uu + n_ud > 0 AND n_du + n_dd > 0
+                THEN {_q('n_uu::DOUBLE / (n_uu + n_ud)::DOUBLE + n_dd::DOUBLE / (n_du + n_dd)::DOUBLE - 1.0', 6)}
+           END AS persistence
+    FROM agg ORDER BY 1
+    """,
+)
+def q_return_sign_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.return_sign_markov(_events(spark, sf_dir))
+
+
+@register(
+    "downside_beta",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               {_q('ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))', 12)} AS lr
+        FROM dclose
+    ),
+    r2 AS (SELECT symbol, day, lr FROM rets WHERE lr IS NOT NULL),
+    market AS (
+        SELECT day, {_q('avg(lr)', 12)} AS m, count(*)::BIGINT AS n_syms
+        FROM r2 GROUP BY 1
+    ),
+    j AS (SELECT r.symbol, r.lr, mk.m FROM r2 r JOIN market mk USING (day)),
+    fullb AS (
+        SELECT symbol, count(*)::BIGINT AS n_days,
+               CASE WHEN var_pop(m) != 0
+                    THEN {_q('covar_pop(lr, m) / var_pop(m)', 6)}
+               END AS beta_full
+        FROM j GROUP BY 1
+    ),
+    downb AS (
+        SELECT symbol, count(*)::BIGINT AS n_down_days,
+               CASE WHEN var_pop(m) != 0
+                    THEN {_q('covar_pop(lr, m) / var_pop(m)', 6)}
+               END AS beta_down
+        FROM j WHERE m < 0 GROUP BY 1 HAVING count(*) >= 5
+    )
+    SELECT f.symbol, f.n_days, d.n_down_days, f.beta_full, d.beta_down,
+           CASE WHEN f.beta_full IS NOT NULL AND d.beta_down IS NOT NULL
+                THEN {_q('d.beta_down - f.beta_full', 6)}
+           END AS semibeta_spread
+    FROM fullb f JOIN downb d ON f.symbol = d.symbol
+    ORDER BY 1
+    """,
+)
+def q_downside_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.downside_beta(_events(spark, sf_dir))
+
+
+@register(
+    "trade_duration_profile",
+    f"""
+    WITH src AS (SELECT * FROM events WHERE value > 0),
+    seq AS (
+        SELECT event_type AS symbol, ts, event_id,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS gap_s
+        FROM src
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    pairs AS (
+        SELECT symbol, gap_s,
+               lag(gap_s) OVER (PARTITION BY symbol ORDER BY ts, event_id) AS prev_gap
+        FROM seq
+    ),
+    p2 AS (SELECT * FROM pairs WHERE gap_s IS NOT NULL),
+    stats AS (
+        SELECT symbol, count(*)::BIGINT AS n_gaps,
+               {_q('avg(gap_s)', 6)} AS mean_gap_s,
+               {_q('quantile_cont(gap_s, 0.5)', 6)} AS p50_gap_s,
+               {_q('quantile_cont(gap_s, 0.95)', 6)} AS p95_gap_s,
+               {_q('max(gap_s)', 6)} AS max_gap_s,
+               CASE WHEN avg(gap_s) != 0
+                    THEN {_q('stddev_pop(gap_s) / avg(gap_s)', 6)}
+               END AS cv
+        FROM p2 GROUP BY 1
+    ),
+    auto AS (
+        SELECT symbol,
+               CASE WHEN stddev_pop(gap_s) * stddev_pop(prev_gap) != 0
+                    THEN {_q('covar_pop(gap_s, prev_gap) / (stddev_pop(gap_s) * stddev_pop(prev_gap))', 6)}
+               END AS lag1_autocorr
+        FROM p2 WHERE prev_gap IS NOT NULL GROUP BY 1
+    )
+    SELECT s.symbol, s.n_gaps, s.mean_gap_s, s.p50_gap_s, s.p95_gap_s,
+           s.max_gap_s, s.cv, a.lag1_autocorr
+    FROM stats s LEFT JOIN auto a ON s.symbol = a.symbol
+    ORDER BY 1
+    """,
+)
+def q_trade_duration_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.trade_duration_profile(_events(spark, sf_dir))
+
+
+@register(
+    "round_number_clustering",
+    f"""
+    WITH src AS (SELECT * FROM events WHERE value > 0),
+    binned AS (
+        SELECT event_type AS symbol,
+               floor(value * 100.0 + 0.5)::BIGINT AS cents
+        FROM src
+    ),
+    per_digit AS (
+        SELECT symbol, cents % 10 AS last_digit, count(*)::BIGINT AS n_d
+        FROM binned GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT symbol, count(*)::BIGINT AS n_ticks,
+               sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_integer,
+               sum(CASE WHEN cents % 50 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_half
+        FROM binned GROUP BY 1
+    ),
+    chi2 AS (
+        SELECT d.symbol,
+               {_q('sum(floor((n_d::DOUBLE - n_ticks::DOUBLE / 10.0) * (n_d::DOUBLE - n_ticks::DOUBLE / 10.0) / (n_ticks::DOUBLE / 10.0) * 1000000.0 + 0.5)::BIGINT)::DOUBLE / 1000000.0', 6)} AS digit_chi2
+        FROM per_digit d JOIN totals t USING (symbol)
+        GROUP BY 1
+    )
+    SELECT t.symbol, t.n_ticks, t.n_integer, t.n_half,
+           {_q('t.n_integer::DOUBLE / t.n_ticks::DOUBLE', 6)} AS integer_share,
+           {_q('t.n_half::DOUBLE / t.n_ticks::DOUBLE', 6)} AS half_share,
+           c.digit_chi2,
+           c.digit_chi2 > 16.919 AS clustered
+    FROM totals t JOIN chi2 c ON t.symbol = c.symbol
+    ORDER BY 1
+    """,
+)
+def q_round_number_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.round_number_clustering(_events(spark, sf_dir))
 
 
 # All registrations (including registry_llmdata's and the late blocks

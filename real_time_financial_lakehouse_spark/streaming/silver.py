@@ -359,12 +359,11 @@ def streaming_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import versioned
 
-    src_dir = scratch_dir("rtfl_incgold_src_")
+    src_dir = _shared_event_shards(spark, sf_dir)
     table_dir = os.path.join(scratch_dir("rtfl_incgold_tbl_"), "gold")
     ckpt_dir = scratch_dir("rtfl_incgold_ckpt_")
 
     events = _catalog_load(spark, sf_dir)
-    _shard_fixture(events, src_dir)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         part = batch_df.groupBy(F.col("event_type").alias("symbol")).agg(
@@ -423,6 +422,32 @@ def _catalog_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+_SHARD_CACHE: dict[tuple[str, int], str] = {}
+
+
+def _shared_event_shards(spark: SparkSession, sf_dir: str, n: int = 4) -> str:
+    """Process-memoized md5-sharded copy of the plain events fixture,
+    shared READ-ONLY by every streaming query that drains the unmodified
+    events table as ``n`` micro-batches (round-11 verdict ask #4: at 26
+    streaming queries the per-query fixture re-shard had grown to a
+    visible slice of the bench's fixed machinery cost -- the shard
+    layout is a pure function of (sf_dir, n), so writing it once per
+    process changes nothing a query can observe).  Checkpoints and
+    output tables stay strictly per-query; only the immutable SOURCE
+    directory is shared -- the same sharing discipline the dedup_funnel
+    ladder already uses for its candidate fixture.  Queries that shard
+    a DERIVED frame (doubled streams, documents) keep their own
+    ``_shard_fixture`` call."""
+    key = (os.path.abspath(sf_dir), n)
+    path = _SHARD_CACHE.get(key)
+    if path and os.path.isdir(path):
+        return path
+    src_dir = scratch_dir("rtfl_shared_shards_")
+    _shard_fixture(_catalog_load(spark, sf_dir), src_dir, n)
+    _SHARD_CACHE[key] = src_dir
+    return src_dir
+
+
 def _shard_fixture(events: DataFrame, src_dir: str, n: int = 4) -> None:
     """Re-shard the batch fixture into ``n`` deterministic parquet parts
     so ``maxFilesPerTrigger=1`` drains it as n micro-batches.
@@ -472,12 +497,11 @@ def streaming_user_cms(
     batch; compaction is a no-op."""
     from ..functions.hashing import md5_long
 
-    src_dir = scratch_dir("rtfl_cms_src_")
+    src_dir = _shared_event_shards(spark, sf_dir)
     sketch_dir = scratch_dir("rtfl_cms_sketch_")
     ckpt_dir = scratch_dir("rtfl_cms_ckpt_")
 
     events = _catalog_load(spark, sf_dir)
-    _shard_fixture(events, src_dir)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         cells = (
@@ -581,12 +605,11 @@ def streaming_turnover_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numeric import qround
     from ..operators import versioned
 
-    src_dir = scratch_dir("rtfl_hhi_src_")
+    src_dir = _shared_event_shards(spark, sf_dir)
     table_dir = os.path.join(scratch_dir("rtfl_hhi_tbl_"), "dv_state")
     ckpt_dir = scratch_dir("rtfl_hhi_ckpt_")
 
     events = _catalog_load(spark, sf_dir)
-    _shard_fixture(events, src_dir)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         qty = F.get_json_object(F.col("props"), "$.k").cast("double")
@@ -677,12 +700,11 @@ def streaming_minute_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numeric import qround
     from ..operators import versioned
 
-    src_dir = scratch_dir("rtfl_sohlc_src_")
+    src_dir = _shared_event_shards(spark, sf_dir)
     table_dir = os.path.join(scratch_dir("rtfl_sohlc_tbl_"), "bars")
     ckpt_dir = scratch_dir("rtfl_sohlc_ckpt_")
 
     events = _catalog_load(spark, sf_dir)
-    _shard_fixture(events, src_dir)
 
     okey = F.struct(F.col("open_ts"), F.col("open_eid"))
     ckey = F.struct(F.col("close_ts"), F.col("close_eid"))
@@ -807,12 +829,11 @@ def streaming_kmv_distinct(
     from ..operators import versioned
     from pyspark.sql import Window
 
-    src_dir = scratch_dir("rtfl_kmv_src_")
+    src_dir = _shared_event_shards(spark, sf_dir)
     table_dir = os.path.join(scratch_dir("rtfl_kmv_tbl_"), "sketch")
     ckpt_dir = scratch_dir("rtfl_kmv_ckpt_")
 
     events = _catalog_load(spark, sf_dir)
-    _shard_fixture(events, src_dir)
 
     def _bottom_k(df: DataFrame) -> DataFrame:
         w = Window.partitionBy("grp").orderBy("h")
@@ -905,12 +926,11 @@ def streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numeric import qround
     from ..operators import versioned
 
-    src_dir = scratch_dir("rtfl_svq_src_")
+    src_dir = _shared_event_shards(spark, sf_dir)
     table_dir = os.path.join(scratch_dir("rtfl_svq_tbl_"), "hist")
     ckpt_dir = scratch_dir("rtfl_svq_ckpt_")
 
     events = _catalog_load(spark, sf_dir)
-    _shard_fixture(events, src_dir)
 
     def _partial(df: DataFrame) -> DataFrame:
         return df.groupBy(
@@ -1042,12 +1062,11 @@ def streaming_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numeric import qround
     from ..operators import versioned
 
-    src_dir = scratch_dir("rtfl_ssess_src_")
+    src_dir = _shared_event_shards(spark, sf_dir)
     table_dir = os.path.join(scratch_dir("rtfl_ssess_tbl_"), "sessions")
     ckpt_dir = scratch_dir("rtfl_ssess_ckpt_")
 
     events = _catalog_load(spark, sf_dir)
-    _shard_fixture(events, src_dir)
 
     gap = "INTERVAL 30 MINUTES"
 
@@ -1061,10 +1080,11 @@ def streaming_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # STRICT >: session_window merges the exactly-touching case
         # (an event at prev_end + 30:00.000000 extends the session), so
-        # the islands rule here mirrors the BATCH twin's semantics --
-        # the shared oracle pins >= as the split, but no fixture
-        # timestamp lands on the exact boundary (same latitude the
-        # batch sessionize_users pair already relies on)
+        # the islands rule here mirrors the BATCH twin's semantics.
+        # Since round 12 the shared oracle pins the SAME strict-> split
+        # (registry.py sessionize_users), so engine and oracle agree at
+        # the exact boundary by construction -- no fixture latitude
+        # (boundary-hitting parity test in tests/test_round12_ops.py).
         flagged = df.withColumn(
             "new_s",
             F.when(

@@ -87,6 +87,12 @@ def pick_queries(n: int) -> list[str]:
         # merge twin (state at session cardinality per micro-batch)
         "hayashi_yoshida_covariance", "trigram_interpolated_logprob",
         "streaming_session_merge",
+        # round-12 (r11 verdict ask #3): both kendall paths on the
+        # curve -- the full matrix (day-pair cost quadratic in CALENDAR
+        # length but constant in data volume; the curve verifies rows
+        # per day never widen it) and the windowed scale twin (pair
+        # cost linear in calendar length by construction)
+        "kendall_tau_matrix", "kendall_tau_windowed",
     ]
     picked.extend(q for q in forced if q not in picked)
     return picked

@@ -1079,11 +1079,13 @@ def test_round11_batch2_queries_stay_bounded(spark):
 
 def test_round11_governance_queries_stay_bounded(spark):
     """js_divergence_drift shares psi_drift's shape (one broadcast
-    bounds row, (symbol x bin) cells, symbol rollup); t_closeness's
-    only non-equi join is the 10x10 bucket triangle for the global
-    cumulative counts plus two broadcast 1-row frames -- deliberately
-    no empty-partition window, so neither query global-sorts at any
-    scale."""
+    bounds row, full materialized (symbol x bin) grid, symbol rollup;
+    no window at all); t_closeness_report is the round-11 REWRITE: one
+    conditional-sum histogram pass + posexplode over the
+    (groups x n_bins)-row frame, with its two single-partition global
+    windows (cumulative + total over that tiny histogram frame, never
+    the data) whitelisted in plan_audit with a pinned count of 2 --
+    two scans total, one of them the column-pruned bounds scan."""
     from real_time_financial_lakehouse_spark.operators.pipeline import (
         t_closeness_report,
     )
@@ -1223,6 +1225,19 @@ def test_round11_stats_queries_stay_bounded(spark):
     kt = _plan(finance.kendall_tau_matrix(ev))
     assert "CartesianProduct" not in kt
     assert "BatchEvalPython" not in kt
+    # the round-12 long-calendar twin: the month must ride the pair
+    # join as an EQUI key (pairs never form across months -- that
+    # equi-key is exactly what makes the expansion linear in calendar
+    # length), with day < day as the only residual
+    ktw = _plan(finance.kendall_tau_windowed(ev))
+    assert "CartesianProduct" not in ktw
+    assert "BatchEvalPython" not in ktw
+    assert "BroadcastNestedLoopJoin" not in ktw
+    pair_joins = [
+        ln for ln in ktw.splitlines()
+        if ("SortMergeJoin [sym_a" in ln or "HashJoin [sym_a" in ln)
+    ]
+    assert pair_joins and all(", w#" in ln for ln in pair_joins), ktw
     for fn, max_scans in (
         (finance.calendar_anomaly_report, 1),
         # the broadcast symbol-means join re-expands the daily ladder
