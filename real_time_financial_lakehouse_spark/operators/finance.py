@@ -5412,7 +5412,15 @@ def range_vol_estimators(events: DataFrame) -> DataFrame:
     12 dp (libm-ulp isolation) before the pure-arithmetic terms; the
     ln-2 constants are fixed 17-digit literals shared with the oracle;
     per-day terms re-quantize at 12 dp before the avg."""
-    bars = _daily_ohlc(events)
+    return _range_vol_from_ohlc(_daily_ohlc(events))
+
+
+def _range_vol_from_ohlc(bars: DataFrame) -> DataFrame:
+    """Range-estimator rollup from a (symbol, day, o, h, l, c) bar
+    frame -- shared by the batch operator and the streaming twin (whose
+    bars come from merged micro-batch partials; every OHLC component is
+    a commutative per-key fold, so both paths feed bit-identical bars
+    here and share one oracle)."""
     lhl = qround(F.log(F.col("h") / F.col("l")), 12)
     lco = qround(F.log(F.col("c") / F.col("o")), 12)
     lho = qround(F.log(F.col("h") / F.col("o")), 12)
@@ -5610,26 +5618,25 @@ def downside_beta(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_syms"),
     )
     joined = rets.join(F.broadcast(market), "day")
-    full = joined.groupBy("symbol").agg(
+    # full and conditional moments in ONE pass: covar_pop/var_pop skip
+    # NULL rows, so when(m < 0, x) restricts both to down days without a
+    # second scan of the daily ladder (the re-expansion would cost two
+    # extra tick-wide scans; plan pinned at 2 in tests/test_scale_plans)
+    lr_dn = F.when(F.col("m") < 0, F.col("lr"))
+    m_dn = F.when(F.col("m") < 0, F.col("m"))
+    agg = joined.groupBy("symbol").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.when(
             F.var_pop("m") != 0, qround(F.covar_pop("lr", "m") / F.var_pop("m"), 6)
         ).alias("beta_full"),
-    )
-    down = (
-        joined.filter(F.col("m") < 0)
-        .groupBy("symbol")
-        .agg(
-            F.count(F.lit(1)).alias("n_down_days"),
-            F.when(
-                F.var_pop("m") != 0,
-                qround(F.covar_pop("lr", "m") / F.var_pop("m"), 6),
-            ).alias("beta_down"),
-        )
-        .filter(F.col("n_down_days") >= 5)
+        F.sum((F.col("m") < 0).cast("long")).alias("n_down_days"),
+        F.when(
+            F.var_pop(m_dn) != 0,
+            qround(F.covar_pop(lr_dn, m_dn) / F.var_pop(m_dn), 6),
+        ).alias("beta_down"),
     )
     return (
-        full.join(down, "symbol")
+        agg.filter(F.col("n_down_days") >= 5)
         .select(
             "symbol",
             "n_days",
@@ -5715,48 +5722,184 @@ def round_number_clustering(events: DataFrame) -> DataFrame:
         cents.alias("cents"),
         (cents % 10).alias("last_digit"),
     )
-    per_digit = binned.groupBy("symbol", "last_digit").agg(
-        F.count(F.lit(1)).alias("n_d")
-    )
-    totals = binned.groupBy("symbol").agg(
+    # ONE conditional-sum histogram pass (the t_closeness_report shape):
+    # the digit domain is fixed (0..9), so the full grid lives in ten
+    # conditional aggregates of a single groupBy -- no re-expansion, no
+    # left-join grid, and absent digits still contribute their
+    # (0 - E)^2/E chi-square term
+    digit_cols = [
+        F.sum((F.col("last_digit") == d).cast("long")).alias(f"n_d{d}")
+        for d in range(10)
+    ]
+    agg = binned.groupBy("symbol").agg(
         F.count(F.lit(1)).alias("n_ticks"),
         F.sum((F.col("cents") % 100 == 0).cast("long")).alias("n_integer"),
         F.sum((F.col("cents") % 50 == 0).cast("long")).alias("n_half"),
+        *digit_cols,
     )
     expected = F.col("n_ticks").cast("double") / F.lit(10.0)
-    # per-digit contributions snap to micro-unit BIGINTs before the sum
-    # (order-independent cross-digit aggregation, the c_u discipline)
-    term_u = F.floor(
-        (F.col("n_d").cast("double") - expected)
-        * (F.col("n_d").cast("double") - expected)
-        / expected
-        * F.lit(1e6)
-        + F.lit(0.5)
-    ).cast("long")
-    chi2 = (
-        per_digit.join(totals.select("symbol", "n_ticks"), "symbol")
-        .groupBy("symbol")
-        .agg(
-            qround(F.sum(term_u).cast("double") / F.lit(1e6), 6).alias(
-                "digit_chi2"
-            ),
+
+    def term_u(d: int):
+        diff = F.col(f"n_d{d}").cast("double") - expected
+        return F.floor(diff * diff / expected * F.lit(1e6) + F.lit(0.5)).cast(
+            "long"
         )
+
+    chi_sum = term_u(0)
+    for d in range(1, 10):
+        chi_sum = chi_sum + term_u(d)
+    chi2 = qround(chi_sum.cast("double") / F.lit(1e6), 6)
+    return agg.select(
+        "symbol",
+        "n_ticks",
+        "n_integer",
+        "n_half",
+        qround(
+            F.col("n_integer").cast("double") / F.col("n_ticks").cast("double"), 6
+        ).alias("integer_share"),
+        qround(
+            F.col("n_half").cast("double") / F.col("n_ticks").cast("double"), 6
+        ).alias("half_share"),
+        chi2.alias("digit_chi2"),
+        (chi2 > F.lit(16.919)).alias("clustered"),
+    ).orderBy("symbol")
+
+
+def cointegration_screen(events: DataFrame) -> DataFrame:
+    """Engle-Granger two-step cointegration screen over every symbol
+    pair's daily LOG PRICES: OLS hedge ratio pb = alpha + beta*pa, then
+    the Dickey-Fuller t statistic of the residual spread's mean
+    reversion (delta-e_t = rho * e_{t-1} + eps, rho < 0 = reverting)
+    and the implied half-life -ln2 / ln(1+rho) -- the pairs-trading
+    admission test (correlation says returns move together;
+    cointegration says the SPREAD is stationary, which is what a
+    stat-arb book actually trades).  adf_t < -2.86 (the 5% constant-
+    case DF critical value) flags a candidate pair.
+
+    Shape: the pair frame is one day-keyed equi self-join of the daily
+    close ladder (the symbol_correlations join), then EVERYTHING --
+    OLS, residual series, DF regression -- runs as JVM array folds over
+    ONE day-ordered (pa, pb) array per pair, at pair cardinality: two
+    tick-wide scans total, no re-expansion, no second shuffle (the
+    garch_filter_vol / macd fold discipline).  Arrays are
+    calendar-bounded (|days| elements), never data-bounded.
+
+    Determinism: log prices are 12-dp quantized; every fold walks the
+    SAME day-sorted array left-to-right, so double accumulation is
+    bit-identical across engines and partitionings; alpha/beta/rho
+    re-quantize at 12 dp before entering downstream expressions; the
+    DF variance uses the algebraic identity sum(d - rho*p)^2 =
+    sum_d2 - 2 rho num + rho^2 den on the already-folded sums."""
+    src = events.filter(F.col("value") > 0)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    dclose = src.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    lp = dclose.select(
+        "symbol", "day", qround(F.log(F.col("c")), 12).alias("p")
     )
-    return (
-        totals.join(chi2, "symbol")
-        .select(
-            "symbol",
-            "n_ticks",
-            "n_integer",
-            "n_half",
-            qround(
-                F.col("n_integer").cast("double") / F.col("n_ticks").cast("double"), 6
-            ).alias("integer_share"),
-            qround(
-                F.col("n_half").cast("double") / F.col("n_ticks").cast("double"), 6
-            ).alias("half_share"),
-            F.col("digit_chi2"),
-            (F.col("digit_chi2") > F.lit(16.919)).alias("clustered"),
-        )
-        .orderBy("symbol")
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.symbol") < F.col("b.symbol")),
+    ).select(
+        F.col("a.symbol").alias("sym_a"),
+        F.col("b.symbol").alias("sym_b"),
+        F.col("a.day").alias("day"),
+        F.col("a.p").alias("pa"),
+        F.col("b.p").alias("pb"),
     )
+    per = pairs.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct("day", "pa", "pb"))
+        ).alias("seq"),
+    ).filter(F.col("n_days") >= 20)
+    # left folds over the day-ordered array: bit-identical in any engine
+    fold = "aggregate({terms}, 0D, (acc, x) -> acc + x)"
+    pas = "transform(seq, s -> s.pa)"
+    pbs = "transform(seq, s -> s.pb)"
+    nn = "cast(size(seq) as double)"
+    s_pa = fold.format(terms=pas)
+    s_pb = fold.format(terms=pbs)
+    s_papa = fold.format(terms=f"zip_with({pas}, {pas}, (x, y) -> x * y)")
+    s_papb = fold.format(terms=f"zip_with({pas}, {pbs}, (x, y) -> x * y)")
+    beta_raw = (
+        f"(({s_papb}) / {nn} - (({s_pa}) / {nn}) * (({s_pb}) / {nn}))"
+        f" / (({s_papa}) / {nn} - (({s_pa}) / {nn}) * (({s_pa}) / {nn}))"
+    )
+    q12 = "floor(({x}) * 1000000000000.0D + 0.5D) / 1000000000000.0D"
+    beta_q = q12.format(x=beta_raw)
+    staged = per.select(
+        "sym_a",
+        "sym_b",
+        "n_days",
+        "seq",
+        F.expr(beta_q).alias("beta_q"),
+    )
+    alpha_q = q12.format(
+        x=f"({fold.format(terms=pbs)}) / {nn}"
+        f" - beta_q * (({fold.format(terms=pas)}) / {nn})"
+    )
+    staged2 = staged.select(
+        "sym_a", "sym_b", "n_days", "seq", "beta_q",
+        F.expr(alpha_q).alias("alpha_q"),
+    )
+    es = (
+        "transform(seq, s -> floor((s.pb - alpha_q - beta_q * s.pa)"
+        " * 1000000000000.0D + 0.5D) / 1000000000000.0D)"
+    )
+    prev = f"slice({es}, 1, size(seq) - 1)"
+    cur = f"slice({es}, 2, size(seq) - 1)"
+    num = fold.format(terms=f"zip_with({prev}, {cur}, (p, c) -> p * (c - p))")
+    den = fold.format(terms=f"transform({prev}, p -> p * p)")
+    sum_d2 = fold.format(
+        terms=f"zip_with({prev}, {cur}, (p, c) -> (c - p) * (c - p))"
+    )
+    folded = staged2.select(
+        "sym_a",
+        "sym_b",
+        "n_days",
+        "beta_q",
+        F.expr(num).alias("num"),
+        F.expr(den).alias("den"),
+        F.expr(sum_d2).alias("sum_d2"),
+    )
+    rho_q = F.expr(q12.format(x="num / den"))
+    shaped = folded.filter(F.col("den") > 0).select(
+        "sym_a",
+        "sym_b",
+        "n_days",
+        "beta_q",
+        "num",
+        "den",
+        "sum_d2",
+        rho_q.alias("rho_q"),
+    )
+    s2 = (
+        F.col("sum_d2")
+        - F.lit(2.0) * F.col("rho_q") * F.col("num")
+        + F.col("rho_q") * F.col("rho_q") * F.col("den")
+    ) / (F.col("n_days") - 2).cast("double")
+    adf_t = F.when(
+        (F.col("den") > 0) & (s2 > 0),
+        qround(F.col("rho_q") / F.sqrt(s2 / F.col("den")), 6),
+    )
+    half_life = F.when(
+        (F.col("rho_q") > -1) & (F.col("rho_q") < 0),
+        qround(
+            F.lit(-0.6931471805599453) / F.log(F.lit(1.0) + F.col("rho_q")), 6
+        ),
+    )
+    return shaped.select(
+        "sym_a",
+        "sym_b",
+        "n_days",
+        qround(F.col("beta_q"), 6).alias("hedge_beta"),
+        qround(F.col("rho_q"), 6).alias("df_rho"),
+        adf_t.alias("adf_t"),
+        half_life.alias("half_life_days"),
+        (adf_t < F.lit(-2.86)).alias("cointegrated"),
+    ).orderBy("sym_a", "sym_b")

@@ -947,3 +947,55 @@ def t_closeness_report(
         qround(emd, 6).alias("emd"),
         (emd > F.lit(float(t_threshold))).alias("t_violation"),
     ).orderBy("lang", "source")
+
+
+def length_quantile_bands(documents: DataFrame) -> DataFrame:
+    """Per-source document-length banding: exact interpolated
+    P10/P25/P50/P75/P90 of ``n_chars``, the IQR, and the count of docs
+    beyond the classic Tukey upper fence (P75 + 1.5 IQR) -- the length
+    profile a pretraining mix reads to set per-source truncation /
+    chunking policy (a source whose P90 is 40x its median needs
+    chunking; one with a fat over-fence tail needs an outlier gate
+    before token budgeting).
+
+    Scale: one partial-agg percentile pass at source cardinality, then
+    ONE re-scan joined against the broadcast (|sources|-row) fence
+    frame -- the quality_deciles two-pass shape; never a global sort.
+    Determinism: exact interpolated percentiles on integer lengths
+    (the value_percentiles discipline), fences composed from 12-dp
+    quantized quartiles, and the fence comparison is integer-vs-double
+    with both sides identical."""
+    src = documents.select("source", F.col("n_chars").cast("double").alias("len"))
+    q = src.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        qround(F.expr("percentile(len, 0.10)"), 12).alias("p10_q"),
+        qround(F.expr("percentile(len, 0.25)"), 12).alias("p25_q"),
+        qround(F.expr("percentile(len, 0.50)"), 12).alias("p50_q"),
+        qround(F.expr("percentile(len, 0.75)"), 12).alias("p75_q"),
+        qround(F.expr("percentile(len, 0.90)"), 12).alias("p90_q"),
+    )
+    fence = F.col("p75_q") + F.lit(1.5) * (F.col("p75_q") - F.col("p25_q"))
+    fenced = q.select("source", "n_docs", "p10_q", "p25_q", "p50_q",
+                      "p75_q", "p90_q", fence.alias("fence"))
+    # single second pass: re-scan the lengths ONCE against the broadcast
+    # (|sources|-row) fence frame and fold the whole report in that agg
+    # (carrying the quantiles via max over the constant-per-source
+    # columns) -- a separate over-fence frame re-expands the percentile
+    # subtree and costs a third scan
+    return (
+        src.join(F.broadcast(fenced), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            qround(F.max("p10_q"), 6).alias("p10_len"),
+            qround(F.max("p25_q"), 6).alias("p25_len"),
+            qround(F.max("p50_q"), 6).alias("p50_len"),
+            qround(F.max("p75_q"), 6).alias("p75_len"),
+            qround(F.max("p90_q"), 6).alias("p90_len"),
+            qround(F.max("p75_q") - F.max("p25_q"), 6).alias("iqr"),
+            F.sum((F.col("len") > F.col("fence")).cast("long")).alias(
+                "n_over_fence"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -605,14 +605,17 @@ def psi_from_cells(
             F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
         )
     )
+    # every frame here is (|symbols| x n_bins)-bounded -- broadcast the
+    # probe sides so the grid completion and the totals re-join stay
+    # hash joins at any scale (a plain join planned an SMJ on symbol)
     cells = (
-        grid.join(cells, ["symbol", "bin"], "left")
+        grid.join(F.broadcast(cells), ["symbol", "bin"], "left")
         .na.fill(0, ["n_ref", "n_cur"])
     )
     totals = cells.groupBy("symbol").agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )
-    joined = cells.join(totals, "symbol")
+    joined = cells.join(F.broadcast(totals), "symbol")
     p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * n_bins)
     p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * n_bins)
     contrib = (p_cur - p_ref) * F.log(p_cur / p_ref)
@@ -1201,14 +1204,14 @@ def js_divergence_drift(
         )
     )
     cells = (
-        grid.join(occupied, ["symbol", "bin"], "left")
+        grid.join(F.broadcast(occupied), ["symbol", "bin"], "left")
         .na.fill(0, ["n_ref", "n_cur"])
     )
     totals = cells.groupBy("symbol").agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )
     half_b = F.lit(0.5 * n_bins)
-    joined = cells.join(totals, "symbol").select(
+    joined = cells.join(F.broadcast(totals), "symbol").select(
         "symbol",
         "n_ref",
         "n_cur",

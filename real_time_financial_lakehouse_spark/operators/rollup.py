@@ -483,6 +483,21 @@ def mode_per_user(events):
     counts = events.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+    return mode_from_counts(counts)
+
+
+def mode_from_counts(counts):
+    """Mode rollup from a (user_id, event_type, n) count frame -- shared
+    by the batch operator and the streaming twin (whose counts come from
+    merged micro-batch partials; integer-count addition commutes with
+    batching, so both paths feed bit-identical frames here and share one
+    oracle).  Rank by count desc then type asc; runs at category
+    cardinality per user."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import qround
+
     w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
     total = F.sum("n").over(Window.partitionBy("user_id"))
     ranked = counts.select(

@@ -1969,3 +1969,176 @@ def embedding_centroid_drift(embeddings: DataFrame) -> DataFrame:
             F.sqrt(F.col("d2_u").cast("double") / F.lit(1e12)), 6
         ).alias("centroid_l2"),
     ).orderBy("label")
+
+
+def intra_label_cosine_dispersion(embeddings: DataFrame) -> DataFrame:
+    """Mean PAIRWISE cosine similarity within each label -- computed in
+    O(n*d) with the sum-vector identity, never materializing a pair:
+    for unit vectors u_1..u_n,  sum_{i != j} u_i . u_j  =  ||S||^2 - n
+    with S = sum u_i, so
+
+        mean_pairwise_cos = (||S||^2 - sum_i ||u_i||^2) / (n (n-1)).
+
+    High mean cosine = the label is a tight semantic region (safe to
+    represent by its centroid in an IVF codebook); low = a grab-bag
+    whose 'cluster' is an artifact.  This is the coherence audit run
+    before trusting ``label_centroids`` / ``ann_ivf_kmeans_topk``
+    assignments -- and the identity is what makes it feasible at 100 TB,
+    where the naive n^2/2 pair join for a million-vector label is ~5e11
+    dot products but this is one linear pass.
+
+    Determinism: per-vector norms come from an exact in-array BIGINT
+    pico-grid fold; unit components snap to the 1e-8 grid (BIGINT), so
+    per-dim sums S_d and per-vector norms-squared are exact integers;
+    ||S||^2 re-snaps each S_d^2 (one identical IEEE square) to a 1e4
+    grid before the cross-dim sum.  The only unsnapped floats are the
+    final two divisions.  Grid headroom: u_u <= 1e8 so S_d fits int64 up
+    to ~9e10 vectors per label; S_d^2/1e4 fits up to ~3e3 * 1e8-scale
+    sums -- at fixture scale exact, at extreme scale the same identity
+    runs on raw doubles with a tolerance oracle."""
+    from ..functions.numeric import qround
+
+    emb = _spread(embeddings).select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    ss_u = F.expr(
+        "aggregate(transform(v, x -> cast(floor(x * x * 1000000000000.0D"
+        " + 0.5D) as bigint)), cast(0 as bigint), (acc, y) -> acc + y)"
+    )
+    vecs = emb.select("vec_id", "label", "v", ss_u.alias("ss_u")).filter(
+        F.col("ss_u") > 0
+    )
+    norm = F.sqrt(F.col("ss_u").cast("double") / F.lit(1e12))
+    dims = vecs.select(
+        "label",
+        "vec_id",
+        norm.alias("norm"),
+        F.posexplode("v").alias("pos", "x"),
+    )
+    u_u = (
+        F.floor(F.col("x") / F.col("norm") * F.lit(1e8) + F.lit(0.5))
+        .cast("long")
+        .alias("u_u")
+    )
+    unit = dims.select("label", "vec_id", "pos", u_u)
+    per_vec = unit.groupBy("label", "vec_id").agg(
+        F.sum(F.col("u_u") * F.col("u_u")).alias("usq_u")
+    )
+    per_dim = unit.groupBy("label", "pos").agg(F.sum("u_u").alias("s_u"))
+    s2_u = F.floor(
+        F.col("s_u").cast("double") * F.col("s_u").cast("double") / F.lit(1e4)
+        + F.lit(0.5)
+    ).cast("long")
+    ssq = per_dim.select("label", s2_u.alias("s2_u")).groupBy("label").agg(
+        F.sum("s2_u").alias("ssq_u")
+    )
+    lab = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("usq_u").alias("usq_total"),
+    )
+    mpc = (
+        (
+            F.col("ssq_u").cast("double") * F.lit(1e4)
+            - F.col("usq_total").cast("double")
+        )
+        / F.lit(1e16)
+    ) / (F.col("n_vecs") * (F.col("n_vecs") - 1)).cast("double")
+    return (
+        lab.join(ssq, "label")
+        .filter(F.col("n_vecs") >= 2)
+        .select(
+            "label",
+            "n_vecs",
+            qround(mpc, 6).alias("mean_pairwise_cosine"),
+            qround(F.lit(1.0) - mpc, 6).alias("cosine_dispersion"),
+            qround(
+                F.sqrt(F.col("ssq_u").cast("double") * F.lit(1e4))
+                / F.lit(1e8)
+                / F.col("n_vecs").cast("double"),
+                6,
+            ).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+def embedding_outlier_report(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding OUTLIER report: every vector's L2 distance to
+    its label centroid, rolled up to exact interpolated P50/P95, the
+    mean, and the count beyond the Tukey upper fence (P75 + 1.5 IQR) --
+    the mislabeled-example detector run on a labeled corpus before
+    training on it (a label whose distance tail is fat is polluted;
+    the flagged vectors are the audit sample).  Complements
+    ``intra_label_cosine_dispersion`` (which scores the label as a
+    whole) with per-vector attribution.
+
+    Scale: centroids are one (label x dim)-cardinality partial agg
+    broadcast back onto the dim frame; distances reduce per vector in
+    the same pass; the fence count re-scans the per-vector distance
+    frame ONCE against the broadcast (|labels|-row) quantile frame (the
+    length_quantile_bands two-pass shape).  Nothing ever pairs vectors.
+    Determinism: centroid means quantized at 12 dp, per-dim squared
+    deviations snap to exact pico-unit BIGINTs before the per-vector
+    sum, distances re-snap to the 1e-8 grid, and the exact percentiles
+    run on those grid values."""
+    from ..functions.numeric import qround
+
+    emb = _spread(embeddings).select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    dims = emb.select("vec_id", "label", F.posexplode("v").alias("pos", "x"))
+    cent = dims.groupBy("label", "pos").agg(qround(F.avg("x"), 12).alias("m"))
+    dev_u = F.floor(
+        (F.col("x") - F.col("m")) * (F.col("x") - F.col("m")) * F.lit(1e12)
+        + F.lit(0.5)
+    ).cast("long")
+    per_vec = (
+        dims.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(F.sum(dev_u).alias("dsq_u"))
+    )
+    dist = per_vec.select(
+        "label",
+        F.floor(
+            F.sqrt(F.col("dsq_u").cast("double") / F.lit(1e12)) * F.lit(1e8)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("d_u"),
+    )
+    q = dist.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("d_u").alias("sum_u"),
+        # raw interpolated percentiles: d_u sits on the integer grid, so
+        # the interpolation is one IEEE expression on exact integers --
+        # identical in both engines (the value_percentiles precedent); a
+        # 12-dp qround here would overflow floor()'s BIGINT at the 1e8
+        # grid scale (1e8 * 1e12 > 2^63)
+        F.expr("percentile(d_u, 0.5)").alias("p50_u"),
+        F.expr("percentile(d_u, 0.75)").alias("p75_u"),
+        F.expr("percentile(d_u, 0.25)").alias("p25_u"),
+        F.expr("percentile(d_u, 0.95)").alias("p95_u"),
+    )
+    fence = F.col("p75_u") + F.lit(1.5) * (F.col("p75_u") - F.col("p25_u"))
+    fenced = q.select(
+        "label", "n_vecs", "sum_u", "p50_u", "p95_u", fence.alias("fence_u")
+    )
+    return (
+        dist.join(F.broadcast(fenced), "label")
+        .groupBy("label")
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            qround(
+                F.max("sum_u").cast("double")
+                / F.lit(1e8)
+                / F.max("n_vecs").cast("double"),
+                6,
+            ).alias("mean_dist"),
+            qround(F.max("p50_u") / F.lit(1e8), 6).alias("p50_dist"),
+            qround(F.max("p95_u") / F.lit(1e8), 6).alias("p95_dist"),
+            F.sum(
+                (F.col("d_u").cast("double") > F.col("fence_u")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("label")
+    )

@@ -3162,9 +3162,15 @@ _DRIVER_VERIFIED_R11 = list(_ROUND11_FRONT)
 # union reaches 355/355 -- every query registered before round 12
 # driver-checked at least once.
 #
-# ROUND-13 QUEUE (per the age policy, do not activate early): any
-# round-12 in-round additions first, then the r4-vintage remainder
-# tail (chunk_documents, edit_distance_pairs, term_positions,
+# ROUND-13 QUEUE (per the age policy, do not activate early): the
+# round-12 in-round additions first (all 20x dual-sf shaken at
+# creation/freeze): kendall_tau_windowed, range_vol_estimators,
+# cornish_fisher_var, return_sign_markov, downside_beta,
+# trade_duration_profile, round_number_clustering,
+# intra_label_cosine_dispersion, length_quantile_bands,
+# streaming_mode_per_user, streaming_range_vol, cointegration_screen,
+# embedding_outlier_report; then the r4-vintage remainder tail
+# (chunk_documents, edit_distance_pairs, term_positions,
 # simhash_near_pairs, unigram_logprob -- 5 names), then the r5-vintage
 # block in _ROUND5_FRONT order (pca_embeddings,
 # distinct_user_counts_approx, value_percentiles_approx,
@@ -9369,25 +9375,22 @@ def q_return_sign_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r2 GROUP BY 1
     ),
     j AS (SELECT r.symbol, r.lr, mk.m FROM r2 r JOIN market mk USING (day)),
-    fullb AS (
+    agg AS (
         SELECT symbol, count(*)::BIGINT AS n_days,
                CASE WHEN var_pop(m) != 0
                     THEN {_q('covar_pop(lr, m) / var_pop(m)', 6)}
-               END AS beta_full
-        FROM j GROUP BY 1
-    ),
-    downb AS (
-        SELECT symbol, count(*)::BIGINT AS n_down_days,
-               CASE WHEN var_pop(m) != 0
-                    THEN {_q('covar_pop(lr, m) / var_pop(m)', 6)}
+               END AS beta_full,
+               sum(CASE WHEN m < 0 THEN 1 ELSE 0 END)::BIGINT AS n_down_days,
+               CASE WHEN var_pop(m) FILTER (WHERE m < 0) != 0
+                    THEN {_q('covar_pop(lr, m) FILTER (WHERE m < 0) / var_pop(m) FILTER (WHERE m < 0)', 6)}
                END AS beta_down
-        FROM j WHERE m < 0 GROUP BY 1 HAVING count(*) >= 5
+        FROM j GROUP BY 1
     )
-    SELECT f.symbol, f.n_days, d.n_down_days, f.beta_full, d.beta_down,
-           CASE WHEN f.beta_full IS NOT NULL AND d.beta_down IS NOT NULL
-                THEN {_q('d.beta_down - f.beta_full', 6)}
+    SELECT symbol, n_days, n_down_days, beta_full, beta_down,
+           CASE WHEN beta_full IS NOT NULL AND beta_down IS NOT NULL
+                THEN {_q('beta_down - beta_full', 6)}
            END AS semibeta_spread
-    FROM fullb f JOIN downb d ON f.symbol = d.symbol
+    FROM agg WHERE n_down_days >= 5
     ORDER BY 1
     """,
 )
@@ -9448,33 +9451,139 @@ def q_trade_duration_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                floor(value * 100.0 + 0.5)::BIGINT AS cents
         FROM src
     ),
-    per_digit AS (
-        SELECT symbol, cents % 10 AS last_digit, count(*)::BIGINT AS n_d
-        FROM binned GROUP BY 1, 2
-    ),
-    totals AS (
+    agg AS (
         SELECT symbol, count(*)::BIGINT AS n_ticks,
                sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_integer,
-               sum(CASE WHEN cents % 50 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_half
+               sum(CASE WHEN cents % 50 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_half,
+               sum(CASE WHEN cents % 10 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_d0,
+               sum(CASE WHEN cents % 10 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_d1,
+               sum(CASE WHEN cents % 10 = 2 THEN 1 ELSE 0 END)::BIGINT AS n_d2,
+               sum(CASE WHEN cents % 10 = 3 THEN 1 ELSE 0 END)::BIGINT AS n_d3,
+               sum(CASE WHEN cents % 10 = 4 THEN 1 ELSE 0 END)::BIGINT AS n_d4,
+               sum(CASE WHEN cents % 10 = 5 THEN 1 ELSE 0 END)::BIGINT AS n_d5,
+               sum(CASE WHEN cents % 10 = 6 THEN 1 ELSE 0 END)::BIGINT AS n_d6,
+               sum(CASE WHEN cents % 10 = 7 THEN 1 ELSE 0 END)::BIGINT AS n_d7,
+               sum(CASE WHEN cents % 10 = 8 THEN 1 ELSE 0 END)::BIGINT AS n_d8,
+               sum(CASE WHEN cents % 10 = 9 THEN 1 ELSE 0 END)::BIGINT AS n_d9
         FROM binned GROUP BY 1
     ),
-    chi2 AS (
-        SELECT d.symbol,
-               {_q('sum(floor((n_d::DOUBLE - n_ticks::DOUBLE / 10.0) * (n_d::DOUBLE - n_ticks::DOUBLE / 10.0) / (n_ticks::DOUBLE / 10.0) * 1000000.0 + 0.5)::BIGINT)::DOUBLE / 1000000.0', 6)} AS digit_chi2
-        FROM per_digit d JOIN totals t USING (symbol)
-        GROUP BY 1
+    shaped AS (
+        SELECT symbol, n_ticks, n_integer, n_half,
+               {_q('(floor((n_d0::DOUBLE - n_ticks::DOUBLE / 10.0) * (n_d0::DOUBLE - n_ticks::DOUBLE / 10.0) / (n_ticks::DOUBLE / 10.0) * 1000000.0 + 0.5)::BIGINT + floor((n_d1::DOUBLE - n_ticks::DOUBLE / 10.0) * (n_d1::DOUBLE - n_ticks::DOUBLE / 10.0) / (n_ticks::DOUBLE / 10.0) * 1000000.0 + 0.5)::BIGINT + floor((n_d2::DOUBLE - n_ticks::DOUBLE / 10.0) * (n_d2::DOUBLE - n_ticks::DOUBLE / 10.0) / (n_ticks::DOUBLE / 10.0) * 1000000.0 + 0.5)::BIGINT + floor((n_d3::DOUBLE - n_ticks::DOUBLE / 10.0) * (n_d3::DOUBLE - n_ticks::DOUBLE / 10.0) / (n_ticks::DOUBLE / 10.0) * 1000000.0 + 0.5)::BIGINT + floor((n_d4::DOUBLE - n_ticks::DOUBLE / 10.0) * (n_d4::DOUBLE - n_ticks::DOUBLE / 10.0) / (n_ticks::DOUBLE / 10.0) * 1000000.0 + 0.5)::BIGINT + floor((n_d5::DOUBLE - n_ticks::DOUBLE / 10.0) * (n_d5::DOUBLE - n_ticks::DOUBLE / 10.0) / (n_ticks::DOUBLE / 10.0) * 1000000.0 + 0.5)::BIGINT + floor((n_d6::DOUBLE - n_ticks::DOUBLE / 10.0) * (n_d6::DOUBLE - n_ticks::DOUBLE / 10.0) / (n_ticks::DOUBLE / 10.0) * 1000000.0 + 0.5)::BIGINT + floor((n_d7::DOUBLE - n_ticks::DOUBLE / 10.0) * (n_d7::DOUBLE - n_ticks::DOUBLE / 10.0) / (n_ticks::DOUBLE / 10.0) * 1000000.0 + 0.5)::BIGINT + floor((n_d8::DOUBLE - n_ticks::DOUBLE / 10.0) * (n_d8::DOUBLE - n_ticks::DOUBLE / 10.0) / (n_ticks::DOUBLE / 10.0) * 1000000.0 + 0.5)::BIGINT + floor((n_d9::DOUBLE - n_ticks::DOUBLE / 10.0) * (n_d9::DOUBLE - n_ticks::DOUBLE / 10.0) / (n_ticks::DOUBLE / 10.0) * 1000000.0 + 0.5)::BIGINT)::DOUBLE / 1000000.0', 6)} AS digit_chi2
+        FROM agg
     )
-    SELECT t.symbol, t.n_ticks, t.n_integer, t.n_half,
-           {_q('t.n_integer::DOUBLE / t.n_ticks::DOUBLE', 6)} AS integer_share,
-           {_q('t.n_half::DOUBLE / t.n_ticks::DOUBLE', 6)} AS half_share,
-           c.digit_chi2,
-           c.digit_chi2 > 16.919 AS clustered
-    FROM totals t JOIN chi2 c ON t.symbol = c.symbol
-    ORDER BY 1
+    SELECT symbol, n_ticks, n_integer, n_half,
+           {_q('n_integer::DOUBLE / n_ticks::DOUBLE', 6)} AS integer_share,
+           {_q('n_half::DOUBLE / n_ticks::DOUBLE', 6)} AS half_share,
+           digit_chi2,
+           digit_chi2 > 16.919 AS clustered
+    FROM shaped ORDER BY 1
     """,
 )
 def q_round_number_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.round_number_clustering(_events(spark, sf_dir))
+
+
+
+# Streaming twin of the exact per-user mode: the count table underneath
+# the (non-mergeable) mode IS mergeable across micro-batches, so the
+# drained state is row-identical to the batch twin and shares its oracle
+# verbatim (the streaming_turnover_hhi precedent, integer-exact here).
+@register("streaming_mode_per_user", ORACLE_SQL["mode_per_user"])
+def q_streaming_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.silver import streaming_mode_per_user
+
+    return streaming_mode_per_user(spark, sf_dir)
+
+
+
+# Streaming twin of the range-vol report: daily OHLC state is a
+# commutative per-key fold (keyed open/close re-picks, min/max range),
+# so the drained bars are row-identical to the batch _daily_ohlc stage
+# and the report shares the batch oracle verbatim.
+@register("streaming_range_vol", ORACLE_SQL["range_vol_estimators"])
+def q_streaming_range_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.silver import streaming_range_vol
+
+    return streaming_range_vol(spark, sf_dir)
+
+
+
+# Engle-Granger pairs cointegration screen (round-12): one day-keyed
+# self-join of the daily log-close ladder, then OLS + residual ADF as
+# LEFT FOLDS over one day-ordered (pa, pb) list per pair -- bit-
+# identical accumulation order in both engines (the garch/macd fold
+# discipline); DF variance via the algebraic identity on folded sums.
+@register(
+    "cointegration_screen",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    lp AS (
+        SELECT symbol, day, {_q('ln(c)', 12)} AS p FROM dclose
+    ),
+    pairs AS (
+        SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.day AS day,
+               a.p AS pa, b.p AS pb
+        FROM lp a JOIN lp b ON a.day = b.day AND a.symbol < b.symbol
+    ),
+    per AS (
+        SELECT sym_a, sym_b, count(*)::BIGINT AS n_days,
+               list(pa ORDER BY day) AS pas,
+               list(pb ORDER BY day) AS pbs
+        FROM pairs GROUP BY 1, 2 HAVING count(*) >= 20
+    ),
+    betas AS (
+        SELECT sym_a, sym_b, n_days, pas, pbs,
+               ((list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(pas)), i -> pas[i] * pbs[i])), (acc, x) -> acc + x)) / len(pas)::DOUBLE - ((list_reduce(list_prepend(0.0::DOUBLE, pas), (acc, x) -> acc + x)) / len(pas)::DOUBLE) * ((list_reduce(list_prepend(0.0::DOUBLE, pbs), (acc, x) -> acc + x)) / len(pas)::DOUBLE)) / ((list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(pas)), i -> pas[i] * pas[i])), (acc, x) -> acc + x)) / len(pas)::DOUBLE - ((list_reduce(list_prepend(0.0::DOUBLE, pas), (acc, x) -> acc + x)) / len(pas)::DOUBLE) * ((list_reduce(list_prepend(0.0::DOUBLE, pas), (acc, x) -> acc + x)) / len(pas)::DOUBLE)) AS beta_raw
+        FROM per
+    ),
+    bq AS (
+        SELECT *, floor(beta_raw * 1000000000000.0 + 0.5) / 1000000000000.0 AS beta_q
+        FROM betas
+    ),
+    aq AS (
+        SELECT *, floor(((list_reduce(list_prepend(0.0::DOUBLE, pbs), (acc, x) -> acc + x)) / len(pas)::DOUBLE - beta_q * ((list_reduce(list_prepend(0.0::DOUBLE, pas), (acc, x) -> acc + x)) / len(pas)::DOUBLE)) * 1000000000000.0 + 0.5) / 1000000000000.0 AS alpha_q FROM bq
+    ),
+    resid AS (
+        SELECT sym_a, sym_b, n_days, beta_q,
+               list_transform(generate_series(1, len(pas)), i -> floor((pbs[i] - alpha_q - beta_q * pas[i]) * 1000000000000.0 + 0.5) / 1000000000000.0) AS es
+        FROM aq
+    ),
+    folded AS (
+        SELECT sym_a, sym_b, n_days, beta_q,
+               list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(es) - 1), i -> es[i] * (es[i+1] - es[i]))), (acc, x) -> acc + x) AS num,
+               list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(es) - 1), i -> es[i] * es[i])), (acc, x) -> acc + x) AS den,
+               list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(es) - 1), i -> (es[i+1] - es[i]) * (es[i+1] - es[i]))), (acc, x) -> acc + x) AS sum_d2
+        FROM resid
+    ),
+    shaped AS (
+        SELECT sym_a, sym_b, n_days, beta_q, num, den, sum_d2,
+               floor((num / den) * 1000000000000.0 + 0.5) / 1000000000000.0 AS rho_q
+        FROM folded WHERE den > 0
+    ),
+    scored AS (
+        SELECT *,
+               (sum_d2 - 2.0 * rho_q * num + rho_q * rho_q * den)
+                   / (n_days - 2)::DOUBLE AS s2
+        FROM shaped
+    )
+    SELECT sym_a, sym_b, n_days,
+           {_q('beta_q', 6)} AS hedge_beta,
+           {_q('rho_q', 6)} AS df_rho,
+           CASE WHEN den > 0 AND s2 > 0
+                THEN {_q('rho_q / sqrt(s2 / den)', 6)}
+           END AS adf_t,
+           CASE WHEN rho_q > -1 AND rho_q < 0
+                THEN {_q('-0.6931471805599453 / ln(1.0 + rho_q)', 6)}
+           END AS half_life_days,
+           CASE WHEN den > 0 AND s2 > 0
+                THEN {_q('rho_q / sqrt(s2 / den)', 6)} < -2.86
+           END AS cointegrated
+    FROM scored ORDER BY 1, 2
+    """,
+)
+def q_cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.cointegration_screen(_events(spark, sf_dir))
 
 
 # All registrations (including registry_llmdata's and the late blocks

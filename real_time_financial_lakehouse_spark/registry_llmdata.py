@@ -3655,3 +3655,139 @@ def q_code_prose_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_trigram_interpolated_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.trigram_interpolated_logprob(_docs(spark, sf_dir))
+
+
+# Round-12: intra-label pairwise-cosine coherence via the sum-vector
+# identity (O(n*d), no pair join) -- the audit run before trusting any
+# centroid-based ANN structure.  All grids mirrored exactly; see the
+# operator docstring for the headroom analysis.
+@register(
+    "intra_label_cosine_dispersion",
+    f"""
+    WITH dims AS (
+        SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+    ),
+    ss AS (
+        SELECT vec_id, label,
+               sum(floor(x * x * 1000000000000.0 + 0.5)::BIGINT)::BIGINT AS ss_u
+        FROM dims GROUP BY 1, 2
+    ),
+    unit AS (
+        SELECT d.label, d.vec_id, d.pos,
+               floor(d.x / sqrt(s.ss_u::DOUBLE / 1000000000000.0)
+                     * 100000000.0 + 0.5)::BIGINT AS u_u
+        FROM dims d
+        JOIN ss s ON d.vec_id = s.vec_id AND d.label = s.label AND s.ss_u > 0
+    ),
+    pervec AS (
+        SELECT label, vec_id, sum(u_u * u_u)::BIGINT AS usq_u
+        FROM unit GROUP BY 1, 2
+    ),
+    perdim AS (
+        SELECT label, pos, sum(u_u)::BIGINT AS s_u FROM unit GROUP BY 1, 2
+    ),
+    ssq AS (
+        SELECT label,
+               sum(floor(s_u::DOUBLE * s_u::DOUBLE / 10000.0 + 0.5)::BIGINT)::BIGINT AS ssq_u
+        FROM perdim GROUP BY 1
+    ),
+    lab AS (
+        SELECT label, count(*)::BIGINT AS n_vecs, sum(usq_u)::BIGINT AS usq_total
+        FROM pervec GROUP BY 1
+    )
+    SELECT l.label, l.n_vecs,
+           {qround_sql('((q.ssq_u::DOUBLE * 10000.0 - l.usq_total::DOUBLE) / 10000000000000000.0) / (l.n_vecs * (l.n_vecs - 1))::DOUBLE', 6)} AS mean_pairwise_cosine,
+           {qround_sql('1.0 - ((q.ssq_u::DOUBLE * 10000.0 - l.usq_total::DOUBLE) / 10000000000000000.0) / (l.n_vecs * (l.n_vecs - 1))::DOUBLE', 6)} AS cosine_dispersion,
+           {qround_sql('sqrt(q.ssq_u::DOUBLE * 10000.0) / 100000000.0 / l.n_vecs::DOUBLE', 6)} AS centroid_norm
+    FROM lab l JOIN ssq q USING (label)
+    WHERE l.n_vecs >= 2
+    ORDER BY 1
+    """,
+)
+def q_intra_label_cosine_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.intra_label_cosine_dispersion(_emb(spark, sf_dir))
+
+
+@register(
+    "length_quantile_bands",
+    f"""
+    WITH src AS (SELECT source, n_chars::DOUBLE AS len FROM documents),
+    q AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               {qround_sql('quantile_cont(len, 0.10)', 12)} AS p10_q,
+               {qround_sql('quantile_cont(len, 0.25)', 12)} AS p25_q,
+               {qround_sql('quantile_cont(len, 0.50)', 12)} AS p50_q,
+               {qround_sql('quantile_cont(len, 0.75)', 12)} AS p75_q,
+               {qround_sql('quantile_cont(len, 0.90)', 12)} AS p90_q
+        FROM src GROUP BY 1
+    ),
+    fenced AS (
+        SELECT *, p75_q + 1.5 * (p75_q - p25_q) AS fence FROM q
+    )
+    SELECT s.source, max(f.n_docs)::BIGINT AS n_docs,
+           {qround_sql('max(f.p10_q)', 6)} AS p10_len,
+           {qround_sql('max(f.p25_q)', 6)} AS p25_len,
+           {qround_sql('max(f.p50_q)', 6)} AS p50_len,
+           {qround_sql('max(f.p75_q)', 6)} AS p75_len,
+           {qround_sql('max(f.p90_q)', 6)} AS p90_len,
+           {qround_sql('max(f.p75_q) - max(f.p25_q)', 6)} AS iqr,
+           sum(CASE WHEN s.len > f.fence THEN 1 ELSE 0 END)::BIGINT AS n_over_fence
+    FROM src s JOIN fenced f ON s.source = f.source
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_length_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.length_quantile_bands(_docs(spark, sf_dir))
+
+
+@register(
+    "embedding_outlier_report",
+    f"""
+    WITH dims AS (
+        SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+    ),
+    cent AS (
+        SELECT label, pos, {qround_sql('avg(x)', 12)} AS m
+        FROM dims GROUP BY 1, 2
+    ),
+    pervec AS (
+        SELECT d.label, d.vec_id,
+               sum(floor((d.x - c.m) * (d.x - c.m) * 1000000000000.0 + 0.5)::BIGINT)::BIGINT AS dsq_u
+        FROM dims d JOIN cent c ON d.label = c.label AND d.pos = c.pos
+        GROUP BY 1, 2
+    ),
+    dist AS (
+        SELECT label,
+               floor(sqrt(dsq_u::DOUBLE / 1000000000000.0) * 100000000.0 + 0.5)::BIGINT AS d_u
+        FROM pervec
+    ),
+    q AS (
+        SELECT label, count(*)::BIGINT AS n_vecs, sum(d_u)::BIGINT AS sum_u,
+               quantile_cont(d_u, 0.5) AS p50_u,
+               quantile_cont(d_u, 0.75) AS p75_u,
+               quantile_cont(d_u, 0.25) AS p25_u,
+               quantile_cont(d_u, 0.95) AS p95_u
+        FROM dist GROUP BY 1
+    ),
+    fenced AS (
+        SELECT label, n_vecs, sum_u, p50_u, p95_u,
+               p75_u + 1.5 * (p75_u - p25_u) AS fence_u
+        FROM q
+    )
+    SELECT d.label, max(f.n_vecs)::BIGINT AS n_vecs,
+           {qround_sql('max(f.sum_u)::DOUBLE / 100000000.0 / max(f.n_vecs)::DOUBLE', 6)} AS mean_dist,
+           {qround_sql('max(f.p50_u) / 100000000.0', 6)} AS p50_dist,
+           {qround_sql('max(f.p95_u) / 100000000.0', 6)} AS p95_dist,
+           sum(CASE WHEN d.d_u::DOUBLE > f.fence_u THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM dist d JOIN fenced f ON d.label = f.label
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_outlier_report(_emb(spark, sf_dir))

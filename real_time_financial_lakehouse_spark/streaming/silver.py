@@ -1159,3 +1159,175 @@ def streaming_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     ).orderBy("user_id", "session_start")
+
+
+def streaming_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the exact per-user mode
+    (operators/rollup.mode_per_user): each micro-batch folds its
+    (user_id, event_type) COUNT partials into a manifest-logged state
+    table (the ``streaming_turnover_hhi`` merge cadence); the mode --
+    rank by count desc then type asc -- is computed ONCE from the final
+    state at read time.
+
+    Why this is the right streaming shape for an order statistic: the
+    mode itself is not mergeable (batch modes can disagree with the
+    global mode), but the COUNT TABLE underneath it is -- integer
+    addition commutes with any batching -- so the state carries the
+    counts and the non-mergeable rank runs only on drained state.  That
+    state is (users x |event types|) cardinality, never ticks, and
+    every quantity is an exact BIGINT, so the drained result is
+    row-identical to the batch twin and shares its DuckDB oracle
+    verbatim.
+
+    Scale: per batch one partial-aggregated groupBy at state
+    cardinality; the final rank sorts <= |types| rows per user."""
+    from ..operators import versioned
+    from ..operators.rollup import mode_from_counts
+
+    src_dir = _shared_event_shards(spark, sf_dir)
+    table_dir = os.path.join(scratch_dir("rtfl_smode_tbl_"), "counts")
+    ckpt_dir = scratch_dir("rtfl_smode_ckpt_")
+
+    events = _catalog_load(spark, sf_dir)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        if versioned.table_versions(table_dir):
+            prev = versioned.read_version(batch_df.sparkSession, table_dir)
+            merged = (
+                prev.unionByName(part)
+                .groupBy("user_id", "event_type")
+                .agg(F.sum("n").alias("n"))
+            )
+        else:
+            merged = part
+        versioned.idempotent_commit(
+            merged, table_dir, app_id="rtfl_streaming_mode", batch_id=batch_id
+        )
+
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark) as ss:
+        stream = (
+            ss.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if not versioned.table_versions(table_dir):
+        return spark.createDataFrame(
+            [],
+            "user_id long, mode_event_type string, n_mode bigint,"
+            " n_total bigint, mode_share double",
+        )
+    state = versioned.read_version(spark, table_dir)
+    return mode_from_counts(state)
+
+
+def streaming_range_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the range-based volatility report
+    (operators/finance.range_vol_estimators): each micro-batch merges
+    its per-(symbol, day) OHLC partials into a manifest-logged state
+    table -- the ``streaming_minute_ohlc`` candle-merge cadence at day
+    granularity -- and the Parkinson / Garman-Klass / Rogers-Satchell
+    estimators are computed ONCE from the drained bars by the SAME
+    shared stage as the batch twin (_range_vol_from_ohlc), so the
+    result is row-identical and shares its exact SQL oracle.
+
+    Mergeability: open/close carry their (ts, event_id) keys through
+    the merge (min_by/max_by re-picks are exact selections, immune to
+    shard composition); high/low are min/max.  No value accumulates in
+    float, so there is nothing for batch boundaries to reorder.
+
+    Scale: state is (symbols x days) -- calendar cardinality, never
+    ticks; each merge joins bar-cardinality partials against
+    same-cardinality state."""
+    from ..operators import versioned
+    from ..operators.finance import _range_vol_from_ohlc
+
+    src_dir = _shared_event_shards(spark, sf_dir)
+    table_dir = os.path.join(scratch_dir("rtfl_srv_tbl_"), "dbars")
+    ckpt_dir = scratch_dir("rtfl_srv_ckpt_")
+
+    events = _catalog_load(spark, sf_dir)
+
+    okey = F.struct(F.col("open_ts"), F.col("open_eid"))
+    ckey = F.struct(F.col("close_ts"), F.col("close_eid"))
+
+    def _partial(df: DataFrame) -> DataFrame:
+        key = F.struct(F.col("ts"), F.col("event_id"))
+        return (
+            df.filter(F.col("value") > 0)
+            .groupBy(
+                F.col("event_type").alias("symbol"),
+                F.date_trunc("day", F.col("ts")).alias("day"),
+            )
+            .agg(
+                F.min_by(key, key).getField("ts").alias("open_ts"),
+                F.min_by(F.col("event_id"), key).alias("open_eid"),
+                F.min_by(F.col("value"), key).alias("o"),
+                F.max("value").alias("h"),
+                F.min("value").alias("l"),
+                F.max_by(key, key).getField("ts").alias("close_ts"),
+                F.max_by(F.col("event_id"), key).alias("close_eid"),
+                F.max_by(F.col("value"), key).alias("c"),
+            )
+        )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = _partial(batch_df)
+        if versioned.table_versions(table_dir):
+            prev = versioned.read_version(batch_df.sparkSession, table_dir)
+            merged = (
+                prev.unionByName(part)
+                .groupBy("symbol", "day")
+                .agg(
+                    F.min_by(F.col("open_ts"), okey).alias("open_ts"),
+                    F.min_by(F.col("open_eid"), okey).alias("open_eid"),
+                    F.min_by(F.col("o"), okey).alias("o"),
+                    F.max("h").alias("h"),
+                    F.min("l").alias("l"),
+                    F.max_by(F.col("close_ts"), ckey).alias("close_ts"),
+                    F.max_by(F.col("close_eid"), ckey).alias("close_eid"),
+                    F.max_by(F.col("c"), ckey).alias("c"),
+                )
+            )
+        else:
+            merged = part
+        versioned.idempotent_commit(
+            merged, table_dir, app_id="rtfl_streaming_rv", batch_id=batch_id
+        )
+
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark) as ss:
+        stream = (
+            ss.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if not versioned.table_versions(table_dir):
+        return spark.createDataFrame(
+            [],
+            "symbol string, n_days bigint, parkinson_vol double,"
+            " garman_klass_vol double, rogers_satchell_vol double",
+        )
+    state = versioned.read_version(spark, table_dir)
+    return _range_vol_from_ohlc(state.select("symbol", "day", "o", "h", "l", "c"))

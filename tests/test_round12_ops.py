@@ -247,3 +247,386 @@ def test_kendall_windowed_agrees_with_full_matrix_within_one_month(spark):
     assert win["kendall_tau_b_wavg"] == pytest.approx(
         full["kendall_tau_b"], abs=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 batch referees: planted analytic cases + numpy re-derivations
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _qr12(x: float) -> float:
+    return math.floor(x * 1e12 + 0.5) / 1e12
+
+
+def _ohlc_frame(spark, days):
+    """days: list of (o, h, l, c); emits 4 ticks per day in open, high,
+    low, close arrival order."""
+    rows = []
+    eid = 1
+    for i, (o, h, l, c) in enumerate(days):
+        base = dt.datetime(2024, 1, 1, 10) + dt.timedelta(days=i)
+        for j, v in enumerate((o, h, l, c)):
+            rows.append((eid, base + dt.timedelta(minutes=j), 1, "sym", v, None))
+            eid += 1
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def test_range_vol_parkinson_closed_form(spark):
+    """Constant-range bars: ln(h/l) = s every day, o = c (GK reduces to
+    0.5 s^2), RS with o = c = l reduces to ln(h/o)^2... use o=c=l so
+    park = sqrt(s^2 / (4 ln 2)), gk = sqrt(0.5 s^2 - 0), rs = s^2 via
+    ln(h/o)ln(h/c) = s^2 and ln(l/o)ln(l/c) = 0."""
+    s = 0.02
+    h_over_l = math.exp(s)
+    days = [(100.0, 100.0 * h_over_l, 100.0, 100.0)] * 5
+    row = finance.range_vol_estimators(_ohlc_frame(spark, days)).collect()[0]
+    sq = _qr12(math.log(h_over_l)) ** 2
+    assert row["parkinson_vol"] == pytest.approx(
+        math.sqrt(_qr12(sq) / 2.772588722239781), abs=2e-6
+    )
+    # o = c -> ln(c/o) = 0 -> gk term = 0.5 s^2
+    assert row["garman_klass_vol"] == pytest.approx(math.sqrt(0.5 * sq), abs=2e-6)
+    # o = c = l -> rs term = ln(h/o) ln(h/c) = s^2
+    assert row["rogers_satchell_vol"] == pytest.approx(math.sqrt(sq), abs=2e-6)
+
+
+def test_range_vol_matches_numpy_on_fixture(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rows = {r["symbol"]: r for r in finance.range_vol_estimators(ev).collect()}
+    pdf = (
+        ev.toPandas().query("value > 0")
+        .sort_values(["ts", "event_id"])
+        .assign(day=lambda d: d["ts"].dt.floor("D"))
+    )
+    for sym, g in pdf.groupby("event_type"):
+        bars = g.groupby("day")["value"].agg(["first", "max", "min", "last"])
+        lhl = np.floor(np.log(bars["max"] / bars["min"]) * 1e12 + 0.5) / 1e12
+        park_t = np.floor(lhl * lhl * 1e12 + 0.5) / 1e12
+        m_park = math.floor(park_t.mean() * 1e12 + 0.5) / 1e12
+        want = _qr(math.sqrt(m_park / 2.772588722239781), 6)
+        assert rows[sym]["parkinson_vol"] == pytest.approx(want, abs=1e-9), sym
+        assert rows[sym]["n_days"] == len(bars)
+
+
+def test_cornish_fisher_symmetric_equals_normal(spark):
+    """Zero skew and zero excess kurtosis (two-point symmetric returns
+    have g2 = -2, so use a crafted 4-point pattern with g1 = 0): CF VaR
+    must differ from normal VaR only through the kurtosis term."""
+    # symmetric +/- s pattern: g1 = 0 exactly; g2 = -2 for two-point
+    steps = [0.01, -0.01] * 10
+    rows, p = [], 100.0
+    rows.append((1, dt.datetime(2024, 2, 1, 12), 1, "sym", p, None))
+    for i, s in enumerate(steps):
+        p *= math.exp(s)
+        rows.append(
+            (i + 2, dt.datetime(2024, 2, 2, 12) + dt.timedelta(days=i), 1, "sym", p, None)
+        )
+    out = finance.cornish_fisher_var(
+        spark.createDataFrame(rows, EVENT_SCHEMA)
+    ).collect()[0]
+    assert out["skew"] == pytest.approx(0.0, abs=1e-5)
+    assert out["excess_kurtosis"] == pytest.approx(-2.0, abs=1e-4)
+    z = -1.6448536269514722
+    g2 = out["excess_kurtosis"]
+    z_cf = z + (z * z * z - 3 * z) * g2 / 24.0
+    want = -(out["mean_lr"] + out["sd_lr"] * z_cf)
+    assert out["var95_cornish_fisher"] == pytest.approx(want, abs=1e-4)
+
+
+def test_return_sign_markov_planted_patterns(spark):
+    def frame(steps):
+        rows, p = [], 100.0
+        rows.append((1, dt.datetime(2024, 2, 1, 12), 1, "sym", p, None))
+        for i, s in enumerate(steps):
+            p *= math.exp(s)
+            rows.append(
+                (i + 2, dt.datetime(2024, 2, 2, 12) + dt.timedelta(days=i),
+                 1, "sym", p, None)
+            )
+        return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    alt = finance.return_sign_markov(frame([0.01, -0.01] * 8)).collect()[0]
+    assert alt["p_up_given_up"] == 0.0 and alt["p_down_given_down"] == 0.0
+    assert alt["persistence"] == -1.0
+    trend = finance.return_sign_markov(
+        frame([0.01] * 8 + [-0.01] * 8)
+    ).collect()[0]
+    # one up->down switch, otherwise persistent
+    assert trend["n_ud"] == 1 and trend["n_du"] == 0
+    assert trend["persistence"] == pytest.approx(
+        trend["p_up_given_up"] + trend["p_down_given_down"] - 1.0, abs=1e-9
+    )
+
+
+def test_downside_beta_matches_numpy_on_fixture(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rows = {r["symbol"]: r for r in finance.downside_beta(ev).collect()}
+    assert rows
+    pdf = (
+        ev.toPandas().query("value > 0")
+        .sort_values(["ts", "event_id"])
+        .assign(day=lambda d: d["ts"].dt.floor("D"))
+    )
+    series = {}
+    for sym, g in pdf.groupby("event_type"):
+        closes = g.groupby("day").last()["value"].sort_index()
+        lr = np.log(closes / closes.shift(1)).dropna()
+        lr = np.floor(lr * 1e12 + 0.5) / 1e12
+        series[sym] = dict(zip(closes.index[1:], lr))
+    days = sorted({d for s in series.values() for d in s})
+    mkt = {
+        d: math.floor(
+            np.mean([s[d] for s in series.values() if d in s]) * 1e12 + 0.5
+        ) / 1e12
+        for d in days
+    }
+    for sym, r in rows.items():
+        xs = np.array([series[sym][d] for d in days if d in series[sym]])
+        ms = np.array([mkt[d] for d in days if d in series[sym]])
+        dn = ms < 0
+        if dn.sum() < 5:
+            continue
+        bd = np.cov(xs[dn], ms[dn], bias=True)[0, 1] / np.var(ms[dn])
+        assert r["beta_down"] == pytest.approx(_qr(bd, 6), abs=1e-5), sym
+        assert r["n_down_days"] == int(dn.sum())
+
+
+def test_trade_duration_regular_arrivals(spark):
+    rows = [
+        (i, dt.datetime(2024, 2, 1, 12) + dt.timedelta(seconds=10 * i),
+         1, "sym", 100.0, None)
+        for i in range(20)
+    ]
+    out = finance.trade_duration_profile(
+        spark.createDataFrame(rows, EVENT_SCHEMA)
+    ).collect()[0]
+    assert out["n_gaps"] == 19
+    assert out["mean_gap_s"] == 10.0 and out["p50_gap_s"] == 10.0
+    assert out["cv"] == 0.0
+    assert out["lag1_autocorr"] is None  # zero variance -> guarded NULL
+
+
+def test_round_number_clustering_planted(spark):
+    rows = [
+        (i, dt.datetime(2024, 2, 1, 12) + dt.timedelta(seconds=i),
+         1, "sym", 100.0 + i, None)
+        for i in range(50)
+    ]
+    out = finance.round_number_clustering(
+        spark.createDataFrame(rows, EVENT_SCHEMA)
+    ).collect()[0]
+    assert out["integer_share"] == 1.0 and out["half_share"] == 1.0
+    # all mass on digit 0: chi2 = (n - n/10)^2/(n/10) + 9 * (n/10)
+    n = 50.0
+    want = (n - n / 10) ** 2 / (n / 10) + 9 * (n / 10)
+    assert out["digit_chi2"] == pytest.approx(want, abs=1e-6)
+    assert out["clustered"]
+
+
+def test_intra_label_dispersion_identical_and_orthogonal(spark):
+    ident = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0], 1) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    from real_time_financial_lakehouse_spark.operators.similarity import (
+        intra_label_cosine_dispersion,
+    )
+
+    r = intra_label_cosine_dispersion(ident).collect()[0]
+    assert r["mean_pairwise_cosine"] == pytest.approx(1.0, abs=1e-6)
+    assert r["cosine_dispersion"] == pytest.approx(0.0, abs=1e-6)
+    ortho = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0], 1),
+            (2, [0.0, 1.0, 0.0, 0.0], 1),
+            (3, [0.0, 0.0, 1.0, 0.0], 1),
+            (4, [0.0, 0.0, 0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = intra_label_cosine_dispersion(ortho).collect()[0]
+    assert r["mean_pairwise_cosine"] == pytest.approx(0.0, abs=1e-6)
+    assert r["centroid_norm"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_intra_label_dispersion_matches_numpy_on_fixture(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    from real_time_financial_lakehouse_spark.operators.similarity import (
+        intra_label_cosine_dispersion,
+    )
+
+    rows = {r["label"]: r for r in intra_label_cosine_dispersion(emb).collect()}
+    pdf = emb.toPandas()
+    for label, g in pdf.groupby("label"):
+        V = np.stack(g["embedding"].map(np.asarray, na_action=None).to_numpy()).astype(
+            np.float64
+        )
+        norms = np.linalg.norm(V, axis=1)
+        U = V[norms > 0] / norms[norms > 0, None]
+        n = len(U)
+        if n < 2:
+            continue
+        G = U @ U.T
+        mpc = (G.sum() - np.trace(G)) / (n * (n - 1))
+        assert rows[label]["mean_pairwise_cosine"] == pytest.approx(
+            mpc, abs=1e-4
+        ), label
+        assert rows[label]["n_vecs"] == n
+
+
+def test_length_bands_matches_numpy_on_fixture(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    from real_time_financial_lakehouse_spark.operators.pipeline import (
+        length_quantile_bands,
+    )
+
+    rows = {r["source"]: r for r in length_quantile_bands(docs).collect()}
+    pdf = docs.toPandas()
+    for src, g in pdf.groupby("source"):
+        lens = g["n_chars"].to_numpy(dtype=float)
+        p = np.percentile(lens, [10, 25, 50, 75, 90], method="linear")
+        assert rows[src]["p50_len"] == pytest.approx(p[2], abs=1e-6), src
+        assert rows[src]["p90_len"] == pytest.approx(p[4], abs=1e-6), src
+        p25q = math.floor(p[1] * 1e12 + 0.5) / 1e12
+        p75q = math.floor(p[3] * 1e12 + 0.5) / 1e12
+        fence = p75q + 1.5 * (p75q - p25q)
+        assert rows[src]["n_over_fence"] == int((lens > fence).sum()), src
+
+
+def test_streaming_mode_equals_batch(spark, sf_dir):
+    from real_time_financial_lakehouse_spark.operators.rollup import mode_per_user
+    from real_time_financial_lakehouse_spark.streaming.silver import (
+        streaming_mode_per_user,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = sorted(map(tuple, mode_per_user(ev).collect()))
+    streamed = sorted(map(tuple, streaming_mode_per_user(spark, sf_dir).collect()))
+    assert batch == streamed
+
+
+def test_streaming_range_vol_equals_batch(spark, sf_dir):
+    from real_time_financial_lakehouse_spark.streaming.silver import (
+        streaming_range_vol,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = sorted(map(tuple, finance.range_vol_estimators(ev).collect()))
+    streamed = sorted(map(tuple, streaming_range_vol(spark, sf_dir).collect()))
+    assert batch == streamed
+
+
+
+# ---------------------------------------------------------------------------
+# cointegration_screen / embedding_outlier_report
+# ---------------------------------------------------------------------------
+
+
+def _pair_frame(spark, pa_steps, make_pb):
+    """Build two symbols' daily ticks from log-price paths."""
+    rows, eid = [], 1
+    la = 4.6  # ln(100)
+    for i, s in enumerate(pa_steps):
+        la += s
+        lb = make_pb(i, la)
+        ts = dt.datetime(2024, 1, 1, 12) + dt.timedelta(days=i)
+        rows.append((eid, ts, 1, "aaa", math.exp(la), None)); eid += 1
+        rows.append((eid, ts, 1, "bbb", math.exp(lb), None)); eid += 1
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def test_cointegration_detects_planted_pair(spark):
+    """pb = 0.5 pa + strongly mean-reverting noise -> flagged, with the
+    hedge ratio recovered; pb = independent random walk -> residual is
+    itself a random walk, rho ~ 0, NOT flagged."""
+    import hashlib
+
+    def h(tag, i):
+        d = hashlib.md5(f"{tag}:{i}".encode()).digest()
+        return int.from_bytes(d[:4], "big") / 2**32 - 0.5
+
+    # deterministic well-mixed walk steps / innovations
+    steps = [h("s", i) * 0.04 for i in range(60)]
+    # AR(1) residual noise (phi = 0.5) so the spread mean-reverts with a
+    # finite positive half-life: rho ~ phi - 1 = -0.5
+    innov = [h("n", i) * 0.01 for i in range(60)]
+    noise = [0.0]
+    for i in range(1, 60):
+        noise.append(0.5 * noise[-1] + innov[i])
+    flagged = finance.cointegration_screen(
+        _pair_frame(spark, steps, lambda i, la: 0.5 * la + 1.0 + noise[i])
+    ).collect()[0]
+    assert flagged["cointegrated"] is True
+    assert flagged["hedge_beta"] == pytest.approx(0.5, abs=0.05)
+    assert flagged["half_life_days"] is not None
+
+    walk_b = [4.0]
+    for i in range(59):
+        walk_b.append(walk_b[-1] + h("w", i) * 0.04)
+    loose = finance.cointegration_screen(
+        _pair_frame(spark, steps, lambda i, la: walk_b[i])
+    ).collect()[0]
+    assert loose["adf_t"] > flagged["adf_t"]
+
+
+def test_cointegration_matches_numpy_on_fixture(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rows = finance.cointegration_screen(ev).collect()
+    assert rows
+    pdf = (
+        ev.toPandas().query("value > 0")
+        .sort_values(["ts", "event_id"])
+        .assign(day=lambda d: d["ts"].dt.floor("D"))
+    )
+    series = {}
+    for sym, g in pdf.groupby("event_type"):
+        closes = g.groupby("day").last()["value"].sort_index()
+        lp = np.floor(np.log(closes) * 1e12 + 0.5) / 1e12
+        series[sym] = dict(zip(closes.index, lp))
+    for r in rows[:3]:
+        sa, sb = series[r["sym_a"]], series[r["sym_b"]]
+        days = sorted(set(sa) & set(sb))
+        pa = np.array([sa[d] for d in days])
+        pb = np.array([sb[d] for d in days])
+        n = len(pa)
+        beta = (np.mean(pa * pb) - pa.mean() * pb.mean()) / (
+            np.mean(pa * pa) - pa.mean() ** 2
+        )
+        beta_q = math.floor(beta * 1e12 + 0.5) / 1e12
+        alpha_q = math.floor((pb.mean() - beta_q * pa.mean()) * 1e12 + 0.5) / 1e12
+        e = np.floor((pb - alpha_q - beta_q * pa) * 1e12 + 0.5) / 1e12
+        prev, cur = e[:-1], e[1:]
+        num = float(np.sum(prev * (cur - prev)))
+        den = float(np.sum(prev * prev))
+        rho_q = math.floor(num / den * 1e12 + 0.5) / 1e12
+        assert r["hedge_beta"] == pytest.approx(_qr(beta_q, 6), abs=2e-6)
+        assert r["df_rho"] == pytest.approx(_qr(rho_q, 6), abs=2e-6)
+        s2 = (
+            float(np.sum((cur - prev) ** 2)) - 2 * rho_q * num + rho_q**2 * den
+        ) / (n - 2)
+        assert r["adf_t"] == pytest.approx(
+            _qr(rho_q / math.sqrt(s2 / den), 6), abs=2e-5
+        )
+
+
+def test_embedding_outliers_planted(spark):
+    from real_time_financial_lakehouse_spark.operators.similarity import (
+        embedding_outlier_report,
+    )
+
+    rows = [(i, [1.0 + 0.001 * i, 0.0, 0.0, 0.0], 1) for i in range(9)]
+    rows.append((99, [50.0, 50.0, 0.0, 0.0], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = embedding_outlier_report(emb).collect()[0]
+    assert r["n_vecs"] == 10
+    assert r["n_outliers"] == 1
+    assert r["p95_dist"] < r["mean_dist"] * 10  # tail dominated by the plant

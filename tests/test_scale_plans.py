@@ -1248,3 +1248,81 @@ def test_round11_stats_queries_stay_bounded(spark):
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BatchEvalPython" not in plan, fn.__name__
         assert plan.count("Scan parquet") <= max_scans, fn.__name__
+
+
+def test_round12_queries_stay_bounded(spark):
+    """Round-12 additions: every plan free of cartesians and
+    row-at-a-time Python, with the scan count pinned to the documented
+    pass structure -- the range/CF/Markov family is one daily rollup
+    (1 scan; CF re-expands once through the broadcast-means join, the
+    return_moments shape), downside_beta re-joins the day-keyed market
+    frame (2 scans), duration/clustering are tick rollups (clustering
+    re-scans once for the digit grid + totals), and the dispersion /
+    length-band reports are linear passes over embeddings/documents."""
+    from real_time_financial_lakehouse_spark.operators import finance
+    from real_time_financial_lakehouse_spark.operators.pipeline import (
+        length_quantile_bands,
+    )
+    from real_time_financial_lakehouse_spark.operators.similarity import (
+        intra_label_cosine_dispersion,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    for fn, max_scans in (
+        (finance.range_vol_estimators, 1),
+        (finance.cornish_fisher_var, 2),
+        (finance.return_sign_markov, 1),
+        (finance.downside_beta, 2),
+        (finance.trade_duration_profile, 2),
+        (finance.round_number_clustering, 3),
+    ):
+        plan = _plan(fn(ev))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert plan.count("Scan parquet") <= max_scans, (
+            fn.__name__, plan.count("Scan parquet")
+        )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    disp = _plan(intra_label_cosine_dispersion(emb))
+    assert "CartesianProduct" not in disp
+    assert "BatchEvalPython" not in disp
+    # the whole point of the sum-vector identity: no pair join -- every
+    # join in the plan is equi-keyed on (vec_id/label), never vec x vec
+    assert "BroadcastNestedLoopJoin" not in disp
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bands = _plan(length_quantile_bands(docs))
+    assert "CartesianProduct" not in bands
+    assert "BatchEvalPython" not in bands
+    assert bands.count("Scan parquet") <= 2
+
+
+
+def test_round12_fold_queries_stay_bounded(spark):
+    """cointegration_screen must do ALL its statistics as array folds at
+    pair cardinality: exactly the two tick-wide scans of the day-keyed
+    self-join, one equi pair join, no re-expansion for the OLS / ADF
+    stages and no Python.  embedding_outlier_report re-scans the
+    per-vector distance frame once against the broadcast quantile frame
+    (the length_quantile_bands shape) -- four embeddings scans total,
+    every join equi-keyed."""
+    from real_time_financial_lakehouse_spark.operators import finance
+    from real_time_financial_lakehouse_spark.operators.similarity import (
+        embedding_outlier_report,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    ci = _plan(finance.cointegration_screen(ev))
+    assert "CartesianProduct" not in ci
+    assert "BroadcastNestedLoopJoin" not in ci
+    assert "BatchEvalPython" not in ci
+    assert ci.count("Scan parquet") == 2, ci.count("Scan parquet")
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    eo = _plan(embedding_outlier_report(emb))
+    assert "CartesianProduct" not in eo
+    assert "BroadcastNestedLoopJoin" not in eo
+    assert "BatchEvalPython" not in eo
+    assert eo.count("Scan parquet") <= 4, eo.count("Scan parquet")
