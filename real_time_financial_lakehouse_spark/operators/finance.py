@@ -5765,31 +5765,14 @@ def round_number_clustering(events: DataFrame) -> DataFrame:
     ).orderBy("symbol")
 
 
-def cointegration_screen(events: DataFrame) -> DataFrame:
-    """Engle-Granger two-step cointegration screen over every symbol
-    pair's daily LOG PRICES: OLS hedge ratio pb = alpha + beta*pa, then
-    the Dickey-Fuller t statistic of the residual spread's mean
-    reversion (delta-e_t = rho * e_{t-1} + eps, rho < 0 = reverting)
-    and the implied half-life -ln2 / ln(1+rho) -- the pairs-trading
-    admission test (correlation says returns move together;
-    cointegration says the SPREAD is stationary, which is what a
-    stat-arb book actually trades).  adf_t < -2.86 (the 5% constant-
-    case DF critical value) flags a candidate pair.
-
-    Shape: the pair frame is one day-keyed equi self-join of the daily
-    close ladder (the symbol_correlations join), then EVERYTHING --
-    OLS, residual series, DF regression -- runs as JVM array folds over
-    ONE day-ordered (pa, pb) array per pair, at pair cardinality: two
-    tick-wide scans total, no re-expansion, no second shuffle (the
-    garch_filter_vol / macd fold discipline).  Arrays are
-    calendar-bounded (|days| elements), never data-bounded.
-
-    Determinism: log prices are 12-dp quantized; every fold walks the
-    SAME day-sorted array left-to-right, so double accumulation is
-    bit-identical across engines and partitionings; alpha/beta/rho
-    re-quantize at 12 dp before entering downstream expressions; the
-    DF variance uses the algebraic identity sum(d - rho*p)^2 =
-    sum_d2 - 2 rho num + rho^2 den on the already-folded sums."""
+def _pair_residual_arrays(events: DataFrame) -> DataFrame:
+    """Internal (sym_a, sym_b, n_days, beta_q, es) frame: the
+    Engle-Granger first step shared by ``cointegration_screen`` and
+    ``pairs_spread_backtest`` -- day-keyed self-join of the daily
+    log-close ladder, per-pair OLS hedge ratio/intercept as left folds
+    over ONE day-ordered (pa, pb) array, and the day-ordered quantized
+    residual spread array ``es``.  Two tick-wide scans, pair-cardinality
+    rows, calendar-bounded arrays."""
     src = events.filter(F.col("value") > 0)
     key = F.struct(F.col("ts"), F.col("event_id"))
     dclose = src.groupBy(
@@ -5851,14 +5834,46 @@ def cointegration_screen(events: DataFrame) -> DataFrame:
         "transform(seq, s -> floor((s.pb - alpha_q - beta_q * s.pa)"
         " * 1000000000000.0D + 0.5D) / 1000000000000.0D)"
     )
-    prev = f"slice({es}, 1, size(seq) - 1)"
-    cur = f"slice({es}, 2, size(seq) - 1)"
+    return staged2.select(
+        "sym_a", "sym_b", "n_days", "beta_q", F.expr(es).alias("es")
+    )
+
+
+def cointegration_screen(events: DataFrame) -> DataFrame:
+    """Engle-Granger two-step cointegration screen over every symbol
+    pair's daily LOG PRICES: OLS hedge ratio pb = alpha + beta*pa, then
+    the Dickey-Fuller t statistic of the residual spread's mean
+    reversion (delta-e_t = rho * e_{t-1} + eps, rho < 0 = reverting)
+    and the implied half-life -ln2 / ln(1+rho) -- the pairs-trading
+    admission test (correlation says returns move together;
+    cointegration says the SPREAD is stationary, which is what a
+    stat-arb book actually trades).  adf_t < -2.86 (the 5% constant-
+    case DF critical value) flags a candidate pair.
+
+    Shape: the pair frame is one day-keyed equi self-join of the daily
+    close ladder (the symbol_correlations join), then EVERYTHING --
+    OLS, residual series, DF regression -- runs as JVM array folds over
+    ONE day-ordered (pa, pb) array per pair, at pair cardinality: two
+    tick-wide scans total, no re-expansion, no second shuffle (the
+    garch_filter_vol / macd fold discipline).  Arrays are
+    calendar-bounded (|days| elements), never data-bounded.
+
+    Determinism: log prices are 12-dp quantized; every fold walks the
+    SAME day-sorted array left-to-right, so double accumulation is
+    bit-identical across engines and partitionings; alpha/beta/rho
+    re-quantize at 12 dp before entering downstream expressions; the
+    DF variance uses the algebraic identity sum(d - rho*p)^2 =
+    sum_d2 - 2 rho num + rho^2 den on the already-folded sums."""
+    per_pair = _pair_residual_arrays(events)
+    fold = "aggregate({terms}, 0D, (acc, x) -> acc + x)"
+    prev = "slice(es, 1, size(es) - 1)"
+    cur = "slice(es, 2, size(es) - 1)"
     num = fold.format(terms=f"zip_with({prev}, {cur}, (p, c) -> p * (c - p))")
     den = fold.format(terms=f"transform({prev}, p -> p * p)")
     sum_d2 = fold.format(
         terms=f"zip_with({prev}, {cur}, (p, c) -> (c - p) * (c - p))"
     )
-    folded = staged2.select(
+    folded = per_pair.select(
         "sym_a",
         "sym_b",
         "n_days",
@@ -5867,7 +5882,10 @@ def cointegration_screen(events: DataFrame) -> DataFrame:
         F.expr(den).alias("den"),
         F.expr(sum_d2).alias("sum_d2"),
     )
-    rho_q = F.expr(q12.format(x="num / den"))
+    rho_q = F.expr(
+        "floor((num / den) * 1000000000000.0D + 0.5D)"
+        " / 1000000000000.0D"
+    )
     shaped = folded.filter(F.col("den") > 0).select(
         "sym_a",
         "sym_b",
@@ -5902,4 +5920,89 @@ def cointegration_screen(events: DataFrame) -> DataFrame:
         adf_t.alias("adf_t"),
         half_life.alias("half_life_days"),
         (adf_t < F.lit(-2.86)).alias("cointegrated"),
+    ).orderBy("sym_a", "sym_b")
+
+
+def pairs_spread_backtest(events: DataFrame) -> DataFrame:
+    """In-sample z-score backtest of the Engle-Granger residual spread
+    for every symbol pair: enter short (long) the spread when its
+    z-score crosses +2 (-2), exit when it reverts through +0.5 (-0.5),
+    and report trades, total P&L in spread (log-price) units, hit rate,
+    and average holding period -- the sizing card read AFTER
+    ``cointegration_screen`` admits a pair (the screen says the spread
+    reverts; this says how tradably).  In-sample z (full-sample mean /
+    population sd of the residual array) is the standard first-pass
+    convention and is documented as such: walk-forward splits belong to
+    an evaluation harness, not the screen.
+
+    Shape: reuses ``_pair_residual_arrays`` (two tick scans, pair
+    cardinality); the entire position simulation is ONE sequential
+    ``aggregate`` fold per pair over the day-ordered spread array --
+    inherently serial state, which is exactly what the fold idiom is
+    for (the garch/macd discipline), and calendar-bounded.
+    Determinism: the spread array is 12-dp quantized, mean/sd/z
+    re-quantize at 12 dp, entries/exits compare identical doubles, and
+    the P&L accumulates differences of grid values in a fixed order."""
+    per_pair = _pair_residual_arrays(events)
+    fold = "aggregate({terms}, 0D, (acc, x) -> acc + x)"
+    nn = "cast(size(es) as double)"
+    q12 = "floor(({x}) * 1000000000000.0D + 0.5D) / 1000000000000.0D"
+    mu_q = q12.format(x=f"({fold.format(terms='es')}) / {nn}")
+    staged = per_pair.select(
+        "sym_a", "sym_b", "n_days", "es", F.expr(mu_q).alias("mu_q")
+    )
+    sd_q = q12.format(
+        x=f"sqrt(({fold.format(terms='transform(es, e -> (e - mu_q) * (e - mu_q))')}) / {nn})"
+    )
+    staged2 = staged.select(
+        "sym_a", "sym_b", "n_days", "es", "mu_q", F.expr(sd_q).alias("sd_q")
+    ).filter(F.col("sd_q") > 0)
+    zs = (
+        "transform(es, e -> floor(((e - mu_q) / sd_q)"
+        " * 1000000000000.0D + 0.5D) / 1000000000000.0D)"
+    )
+    txe = f"zip_with(es, {zs}, (e, z) -> named_struct('e', e, 'z', z))"
+    pnl_close = "acc.pnl + acc.pos * (x.e - acc.entry)"
+    win_inc = (
+        "CASE WHEN acc.pos * (x.e - acc.entry) > 0.0D THEN 1.0D ELSE 0.0D END"
+    )
+    step = (
+        "CASE "
+        "WHEN acc.pos = 0.0D AND x.z >= 2.0D THEN named_struct("
+        "'pos', -1.0D, 'entry', x.e, 'pnl', acc.pnl, 'nt', acc.nt,"
+        " 'nw', acc.nw, 'hd', acc.hd) "
+        "WHEN acc.pos = 0.0D AND x.z <= -2.0D THEN named_struct("
+        "'pos', 1.0D, 'entry', x.e, 'pnl', acc.pnl, 'nt', acc.nt,"
+        " 'nw', acc.nw, 'hd', acc.hd) "
+        "WHEN acc.pos = 0.0D THEN acc "
+        "WHEN (acc.pos = 1.0D AND x.z >= -0.5D)"
+        " OR (acc.pos = -1.0D AND x.z <= 0.5D) THEN named_struct("
+        f"'pos', 0.0D, 'entry', 0.0D, 'pnl', {pnl_close},"
+        f" 'nt', acc.nt + 1.0D, 'nw', acc.nw + {win_inc},"
+        " 'hd', acc.hd + 1.0D) "
+        "ELSE named_struct('pos', acc.pos, 'entry', acc.entry,"
+        " 'pnl', acc.pnl, 'nt', acc.nt, 'nw', acc.nw,"
+        " 'hd', acc.hd + 1.0D) END"
+    )
+    sim = (
+        f"aggregate({txe}, "
+        "named_struct('pos', 0.0D, 'entry', 0.0D, 'pnl', 0.0D,"
+        " 'nt', 0.0D, 'nw', 0.0D, 'hd', 0.0D), "
+        f"(acc, x) -> {step})"
+    )
+    folded = staged2.select(
+        "sym_a", "sym_b", "n_days", F.expr(sim).alias("st")
+    )
+    nt = F.col("st.nt")
+    return folded.select(
+        "sym_a",
+        "sym_b",
+        "n_days",
+        nt.cast("long").alias("n_trades"),
+        qround(F.col("st.pnl"), 6).alias("total_pnl"),
+        F.when(nt > 0, qround(F.col("st.nw") / nt, 6)).alias("hit_rate"),
+        F.when(nt > 0, qround(F.col("st.hd") / nt, 6)).alias(
+            "avg_hold_days"
+        ),
+        (F.col("st.pos") != 0).alias("open_at_end"),
     ).orderBy("sym_a", "sym_b")

@@ -3169,7 +3169,8 @@ _DRIVER_VERIFIED_R11 = list(_ROUND11_FRONT)
 # trade_duration_profile, round_number_clustering,
 # intra_label_cosine_dispersion, length_quantile_bands,
 # streaming_mode_per_user, streaming_range_vol, cointegration_screen,
-# embedding_outlier_report; then the r4-vintage remainder tail
+# embedding_outlier_report, pairs_spread_backtest; then the r4-vintage
+# remainder tail
 # (chunk_documents, edit_distance_pairs, term_positions,
 # simhash_near_pairs, unigram_logprob -- 5 names), then the r5-vintage
 # block in _ROUND5_FRONT order (pca_embeddings,
@@ -9584,6 +9585,99 @@ def q_streaming_range_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.cointegration_screen(_events(spark, sf_dir))
+
+
+
+# z-score backtest of the Engle-Granger residual spread (round-12):
+# same pair-array first step as cointegration_screen, then the ENTIRE
+# position simulation as one sequential list_reduce per pair -- the
+# inherently-serial state the fold idiom exists for.
+@register(
+    "pairs_spread_backtest",
+    f"""
+    WITH RECURSIVE {_DCLOSE_POS_SQL.strip()},
+    lp AS (
+        SELECT symbol, day, {_q('ln(c)', 12)} AS p FROM dclose
+    ),
+    pairs AS (
+        SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.day AS day,
+               a.p AS pa, b.p AS pb
+        FROM lp a JOIN lp b ON a.day = b.day AND a.symbol < b.symbol
+    ),
+    per AS (
+        SELECT sym_a, sym_b, count(*)::BIGINT AS n_days,
+               list(pa ORDER BY day) AS pas,
+               list(pb ORDER BY day) AS pbs
+        FROM pairs GROUP BY 1, 2 HAVING count(*) >= 20
+    ),
+    bq AS (
+        SELECT sym_a, sym_b, n_days, pas, pbs,
+               floor((((list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(pas)), i -> pas[i] * pbs[i])), (acc, x) -> acc + x)) / len(pas)::DOUBLE - ((list_reduce(list_prepend(0.0::DOUBLE, pas), (acc, x) -> acc + x)) / len(pas)::DOUBLE) * ((list_reduce(list_prepend(0.0::DOUBLE, pbs), (acc, x) -> acc + x)) / len(pas)::DOUBLE)) / ((list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(pas)), i -> pas[i] * pas[i])), (acc, x) -> acc + x)) / len(pas)::DOUBLE - ((list_reduce(list_prepend(0.0::DOUBLE, pas), (acc, x) -> acc + x)) / len(pas)::DOUBLE) * ((list_reduce(list_prepend(0.0::DOUBLE, pas), (acc, x) -> acc + x)) / len(pas)::DOUBLE))) * 1000000000000.0 + 0.5) / 1000000000000.0 AS beta_q
+        FROM per
+    ),
+    aq AS (
+        SELECT *, floor(((list_reduce(list_prepend(0.0::DOUBLE, pbs), (acc, x) -> acc + x)) / len(pas)::DOUBLE - beta_q * ((list_reduce(list_prepend(0.0::DOUBLE, pas), (acc, x) -> acc + x)) / len(pas)::DOUBLE)) * 1000000000000.0 + 0.5) / 1000000000000.0 AS alpha_q FROM bq
+    ),
+    resid AS (
+        SELECT sym_a, sym_b, n_days, list_transform(generate_series(1, len(pas)), i -> floor((pbs[i] - alpha_q - beta_q * pas[i]) * 1000000000000.0 + 0.5) / 1000000000000.0) AS es FROM aq
+    ),
+    mu AS (
+        SELECT sym_a, sym_b, n_days, es, floor(((list_reduce(list_prepend(0.0::DOUBLE, es), (acc, x) -> acc + x)) / len(es)::DOUBLE) * 1000000000000.0 + 0.5) / 1000000000000.0 AS mu_q FROM resid
+    ),
+    sd AS (
+        SELECT *, floor((sqrt((list_reduce(list_prepend(0.0::DOUBLE, list_transform(es, e -> (e - mu_q) * (e - mu_q))), (acc, x) -> acc + x)) / len(es)::DOUBLE)) * 1000000000000.0 + 0.5) / 1000000000000.0 AS sd_q FROM mu
+    ),
+    zf AS (
+        SELECT sym_a, sym_b, n_days, es, list_transform(es, e -> floor(((e - mu_q) / sd_q) * 1000000000000.0 + 0.5) / 1000000000000.0) AS zs
+        FROM sd WHERE sd_q > 0
+    ),
+    sim AS (
+        SELECT sym_a, sym_b, n_days, es, zs, 1 AS i,
+               0.0::DOUBLE AS pos, 0.0::DOUBLE AS entry,
+               0.0::DOUBLE AS pnl, 0.0::DOUBLE AS nt,
+               0.0::DOUBLE AS nw, 0.0::DOUBLE AS hd
+        FROM zf
+      UNION ALL
+        SELECT sym_a, sym_b, n_days, es, zs, i + 1,
+               CASE WHEN pos = 0.0 AND zs[i] >= 2.0 THEN -1.0
+                    WHEN pos = 0.0 AND zs[i] <= -2.0 THEN 1.0
+                    WHEN pos = 0.0 THEN 0.0
+                    WHEN (pos = 1.0 AND zs[i] >= -0.5)
+                      OR (pos = -1.0 AND zs[i] <= 0.5) THEN 0.0
+                    ELSE pos END,
+               CASE WHEN pos = 0.0 AND (zs[i] >= 2.0 OR zs[i] <= -2.0)
+                         THEN es[i]
+                    WHEN pos = 0.0 THEN 0.0
+                    WHEN (pos = 1.0 AND zs[i] >= -0.5)
+                      OR (pos = -1.0 AND zs[i] <= 0.5) THEN 0.0
+                    ELSE entry END,
+               CASE WHEN pos != 0.0 AND ((pos = 1.0 AND zs[i] >= -0.5)
+                      OR (pos = -1.0 AND zs[i] <= 0.5))
+                         THEN pnl + pos * (es[i] - entry)
+                    ELSE pnl END,
+               CASE WHEN pos != 0.0 AND ((pos = 1.0 AND zs[i] >= -0.5)
+                      OR (pos = -1.0 AND zs[i] <= 0.5))
+                         THEN nt + 1.0
+                    ELSE nt END,
+               CASE WHEN pos != 0.0 AND ((pos = 1.0 AND zs[i] >= -0.5)
+                      OR (pos = -1.0 AND zs[i] <= 0.5))
+                         THEN nw + (CASE WHEN pos * (es[i] - entry) > 0.0
+                                         THEN 1.0 ELSE 0.0 END)
+                    ELSE nw END,
+               CASE WHEN pos != 0.0 THEN hd + 1.0 ELSE hd END
+        FROM sim WHERE i <= len(es)
+    )
+    SELECT sym_a, sym_b, n_days,
+           nt::BIGINT AS n_trades,
+           {_q('pnl', 6)} AS total_pnl,
+           CASE WHEN nt > 0 THEN {_q('nw / nt', 6)} END AS hit_rate,
+           CASE WHEN nt > 0 THEN {_q('hd / nt', 6)} END AS avg_hold_days,
+           pos != 0.0 AS open_at_end
+    FROM sim WHERE i = len(es) + 1 ORDER BY 1, 2
+    """,
+)
+def q_pairs_spread_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.pairs_spread_backtest(_events(spark, sf_dir))
 
 
 # All registrations (including registry_llmdata's and the late blocks

@@ -630,3 +630,54 @@ def test_embedding_outliers_planted(spark):
     assert r["n_vecs"] == 10
     assert r["n_outliers"] == 1
     assert r["p95_dist"] < r["mean_dist"] * 10  # tail dominated by the plant
+
+
+def test_pairs_backtest_python_replay_on_fixture(spark, sf_dir):
+    """Replay the z-score position simulation in plain Python from the
+    engine's own residual arrays and assert trade-for-trade identity."""
+    from real_time_financial_lakehouse_spark.operators.finance import (
+        _pair_residual_arrays,
+        pairs_spread_backtest,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = {
+        (r["sym_a"], r["sym_b"]): r
+        for r in pairs_spread_backtest(ev).collect()
+    }
+    assert rows
+    arrays = _pair_residual_arrays(ev).collect()
+    for arr in arrays:
+        es = arr["es"]
+        n = len(es)
+        mu = math.floor(sum(es) / n * 1e12 + 0.5) / 1e12
+        sd = math.floor(
+            math.sqrt(sum((e - mu) ** 2 for e in es) / n) * 1e12 + 0.5
+        ) / 1e12
+        if sd <= 0:
+            continue
+        zs = [math.floor((e - mu) / sd * 1e12 + 0.5) / 1e12 for e in es]
+        pos = entry = pnl = 0.0
+        nt = nw = hd = 0
+        for e, z in zip(es, zs):
+            if pos == 0.0:
+                if z >= 2.0:
+                    pos, entry = -1.0, e
+                elif z <= -2.0:
+                    pos, entry = 1.0, e
+            else:
+                if (pos == 1.0 and z >= -0.5) or (pos == -1.0 and z <= 0.5):
+                    pnl += pos * (e - entry)
+                    nt += 1
+                    nw += pos * (e - entry) > 0
+                    hd += 1
+                    pos, entry = 0.0, 0.0
+                else:
+                    hd += 1
+        r = rows[(arr["sym_a"], arr["sym_b"])]
+        assert r["n_trades"] == nt
+        assert r["total_pnl"] == pytest.approx(_qr(pnl, 6), abs=1e-9)
+        if nt:
+            assert r["hit_rate"] == pytest.approx(_qr(nw / nt, 6), abs=1e-9)
+            assert r["avg_hold_days"] == pytest.approx(_qr(hd / nt, 6), abs=1e-9)
+        assert r["open_at_end"] == (pos != 0.0)

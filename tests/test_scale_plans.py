@@ -1326,3 +1326,17 @@ def test_round12_fold_queries_stay_bounded(spark):
     assert "BroadcastNestedLoopJoin" not in eo
     assert "BatchEvalPython" not in eo
     assert eo.count("Scan parquet") <= 4, eo.count("Scan parquet")
+
+
+def test_pairs_backtest_is_fold_at_pair_cardinality(spark):
+    """The position simulation is one aggregate fold per pair: same
+    two-scan bound as cointegration_screen, no extra join or window for
+    the z-score/simulation stages."""
+    from real_time_financial_lakehouse_spark.operators import finance
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    plan = _plan(finance.pairs_spread_backtest(ev))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
