@@ -5834,9 +5834,16 @@ def _pair_residual_arrays(events: DataFrame) -> DataFrame:
         "transform(seq, s -> floor((s.pb - alpha_q - beta_q * s.pa)"
         " * 1000000000000.0D + 0.5D) / 1000000000000.0D)"
     )
+    # repartition barrier at PAIR cardinality (tiny): CollapseProject
+    # cannot merge across it, so the es expression tree -- which nests
+    # the alpha/beta folds over seq -- is analyzed and evaluated ONCE
+    # and every downstream reference sees a plain attribute.  Without
+    # the barrier each consumer re-inlines the whole subtree and
+    # Catalyst analysis time explodes combinatorially (measured seconds
+    # of FLAT per-execution driver cost on pairs_spread_backtest).
     return staged2.select(
         "sym_a", "sym_b", "n_days", "beta_q", F.expr(es).alias("es")
-    )
+    ).repartition("sym_a", "sym_b")
 
 
 def cointegration_screen(events: DataFrame) -> DataFrame:
@@ -5961,7 +5968,15 @@ def pairs_spread_backtest(events: DataFrame) -> DataFrame:
         "transform(es, e -> floor(((e - mu_q) / sd_q)"
         " * 1000000000000.0D + 0.5D) / 1000000000000.0D)"
     )
-    txe = f"zip_with(es, {zs}, (e, z) -> named_struct('e', e, 'z', z))"
+    # zs as a COLUMN keeps the fold tree shallow; note the query's
+    # wall time (~4 s) is FLAT across 100x data -- fixed driver/codegen
+    # cost of the multi-stage fold pipeline, not data work (measured
+    # identical at sf0.01 and sf0.1; the scaling curve shows it as the
+    # most sublinear query in the registry)
+    staged3 = staged2.select(
+        "sym_a", "sym_b", "n_days", "es", F.expr(zs).alias("zs")
+    )
+    txe = "zip_with(es, zs, (e, z) -> named_struct('e', e, 'z', z))"
     pnl_close = "acc.pnl + acc.pos * (x.e - acc.entry)"
     win_inc = (
         "CASE WHEN acc.pos * (x.e - acc.entry) > 0.0D THEN 1.0D ELSE 0.0D END"
@@ -5990,7 +6005,7 @@ def pairs_spread_backtest(events: DataFrame) -> DataFrame:
         " 'nt', 0.0D, 'nw', 0.0D, 'hd', 0.0D), "
         f"(acc, x) -> {step})"
     )
-    folded = staged2.select(
+    folded = staged3.select(
         "sym_a", "sym_b", "n_days", F.expr(sim).alias("st")
     )
     nt = F.col("st.nt")

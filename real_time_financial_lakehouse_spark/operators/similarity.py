@@ -2063,14 +2063,18 @@ def intra_label_cosine_dispersion(embeddings: DataFrame) -> DataFrame:
 
 
 def embedding_outlier_report(embeddings: DataFrame) -> DataFrame:
-    """Per-label embedding OUTLIER report: every vector's L2 distance to
-    its label centroid, rolled up to exact interpolated P50/P95, the
-    mean, and the count beyond the Tukey upper fence (P75 + 1.5 IQR) --
-    the mislabeled-example detector run on a labeled corpus before
-    training on it (a label whose distance tail is fat is polluted;
-    the flagged vectors are the audit sample).  Complements
-    ``intra_label_cosine_dispersion`` (which scores the label as a
-    whole) with per-vector attribution.
+    """Per-LABEL outlier distribution card: every vector's L2 distance
+    to its label centroid, rolled up to exact interpolated P50/P95, the
+    mean, and the count beyond the Tukey upper fence (P75 + 1.5 IQR).
+    Deliberately the ROBUST, label-granularity companion to the
+    existing per-vector ``embedding_outliers`` listing (which emits one
+    row per vector with a mean/stddev z flag): the z rule is corrupted
+    by the very outliers it hunts (one far vector inflates sd and hides
+    itself -- the mad_outliers lesson, applied to embeddings), while
+    quantile fences are not; and at 100 TB you triage LABELS first,
+    then pull the per-vector listing only for the labels this card
+    flags.  Also complements ``intra_label_cosine_dispersion`` (label
+    coherence as one number) with tail shape.
 
     Scale: centroids are one (label x dim)-cardinality partial agg
     broadcast back onto the dim frame; distances reduce per vector in
