@@ -681,3 +681,103 @@ def test_pairs_backtest_python_replay_on_fixture(spark, sf_dir):
             assert r["hit_rate"] == pytest.approx(_qr(nw / nt, 6), abs=1e-9)
             assert r["avg_hold_days"] == pytest.approx(_qr(hd / nt, 6), abs=1e-9)
         assert r["open_at_end"] == (pos != 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Additional fixture referees (freeze hardening): python re-derivations
+# for the three round-12 queries that so far had only planted cases
+# ---------------------------------------------------------------------------
+
+
+def test_trade_duration_matches_numpy_on_fixture(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rows = {r["symbol"]: r for r in finance.trade_duration_profile(ev).collect()}
+    pdf = (
+        ev.toPandas().query("value > 0")
+        .sort_values(["ts", "event_id"])
+    )
+    for sym, g in pdf.groupby("event_type"):
+        us = g["ts"].astype("int64").to_numpy() // 1000
+        gaps = np.diff(us) / 1e6
+        if len(gaps) == 0:
+            continue
+        r = rows[sym]
+        assert r["n_gaps"] == len(gaps)
+        assert r["mean_gap_s"] == pytest.approx(_qr(gaps.mean(), 6), abs=1e-6)
+        assert r["p50_gap_s"] == pytest.approx(
+            _qr(float(np.percentile(gaps, 50, method="linear")), 6), abs=1e-6
+        )
+        assert r["max_gap_s"] == pytest.approx(_qr(gaps.max(), 6), abs=1e-6)
+        if gaps.mean() != 0:
+            assert r["cv"] == pytest.approx(
+                _qr(gaps.std() / gaps.mean(), 6), abs=1e-5
+            )
+        prev, cur = gaps[:-1], gaps[1:]
+        if len(prev) > 1 and prev.std() > 0 and cur.std() > 0:
+            corr = float(np.corrcoef(cur, prev)[0, 1])
+            assert r["lag1_autocorr"] == pytest.approx(_qr(corr, 6), abs=1e-5)
+
+
+def test_round_number_matches_python_on_fixture(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rows = {
+        r["symbol"]: r for r in finance.round_number_clustering(ev).collect()
+    }
+    pdf = ev.toPandas().query("value > 0")
+    for sym, g in pdf.groupby("event_type"):
+        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        n = len(cents)
+        r = rows[sym]
+        assert r["n_ticks"] == n
+        assert r["n_integer"] == int((cents % 100 == 0).sum())
+        assert r["n_half"] == int((cents % 50 == 0).sum())
+        exp = n / 10.0
+        chi_u = 0
+        for d in range(10):
+            nd = int((cents % 10 == d).sum())
+            chi_u += math.floor((nd - exp) ** 2 / exp * 1e6 + 0.5)
+        assert r["digit_chi2"] == pytest.approx(_qr(chi_u / 1e6, 6), abs=1e-9)
+
+
+def test_cornish_fisher_matches_numpy_on_fixture(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rows = {r["symbol"]: r for r in finance.cornish_fisher_var(ev).collect()}
+    assert rows
+    pdf = (
+        ev.toPandas().query("value > 0")
+        .sort_values(["ts", "event_id"])
+        .assign(day=lambda d: d["ts"].dt.floor("D"))
+    )
+    z = -1.6448536269514722
+    for sym, g in pdf.groupby("event_type"):
+        closes = g.groupby("day").last()["value"].sort_index()
+        lr = np.log(closes / closes.shift(1)).dropna().to_numpy()
+        lr = np.floor(lr * 1e12 + 0.5) / 1e12
+        if len(lr) < 10:
+            continue
+        mean_q = math.floor(lr.mean() * 1e12 + 0.5) / 1e12
+        d = lr - mean_q
+        m2 = math.floor((d * d).mean() * 1e12 + 0.5) / 1e12
+        m3 = math.floor((d * d * d).mean() * 1e12 + 0.5) / 1e12
+        m4 = math.floor((d * d * d * d).mean() * 1e12 + 0.5) / 1e12
+        if m2 <= 0:
+            continue
+        sd = math.floor(math.sqrt(m2) * 1e12 + 0.5) / 1e12
+        g1 = math.floor(m3 / (m2 * math.sqrt(m2)) * 1e12 + 0.5) / 1e12
+        g2 = math.floor((m4 / (m2 * m2) - 3.0) * 1e12 + 0.5) / 1e12
+        z_cf = (
+            z
+            + (z * z - 1.0) * g1 / 6.0
+            + (z * z * z - 3.0 * z) * g2 / 24.0
+            - (2.0 * z * z * z - 5.0 * z) * g1 * g1 / 36.0
+        )
+        z_cf = math.floor(z_cf * 1e12 + 0.5) / 1e12
+        r = rows[sym]
+        assert r["skew"] == pytest.approx(_qr(g1, 6), abs=2e-6), sym
+        assert r["excess_kurtosis"] == pytest.approx(_qr(g2, 6), abs=2e-6)
+        assert r["var95_normal"] == pytest.approx(
+            _qr(-(mean_q + sd * z), 6), abs=2e-6
+        )
+        assert r["var95_cornish_fisher"] == pytest.approx(
+            _qr(-(mean_q + sd * z_cf), 6), abs=2e-6
+        )
