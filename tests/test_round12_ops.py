@@ -781,3 +781,47 @@ def test_cornish_fisher_matches_numpy_on_fixture(spark, sf_dir):
         assert r["var95_cornish_fisher"] == pytest.approx(
             _qr(-(mean_q + sd * z_cf), 6), abs=2e-6
         )
+
+
+# ---------------------------------------------------------------------------
+# Property test: session_window == strict-> islands for ARBITRARY gaps,
+# including exact multiples of the 30-minute boundary (hypothesis
+# generalization of the fixed boundary fixture above)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        # gaps in microseconds, biased to land exactly on the boundary
+        st.one_of(
+            st.just(30 * 60 * 1_000_000),          # exactly 30:00
+            st.just(30 * 60 * 1_000_000 + 1),      # just past
+            st.just(30 * 60 * 1_000_000 - 1),      # just inside
+            st.integers(min_value=1, max_value=2 * 60 * 60 * 1_000_000),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_session_window_equals_strict_islands_property(spark, gaps):
+    """For ANY event-time sequence, Spark session_window must produce
+    the same session partitioning as the strict-> gaps-and-islands rule
+    the oracles now pin (round-12 alignment) -- in particular at gaps
+    that are exactly the 30-minute threshold."""
+    t = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows, cur = [], t
+    rows.append((1, cur, 1001, 1.0))
+    for i, g in enumerate(gaps):
+        cur = cur + dt.timedelta(microseconds=g)
+        rows.append((1, cur, 1002 + i, 1.0))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    engine_sessions = windows.sessionize(ev).count()
+    # strict->: a new session starts only when the gap exceeds 30 min
+    islands = 1 + sum(g > 30 * 60 * 1_000_000 for g in gaps)
+    assert engine_sessions == islands
