@@ -1,11 +1,13 @@
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR.
 
-Prints exactly one JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
-
-and writes the SAME payload -- plus every per-rep time -- to
-``BENCH_FULL.json`` next to this file, so the full per-query map survives
-even when the stdout tail is truncated by the capture harness.
+Prints exactly ONE compact JSON line (headline total, n_queries, canary
+ratio + interleave summary, family/machinery subtotals, two bounded
+top-5 maps, a pinned flagship subset) -- guaranteed under
+STDOUT_LINE_CAP bytes at ANY registry size via shrink_to_fit(), because
+the driver keeps only the last 2000 characters of stdout (round-12's
+2.1 kB line came back "parsed": null).  The complete per-query map
+(median + min + every rep + the canary timeline) goes to
+``BENCH_FULL.json`` next to this file.
 
 Each query is forced end-to-end with the ``noop`` writer (full execution,
 no driver collect, no sink cost) so the number reflects the distributed
@@ -43,6 +45,93 @@ CANARY_PINS_SF01 = {
     "term_positions": 0.723,
     "minhash_signatures": 0.513,
 }
+
+# The driver captures only the LAST 2000 characters of stdout
+# (BENCH_r12.json's "tail" is exactly 2000 chars and starts mid-line --
+# that round's 2.1 kB line is why "parsed" came back null).  The stdout
+# line must therefore stay comfortably under 2000 bytes AT ANY REGISTRY
+# SIZE; STDOUT_LINE_CAP is enforced at runtime by shrink_to_fit() and in
+# tests/test_bench_contract.py against a 10,000-query simulation.
+STDOUT_LINE_CAP = 1600
+
+# Interleaved canary (round-12 verdict ask #2): one pinned canary query
+# re-runs every CANARY_INTERVAL registry queries, giving a time-series
+# of host-speed samples ACROSS the run.  A per-query spike can then be
+# attributed to burst host contention (the nearest canary samples spike
+# too) or to the plan (they don't) from BENCH_FULL.json alone -- the
+# single whole-run ratio demonstrably under-corrected the r12 driver
+# run (canary 1.04 while specific queries read 3-4x their freeze-bench
+# medians).
+CANARY_INTERVAL = 25
+
+
+def shrink_to_fit(payload: dict, cap: int = STDOUT_LINE_CAP) -> str:
+    """Serialize ``payload`` for stdout, dropping optional keys in a
+    fixed order until the line fits ``cap`` bytes.  The headline value,
+    n_queries, canary ratio, families, and machinery totals are never
+    dropped -- they are the driver contract; everything else is
+    reconstructable from BENCH_FULL.json."""
+    droppable = [
+        "queries",            # flagship subset -- full map in BENCH_FULL
+        "machinery_top5",     # slowest machinery members
+        "slowest5",           # slowest overall queries
+        "canary_segments",    # interleave summary -- timeline in FULL
+        "stat",
+        "warmup_sec",
+    ]
+    line = json.dumps(payload, separators=(",", ":"))
+    for key in droppable:
+        if len(line) <= cap:
+            break
+        payload = {k: v for k, v in payload.items() if k != key}
+        line = json.dumps(payload, separators=(",", ":"))
+    return line
+
+
+def build_stdout_payload(
+    *,
+    total: float,
+    reps: int,
+    timings: dict,
+    fam_totals: dict,
+    machinery: float,
+    machinery_breakdown: dict,
+    warmup_sec: float,
+    canary: dict | None,
+    canary_segments: dict | None,
+    sf: float | None,
+) -> dict:
+    """Compact, registry-size-INDEPENDENT stdout payload: only fixed-size
+    aggregates plus two bounded top-5 maps and a pinned flagship subset.
+    The full per-query map (median + min + every rep) lives in
+    BENCH_FULL.json."""
+    flagship = [
+        "gold_market_summary", "minute_ohlc", "pricing_summary",
+        "dedup_exact", "lsh_candidate_pairs", "cosine_topk",
+        "bm25_search", "streaming_silver_roundtrip",
+    ]
+    machinery_top5 = {}
+    for fam in ("streaming", "table_io"):
+        top5 = (machinery_breakdown.get(fam) or {}).get("top5") or {}
+        machinery_top5[fam] = top5
+    return {
+        "metric": "rtfl_query_inventory_total_wall",
+        "value": total,
+        "unit": "sec",
+        "stat": f"median_of_{reps}",
+        "n_queries": len(timings),
+        "sf": sf,
+        "canary_ratio": canary["ratio"] if canary else None,
+        "canary_segments": canary_segments,
+        "families": fam_totals,
+        "machinery_total": machinery,
+        "data_total": round(total - machinery, 3),
+        "warmup_sec": warmup_sec,
+        "queries": {n: timings[n] for n in flagship if n in timings},
+        "slowest5": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5]),
+        "machinery_top5": machinery_top5,
+        "full": "BENCH_FULL.json",
+    }
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -93,6 +182,15 @@ def main() -> None:
         df.count()
     small = spark.range(100).withColumnRenamed("id", "k")
     spark.range(10_000).join(F.broadcast(small), F.col("id") == F.col("k")).count()
+    # Pre-warm each canary pin once (untimed) so the interleaved
+    # timeline below samples HOST speed, not first-run whole-stage
+    # codegen for the pin's plan.
+    if sf == 0.1:
+        for pin in CANARY_PINS_SF01:
+            if pin in registry.QUERIES:
+                registry.QUERIES[pin](spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
     warmup_sec = round(time.perf_counter() - t_warm, 3)
 
     # N runs per query (default 3), report the MEDIAN: the first run pays
@@ -105,7 +203,31 @@ def main() -> None:
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}
-    for name in sorted(registry.QUERIES):
+    # Interleaved canary timeline: (query_index, pin_name, sec, ratio).
+    # Pins cycle round-robin so every pin is sampled across the run; the
+    # extra cost (~|registry|/CANARY_INTERVAL sub-second runs) is kept
+    # OUT of `value` -- it measures the host, not the inventory.
+    canary_timeline: list[dict] = []
+    canary_names = sorted(n for n in CANARY_PINS_SF01 if n in registry.QUERIES)
+    interleave = sf == 0.1 and bool(canary_names)
+    for qi, name in enumerate(sorted(registry.QUERIES)):
+        if interleave and qi % CANARY_INTERVAL == 0:
+            pin_name = canary_names[
+                (qi // CANARY_INTERVAL) % len(canary_names)
+            ]
+            t0 = time.perf_counter()
+            registry.QUERIES[pin_name](spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            c_sec = round(time.perf_counter() - t0, 3)
+            canary_timeline.append(
+                {
+                    "at_query": qi,
+                    "pin": pin_name,
+                    "sec": c_sec,
+                    "ratio": round(c_sec / CANARY_PINS_SF01[pin_name], 4),
+                }
+            )
         fn = registry.QUERIES[name]
         runs: list[float] = []
         for _ in range(reps):
@@ -115,6 +237,15 @@ def main() -> None:
         rep_times[name] = runs
         timings[name] = round(statistics.median(runs), 3)
         timings_min[name] = min(runs)
+    canary_segments: dict | None = None
+    if canary_timeline:
+        seg_ratios = [c["ratio"] for c in canary_timeline]
+        canary_segments = {
+            "n": len(seg_ratios),
+            "median": round(statistics.median(seg_ratios), 4),
+            "min": round(min(seg_ratios), 4),
+            "max": round(max(seg_ratios), 4),
+        }
 
     total = round(sum(timings.values()), 3)
 
@@ -188,29 +319,6 @@ def main() -> None:
                     sorted(members.items(), key=lambda kv: -kv[1])[:5]
                 ),
             }
-    # The stdout contract is ONE parseable JSON line.  The r4 driver
-    # record shows the full 208-query map overflows the driver's stdout
-    # capture ("parsed": null, tail only) -- so stdout carries a compact
-    # HEADLINE subset + the family subtotals, and the complete per-query
-    # map (with per-rep times) goes to BENCH_FULL.json.
-    headline = [
-        "gold_market_summary", "silver_sliding_window", "minute_ohlc",
-        "pricing_summary", "regional_revenue", "market_share",
-        "product_profit", "latest_order_asof",
-        "exact_dedup" if "exact_dedup" in timings else "dedup_exact",
-        "lsh_candidate_pairs", "dedup_clusters", "fuzzy_dedup_keep",
-        "minhash_jaccard_estimate", "semantic_dedup_keep",
-        "cosine_topk", "ann_ivf_kmeans_topk", "ann_pq_adc_topk",
-        "ann_ivfpq_topk", "ann_hyperplane_topk",
-        "bm25_search", "hybrid_rrf_search", "tf_idf_terms", "token_stats",
-        "lang_id", "winnow_fingerprints", "bpe_train_merges",
-        "contamination_check", "pack_sequences", "stratified_sample",
-        "streaming_silver_roundtrip", "streaming_windowed_rollup",
-        "streaming_click_purchase", "versioned_gold_changes",
-        "versioned_restore", "vwap_daily", "bollinger_bands",
-        "dollar_bars", "volatility_cones", "png_media_features",
-        "jpeg_media_features", "benford_check", "profile_events",
-    ]
     # Canary ratio (sf0.1 only -- the pins were measured there): median
     # over the five pinned queries of this-run-median / pinned-median.
     # >1 means this host/round is slower than the round-9 pin for
@@ -246,29 +354,29 @@ def main() -> None:
                 "ratio": round(statistics.median(ratios.values()), 4),
                 "missing_pins": canary_missing,
             }
-    payload = {
-        "metric": "rtfl_query_inventory_total_wall",
-        "value": total,
-        "unit": "sec",
-        "stat": f"median_of_{reps}",
-        "queries": {n: timings[n] for n in headline if n in timings},
-        "families": fam_totals,
-        "machinery_total": machinery,
-        "machinery": machinery_breakdown,
-        "data_total": round(total - machinery, 3),
-        "n_queries": len(timings),
-        "canary_ratio": canary["ratio"] if canary else None,
-        "sf": sf,
-    }
+    payload = build_stdout_payload(
+        total=total,
+        reps=reps,
+        timings=timings,
+        fam_totals=fam_totals,
+        machinery=machinery,
+        machinery_breakdown=machinery_breakdown,
+        warmup_sec=warmup_sec,
+        canary=canary,
+        canary_segments=canary_segments,
+        sf=sf,
+    )
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     try:
         with open(full_path, "w") as f:
             json.dump({**payload, "queries": timings, "queries_min": timings_min,
                        "reps": reps, "rep_times": rep_times,
-                       "canary": canary}, f, indent=1)
+                       "machinery": machinery_breakdown,
+                       "canary": canary,
+                       "canary_timeline": canary_timeline}, f, indent=1)
     except OSError:
         pass  # stdout line is still the contract; the file is best-effort
-    print(json.dumps(payload))
+    print(shrink_to_fit(payload))
     spark.stop()
 
 if __name__ == "__main__":

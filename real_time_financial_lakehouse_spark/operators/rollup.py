@@ -475,10 +475,7 @@ def mode_per_user(events):
     most |types| rows per user BEFORE the window, so the rank sort runs
     at category cardinality per user -- never over raw events; the
     share window reuses the same user_id exchange."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
-
-    from ..functions.numeric import qround
 
     counts = events.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n")

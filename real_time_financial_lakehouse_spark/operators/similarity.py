@@ -1971,7 +1971,62 @@ def embedding_centroid_drift(embeddings: DataFrame) -> DataFrame:
     ).orderBy("label")
 
 
-def intra_label_cosine_dispersion(embeddings: DataFrame) -> DataFrame:
+# Exact-path headroom for intra_label_cosine_dispersion: the binding
+# int64 constraint is usq_total = sum over a label's vectors of the
+# ~1e16 per-vector unit-norm grid value (overflows at n ~ 922); the
+# squared per-dim sums s2_u/ssq_u grow as n^2 * 1e12 and bind at
+# n ~ 3,000.  900 keeps every intermediate exact with margin.
+_PICO_GRID_MAX_VECS = 900
+
+
+def _intra_label_cosine_dispersion_double(emb: DataFrame) -> DataFrame:
+    """Raw-double twin of the pico-grid identity for labels past the
+    exact headroom: same O(n*d) plan shape (normalize -> posexplode ->
+    per-dim sums -> sum-vector identity), no integer grids, so results
+    carry ordinary float-summation tolerance instead of bit-exactness.
+    ``emb`` is the pre-projected (vec_id, label, v: array<double>)."""
+    from ..functions.numeric import qround
+
+    ss = F.expr("aggregate(v, 0.0D, (acc, x) -> acc + x * x)")
+    vecs = emb.select("vec_id", "label", "v", ss.alias("ss")).filter(
+        F.col("ss") > 0
+    )
+    dims = vecs.select(
+        "label",
+        F.posexplode("v").alias("pos", "x"),
+        F.sqrt("ss").alias("norm"),
+    )
+    per_dim = dims.groupBy("label", "pos").agg(
+        F.sum(F.col("x") / F.col("norm")).alias("s_d"),
+        F.count(F.lit(1)).alias("n_at_dim"),
+    )
+    # unit vectors: sum_i ||u_i||^2 == n exactly, so only ||S||^2 needs
+    # the data pass; n comes from any single dim's count.
+    lab = per_dim.groupBy("label").agg(
+        F.sum(F.col("s_d") * F.col("s_d")).alias("ssq"),
+        F.max("n_at_dim").alias("n_vecs"),
+    )
+    mpc = (F.col("ssq") - F.col("n_vecs").cast("double")) / (
+        F.col("n_vecs") * (F.col("n_vecs") - 1)
+    ).cast("double")
+    return (
+        lab.filter(F.col("n_vecs") >= 2)
+        .select(
+            "label",
+            "n_vecs",
+            qround(mpc, 6).alias("mean_pairwise_cosine"),
+            qround(F.lit(1.0) - mpc, 6).alias("cosine_dispersion"),
+            qround(
+                F.sqrt("ssq") / F.col("n_vecs").cast("double"), 6
+            ).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+def intra_label_cosine_dispersion(
+    embeddings: DataFrame, exact: bool = True
+) -> DataFrame:
     """Mean PAIRWISE cosine similarity within each label -- computed in
     O(n*d) with the sum-vector identity, never materializing a pair:
     for unit vectors u_1..u_n,  sum_{i != j} u_i . u_j  =  ||S||^2 - n
@@ -1992,15 +2047,23 @@ def intra_label_cosine_dispersion(embeddings: DataFrame) -> DataFrame:
     per-dim sums S_d and per-vector norms-squared are exact integers;
     ||S||^2 re-snaps each S_d^2 (one identical IEEE square) to a 1e4
     grid before the cross-dim sum.  The only unsnapped floats are the
-    final two divisions.  Grid headroom: u_u <= 1e8 so S_d fits int64 up
-    to ~9e10 vectors per label; S_d^2/1e4 fits up to ~3e3 * 1e8-scale
-    sums -- at fixture scale exact, at extreme scale the same identity
-    runs on raw doubles with a tolerance oracle."""
+    final two divisions.  Grid headroom (binding constraint first): the
+    per-label sum of per-vector unit norms ``usq_total`` grows as
+    n * 1e16 and exceeds int64 at n ~ 922; ``s2_u`` / ``ssq_u`` grow as
+    n^2 * 1e12 and exceed it at n ~ 3,000.  Spark's non-ANSI
+    double->long cast would SATURATE silently past that (round-12
+    advisor finding), so the exact path carries a runtime guard that
+    raises once any label holds more than ``_PICO_GRID_MAX_VECS``
+    vectors; call with ``exact=False`` for the raw-double identity
+    (same plan shape, no grids, tolerance-level determinism) beyond the
+    headroom."""
     from ..functions.numeric import qround
 
     emb = _spread(embeddings).select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
+    if not exact:
+        return _intra_label_cosine_dispersion_double(emb)
     ss_u = F.expr(
         "aggregate(transform(v, x -> cast(floor(x * x * 1000000000000.0D"
         " + 0.5D) as bigint)), cast(0 as bigint), (acc, y) -> acc + y)"
@@ -2035,6 +2098,28 @@ def intra_label_cosine_dispersion(embeddings: DataFrame) -> DataFrame:
     lab = per_vec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("usq_u").alias("usq_total"),
+    )
+    # Loud headroom guard: past _PICO_GRID_MAX_VECS vectors per label the
+    # BIGINT pico-grid intermediates would saturate (not raise) under
+    # Spark's non-ANSI cast and silently diverge from the oracle; fail
+    # the job instead and point at the double path.  n_vecs is consumed
+    # by every output column, so the CASE cannot be pruned away.
+    lab = lab.withColumn(
+        "n_vecs",
+        F.when(F.col("n_vecs") <= F.lit(_PICO_GRID_MAX_VECS), F.col("n_vecs"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "intra_label_cosine_dispersion: label exceeds the"
+                        f" exact pico-grid headroom ({_PICO_GRID_MAX_VECS}"
+                        " vectors; usq_total ~ n*1e16 would saturate"
+                        " int64) -- rerun with exact=False: label="
+                    ),
+                    F.col("label").cast("string"),
+                )
+            ).cast("long")
+        ),
     )
     mpc = (
         (
