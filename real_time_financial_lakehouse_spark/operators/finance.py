@@ -5800,50 +5800,62 @@ def _pair_residual_arrays(events: DataFrame) -> DataFrame:
             F.collect_list(F.struct("day", "pa", "pb"))
         ).alias("seq"),
     ).filter(F.col("n_days") >= 20)
-    # left folds over the day-ordered array: bit-identical in any engine
+    # Left folds over the day-ordered array: bit-identical in any
+    # engine.  Every intermediate (the four moment sums, beta, alpha)
+    # is bound ONCE as a SQL lambda variable via the
+    # transform(array(x), v -> ...)[0] let-binding idiom: stacked
+    # projections would be merged by CollapseProject, re-inlining each
+    # subtree into every consumer and growing the analyzed tree
+    # combinatorially (the round-12 measured seconds of FLAT
+    # per-execution driver cost on pairs_spread_backtest); with the
+    # bindings the tree is LINEAR in the formula size.
     fold = "aggregate({terms}, 0D, (acc, x) -> acc + x)"
     pas = "transform(seq, s -> s.pa)"
     pbs = "transform(seq, s -> s.pb)"
     nn = "cast(size(seq) as double)"
-    s_pa = fold.format(terms=pas)
-    s_pb = fold.format(terms=pbs)
-    s_papa = fold.format(terms=f"zip_with({pas}, {pas}, (x, y) -> x * y)")
-    s_papb = fold.format(terms=f"zip_with({pas}, {pbs}, (x, y) -> x * y)")
-    beta_raw = (
-        f"(({s_papb}) / {nn} - (({s_pa}) / {nn}) * (({s_pb}) / {nn}))"
-        f" / (({s_papa}) / {nn} - (({s_pa}) / {nn}) * (({s_pa}) / {nn}))"
-    )
     q12 = "floor(({x}) * 1000000000000.0D + 0.5D) / 1000000000000.0D"
-    beta_q = q12.format(x=beta_raw)
+    moments = (
+        "named_struct("
+        f"'spa', {fold.format(terms=pas)},"
+        f" 'spb', {fold.format(terms=pbs)},"
+        f" 'spapa', {fold.format(terms=f'zip_with({pas}, {pas}, (x, y) -> x * y)')},"
+        f" 'spapb', {fold.format(terms=f'zip_with({pas}, {pbs}, (x, y) -> x * y)')},"
+        f" 'n', {nn})"
+    )
+    # identical arithmetic to the round-12 staged version -- the moment
+    # folds are simply referenced through the binding instead of being
+    # re-spelled, so every IEEE operation (and hence every quantized
+    # value the oracle compares) is unchanged
+    beta_q = q12.format(
+        x="((m.spapb) / m.n - ((m.spa) / m.n) * ((m.spb) / m.n))"
+        " / ((m.spapa) / m.n - ((m.spa) / m.n) * ((m.spa) / m.n))"
+    )
+    alpha_q = q12.format(x="(m.spb) / m.n - beta * ((m.spa) / m.n)")
+    resid = (
+        "transform(seq, s -> floor((s.pb - alpha - beta * s.pa)"
+        " * 1000000000000.0D + 0.5D) / 1000000000000.0D)"
+    )
+    stats = (
+        f"transform(array({moments}), m -> "
+        f"transform(array({beta_q}), beta -> "
+        f"transform(array({alpha_q}), alpha -> "
+        f"named_struct('beta_q', beta, 'es', {resid})"
+        ")[0])[0])[0]"
+    )
     staged = per.select(
+        "sym_a", "sym_b", "n_days", F.expr(stats).alias("st")
+    )
+    # repartition barrier at PAIR cardinality (tiny): CollapseProject
+    # cannot merge across it, so the struct above is analyzed and
+    # evaluated ONCE and the two field selects below see a plain
+    # attribute instead of re-inlining the whole fold tree per column.
+    return staged.repartition("sym_a", "sym_b").select(
         "sym_a",
         "sym_b",
         "n_days",
-        "seq",
-        F.expr(beta_q).alias("beta_q"),
+        F.col("st.beta_q").alias("beta_q"),
+        F.col("st.es").alias("es"),
     )
-    alpha_q = q12.format(
-        x=f"({fold.format(terms=pbs)}) / {nn}"
-        f" - beta_q * (({fold.format(terms=pas)}) / {nn})"
-    )
-    staged2 = staged.select(
-        "sym_a", "sym_b", "n_days", "seq", "beta_q",
-        F.expr(alpha_q).alias("alpha_q"),
-    )
-    es = (
-        "transform(seq, s -> floor((s.pb - alpha_q - beta_q * s.pa)"
-        " * 1000000000000.0D + 0.5D) / 1000000000000.0D)"
-    )
-    # repartition barrier at PAIR cardinality (tiny): CollapseProject
-    # cannot merge across it, so the es expression tree -- which nests
-    # the alpha/beta folds over seq -- is analyzed and evaluated ONCE
-    # and every downstream reference sees a plain attribute.  Without
-    # the barrier each consumer re-inlines the whole subtree and
-    # Catalyst analysis time explodes combinatorially (measured seconds
-    # of FLAT per-execution driver cost on pairs_spread_backtest).
-    return staged2.select(
-        "sym_a", "sym_b", "n_days", "beta_q", F.expr(es).alias("es")
-    ).repartition("sym_a", "sym_b")
 
 
 def cointegration_screen(events: DataFrame) -> DataFrame:
@@ -5955,28 +5967,23 @@ def pairs_spread_backtest(events: DataFrame) -> DataFrame:
     nn = "cast(size(es) as double)"
     q12 = "floor(({x}) * 1000000000000.0D + 0.5D) / 1000000000000.0D"
     mu_q = q12.format(x=f"({fold.format(terms='es')}) / {nn}")
-    staged = per_pair.select(
-        "sym_a", "sym_b", "n_days", "es", F.expr(mu_q).alias("mu_q")
-    )
     sd_q = q12.format(
-        x=f"sqrt(({fold.format(terms='transform(es, e -> (e - mu_q) * (e - mu_q))')}) / {nn})"
+        x=f"sqrt(({fold.format(terms='transform(es, e -> (e - mu) * (e - mu))')}) / {nn})"
     )
-    staged2 = staged.select(
-        "sym_a", "sym_b", "n_days", "es", "mu_q", F.expr(sd_q).alias("sd_q")
-    ).filter(F.col("sd_q") > 0)
-    zs = (
-        "transform(es, e -> floor(((e - mu_q) / sd_q)"
-        " * 1000000000000.0D + 0.5D) / 1000000000000.0D)"
+    # mu and sd are let-bound lambda variables (see
+    # _pair_residual_arrays): the round-12 staged-projection version was
+    # collapsed by CollapseProject into one projection that re-inlined
+    # the mu tree into sd, both into the z array, and all of it into the
+    # simulation fold -- a combinatorially grown tree whose analysis +
+    # codegen was the query's measured 4-5 s FLAT per-execution driver
+    # cost.  The z element is computed per residual inside the fold's
+    # input transform with the identical floor-grid expression, so every
+    # compared value is bit-unchanged.
+    txe = (
+        "transform(es, e -> named_struct('e', e,"
+        " 'z', floor(((e - mu) / sd)"
+        " * 1000000000000.0D + 0.5D) / 1000000000000.0D))"
     )
-    # zs as a COLUMN keeps the fold tree shallow; note the query's
-    # wall time (~4 s) is FLAT across 100x data -- fixed driver/codegen
-    # cost of the multi-stage fold pipeline, not data work (measured
-    # identical at sf0.01 and sf0.1; the scaling curve shows it as the
-    # most sublinear query in the registry)
-    staged3 = staged2.select(
-        "sym_a", "sym_b", "n_days", "es", F.expr(zs).alias("zs")
-    )
-    txe = "zip_with(es, zs, (e, z) -> named_struct('e', e, 'z', z))"
     pnl_close = "acc.pnl + acc.pos * (x.e - acc.entry)"
     win_inc = (
         "CASE WHEN acc.pos * (x.e - acc.entry) > 0.0D THEN 1.0D ELSE 0.0D END"
@@ -6005,8 +6012,27 @@ def pairs_spread_backtest(events: DataFrame) -> DataFrame:
         " 'nt', 0.0D, 'nw', 0.0D, 'hd', 0.0D), "
         f"(acc, x) -> {step})"
     )
-    folded = staged3.select(
-        "sym_a", "sym_b", "n_days", F.expr(sim).alias("st")
+    # IF keeps the sd division unevaluated for degenerate (sd <= 0)
+    # pairs -- the round-12 version filtered on sd_q BEFORE computing z,
+    # and Spark 4's ANSI mode would otherwise error on the divide; the
+    # sd_q field carries the value out so the same filter applies below.
+    wrapped = (
+        f"transform(array({mu_q}), mu -> "
+        f"transform(array({sd_q}), sd -> "
+        f"named_struct('sd_q', sd, 'st', IF(sd > 0.0D, {sim}, NULL))"
+        ")[0])[0]"
+    )
+    folded = per_pair.select(
+        "sym_a", "sym_b", "n_days", F.expr(wrapped).alias("w")
+    )
+    # second pair-cardinality barrier: the final select reads five
+    # fields of w.st plus the sd filter -- without the barrier
+    # CollapseProject would re-inline the whole simulation tree once
+    # per output column, recreating the cost this rewrite removes.
+    folded = (
+        folded.repartition("sym_a", "sym_b")
+        .filter(F.col("w.sd_q") > 0)
+        .select("sym_a", "sym_b", "n_days", F.col("w.st").alias("st"))
     )
     nt = F.col("st.nt")
     return folded.select(

@@ -3153,7 +3153,8 @@ _ROUND11_FRONT = [
 # query registered before round 11 (332/332 per the round-11 verdict).
 _DRIVER_VERIFIED_R11 = list(_ROUND11_FRONT)
 
-# ROUND-12 FRONT (active): the 23 round-11 in-round additions -- the
+# ROUND-12 FRONT (retired; CORRECTNESS_r12 came back 50/50 green on
+# exactly this window): the 23 round-11 in-round additions -- the
 # only registry names never driver-checked, all dual-sf parity-verified
 # and 20x flake-shaken at creation/freeze -- plus the 27 stalest
 # external checks by the age policy: the head of the r4-vintage
@@ -3162,7 +3163,8 @@ _DRIVER_VERIFIED_R11 = list(_ROUND11_FRONT)
 # union reaches 355/355 -- every query registered before round 12
 # driver-checked at least once.
 #
-# ROUND-13 QUEUE (per the age policy, do not activate early): the
+# ROUND-13 QUEUE (ACTIVATED below as _ROUND13_FRONT, exactly as
+# documented here at the round-12 freeze): the
 # round-12 in-round additions first (all 20x dual-sf shaken at
 # creation/freeze): kendall_tau_windowed, range_vol_estimators,
 # cornish_fisher_var, return_sign_markov, downside_beta,
@@ -3205,14 +3207,60 @@ _ROUND12_FRONT = [
     "funnel_counts", "retention_cohorts",
 ]
 
+# CORRECTNESS_r12.json came back 50/50 green on exactly _ROUND12_FRONT
+# (rows + schema + hash vs the DuckDB oracle), so the externally
+# verified union now covers every query registered before round 12
+# (355/355 per the round-12 verdict's independent recount).
+_DRIVER_VERIFIED_R12 = list(_ROUND12_FRONT)
+
+# ROUND-13 FRONT (active): exactly the queue documented above at the
+# round-12 freeze -- the 14 round-12 in-round additions (the only
+# registry names never driver-checked; all 20x dual-sf shaken at
+# creation/freeze and 14/14 green in the round-12 judge's own oracle
+# run), then the 5-name r4-vintage remainder tail, then the head of the
+# r5-vintage block (last fronted CORRECTNESS_r05, 8 rounds ago) in
+# _ROUND5_FRONT order filling the window to 50.  With this green the
+# externally verified union reaches 369/369 -- every query registered
+# before round 13 driver-checked at least once.
+#
+# ROUND-14 QUEUE (per the age policy, do not activate early): any
+# round-13 in-round additions first (dual-sf shaken at creation); then
+# the r5-vintage remainder in _ROUND5_FRONT order
+# (order_flow_imbalance, kyle_lambda, dollar_bars, volatility_cones,
+# cci_20, return_autocorr, profile_events, key_skew_profile,
+# selfjoin_size_estimate, event_gap_stats, anomaly_episodes,
+# user_transition_matrix, versioned_delete_where,
+# versioned_append_evolution, versioned_restore, bucketed_revenue_join,
+# streaming_user_cms, streaming_seasonal_anomaly -- 18 names); then the
+# r6-vintage block in _ROUND6_FRONT order (term_positions_udtf,
+# shared_window_pairs, debounce_events, quality_deciles, twap_daily,
+# engulfing_patterns, ...) filling the remaining slots.
+_ROUND13_FRONT = [
+    # never driver-checked round-12 additions
+    "kendall_tau_windowed", "range_vol_estimators", "cornish_fisher_var",
+    "return_sign_markov", "downside_beta", "trade_duration_profile",
+    "round_number_clustering", "intra_label_cosine_dispersion",
+    "length_quantile_bands", "streaming_mode_per_user",
+    "streaming_range_vol", "cointegration_screen",
+    "embedding_outlier_report", "pairs_spread_backtest",
+    # r4-vintage remainder tail (last checked CORRECTNESS_r04)
+    "chunk_documents", "edit_distance_pairs", "term_positions",
+    "simhash_near_pairs", "unigram_logprob",
+    # r5-vintage block head (last fronted CORRECTNESS_r05), in
+    # _ROUND5_FRONT order: the 4 re-shaped r4-err certificates, the
+    # retrieval/ANN family, dedup audits, pipeline ops, text/LM analysis
+] + _ROUND5_FRONT[:31]
+
+assert len(_ROUND13_FRONT) == 50, len(_ROUND13_FRONT)
+
 
 def _rotate_for_driver() -> None:
-    front = [n for n in _ROUND12_FRONT if n in QUERIES]
+    front = [n for n in _ROUND13_FRONT if n in QUERIES]
     verified_names = (
         _DRIVER_VERIFIED_R1_R2 + _DRIVER_VERIFIED_R3 + _DRIVER_VERIFIED_R4
         + _DRIVER_VERIFIED_R5 + _DRIVER_VERIFIED_R6_R7
         + _DRIVER_VERIFIED_R8 + _DRIVER_VERIFIED_R9 + _DRIVER_VERIFIED_R10
-        + _DRIVER_VERIFIED_R11
+        + _DRIVER_VERIFIED_R11 + _DRIVER_VERIFIED_R12
     )
     placed = set(front) | set(verified_names)
     rest_unverified = [n for n in QUERIES if n not in placed]
