@@ -24,6 +24,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -573,6 +575,25 @@ def ann_hyperplane_topk(
     band -> smaller buckets, lower recall.  Unlike IVF there is no
     codebook to train or broadcast -- the index is stateless, which is
     the operational argument for hyperplane LSH on streaming corpora."""
+    return (
+        hp_ranked(embeddings, bits=bits, bands=bands, n_queries=n_queries)
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hp_ranked(
+    embeddings: DataFrame,
+    bits: int = HP_BITS,
+    bands: int = HP_BANDS,
+    n_queries: int = 8,
+) -> DataFrame:
+    """The hyperplane-LSH candidate + exact-cosine-rerank frame WITHOUT
+    the top-k cut: (query_id, neighbor_id, cosine, rank) for every
+    banding survivor -- shared verbatim by ``ann_hyperplane_topk`` (cut
+    at k) and the retrieval-quality audits (``ann_recall_curve``,
+    ``rank_biased_overlap``) so the retriever being graded is
+    bit-identical to the retriever being shipped."""
     rows = bits // bands
     H = hyperplane_matrix(bits)
     emb = _spread(embeddings).select("vec_id", _as_double("embedding").alias("v"))
@@ -617,11 +638,7 @@ def ann_hyperplane_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return scored.withColumn("rank", F.row_number().over(w))
 
 
 def semantic_dedup_keep(
@@ -1839,6 +1856,189 @@ def retrieval_mrr_ndcg(
         )
         .orderBy("query_id")
     )
+
+
+# Truncated rank-biased overlap: persistence p and evaluation depth are
+# fixed protocol constants; the per-pair weight table below is a shared
+# Python literal on both engines (like DCG_GAINS), so no engine-side
+# pow/log enters the compare path.
+RBO_P = 0.9
+RBO_DEPTH = 10
+
+
+def rbo_weight_picos(p: float = RBO_P, depth: int = RBO_DEPTH) -> list[int]:
+    """Integer pico-grid RBO contribution per first-agreement depth md:
+    a pair present in both rankers' prefixes from depth md onward adds
+    (1-p) * sum_{d=md}^{depth} p^(d-1)/d to the truncated RBO, so the
+    whole score is a SUM OF TABLE LOOKUPS -- no per-depth grid join.
+    Stored as floor(w * 1e12 + 0.5) BIGINTs so the per-query sum is
+    exact integer addition (order-free across partitions); the single
+    final division back to double is the only float op."""
+    out = []
+    for md in range(1, depth + 1):
+        w = (1.0 - p) * sum(p ** (d - 1) / d for d in range(md, depth + 1))
+        out.append(int(math.floor(w * 1e12 + 0.5)))
+    return out
+
+
+def _exact_vs_hp_ranks(
+    embeddings: DataFrame, n_queries: int = 8, depth: int = RBO_DEPTH
+) -> tuple[DataFrame, DataFrame]:
+    """(spine, matched) frames grading the hyperplane-LSH retriever
+    against exact brute-force cosine: ``spine`` is one row per probe;
+    ``matched`` is (query_id, neighbor_id, exact_rank, ann_rank) for
+    every neighbor in BOTH depth-``depth`` prefixes.  The ANN side is
+    ``hp_ranked`` verbatim (the shipped retriever), the exact side the
+    ``cosine_topk`` broadcast-probe discipline, with the identical 1e-6
+    cosine grid and neighbor-id tiebreak on both.
+
+    Scale: probes are bounded and broadcast; the exact side is one
+    corpus scan (O(Q x N) with Q fixed), the ANN side the banded
+    candidate join -- both existing, audited shapes; ``matched`` is at
+    most Q x depth rows."""
+    emb = _spread(embeddings).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    emb = emb.withColumn("nv", _norm("v"))
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.col("nv").alias("nq"),
+    )
+    pairs = F.broadcast(queries).crossJoin(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "v", "nv")
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    denom = F.col("nq") * F.col("nv")
+    cos = F.when(denom != 0, _dot("q", "v") / denom).otherwise(F.lit(0.0))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        scored.withColumn("exact_rank", F.row_number().over(w))
+        .filter(F.col("exact_rank") <= depth)
+        .select("query_id", "neighbor_id", "exact_rank")
+    )
+    ann = (
+        hp_ranked(embeddings, n_queries=n_queries)
+        .filter(F.col("rank") <= depth)
+        .select("query_id", "neighbor_id", F.col("rank").alias("ann_rank"))
+    )
+    # both rank frames are bounded at Q x depth rows regardless of
+    # corpus size -- broadcast so the audit joins never sort-merge
+    matched = exact.join(F.broadcast(ann), ["query_id", "neighbor_id"])
+    # every probe has >= depth exact neighbors, so the exact side is a
+    # complete spine -- no third corpus scan needed for zero-recall rows
+    spine = exact.select("query_id").distinct()
+    return spine, F.broadcast(matched)
+
+
+def ann_recall_curve(
+    embeddings: DataFrame,
+    ks: tuple = (1, 3, 5, 10),
+    n_queries: int = 8,
+) -> DataFrame:
+    """Recall@k CURVE of the hyperplane-LSH retriever against exact
+    brute-force cosine ground truth: for each cut k, the mean and
+    minimum over probes of |ANN top-k intersect exact top-k| / k, plus
+    how many probes retrieve perfectly -- the ann-benchmarks-style
+    quality card read alongside ``ann_ivf_kmeans_topk``'s recall
+    certificate before an index config ships.  Probes with an empty
+    banding candidate set count as zero recall (the spine left-join),
+    not as missing rows.
+
+    Determinism: intersection hits are integer counts; per-k means are
+    ONE double division of exact integer sums (no float accumulation);
+    both rankers share the 1e-6 cosine grid and id tiebreak."""
+    depth = max(ks)
+    spine, matched = _exact_vs_hp_ranks(embeddings, n_queries, depth)
+    joined = spine.join(matched, "query_id", "left")
+    per_q = joined.groupBy("query_id").agg(
+        *[
+            F.count(
+                F.when(
+                    (F.col("exact_rank") <= k) & (F.col("ann_rank") <= k),
+                    F.lit(1),
+                )
+            ).alias(f"h{k}")
+            for k in ks
+        ]
+    )
+    stack = ", ".join(f"{k}, h{k}" for k in ks)
+    curve = per_q.selectExpr(
+        "query_id", f"stack({len(ks)}, {stack}) AS (k, hits)"
+    )
+    return (
+        curve.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("hits").alias("hits_sum"),
+            F.min("hits").alias("hits_min"),
+            F.count(F.when(F.col("hits") == F.col("k"), F.lit(1))).alias(
+                "n_perfect"
+            ),
+        )
+        .select(
+            "k",
+            "n_queries",
+            qround(
+                F.col("hits_sum").cast("double")
+                / (F.col("n_queries") * F.col("k")).cast("double"),
+                6,
+            ).alias("mean_recall"),
+            qround(
+                F.col("hits_min").cast("double") / F.col("k").cast("double"), 6
+            ).alias("min_recall"),
+            "n_perfect",
+        )
+        .orderBy("k")
+    )
+
+
+def rank_biased_overlap(
+    embeddings: DataFrame, n_queries: int = 8, depth: int = RBO_DEPTH
+) -> DataFrame:
+    """Per-probe judge-list agreement between the hyperplane-LSH ranking
+    and the exact cosine ranking: truncated rank-biased overlap
+    (Webber et al., p = 0.9, depth 10) plus plain overlap@depth.  RBO
+    weights agreement at the TOP of the lists -- two rankers that agree
+    on items 1-3 but diverge at 8-10 score far higher than the reverse,
+    which is what a retrieval judge actually cares about; overlap@k
+    treats all depth positions equally and is the sanity column.
+
+    The truncated-RBO lower bound on uneven lists: a pair enters the
+    score at md = max(rank_exact, rank_ann), contributing the suffix sum
+    (1-p) * sum_{d=md}^{depth} p^(d-1)/d -- a 10-entry shared literal
+    table, so the whole score is exact BIGINT pico addition per probe
+    with one final division."""
+    spine, matched = _exact_vs_hp_ranks(embeddings, n_queries, depth)
+    picos = rbo_weight_picos(RBO_P, depth)
+    md = F.greatest(F.col("exact_rank"), F.col("ann_rank"))
+    weight = F.lit(0).cast("long")
+    for i in range(depth, 0, -1):
+        weight = F.when(md == i, F.lit(picos[i - 1])).otherwise(weight)
+    per = (
+        spine.join(matched, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.col("ann_rank")).alias("n_common"),
+            F.coalesce(F.sum(weight), F.lit(0)).alias("rbo_pico"),
+        )
+    )
+    return per.select(
+        "query_id",
+        "n_common",
+        qround(
+            F.col("n_common").cast("double") / F.lit(float(depth)), 6
+        ).alias("overlap_at_depth"),
+        qround(F.col("rbo_pico").cast("double") / F.lit(1e12), 6).alias(
+            "rbo_trunc"
+        ),
+    ).orderBy("query_id")
 
 
 def semdedup_threshold_sweep(

@@ -1565,6 +1565,145 @@ def q_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-vs-ANN rank frames at RBO_DEPTH, shared by the two retrieval
+# quality audits below: the ANN side re-states the _HP_TOPK_SQL CTE
+# chain cut at depth 10 instead of k=3; the exact side is the
+# brute-force probe x corpus ranking with the identical 1e-6 cosine
+# grid and neighbor-id tiebreak the Spark helper uses
+# (operators/similarity.py::_exact_vs_hp_ranks).
+_RQ_DEPTH = similarity.RBO_DEPTH
+_RQ_RANKS_SQL = f"""
+    emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    bd AS (
+        SELECT vec_id, j AS band_id,
+               CASE j {_HP_BAND_CASE} END AS band_val
+        FROM emb, (SELECT unnest([0, 1, 2, 3]) AS j) js
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM bd q JOIN bd c ON q.band_id = c.band_id AND q.band_val = c.band_val
+        WHERE q.vec_id < 8 AND q.vec_id != c.vec_id
+    ),
+    ann_pairs AS (
+        SELECT p.query_id, p.neighbor_id,
+               CASE WHEN {_NORM_Q} * {_NORM_V} != 0
+                    THEN {_DOT} / ({_NORM_Q} * {_NORM_V})
+                    ELSE 0.0 END AS cos_raw
+        FROM cand p
+        JOIN (SELECT vec_id, v AS q FROM emb) q ON q.vec_id = p.query_id
+        JOIN (SELECT vec_id, v FROM emb) e ON e.vec_id = p.neighbor_id
+    ),
+    ann AS (
+        SELECT query_id, neighbor_id, rank AS ann_rank
+        FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY floor(cos_raw * 1000000.0 + 0.5) / 1000000.0
+                                DESC, neighbor_id) AS rank
+            FROM ann_pairs
+        )
+        WHERE rank <= {_RQ_DEPTH}
+    ),
+    ex_pairs AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               CASE WHEN {_NORM_Q} * {_NORM_V} != 0
+                    THEN {_DOT} / ({_NORM_Q} * {_NORM_V})
+                    ELSE 0.0 END AS cos_raw
+        FROM (SELECT vec_id, v AS q FROM emb WHERE vec_id < 8) q
+        JOIN (SELECT vec_id, v FROM emb) e ON e.vec_id != q.vec_id
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id, rank AS exact_rank
+        FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY floor(cos_raw * 1000000.0 + 0.5) / 1000000.0
+                                DESC, neighbor_id) AS rank
+            FROM ex_pairs
+        )
+        WHERE rank <= {_RQ_DEPTH}
+    ),
+    matched AS (
+        SELECT e.query_id, e.neighbor_id, e.exact_rank, a.ann_rank
+        FROM exact e
+        JOIN ann a ON a.query_id = e.query_id
+                  AND a.neighbor_id = e.neighbor_id
+    ),
+    spine AS (SELECT DISTINCT query_id FROM exact)
+"""
+
+_RQ_KS = (1, 3, 5, 10)
+_RQ_HITS = ",\n               ".join(
+    f"count(CASE WHEN m.exact_rank <= {k} AND m.ann_rank <= {k}"
+    f" THEN 1 END) AS h{k}"
+    for k in _RQ_KS
+)
+_RQ_CURVE = "\n        UNION ALL ".join(
+    f"SELECT {k} AS k, h{k} AS hits FROM per_q" for k in _RQ_KS
+)
+
+
+@register(
+    "ann_recall_curve",
+    f"""
+    WITH {_RQ_RANKS_SQL},
+    per_q AS (
+        SELECT s.query_id,
+               {_RQ_HITS}
+        FROM spine s LEFT JOIN matched m ON m.query_id = s.query_id
+        GROUP BY s.query_id
+    ),
+    curve AS (
+        {_RQ_CURVE}
+    )
+    SELECT k, count(*) AS n_queries,
+           {qround_sql("sum(hits)::DOUBLE / (count(*) * k)")} AS mean_recall,
+           {qround_sql("min(hits)::DOUBLE / k")} AS min_recall,
+           count(CASE WHEN hits = k THEN 1 END) AS n_perfect
+    FROM curve
+    GROUP BY k
+    ORDER BY k
+    """,
+)
+def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_recall_curve(_emb(spark, sf_dir))
+
+
+_RBO_PICOS = similarity.rbo_weight_picos()
+_RBO_CASE = " ".join(
+    f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_RBO_PICOS)
+)
+
+
+@register(
+    "rank_biased_overlap",
+    f"""
+    WITH {_RQ_RANKS_SQL},
+    md_t AS (
+        SELECT query_id, greatest(exact_rank, ann_rank) AS md FROM matched
+    ),
+    per AS (
+        SELECT s.query_id, count(m.md) AS n_common,
+               coalesce(sum(CASE m.md {_RBO_CASE} END), 0) AS rbo_pico
+        FROM spine s LEFT JOIN md_t m ON m.query_id = s.query_id
+        GROUP BY s.query_id
+    )
+    SELECT query_id, n_common,
+           {qround_sql(f"n_common::DOUBLE / {float(_RQ_DEPTH)}")} AS overlap_at_depth,
+           {qround_sql("rbo_pico::DOUBLE / 1000000000000.0")} AS rbo_trunc
+    FROM per
+    ORDER BY query_id
+    """,
+)
+def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.rank_biased_overlap(_emb(spark, sf_dir))
+
+
 _PII_COUNTS = ",\n           ".join(
     f"len(regexp_extract_all(coalesce(text, ''), '{pat}'))::BIGINT AS n_{name}"
     for name, pat, _ in pipeline.PII_PATTERNS
