@@ -283,6 +283,158 @@ def ivf_recall_audit(
     )
 
 
+def ivf_nprobe_recall_curve(
+    embeddings: DataFrame,
+    model,
+    n_queries: int = 5,
+    k: int = 5,
+    nprobes: tuple = (1, 2, 4, 6),
+    min_recall_full: float = 0.6,
+) -> DataFrame:
+    """The nprobe TUNING CURVE for the learned-IVF index, in the same
+    certificate form as ``ivf_recall_audit``: one row per nprobe with
+    deterministically recomputable protocol columns plus two
+    certificates -- ``monotone_ok`` (recall against the exact top-k is
+    non-decreasing in nprobe: probing more cells grows the candidate
+    set, and in a globally-ordered ranking a new candidate can displace
+    an exact-top-k member only by being an exact-top-k member itself)
+    and ``gate_ok`` (at the largest nprobe, recall clears the same
+    ``min_recall_full`` bound ``ann_ivf_kmeans_topk`` certifies).  This
+    is the dial card an index operator reads to pick nprobe.
+
+    Scale: ONE index scan serves every nprobe cut -- candidates are
+    joined at max(nprobes) with the probe RANK of their cell in the
+    query's preference list, and the per-cut top-k rank is a
+    conditional RUNNING COUNT over one (cosine desc, id) window: the
+    running number of probe_rank <= p rows at a qualifying row IS its
+    row_number in the p-filtered subset, so four cuts cost one window
+    pass instead of four searches.  Plus one exact brute-force scan for
+    ground truth; everything downstream is Q x candidates bounded."""
+    max_p = max(nprobes)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    cent_lit = F.expr(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in centers
+        ) + ")"
+    )
+    emb = _spread(embeddings).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    with_d = emb.withColumn("cents", cent_lit).withColumn(
+        "dists",
+        F.expr(
+            "transform(cents, c -> aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
+            " 0D, (acc, t) -> acc + t))"
+        ),
+    ).drop("cents")
+    cands = with_d.select(
+        F.col("vec_id").alias("neighbor_id"),
+        (F.expr("array_position(dists, array_min(dists))").cast("int") - 1).alias(
+            "c_cell"
+        ),
+        "v",
+        _norm("v").alias("nv"),
+    )
+    queries = with_d.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        _norm("v").alias("nq"),
+        F.expr(
+            f"transform(slice(array_sort(transform(dists,"
+            f" (d, i) -> named_struct('d', d, 'i', i))), 1, {max_p}), s -> s.i)"
+        ).alias("probe_cells"),
+    )
+    probed = queries.select(
+        "query_id",
+        "q",
+        "nq",
+        F.posexplode("probe_cells").alias("probe_idx", "cell"),
+    )
+    pairs = (
+        F.broadcast(probed)
+        .join(cands, F.col("cell") == F.col("c_cell"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    denom = F.col("nq") * F.col("nv")
+    cos = F.when(denom != 0, _dot("q", "v") / denom).otherwise(F.lit(0.0))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (F.col("probe_idx") + 1).alias("probe_rank"),
+        (F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cosine"),
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        "probe_rank",
+        *[
+            F.sum(
+                F.when(F.col("probe_rank") <= p, F.lit(1)).otherwise(F.lit(0))
+            )
+            .over(w)
+            .alias(f"rank_p{p}")
+            for p in nprobes
+        ],
+    )
+    exact = cosine_topk(embeddings, n_queries=n_queries, k=k).select(
+        "query_id", F.col("neighbor_id").alias("x_neighbor"), F.lit(1).alias("is_exact")
+    )
+    flagged = ranked.join(
+        F.broadcast(exact),
+        (ranked["query_id"] == exact["query_id"])
+        & (ranked["neighbor_id"] == exact["x_neighbor"]),
+        "left",
+    ).drop(exact["query_id"])
+    hits = flagged.agg(
+        *[
+            F.count(
+                F.when(
+                    (F.col("probe_rank") <= p)
+                    & (F.col(f"rank_p{p}") <= k)
+                    & (F.col("is_exact") == 1),
+                    F.lit(1),
+                )
+            ).alias(f"h{p}")
+            for p in nprobes
+        ]
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    one = hits.crossJoin(F.broadcast(n_exact))
+    prev = {p: q for p, q in zip(nprobes[1:], nprobes[:-1])}
+    rows = ", ".join(
+        f"{p}, "
+        + (f"h{p} >= h{prev[p]}" if p in prev else "true")
+        + ", "
+        + (
+            f"cast(h{p} as double) >= {min_recall_full!r}D"
+            f" * cast(n_exact_pairs as double)"
+            if p == max_p
+            else "true"
+        )
+        for p in nprobes
+    )
+    return (
+        one.selectExpr(
+            "n_exact_pairs",
+            f"stack({len(nprobes)}, {rows}) AS (nprobe, monotone_ok, gate_ok)",
+        )
+        .select(
+            "nprobe",
+            F.lit(n_queries).alias("n_queries"),
+            F.lit(k).alias("k"),
+            "n_exact_pairs",
+            "monotone_ok",
+            "gate_ok",
+        )
+        .orderBy("nprobe")
+    )
+
+
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs -- the last tier of the dedup
     ladder: semantic dupes that share no n-grams.  Candidate pairs are

@@ -274,6 +274,31 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = similarity.fit_codebook(emb, cache_key=sf_dir)
     return similarity.ivf_recall_audit(emb, model, n_queries=5, k=5, nprobe=6)
 
+
+# nprobe tuning curve in the same certificate form: protocol columns
+# recomputable by the oracle; monotone_ok is TRUE by construction
+# (nested candidate sets under a global ranking), gate_ok re-asserts the
+# ann_ivf_kmeans_topk 0.6 bound at the largest nprobe.
+@register(
+    "ivf_nprobe_recall_curve",
+    """
+    SELECT nprobe,
+           5 AS n_queries,
+           5 AS k,
+           ((SELECT count(*) FROM embeddings WHERE vec_id < 5)
+            * least(5, (SELECT count(*) - 1 FROM embeddings)))::BIGINT
+               AS n_exact_pairs,
+           TRUE AS monotone_ok,
+           TRUE AS gate_ok
+    FROM (SELECT unnest([1, 2, 4, 6]) AS nprobe)
+    ORDER BY nprobe
+    """,
+)
+def q_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    model = similarity.fit_codebook(emb, cache_key=sf_dir)
+    return similarity.ivf_nprobe_recall_curve(emb, model)
+
 _COS_PAIR = (
     "CASE WHEN a.nv * b.nv != 0 THEN "
     "list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) / (a.nv * b.nv) "

@@ -211,3 +211,56 @@ def test_dispersion_double_path_matches_exact(spark):
             rb.mean_pairwise_cosine, abs=2e-6
         )
         assert ra.centroid_norm == pytest.approx(rb.centroid_norm, abs=2e-6)
+
+
+def test_ivf_nprobe_curve_certificates_hold_in_numpy(spark):
+    """Independent referee for ivf_nprobe_recall_curve: re-run the IVF
+    search in numpy from the SAME fitted codebook (centers are data, not
+    code) for every nprobe cut and check the certificate CLAIMS are true
+    facts -- recall is monotone in nprobe and clears 0.6 at nprobe=6 --
+    not just that the engine emitted TRUE."""
+    emb_df = load_table(spark, SF_SMOKE, "embeddings")
+    model = similarity.fit_codebook(emb_df, cache_key=SF_SMOKE)
+    centers = np.asarray(
+        [[float(x) for x in c] for c in model.clusterCenters()]
+    )
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()}
+    ids = sorted(vecs)
+    norms = {i: math.sqrt(float(np.dot(vecs[i], vecs[i]))) for i in ids}
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def cosine(a, b):
+        d = norms[a] * norms[b]
+        return q6(float(np.dot(vecs[a], vecs[b])) / d) if d != 0 else 0.0
+
+    cell = {i: int(np.argmin(((centers - vecs[i]) ** 2).sum(axis=1)))
+            for i in ids}
+    NQ, K = 5, 5
+    exact = {
+        q: {n for _, n in sorted(
+            ((-cosine(q, n), n) for n in ids if n != q))[:K]}
+        for q in range(NQ)
+    }
+    n_exact = sum(len(v) for v in exact.values())
+    recalls = []
+    for p in (1, 2, 4, 6):
+        hits = 0
+        for q in range(NQ):
+            d2 = ((centers - vecs[q]) ** 2).sum(axis=1)
+            probe = set(np.lexsort((np.arange(len(d2)), d2))[:p])
+            cand = [n for n in ids if n != q and cell[n] in probe]
+            top = {n for _, n in sorted(
+                ((-cosine(q, n), n) for n in cand))[:K]}
+            hits += len(top & exact[q])
+        recalls.append(hits / n_exact)
+    assert all(b >= a for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] >= 0.6, recalls
+    # and the engine's certificate row set matches the protocol
+    got = similarity.ivf_nprobe_recall_curve(emb_df, model).collect()
+    assert [int(r.nprobe) for r in got] == [1, 2, 4, 6]
+    assert all(r.monotone_ok and r.gate_ok for r in got)
+    assert all(int(r.n_exact_pairs) == n_exact for r in got)
