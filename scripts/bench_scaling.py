@@ -93,6 +93,13 @@ def pick_queries(n: int) -> list[str]:
         # per day never widen it) and the windowed scale twin (pair
         # cost linear in calendar length by construction)
         "kendall_tau_matrix", "kendall_tau_windowed",
+        # round-13 retrieval-quality audits: both sides are probe-
+        # bounded (Q x depth rank frames) but the exact ground-truth arm
+        # scans the corpus once per run -- the curve verifies the cost
+        # stays one-scan-proportional and the banded ANN arm's bucket
+        # join keeps bounding the candidate fan-out
+        "ann_recall_curve", "rank_biased_overlap",
+        "ivf_nprobe_recall_curve",
     ]
     picked.extend(q for q in forced if q not in picked)
     return picked
