@@ -100,6 +100,11 @@ def pick_queries(n: int) -> list[str]:
         # join keeps bounding the candidate fan-out
         "ann_recall_curve", "rank_biased_overlap",
         "ivf_nprobe_recall_curve",
+        # round-13: the let-binding rewrite cut its flat driver cost
+        # ~5 s -> ~0.8 s, dropping it out of the top-n -- keep it on the
+        # curve so a CollapseProject regression shows up as a step-cost
+        # move, not only as the perf-budget test
+        "pairs_spread_backtest",
     ]
     picked.extend(q for q in forced if q not in picked)
     return picked

@@ -36,6 +36,11 @@ BUDGETS = {
     "fuzzy_dedup_keep": 6.6,      # frozen 3.269 s
     "volatility_cones": 5.9,      # frozen 2.911 s
     "bm25_search": 3.6,           # frozen 1.752 s
+    # round-13: the lambda let-binding rewrite cut the fold pipeline's
+    # flat driver/codegen cost from ~5 s to ~0.83 s (frozen r13); the
+    # budget is the r12 verdict's explicit "under ~2.5 s" bar, so a
+    # regression back to CollapseProject tree blow-up fails in-round
+    "pairs_spread_backtest": 2.5,  # frozen 0.831 s
 }
 
 pytestmark = pytest.mark.skipif(
