@@ -6047,3 +6047,159 @@ def pairs_spread_backtest(events: DataFrame) -> DataFrame:
         ),
         (F.col("st.pos") != 0).alias("open_at_end"),
     ).orderBy("sym_a", "sym_b")
+
+
+def component_var_decomposition(events: DataFrame, z: float = 1.645) -> DataFrame:
+    """Euler decomposition of parametric portfolio VaR for the
+    equal-weight portfolio of all symbols: per symbol the marginal VaR
+    (dVaR/dw_i = z * (SIGMA w)_i / sigma_p), the component VaR
+    (w_i * marginal -- these sum EXACTLY to the portfolio VaR, Euler's
+    theorem on the homogeneous sigma_p), and the risk share.  The
+    standard answer to "which position is my VaR" -- a high-vol symbol
+    hedged by negative covariance can carry a SMALLER component than a
+    mid-vol symbol correlated with everything.
+
+    Covariances run on the COMPLETE panel (days where every symbol
+    printed a return) so SIGMA is one Gram matrix and the Euler identity
+    holds exactly; with ragged pairwise panels the components drift from
+    the total and the decomposition stops being auditable.
+
+    Scale: the panel is (symbols x days) -- calendar cardinality; the
+    covariance stage is one day-keyed self-equi-join at |symbols|^2 x
+    |days| rows feeding a partial-aggregable covar_pop, the
+    symbol_correlations shape.  Row sums and the portfolio variance are
+    |symbols|-cardinality aggregates; the 1-row total broadcasts back.
+    For a 10k-symbol universe, screen pairs first (symbol_correlations)
+    or use a factor model -- documented, not silently sampled."""
+    rets = _daily_log_returns(events)
+    nsym = rets.select(F.countDistinct("symbol").alias("n_sym_all"))
+    full_days = (
+        rets.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_on_day"))
+        .join(F.broadcast(nsym))
+        .filter(F.col("n_on_day") == F.col("n_sym_all"))
+        .select("day")
+    )
+    panel = rets.join(full_days, "day")
+    a = panel.select(
+        F.col("symbol").alias("sym_a"), "day", F.col("lr").alias("ra")
+    )
+    b = panel.select(
+        F.col("symbol").alias("sym_b"),
+        F.col("day").alias("day_b"),
+        F.col("lr").alias("rb"),
+    )
+    cov = (
+        a.join(b, F.col("day") == F.col("day_b"))
+        .groupBy("sym_a", "sym_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.covar_pop("ra", "rb").alias("cov"),
+        )
+    )
+    per = cov.groupBy("sym_a").agg(
+        F.max("n_days").alias("n_days"),
+        F.count(F.lit(1)).alias("n_sym"),
+        F.sum("cov").alias("cov_rowsum"),
+        F.max(F.when(F.col("sym_b") == F.col("sym_a"), F.col("cov"))).alias(
+            "var_own"
+        ),
+    )
+    tot = per.agg(
+        F.sum(
+            F.col("cov_rowsum")
+            / (F.col("n_sym").cast("double") * F.col("n_sym").cast("double"))
+        ).alias("port_var")
+    )
+    zc = F.lit(z)
+    n_d = F.col("n_sym").cast("double")
+    sig_p = F.sqrt(F.col("port_var"))
+    mvar = F.when(
+        F.col("port_var") > 0, zc * (F.col("cov_rowsum") / n_d) / sig_p
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sym_a").alias("symbol"),
+            "n_days",
+            qround(F.lit(1.0) / n_d, 8).alias("weight"),
+            qround(F.sqrt(F.col("var_own")), 8).alias("daily_vol"),
+            qround(mvar, 8).alias("marginal_var"),
+            qround(mvar / n_d, 8).alias("component_var"),
+            qround(
+                F.when(
+                    F.col("port_var") > 0,
+                    F.col("cov_rowsum") / (n_d * n_d * F.col("port_var")),
+                ),
+                6,
+            ).alias("risk_share"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def epps_effect_curve(
+    events: DataFrame, intervals: tuple = (1, 5, 15, 30)
+) -> DataFrame:
+    """Epps effect curve (Epps 1979): pairwise return correlation as a
+    function of the sampling interval.  Asynchronous trading and
+    microstructure noise bias high-frequency correlations toward zero;
+    a desk reads this curve to pick the coarsest interval whose
+    correlation has converged (and hayashi_yoshida_covariance to bypass
+    the bias entirely -- this is its diagnostic twin).
+
+    Per interval: close bars on the epoch-second grid (exact integer
+    bucket ids, no calendar-origin alignment trap between engines),
+    12-dp-quantized log returns over consecutive bars, then one
+    partial-aggregable guarded Pearson per unordered pair.
+
+    Scale: each interval is one bar-cardinality shuffle + a bar-keyed
+    self-equi-join (the symbol_correlations shape); coarser intervals
+    are strictly cheaper.  The union stacks a fixed handful of
+    interval frames -- no per-row fan-out beyond the |intervals|
+    constant."""
+    src = events.filter(F.col("value") > 0)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    parts = []
+    for m in intervals:
+        sec = 60 * int(m)
+        bars = src.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.expr(f"unix_timestamp(ts) div {sec}").alias("bucket"),
+        ).agg(F.max_by(F.col("value"), key).alias("c"))
+        w = Window.partitionBy("symbol").orderBy("bucket")
+        prev = F.lag("c").over(w)
+        lr = bars.select(
+            "symbol",
+            "bucket",
+            F.when(prev.isNotNull(), qround(F.log(F.col("c") / prev), 12)).alias(
+                "lr"
+            ),
+        ).filter(F.col("lr").isNotNull())
+        a = lr.select(
+            F.col("symbol").alias("sym_a"), "bucket", F.col("lr").alias("la")
+        )
+        b = lr.select(
+            F.col("symbol").alias("sym_b"),
+            F.col("bucket").alias("bucket_b"),
+            F.col("lr").alias("lb"),
+        )
+        parts.append(
+            a.join(
+                b,
+                (F.col("bucket") == F.col("bucket_b"))
+                & (F.col("sym_a") < F.col("sym_b")),
+            )
+            .groupBy("sym_a", "sym_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_obs"),
+                _safe_corr("la", "lb").alias("corr"),
+            )
+            .select(
+                F.lit(int(m)).alias("interval_min"), "sym_a", "sym_b", "n_obs", "corr"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("interval_min", "sym_a", "sym_b")

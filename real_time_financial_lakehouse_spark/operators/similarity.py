@@ -2583,3 +2583,111 @@ def embedding_outlier_report(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# MMR weights as INDEPENDENT decimal constants, not mu = 1 - lam: the
+# IEEE double 1.0 - 0.7 is 0.30000000000000004 while an engine parsing
+# the literal 0.3 gets a different bit pattern -- a latent cross-engine
+# argmax divergence.  Both engines parse these exact decimal literals.
+MMR_LAM = 0.7
+MMR_MU = 0.3
+
+
+def mmr_diversified_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    n_candidates: int = 20,
+    k: int = 8,
+    lam: float = MMR_LAM,
+    mu: float = MMR_MU,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): for each query, greedily select ``k`` of the
+    ``n_candidates`` most-relevant neighbors, each step maximizing
+    ``lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)`` -- the
+    canonical redundancy-penalized re-rank behind diversity-aware
+    retrieval and coverage-first training-data selection (pure cosine
+    top-k happily returns k near-duplicates; MMR spends the same budget
+    on distinct regions of embedding space).
+
+    Determinism instrument: relevance and every candidate-candidate
+    similarity snap to the 1e-6 grid BEFORE any comparison (the
+    cosine_topk discipline), the greedy score is one multiply-subtract
+    on those quantized doubles (bit-identical cross-engine), and every
+    argmax tie breaks by candidate id, so the selection ORDER -- not
+    just the set -- is reproducible on any engine.
+
+    Scale: the corpus appears only in the candidate stage (broadcast
+    query side x one candidate scan + a per-query top-N window -- the
+    cosine_topk shape, swap in the IVF/LSH candidate stage at real
+    scale); the greedy fold is ONE JVM ``aggregate`` over a
+    query-cardinality frame of N x d structs, k * N * k * d flops per
+    query, no Python, no per-step shuffle, no candidate-pair join."""
+    emb = _spread(embeddings).select("vec_id", _as_double("embedding").alias("v"))
+    emb = emb.withColumn("nv", _norm("v"))
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.col("nv").alias("nq"),
+    )
+    pairs = F.broadcast(queries).crossJoin(
+        emb.select(F.col("vec_id").alias("cid"), "v", "nv")
+    )
+    pairs = pairs.filter(F.col("query_id") != F.col("cid"))
+    denom = F.col("nq") * F.col("nv")
+    cos = F.when(denom != 0, _dot("q", "v") / denom).otherwise(F.lit(0.0))
+    scored = pairs.select(
+        "query_id",
+        "cid",
+        "v",
+        "nv",
+        (F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("cid"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_candidates)
+    )
+    packed = cand.groupBy("query_id").agg(
+        F.array_sort(F.collect_list(F.struct("rn", "cid", "rel", "v", "nv"))).alias(
+            "cands"
+        )
+    )
+    st = "struct<step:int,cid:bigint,rel:double,mmr:double,v:array<double>,nv:double>"
+    qsim = (
+        "floor(aggregate(zip_with(c.v, s.v, (x, y) -> x * y), 0D,"
+        " (a, t) -> a + t) / (c.nv * s.nv) * 1000000D + 0.5D) / 1000000D"
+    )
+    sel_expr = F.expr(
+        f"""
+        aggregate(
+          sequence(1, {k}),
+          cast(array() as array<{st}>),
+          (sel, step) -> array_append(sel,
+            aggregate(
+              transform(
+                filter(cands, c -> NOT exists(sel, s -> s.cid = c.cid)),
+                c -> named_struct(
+                  'step', step, 'cid', c.cid, 'rel', c.rel,
+                  'mmr', {lam!r}D * c.rel - {mu!r}D * coalesce(
+                    array_max(transform(sel, s -> {qsim})), 0D),
+                  'v', c.v, 'nv', c.nv)),
+              cast(null as {st}),
+              (best, c) -> case
+                when best is null then c
+                when c.mmr > best.mmr then c
+                when c.mmr = best.mmr and c.cid < best.cid then c
+                else best end)))
+        """
+    )
+    return (
+        packed.select("query_id", F.explode(sel_expr).alias("s"))
+        .select(
+            "query_id",
+            F.col("s.step").alias("rank"),
+            F.col("s.cid").alias("doc_id"),
+            F.col("s.rel").alias("relevance"),
+            qround(F.col("s.mmr"), 6).alias("mmr_score"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -3223,8 +3223,12 @@ _DRIVER_VERIFIED_R12 = list(_ROUND12_FRONT)
 # externally verified union reaches 369/369 -- every query registered
 # before round 13 driver-checked at least once.
 #
-# ROUND-14 QUEUE (per the age policy, do not activate early): any
-# round-13 in-round additions first (dual-sf shaken at creation); then
+# ROUND-14 QUEUE (per the age policy, do not activate early): the
+# round-13 in-round additions first (each 20x dual-sf shaken at
+# creation: ann_recall_curve, rank_biased_overlap,
+# ivf_nprobe_recall_curve, streaming_label_centroids,
+# mmr_diversified_topk, component_var_decomposition,
+# epps_effect_curve -- 7 names); then
 # the r5-vintage remainder in _ROUND5_FRONT order
 # (order_flow_imbalance, kyle_lambda, dollar_bars, volatility_cones,
 # cci_20, return_autocorr, profile_events, key_skew_profile,
@@ -9558,6 +9562,43 @@ def q_streaming_range_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# Streaming twin of the per-label centroid profile (round-13): a float
+# mean is NOT mergeable (per-batch partials re-associate the IEEE adds),
+# so the state carries exact BIGINT component sums on the 1e-8 grid --
+# integer addition commutes with any batching -- and the oracle mirrors
+# the grid, so the only doubles on either engine are the identical
+# read-time projections gsum / (n * 1e8).
+@register(
+    "streaming_label_centroids",
+    f"""
+    WITH dims AS (
+        SELECT label, i - 1 AS pos,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 100000000.0 + 0.5)
+                    AS BIGINT) AS gx
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+    ),
+    cent AS (
+        SELECT label, pos, sum(gx) AS gsum, count(*) AS n
+        FROM dims GROUP BY 1, 2
+    )
+    SELECT label,
+           max(n) AS n_vectors,
+           {_q('sqrt(sum((gsum::DOUBLE / (n::DOUBLE * 100000000.0)) * (gsum::DOUBLE / (n::DOUBLE * 100000000.0))))')} AS centroid_norm,
+           {_q('max(CASE WHEN pos = 0 THEN gsum::DOUBLE / (n::DOUBLE * 100000000.0) END)')} AS c0,
+           {_q('max(CASE WHEN pos = 1 THEN gsum::DOUBLE / (n::DOUBLE * 100000000.0) END)')} AS c1,
+           {_q('max(CASE WHEN pos = 2 THEN gsum::DOUBLE / (n::DOUBLE * 100000000.0) END)')} AS c2,
+           {_q('max(CASE WHEN pos = 3 THEN gsum::DOUBLE / (n::DOUBLE * 100000000.0) END)')} AS c3
+    FROM cent GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_streaming_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.silver import streaming_label_centroids
+
+    return streaming_label_centroids(spark, sf_dir)
+
+
+
 # Engle-Granger pairs cointegration screen (round-12): one day-keyed
 # self-join of the daily log-close ladder, then OLS + residual ADF as
 # LEFT FOLDS over one day-ordered (pa, pb) list per pair -- bit-
@@ -9726,6 +9767,112 @@ def q_cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pairs_spread_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.pairs_spread_backtest(_events(spark, sf_dir))
+
+
+# Euler VaR decomposition (round-13): covariances on the COMPLETE panel
+# (days where every symbol printed) so the components sum exactly to the
+# portfolio VaR; covar_pop partials on both engines, outputs quantized.
+@register(
+    "component_var_decomposition",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    lrw AS (
+        SELECT symbol, day,
+               {_q("ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))", 12)} AS lr
+        FROM dclose
+    ),
+    rets AS (SELECT symbol, day, lr FROM lrw WHERE lr IS NOT NULL),
+    nsym AS (SELECT count(DISTINCT symbol) AS n_sym_all FROM rets),
+    full_days AS (
+        SELECT day FROM rets GROUP BY 1
+        HAVING count(*) = (SELECT n_sym_all FROM nsym)
+    ),
+    panel AS (SELECT r.* FROM rets r JOIN full_days USING (day)),
+    cov AS (
+        SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+               count(*)::BIGINT AS n_days, covar_pop(a.lr, b.lr) AS cov
+        FROM panel a JOIN panel b ON a.day = b.day
+        GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT sym_a, max(n_days)::BIGINT AS n_days,
+               count(*)::BIGINT AS n_sym, sum(cov) AS cov_rowsum,
+               max(CASE WHEN sym_b = sym_a THEN cov END) AS var_own
+        FROM cov GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(cov_rowsum / (n_sym::DOUBLE * n_sym::DOUBLE)) AS port_var
+        FROM per
+    )
+    SELECT sym_a AS symbol, n_days,
+           {_q('1.0 / n_sym::DOUBLE', 8)} AS weight,
+           {_q('sqrt(var_own)', 8)} AS daily_vol,
+           CASE WHEN port_var > 0 THEN
+               {_q('CAST(1.645 AS DOUBLE) * (cov_rowsum / n_sym::DOUBLE) / sqrt(port_var)', 8)}
+           END AS marginal_var,
+           CASE WHEN port_var > 0 THEN
+               {_q('CAST(1.645 AS DOUBLE) * (cov_rowsum / n_sym::DOUBLE) / sqrt(port_var) / n_sym::DOUBLE', 8)}
+           END AS component_var,
+           CASE WHEN port_var > 0 THEN
+               {_q('cov_rowsum / (n_sym::DOUBLE * n_sym::DOUBLE * port_var)', 6)}
+           END AS risk_share
+    FROM per, tot ORDER BY 1
+    """,
+)
+def q_component_var_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.component_var_decomposition(_events(spark, sf_dir))
+
+
+def _epps_interval_sql(m: int) -> str:
+    sec_us = 60 * m * 1000000
+    lag_lr = _q(
+        "ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY bucket))", 12
+    )
+    return f"""
+    b{m} AS (
+        SELECT symbol, bucket, max(CASE WHEN rn = 1 THEN value END) AS c
+        FROM (
+            SELECT event_type AS symbol, epoch_us(ts) // {sec_us} AS bucket,
+                   value,
+                   row_number() OVER (
+                       PARTITION BY event_type, epoch_us(ts) // {sec_us}
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM esrc
+        ) GROUP BY 1, 2
+    ),
+    l{m} AS (
+        SELECT symbol, bucket, lr FROM (
+            SELECT symbol, bucket, {lag_lr} AS lr FROM b{m}
+        ) WHERE lr IS NOT NULL
+    ),
+    c{m} AS (
+        SELECT {m} AS interval_min, a.symbol AS sym_a, b.symbol AS sym_b,
+               count(*)::BIGINT AS n_obs,
+               CASE WHEN stddev_pop(a.lr) * stddev_pop(b.lr) != 0 THEN
+                   {_q('covar_pop(a.lr, b.lr) / (stddev_pop(a.lr) * stddev_pop(b.lr))', 6)}
+               END AS corr
+        FROM l{m} a JOIN l{m} b
+          ON a.bucket = b.bucket AND a.symbol < b.symbol
+        GROUP BY 1, 2, 3
+    )"""
+
+
+# Epps effect curve (round-13): pairwise correlation vs sampling
+# interval on exact epoch-second integer buckets (no calendar-origin
+# alignment trap); guarded Pearson per pair per interval.
+@register(
+    "epps_effect_curve",
+    "WITH esrc AS (SELECT * FROM events WHERE value > 0),"
+    + ",".join(_epps_interval_sql(m) for m in (1, 5, 15, 30))
+    + """
+    SELECT * FROM (
+        SELECT * FROM c1 UNION ALL SELECT * FROM c5
+        UNION ALL SELECT * FROM c15 UNION ALL SELECT * FROM c30
+    ) ORDER BY 1, 2, 3
+    """,
+)
+def q_epps_effect_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.epps_effect_curve(_events(spark, sf_dir))
 
 
 # All registrations (including registry_llmdata's and the late blocks

@@ -3955,3 +3955,92 @@ def q_length_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_outlier_report(_emb(spark, sf_dir))
+
+
+# MMR diversified top-k (round-13): the greedy selection is inherently
+# sequential, so the oracle carries the selected set through a RECURSIVE
+# CTE (the recorded round-12 rule: sequential multi-slot state goes in a
+# recursive CTE, never a LIST-accumulator list_reduce) -- one row per
+# (query, step) with the picked id plus the accumulated id/vector/norm
+# lists.  Relevance and every candidate-candidate similarity snap to the
+# 1e-6 grid BEFORE any comparison, the greedy score is one
+# multiply-subtract on quantized doubles with INDEPENDENT decimal
+# weights (similarity.MMR_LAM / MMR_MU -- never 1 - lam, whose IEEE
+# value differs from the parsed literal 0.3), and ties break by
+# candidate id, so selection ORDER matches cross-engine.
+_MMR_SIM = (
+    "floor(list_sum(list_transform(generate_series(1, len(c.v)),"
+    " i -> c.v[i] * s.sel_vs[j][i]))"
+    " / (c.nv * s.sel_nvs[j]) * 1000000.0 + 0.5) / 1000000.0"
+)
+_MMR_SCORE = (
+    f"CAST({similarity.MMR_LAM!r} AS DOUBLE) * c.rel"
+    f" - CAST({similarity.MMR_MU!r} AS DOUBLE) * list_max("
+    f"list_transform(generate_series(1, len(s.sel_vs)), j -> {_MMR_SIM}))"
+)
+
+
+@register(
+    "mmr_diversified_topk",
+    f"""
+    WITH RECURSIVE
+    emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    embn AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv
+        FROM emb
+    ),
+    q AS (SELECT vec_id AS query_id, v AS q, nv AS nq FROM embn WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS cid, e.v, e.nv,
+               floor(CASE WHEN q.nq * e.nv != 0
+                     THEN list_sum(list_transform(generate_series(1, len(q.q)),
+                                                  i -> q.q[i] * e.v[i]))
+                          / (q.nq * e.nv)
+                     ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS rel
+        FROM q CROSS JOIN embn e
+        WHERE e.vec_id != q.query_id
+    ),
+    cand AS (
+        SELECT query_id, cid, rel, v, nv
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY rel DESC, cid) AS rn
+              FROM scored)
+        WHERE rn <= 20
+    ),
+    sel AS (
+        SELECT query_id, 1 AS step, cid, rel,
+               CAST({similarity.MMR_LAM!r} AS DOUBLE) * rel AS mmr,
+               [cid] AS sel_ids, [v] AS sel_vs, [nv] AS sel_nvs
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY rel DESC, cid) AS rn
+              FROM cand)
+        WHERE rn = 1
+        UNION ALL
+        SELECT query_id, step, cid, rel, mmr,
+               list_append(sel_ids, cid), list_append(sel_vs, v),
+               list_append(sel_nvs, nv)
+        FROM (
+            SELECT s.query_id, s.step + 1 AS step, c.cid, c.rel, c.v, c.nv,
+                   s.sel_ids, s.sel_vs, s.sel_nvs,
+                   {_MMR_SCORE} AS mmr,
+                   row_number() OVER (
+                       PARTITION BY s.query_id
+                       ORDER BY {_MMR_SCORE} DESC, c.cid) AS rn
+            FROM sel s
+            JOIN cand c ON c.query_id = s.query_id
+                       AND NOT list_contains(s.sel_ids, c.cid)
+            WHERE s.step < 8
+        )
+        WHERE rn = 1
+    )
+    SELECT query_id, step AS rank, cid AS doc_id, rel AS relevance,
+           {qround_sql('mmr', 6)} AS mmr_score
+    FROM sel
+    ORDER BY query_id, rank
+    """,
+)
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.mmr_diversified_topk(_emb(spark, sf_dir))

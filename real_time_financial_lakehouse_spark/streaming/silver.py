@@ -1331,3 +1331,105 @@ def streaming_range_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     state = versioned.read_version(spark, table_dir)
     return _range_vol_from_ohlc(state.select("symbol", "day", "o", "h", "l", "c"))
+
+
+def streaming_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the per-label centroid profile
+    (operators/similarity.label_centroids): each micro-batch of vectors
+    folds its per-(label, dim) component sums into a manifest-logged
+    state table; the centroid norm and leading components are computed
+    ONCE from the drained sums at read time.
+
+    Mergeability is bought with the repo's grid discipline: a float mean
+    is NOT mergeable (per-batch partial sums re-associate the IEEE adds,
+    so drained state would depend on shard composition), but component
+    sums snapped to the 1e-8 grid are exact BIGINTs -- integer addition
+    commutes with any batching -- so the state carries (label, pos,
+    gsum, n) and the only doubles appear in the final read-time
+    projection gsum / (n * 1e8), identical arithmetic to the oracle.
+    Headroom: |gsum| <= n * |x|_max * 1e8, exact in int64 to ~9e10
+    unit-scale vectors per label and exact in the double cast to 2^53
+    (~9e15) -- the intra_label_cosine_dispersion analysis, one power
+    lower because nothing here squares a sum.
+
+    Scale: state is (labels x dims) cardinality, never vectors; each
+    micro-batch contributes ONE partial-aggregated groupBy at state
+    cardinality (the same distributed shape as the batch twin's
+    centroid stage, which is itself fit_codebook's KMeans M-step)."""
+    from ..functions.hashing import md5_long
+    from ..functions.numeric import qround
+    from ..operators import versioned
+    from ..operators.similarity import _as_double
+
+    src_dir = scratch_dir("rtfl_scent_src_")
+    table_dir = os.path.join(scratch_dir("rtfl_scent_tbl_"), "sums")
+    ckpt_dir = scratch_dir("rtfl_scent_ckpt_")
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # Own shard fixture (derived frame, not the shared events copy):
+    # md5(vec_id) % 4 -- row-local, shuffle-free, reproducible.
+    emb.withColumn(
+        "part", md5_long(F.col("vec_id").cast("string")) % 4
+    ).write.partitionBy("part").mode("overwrite").parquet(src_dir)
+
+    def _partial(df: DataFrame) -> DataFrame:
+        dims = df.select(
+            "label", F.posexplode(_as_double("embedding")).alias("pos", "x")
+        )
+        gx = F.floor(F.col("x") * F.lit(1e8) + F.lit(0.5)).cast("long")
+        return dims.groupBy("label", "pos").agg(
+            F.sum(gx).alias("gsum"), F.count(F.lit(1)).alias("n")
+        )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = _partial(batch_df)
+        if versioned.table_versions(table_dir):
+            prev = versioned.read_version(batch_df.sparkSession, table_dir)
+            merged = (
+                prev.unionByName(part)
+                .groupBy("label", "pos")
+                .agg(F.sum("gsum").alias("gsum"), F.sum("n").alias("n"))
+            )
+        else:
+            merged = part
+        versioned.idempotent_commit(
+            merged, table_dir, app_id="rtfl_streaming_cent", batch_id=batch_id
+        )
+
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark) as ss:
+        stream = (
+            ss.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if not versioned.table_versions(table_dir):
+        return spark.createDataFrame(
+            [],
+            "label int, n_vectors bigint, centroid_norm double,"
+            " c0 double, c1 double, c2 double, c3 double",
+        )
+    state = versioned.read_version(spark, table_dir)
+    m = F.col("gsum").cast("double") / (F.col("n").cast("double") * F.lit(1e8))
+    return (
+        state.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            qround(F.sqrt(F.sum(m * m)), 6).alias("centroid_norm"),
+            *[
+                qround(F.max(F.when(F.col("pos") == i, m)), 6).alias(f"c{i}")
+                for i in range(4)
+            ],
+        )
+        .select("label", "n_vectors", "centroid_norm", "c0", "c1", "c2", "c3")
+        .orderBy("label")
+    )

@@ -105,6 +105,12 @@ def pick_queries(n: int) -> list[str]:
         # curve so a CollapseProject regression shows up as a step-cost
         # move, not only as the perf-budget test
         "pairs_spread_backtest",
+        # round-13 late additions: pair-join day panels (component VaR),
+        # four stacked bar-join intervals (epps), greedy MMR fold, and
+        # the grid-state streaming twin -- all new shapes, force-listed
+        # so their first scaling curve is recorded the round they land
+        "component_var_decomposition", "epps_effect_curve",
+        "mmr_diversified_topk", "streaming_label_centroids",
     ]
     picked.extend(q for q in forced if q not in picked)
     return picked

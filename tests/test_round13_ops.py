@@ -264,3 +264,244 @@ def test_ivf_nprobe_curve_certificates_hold_in_numpy(spark):
     assert [int(r.nprobe) for r in got] == [1, 2, 4, 6]
     assert all(r.monotone_ok and r.gate_ok for r in got)
     assert all(int(r.n_exact_pairs) == n_exact for r in got)
+
+
+# ---------------------------------------------------------------------------
+# streaming_label_centroids
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_label_centroids_matches_numpy_grid_referee(spark, sf_dir):
+    """Referee: full numpy re-implementation of the grid-sum centroid
+    (exact int64 1e-8-grid sums / read-time double projection),
+    independent of Spark, the streaming machinery, and the DuckDB
+    oracle -- then drained state must match it bit-for-bit."""
+    from real_time_financial_lakehouse_spark.streaming.silver import (
+        streaming_label_centroids,
+    )
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    expected = {}
+    for label, g in emb.groupby("label"):
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+        gsum = np.floor(mat * 1e8 + 0.5).astype(np.int64).sum(axis=0)
+        n = mat.shape[0]
+        m = gsum.astype(np.float64) / (float(n) * 1e8)
+        q = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+        expected[int(label)] = (
+            n,
+            q(math.sqrt(float((m * m).sum()))),
+            *[q(float(m[i])) for i in range(4)],
+        )
+
+    rows = streaming_label_centroids(spark, sf_dir).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        exp = expected[int(r.label)]
+        got = (r.n_vectors, r.centroid_norm, r.c0, r.c1, r.c2, r.c3)
+        assert got == exp, (r.label, got, exp)
+
+
+def test_streaming_label_centroids_tracks_batch_twin(spark, sf_dir):
+    """The grid twin and the float-mean batch profile may differ only by
+    the 0.5e-8 component quantization -- i.e. at most one 1e-6 output
+    grid step after qround."""
+    from real_time_financial_lakehouse_spark.streaming.silver import (
+        streaming_label_centroids,
+    )
+
+    emb_df = load_table(spark, sf_dir, "embeddings")
+    batch = {r.label: r for r in similarity.label_centroids(emb_df).collect()}
+    for r in streaming_label_centroids(spark, sf_dir).collect():
+        b = batch[r.label]
+        assert r.n_vectors == b.n_vectors
+        for col in ("centroid_norm", "c0", "c1", "c2", "c3"):
+            assert abs(r[col] - b[col]) <= 1.0000001e-6, (r.label, col)
+
+
+# ---------------------------------------------------------------------------
+# mmr_diversified_topk
+# ---------------------------------------------------------------------------
+
+
+def _q6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _mmr_referee(sf_dir, n_queries=8, n_candidates=20, k=8):
+    """Full numpy/python re-implementation of the greedy MMR selection,
+    independent of Spark and the DuckDB oracle."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()}
+    ids = sorted(vecs)
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        na, nb = math.sqrt(float(va @ va)), math.sqrt(float(vb @ vb))
+        return _q6(float(va @ vb) / (na * nb)) if na * nb != 0 else 0.0
+
+    out = []
+    for q in [i for i in ids if i < n_queries]:
+        cands = sorted(((cos(q, c), c) for c in ids if c != q),
+                       key=lambda t: (-t[0], t[1]))[:n_candidates]
+        sel = []
+        for step in range(1, k + 1):
+            best = None
+            for rel, c in cands:
+                if any(c == s[2] for s in sel):
+                    continue
+                maxsim = max((cos(c, s[2]) for s in sel), default=0.0)
+                score = 0.7 * rel - 0.3 * maxsim
+                if best is None or score > best[0] or (
+                    score == best[0] and c < best[1][2]
+                ):
+                    best = (score, (step, rel, c))
+            sel.append(best[1])
+            out.append((q, best[1][0], best[1][2], best[1][1], _q6(best[0])))
+    return out
+
+
+def test_mmr_diversified_topk_matches_numpy_referee(spark, sf_dir):
+    emb_df = load_table(spark, sf_dir, "embeddings")
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.relevance, r.mmr_score)
+        for r in similarity.mmr_diversified_topk(emb_df).collect()
+    ]
+    assert got == _mmr_referee(sf_dir)
+
+
+def test_mmr_selection_is_more_diverse_than_pure_topk(spark, sf_dir):
+    """The point of the operator: the MMR set's mean pairwise cosine
+    must not exceed pure relevance top-k's, and the selections must
+    actually differ somewhere (the penalty is doing work)."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()}
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        return float(va @ vb) / (
+            math.sqrt(float(va @ va)) * math.sqrt(float(vb @ vb))
+        )
+
+    def mean_pairwise(sel):
+        ps = [cos(a, b) for i, a in enumerate(sel) for b in sel[i + 1:]]
+        return sum(ps) / len(ps)
+
+    emb_df = load_table(spark, sf_dir, "embeddings")
+    mmr_sel = {}
+    for r in similarity.mmr_diversified_topk(emb_df).collect():
+        mmr_sel.setdefault(r.query_id, []).append(r.doc_id)
+    topk_sel = {}
+    for r in similarity.cosine_topk(emb_df, n_queries=8, k=8).collect():
+        topk_sel.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert set(mmr_sel) == set(topk_sel)
+    diffs = 0
+    for q in mmr_sel:
+        assert mean_pairwise(mmr_sel[q]) <= mean_pairwise(topk_sel[q]) + 1e-9, q
+        diffs += mmr_sel[q] != topk_sel[q]
+    assert diffs > 0
+
+
+def test_mmr_plan_has_no_cartesian_and_broadcasts_queries(spark, sf_dir):
+    emb_df = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(similarity.mmr_diversified_topk(emb_df))
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+# ---------------------------------------------------------------------------
+# component_var_decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_component_var_euler_identity_and_numpy_referee(spark, sf_dir):
+    """Referee: numpy covariance on the complete panel; and the Euler
+    identity -- component VaRs sum to z * sigma_p -- which only holds if
+    the covariance stage really used one coherent Gram matrix."""
+    from real_time_financial_lakehouse_spark.operators.finance import (
+        _daily_log_returns,
+        component_var_decomposition,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rets = _daily_log_returns(ev).toPandas()
+    piv = rets.pivot(index="day", columns="symbol", values="lr").dropna()
+    syms = sorted(piv.columns)
+    mat = piv[syms].to_numpy(dtype=np.float64)
+    cov = np.cov(mat, rowvar=False, bias=True)
+    n = len(syms)
+    w = np.full(n, 1.0 / n)
+    port_var = float(w @ cov @ w)
+    sig_p = math.sqrt(port_var)
+    rows = {r.symbol: r for r in component_var_decomposition(ev).collect()}
+    assert set(rows) == set(syms)
+    comp_sum = 0.0
+    for i, s in enumerate(syms):
+        r = rows[s]
+        assert r.n_days == mat.shape[0]
+        assert r.daily_vol == pytest.approx(math.sqrt(cov[i, i]), rel=1e-6)
+        mvar = 1.645 * float(cov[i] @ w) / sig_p
+        assert r.marginal_var == pytest.approx(mvar, rel=1e-6)
+        assert r.component_var == pytest.approx(mvar / n, rel=1e-6)
+        assert r.risk_share == pytest.approx(
+            float(cov[i] @ w) / (n * port_var), rel=1e-5
+        )
+        comp_sum += r.component_var
+    assert comp_sum == pytest.approx(1.645 * sig_p, rel=1e-6)
+    shares = sum(r.risk_share for r in rows.values())
+    assert shares == pytest.approx(1.0, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# epps_effect_curve
+# ---------------------------------------------------------------------------
+
+
+def test_epps_effect_curve_matches_pandas_referee(spark, sf_dir):
+    """Referee: pandas bars + numpy Pearson at every interval."""
+    from real_time_financial_lakehouse_spark.operators.finance import (
+        epps_effect_curve,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pdf = ev.filter(F.col("value") > 0).select(
+        "event_type", "ts", "event_id", "value"
+    ).toPandas()
+    got = {}
+    for r in epps_effect_curve(ev).collect():
+        got[(r.interval_min, r.sym_a, r.sym_b)] = (r.n_obs, r.corr)
+    q12 = lambda x: math.floor(x * 1e12 + 0.5) / 1e12
+    checked = 0
+    for m in (1, 5, 15, 30):
+        pdf2 = pdf.copy()
+        pdf2["bucket"] = (pdf2["ts"].astype("int64") // 1000) // (60 * m * 10**6)
+        pdf2 = pdf2.sort_values(["ts", "event_id"])
+        bars = pdf2.groupby(["event_type", "bucket"])["value"].last()
+        series = {}
+        for sym in sorted(pdf2["event_type"].unique()):
+            s = bars[sym]
+            lr = {b: q12(math.log(s[b] / s[pb]))
+                  for b, pb in zip(s.index[1:], s.index[:-1])}
+            series[sym] = lr
+        syms = sorted(series)
+        for i, sa in enumerate(syms):
+            for sb in syms[i + 1:]:
+                common = sorted(set(series[sa]) & set(series[sb]))
+                if not common:
+                    assert (m, sa, sb) not in got
+                    continue
+                xa = np.array([series[sa][b] for b in common])
+                xb = np.array([series[sb][b] for b in common])
+                n_obs, corr = got[(m, sa, sb)]
+                assert n_obs == len(common), (m, sa, sb)
+                if xa.std() * xb.std() == 0:
+                    assert corr is None
+                else:
+                    ref = float(np.cov(xa, xb, bias=True)[0, 1]) / (
+                        xa.std() * xb.std()
+                    )
+                    assert corr == pytest.approx(ref, abs=2e-6), (m, sa, sb)
+                checked += 1
+    assert checked >= 10
