@@ -6203,3 +6203,51 @@ def epps_effect_curve(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("interval_min", "sym_a", "sym_b")
+
+
+def hill_tail_index(events: DataFrame, k_cap: int = 20) -> DataFrame:
+    """Hill estimator of the return-distribution tail index per symbol:
+    over the top-k order statistics of |daily log return|,
+    hill = mean(ln x_(i), i<=k) - ln x_(k+1) and alpha = 1/hill -- the
+    extreme-value-theory power-law exponent (alpha ~ 3 is the
+    stylized-fact "cubic law" of equity tails; alpha <= 2 means infinite
+    variance and parametric VaR underestimates ruin).  Complements the
+    quantile views (historical_var_cvar, cornish_fisher_var): those read
+    fixed tail POINTS, this estimates the tail LAW.  k adapts as
+    min(k_cap, n/4) with n >= 9 so the (k+1)-th statistic exists.
+
+    Scale: returns are calendar-bounded per symbol, so the per-symbol
+    sorted array is the garch/macd fold discipline -- one groupBy to
+    symbol cardinality, sort + ln-sum as JVM array ops, no window over
+    ticks, no collect.  Ten years is ~2.5k doubles per symbol."""
+    rets = _daily_log_returns(events)
+    ax = F.abs(F.col("lr"))
+    per = (
+        rets.filter(ax > 0)
+        .groupBy("symbol")
+        .agg(F.reverse(F.array_sort(F.collect_list(ax))).alias("xs"))
+        .filter(F.size("xs") >= 9)
+        .withColumn(
+            "k",
+            F.least(
+                F.lit(int(k_cap)),
+                F.floor(F.size("xs") / F.lit(4)).cast("int"),
+            ),
+        )
+    )
+    hill = (
+        F.expr("aggregate(slice(xs, 1, k), 0D, (a, x) -> a + ln(x))")
+        / F.col("k").cast("double")
+        - F.log(F.element_at("xs", F.col("k") + 1))
+    )
+    return (
+        per.select(
+            "symbol",
+            F.size("xs").cast("long").alias("n_days"),
+            F.col("k").alias("k_tail"),
+            qround(hill, 6).alias("hill"),
+            qround(F.when(hill > 0, F.lit(1.0) / hill), 6).alias("alpha_tail"),
+            qround(hill / F.sqrt(F.col("k").cast("double")), 6).alias("hill_se"),
+        )
+        .orderBy("symbol")
+    )

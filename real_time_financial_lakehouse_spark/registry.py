@@ -3228,7 +3228,7 @@ _DRIVER_VERIFIED_R12 = list(_ROUND12_FRONT)
 # creation: ann_recall_curve, rank_biased_overlap,
 # ivf_nprobe_recall_curve, streaming_label_centroids,
 # mmr_diversified_topk, component_var_decomposition,
-# epps_effect_curve -- 7 names); then
+# epps_effect_curve, hill_tail_index -- 8 names); then
 # the r5-vintage remainder in _ROUND5_FRONT order
 # (order_flow_imbalance, kyle_lambda, dollar_bars, volatility_cones,
 # cci_20, return_autocorr, profile_events, key_skew_profile,
@@ -9873,6 +9873,46 @@ def _epps_interval_sql(m: int) -> str:
 )
 def q_epps_effect_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.epps_effect_curve(_events(spark, sf_dir))
+
+
+# Hill tail-index (round-13): per-symbol sorted |return| array (the
+# calendar-bounded fold discipline), top-k ln fold; alpha = 1/hill.
+@register(
+    "hill_tail_index",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    lrw AS (
+        SELECT symbol, day,
+               {_q("ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))", 12)} AS lr
+        FROM dclose
+    ),
+    rets AS (
+        SELECT symbol, abs(lr) AS ax FROM lrw
+        WHERE lr IS NOT NULL AND abs(lr) > 0
+    ),
+    arr AS (
+        SELECT symbol, list_sort(list(ax), 'DESC') AS xs,
+               count(*)::BIGINT AS n
+        FROM rets GROUP BY 1 HAVING count(*) >= 9
+    ),
+    kk AS (
+        SELECT symbol, xs, n, least(20, n // 4)::INT AS k FROM arr
+    ),
+    h AS (
+        SELECT symbol, n, k,
+               list_sum(list_transform(xs[1:k], x -> ln(x))) / k::DOUBLE
+                   - ln(xs[k + 1]) AS hill
+        FROM kk
+    )
+    SELECT symbol, n AS n_days, k AS k_tail,
+           {_q('hill', 6)} AS hill,
+           CASE WHEN hill > 0 THEN {_q('1.0 / hill', 6)} END AS alpha_tail,
+           {_q('hill / sqrt(k::DOUBLE)', 6)} AS hill_se
+    FROM h ORDER BY 1
+    """,
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.hill_tail_index(_events(spark, sf_dir))
 
 
 # All registrations (including registry_llmdata's and the late blocks

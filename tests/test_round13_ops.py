@@ -505,3 +505,33 @@ def test_epps_effect_curve_matches_pandas_referee(spark, sf_dir):
                     assert corr == pytest.approx(ref, abs=2e-6), (m, sa, sb)
                 checked += 1
     assert checked >= 10
+
+
+# ---------------------------------------------------------------------------
+# hill_tail_index
+# ---------------------------------------------------------------------------
+
+
+def test_hill_tail_index_matches_numpy_referee(spark, sf_dir):
+    from real_time_financial_lakehouse_spark.operators.finance import (
+        _daily_log_returns,
+        hill_tail_index,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rets = _daily_log_returns(ev).toPandas()
+    got = {r.symbol: r for r in hill_tail_index(ev).collect()}
+    for sym, g in rets.groupby("symbol"):
+        xs = np.sort(np.abs(g["lr"].to_numpy(dtype=np.float64)))[::-1]
+        xs = xs[xs > 0]
+        n = len(xs)
+        if n < 9:
+            assert sym not in got
+            continue
+        k = min(20, n // 4)
+        hill = float(np.log(xs[:k]).sum()) / k - math.log(xs[k])
+        r = got[sym]
+        assert r.n_days == n and r.k_tail == k
+        assert r.hill == pytest.approx(hill, abs=2e-6)
+        assert r.alpha_tail == pytest.approx(1.0 / hill, rel=1e-5)
+        assert r.hill_se == pytest.approx(hill / math.sqrt(k), abs=2e-6)
