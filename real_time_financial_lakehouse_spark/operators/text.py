@@ -1702,3 +1702,204 @@ def trigram_interpolated_logprob(
         "hit3_rate",
         "hit2_rate",
     ).orderBy("split")
+
+
+def heaps_law_fit(documents: DataFrame, n_checkpoints: int = 10) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve and fit: distinct-term count
+    V(n) at 10 corpus prefixes, plus the OLS fit of ln V on ln n
+    (V ~ K * n^beta; natural-language corpora sit near beta 0.4-0.6).
+    A flattening curve (small beta) means new documents stop bringing
+    new vocabulary -- the cheap corpus-level redundancy smell read
+    BEFORE paying for dedup; template/boilerplate floods push beta
+    toward 0, synthetic id-heavy text toward 1.  Complements zipf_fit
+    (frequency law at one snapshot) with the GROWTH law across corpus
+    size.
+
+    Prefixes are doc_id-ordered with thresholds at equal fractions of
+    the [min_id, max_id] VALUE range -- exact integer min/max plus one
+    double multiply, bit-identical cross-engine, deliberately NOT an
+    order statistic (interpolated percentiles of ids would hang the
+    bucket boundary on engine-internal interpolation formulas).
+
+    Scale: one token explode + one partial-agg min(doc_id) per term
+    (vocabulary cardinality); prefix counts are ONE conditional-sum
+    pass each over ids and first-occurrences against a broadcast 1-row
+    threshold array -- no corpus-cardinality window, no per-prefix
+    rescan; the fit folds 10 points."""
+    ps = [(i + 1) / n_checkpoints for i in range(n_checkpoints)]
+    docs = _spread(documents.select("doc_id", "text"))
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(F.length("term") >= 1)
+    first = terms.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    rng = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    t_exprs = [
+        (
+            F.col("lo").cast("double")
+            + F.lit(p) * (F.col("hi") - F.col("lo")).cast("double")
+        ).alias(f"t{i}")
+        for i, p in enumerate(ps)
+    ]
+    thr = rng.select(*t_exprs)
+    nd = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.array(
+                *[
+                    F.sum(
+                        (F.col("doc_id").cast("double") <= F.col(f"t{i}")).cast(
+                            "long"
+                        )
+                    )
+                    for i in range(n_checkpoints)
+                ]
+            ).alias("nds")
+        )
+    )
+    vs = (
+        first.crossJoin(F.broadcast(thr))
+        .agg(
+            F.array(
+                *[
+                    F.sum(
+                        (
+                            F.col("first_doc").cast("double") <= F.col(f"t{i}")
+                        ).cast("long")
+                    )
+                    for i in range(n_checkpoints)
+                ]
+            ).alias("vss")
+        )
+    )
+    curve = (
+        nd.crossJoin(F.broadcast(vs))
+        .select(
+            F.posexplode(
+                F.expr("zip_with(nds, vss, (n, v) -> struct(n AS n, v AS v))")
+            ).alias("i", "s")
+        )
+        .select(
+            ((F.col("i") + 1) * F.lit(100 // n_checkpoints)).alias("pct_range"),
+            F.col("s.n").alias("n_docs"),
+            F.col("s.v").alias("vocab_size"),
+        )
+    )
+    xy = curve.filter((F.col("n_docs") > 0) & (F.col("vocab_size") > 0)).select(
+        F.log(F.col("n_docs").cast("double")).alias("x"),
+        F.log(F.col("vocab_size").cast("double")).alias("y"),
+    )
+    var_x = F.var_pop("x")
+    beta = F.covar_pop("x", "y") / var_x
+    denom = F.stddev_pop("x") * F.stddev_pop("y")
+    fit = xy.agg(
+        F.when(var_x != 0, qround(beta, 6)).alias("heaps_beta"),
+        F.when(var_x != 0, qround(F.exp(F.avg("y") - beta * F.avg("x")), 6)).alias(
+            "heaps_k"
+        ),
+        F.when(denom != 0, qround(F.covar_pop("x", "y") / denom, 6)).alias(
+            "fit_corr"
+        ),
+    )
+    return (
+        curve.crossJoin(F.broadcast(fit))
+        .select(
+            "pct_range", "n_docs", "vocab_size", "heaps_beta", "heaps_k",
+            "fit_corr",
+        )
+        .orderBy("pct_range")
+    )
+
+
+QL_MU = 50.0
+
+
+def query_likelihood_search(
+    documents: DataFrame,
+    query_terms: tuple = BM25_QUERY_TERMS,
+    topn: int = 20,
+    mu: float = QL_MU,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001): score(d) = sum_q ln((tf_dq + mu * p_c(q)) / (dl_d + mu)) with
+    p_c the corpus unigram model -- the OTHER canonical probabilistic
+    ranker next to bm25_search, and the one whose smoothing makes a
+    document pay for every query term it lacks (BM25 just scores the
+    matches).
+
+    Scored via the postings-only decomposition
+    score = sum_q ln(mu p_q) - |Q| ln(dl + mu)
+          + sum_{q: tf>0} ln(1 + tf C / (mu cf_q)),
+    algebraically identical to the direct form but touching ONLY query
+    postings + the per-doc length table (the bm25 inverted-index
+    discipline; both engines compute the SAME decomposed IEEE ops).
+    Query terms absent from the corpus (cf = 0, p_c undefined) are
+    dropped identically on both engines.
+
+    Scale: corpus totals and the per-term cf table are one
+    partial-aggregated pass; scoring joins query postings (broadcast
+    term side) against the doc-length table; top-N is
+    TakeOrderedAndProject, never a global sort."""
+    from ..functions.numeric import qround
+
+    terms = (
+        _spread(documents.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") >= 3)
+    )
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tot = terms.agg(F.count(F.lit(1)).cast("double").alias("c_total"))
+    qlist = list(query_terms)
+    qterms = terms.filter(F.col("term").isin(qlist))
+    cf_tbl = qterms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("cf")
+    )
+    base = (
+        cf_tbl.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.log(F.lit(mu) * F.col("cf") / F.col("c_total"))).alias("s0"),
+            F.count(F.lit(1)).cast("double").alias("n_q"),
+        )
+    )
+    tf_tbl = qterms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    matched = (
+        tf_tbl.join(F.broadcast(cf_tbl), "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(
+                F.lit(1.0)
+                + (F.col("tf") * F.col("c_total")) / (F.lit(mu) * F.col("cf"))
+            ).alias("m_term"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_terms"),
+            F.sum("m_term").alias("m_sum"),
+        )
+    )
+    return (
+        matched.join(dl, "doc_id")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "doc_id",
+            "n_matched_terms",
+            "dl",
+            qround(
+                F.col("s0")
+                - F.col("n_q") * F.log(F.col("dl").cast("double") + F.lit(mu))
+                + F.col("m_sum"),
+                6,
+            ).alias("ql_score"),
+        )
+        .orderBy(F.col("ql_score").desc(), "doc_id")
+        .limit(topn)
+    )

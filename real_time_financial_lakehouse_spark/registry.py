@@ -3228,7 +3228,8 @@ _DRIVER_VERIFIED_R12 = list(_ROUND12_FRONT)
 # creation: ann_recall_curve, rank_biased_overlap,
 # ivf_nprobe_recall_curve, streaming_label_centroids,
 # mmr_diversified_topk, component_var_decomposition,
-# epps_effect_curve, hill_tail_index -- 8 names); then
+# epps_effect_curve, hill_tail_index, heaps_law_fit,
+# query_likelihood_search -- 10 names); then
 # the r5-vintage remainder in _ROUND5_FRONT order
 # (order_flow_imbalance, kyle_lambda, dollar_bars, volatility_cones,
 # cci_20, return_autocorr, profile_events, key_skew_profile,

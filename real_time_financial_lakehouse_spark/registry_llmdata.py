@@ -4044,3 +4044,120 @@ _MMR_SCORE = (
 )
 def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_diversified_topk(_emb(spark, sf_dir))
+
+
+# Heaps'-law vocabulary growth (round-13): prefix thresholds are exact
+# fractions of the [min_id, max_id] VALUE range (integer min/max + one
+# correctly-rounded double divide/multiply -- i::DOUBLE / 10.0 is the
+# same bit pattern as Python's (i+1)/10 literal), deliberately NOT an
+# interpolated percentile whose bucket boundary would hang on
+# engine-internal interpolation formulas; prefix counts are one
+# conditional-sum pass per frame.
+_HEAPS_ND = ", ".join(
+    f"sum(CASE WHEN doc_id::DOUBLE <= ts[{i}] THEN 1 ELSE 0 END)::BIGINT"
+    for i in range(1, 11)
+)
+_HEAPS_VS = ", ".join(
+    f"sum(CASE WHEN first_doc::DOUBLE <= ts[{i}] THEN 1 ELSE 0 END)::BIGINT"
+    for i in range(1, 11)
+)
+
+
+@register(
+    "heaps_law_fit",
+    f"""
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    terms AS (
+        SELECT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+            FROM docs)
+        WHERE length(term) >= 1
+    ),
+    firsts AS (SELECT term, min(doc_id) AS first_doc FROM terms GROUP BY 1),
+    rng AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM docs),
+    thr AS (
+        SELECT list_transform(generate_series(1, 10), i ->
+            lo::DOUBLE + (i::DOUBLE / 10.0) * (hi - lo)::DOUBLE) AS ts
+        FROM rng
+    ),
+    nd AS (SELECT [{_HEAPS_ND}] AS nds FROM docs, thr),
+    vs AS (SELECT [{_HEAPS_VS}] AS vss FROM firsts, thr),
+    curve AS (
+        SELECT (i * 10)::INT AS pct_range, nds[i] AS n_docs,
+               vss[i] AS vocab_size
+        FROM nd, vs, (SELECT unnest(generate_series(1, 10)) AS i)
+    ),
+    xy AS (
+        SELECT ln(n_docs::DOUBLE) AS x, ln(vocab_size::DOUBLE) AS y
+        FROM curve WHERE n_docs > 0 AND vocab_size > 0
+    ),
+    fit AS (
+        SELECT
+            CASE WHEN var_pop(x) != 0 THEN
+                {qround_sql('covar_pop(x, y) / var_pop(x)')}
+            END AS heaps_beta,
+            CASE WHEN var_pop(x) != 0 THEN
+                {qround_sql('exp(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x))')}
+            END AS heaps_k,
+            CASE WHEN stddev_pop(x) * stddev_pop(y) != 0 THEN
+                {qround_sql('covar_pop(x, y) / (stddev_pop(x) * stddev_pop(y))')}
+            END AS fit_corr
+        FROM xy
+    )
+    SELECT pct_range, n_docs, vocab_size, heaps_beta, heaps_k, fit_corr
+    FROM curve, fit ORDER BY 1
+    """,
+)
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.heaps_law_fit(_docs(spark, sf_dir))
+
+
+# Dirichlet query-likelihood retrieval (round-13): the oracle replays
+# the same postings-only decomposition (base + matched lift), so both
+# engines run identical IEEE ops; query terms with cf = 0 drop out on
+# both sides by construction.
+@register(
+    "query_likelihood_search",
+    f"""
+    WITH terms AS (
+        SELECT doc_id, term
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+            FROM documents
+        )
+        WHERE length(term) >= 3
+    ),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM terms GROUP BY 1),
+    tot AS (SELECT count(*)::DOUBLE AS c_total FROM terms),
+    qterms AS (SELECT * FROM terms WHERE term IN ({_BM25_TERMS_SQL})),
+    cf_tbl AS (
+        SELECT term, count(*)::DOUBLE AS cf FROM qterms GROUP BY 1
+    ),
+    base AS (
+        SELECT sum(ln(CAST({text.QL_MU!r} AS DOUBLE) * cf / c_total)) AS s0,
+               count(*)::DOUBLE AS n_q
+        FROM cf_tbl, tot
+    ),
+    tf_tbl AS (
+        SELECT doc_id, term, count(*)::DOUBLE AS tf
+        FROM qterms GROUP BY 1, 2
+    ),
+    matched AS (
+        SELECT t.doc_id,
+               count(*)::BIGINT AS n_matched_terms,
+               sum(ln(1.0 + (t.tf * s.c_total)
+                      / (CAST({text.QL_MU!r} AS DOUBLE) * c.cf))) AS m_sum
+        FROM tf_tbl t JOIN cf_tbl c USING (term), tot s
+        GROUP BY 1
+    )
+    SELECT m.doc_id, m.n_matched_terms, l.dl,
+           {qround_sql('b.s0 - b.n_q * ln(l.dl::DOUBLE + CAST(' + repr(text.QL_MU) + ' AS DOUBLE)) + m.m_sum')} AS ql_score
+    FROM matched m JOIN dl l USING (doc_id), base b
+    ORDER BY ql_score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_query_likelihood_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.query_likelihood_search(_docs(spark, sf_dir))

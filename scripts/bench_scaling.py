@@ -111,7 +111,7 @@ def pick_queries(n: int) -> list[str]:
         # so their first scaling curve is recorded the round they land
         "component_var_decomposition", "epps_effect_curve",
         "mmr_diversified_topk", "streaming_label_centroids",
-        "hill_tail_index",
+        "hill_tail_index", "heaps_law_fit", "query_likelihood_search",
     ]
     picked.extend(q for q in forced if q not in picked)
     return picked

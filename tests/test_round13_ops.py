@@ -535,3 +535,98 @@ def test_hill_tail_index_matches_numpy_referee(spark, sf_dir):
         assert r.hill == pytest.approx(hill, abs=2e-6)
         assert r.alpha_tail == pytest.approx(1.0 / hill, rel=1e-5)
         assert r.hill_se == pytest.approx(hill / math.sqrt(k), abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# heaps_law_fit
+# ---------------------------------------------------------------------------
+
+
+def test_heaps_law_fit_matches_pandas_referee(spark, sf_dir):
+    import re as _re
+
+    from real_time_financial_lakehouse_spark.operators.text import heaps_law_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = docs.select("doc_id", "text").toPandas()
+    lo, hi = int(pdf["doc_id"].min()), int(pdf["doc_id"].max())
+    firsts = {}
+    for r in pdf.itertuples():
+        for t in _re.split("[^a-z]+", r.text.lower()):
+            if len(t) >= 1 and (t not in firsts or r.doc_id < firsts[t]):
+                firsts[t] = r.doc_id
+    expected = []
+    for i in range(1, 11):
+        t = float(lo) + (float(i) / 10.0) * float(hi - lo)
+        n_docs = int((pdf["doc_id"].astype(float) <= t).sum())
+        vocab = sum(1 for d in firsts.values() if float(d) <= t)
+        expected.append((i * 10, n_docs, vocab))
+    pts = [(e[1], e[2]) for e in expected if e[1] > 0 and e[2] > 0]
+    xs = np.log([p[0] for p in pts]); ys = np.log([p[1] for p in pts])
+    vx = xs.var()
+    beta = float(np.cov(xs, ys, bias=True)[0, 1]) / vx if vx else None
+    rows = heaps_law_fit(docs).collect()
+    assert [(r.pct_range, r.n_docs, r.vocab_size) for r in rows] == expected
+    for r in rows:
+        if beta is None:
+            assert r.heaps_beta is None
+        else:
+            assert r.heaps_beta == pytest.approx(beta, abs=2e-6)
+            k = math.exp(float(ys.mean()) - beta * float(xs.mean()))
+            assert r.heaps_k == pytest.approx(k, rel=1e-5)
+    # growth curve is monotone non-decreasing by construction
+    vs = [r.vocab_size for r in rows]
+    assert all(b >= a for a, b in zip(vs, vs[1:]))
+
+
+# ---------------------------------------------------------------------------
+# query_likelihood_search
+# ---------------------------------------------------------------------------
+
+
+def test_query_likelihood_matches_direct_formula_referee(spark, sf_dir):
+    """Referee scores with the DIRECT Dirichlet form
+    sum_q ln((tf + mu p_q) / (dl + mu)) -- not the postings-only
+    decomposition the engine uses -- so the algebraic identity is
+    itself under test."""
+    import re as _re
+    from collections import Counter
+
+    from real_time_financial_lakehouse_spark.operators.text import (
+        BM25_QUERY_TERMS,
+        QL_MU,
+        query_likelihood_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = docs.select("doc_id", "text").toPandas()
+    toks = {
+        int(r.doc_id): [
+            t for t in _re.split("[^a-z]+", r.text.lower()) if len(t) >= 3
+        ]
+        for r in pdf.itertuples()
+    }
+    c_total = sum(len(v) for v in toks.values())
+    cf = Counter(t for v in toks.values() for t in v if t in BM25_QUERY_TERMS)
+    q_live = [t for t in BM25_QUERY_TERMS if cf[t] > 0]
+    scores = {}
+    for d, v in toks.items():
+        tf = Counter(t for t in v if t in q_live)
+        if not tf:
+            continue
+        dl = len(v)
+        s = sum(
+            math.log((tf[q] + QL_MU * (cf[q] / c_total)) / (dl + QL_MU))
+            for q in q_live
+        )
+        scores[d] = (len(tf), dl, math.floor(s * 1e6 + 0.5) / 1e6)
+    expected = sorted(
+        ((v[2], -d) for d, v in scores.items()), reverse=True
+    )[:20]
+    expected = [(-nd, scores[-nd]) for _, nd in expected]
+    got = query_likelihood_search(docs).collect()
+    assert len(got) == min(20, len(scores))
+    for r, (d, (nm, dl, sc)) in zip(got, expected):
+        assert r.doc_id == d
+        assert r.n_matched_terms == nm and r.dl == dl
+        assert r.ql_score == pytest.approx(sc, abs=2e-6)
