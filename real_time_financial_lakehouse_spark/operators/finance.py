@@ -6251,3 +6251,258 @@ def hill_tail_index(events: DataFrame, k_cap: int = 20) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+def permutation_entropy(events: DataFrame) -> DataFrame:
+    """Bandt-Pompe permutation entropy (embedding dimension m=3) of the
+    daily close series per symbol: each overlapping close triple is
+    mapped to its ordinal pattern (one of 3! = 6 rank orders, ties
+    broken toward the EARLIER observation, the stable-sort convention of
+    the original paper), and the normalized Shannon entropy of the
+    pattern distribution H / ln 6 measures how "random" the price path
+    is -- 1.0 for an i.i.d. walk, lower when some temporal shapes
+    (e.g. monotone runs) dominate.  Complements the moment-based
+    dependence screens (ljung_box_autocorr = linear ACF,
+    runs_test_randomness = sign runs): ordinal patterns catch nonlinear
+    ordering structure with no distributional assumptions.
+
+    Reference scope: extends the reference's daily indicator ladder
+    (dashboard.py:42-48) with the standard complexity diagnostic.
+
+    Scale: day-granularity rollup (one partial-aggregable shuffle over
+    ticks), ONE symbol-partitioned window pass producing both lagged
+    closes, then a (symbol, pattern) groupBy at <= 6 rows per symbol
+    and a symbol-cardinality rollup.  Determinism: patterns are exact
+    integer codes from raw-double comparisons (identical on any
+    engine); counts are BIGINTs; the entropy uses the count identity
+    H = ln N - sum(c ln c)/N so one grouped pass suffices, and the only
+    doubles are the final identically-written expressions."""
+    src = events.filter(F.col("value") > 0)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    dclose = src.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by(F.col("value"), key).alias("c"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    tri = dclose.select(
+        "symbol",
+        F.lag("c", 2).over(w).alias("a"),
+        F.lag("c", 1).over(w).alias("b"),
+        F.col("c").alias("z"),
+    ).filter(F.col("a").isNotNull())
+    # stable ascending sort: on a tie the earlier element ranks lower,
+    # so "a ranks below b" is a <= b (strict only for later-vs-earlier)
+    altb = F.col("a") <= F.col("b")
+    altz = F.col("a") <= F.col("z")
+    bltz = F.col("b") <= F.col("z")
+    pattern = (
+        F.when(altb & bltz, F.lit("012"))
+        .when(altb & ~bltz & altz, F.lit("021"))
+        .when(altb & ~altz, F.lit("201"))
+        .when(~altb & altz, F.lit("102"))
+        .when(~altb & ~altz & bltz, F.lit("120"))
+        .otherwise(F.lit("210"))
+    )
+    pat_counts = (
+        tri.select("symbol", pattern.alias("pattern"))
+        .groupBy("symbol", "pattern")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per = pat_counts.groupBy("symbol").agg(
+        F.sum("cnt").alias("n_windows"),
+        F.count(F.lit(1)).alias("n_patterns"),
+        F.sum(F.col("cnt") * F.log(F.col("cnt"))).alias("clogc"),
+        F.max("cnt").alias("max_cnt"),
+    ).filter(F.col("n_windows") >= 30)
+    nw = F.col("n_windows").cast("double")
+    h = F.log(nw) - F.col("clogc") / nw
+    return per.select(
+        "symbol",
+        "n_windows",
+        "n_patterns",
+        qround(h / F.log(F.lit(6.0)), 6).alias("perm_entropy"),
+        qround(F.col("max_cnt").cast("double") / nw, 6).alias("max_pattern_share"),
+    ).orderBy("symbol")
+
+
+def granger_causality_pairs(events: DataFrame) -> DataFrame:
+    """Bivariate Granger causality screen over every ordered symbol pair
+    (cause x -> effect y) at lag 1 on daily log returns: the restricted
+    model regresses r_y(t) on [1, r_y(t-1)], the unrestricted model adds
+    r_x(t-1), and the F statistic
+    F = (RSS_r - RSS_u) * (n - 3) / RSS_u
+    tests whether yesterday's x return improves the forecast of today's
+    y return beyond y's own history -- the standard lead-lag screen a
+    stat-arb desk runs before building cross-asset signals (directional,
+    unlike the symmetric cross_correlation_lags view).
+
+    Scale: returns collapse to day granularity first (the
+    _daily_log_returns shared stage), so the pair join is a day-keyed
+    equi-join of two SYMBOL-DAY frames -- bar cardinality, not ticks --
+    and everything after is one partial-aggregable groupBy per ordered
+    pair (symbols^2 output rows).  Determinism: the 12-dp-quantized
+    returns sit exactly on the 1e-12 grid, every sum is an exact BIGINT
+    in pico-units (value sums) or pico-units (product sums, re-quantized
+    at 1e12), and the closed-form OLS algebra runs the identical IEEE
+    double sequence on both engines (the drawdown_episodes integer-grid
+    discipline)."""
+    rets = _daily_log_returns(events)
+    w = Window.partitionBy("symbol").orderBy("day")
+    lagged = rets.select(
+        "symbol",
+        "day",
+        F.col("lr").alias("r"),
+        F.lag("lr").over(w).alias("r1"),
+    ).filter(F.col("r1").isNotNull())
+    grid = F.lit(1e12)
+
+    def u(c):
+        return F.floor(c * grid + F.lit(0.5)).cast("long")
+
+    y = lagged.select(
+        F.col("symbol").alias("sym_effect"),
+        "day",
+        F.col("r").alias("ry"),
+        F.col("r1").alias("ry1"),
+    )
+    x = lagged.select(
+        F.col("symbol").alias("sym_cause"),
+        F.col("day").alias("day_x"),
+        F.col("r1").alias("rx1"),
+    )
+    joined = y.join(
+        x,
+        (F.col("day") == F.col("day_x"))
+        & (F.col("sym_cause") != F.col("sym_effect")),
+    )
+    sums = joined.groupBy("sym_cause", "sym_effect").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(u(F.col("ry"))).alias("sy_u"),
+        F.sum(u(F.col("ry1"))).alias("su_u"),
+        F.sum(u(F.col("rx1"))).alias("sv_u"),
+        F.sum(u(F.col("ry") * F.col("ry"))).alias("syy_u"),
+        F.sum(u(F.col("ry1") * F.col("ry1"))).alias("suu_u"),
+        F.sum(u(F.col("rx1") * F.col("rx1"))).alias("svv_u"),
+        F.sum(u(F.col("ry1") * F.col("ry"))).alias("suy_u"),
+        F.sum(u(F.col("rx1") * F.col("ry"))).alias("svy_u"),
+        F.sum(u(F.col("ry1") * F.col("rx1"))).alias("suv_u"),
+    ).filter(F.col("n_days") >= 30)
+    # centered second moments from the exact integer sums; every
+    # expression below is written identically in the SQL oracle so both
+    # engines run the same IEEE sequence on the same exact inputs
+    g = 1e12
+    nd = F.col("n_days").cast("double")
+
+    def d(name):
+        return F.col(name).cast("double") / F.lit(g)
+
+    syy = d("syy_u") - d("sy_u") * d("sy_u") / nd
+    suu = d("suu_u") - d("su_u") * d("su_u") / nd
+    svv = d("svv_u") - d("sv_u") * d("sv_u") / nd
+    suy = d("suy_u") - d("su_u") * d("sy_u") / nd
+    svy = d("svy_u") - d("sv_u") * d("sy_u") / nd
+    suv = d("suv_u") - d("su_u") * d("sv_u") / nd
+    stats = sums.select(
+        "sym_cause",
+        "sym_effect",
+        "n_days",
+        syy.alias("syy"),
+        suu.alias("suu"),
+        svv.alias("svv"),
+        suy.alias("suy"),
+        svy.alias("svy"),
+        suv.alias("suv"),
+    ).filter(F.col("suu") > 0)
+    det = F.col("suu") * F.col("svv") - F.col("suv") * F.col("suv")
+    b1 = (F.col("suy") * F.col("svv") - F.col("svy") * F.col("suv")) / det
+    b2 = (F.col("svy") * F.col("suu") - F.col("suy") * F.col("suv")) / det
+    fitted = stats.filter(det > 0).select(
+        "sym_cause",
+        "sym_effect",
+        "n_days",
+        "syy",
+        "suy",
+        "svy",
+        (F.col("syy") - F.col("suy") * F.col("suy") / F.col("suu")).alias(
+            "rss_r"
+        ),
+        (F.col("syy") - b1 * F.col("suy") - b2 * F.col("svy")).alias("rss_u"),
+    ).filter(F.col("rss_u") > 0)
+    f_stat = (
+        (F.col("rss_r") - F.col("rss_u"))
+        * (F.col("n_days").cast("double") - F.lit(3.0))
+        / F.col("rss_u")
+    )
+    return fitted.select(
+        "sym_cause",
+        "sym_effect",
+        "n_days",
+        qround(F.col("rss_r") / F.col("rss_u"), 6).alias("rss_ratio"),
+        qround(f_stat, 4).alias("f_stat"),
+        (qround(f_stat, 4) > F.lit(3.8415)).alias("granger_5pct"),
+    ).orderBy("sym_cause", "sym_effect")
+
+
+def _pacf_steps(max_lag: int = 5) -> list[tuple[str, str]]:
+    """Durbin-Levinson recursion unrolled to named column steps shared
+    verbatim by the Spark engine (successive ``F.expr`` projections) and
+    the DuckDB oracle (nested SELECT layers): identical expression TEXT
+    guarantees the identical IEEE double sequence on both engines given
+    the identical 6-dp-quantized ACF inputs.
+
+    phi_k_k = (acf_k - sum_j phi_{k-1}_j * acf_{k-j})
+              / (1 - sum_j phi_{k-1}_j * acf_j)      (NULL if den = 0)
+    phi_k_j = phi_{k-1}_j - phi_k_k * phi_{k-1}_{k-j}
+    """
+    steps: list[tuple[str, str]] = [("phi_1_1", "acf_1 + 0.0")]
+    for k in range(2, max_lag + 1):
+        num = " + ".join(
+            f"phi_{k-1}_{j} * acf_{k-j}" for j in range(1, k)
+        )
+        den = " + ".join(f"phi_{k-1}_{j} * acf_{j}" for j in range(1, k))
+        steps.append(
+            (
+                f"phi_{k}_{k}",
+                f"(acf_{k} - ({num})) / nullif(1.0 - ({den}), 0.0)",
+            )
+        )
+        for j in range(1, k):
+            steps.append(
+                (
+                    f"phi_{k}_{j}",
+                    f"phi_{k-1}_{j} - phi_{k}_{k} * phi_{k-1}_{k-j}",
+                )
+            )
+    return steps
+
+
+def pacf_durbin_levinson(events: DataFrame, max_lag: int = 5) -> DataFrame:
+    """Partial autocorrelation function (lags 1..5) of daily log returns
+    per symbol via the Durbin-Levinson recursion on the sample ACF --
+    the AR-order identification view a quant reads next to the plain ACF
+    (ljung_box_autocorr): pacf_k is the correlation between r_t and
+    r_{t-k} after regressing out lags 1..k-1, so an AR(p) series cuts
+    off sharply after lag p where the raw ACF only decays.
+
+    Scale: reuses the ljung_box_autocorr frame wholesale (day rollup +
+    ONE window pass for all lagged products + one partial-aggregable
+    groupBy to symbol cardinality); the recursion itself is pure
+    symbol-row scalar algebra -- zero extra shuffles.  Determinism: the
+    ACF inputs are 6-dp-quantized exact grid points, and the recursion
+    is generated from _pacf_steps as the SAME expression text for both
+    engines, so every intermediate double is bit-identical; a
+    singular step (den = 0) yields NULL identically via nullif."""
+    acf = ljung_box_autocorr(events, max_lag=max_lag).select(
+        "symbol", "n_days", *[f"acf_{k}" for k in range(1, max_lag + 1)]
+    )
+    out = acf
+    for name, expr in _pacf_steps(max_lag):
+        out = out.withColumn(name, F.expr(expr))
+    return out.select(
+        "symbol",
+        "n_days",
+        *[
+            qround(F.col(f"phi_{k}_{k}"), 6).alias(f"pacf_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    ).orderBy("symbol")

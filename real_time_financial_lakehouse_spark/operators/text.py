@@ -1903,3 +1903,51 @@ def query_likelihood_search(
         .orderBy(F.col("ql_score").desc(), "doc_id")
         .limit(topn)
     )
+
+
+def lexical_richness(documents: DataFrame) -> DataFrame:
+    """Per-source lexical-richness profile from the token frequency
+    spectrum: Yule's K = 10^4 * (S2 - N) / N^2 (repeat-rate
+    characteristic -- LOW K = rich vocabulary, HIGH K = repetitive
+    boilerplate; famously near-invariant to text length, unlike raw
+    TTR), Simpson's diversity D = (S2 - N) / (N * (N - 1)) (probability
+    two random tokens are the same type), and Herdan's C = ln V / ln N
+    (log-log TTR), where N = total tokens, V = distinct types and
+    S2 = sum of squared type frequencies.  The source-level companion to
+    the per-document word_entropy screen and the corpus-level
+    heaps_law_fit / zipf_fit views: a training-data curator reads K to
+    rank sources by template-spam risk before mixing.
+
+    Scale: one (source, term) partial-aggregable count (the word_entropy
+    shuffle, keyed one level coarser), then a source-cardinality rollup;
+    N, V, S2 are exact BIGINTs so both engines divide the same integers
+    and every emitted double is bit-identical.  Same tokenizer as
+    word_entropy/tf_idf (lower, split on non-letters) so the views agree
+    on what a token is."""
+    counts = (
+        _spread(documents.select("source", "text"))
+        .select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") >= 1)
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    ).filter(F.col("n_tokens") >= 2)
+    n = F.col("n_tokens").cast("double")
+    s2 = F.col("s2").cast("double")
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        qround(F.lit(10000.0) * (s2 - n) / (n * n), 4).alias("yule_k"),
+        qround((s2 - n) / (n * (n - F.lit(1.0))), 8).alias("simpson_d"),
+        qround(
+            F.log(F.col("n_types").cast("double")) / F.log(n), 6
+        ).alias("herdan_c"),
+    ).orderBy("source")

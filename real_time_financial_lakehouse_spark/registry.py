@@ -3229,7 +3229,9 @@ _DRIVER_VERIFIED_R12 = list(_ROUND12_FRONT)
 # ivf_nprobe_recall_curve, streaming_label_centroids,
 # mmr_diversified_topk, component_var_decomposition,
 # epps_effect_curve, hill_tail_index, heaps_law_fit,
-# query_likelihood_search -- 10 names); then
+# query_likelihood_search, permutation_entropy,
+# granger_causality_pairs, pacf_durbin_levinson, lexical_richness
+# -- 14 names); then
 # the r5-vintage remainder in _ROUND5_FRONT order
 # (order_flow_imbalance, kyle_lambda, dollar_bars, volatility_cones,
 # cci_20, return_autocorr, profile_events, key_skew_profile,
@@ -9914,6 +9916,192 @@ def q_epps_effect_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.hill_tail_index(_events(spark, sf_dir))
+
+
+# Permutation entropy (round-13): Bandt-Pompe ordinal patterns (m=3,
+# ties to the earlier observation) on daily closes; exact integer
+# pattern counts, entropy via the count identity.
+@register(
+    "permutation_entropy",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    tri AS (
+        SELECT symbol,
+               lag(c, 2) OVER w AS a, lag(c, 1) OVER w AS b, c AS z
+        FROM dclose WINDOW w AS (PARTITION BY symbol ORDER BY day)
+    ),
+    pats AS (
+        SELECT symbol,
+               CASE WHEN a <= b AND b <= z THEN '012'
+                    WHEN a <= b AND NOT b <= z AND a <= z THEN '021'
+                    WHEN a <= b AND NOT a <= z THEN '201'
+                    WHEN NOT a <= b AND a <= z THEN '102'
+                    WHEN NOT a <= b AND NOT a <= z AND b <= z THEN '120'
+                    ELSE '210' END AS pattern
+        FROM tri WHERE a IS NOT NULL
+    ),
+    pc AS (
+        SELECT symbol, pattern, count(*)::BIGINT AS cnt
+        FROM pats GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT symbol, sum(cnt)::BIGINT AS n_windows,
+               count(*)::BIGINT AS n_patterns,
+               sum(cnt * ln(cnt)) AS clogc, max(cnt) AS max_cnt
+        FROM pc GROUP BY 1 HAVING sum(cnt) >= 30
+    )
+    SELECT symbol, n_windows, n_patterns,
+           {_q('(ln(n_windows::DOUBLE) - clogc / n_windows::DOUBLE) / ln(6.0)', 6)} AS perm_entropy,
+           {_q('max_cnt::DOUBLE / n_windows::DOUBLE', 6)} AS max_pattern_share
+    FROM per ORDER BY 1
+    """,
+)
+def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.permutation_entropy(_events(spark, sf_dir))
+
+
+# Granger causality pairs (round-13): closed-form restricted vs
+# unrestricted OLS from exact pico-grid integer sums; every double
+# expression below is written with the same structure as the engine's
+# column algebra so both engines run the identical IEEE sequence.
+_GC_G = "1000000000000.0"
+_GC_SUMS = ",\n               ".join(
+    f"sum(floor({expr} * {_GC_G} + 0.5)::BIGINT) AS {name}"
+    for name, expr in [
+        ("sy_u", "ry"),
+        ("su_u", "ry1"),
+        ("sv_u", "rx1"),
+        ("syy_u", "ry * ry"),
+        ("suu_u", "ry1 * ry1"),
+        ("svv_u", "rx1 * rx1"),
+        ("suy_u", "ry1 * ry"),
+        ("svy_u", "rx1 * ry"),
+        ("suv_u", "ry1 * rx1"),
+    ]
+)
+_GC_MOM = ",\n               ".join(
+    f"({ab}_u::DOUBLE / {_GC_G}) - ({a}_u::DOUBLE / {_GC_G})"
+    f" * ({b}_u::DOUBLE / {_GC_G}) / n_days::DOUBLE AS {out}"
+    for ab, a, b, out in [
+        ("syy", "sy", "sy", "syy"),
+        ("suu", "su", "su", "suu"),
+        ("svv", "sv", "sv", "svv"),
+        ("suy", "su", "sy", "suy"),
+        ("svy", "sv", "sy", "svy"),
+        ("suv", "su", "sv", "suv"),
+    ]
+)
+
+
+@register(
+    "granger_causality_pairs",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    lrw AS (
+        SELECT symbol, day,
+               {_q('ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))', 12)} AS lr
+        FROM dclose
+    ),
+    rets AS (SELECT symbol, day, lr FROM lrw WHERE lr IS NOT NULL),
+    lagged AS (
+        SELECT symbol, day, lr AS r,
+               lag(lr) OVER (PARTITION BY symbol ORDER BY day) AS r1
+        FROM rets
+    ),
+    lag2 AS (SELECT * FROM lagged WHERE r1 IS NOT NULL),
+    joined AS (
+        SELECT x.symbol AS sym_cause, y.symbol AS sym_effect,
+               y.r AS ry, y.r1 AS ry1, x.r1 AS rx1
+        FROM lag2 y JOIN lag2 x
+          ON y.day = x.day AND x.symbol <> y.symbol
+    ),
+    sums AS (
+        SELECT sym_cause, sym_effect, count(*)::BIGINT AS n_days,
+               {_GC_SUMS}
+        FROM joined GROUP BY 1, 2 HAVING count(*) >= 30
+    ),
+    moments AS (
+        SELECT sym_cause, sym_effect, n_days,
+               {_GC_MOM}
+        FROM sums
+    ),
+    stats AS (SELECT * FROM moments WHERE suu > 0),
+    fitted AS (
+        SELECT sym_cause, sym_effect, n_days, syy, suy, svy,
+               syy - suy * suy / suu AS rss_r,
+               syy - (suy * svv - svy * suv) / (suu * svv - suv * suv) * suy
+                   - (svy * suu - suy * suv) / (suu * svv - suv * suv) * svy
+                   AS rss_u
+        FROM stats WHERE suu * svv - suv * suv > 0
+    ),
+    ok AS (SELECT * FROM fitted WHERE rss_u > 0)
+    SELECT sym_cause, sym_effect, n_days,
+           {_q('rss_r / rss_u', 6)} AS rss_ratio,
+           {_q('(rss_r - rss_u) * (n_days::DOUBLE - 3.0) / rss_u', 4)} AS f_stat,
+           {_q('(rss_r - rss_u) * (n_days::DOUBLE - 3.0) / rss_u', 4)} > 3.8415
+               AS granger_5pct
+    FROM ok ORDER BY 1, 2
+    """,
+)
+def q_granger_causality_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.granger_causality_pairs(_events(spark, sf_dir))
+
+
+# PACF via Durbin-Levinson (round-13): the ljung_box ACF chain feeds a
+# recursion whose expression TEXT is generated once (_pacf_steps) and
+# shared verbatim with the engine's F.expr projections.
+from .operators.finance import _pacf_steps as _pacf_steps_fn  # noqa: E402
+
+
+def _pacf_sql() -> str:
+    inner = "SELECT symbol, n_days, acf_1, acf_2, acf_3, acf_4, acf_5 FROM shaped"
+    for name, expr in _pacf_steps_fn(5):
+        inner = f"SELECT *, {expr} AS {name} FROM ({inner})"
+    outs = ", ".join(
+        f"{_q(f'phi_{k}_{k}', 6)} AS pacf_{k}" for k in range(1, 6)
+    )
+    return f"SELECT symbol, n_days, {outs} FROM ({inner}) ORDER BY 1"
+
+
+@register(
+    "pacf_durbin_levinson",
+    f"""
+    WITH {_DCLOSE_POS_SQL.strip()},
+    rets AS (
+        SELECT symbol, day,
+               {_q('ln(c / lag(c) OVER (PARTITION BY symbol ORDER BY day))', 12)} AS lr
+        FROM dclose
+    ),
+    r2 AS (SELECT symbol, day, lr FROM rets WHERE lr IS NOT NULL),
+    means AS (
+        SELECT symbol, count(*)::BIGINT AS n_days, {_q('avg(lr)', 12)} AS mean_q
+        FROM r2 GROUP BY 1 HAVING count(*) >= 20
+    ),
+    dev AS (
+        SELECT r.symbol, m.n_days, r.day, r.lr - m.mean_q AS dev
+        FROM r2 r JOIN means m USING (symbol)
+    ),
+    lagged AS (
+        SELECT symbol, n_days,
+           floor(dev * dev * {_LB_GRID} + 0.5)::BIGINT AS d0_u,
+           {_LB_LAG_COLS}
+        FROM dev WINDOW w AS (PARTITION BY symbol ORDER BY day)
+    ),
+    agg AS (
+        SELECT symbol, max(n_days) AS n_days, sum(d0_u) AS den_u,
+               {', '.join(f'sum(d{k}_u) AS num{k}_u' for k in range(1, 6))}
+        FROM lagged GROUP BY 1 HAVING sum(d0_u) > 0
+    ),
+    shaped AS (
+        SELECT symbol, n_days,
+               {', '.join(_q(f'num{k}_u::DOUBLE / den_u::DOUBLE', 6) + f' AS acf_{k}' for k in range(1, 6))}
+        FROM agg
+    )
+    {{PACF_BODY}}
+    """.replace("{PACF_BODY}", _pacf_sql()),
+)
+def q_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.pacf_durbin_levinson(_events(spark, sf_dir))
 
 
 # All registrations (including registry_llmdata's and the late blocks

@@ -4161,3 +4161,34 @@ def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_query_likelihood_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.query_likelihood_search(_docs(spark, sf_dir))
+
+
+# Lexical richness per source (round-13): Yule's K / Simpson's D /
+# Herdan's C from the token frequency spectrum; N, V, S2 are exact
+# BIGINTs so both engines divide identical integers.
+@register(
+    "lexical_richness",
+    f"""
+    WITH counts AS (
+        SELECT source, term, count(*)::BIGINT AS c
+        FROM (SELECT source,
+                     unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+              FROM documents)
+        WHERE length(term) >= 1
+        GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT source, sum(c)::BIGINT AS n_tokens,
+               count(*)::BIGINT AS n_types,
+               sum(c * c)::BIGINT AS s2
+        FROM counts GROUP BY 1 HAVING sum(c) >= 2
+    )
+    SELECT source, n_tokens, n_types,
+           {qround_sql('10000.0 * (s2::DOUBLE - n_tokens::DOUBLE) / (n_tokens::DOUBLE * n_tokens::DOUBLE)', 4)} AS yule_k,
+           {qround_sql('(s2::DOUBLE - n_tokens::DOUBLE) / (n_tokens::DOUBLE * (n_tokens::DOUBLE - 1.0))', 8)} AS simpson_d,
+           {qround_sql('ln(n_types::DOUBLE) / ln(n_tokens::DOUBLE)', 6)} AS herdan_c
+    FROM per ORDER BY source
+    """,
+)
+def q_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lexical_richness(_docs(spark, sf_dir))

@@ -112,6 +112,12 @@ def pick_queries(n: int) -> list[str]:
         "component_var_decomposition", "epps_effect_curve",
         "mmr_diversified_topk", "streaming_label_centroids",
         "hill_tail_index", "heaps_law_fit", "query_likelihood_search",
+        # round-13 final batch: the granger day-keyed pair join (the
+        # symbol_correlations shape, ordered pairs), the ordinal-
+        # pattern rollup, the DL recursion on the ljung ACF frame, and
+        # the source-keyed frequency spectrum -- first curve on landing
+        "granger_causality_pairs", "permutation_entropy",
+        "pacf_durbin_levinson", "lexical_richness",
     ]
     picked.extend(q for q in forced if q not in picked)
     return picked

@@ -630,3 +630,185 @@ def test_query_likelihood_matches_direct_formula_referee(spark, sf_dir):
         assert r.doc_id == d
         assert r.n_matched_terms == nm and r.dl == dl
         assert r.ql_score == pytest.approx(sc, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# late round-13 batch: permutation_entropy, granger_causality_pairs,
+# pacf_durbin_levinson, lexical_richness
+# ---------------------------------------------------------------------------
+
+
+def _pandas_dclose(spark, sf_dir):
+    """Pandas referee for the shared daily-close frame: last tick per
+    (symbol, day) by the (ts, event_id) key, positive ticks only."""
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    ev = ev[ev["value"] > 0].copy()
+    ev["day"] = ev["ts"].dt.floor("D")
+    ev = ev.sort_values(["event_type", "day", "ts", "event_id"])
+    last = ev.groupby(["event_type", "day"], as_index=False).last()
+    return last.rename(columns={"event_type": "symbol", "value": "c"})[
+        ["symbol", "day", "c"]
+    ]
+
+
+def test_permutation_entropy_matches_python_referee(spark, sf_dir):
+    from real_time_financial_lakehouse_spark.operators.finance import (
+        permutation_entropy,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {r.symbol: r for r in permutation_entropy(ev).collect()}
+    dclose = _pandas_dclose(spark, sf_dir)
+    from collections import Counter
+
+    for sym, g in dclose.groupby("symbol"):
+        cs = g.sort_values("day")["c"].to_list()
+        pats = Counter()
+        for a, b, z in zip(cs, cs[1:], cs[2:]):
+            # stable ascending sort; earlier index wins ties
+            order = sorted(range(3), key=lambda i: ([a, b, z][i], i))
+            pats["".join(str(i) for i in order)] += 1
+        n = sum(pats.values())
+        if n < 30:
+            assert sym not in got
+            continue
+        h = -sum((c / n) * math.log(c / n) for c in pats.values())
+        r = got[sym]
+        assert r.n_windows == n
+        assert r.n_patterns == len(pats)
+        assert r.perm_entropy == pytest.approx(h / math.log(6.0), abs=2e-6)
+        assert r.max_pattern_share == pytest.approx(
+            max(pats.values()) / n, abs=2e-6
+        )
+
+
+def test_granger_f_matches_numpy_lstsq_referee(spark, sf_dir):
+    """Referee solves both OLS systems with np.linalg.lstsq and builds F
+    from actual residuals -- a method independent of the closed-form
+    centered-sum algebra shared by the engine and the oracle."""
+    from real_time_financial_lakehouse_spark.operators.finance import (
+        _daily_log_returns,
+        granger_causality_pairs,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rets = _daily_log_returns(ev).toPandas()
+    got = {
+        (r.sym_cause, r.sym_effect): r
+        for r in granger_causality_pairs(ev).collect()
+    }
+    frames = {}
+    for sym, g in rets.groupby("symbol"):
+        g = g.sort_values("day").reset_index(drop=True)
+        g["r1"] = g["lr"].shift(1)
+        frames[sym] = g.dropna(subset=["r1"]).set_index("day")
+    syms = sorted(frames)
+    n_checked = 0
+    for sx in syms:
+        for sy in syms:
+            if sx == sy:
+                continue
+            j = frames[sy].join(
+                frames[sx][["r1"]], how="inner", rsuffix="_x"
+            )
+            n = len(j)
+            if n < 30:
+                assert (sx, sy) not in got
+                continue
+            y = j["lr"].to_numpy(dtype=np.float64)
+            u = j["r1"].to_numpy(dtype=np.float64)
+            v = j["r1_x"].to_numpy(dtype=np.float64)
+            one = np.ones(n)
+            br, *_ = np.linalg.lstsq(np.column_stack([one, u]), y, rcond=None)
+            rss_r = float(((y - np.column_stack([one, u]) @ br) ** 2).sum())
+            bu, *_ = np.linalg.lstsq(
+                np.column_stack([one, u, v]), y, rcond=None
+            )
+            rss_u = float(((y - np.column_stack([one, u, v]) @ bu) ** 2).sum())
+            if rss_u <= 0:
+                continue
+            f_ref = (rss_r - rss_u) * (n - 3) / rss_u
+            r = got[(sx, sy)]
+            assert r.n_days == n
+            assert r.f_stat == pytest.approx(f_ref, abs=5e-3)
+            n_checked += 1
+    assert n_checked >= 6
+
+
+def test_pacf_matches_yule_walker_solve_referee(spark, sf_dir):
+    """Referee computes the ACF in plain floating point and extracts
+    phi_kk as the last component of the Yule-Walker SOLVE (np.linalg,
+    Toeplitz system) -- independent of the Durbin-Levinson recursion the
+    engine and the oracle share."""
+    from real_time_financial_lakehouse_spark.operators.finance import (
+        _daily_log_returns,
+        pacf_durbin_levinson,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rets = _daily_log_returns(ev).toPandas()
+    got = {r.symbol: r for r in pacf_durbin_levinson(ev).collect()}
+    for sym, g in rets.groupby("symbol"):
+        x = g.sort_values("day")["lr"].to_numpy(dtype=np.float64)
+        n = len(x)
+        if n < 20:
+            assert sym not in got
+            continue
+        d = x - x.mean()
+        den = float((d * d).sum())
+        acf = [float((d[k:] * d[:-k]).sum()) / den for k in range(1, 6)]
+        r = got[sym]
+        for k in range(1, 6):
+            rho = np.asarray([1.0] + acf, dtype=np.float64)
+            R = np.asarray([[rho[abs(i - j)] for j in range(k)] for i in range(k)])
+            phi_kk = float(np.linalg.solve(R, rho[1 : k + 1])[-1])
+            assert getattr(r, f"pacf_{k}") == pytest.approx(
+                phi_kk, abs=5e-4
+            ), (sym, k)
+
+
+def test_lexical_richness_matches_python_counter_referee(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    from real_time_financial_lakehouse_spark.operators.text import (
+        lexical_richness,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r.source: r for r in lexical_richness(docs).collect()}
+    pdocs = docs.select("source", "text").toPandas()
+    for src, g in pdocs.groupby("source"):
+        c = Counter()
+        for t in g["text"]:
+            c.update(w for w in re.split("[^a-z]+", t.lower()) if w)
+        n = sum(c.values())
+        if n < 2:
+            assert src not in got
+            continue
+        v = len(c)
+        s2 = sum(x * x for x in c.values())
+        r = got[src]
+        assert r.n_tokens == n and r.n_types == v
+        assert r.yule_k == pytest.approx(1e4 * (s2 - n) / (n * n), abs=1e-3)
+        assert r.simpson_d == pytest.approx(
+            (s2 - n) / (n * (n - 1)), abs=1e-7
+        )
+        assert r.herdan_c == pytest.approx(
+            math.log(v) / math.log(n), abs=2e-6
+        )
+
+
+def test_granger_and_perm_entropy_plans(spark, sf_dir):
+    from real_time_financial_lakehouse_spark.operators.finance import (
+        granger_causality_pairs,
+        permutation_entropy,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    gp = _plan(granger_causality_pairs(ev))
+    assert "CartesianProduct" not in gp and "BatchEvalPython" not in gp
+    # the pair join must be the day-keyed equi-join, not a broadcast NL
+    assert "SortMergeJoin" in gp or "ShuffledHashJoin" in gp or "BroadcastHashJoin" in gp
+    pe = _plan(permutation_entropy(ev))
+    assert "BatchEvalPython" not in pe and "CartesianProduct" not in pe
