@@ -385,20 +385,31 @@ def min_label_components(
     ``dedup_clusters`` and apply to any caller."""
     import warnings
 
-    # persist the DIRECTED edges before mirroring (both union branches
-    # read the cache -> the upstream pair index is computed once), then
-    # CUT the mirrored edge list's lineage with an eager localCheckpoint:
-    # every loop iteration references sym, and without the cut each
-    # pass's logical plan re-embeds the whole upstream lineage -- plan
-    # analysis on the driver grows per pass and ends up dominating the
-    # loop (measured: iterations creep 0.6 s -> 3.3 s without the cut,
-    # flat ~0.3 s with it).
-    edges = edges.persist()
-    edges.count()
-    sym = edges.union(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-    edges.unpersist()
+    # Mirror the DIRECTED edges in ONE pass -- explode(array(fwd, rev))
+    # emits both directions from a single scan of the upstream pair
+    # index (the former union-of-two-branches needed a persist + count
+    # job just to stop the LSH plan executing twice) -- then CUT the
+    # mirrored edge list's lineage with an eager localCheckpoint: every
+    # loop iteration references sym, and without the cut each pass's
+    # logical plan re-embeds the whole upstream lineage -- plan analysis
+    # on the driver grows per pass and ends up dominating the loop
+    # (measured: iterations creep 0.6 s -> 3.3 s without the cut, flat
+    # ~0.3 s with it).
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a"), F.col("doc_b")),
+                    F.struct(
+                        F.col("doc_b").alias("doc_a"),
+                        F.col("doc_a").alias("doc_b"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.doc_a", "e.doc_b")
+        .localCheckpoint(eager=True)
+    )
     # sym carries both directions, so doc_a alone enumerates every
     # edge-touched node
     labels = (
@@ -903,9 +914,14 @@ def dedup_cluster_histogram(
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    total = clusters.agg(F.count(F.lit(1)).alias("n_total"))
     hist = sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters")
+    )
+    # corpus total from the histogram itself (sum of size * count ==
+    # row count of the cluster table, exactly): one less pass over the
+    # corpus-cardinality cluster frame
+    total = hist.agg(
+        F.sum(F.col("cluster_size") * F.col("n_clusters")).alias("n_total")
     )
     return (
         hist.crossJoin(F.broadcast(total))

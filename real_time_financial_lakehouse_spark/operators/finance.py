@@ -1235,7 +1235,15 @@ def pairs_spread_zscore(events: DataFrame, z_alert: float = 2.0) -> DataFrame:
     halving the space; everything downstream is pair-cardinality."""
     from .rollup import minute_bars_unsorted
 
-    bars = minute_bars_unsorted(events).select("symbol", "minute_window", "close_price")
+    # bar-cardinality lineage cut: `bars` feeds both sides of the pair
+    # join, which itself is re-evaluated by the two-pass z protocol --
+    # without the cut the corpus-sized minute rollup re-embeds ~8x in
+    # the final plan (measured 54 KB of physical plan)
+    bars = (
+        minute_bars_unsorted(events)
+        .select("symbol", "minute_window", "close_price")
+        .localCheckpoint(eager=True)
+    )
     a = bars.select(
         F.col("symbol").alias("sym_a"),
         F.col("minute_window").alias("mw"),
@@ -1251,9 +1259,12 @@ def pairs_spread_zscore(events: DataFrame, z_alert: float = 2.0) -> DataFrame:
     ).select("sym_a", "sym_b", "mw", "pa", "pb")
     var_b = F.var_pop("pb")
     h = F.when(var_b != 0, F.covar_pop("pa", "pb") / var_b)
+    # pair-cardinality cuts (tiny frames): stats joins back onto the
+    # pair stream, and spread_stats is consumed by both the alert pass
+    # and the final report
     stats = paired.groupBy("sym_a", "sym_b").agg(
         F.count(F.lit(1)).alias("n_minutes"), h.alias("h")
-    )
+    ).localCheckpoint(eager=True)
     with_spread = paired.join(stats, ["sym_a", "sym_b"]).select(
         "sym_a",
         "sym_b",
@@ -1269,7 +1280,7 @@ def pairs_spread_zscore(events: DataFrame, z_alert: float = 2.0) -> DataFrame:
         qround(F.max("h"), 6).alias("hedge_ratio"),
         qround(F.avg("spread"), 6).alias("spread_mean"),
         qround(F.stddev_pop("spread"), 6).alias("spread_std"),
-    )
+    ).localCheckpoint(eager=True)
     alerts = (
         with_spread.join(F.broadcast(spread_stats), ["sym_a", "sym_b"])
         .select(
@@ -1786,6 +1797,10 @@ def hurst_exponent(
             F.sum(F.col("r") - F.col("bmean")).over(wb).alias("cum"),
         )
     )
+    # (symbol x scale)-cardinality result of the whole R/S pipeline,
+    # consumed TWICE below (closed-form fit + per-scale pivot): the
+    # eager localCheckpoint guarantees the corpus-sized chain executes
+    # once and keeps the two consumers' plans at output cardinality
     rs = (
         cums.groupBy("symbol", "scale", "blk")
         .agg(
@@ -1793,6 +1808,7 @@ def hurst_exponent(
         )
         .groupBy("symbol", "scale")
         .agg(F.avg("rs").alias("avg_rs"), F.count(F.lit(1)).alias("n_blocks"))
+        .localCheckpoint(eager=True)
     )
     fit_src = rs.select(
         "symbol",
@@ -4152,11 +4168,16 @@ def implied_vol_newton(
 
     Scale: the solve runs on the |symbols|-cardinality frame -- pure
     projection arithmetic in whole-stage codegen after one partial-agg
-    shuffle; iteration count is fixed, so the plan is a linear chain of
-    ``n_iter`` projections regardless of data size.  Determinism: every
-    iterate is quantized before the next step and every transcendental
-    evaluates on those shared grid doubles; the iteration SQL text is
-    byte-identical on both engines."""
+    shuffle; iteration count is fixed and each iterate is bound ONCE as
+    a SQL lambda variable via the transform(array(x), v -> ...)[0]
+    let-binding idiom (the ``pairs_spread_backtest`` discipline), so
+    the whole solve is a single projection -- the former one-withColumn-
+    per-step chain re-ran eager Dataset analysis on the growing plan
+    8 times per construction (measured ~1.1 s of pure driver time per
+    rep at sf0.1).  Determinism: every iterate is quantized before the
+    next step and every transcendental evaluates on those shared grid
+    doubles; the per-step SQL text is byte-identical on both engines,
+    evaluated on the same doubles through the binding."""
     from ..functions.hashing import md5_long
 
     key = F.struct(F.col("ts"), F.col("event_id"))
@@ -4193,26 +4214,30 @@ def implied_vol_newton(
         ),
         F.lit(0.5).alias("s0"),
     ).filter(F.col("target_px") > 0)
-    cur = base
-    for i in range(1, n_iter + 1):
-        cur = cur.withColumn(
-            f"s{i}", F.expr(_iv_step_sql(f"s{i - 1}", "target_px", rate, t_years))
-        )
+    # innermost body: everything the outer SELECT needs from the solve,
+    # computed where s{n_iter} is in scope so the struct is built once
     final = f"s{n_iter}"
-    cur = cur.withColumn(
-        "repriced", F.expr(_iv_price_sql(final, rate, t_years))
+    solved = (
+        f"named_struct('iv', {final},"
+        f" 'repriced', {_iv_price_sql(final, rate, t_years)})"
     )
+    for i in range(n_iter, 0, -1):
+        solved = (
+            f"transform(array({_iv_step_sql(f's{i - 1}', 'target_px', rate, t_years)}),"
+            f" s{i} -> {solved})[0]"
+        )
+    cur = base.withColumn("st", F.expr(solved))
     return cur.select(
         "symbol",
         "target_px",
         "sigma_true",
-        qround(F.col(final), 6).alias("implied_vol"),
-        qround(F.abs(F.col(final) - F.col("sigma_true")), 6).alias("abs_vol_err"),
-        qround(F.abs(F.col("repriced") - F.col("target_px")), 6).alias(
+        qround(F.col("st.iv"), 6).alias("implied_vol"),
+        qround(F.abs(F.col("st.iv") - F.col("sigma_true")), 6).alias("abs_vol_err"),
+        qround(F.abs(F.col("st.repriced") - F.col("target_px")), 6).alias(
             "reprice_err"
         ),
         (
-            F.abs(F.col("repriced") - F.col("target_px")) < F.lit(1e-4)
+            F.abs(F.col("st.repriced") - F.col("target_px")) < F.lit(1e-4)
         ).alias("converged"),
     ).orderBy("symbol")
 
@@ -6071,7 +6096,12 @@ def component_var_decomposition(events: DataFrame, z: float = 1.645) -> DataFram
     |symbols|-cardinality aggregates; the 1-row total broadcasts back.
     For a 10k-symbol universe, screen pairs first (symbol_correlations)
     or use a factor model -- documented, not silently sampled."""
-    rets = _daily_log_returns(events)
+    # (symbol x day)-cardinality lineage cut: `rets` fans out into nsym,
+    # full_days and BOTH sides of the covariance self-join, so without
+    # the cut the corpus-sized day rollup + lag window re-embeds ~12x in
+    # the final plan (measured 75 KB of physical plan; driver analysis
+    # dominated the query)
+    rets = _daily_log_returns(events).localCheckpoint(eager=True)
     nsym = rets.select(F.countDistinct("symbol").alias("n_sym_all"))
     full_days = (
         rets.groupBy("day")
@@ -6097,6 +6127,9 @@ def component_var_decomposition(events: DataFrame, z: float = 1.645) -> DataFram
             F.covar_pop("ra", "rb").alias("cov"),
         )
     )
+    # symbol-cardinality cut: `per` feeds the portfolio-variance total
+    # AND the report projection -- without it the |symbols|^2 x |days|
+    # covariance join executes once per consumer
     per = cov.groupBy("sym_a").agg(
         F.max("n_days").alias("n_days"),
         F.count(F.lit(1)).alias("n_sym"),
@@ -6104,7 +6137,7 @@ def component_var_decomposition(events: DataFrame, z: float = 1.645) -> DataFram
         F.max(F.when(F.col("sym_b") == F.col("sym_a"), F.col("cov"))).alias(
             "var_own"
         ),
-    )
+    ).localCheckpoint(eager=True)
     tot = per.agg(
         F.sum(
             F.col("cov_rowsum")

@@ -1099,7 +1099,11 @@ def attach_jpeg_media(documents: DataFrame, quality: int = 90) -> DataFrame:
     fixture: the same (n_chars%13+1) x (n_chars%7+1) grayscale tiling as
     ``attach_png_media``, run through the real ``encode_jpeg`` (genuine
     FDCT, Annex K tables, Huffman entropy coding).  mapInPandas,
-    Arrow-batched, (doc_id, text) only."""
+    Arrow-batched, (doc_id, text) only, ``_spread`` first -- the
+    pure-Python FDCT/Huffman encoder is the cost, and a one-file
+    fixture scan would otherwise feed every document to a single task
+    (one Python worker, cores-1 idle)."""
+    from .dedup import _spread
 
     def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -1113,7 +1117,7 @@ def attach_jpeg_media(documents: DataFrame, quality: int = 90) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["asset_id", "payload"])
 
-    return documents.select("doc_id", "text").mapInPandas(
+    return _spread(documents.select("doc_id", "text")).mapInPandas(
         process, schema="asset_id long, payload binary"
     )
 
@@ -1192,7 +1196,9 @@ def jpeg_media_features(documents: DataFrame, mean_tol: float = 1.5) -> DataFram
                 )
             yield pd.DataFrame(rows, columns=["asset_id", "src_mean"])
 
-    src_means = documents.select("doc_id", "text").mapInPandas(
+    from .dedup import _spread
+
+    src_means = _spread(documents.select("doc_id", "text")).mapInPandas(
         process, schema="asset_id long, src_mean double"
     )
     return (
@@ -1467,7 +1473,11 @@ def decode_gif(payload: bytes) -> dict:
 def attach_gif_media(documents: DataFrame) -> DataFrame:
     """REAL GIF media table from the documents fixture: the shared
     ``_tile_text_raster`` grayscale tiling, encoded through the real
-    LZW pipeline.  mapInPandas, Arrow-batched, (doc_id, text) only."""
+    LZW pipeline.  mapInPandas, Arrow-batched, (doc_id, text) only,
+    ``_spread`` first -- the pure-Python LZW encoder is the cost, and a
+    one-file fixture scan would otherwise feed every document to a
+    single task (one Python worker, cores-1 idle)."""
+    from .dedup import _spread
 
     def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -1479,7 +1489,7 @@ def attach_gif_media(documents: DataFrame) -> DataFrame:
                 rows.append({"asset_id": did, "payload": encode_gif(w, h, tiled)})
             yield pd.DataFrame(rows, columns=["asset_id", "payload"])
 
-    return documents.select("doc_id", "text").mapInPandas(
+    return _spread(documents.select("doc_id", "text")).mapInPandas(
         process, schema="asset_id long, payload binary"
     )
 

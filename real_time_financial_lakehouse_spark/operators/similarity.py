@@ -1824,19 +1824,29 @@ def split_leakage_embeddings(
     emb = _spread(embeddings).select("vec_id", _as_double("embedding").alias("v"))
     emb = emb.withColumn("nv", _norm("v"))
     bucket = md5_long(F.concat_ws(":", F.lit("split"), F.col("vec_id"))) % 100
-    sigs = emb.select(
-        "vec_id",
-        "v",
-        "nv",
+    split_col = (
         F.when(bucket < train_pct, F.lit("train"))
         .otherwise(F.lit("holdout"))
-        .alias("split"),
+        .alias("split")
+    )
+    # Band signatures land in their own NARROW frame (vec_id, split,
+    # band ids -- no vectors), cut with an eager localCheckpoint: the
+    # SL_BITS hyperplane dot products are by far the most expensive
+    # projection here, and the former single `sigs` frame re-evaluated
+    # them once per consumer branch (candidate banding, probes, train)
+    # while quadrupling the analyzed plan with the embedded H-matrix
+    # literals.  The vector branch (v, nv) stays un-materialized -- it
+    # is a cheap scan-side projection the two split filters re-derive.
+    sig_bands = emb.select(
+        "vec_id",
+        split_col,
         *[
             F.expr(_hp_band_spark(H, j, rows)).alias(f"band_{j}")
             for j in range(SL_BANDS)
         ],
-    )
-    bd = sigs.select(
+    ).localCheckpoint(eager=True)
+    sigs = emb.select("vec_id", "v", "nv", split_col)
+    bd = sig_bands.select(
         "vec_id",
         "split",
         F.posexplode(
@@ -2424,22 +2434,28 @@ def intra_label_cosine_dispersion(
         F.col("ss_u") > 0
     )
     norm = F.sqrt(F.col("ss_u").cast("double") / F.lit(1e12))
-    dims = vecs.select(
+    # per-vector unit components stay IN the array: usq_u is a row-local
+    # BIGINT fold (same long multiplies and adds as the former
+    # groupBy(label, vec_id) over the exploded dims -- which was the
+    # query's biggest exchange, corpus x d rows), and only the
+    # per-dimension sums pay an explode
+    uarr = vecs.select(
         "label",
         "vec_id",
-        norm.alias("norm"),
-        F.posexplode("v").alias("pos", "x"),
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x / norm * F.lit(1e8) + F.lit(0.5)).cast("long"),
+        ).alias("u"),
     )
-    u_u = (
-        F.floor(F.col("x") / F.col("norm") * F.lit(1e8) + F.lit(0.5))
-        .cast("long")
-        .alias("u_u")
+    per_vec = uarr.select(
+        "label",
+        F.aggregate(
+            "u", F.lit(0).cast("long"), lambda acc, y: acc + y * y
+        ).alias("usq_u"),
     )
-    unit = dims.select("label", "vec_id", "pos", u_u)
-    per_vec = unit.groupBy("label", "vec_id").agg(
-        F.sum(F.col("u_u") * F.col("u_u")).alias("usq_u")
-    )
-    per_dim = unit.groupBy("label", "pos").agg(F.sum("u_u").alias("s_u"))
+    per_dim = uarr.select(
+        "label", F.posexplode("u").alias("pos", "u_u")
+    ).groupBy("label", "pos").agg(F.sum("u_u").alias("s_u"))
     s2_u = F.floor(
         F.col("s_u").cast("double") * F.col("s_u").cast("double") / F.lit(1e4)
         + F.lit(0.5)

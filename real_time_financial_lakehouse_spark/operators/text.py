@@ -1403,12 +1403,14 @@ def ngram_novelty_rate(
     Scale: the shingling projection runs once; shingles are md5-hashed
     to 60-bit longs INSIDE the array and per-doc-deduped
     (array_distinct) BEFORE the explode, so the explode emits 8-byte
-    longs instead of shingle strings and the global distinct starts
-    from within-doc-unique rows; distinct (lang, hash, split) then
-    collapses to vocabulary cardinality BEFORE the anti-join, so the
-    join shuffles vocab-sized sides, never the token stream.  All
-    counts are exact integers; the rate is a ratio of exact
-    integers."""
+    longs instead of shingle strings.  Split membership then collapses
+    in ONE partial-aggregable groupBy (lang, hash) -> (seen-in-train,
+    seen-in-holdout) boolean pair -- map-side aggregation dedups the
+    token stream before the exchange, and "novel" is simply
+    holdout AND NOT train on the vocabulary-cardinality frame, so the
+    former global distinct + left-anti join (two extra vocabulary
+    shuffles) never happens.  All counts are exact integers; the rate
+    is a ratio of exact integers."""
     from ..functions.hashing import md5_long, shingles_expr
     from ..functions.numeric import qround
 
@@ -1423,24 +1425,24 @@ def ngram_novelty_rate(
     )
     hashed = documents.select(
         "lang", holdout.alias("is_holdout"), F.explode(hs).alias("h")
-    ).distinct()
-    train = hashed.filter(~F.col("is_holdout")).select("lang", "h")
-    test = hashed.filter(F.col("is_holdout")).select("lang", "h")
-    novel = test.join(train, ["lang", "h"], "left_anti")
-    n_test = test.groupBy("lang").agg(F.count(F.lit(1)).alias("n_holdout_ngrams"))
-    n_novel = novel.groupBy("lang").agg(F.count(F.lit(1)).alias("n_novel_ngrams"))
+    )
+    vocab = hashed.groupBy("lang", "h").agg(
+        F.max("is_holdout").alias("in_holdout"),
+        F.max(~F.col("is_holdout")).alias("in_train"),
+    )
     return (
-        n_test.join(n_novel, "lang", "left")
+        vocab.filter(F.col("in_holdout"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_holdout_ngrams"),
+            F.sum((~F.col("in_train")).cast("long")).alias("n_novel_ngrams"),
+        )
         .select(
             "lang",
             "n_holdout_ngrams",
-            F.coalesce(F.col("n_novel_ngrams"), F.lit(0).cast("long")).alias(
-                "n_novel_ngrams"
-            ),
+            "n_novel_ngrams",
             qround(
-                F.coalesce(F.col("n_novel_ngrams"), F.lit(0).cast("long"))
-                / F.col("n_holdout_ngrams"),
-                6,
+                F.col("n_novel_ngrams") / F.col("n_holdout_ngrams"), 6
             ).alias("novelty_rate"),
         )
         .orderBy("lang")
@@ -1631,9 +1633,12 @@ def trigram_interpolated_logprob(
     c3 = train_tris.groupBy("w1", "w2", "w3").agg(
         F.count(F.lit(1)).alias("c3")
     )
-    c2ctx = train_tris.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c2ctx")
-    )
+    # context totals are MARGINALS of the count tables they back
+    # (c2ctx(w1,w2) = sum_w3 c3; c1ctx(v1) = sum_v2 c2): rolling them up
+    # from the Zipf-small tables is value-identical to the former
+    # re-aggregation of the token stream and removes one full corpus
+    # tokenize+explode pass per table
+    c2ctx = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2ctx"))
     train_pairs = (
         base.filter(F.col("split") == "train")
         .select(
@@ -1647,7 +1652,7 @@ def trigram_interpolated_logprob(
         .select("b.v1", "b.v2")
     )
     c2 = train_pairs.groupBy("v1", "v2").agg(F.count(F.lit(1)).alias("c2"))
-    c1ctx = train_pairs.groupBy("v1").agg(F.count(F.lit(1)).alias("c1ctx"))
+    c1ctx = c2.groupBy("v1").agg(F.sum("c2").alias("c1ctx"))
     vocab = (
         base.filter(F.col("split") == "train")
         .select(F.explode("w").alias("t"))
