@@ -39,6 +39,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # NTZ-annotated timestamps (round 3 regeneration).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Per-SESSION memo of the lazy DataFrame HANDLE (never of results:
+    # every action still scans the parquet).  Each spark.read.parquet
+    # call pays driver-side file listing + footer/schema inference +
+    # py4j round-trips (measured 0.13-0.30 s per table on the round-13
+    # optimization host) and a bench/driver run constructs each query
+    # fresh per rep, so the catalog was re-inferring the same immutable
+    # fixture schema thousands of times.  Production lakes solve this
+    # with a catalog/metastore (guide §6: manifest metadata beats
+    # re-listing); a dict on the session instance is the session-scoped
+    # equivalent and dies with the session -- no cross-session leaks, no
+    # state keyed on the data directory surviving the process.
+    cache = getattr(spark, "_rtfl_table_handles", None)
+    if cache is None:
+        cache = {}
+        spark._rtfl_table_handles = cache
+    key = (os.path.abspath(sf_dir), name)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos long -> microsecond timestamp.  Integer DIV, not `/`: the
@@ -52,6 +71,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
+    cache[key] = df
     return df
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

@@ -4480,9 +4480,13 @@ def tail_dependence_matrix(events: DataFrame, q: float = 0.2) -> DataFrame:
         )
         .filter(F.col("n_days_sym") >= 10)
     )
+    # (symbol x day)-cardinality lineage cut: `flags` feeds both sides
+    # of the pair join, and itself embeds the day rollup + lag window +
+    # the percentile threshold pass -- without the cut that corpus
+    # subtree evaluates four times
     flags = rets.join(F.broadcast(th), "symbol").select(
         "symbol", "day", (F.col("lr") <= F.col("qtail")).alias("in_tail")
-    )
+    ).localCheckpoint(eager=True)
     a = flags.select(
         F.col("symbol").alias("sym_a"),
         "day",

@@ -327,9 +327,12 @@ def token_budget_mixture(documents: DataFrame, budget_frac: float = 0.5) -> Data
         "source",
         F.size(F.split(normalize_text(F.col("text")), " ")).alias("n_tokens"),
     )
+    # source-cardinality lineage cut (a handful of rows): per_src feeds
+    # the grand total, the ranked frame and the output -- without it the
+    # corpus tokenize+groupBy evaluates once per consumer
     per_src = toks.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
-    )
+    ).localCheckpoint(eager=True)
     totals = per_src.agg(
         F.sum("total_tokens").alias("grand"), F.count(F.lit(1)).alias("n_sources")
     )
