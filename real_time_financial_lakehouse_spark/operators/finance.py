@@ -6423,7 +6423,7 @@ def granger_causality_pairs(events: DataFrame) -> DataFrame:
         F.sum(u(F.col("ry1") * F.col("ry"))).alias("suy_u"),
         F.sum(u(F.col("rx1") * F.col("ry"))).alias("svy_u"),
         F.sum(u(F.col("ry1") * F.col("rx1"))).alias("suv_u"),
-    ).filter(F.col("n_days") >= 30)
+    ).filter(F.col("n_days") >= 20)
     # centered second moments from the exact integer sums; every
     # expression below is written identically in the SQL oracle so both
     # engines run the same IEEE sequence on the same exact inputs

@@ -10018,7 +10018,7 @@ _GC_MOM = ",\n               ".join(
     sums AS (
         SELECT sym_cause, sym_effect, count(*)::BIGINT AS n_days,
                {_GC_SUMS}
-        FROM joined GROUP BY 1, 2 HAVING count(*) >= 30
+        FROM joined GROUP BY 1, 2 HAVING count(*) >= 20
     ),
     moments AS (
         SELECT sym_cause, sym_effect, n_days,

@@ -712,7 +712,8 @@ def test_granger_f_matches_numpy_lstsq_referee(spark, sf_dir):
                 frames[sx][["r1"]], how="inner", rsuffix="_x"
             )
             n = len(j)
-            if n < 30:
+            # engine eligibility: the family-wide n_days >= 20 convention
+            if n < 20:
                 assert (sx, sy) not in got
                 continue
             y = j["lr"].to_numpy(dtype=np.float64)

@@ -995,8 +995,12 @@ def test_round10_governance_queries_stay_bounded(spark):
     nov = _plan(text.ngram_novelty_rate(docs))
     assert "CartesianProduct" not in nov
     assert "BatchEvalPython" not in nov
-    assert "LeftAnti" in nov
-    assert "HashAggregate" in nov  # the distinct collapse before the join
+    # round-13 optimization: the distinct + left-anti join was fused into
+    # one partial-aggregable groupBy(lang, h) boolean-pair pass -- novelty
+    # is decided per vocabulary key, so there must be NO join at all and
+    # the shingle hash must aggregate (never shuffle the raw token stream)
+    assert "Join" not in nov
+    assert "HashAggregate" in nov  # the vocabulary-cardinality collapse
     for df in (
         pipeline.pii_density_by_source(docs),
         l_diversity_report(ev),
