@@ -714,6 +714,14 @@ def minhash_jaccard_estimate(
     ).distinct()
     cand = documents.join(F.broadcast(ids), "doc_id", "leftsemi")
     mins = [_minhash_min_expr(i) for i in range(k)]
+    # NOTE (round-13 optimization pass): a localCheckpoint here -- the
+    # frame feeds both join sides, so the shingle+signature pass runs
+    # once per side -- was TRIED and REVERTED: materializing the
+    # distinct-shingle ARRAYS costs more than recomputing them (the
+    # checkpoint serializes every candidate doc's shingle set; measured
+    # 4.7 s -> 7.6 s median at sf0.1).  Recomputation stays the cheaper
+    # side of the guide-s5 trade until the pair list is much denser
+    # than the banding cap allows.
     feats = (
         cand.select("doc_id", F.expr(shingles_expr("text", shingle_n)).alias("shl"))
         .select(

@@ -1038,30 +1038,72 @@ def kyle_lambda(events: DataFrame) -> DataFrame:
         .orderBy("symbol")
     )
 
-def _rolling_vol_stack(events: DataFrame, horizons: tuple) -> DataFrame:
+def _rolling_vol_stack(
+    events: DataFrame, horizons: tuple, chunk_rows: int = 2048
+) -> DataFrame:
     """Shared rolling-realized-vol frame for the cone family: minute
     bars -> log returns -> per-horizon rolling stddev (full windows
-    only), stacked to (symbol, horizon, rv) rows.  ONE window sort
-    serves every horizon (same-spec windows share the exchange); a
-    shared row_number stands in for per-frame counts (the frame is
-    preceding-rows-only, so rn >= h <=> the h-row frame is full) --
-    three window aggregates instead of six."""
+    only), stacked to (symbol, horizon, rv) rows.
+
+    Parallelism (guide s2.5/s2.6): a bounded-horizon sliding frame is
+    row-local, but ``partitionBy(symbol)`` caps the window stage at
+    |symbols| tasks -- one billion-minute symbol history is one
+    straggler task, and Spark recomputes a moving frame from scratch
+    per row (max(horizons) x |bars| buffer visits).  The stddev pass
+    therefore runs per (symbol, CHUNK): rows are split into fixed
+    ``chunk_rows`` blocks by their per-symbol row number (one cheap
+    O(1)-per-row window pass), each block is prepended with the
+    previous block's last max(h)-1 rows as context-only carries, and a
+    frame is emitted only when COUNT over it equals the horizon --
+    exactly the global "rn >= h" full-window rule, over exactly the
+    same h-row frame in the same order, so every stddev_samp fold is
+    IEEE-identical to the single-partition formulation while the stage
+    parallelism scales with data volume instead of symbol count.  The
+    log-return lag stays a single per-symbol pass (it is O(1) per row
+    and needs the true predecessor across any calendar gap); the tiny
+    returns frame is lineage-cut so the chunk and carry branches read
+    it once."""
+    max_h = max(horizons)
+    assert chunk_rows > max_h
     bars = _minute_bars(events).filter(F.col("close") > 0)
     w = Window.partitionBy("symbol").orderBy("minute_window")
     ret = F.log(F.col("close") / F.lag("close").over(w))
-    with_ret = bars.select("symbol", "minute_window", ret.alias("r")).filter(
-        F.col("r").isNotNull()
+    with_ret = (
+        bars.select(
+            "symbol",
+            F.row_number().over(w).alias("rn"),
+            ret.alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+        .localCheckpoint(eager=True)
     )
-    rn = F.row_number().over(w)
+    blk = (F.col("rn") - 1) - ((F.col("rn") - 1) % chunk_rows)
+    base = with_ret.select(
+        "symbol", "rn", "r", blk.alias("chunk"), F.lit(False).alias("carry")
+    )
+    carries = with_ret.filter(
+        (F.col("rn") - 1) % chunk_rows >= chunk_rows - (max_h - 1)
+    ).select(
+        "symbol",
+        "rn",
+        "r",
+        (blk + chunk_rows).alias("chunk"),
+        F.lit(True).alias("carry"),
+    )
+    wc = Window.partitionBy("symbol", "chunk").orderBy("rn")
     cols = []
     for h in horizons:
-        wf = Window.partitionBy("symbol").orderBy("minute_window").rowsBetween(
-            -(h - 1), 0
-        )
+        wf = wc.rowsBetween(-(h - 1), 0)
         cols.append(
-            F.when(F.col("rn") >= h, F.stddev_samp("r").over(wf)).alias(f"rv_{h}")
+            F.when(
+                F.count("r").over(wf) == h, F.stddev_samp("r").over(wf)
+            ).alias(f"rv_{h}")
         )
-    rolled = with_ret.withColumn("rn", rn).select("symbol", *cols)
+    rolled = (
+        base.unionByName(carries)
+        .select("symbol", "carry", *cols)
+        .filter(~F.col("carry"))
+    )
     return rolled.select(
         "symbol",
         F.expr(

@@ -27,34 +27,79 @@ def profile_columns(
     df: DataFrame, columns: list[str] | None = None, approx: bool = False
 ) -> DataFrame:
     cols = columns or df.columns
-    distinct = (
-        (lambda c: F.approx_count_distinct(c)) if approx else (lambda c: F.countDistinct(c))
-    )
-    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    if approx:
+        # HLL++ keeps the whole profile ONE partial-aggregated pass --
+        # the 100 TB default (no Expand: approx_count_distinct is a
+        # plain aggregate, not a distinct rewrite).
+        aggs = [F.count(F.lit(1)).alias("__n_rows")]
+        for c in cols:
+            aggs += [
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                F.approx_count_distinct(c).alias(f"{c}__distinct"),
+                F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            ]
+        one = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+        )
+        return (
+            one.select(
+                F.col("__n_rows").alias("n_rows"),
+                F.expr(
+                    f"stack({len(cols)}, {stack_args})"
+                    " AS (column_name, n_nulls, n_distinct, min_value, max_value)"
+                ),
+            )
+            .select(
+                "column_name", "n_rows", "n_nulls", "n_distinct",
+                "min_value", "max_value",
+            )
+            .orderBy("column_name")
+        )
+    # Exact path (guide s2.3/s2.4): N exact countDistinct aggregates in
+    # one agg made Catalyst plan an Expand (N+1 duplicated streams) and,
+    # because the grouping key then contains every profiled column, a
+    # pair of SORT aggregates keyed on all of them at once -- measured
+    # as two full sorts of a 7x-expanded corpus carrying the long
+    # document/props strings.  Per-column narrow branches are strictly
+    # cheaper: each branch scans ONE parquet column (columnar pruning),
+    # partial-aggregates to that column's distinct values, and folds
+    # (n_rows, n_nulls, n_distinct, min, max) from the per-value counts
+    # -- every output is an exact integer / typed min-max, so the report
+    # is value-identical, and the union's branch stages schedule
+    # concurrently.  At 100 TB the unioned branches read the same total
+    # bytes as the single scan (one column each) with no Expand
+    # multiplier and vocabulary-cardinality shuffles.
+    branches = []
     for c in cols:
-        aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            distinct(F.col(c)).alias(f"{c}__distinct"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-        ]
-    one = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
-    )
-    return (
-        one.select(
-            F.col("__n_rows").alias("n_rows"),
-            F.expr(
-                f"stack({len(cols)}, {stack_args})"
-                " AS (column_name, n_nulls, n_distinct, min_value, max_value)"
-            ),
+        per_val = df.groupBy(F.col(c).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__cnt")
         )
-        .select(
-            "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+        branches.append(
+            per_val.agg(
+                F.sum("__cnt").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("__v").isNull(), F.col("__cnt")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("n_nulls"),
+                F.count("__v").alias("n_distinct"),
+                F.min("__v").cast("string").alias("min_value"),
+                F.max("__v").cast("string").alias("max_value"),
+            ).select(
+                F.lit(c).alias("column_name"),
+                F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+                F.coalesce(F.col("n_nulls"), F.lit(0)).alias("n_nulls"),
+                "n_distinct",
+                "min_value",
+                "max_value",
+            )
         )
-        .orderBy("column_name")
-    )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("column_name")
 
 
 def key_skew_profile(df: DataFrame, key: str, topn: int = 5) -> DataFrame:

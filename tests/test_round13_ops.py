@@ -813,3 +813,28 @@ def test_granger_and_perm_entropy_plans(spark, sf_dir):
     assert "SortMergeJoin" in gp or "ShuffledHashJoin" in gp or "BroadcastHashJoin" in gp
     pe = _plan(permutation_entropy(ev))
     assert "BatchEvalPython" not in pe and "CartesianProduct" not in pe
+
+
+def test_rolling_vol_chunking_is_exact(spark, sf_dir):
+    """The round-13 chunked rolling-stddev formulation (fixed row blocks
+    + max(h)-1 carry rows, full-window rule COUNT-over-frame == h) must
+    be row-identical to the single-partition formulation: same frames,
+    same order, same IEEE folds.  chunk_rows=67 forces many chunks and
+    carry seams on the fixture; a huge chunk_rows degenerates to the
+    old one-partition-per-symbol shape."""
+    from real_time_financial_lakehouse_spark.operators.finance import (
+        _rolling_vol_stack,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def key(df):
+        return sorted(
+            (r["symbol"], r["horizon"], round(r["rv"], 12))
+            for r in df.collect()
+        )
+
+    chunked = key(_rolling_vol_stack(ev, (5, 20, 60), chunk_rows=67))
+    single = key(_rolling_vol_stack(ev, (5, 20, 60), chunk_rows=10**9))
+    assert chunked == single
+    assert len(chunked) > 0

@@ -299,7 +299,11 @@ def test_profile_columns_approx_is_single_pass(spark):
     df = spark.range(1000).selectExpr("id AS a", "id % 7 AS b")
     exact_plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
     approx_plan = profile_columns(df, approx=True)._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" in exact_plan
+    # round-13 optimization: the exact path no longer uses the
+    # multi-distinct Expand either -- it folds each column's profile
+    # from a per-column groupBy branch (no Expand, no all-columns sort)
+    assert "Expand" not in exact_plan
+    assert "SortAggregate" not in exact_plan
     assert "Expand" not in approx_plan
     rows = {r["column_name"]: r for r in profile_columns(df, approx=True).collect()}
     # HLL cardinalities land within the published ~2% envelope
