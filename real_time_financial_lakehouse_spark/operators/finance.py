@@ -58,19 +58,22 @@ def bollinger_bands(events: DataFrame, n: int = 20, width: float = 2.0) -> DataF
     per symbol, emitted only where the window is full (the standard
     null-prefix convention, same as SMA).
 
-    Scale: one shuffle on the symbol; the frame is ROWS-bounded so each
-    task holds n rows of state per in-flight window, independent of
-    partition size."""
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(n - 1), 0)
+    Scale: the frame is ROWS-bounded so each task holds n rows of state
+    per in-flight window; the window runs per (symbol, row-block) via
+    ``_chunked_trailing`` -- identical frames/values, parallelism that
+    scales with data volume instead of symbol count."""
+    rows, wc = _chunked_trailing(
+        events.select("event_id", "event_type", "ts", "value"),
+        ["event_type"],
+        ["ts", "event_id"],
+        n,
     )
+    w = wc.rowsBetween(-(n - 1), 0)
     mid = F.avg("value").over(w)
     sd = F.stddev_samp(F.col("value")).over(w)
     cnt = F.count(F.lit(1)).over(w)
     return (
-        events.select(
+        rows.select(
             "event_id",
             F.col("event_type").alias("symbol"),
             "ts",
@@ -78,7 +81,10 @@ def bollinger_bands(events: DataFrame, n: int = 20, width: float = 2.0) -> DataF
             F.when(cnt == n, qround(mid, 6)).alias("bb_mid"),
             F.when(cnt == n, qround(mid + F.lit(width) * sd, 6)).alias("bb_upper"),
             F.when(cnt == n, qround(mid - F.lit(width) * sd, 6)).alias("bb_lower"),
+            "__carry",
         )
+        .filter(~F.col("__carry"))
+        .drop("__carry")
         .orderBy("symbol", "ts", "event_id")
     )
 
@@ -188,6 +194,51 @@ def _minute_bars(events: DataFrame) -> DataFrame:
         F.max_by(F.col("value"), key).alias("close"),
         F.sum(qty).alias("vol"),
     )
+
+def _chunked_trailing(
+    df: DataFrame,
+    part_cols: list,
+    order_cols: list,
+    max_h: int,
+    chunk_rows: int = 4096,
+):
+    """Chunked execution harness for bounded TRAILING window frames
+    (guide s2.5/s2.6): ``partitionBy(key)`` caps a window stage at
+    |keys| tasks, and Spark recomputes a moving frame from scratch per
+    row, so one billion-row key history is one straggler task doing
+    max_h x |rows| buffer visits.  This splits each key's rows into
+    fixed ``chunk_rows`` blocks by per-key row number (one cheap
+    O(1)-per-row window pass, lineage-cut so both branches read it
+    once) and prepends each block with the previous block's last
+    ``max_h - 1`` rows as context-only carries.
+
+    Returns ``(rows, wspec)``: ``rows`` carries the input columns plus
+    ``__rn``/``__chunk``/``__carry``; ``wspec`` is the per-(key, chunk)
+    window.  The caller computes its frames over ``wspec``, emits a
+    value only where COUNT over the frame equals the horizon (exactly
+    the global full-window rule: carries supply every true predecessor,
+    so the frame holds the same rows in the same order and every
+    aggregate fold is IEEE-identical), and filters ``~__carry``."""
+    assert chunk_rows > max_h
+    w = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    cp = df.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
+    blk = (F.col("__rn") - 1) - ((F.col("__rn") - 1) % chunk_rows)
+    base = cp.withColumn("__chunk", blk).withColumn(
+        "__carry", F.lit(False)
+    )
+    carry = (
+        cp.filter(
+            (F.col("__rn") - 1) % chunk_rows >= chunk_rows - (max_h - 1)
+        )
+        .withColumn("__chunk", blk + chunk_rows)
+        .withColumn("__carry", F.lit(True))
+    )
+    rows = base.unionByName(carry)
+    wspec = Window.partitionBy(*part_cols, "__chunk").orderBy("__rn")
+    return rows, wspec
+
 
 def atr(events: DataFrame, n: int = 14) -> DataFrame:
     """Average True Range (simple-MA variant) over minute bars: true range
@@ -417,12 +468,13 @@ def donchian_channels(events: DataFrame, n: int = 20) -> DataFrame:
     emitted only where the window is full, position additionally guarded
     against a zero-range band.
 
-    Scale: same bar-cardinality posture as ATR/stochastic -- one
-    exchange on the symbol, a single ROWS-bounded frame feeding all four
-    outputs, O(n) state per task."""
-    bars = _minute_bars(events)
-    w = Window.partitionBy("symbol").orderBy("minute_window")
-    frame = w.rowsBetween(-(n - 1), 0)
+    Scale: same bar-cardinality posture as ATR/stochastic -- a single
+    ROWS-bounded frame feeding all four outputs, O(n) state per task,
+    run per (symbol, row-block) via ``_chunked_trailing`` so one long
+    symbol history is not one straggler task."""
+    bars = _minute_bars(events).select("symbol", "minute_window", "high", "low", "close")
+    rows, wc = _chunked_trailing(bars, ["symbol"], ["minute_window"], n)
+    frame = wc.rowsBetween(-(n - 1), 0)
     upper = F.max("high").over(frame)
     lower = F.min("low").over(frame)
     cnt = F.count(F.lit(1)).over(frame)
@@ -430,14 +482,20 @@ def donchian_channels(events: DataFrame, n: int = 20) -> DataFrame:
     pos = F.when(
         full & (upper != lower), (F.col("close") - lower) / (upper - lower)
     )
-    return bars.select(
-        "symbol",
-        "minute_window",
-        F.when(full, qround(upper, 6)).alias("upper_band"),
-        F.when(full, qround(lower, 6)).alias("lower_band"),
-        F.when(full, qround((upper + lower) / F.lit(2.0), 6)).alias("mid_band"),
-        qround(pos, 6).alias("channel_pos"),
-    ).orderBy("symbol", "minute_window")
+    return (
+        rows.select(
+            "symbol",
+            "minute_window",
+            F.when(full, qround(upper, 6)).alias("upper_band"),
+            F.when(full, qround(lower, 6)).alias("lower_band"),
+            F.when(full, qround((upper + lower) / F.lit(2.0), 6)).alias("mid_band"),
+            qround(pos, 6).alias("channel_pos"),
+            "__carry",
+        )
+        .filter(~F.col("__carry"))
+        .drop("__carry")
+        .orderBy("symbol", "minute_window")
+    )
 
 
 def resample_ffill(events: DataFrame) -> DataFrame:
@@ -511,12 +569,17 @@ def rolling_median(events: DataFrame, n: int = 30) -> DataFrame:
     n-element array (n = 30 here) -- O(n log n) per row, fine for
     indicator-sized frames; for a median over an unbounded/huge frame
     use the KLL sketch path (``percentile_approx``) instead, which
-    merges instead of sorting."""
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(n - 1), 0)
+    merges instead of sorting.  The O(n log n)-per-row frame is the
+    heaviest sliding window in the indicator family, so it runs per
+    (symbol, row-block) via ``_chunked_trailing`` -- identical frames,
+    data-scaled parallelism."""
+    rows, wc = _chunked_trailing(
+        events.select("event_id", "event_type", "ts", "value"),
+        ["event_type"],
+        ["ts", "event_id"],
+        n,
     )
+    w = wc.rowsBetween(-(n - 1), 0)
     arr = F.array_sort(F.collect_list("value").over(w))
     if n % 2 == 0:
         med = (F.element_at(arr, n // 2) + F.element_at(arr, n // 2 + 1)) / F.lit(2.0)
@@ -524,13 +587,16 @@ def rolling_median(events: DataFrame, n: int = 30) -> DataFrame:
         med = F.element_at(arr, n // 2 + 1)
     cnt = F.count(F.lit(1)).over(w)
     return (
-        events.select(
+        rows.select(
             "event_id",
             F.col("event_type").alias("symbol"),
             "ts",
             F.col("value").alias("price"),
             F.when(cnt == n, qround(med, 6)).alias("rolling_median"),
+            "__carry",
         )
+        .filter(~F.col("__carry"))
+        .drop("__carry")
         .orderBy("symbol", "ts", "event_id")
     )
 
@@ -753,19 +819,23 @@ def cci(events: DataFrame, n: int = 20) -> DataFrame:
 
     Scale: bar-cardinality window with O(n) array state per row -- the
     collect_list frame is bounded by the constant n, never by data
-    volume; both folds are codegen'd array aggregates, no UDF."""
+    volume; both folds are codegen'd array aggregates, no UDF.  Runs
+    per (symbol, row-block) via ``_chunked_trailing`` (identical
+    frames, data-scaled parallelism)."""
     bars = _minute_bars(events)
     tp = ((F.col("high") + F.col("low") + F.col("close")) / 3.0).alias("tp")
-    w = (
-        Window.partitionBy("symbol")
-        .orderBy("minute_window")
-        .rowsBetween(-(n - 1), 0)
+    with_tp, wc = _chunked_trailing(
+        bars.select("symbol", "minute_window", tp),
+        ["symbol"],
+        ["minute_window"],
+        n,
     )
-    with_tp = bars.select("symbol", "minute_window", tp)
+    w = wc.rowsBetween(-(n - 1), 0)
     ws = F.collect_list("tp").over(w)
     frame = (
-        with_tp.select("symbol", "minute_window", "tp", ws.alias("ws"))
-        .filter(F.size("ws") == n)
+        with_tp.select("symbol", "minute_window", "tp", ws.alias("ws"), "__carry")
+        .filter((F.size("ws") == n) & ~F.col("__carry"))
+        .drop("__carry")
         # hoist the window mean into its own column: referencing it from
         # the MAD lambda via a nested aggregate() would re-fold the sum
         # once PER ELEMENT (O(n^2) per row -- measured 4x slower)

@@ -838,3 +838,46 @@ def test_rolling_vol_chunking_is_exact(spark, sf_dir):
     single = key(_rolling_vol_stack(ev, (5, 20, 60), chunk_rows=10**9))
     assert chunked == single
     assert len(chunked) > 0
+
+
+def test_chunked_trailing_helper_is_exact(spark):
+    """_chunked_trailing with aggressive seams (chunk_rows=7) must give
+    every non-carry row the identical trailing frame as the plain
+    per-key window: same rows, same order, for avg/stddev/collect."""
+    from real_time_financial_lakehouse_spark.operators.finance import (
+        _chunked_trailing,
+    )
+    from pyspark.sql import Window
+
+    rows = [("K%d" % (i % 3), i, float((i * 37) % 101)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    h = 5
+
+    def plain():
+        w = Window.partitionBy("k").orderBy("i").rowsBetween(-(h - 1), 0)
+        return sorted(
+            (r.k, r.i, round(r.m, 9), r.lst)
+            for r in df.select(
+                "k", "i",
+                F.when(F.count("v").over(w) == h, F.avg("v").over(w)).alias("m"),
+                F.collect_list("v").over(w).alias("lst"),
+            ).collect()
+            if r.m is not None
+        )
+
+    def chunked():
+        out, wc = _chunked_trailing(df, ["k"], ["i"], h, chunk_rows=7)
+        w = wc.rowsBetween(-(h - 1), 0)
+        return sorted(
+            (r.k, r.i, round(r.m, 9), r.lst)
+            for r in out.select(
+                "k", "i", "__carry",
+                F.when(F.count("v").over(w) == h, F.avg("v").over(w)).alias("m"),
+                F.collect_list("v").over(w).alias("lst"),
+            ).filter(~F.col("__carry")).collect()
+            if r.m is not None
+        )
+
+    p, c = plain(), chunked()
+    assert p == c
+    assert len(p) == 3 * (67 - h + 1) - 1  # 200 rows over 3 keys

@@ -309,13 +309,20 @@ def test_cluster_assign_broadcasts_seeds(spark):
     assert "CartesianProduct" not in plan
 
 def test_donchian_single_symbol_exchange(spark):
-    """donchian_channels: one hash exchange for the bar rollup + one for
-    the symbol window -- all four band outputs share the single frame."""
+    """donchian_channels: all four band outputs share ONE window frame.
+    Since the round-13 chunked-trailing rewrite the window partitions by
+    (symbol, row-block) -- the rn pass + the chunked window are the only
+    hash exchanges downstream of the lineage-cut bar frame, and there is
+    exactly one Window sort serving every output."""
     from real_time_financial_lakehouse_spark.operators import finance
 
     ev = load_table(spark, SF_SMOKE, "events")
     plan = _plan(finance.donchian_channels(ev))
-    assert plan.count("Exchange hashpartitioning") == 2  # agg + window
+    # the bar rollup + rn pass execute once inside the lineage cut; the
+    # visible plan is exactly one (symbol, row-block) exchange feeding
+    # ONE Window that serves all four band outputs
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
 
 def test_incremental_dedup_is_anti_join_no_expansion(spark):
     """incremental_dedup: a LEFT ANTI equi-join on the fingerprint --
