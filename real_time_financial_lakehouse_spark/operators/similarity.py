@@ -1325,8 +1325,13 @@ def centroid_silhouette(embeddings: DataFrame) -> DataFrame:
 
     Scale: centroids via one posexplode + partial-aggregable groupBy at
     |label x dim| cardinality; the distance pass is one broadcast of
-    |labels| centroid rows against the embedding scan -- the classic
-    centroid-assignment shape, linear in the corpus."""
+    the |labels|-entry centroid TABLE (a single array row) against the
+    embedding scan, with both a and b folded ROW-LOCALLY over that
+    array -- no corpus x labels expansion, no per-vector shuffle (the
+    round-13 rewrite: the previous explode + groupBy(vec_id) moved
+    |corpus| x |labels| full-vector rows through an exchange just to
+    take a min that array_min computes in place; distances are the
+    identical zip_with folds, min/pick are order-independent exact)."""
     emb = _spread(embeddings).select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
@@ -1341,17 +1346,26 @@ def centroid_silhouette(embeddings: DataFrame) -> DataFrame:
         )
         .select(F.col("label").alias("c_label"), "c")
     )
-    pairs = emb.crossJoin(F.broadcast(cent))
-    d2 = F.expr(
-        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D,"
+    cent_tab = cent.agg(
+        F.expr(
+            "array_sort(collect_list(struct(c_label, c)))"
+        ).alias("cents")
+    )
+    d2e = (
+        "aggregate(zip_with(v, e.c, (x, y) -> (x - y) * (x - y)), 0D,"
         " (acc, t) -> acc + t)"
     )
-    dists = pairs.select(
-        "vec_id", "label", "c_label", F.sqrt(d2).alias("dist")
-    )
-    per_vec = dists.groupBy("vec_id", "label").agg(
-        F.max(F.when(F.col("c_label") == F.col("label"), F.col("dist"))).alias("a"),
-        F.min(F.when(F.col("c_label") != F.col("label"), F.col("dist"))).alias("b"),
+    per_vec = emb.crossJoin(F.broadcast(cent_tab)).select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(filter(cents, e -> e.c_label = label),"
+            f" e -> sqrt({d2e}))[0]"
+        ).alias("a"),
+        F.expr(
+            f"array_min(transform(filter(cents, e -> e.c_label != label),"
+            f" e -> sqrt({d2e})))"
+        ).alias("b"),
     )
     sil = F.when(
         F.greatest("a", "b") > 0,
@@ -1382,27 +1396,50 @@ def kmeans_unrolled(
     inputs are bit-identical on both engines; ties break toward the
     smaller cluster id.
 
-    Scale: each iteration is one broadcast of k centroid rows against
-    the embedding scan (assignment) plus one |k x dim| partial-agg
-    groupBy (update) -- the canonical distributed KMeans step; nothing
-    ever collects to the driver."""
+    Scale: each iteration is one broadcast of the k-entry centroid
+    TABLE (a single array row) against the embedding scan with the
+    argmin folded ROW-LOCALLY (the round-13 rewrite: the previous
+    per-centroid crossJoin + row_number window shuffled corpus x k
+    full-vector rows per iteration just to pick a minimum that a struct
+    array_sort decides in place -- identical quantized distances,
+    identical (d2q, cluster_id) tie-break) plus one |k x dim|
+    partial-agg groupBy (update); nothing ever collects to the
+    driver."""
     emb = _spread(embeddings).select("vec_id", _as_double("embedding").alias("v"))
     cents = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cluster_id"), F.col("v").alias("c")
     )
-    d2 = F.expr(
-        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D,"
+    d2e = (
+        "aggregate(zip_with(v, e.c, (x, y) -> (x - y) * (x - y)), 0D,"
         " (acc, t) -> acc + t)"
     )
+    d2q_e = f"floor(({d2e}) * 1000000.0D + 0.5D) / 1000000.0D"
 
     def assign(centroids: DataFrame) -> DataFrame:
-        pairs = emb.crossJoin(F.broadcast(centroids))
-        scored = pairs.select(
-            "vec_id", "v", "cluster_id", qround(d2, 6).alias("d2q")
+        tab = centroids.agg(
+            F.expr("array_sort(collect_list(struct(cluster_id, c)))").alias(
+                "cents"
+            )
         )
-        w = Window.partitionBy("vec_id").orderBy("d2q", "cluster_id")
-        return scored.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") == 1
+        best = F.expr(
+            f"array_sort(transform(cents, e ->"
+            f" struct({d2q_e} AS d2q, e.cluster_id AS cluster_id)))[0]"
+        )
+        # Generate barrier: exploding the 1-element array makes `best`
+        # a plain attribute, so extracting BOTH fields below cannot
+        # re-inline (and re-evaluate) the distance folds once per field
+        # -- CollapseProject merges stacked Projects but never across a
+        # Generate (measured: without the barrier the final pass folds
+        # every distance twice).
+        return (
+            emb.crossJoin(F.broadcast(tab))
+            .select("vec_id", "v", F.explode(F.array(best)).alias("best"))
+            .select(
+                "vec_id",
+                "v",
+                F.col("best.cluster_id").alias("cluster_id"),
+                F.col("best.d2q").alias("d2q"),
+            )
         )
 
     for _ in range(n_iters):
