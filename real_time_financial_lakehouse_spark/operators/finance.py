@@ -2336,28 +2336,38 @@ def ichimoku_cloud(events: DataFrame) -> DataFrame:
     full (null-prefix convention), which also makes the cloud columns
     NULL-honest on short series.
 
-    Scale: all four range windows share ONE (symbol, minute) sort; each
-    frame is a bounded ROWS window (max/min, O(1) state)."""
-    bars = _minute_bars(events)
-    w = Window.partitionBy("symbol").orderBy("minute_window")
+    Scale: all four range windows share ONE (symbol, row-block) sort via
+    ``_chunked_trailing`` (identical frames/values, data-scaled
+    parallelism); each frame is a bounded ROWS window (max/min, O(1)
+    state)."""
+    bars = _minute_bars(events).select(
+        "symbol", "minute_window", "high", "low", "close"
+    )
+    rows, wc = _chunked_trailing(bars, ["symbol"], ["minute_window"], 52)
 
     def midpoint(n: int):
-        fr = w.rowsBetween(-(n - 1), 0)
+        fr = wc.rowsBetween(-(n - 1), 0)
         full = F.count(F.lit(1)).over(fr) == n
         return F.when(
             full, (F.max("high").over(fr) + F.min("low").over(fr)) / 2.0
         )
 
     tenkan, kijun, senkou_b = midpoint(9), midpoint(26), midpoint(52)
-    return bars.select(
-        "symbol",
-        "minute_window",
-        qround(F.col("close"), 6).alias("close"),
-        qround(tenkan, 6).alias("tenkan"),
-        qround(kijun, 6).alias("kijun"),
-        qround((tenkan + kijun) / 2.0, 6).alias("senkou_a"),
-        qround(senkou_b, 6).alias("senkou_b"),
-    ).orderBy("symbol", "minute_window")
+    return (
+        rows.select(
+            "symbol",
+            "minute_window",
+            qround(F.col("close"), 6).alias("close"),
+            qround(tenkan, 6).alias("tenkan"),
+            qround(kijun, 6).alias("kijun"),
+            qround((tenkan + kijun) / 2.0, 6).alias("senkou_a"),
+            qround(senkou_b, 6).alias("senkou_b"),
+            "__carry",
+        )
+        .filter(~F.col("__carry"))
+        .drop("__carry")
+        .orderBy("symbol", "minute_window")
+    )
 
 
 # ---------------------------------------------------------------------------

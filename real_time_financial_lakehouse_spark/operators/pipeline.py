@@ -434,7 +434,24 @@ def boilerplate_strip(
         F.sequence(F.lit(0), nseg - 1),
         lambda i: F.concat_ws(" ", F.slice(words, i * width + 1, F.lit(width))),
     )
-    segs = documents.select("doc_id", F.posexplode(seg_arr).alias("pos", "seg"))
+    # ONE normalize+segment pass (round-13): the segment branch, the
+    # anti-join probe branch and the totals branch each re-ran the
+    # regex/split/segment projection from the scan (3x the query's
+    # per-doc CPU), and the single-file fixture scan pinned that work to
+    # one task -- _spread first (the contamination_check discipline),
+    # then a doc-cardinality lineage cut carrying (seg_arr, n_segments);
+    # the cut holds segments, i.e. about the normalized text itself,
+    # never the exploded rows.
+    tokenized = (
+        _spread(documents.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            seg_arr.alias("sa"),
+            nseg.cast("long").alias("n_segments"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    segs = tokenized.select("doc_id", F.posexplode("sa").alias("pos", "seg"))
     boilerplate = (
         segs.groupBy("seg")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -452,7 +469,7 @@ def boilerplate_strip(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    totals = documents.select("doc_id", nseg.cast("long").alias("n_segments"))
+    totals = tokenized.select("doc_id", "n_segments")
     return (
         totals.join(reassembled, "doc_id", "left")
         .select(
