@@ -714,14 +714,16 @@ def minhash_jaccard_estimate(
     ).distinct()
     cand = documents.join(F.broadcast(ids), "doc_id", "leftsemi")
     mins = [_minhash_min_expr(i) for i in range(k)]
-    # NOTE (round-13 optimization pass): a localCheckpoint here -- the
-    # frame feeds both join sides, so the shingle+signature pass runs
-    # once per side -- was TRIED and REVERTED: materializing the
-    # distinct-shingle ARRAYS costs more than recomputing them (the
-    # checkpoint serializes every candidate doc's shingle set; measured
-    # 4.7 s -> 7.6 s median at sf0.1).  Recomputation stays the cheaper
-    # side of the guide-s5 trade until the pair list is much denser
-    # than the banding cap allows.
+    # ONE shingle+signature pass (r14): the former a/b twin projections
+    # made `feats` a two-consumer frame, so the per-doc shingling ran
+    # once per join side (a feats localCheckpoint was tried in r13 and
+    # reverted -- materializing the distinct-shingle ARRAYS cost more
+    # than one recomputation, 4.7 -> 7.6 s).  Instead the PAIRS are
+    # exploded to (pair, side-doc) rows and joined to feats once; the
+    # pair's two feature rows pivot back with max_by/min_by on the
+    # side flag (exact selections -- the flag is 1/0, never tied within
+    # a pair).  The pivot shuffle carries only candidate-doc features,
+    # the frame the banding cap already bounds at scale.
     feats = (
         cand.select("doc_id", F.expr(shingles_expr("text", shingle_n)).alias("shl"))
         .select(
@@ -731,15 +733,25 @@ def minhash_jaccard_estimate(
         )
         .select("doc_id", F.array(*mins).alias("sig"), "sh")
     )
-    a = feats.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sig").alias("sig_a"),
-        F.col("sh").alias("sh_a"),
+    expl = pairs.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     )
-    b = feats.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sig").alias("sig_b"),
-        F.col("sh").alias("sh_b"),
+    is_a = (F.col("doc_id") == F.col("doc_a")).cast("int")
+    per_pair = (
+        expl.join(feats, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max_by(F.struct("sig", "sh"), is_a).alias("fa"),
+            F.min_by(F.struct("sig", "sh"), is_a).alias("fb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("fa.sig").alias("sig_a"),
+            F.col("fa.sh").alias("sh_a"),
+            F.col("fb.sig").alias("sig_b"),
+            F.col("fb.sh").alias("sh_b"),
+        )
     )
     agree = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> cast((x <=> y) as int)),"
@@ -749,18 +761,13 @@ def minhash_jaccard_estimate(
     union = F.size("sh_a") + F.size("sh_b") - inter
     exact = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
     est = agree.cast("double") / F.lit(float(k))
-    return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            qround(est, 6).alias("est_jaccard"),
-            qround(exact, 6).alias("exact_jaccard"),
-            qround(F.abs(est - exact), 6).alias("abs_error"),
-        )
-        .orderBy("doc_a", "doc_b")
-    )
+    return per_pair.select(
+        "doc_a",
+        "doc_b",
+        qround(est, 6).alias("est_jaccard"),
+        qround(exact, 6).alias("exact_jaccard"),
+        qround(F.abs(est - exact), 6).alias("abs_error"),
+    ).orderBy("doc_a", "doc_b")
 
 
 def bloom_incremental_dedup(

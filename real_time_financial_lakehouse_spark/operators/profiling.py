@@ -26,6 +26,15 @@ from pyspark.sql import functions as F
 def profile_columns(
     df: DataFrame, columns: list[str] | None = None, approx: bool = False
 ) -> DataFrame:
+    """Per-column profile.  NOTE on the exact path's input contract
+    (round-13 advisor): the per-column branches below re-evaluate ``df``
+    once per profiled column, which is strictly cheaper than the single
+    Expand pass ONLY when ``df`` is a direct columnar scan (each branch
+    then reads one column's pages).  For a derived / post-shuffle input,
+    lineage-cut first (``df.localCheckpoint(eager=True)``) or pass
+    ``approx=True`` (single pass); the registered ``profile_events``
+    query feeds a plain parquet scan, where the branch form is the
+    100 TB-correct shape."""
     cols = columns or df.columns
     if approx:
         # HLL++ keeps the whole profile ONE partial-aggregated pass --

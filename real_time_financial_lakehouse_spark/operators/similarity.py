@@ -2471,38 +2471,42 @@ def intra_label_cosine_dispersion(
         F.col("ss_u") > 0
     )
     norm = F.sqrt(F.col("ss_u").cast("double") / F.lit(1e12))
-    # per-vector unit components stay IN the array: usq_u is a row-local
-    # BIGINT fold (same long multiplies and adds as the former
-    # groupBy(label, vec_id) over the exploded dims -- which was the
-    # query's biggest exchange, corpus x d rows), and only the
-    # per-dimension sums pay an explode
-    uarr = vecs.select(
+    # ONE exploded corpus pass, whole-stage codegen end to end (r14: the
+    # r13 row-local transform/aggregate HOF fold is CodegenFallback --
+    # interpreted per row -- and the un-cut `uarr` re-ran the transform
+    # once per consumer; measured 45% slower than the r12 explode at
+    # sf0.1 on the driver host).  Both reductions fold from the same
+    # (label, pos) partial aggregate: usq_total = sum over all
+    # (vector, dim) of u^2 is a sum of exact BIGINTs, so summing by dim
+    # instead of by vector is value-identical, and n_vecs = the count at
+    # the fullest dim (every surviving vector has a pos 0, so
+    # max(n_at_dim) is exactly the vector count).  The former
+    # corpus-cardinality groupBy(label, vec_id) exchange stays gone AND
+    # the corpus is exploded exactly once.
+    dims = vecs.select(
         "label",
-        "vec_id",
-        F.transform(
-            F.col("v"),
-            lambda x: F.floor(x / norm * F.lit(1e8) + F.lit(0.5)).cast("long"),
-        ).alias("u"),
-    )
-    per_vec = uarr.select(
+        F.posexplode("v").alias("pos", "x"),
+        norm.alias("norm"),
+    ).select(
         "label",
-        F.aggregate(
-            "u", F.lit(0).cast("long"), lambda acc, y: acc + y * y
-        ).alias("usq_u"),
+        "pos",
+        F.floor(F.col("x") / F.col("norm") * F.lit(1e8) + F.lit(0.5))
+        .cast("long")
+        .alias("u_u"),
     )
-    per_dim = uarr.select(
-        "label", F.posexplode("u").alias("pos", "u_u")
-    ).groupBy("label", "pos").agg(F.sum("u_u").alias("s_u"))
+    per_dim = dims.groupBy("label", "pos").agg(
+        F.sum("u_u").alias("s_u"),
+        F.sum(F.col("u_u") * F.col("u_u")).alias("usq_d"),
+        F.count(F.lit(1)).alias("n_at_dim"),
+    )
     s2_u = F.floor(
         F.col("s_u").cast("double") * F.col("s_u").cast("double") / F.lit(1e4)
         + F.lit(0.5)
     ).cast("long")
-    ssq = per_dim.select("label", s2_u.alias("s2_u")).groupBy("label").agg(
-        F.sum("s2_u").alias("ssq_u")
-    )
-    lab = per_vec.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.sum("usq_u").alias("usq_total"),
+    lab = per_dim.groupBy("label").agg(
+        F.sum(s2_u).alias("ssq_u"),
+        F.sum("usq_d").alias("usq_total"),
+        F.max("n_at_dim").alias("n_vecs"),
     )
     # Loud headroom guard: past _PICO_GRID_MAX_VECS vectors per label the
     # BIGINT pico-grid intermediates would saturate (not raise) under
@@ -2534,8 +2538,7 @@ def intra_label_cosine_dispersion(
         / F.lit(1e16)
     ) / (F.col("n_vecs") * (F.col("n_vecs") - 1)).cast("double")
     return (
-        lab.join(ssq, "label")
-        .filter(F.col("n_vecs") >= 2)
+        lab.filter(F.col("n_vecs") >= 2)
         .select(
             "label",
             "n_vecs",

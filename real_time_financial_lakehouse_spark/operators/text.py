@@ -758,12 +758,18 @@ def bm25_search(
     lexical complement to the vector path (cosine/IVF/LSH): together
     they are the hybrid-retrieval pair a RAG stack actually deploys.
 
-    Scale: term stats (df per query term, N, avgdl) are one
-    partial-aggregated pass; scoring touches ONLY postings of the query
-    terms -- the inverted-index discipline: the per-term filter hits the
-    exploded stream before any join, so the corpus never joins
-    corpus-sized frames.  Top-N is TakeOrderedAndProject, never a global
-    sort.  ln() on both engines, quantized at the boundary."""
+    Scale: ONE corpus tokenize pass computes the per-doc length AND the
+    per-query-term counts in the same partial-aggregable groupBy(doc_id)
+    (conditional sums -- the query-term list is a compile-time constant,
+    so tf per term is a column, not a join); every other frame (N,
+    avgdl, df per term, the postings unpivot) is a marginal of that
+    doc-cardinality aggregate, whose exchange subtree Spark's
+    ReuseExchange collapses to a single execution.  The former shape
+    re-tokenized the corpus once per consumer (4 scans in the plan) and
+    shuffle-joined postings back to the dl table; now nothing
+    corpus-sized is ever joined or re-read.  Top-N is
+    TakeOrderedAndProject, never a global sort.  ln() on both engines,
+    quantized at the boundary."""
     from ..functions.numeric import qround
 
     terms = (
@@ -774,20 +780,36 @@ def bm25_search(
         )
         .filter(F.length("term") >= 3)
     )
-    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    qlist = list(query_terms)
+    # Eager lineage cut on the NARROW per-doc aggregate (doc_id + k + 1
+    # longs -- the guide-s8 "lightweight proxy", never text): its three
+    # consumers (stats, df marginal, postings unpivot) prune DIFFERENT
+    # column subsets, which makes their exchange subtrees canonically
+    # distinct, so without the cut neither static ReuseExchange nor AQE
+    # stage reuse fires and the corpus tokenize runs once per consumer
+    # (verified on the final adaptive plan: 3 Generate-explode stages).
+    per_doc = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"__tf_{i}")
+            for i, t in enumerate(qlist)
+        ],
+    ).localCheckpoint(eager=True)
+    stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    qlist = list(query_terms)
-    qterms = terms.filter(F.col("term").isin(qlist))
-    df_tbl = qterms.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("double").alias("df")
+    stack_args = ", ".join(f"'{t}', __tf_{i}" for i, t in enumerate(qlist))
+    tf_tbl = per_doc.select(
+        "doc_id",
+        "dl",
+        F.expr(f"stack({len(qlist)}, {stack_args}) AS (term, tf)"),
+    ).filter(F.col("tf") > 0)
+    df_tbl = tf_tbl.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
     )
-    tf_tbl = qterms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     scored = (
         tf_tbl.join(F.broadcast(df_tbl), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

@@ -3260,14 +3260,41 @@ _ROUND13_FRONT = [
 
 assert len(_ROUND13_FRONT) == 50, len(_ROUND13_FRONT)
 
+# CORRECTNESS_r13.json came back 50/50 green on exactly _ROUND13_FRONT
+# (rows + schema + hash vs the DuckDB oracle) -- the externally verified
+# union covers every query registered before round 13.
+_DRIVER_VERIFIED_R13 = list(_ROUND13_FRONT)
+
+# ROUND-14 FRONT (active): exactly the queue documented above at the
+# round-13 freeze -- the 14 round-13 in-round additions (the only
+# registry names never driver-checked; the round-13 optimization judge
+# explicitly asked for external coverage of the four build-tail members
+# granger_causality_pairs / lexical_richness / pacf_durbin_levinson /
+# permutation_entropy, verdict item #8), then the r5-vintage remainder
+# (last fronted CORRECTNESS_r05) in _ROUND5_FRONT order, then the head
+# of the r6-vintage block in _ROUND6_FRONT order filling the window to
+# 50.  With this green the externally verified union reaches 383/383 --
+# every registered query driver-checked at least once.
+_ROUND14_FRONT = [
+    # never driver-checked round-13 additions
+    "ann_recall_curve", "rank_biased_overlap", "ivf_nprobe_recall_curve",
+    "streaming_label_centroids", "mmr_diversified_topk",
+    "component_var_decomposition", "epps_effect_curve", "hill_tail_index",
+    "heaps_law_fit", "query_likelihood_search", "permutation_entropy",
+    "granger_causality_pairs", "pacf_durbin_levinson", "lexical_richness",
+    # r5-vintage remainder (19 names, last checked CORRECTNESS_r05)
+] + _ROUND5_FRONT[31:] + _ROUND6_FRONT[:17]
+
+assert len(_ROUND14_FRONT) == 50, len(_ROUND14_FRONT)
+
 
 def _rotate_for_driver() -> None:
-    front = [n for n in _ROUND13_FRONT if n in QUERIES]
+    front = [n for n in _ROUND14_FRONT if n in QUERIES]
     verified_names = (
         _DRIVER_VERIFIED_R1_R2 + _DRIVER_VERIFIED_R3 + _DRIVER_VERIFIED_R4
         + _DRIVER_VERIFIED_R5 + _DRIVER_VERIFIED_R6_R7
         + _DRIVER_VERIFIED_R8 + _DRIVER_VERIFIED_R9 + _DRIVER_VERIFIED_R10
-        + _DRIVER_VERIFIED_R11 + _DRIVER_VERIFIED_R12
+        + _DRIVER_VERIFIED_R11 + _DRIVER_VERIFIED_R12 + _DRIVER_VERIFIED_R13
     )
     placed = set(front) | set(verified_names)
     rest_unverified = [n for n in QUERIES if n not in placed]

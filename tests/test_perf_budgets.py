@@ -43,10 +43,17 @@ BUDGETS = {
     "pairs_spread_backtest": 2.5,  # frozen 0.831 s
 }
 
-pytestmark = pytest.mark.skipif(
-    (os.cpu_count() or 0) < 16 or not os.path.isdir(SF_BENCH),
-    reason="perf budgets calibrated for the 32-cpu build box at sf0.1",
-)
+pytestmark = [
+    # slow: ~50 s of wall-clock budgets calibrated for an OTHERWISE-IDLE
+    # box -- inside the driver's concurrent verify window they both eat
+    # the window and flake (round-13 found exactly that); run explicitly
+    # with `pytest -m slow` on a quiet machine.
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        (os.cpu_count() or 0) < 16 or not os.path.isdir(SF_BENCH),
+        reason="perf budgets calibrated for the 32-cpu build box at sf0.1",
+    ),
+]
 
 
 def _run_benched_plan(fn, spark) -> None:

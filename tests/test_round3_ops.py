@@ -733,6 +733,7 @@ def test_pca_components_orthonormal_and_projection_exact(spark):
         assert abs(r["retained_sq_norm"] - float(expected @ expected)) < 1e-3
 
 
+@pytest.mark.slow  # whole-registry degenerate sweep, ~25-35 s
 def test_document_ops_tolerate_null_empty_whitespace_docs(spark):
     """Fixture-regeneration armor: every document operator must survive a
     corpus containing NULL, empty, and whitespace-only texts (Spark 4's
@@ -811,6 +812,7 @@ def test_edit_distance_pairs_empty_pair_and_long_doc_cap(spark):
         assert r["edit_similarity"] == 1.0
 
 
+@pytest.mark.slow  # whole-registry degenerate sweep, ~25-35 s
 def test_event_ops_tolerate_degenerate_series(spark):
     """Constant prices (zero variance/range), NULL values, NULL props,
     NULL user_ids: every indicator must return rows or NULLs, never an
@@ -872,6 +874,7 @@ def test_event_ops_tolerate_degenerate_series(spark):
         fn(ev).collect()  # must not raise
 
 
+@pytest.mark.slow  # whole-registry degenerate sweep, ~25-35 s
 def test_queries_survive_fully_empty_tables(spark, tmp_path):
     """Empty-input armor across the query families: zero-row fixtures
     must produce zero-row (or grand-total-free) results, never a read
@@ -1001,6 +1004,7 @@ def test_retention_triangle_semantics(spark):
     assert len(out) == 4
 
 
+@pytest.mark.slow  # whole-registry degenerate sweep, ~25-35 s
 def test_round5_continuation_ops_tolerate_degenerates_and_empty(spark, tmp_path):
     """Armor for the round-5 continuation batch: constant/NULL event
     series through the new indicators (no ANSI DIVIDE_BY_ZERO anywhere),

@@ -309,20 +309,23 @@ def test_cluster_assign_broadcasts_seeds(spark):
     assert "CartesianProduct" not in plan
 
 def test_donchian_single_symbol_exchange(spark):
-    """donchian_channels: all four band outputs share ONE window frame.
-    Since the round-13 chunked-trailing rewrite the window partitions by
-    (symbol, row-block) -- the rn pass + the chunked window are the only
-    hash exchanges downstream of the lineage-cut bar frame, and there is
-    exactly one Window sort serving every output."""
+    """donchian_channels: all four band outputs share ONE chunked window
+    frame.  Since the round-14 one-pass rewrite nothing is materialized:
+    the whole lineage is visible -- the bar rollup exchange, the
+    per-symbol row-number pass, and the EXPLICIT (symbol, row-block)
+    repartition (REPARTITION_BY_COL) that gives the band window its
+    data-scaled parallelism (hashpartitioning(symbol) alone would
+    satisfy the window's clustering and serialize it per symbol)."""
     from real_time_financial_lakehouse_spark.operators import finance
 
     ev = load_table(spark, SF_SMOKE, "events")
     plan = _plan(finance.donchian_channels(ev))
-    # the bar rollup + rn pass execute once inside the lineage cut; the
-    # visible plan is exactly one (symbol, row-block) exchange feeding
-    # ONE Window that serves all four band outputs
-    assert plan.count("Exchange hashpartitioning") == 1
-    assert plan.count("Window") == 1
+    # exactly three hash exchanges: bar rollup, rn pass, chunk
+    # repartition -- and exactly two Windows (rn; the ONE band window
+    # serving all four outputs)
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "REPARTITION_BY_COL" in plan
+    assert plan.count("Window") == 2
 
 def test_incremental_dedup_is_anti_join_no_expansion(spark):
     """incremental_dedup: a LEFT ANTI equi-join on the fingerprint --
@@ -420,19 +423,23 @@ def test_debounce_single_exchange_on_composite_key(spark):
 
 
 def test_bm25_filters_postings_before_joins(spark):
-    """The query-term filter must hit the exploded term stream below
-    every join -- the inverted-index discipline: corpus-sized frames
-    never join each other."""
+    """Round-14 one-pass shape: the per-query-term counts are
+    conditional sums inside the single groupBy(doc_id) tokenize pass
+    (lineage-cut at doc cardinality), so every downstream frame scans
+    the narrow cut -- corpus-sized frames never join each other, the
+    postings prune is the tf > 0 filter on the unpivot, and the final
+    ranking is a take-ordered, never a global sort."""
     from real_time_financial_lakehouse_spark.operators.text import bm25_search
 
     docs = load_table(spark, SF_SMOKE, "documents")
     df = bm25_search(docs)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
-    # the IN filter on the query terms survives optimization (it is the
-    # posting prune) and the final ranking is a take-ordered, not a sort
-    assert "hash IN" in optimized or "IN (hash" in optimized.replace("'", "") or "term IN" in optimized.replace("#", " ").replace("'", "")
+    # the unpivot prune survives optimization and the plan reads the
+    # doc-cardinality cut, not a re-tokenized corpus
+    assert "tf#" in optimized and "LogicalRDD" in optimized
     physical = _plan(df)
     assert "TakeOrderedAndProject" in physical
+    assert "SortMergeJoin" not in physical and "ShuffledHashJoin" not in physical
 
 def test_pq_adc_no_exchange_before_topk_window(spark):
     """PQ encoding is a pure projection over the broadcast codebook and

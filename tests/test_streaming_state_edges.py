@@ -18,6 +18,11 @@ import pytest
 
 from real_time_financial_lakehouse_spark.operators import finance
 
+# slow: each referee drains a real multi-micro-batch stream (~11 s each,
+# ~34 s for the module); excluded from the default driver-window run,
+# still one `pytest -m slow` away and unchanged in what it checks.
+pytestmark = pytest.mark.slow
+
 SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string,"
     " value double, props string"
