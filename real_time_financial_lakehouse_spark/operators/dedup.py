@@ -562,22 +562,33 @@ def edit_distance_pairs(
         "doc_id",
         F.substring(normalize_text(F.col("text")), 1, max_len).alias("norm_text"),
     )
-    a = norm.select(F.col("doc_id").alias("doc_a"), F.col("norm_text").alias("text_a"))
-    b = norm.select(F.col("doc_id").alias("doc_b"), F.col("norm_text").alias("text_b"))
+    # ONE normalize pass (r14, the minhash_jaccard_estimate pivot): the
+    # former a/b twin projections made `norm` a two-consumer frame, so
+    # the corpus scan + semi-filter + normalize ran once per join side.
+    # Pairs explode to (pair, side-doc) rows, join the texts once, and
+    # pivot back with max_by/min_by on the 1/0 side flag (exact
+    # selections, never tied within a pair).
+    expl = pairs.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    is_a = (F.col("doc_id") == F.col("doc_a")).cast("int")
+    per_pair = (
+        expl.join(norm, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max_by("norm_text", is_a).alias("text_a"),
+            F.min_by("norm_text", is_a).alias("text_b"),
+        )
+    )
     lev = F.levenshtein("text_a", "text_b")
     denom = F.greatest(F.length("text_a"), F.length("text_b"))
     sim = F.when(denom > 0, F.lit(1.0) - lev / denom).otherwise(F.lit(1.0))
-    return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            lev.cast("long").alias("edit_distance"),
-            qround(sim, 6).alias("edit_similarity"),
-        )
-        .orderBy("doc_a", "doc_b")
-    )
+    return per_pair.select(
+        "doc_a",
+        "doc_b",
+        lev.cast("long").alias("edit_distance"),
+        qround(sim, 6).alias("edit_similarity"),
+    ).orderBy("doc_a", "doc_b")
 
 def simhash_near_pairs(
     documents: DataFrame,

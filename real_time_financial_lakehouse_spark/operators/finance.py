@@ -269,9 +269,19 @@ def _chunked_trailing(
         # one-partition-per-key layout -- zero parallelism gained, plus
         # a re-sort; the r13 localCheckpoint was unknowingly load-
         # bearing for exactly this (the fresh RDD had no known
-        # partitioning, forcing the exchange).  Stated explicitly, the
-        # exchange is the whole point of the harness.
-        .repartition(*part_cols, "__chunk")
+        # partitioning, forcing the exchange).  The partition COUNT is
+        # pinned (the _spread discipline, conf-driven: cluster deploys
+        # size spark.default.parallelism to the cluster): a bare
+        # repartition-by-column is AQE-coalescible, and AQE sizes
+        # partitions by BYTES (64 MB advisory) while a window stage is
+        # CPU-bound per row -- measured: AQE folded this exchange to ~1
+        # partition at bench scale, serializing the window it exists to
+        # parallelize.
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            *part_cols,
+            "__chunk",
+        )
     )
     wspec = Window.partitionBy(*part_cols, "__chunk").orderBy("__rn")
     return rows, wspec
@@ -1259,10 +1269,16 @@ def _rolling_vol_stack(
             ).alias("chunk"),
         )
         .withColumn("carry", F.col("chunk") != blk)
-        # explicit (symbol, chunk) exchange -- see _chunked_trailing:
-        # hashpartitioning(symbol) would silently satisfy the window's
-        # clustering and run it one-task-per-symbol
-        .repartition("symbol", "chunk")
+        # explicit pinned-count (symbol, chunk) exchange -- see
+        # _chunked_trailing: hashpartitioning(symbol) would silently
+        # satisfy the window's clustering (serial per symbol), and an
+        # unpinned repartition is AQE-coalescible by BYTES, which
+        # serializes this CPU-bound window stage at small inputs
+        .repartition(
+            bars.sparkSession.sparkContext.defaultParallelism,
+            "symbol",
+            "chunk",
+        )
     )
     wc = Window.partitionBy("symbol", "chunk").orderBy("rn")
     cols = []

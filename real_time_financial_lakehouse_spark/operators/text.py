@@ -1445,7 +1445,12 @@ def ngram_novelty_rate(
         md5_long(F.concat_ws(":", F.lit("nov"), F.col("doc_id"))) % holdout_mod
         == 0
     )
-    hashed = documents.select(
+    # _spread before the per-shingle md5 projection (r14): the fixture
+    # scan is one file -> one partition, so without it the entire
+    # hashing pass -- the query's dominant cost, and the reason it led
+    # the r13 slowest-5 -- ran on a single task with 31 cores idle (the
+    # identical round-13 jpeg/gif finding, guide s2.5 input skew).
+    hashed = _spread(documents.select("doc_id", "lang", "text")).select(
         "lang", holdout.alias("is_holdout"), F.explode(hs).alias("h")
     )
     vocab = hashed.groupBy("lang", "h").agg(

@@ -312,9 +312,10 @@ def test_donchian_single_symbol_exchange(spark):
     """donchian_channels: all four band outputs share ONE chunked window
     frame.  Since the round-14 one-pass rewrite nothing is materialized:
     the whole lineage is visible -- the bar rollup exchange, the
-    per-symbol row-number pass, and the EXPLICIT (symbol, row-block)
-    repartition (REPARTITION_BY_COL) that gives the band window its
-    data-scaled parallelism (hashpartitioning(symbol) alone would
+    per-symbol row-number pass, and the EXPLICIT pinned-count
+    (symbol, row-block) repartition (REPARTITION_BY_NUM: an unpinned
+    by-column repartition is AQE-coalescible by BYTES, which serializes
+    the CPU-bound window stage; hashpartitioning(symbol) alone would
     satisfy the window's clustering and serialize it per symbol)."""
     from real_time_financial_lakehouse_spark.operators import finance
 
@@ -324,7 +325,7 @@ def test_donchian_single_symbol_exchange(spark):
     # repartition -- and exactly two Windows (rn; the ONE band window
     # serving all four outputs)
     assert plan.count("Exchange hashpartitioning") == 3
-    assert "REPARTITION_BY_COL" in plan
+    assert "REPARTITION_BY_NUM" in plan
     assert plan.count("Window") == 2
 
 def test_incremental_dedup_is_anti_join_no_expansion(spark):
